@@ -1,0 +1,259 @@
+"""Memoized step execution + urd-lite registry.
+
+This is the reference's one subsystem Catalyst does not give us
+(SURVEY §4 verdict): job memoization. The reference matches
+(method, sha1(source), options, dataset deps, job deps) against a job
+database and links instead of re-running on a hit
+(/root/reference/accelerator/dependency.py:34-97, database.py:117-180,
+runner.py:131-153). Urd is its timestamped joblist log
+(accelerator/urd.py:143-420, build.py:486-566).
+
+Design here:
+- a *step* is a plain Python function ``step(spark, datasets, options) ->
+  DataFrame | dict[str, DataFrame]``.
+- ``build()`` hashes step source (inspect.getsource) + options JSON +
+  input dataset ids; hit => return the already-written Dataset(s) without
+  touching Spark. Miss => run, write under workdir/<method>-<seq>/, record.
+- ``equivalent_hashes``: a step may declare ``step.equivalent = ["old
+  sha1", ...]`` to claim compatibility with jobs built by older source
+  (reference: accelerator/runner.py:270-295).
+- ``why_build=True`` explains what would run without running it
+  (reference: accelerator/dependency.py:78-97).
+- Urd-lite: an append-only JSONL log keyed (list, timestamp) with
+  latest/first/since/peek — enough for incremental chain scheduling
+  (the reference's daily-import pattern, examples/build_tutorial05.py).
+
+Scale: memoization is pure driver-side metadata (a few KB of JSON per
+job); the data stays distributed Parquet. Re-running a 100 TB pipeline
+with one changed step re-executes only that step and its descendants —
+same contract as the reference.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .dataset import Dataset
+
+
+def _stable_json(obj: Any) -> str:
+    return json.dumps(obj, sort_keys=True, default=str)
+
+
+def source_hash(fn: Callable) -> str:
+    """sha1 of the step's source text (reference: runner.py:131-153).
+    Falls back to qualname for builtins/lambdas without source."""
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        src = getattr(fn, "__qualname__", repr(fn))
+    return hashlib.sha1(src.encode()).hexdigest()
+
+
+@dataclass
+class JobRecord:
+    jobid: str
+    method: str
+    key: str
+    outputs: dict[str, str]  # name -> dataset path
+    artifacts: dict[str, Any] = field(default_factory=dict)
+    time_built: float = 0.0
+
+
+class BuildContext:
+    """Workdir-scoped memo index + builder."""
+
+    def __init__(self, spark: SparkSession, workdir: str):
+        self.spark = spark
+        self.workdir = workdir
+        os.makedirs(workdir, exist_ok=True)
+        self._dbpath = os.path.join(workdir, "jobdb.jsonl")
+        self._db: dict[str, JobRecord] = {}
+        self._seq: dict[str, int] = {}
+        self._load()
+
+    def _load(self) -> None:
+        if not os.path.exists(self._dbpath):
+            return
+        with open(self._dbpath) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                d = json.loads(line)
+                rec = JobRecord(**d)
+                self._db[rec.key] = rec
+                method, _, n = rec.jobid.rpartition("-")
+                try:
+                    self._seq[method] = max(self._seq.get(method, -1), int(n))
+                except ValueError:
+                    pass
+
+    def _append(self, rec: JobRecord) -> None:
+        with open(self._dbpath, "a") as f:
+            f.write(_stable_json(rec.__dict__) + "\n")
+
+    # -- key construction ---------------------------------------------
+    def _job_key(
+        self,
+        fn: Callable,
+        options: dict[str, Any],
+        datasets: dict[str, Dataset],
+        src_hash: str | None = None,
+    ) -> str:
+        parts = {
+            "method": fn.__name__,
+            "source": src_hash or source_hash(fn),
+            "options": options,
+            "datasets": {k: ds.manifest.get("id") for k, ds in datasets.items()},
+        }
+        return hashlib.sha1(_stable_json(parts).encode()).hexdigest()
+
+    def _match(self, fn, options, datasets) -> JobRecord | None:
+        key = self._job_key(fn, options, datasets)
+        if key in self._db:
+            return self._db[key]
+        # equivalent_hashes escape hatch (reference: runner.py:270-295)
+        for old in getattr(fn, "equivalent", ()):
+            k2 = self._job_key(fn, options, datasets, src_hash=old)
+            if k2 in self._db:
+                return self._db[k2]
+        return None
+
+    # -- the public build() ---------------------------------------------
+    def build(
+        self,
+        fn: Callable,
+        options: dict[str, Any] | None = None,
+        datasets: dict[str, Dataset] | None = None,
+        force_build: bool = False,
+        why_build: bool = False,
+        hashlabel: str | None = None,
+        previous: Dataset | None = None,
+    ) -> "Job":
+        options = options or {}
+        datasets = datasets or {}
+        rec = self._match(fn, options, datasets)
+        if why_build:
+            reason = (
+                "cached" if rec and not force_build
+                else ("forced" if force_build else "no matching job (new source/options/inputs)")
+            )
+            return Job(self, None, would_build=rec is None or force_build, reason=reason)
+        if rec is not None and not force_build:
+            # verify outputs still exist on disk
+            if all(Dataset.exists(p) for p in rec.outputs.values()):
+                return Job(self, rec, cached=True)
+
+        # run it
+        seq = self._seq.get(fn.__name__, -1) + 1
+        self._seq[fn.__name__] = seq
+        jobid = f"{fn.__name__}-{seq}"
+        jobdir = os.path.join(self.workdir, jobid)
+        os.makedirs(jobdir, exist_ok=True)
+
+        result = fn(self.spark, datasets, options)
+        if isinstance(result, DataFrame):
+            result = {"default": result}
+        elif result is None:
+            result = {}
+        outputs: dict[str, str] = {}
+        for name, df in result.items():
+            path = os.path.join(jobdir, name)
+            Dataset.write(
+                df, path,
+                hashlabel=hashlabel,
+                previous=previous if name == "default" else None,
+                caption=f"{jobid}/{name}",
+            )
+            outputs[name] = path
+
+        key = self._job_key(fn, options, datasets)
+        rec = JobRecord(jobid=jobid, method=fn.__name__, key=key,
+                        outputs=outputs, time_built=time.time())
+        self._db[key] = rec
+        self._append(rec)
+        return Job(self, rec, cached=False)
+
+
+class Job:
+    """Result handle: datasets by name + cached flag (the reference's
+    jobid / JobList element, accelerator/build.py:304-368)."""
+
+    def __init__(self, ctx: BuildContext, rec: JobRecord | None,
+                 cached: bool = False, would_build: bool | None = None,
+                 reason: str = ""):
+        self._ctx = ctx
+        self._rec = rec
+        self.cached = cached
+        self.would_build = would_build
+        self.reason = reason
+
+    @property
+    def jobid(self) -> str | None:
+        return self._rec.jobid if self._rec else None
+
+    def dataset(self, name: str = "default") -> Dataset:
+        return Dataset.load(self._rec.outputs[name])
+
+    def df(self, name: str = "default") -> DataFrame:
+        return self.dataset(name).df(self._ctx.spark)
+
+    @property
+    def output_names(self) -> list[str]:
+        return list(self._rec.outputs) if self._rec else []
+
+
+class Urd:
+    """Urd-lite: append-only (list, timestamp) -> payload JSON log.
+
+    Covers the API surface build scripts actually use
+    (accelerator/build.py:486-566): begin/finish sessions collapse to a
+    single ``add``; latest/first/since/peek for incremental scheduling.
+    """
+
+    def __init__(self, workdir: str):
+        self.path = os.path.join(workdir, "urd.jsonl")
+        os.makedirs(workdir, exist_ok=True)
+
+    def _read(self) -> list[dict]:
+        if not os.path.exists(self.path):
+            return []
+        with open(self.path) as f:
+            return [json.loads(x) for x in f if x.strip()]
+
+    def add(self, listname: str, timestamp: str, payload: dict) -> None:
+        with open(self.path, "a") as f:
+            f.write(_stable_json({"list": listname, "ts": timestamp,
+                                  "payload": payload, "added": time.time()}) + "\n")
+
+    def _entries(self, listname: str) -> list[dict]:
+        return sorted((e for e in self._read() if e["list"] == listname),
+                      key=lambda e: e["ts"])
+
+    def latest(self, listname: str) -> dict | None:
+        es = self._entries(listname)
+        return es[-1] if es else None
+
+    def first(self, listname: str) -> dict | None:
+        es = self._entries(listname)
+        return es[0] if es else None
+
+    def peek(self, listname: str, timestamp: str) -> dict | None:
+        for e in self._entries(listname):
+            if e["ts"] == timestamp:
+                return e
+        return None
+
+    def since(self, listname: str, timestamp: str) -> list[dict]:
+        return [e for e in self._entries(listname) if e["ts"] > timestamp]
+
+    def lists(self) -> list[str]:
+        return sorted({e["list"] for e in self._read()})

@@ -1,0 +1,264 @@
+"""Dataset: a Parquet directory + JSON manifest.
+
+The reference's dataset is a pickled metadata dict + one gzip file per
+(column, slice), hash- or roundrobin-sliced, chained via ``previous``
+(/root/reference/accelerator/dataset.py:55-88, 428-441, 1321-1386).
+
+Our mapping (SURVEY.md §1):
+- column files / slices   -> Parquet (columnar, splittable); Spark tasks
+                             replace the fixed slice count.
+- hashlabel               -> ``repartition(n, col)`` before write, recorded
+                             in the manifest so downstream steps know the
+                             co-partitioning contract.
+- previous / chain        -> ``previous`` pointer in the manifest;
+                             ``chain()`` resolves it, ``chain_df()`` is the
+                             union-of-chain read (SURVEY §2.5).
+- per-column min/max      -> computed in the SAME Spark job as the write
+                             (one extra agg) and stored in the manifest;
+                             Parquet row-group stats additionally give
+                             zone-map skipping for free at scan time.
+- lines per slice         -> total row count (partition counts are Spark's
+                             business; order is preserved by an explicit
+                             ``lineno`` column when callers need it,
+                             SURVEY §7.4).
+
+At 100 TB: a Dataset is just a directory of Parquet files — reads are
+distributed scans with predicate pushdown and column pruning; nothing here
+ever collects data to the driver (min/max is a 1-row agg).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_NAME = "dataset.json"
+LINENO = "lineno"  # conventional ingest-order column (SURVEY §7.4)
+
+# columns whose min/max we track (matches the reference tracking everything
+# orderable — accelerator/dataset.py:875-897)
+_MINMAX_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "date", "timestamp", "string", "boolean",
+}
+
+
+def _json_safe(v: Any) -> Any:
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, float) and (v != v):  # NaN
+        return "NaN"
+    return v
+
+
+@dataclass
+class Dataset:
+    """Handle to a written dataset. Cheap; holds no data."""
+
+    path: str
+    manifest: dict[str, Any] = field(default_factory=dict)
+
+    # -- loading ---------------------------------------------------------
+    @classmethod
+    def load(cls, path: str) -> "Dataset":
+        with open(os.path.join(path, MANIFEST_NAME)) as f:
+            return cls(path=path, manifest=json.load(f))
+
+    @classmethod
+    def exists(cls, path: str) -> bool:
+        return os.path.exists(os.path.join(path, MANIFEST_NAME))
+
+    # -- writing ---------------------------------------------------------
+    @classmethod
+    def write(
+        cls,
+        df: DataFrame,
+        path: str,
+        hashlabel: str | None = None,
+        previous: "Dataset | str | None" = None,
+        caption: str = "",
+        partitions: int | None = None,
+        collect_minmax: bool = True,
+        filename: str | None = None,
+    ) -> "Dataset":
+        """Write ``df`` as a dataset.
+
+        ``hashlabel`` repartitions on that column first — the analog of the
+        reference's hash split writers (accelerator/dataset.py:1362-1368).
+        The co-partitioning *contract* (same hashlabel => no shuffle for a
+        per-key op) is honored by Spark when the downstream op keys on the
+        same column: the exchange is reused or AQE elides it.
+        """
+        if hashlabel:
+            if hashlabel not in df.columns:
+                raise ValueError(f"hashlabel {hashlabel!r} not in columns {df.columns}")
+            n = partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+            df = df.repartition(n, F.col(hashlabel))
+        elif partitions:
+            df = df.repartition(partitions)
+
+        data_dir = os.path.join(path, "data")
+        df.write.mode("overwrite").parquet(data_dir)
+
+        spark = df.sparkSession
+        written = spark.read.parquet(data_dir)
+        aggs = [F.count(F.lit(1)).alias("__lines__")]
+        mm_cols = []
+        if collect_minmax:
+            for f_ in written.schema.fields:
+                if f_.dataType.simpleString() in _MINMAX_TYPES:
+                    mm_cols.append(f_.name)
+                    aggs.append(F.min(f_.name).alias(f"__min_{f_.name}"))
+                    aggs.append(F.max(f_.name).alias(f"__max_{f_.name}"))
+        row = written.agg(*aggs).collect()[0].asDict()
+
+        manifest = {
+            "version": 1,
+            "id": uuid.uuid4().hex,
+            "created": time.time(),
+            "caption": caption,
+            "filename": filename,
+            "hashlabel": hashlabel,
+            "previous": previous.path if isinstance(previous, Dataset) else previous,
+            "columns": {f_.name: f_.dataType.simpleString() for f_ in written.schema.fields},
+            "nullable": {f_.name: f_.nullable for f_ in written.schema.fields},
+            "lines": row["__lines__"],
+            "minmax": {
+                c: [_json_safe(row[f"__min_{c}"]), _json_safe(row[f"__max_{c}"])]
+                for c in mm_cols
+            },
+        }
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, MANIFEST_NAME), "w") as f:
+            json.dump(manifest, f, indent=1, default=_json_safe)
+        return cls(path=path, manifest=manifest)
+
+    # -- reading ---------------------------------------------------------
+    def df(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.path, "data"))
+
+    # -- metadata --------------------------------------------------------
+    @property
+    def lines(self) -> int:
+        return self.manifest.get("lines", 0)
+
+    @property
+    def hashlabel(self) -> str | None:
+        return self.manifest.get("hashlabel")
+
+    @property
+    def columns(self) -> dict[str, str]:
+        return self.manifest.get("columns", {})
+
+    def min(self, col: str) -> Any:
+        return self.manifest.get("minmax", {}).get(col, [None, None])[0]
+
+    def max(self, col: str) -> Any:
+        return self.manifest.get("minmax", {}).get(col, [None, None])[1]
+
+    # -- chains (reference: accelerator/dataset.py:428-446) --------------
+    @property
+    def previous(self) -> "Dataset | None":
+        p = self.manifest.get("previous")
+        return Dataset.load(p) if p else None
+
+    def chain(self, length: int = -1, stop_ds: "Dataset | str | None" = None) -> list["Dataset"]:
+        """Resolve the ``previous`` chain, newest last (matching the
+        reference's iteration order: oldest dataset first)."""
+        stop = stop_ds.path if isinstance(stop_ds, Dataset) else stop_ds
+        out: list[Dataset] = []
+        cur: Dataset | None = self
+        while cur is not None and (length < 0 or len(out) < length):
+            if stop and cur.path == stop:
+                break
+            out.append(cur)
+            cur = cur.previous
+        out.reverse()
+        return out
+
+    def chain_df(
+        self,
+        spark: SparkSession,
+        length: int = -1,
+        stop_ds: "Dataset | str | None" = None,
+        range_filter: dict[str, tuple[Any, Any]] | None = None,
+    ) -> DataFrame:
+        """Union-of-chain read (the reference's ``iterate_chain``,
+        accelerator/dataset.py:443-446).
+
+        ``range_filter={col: (lo, hi)}`` keeps lo <= col < hi AND skips
+        whole datasets whose manifest [min,max] misses the range — the
+        reference's zone-map skip (accelerator/dataset.py:609-614). Spark's
+        parquet row-group stats then skip inside surviving datasets.
+        """
+        dss = self.chain(length=length, stop_ds=stop_ds)
+        if range_filter:
+            dss = [ds for ds in dss if not ds._range_skips(range_filter)]
+        if not dss:
+            return self.df(spark).limit(0)
+        dfs = [ds.df(spark) for ds in dss]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=False)
+        if range_filter:
+            for c, (lo, hi) in range_filter.items():
+                if lo is not None:
+                    out = out.filter(F.col(c) >= F.lit(lo))
+                if hi is not None:
+                    out = out.filter(F.col(c) < F.lit(hi))
+        return out
+
+    def _range_skips(self, range_filter: dict[str, tuple[Any, Any]]) -> bool:
+        """True if manifest min/max proves no row can match."""
+        for c, (lo, hi) in range_filter.items():
+            mn, mx = self.min(c), self.max(c)
+            if mn is None and mx is None:
+                continue
+            try:
+                if hi is not None and mn is not None and mn >= hi:
+                    return True
+                if lo is not None and mx is not None and mx < lo:
+                    return True
+            except TypeError:
+                continue
+        return False
+
+    def iterate(
+        self,
+        spark: SparkSession,
+        columns: list[str] | None = None,
+        filters=None,
+        range_filter: dict[str, tuple[Any, Any]] | None = None,
+    ) -> DataFrame:
+        """The single-dataset ``iterate`` surface (SURVEY §2.2) as a
+        DataFrame recipe: projection + filter + range, all pushed to the
+        scan by Catalyst."""
+        df = self.df(spark)
+        if range_filter:
+            for c, (lo, hi) in range_filter.items():
+                if lo is not None:
+                    df = df.filter(F.col(c) >= F.lit(lo))
+                if hi is not None:
+                    df = df.filter(F.col(c) < F.lit(hi))
+        if filters is not None:
+            df = df.filter(filters)
+        if columns:
+            df = df.select(*columns)
+        return df
+
+
+def with_lineno(df: DataFrame, col: str = LINENO) -> DataFrame:
+    """Attach a monotonically increasing ingest-order id. Not densely
+    sequential (per-partition blocks), but strictly ordered within a
+    partition and unique — sufficient for stable sort keys and
+    original-order recovery (SURVEY §7.4)."""
+    return df.withColumn(col, F.monotonically_increasing_id())

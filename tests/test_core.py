@@ -1,0 +1,101 @@
+"""Core: Dataset manifest round-trip, chains, zone-map skip, checksum,
+memoized build, urd-lite."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from accelerator_spark.dataset import Dataset, with_lineno
+from accelerator_spark.build import BuildContext, Urd
+from accelerator_spark.operators.checksum import checksum, datasets_equal
+
+from conftest import load
+
+
+def test_dataset_roundtrip(spark, sf_dir, tmp_path):
+    src = load(spark, sf_dir, "nation")
+    ds = Dataset.write(src, str(tmp_path / "nation"), hashlabel="n_nationkey")
+    assert ds.lines == src.count()
+    assert ds.hashlabel == "n_nationkey"
+    assert set(ds.columns) == set(src.columns)
+    back = Dataset.load(ds.path)
+    assert back.manifest["id"] == ds.manifest["id"]
+    assert datasets_equal(src, back.df(spark))
+
+
+def test_minmax_stats(spark, sf_dir, tmp_path):
+    src = load(spark, sf_dir, "region")
+    ds = Dataset.write(src, str(tmp_path / "region"))
+    assert ds.min("r_regionkey") == 0
+    assert ds.max("r_regionkey") == src.agg(F.max("r_regionkey")).collect()[0][0]
+
+
+def test_chain_and_range_skip(spark, sf_dir, tmp_path):
+    src = load(spark, sf_dir, "orders")
+    a = src.filter(F.col("o_orderkey") < 100)
+    b = src.filter((F.col("o_orderkey") >= 100) & (F.col("o_orderkey") < 200))
+    c = src.filter(F.col("o_orderkey") >= 200)
+    d1 = Dataset.write(a, str(tmp_path / "d1"))
+    d2 = Dataset.write(b, str(tmp_path / "d2"), previous=d1)
+    d3 = Dataset.write(c, str(tmp_path / "d3"), previous=d2)
+    assert [x.path for x in d3.chain()] == [d1.path, d2.path, d3.path]
+    full = d3.chain_df(spark)
+    assert full.count() == src.count()
+    # zone-map skip: range entirely inside d1 must prune d2/d3 by manifest
+    kept = [ds for ds in d3.chain() if not ds._range_skips({"o_orderkey": (0, 50)})]
+    assert [x.path for x in kept] == [d1.path]
+    sub = d3.chain_df(spark, range_filter={"o_orderkey": (0, 50)})
+    assert sub.count() == src.filter("o_orderkey >= 0 and o_orderkey < 50").count()
+
+
+def test_checksum_order_insensitive(spark, sf_dir):
+    src = load(spark, sf_dir, "customer")
+    shuffled = src.orderBy(F.rand(seed=1))
+    assert checksum(src) == checksum(shuffled)
+    assert checksum(src) != checksum(src.limit(10))
+
+
+def test_build_memoization(spark, sf_dir, tmp_path):
+    ctx = BuildContext(spark, str(tmp_path / "wd"))
+    src = Dataset.write(load(spark, sf_dir, "nation"), str(tmp_path / "src"))
+
+    def step_filter(spark, datasets, options):
+        return datasets["source"].df(spark).filter(F.col("n_regionkey") == options["region"])
+
+    j1 = ctx.build(step_filter, options={"region": 1}, datasets={"source": src})
+    assert not j1.cached
+    j2 = ctx.build(step_filter, options={"region": 1}, datasets={"source": src})
+    assert j2.cached and j2.jobid == j1.jobid
+    j3 = ctx.build(step_filter, options={"region": 2}, datasets={"source": src})
+    assert not j3.cached and j3.jobid != j1.jobid
+    j4 = ctx.build(step_filter, options={"region": 1}, datasets={"source": src},
+                   force_build=True)
+    assert not j4.cached
+    # why_build explain mode
+    jw = ctx.build(step_filter, options={"region": 3}, datasets={"source": src},
+                   why_build=True)
+    assert jw.would_build
+    # persistence: a fresh context sees the same job db
+    ctx2 = BuildContext(spark, str(tmp_path / "wd"))
+    j5 = ctx2.build(step_filter, options={"region": 2}, datasets={"source": src})
+    assert j5.cached
+
+
+def test_urd(tmp_path):
+    u = Urd(str(tmp_path))
+    u.add("daily", "2024-01-01", {"job": "a-0"})
+    u.add("daily", "2024-01-02", {"job": "a-1"})
+    u.add("other", "2024-01-01", {"job": "b-0"})
+    assert u.latest("daily")["payload"]["job"] == "a-1"
+    assert u.first("daily")["ts"] == "2024-01-01"
+    assert [e["ts"] for e in u.since("daily", "2024-01-01")] == ["2024-01-02"]
+    assert u.peek("daily", "2024-01-02")["payload"]["job"] == "a-1"
+    assert u.lists() == ["daily", "other"]
+
+
+def test_with_lineno_order_recovery(spark, sf_dir, tmp_path):
+    src = with_lineno(load(spark, sf_dir, "region"))
+    ds = Dataset.write(src, str(tmp_path / "r"), partitions=4)
+    back = ds.df(spark).orderBy("lineno").drop("lineno").collect()
+    orig = src.orderBy("lineno").drop("lineno").collect()
+    assert back == orig
