@@ -1,0 +1,912 @@
+"""Query/operator inventory — the graded surface.
+
+Each entry pairs a Spark implementation (DataFrame/SQL API, Catalyst-
+optimized) with an ANSI-SQL oracle DuckDB runs on the same parquet. Names
+map to SURVEY.md §2 rows or north-star extensions (dedup / similarity /
+text analysis / multimodal).
+
+Determinism rules (the driver hash-compares values):
+- every computed column is aliased identically on both sides;
+- float aggregates are ROUND(x, 2)-ed on BOTH sides (Spark and DuckDB sum
+  doubles in different orders; the ~1e-10 relative fp noise disappears at
+  2 decimals);
+- top-k queries always carry a unique tiebreak key in ORDER BY.
+
+Scale notes are inline per query: broadcasts for dims, pushed-down range
+filters, no driver-side loops; at 100 TB every query below is a
+scan→(broadcast)join→partial-agg shuffle plan with AQE skew handling.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects. Read nanos as long (legacy conf) and convert
+    to a microsecond timestamp JVM-side (``ts div 1000`` floors exactly —
+    integer math, no double round-trip). Oracles CAST ts to µs TIMESTAMP
+    the same way."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+# =====================================================================
+# Relational core (SURVEY §2.6 aggregation, §2.7 joins, §2.4 sort/top-k)
+# =====================================================================
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-shaped pricing summary through the reference's
+    idiom chain (range filter -> groupBy partial/final agg; reference does
+    this as per-slice Counters merged in synthesis, SURVEY §2.6).
+    Plan: single parquet scan with shipdate predicate pushed down,
+    partial hash agg map-side, tiny shuffle (4 groups)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                             AS sum_qty,
+       round(sum(l_extendedprice), 2)                        AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)     AS sum_disc_price,
+       round(avg(l_quantity), 2)                             AS avg_qty,
+       round(avg(l_extendedprice), 2)                        AS avg_price,
+       count(*)                                              AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + top-10. customer is the small side of the first
+    join -> broadcast; lineitem⨝orders shuffles on orderkey (the natural
+    key, co-partitioned by the join itself)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+ORACLE_Q3 = """
+SELECT l_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join through 4 dimensions. nation/region/supplier/customer are
+    broadcast (tiny at any SF relative to facts); only the
+    lineitem⨝orders edge shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+ORACLE_Q5 = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group (SURVEY §2.4 top-k idiom). Single shuffle on
+    o_custkey; rank pushed into the window operator."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rn")
+    )
+
+
+ORACLE_TOP3 = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS). SURVEY §2.7: pure new surface for the engine."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi") \
+        .select("c_custkey", "c_name")
+
+
+ORACLE_SEMI = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti") \
+        .select("c_custkey", "c_name", "c_mktsegment")
+
+
+ORACLE_ANTI = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (SURVEY §2.5 — absent in the reference, native here)."""
+    return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+ORACLE_DISTINCT = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+def top100_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit — Spark plans TakeOrderedAndProject (no full
+    sort materialization; survives any scale). Reference analog:
+    dataset_sort(sort_across_slices) + slice (SURVEY §2.4)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+ORACLE_TOP100 = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+"""
+
+
+def monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation (date_trunc month)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("month")
+    )
+
+
+ORACLE_MONTHLY = """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over status/priority (SURVEY §2.6 'absent in reference' row:
+    grouping sets are native new surface)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def brand_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⨝dim with broadcast + multi-agg incl. exact distinct count
+    (SURVEY §2.6 distinct-count row)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_BRAND = """
+SELECT p_brand, count(*) AS n_items,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def range_filter_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's iterate(columns=, range=) surface (SURVEY §2.2):
+    projection + range predicate, both pushed into the parquet scan
+    (PushedFilters + ReadSchema pruning)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1997-01-01")))
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+    )
+
+
+ORACLE_RANGE = """
+SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+"""
+
+
+def merge_customer_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dataset_merge / column-add (SURVEY §2.5): zip extra columns onto a
+    dataset — in Spark a broadcast lookup join."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey, "left")
+        .select("c_custkey", "c_name", "c_nationkey", F.col("n_name").alias("nation_name"))
+    )
+
+
+ORACLE_MERGE = """
+SELECT c_custkey, c_name, c_nationkey, n_name AS nation_name
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+# =====================================================================
+# Typing (SURVEY §2.8 dataset_type) — string -> typed with bad handling
+# =====================================================================
+
+def typed_from_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dataset_type round-trip: stringify columns (the reference's
+    all-bytes CSV import state), then re-type with the try_cast menu with
+    default-on-failure and filter_bad semantics (single-pass conjunction,
+    SURVEY §7.4)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("s_key"),
+        F.concat(F.lit(" "), F.col("l_quantity").cast("string"), F.lit(" ")).alias("s_qty"),
+        F.col("l_shipdate").cast("date").cast("string").alias("s_date"),
+        F.when(F.col("l_returnflag") == "R", F.lit("true")).otherwise(F.lit("no")).alias("s_bool"),
+    )
+    typed = li.select(
+        F.col("s_key").cast("long").alias("t_key"),
+        F.trim("s_qty").cast("double").alias("t_qty"),
+        F.to_date("s_date", "yyyy-MM-dd").alias("t_date"),
+        F.lower("s_bool").isin("true", "1", "yes", "on").alias("t_bool"),
+    )
+    return typed.groupBy("t_bool").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("t_qty"), 2).alias("sum_qty"),
+        F.min("t_date").alias("min_date"),
+        F.max("t_key").alias("max_key"),
+    ).orderBy("t_bool")
+
+
+ORACLE_TYPED = """
+WITH s AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS s_key,
+         ' ' || CAST(l_quantity AS VARCHAR) || ' ' AS s_qty,
+         CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS s_date,
+         CASE WHEN l_returnflag = 'R' THEN 'true' ELSE 'no' END AS s_bool
+  FROM lineitem
+), t AS (
+  SELECT CAST(s_key AS BIGINT) AS t_key,
+         CAST(trim(s_qty) AS DOUBLE) AS t_qty,
+         CAST(s_date AS DATE) AS t_date,
+         lower(s_bool) IN ('true','1','yes','on') AS t_bool
+  FROM s
+)
+SELECT t_bool, count(*) AS n, round(sum(t_qty), 2) AS sum_qty,
+       min(t_date) AS min_date, max(t_key) AS max_key
+FROM t GROUP BY t_bool ORDER BY t_bool
+"""
+
+
+# =====================================================================
+# Events: time-series / sessionization / as-of (streaming-adjacent)
+# =====================================================================
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form; the streaming form in
+    accelerator_spark.streaming uses the same logical plan under
+    Trigger.AvailableNow)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+ORACLE_HOURLY = """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column handling (SURVEY §1.2 json type): extract a typed field
+    from the props JSON string and aggregate — the json-as-compat-path
+    story."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_JSON_PROPS = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+       min(CAST(props->>'k' AS BIGINT)) AS min_k,
+       max(CAST(props->>'k' AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gap > 30 min splits a session): the lag/flag/cumsum
+    gaps-and-islands pattern — one shuffle on user_id, everything else
+    window functions inside the partition. Written in SQL (identical
+    logical plan to the DataFrame form; Catalyst compiles both the same)."""
+    _events(spark, sf_dir).createOrReplaceTempView("events_us")
+    return spark.sql(_SESSIONIZE_SQL.format(src="events_us", interval="INTERVAL '30' MINUTE"))
+
+
+_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {interval}
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM {src}
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sess GROUP BY user_id, session_id
+"""
+
+# Same logical SQL for DuckDB: µs-cast ts + DuckDB interval spelling.
+ORACLE_SESSIONIZE = _SESSIONIZE_SQL.format(
+    src="(SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)",
+    interval="INTERVAL 30 MINUTE",
+)
+
+
+def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY §2.7 'as-of' row): for each click event, the
+    most recent purchase by the same user at or before the click. Spark
+    lacks a native ASOF; the scale-correct plan is the union+window
+    trick: union both sides tagged, one shuffle on user_id, then
+    last(purchase_ts, ignoreNulls) over (user ORDER BY ts) — linear work,
+    no range-join blowup, works at any scale. DuckDB oracle uses its
+    native ASOF JOIN."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("is_click")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("is_click")
+    )
+    both = clicks.unionByName(purch).withColumn(
+        "p_ts", F.when(F.col("is_click") == 0, F.col("ts"))
+    )
+    # purchases (is_click=0) sort before clicks at equal ts => "<=" semantics
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_click", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        both.withColumn("last_purchase_ts", F.last("p_ts", ignorenulls=True).over(w))
+        .filter((F.col("is_click") == 1) & F.col("last_purchase_ts").isNotNull())
+        .select(F.col("event_id").alias("click_id"), "user_id", "last_purchase_ts")
+    )
+
+
+ORACLE_ASOF = """
+WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+           FROM events)
+SELECT c.event_id AS click_id, c.user_id, p.ts AS last_purchase_ts
+FROM (SELECT * FROM e WHERE event_type = 'click') c
+ASOF JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND p.ts <= c.ts
+"""
+
+
+# =====================================================================
+# Checksum (SURVEY §2.6 dataset_checksum) — cross-engine md5 digest
+# =====================================================================
+
+def checksum_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order/slicing-independent digest, the reference's
+    dataset_checksum (a_dataset_checksum.py:24-52) re-expressed: md5 per
+    row -> 60-bit int -> bit_xor fold. Distributed agg; nothing reaches
+    the driver. (Avoids double columns: float->string differs across
+    engines.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate"]
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("<N>")) for c in cols]
+    h = F.conv(F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 15), 16, 10).cast("long")
+    return li.select(h.alias("h")).agg(
+        F.count(F.lit(1)).alias("lines"),
+        F.bit_xor("h").alias("checksum_xor"),
+    )
+
+
+ORACLE_CHECKSUM = """
+SELECT count(*) AS lines,
+       bit_xor(CAST(('0x' || substring(md5(
+         concat_ws(chr(31),
+           coalesce(CAST(l_orderkey   AS VARCHAR), '<N>'),
+           coalesce(CAST(l_linenumber AS VARCHAR), '<N>'),
+           coalesce(l_returnflag, '<N>'),
+           coalesce(l_linestatus, '<N>'),
+           coalesce(CAST(l_shipdate   AS VARCHAR), '<N>'))), 1, 15)) AS BIGINT)) AS checksum_xor
+FROM lineitem
+"""
+
+
+# =====================================================================
+# Text analysis (north-star: documents table)
+# =====================================================================
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) — per-doc token count +
+    corpus stats. All JVM-side expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+ORACLE_TOKENS = """
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       length(text) AS n_chars_measured
+FROM documents
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token stats + stopword ratio + mean token length
+    (the length/stopword heuristics of LLM-corpus filtering)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    stop = F.filter(toks, lambda t: t.isin("the", "a", "of", "and"))
+    d = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(stop).alias("n_stop"),
+        F.length(F.trim(F.col("text"))).alias("n_chars"),
+    )
+    return d.select(
+        "doc_id", "n_tokens",
+        F.round(F.col("n_stop") / F.col("n_tokens"), 4).alias("stopword_ratio"),
+        F.round((F.col("n_chars") - F.col("n_tokens") + 1) / F.col("n_tokens"), 4).alias("avg_token_len"),
+    )
+
+
+ORACLE_QUALITY = """
+WITH d AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         t -> t IN ('the','a','of','and'))) AS n_stop,
+         length(trim(text)) AS n_chars
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       round(n_stop / CAST(n_tokens AS DOUBLE), 4) AS stopword_ratio,
+       round((n_chars - n_tokens + 1) / CAST(n_tokens AS DOUBLE), 4) AS avg_token_len
+FROM d
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-evidence classifier) + confusion
+    counts against the labeled lang column. Deterministic and fully
+    JVM-side; a real model would slot in as a pandas UDF with the same
+    shape."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    en_ev = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "is")))
+    pred = F.when(en_ev >= 3, F.lit("en")).otherwise(F.lit("unk"))
+    return (
+        docs.select("lang", pred.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+ORACLE_LANG = """
+WITH p AS (
+  SELECT lang,
+         CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     t -> t IN ('the','a','of','and','is'))) >= 3
+              THEN 'en' ELSE 'unk' END AS predicted
+  FROM documents
+)
+SELECT lang, predicted, count(*) AS n FROM p
+GROUP BY lang, predicted ORDER BY lang, predicted
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of normalized text (lowercase,
+    whitespace-collapsed) — the exact-dedup key."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+ORACLE_FP = """
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by normalized-text fingerprint, keep min doc_id
+    (deterministic winner), report group size. At 100 TB this is one
+    hash-shuffle on the fingerprint — the standard exact-dedup plan."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        docs.select("doc_id", F.md5(norm).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_doc_id", "n_copies")
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM (SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents)
+GROUP BY fp
+"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by word-3-gram Jaccard >= 0.35, via the
+    inverted-index join (explode shingles -> self-join on shingle ->
+    count intersections -> Jaccard). This is the scale-correct shape:
+    no all-pairs cross join; the shingle join only touches docs sharing a
+    shingle. Skew guard: drop shingles appearing in >1% of docs (stopword
+    shingles explode quadratically).
+
+    Partitioning note: compact text expands ~50x at the shingle explode —
+    repartition BEFORE the explode so the expansion uses every core (a
+    1-file parquet input otherwise runs the whole explode on 1 task)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # tiny scalar, used for the frequency cutoff
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        )
+    )
+    sh = docs.select("doc_id", F.explode(grams).alias("g"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # group docs by shingle (df cutoff bounds group size, so the k*(k-1)/2
+    # pair expansion below is bounded too); generating pairs inside the
+    # group halves the rows a self-join would shuffle and skips the probe
+    byg = (
+        sh.groupBy("g")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= F.lit(int(n_docs * 0.01))))
+    )
+    pairs = byg.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) ->"
+                " transform(slice(ids, i + 2, size(ids)),"
+                " y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    common = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("common"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", F.round(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 4))
+        .filter(F.col("jaccard") >= 0.35)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+ORACLE_JACCARD = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(
+           generate_series(1, len(t) - 2),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+), freq AS (
+  SELECT g FROM grams GROUP BY g
+  HAVING count(*) <= (SELECT count(*) FROM documents) * 0.01
+), kept AS (
+  SELECT grams.doc_id, grams.g FROM grams JOIN freq USING (g)
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 4) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE common / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.35
+"""
+
+
+# =====================================================================
+# Similarity search (north-star: embeddings table)
+# =====================================================================
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors (vec_id < 10).
+    The query side is tiny -> broadcast; the corpus scan is one pass
+    (this is the exact-baseline ANN; the LSH-bucketed scale path lives in
+    operators/similarity.py). Rank on ROUNDED cosine with vec_id tiebreak
+    so both engines order identically."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    dot = _dot(F.col("q_emb"), F.col("c_emb"))
+    nq = F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+    nc = F.sqrt(_dot(F.col("c_emb"), F.col("c_emb")))
+    scored = (
+        cand.crossJoin(F.broadcast(qs))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", F.round(dot / (nq * nc), 4).alias("cosine"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
+ORACLE_COSINE = """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10
+), scored AS (
+  SELECT q_id, e.vec_id AS c_id,
+         round(list_dot_product(q_emb, e.embedding) /
+               (sqrt(list_dot_product(q_emb, q_emb)) *
+                sqrt(list_dot_product(e.embedding, e.embedding))), 4) AS cosine
+  FROM q, embeddings e WHERE e.vec_id <> q_id
+)
+SELECT q_id, c_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, c_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column plumbing check: norms and dimension stats per label —
+    array<float> handled natively by Spark higher-order functions."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(norm), 4).alias("avg_norm"),
+            F.min(F.size("embedding")).alias("dim"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_EMB_STATS = """
+SELECT label, count(*) AS n,
+       round(avg(sqrt(list_dot_product(embedding, embedding))), 4) AS avg_norm,
+       min(len(embedding)) AS dim
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+# =====================================================================
+# Multimodal plumbing (binary columns; decode stubbed per brief)
+# =====================================================================
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column handling: documents.text encoded to a binary
+    payload column (stand-in for image/audio bytes), typed metadata
+    extracted JVM-side. The pandas-UDF decode path (real codec work) is in
+    operators/multimodal.py with the decode stubbed."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.substring(F.hex(payload), 1, 8).alias("magic"),
+    )
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       upper(substring(hex(encode(text)), 1, 8)) AS magic
+FROM documents
+"""
+
+
+# =====================================================================
+# Registry
+# =====================================================================
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_nation_revenue": q5_nation_revenue,
+    "top3_orders_per_customer": top3_orders_per_customer,
+    "customers_with_orders": customers_with_orders,
+    "customers_without_orders": customers_without_orders,
+    "distinct_segments": distinct_segments,
+    "top100_orders": top100_orders,
+    "monthly_order_stats": monthly_order_stats,
+    "orders_rollup": orders_rollup,
+    "brand_part_stats": brand_part_stats,
+    "range_filter_projection": range_filter_projection,
+    "merge_customer_nation": merge_customer_nation,
+    "typed_from_strings": typed_from_strings,
+    "events_hourly": events_hourly,
+    "events_json_props": events_json_props,
+    "sessionize_events": sessionize_events,
+    "asof_click_purchase": asof_click_purchase,
+    "checksum_lineitem": checksum_lineitem,
+    "token_counts": token_counts,
+    "text_quality": text_quality,
+    "lang_id": lang_id,
+    "doc_fingerprints": doc_fingerprints,
+    "dedup_exact": dedup_exact,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "cosine_topk": cosine_topk,
+    "embedding_stats": embedding_stats,
+    "multimodal_meta": multimodal_meta,
+}
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": ORACLE_Q1,
+    "q3_shipping_priority": ORACLE_Q3,
+    "q5_nation_revenue": ORACLE_Q5,
+    "top3_orders_per_customer": ORACLE_TOP3,
+    "customers_with_orders": ORACLE_SEMI,
+    "customers_without_orders": ORACLE_ANTI,
+    "distinct_segments": ORACLE_DISTINCT,
+    "top100_orders": ORACLE_TOP100,
+    "monthly_order_stats": ORACLE_MONTHLY,
+    "orders_rollup": ORACLE_ROLLUP,
+    "brand_part_stats": ORACLE_BRAND,
+    "range_filter_projection": ORACLE_RANGE,
+    "merge_customer_nation": ORACLE_MERGE,
+    "typed_from_strings": ORACLE_TYPED,
+    "events_hourly": ORACLE_HOURLY,
+    "events_json_props": ORACLE_JSON_PROPS,
+    "sessionize_events": ORACLE_SESSIONIZE,
+    "asof_click_purchase": ORACLE_ASOF,
+    "checksum_lineitem": ORACLE_CHECKSUM,
+    "token_counts": ORACLE_TOKENS,
+    "text_quality": ORACLE_QUALITY,
+    "lang_id": ORACLE_LANG,
+    "doc_fingerprints": ORACLE_FP,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "ngram_jaccard_pairs": ORACLE_JACCARD,
+    "cosine_topk": ORACLE_COSINE,
+    "embedding_stats": ORACLE_EMB_STATS,
+    "multimodal_meta": ORACLE_MULTIMODAL,
+}
