@@ -1,0 +1,367 @@
+"""The dataset_type conversion menu as Spark expressions.
+
+Reference: ``dataset_type`` converts bytes/ascii/unicode columns to typed
+columns via generated C parser loops (/root/reference/accelerator/
+standard_methods/a_dataset_type.py:40-54, dataset_type.py:730-810). Menu
+and semantics reproduced here declaratively; Catalyst/codegen replaces the
+reference's cffi-compiled loops (SURVEY §2.8 mapping table).
+
+Semantics preserved:
+- parse failure => NULL unless a ``default`` is given (reference:
+  per-column ``defaults`` option);
+- ``filter_bad`` drops a row when any column fails without a default —
+  the reference's two-pass mmap'd badmap becomes a single-pass
+  conjunction of null-checks (SURVEY §7.4);
+- ``i``-suffixed types ignore trailing garbage (strtol-style prefix
+  parse);
+- int bases 0/8/10/16; base 0 auto-detects 0x/0/decimal prefixes;
+- ``strbool``: false/0/no/off/nil/null/"" (case-insens) => False, all
+  else True (dataset_type.py _c_conv_strbool);
+- ``floatint{e,s}``: float text to int, e(xact) fails on fractional or
+  > 2^53 magnitude, s(aturating) clamps to int64 range;
+- strptime-style datetime/date/time formats incl. %f; ``javadatetime`` =
+  ms-since-epoch; ``unixtime`` = s-since-epoch;
+- ``number``: int-if-integral-else-float (reference's ±2^1007 varint is
+  capped to int64/double — documented divergence SURVEY §7.4);
+- ``time``: µs-since-midnight LongType (no Spark TimeType — SURVEY §7.4).
+
+All expressions are JVM-side (try_cast / regexp / conv) — no Python UDFs
+anywhere, so conversion runs inside whole-stage codegen at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------
+# strptime -> Spark datetime pattern translation
+# ---------------------------------------------------------------------
+
+_STRPTIME = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd",
+    "%H": "HH", "%M": "mm", "%S": "ss", "%f": "SSSSSS",
+    "%j": "DDD", "%b": "MMM", "%B": "MMMM", "%a": "EEE", "%A": "EEEE",
+    "%p": "a", "%I": "hh", "%z": "xx", "%%": "%",
+}
+
+
+def strptime_to_spark(fmt: str) -> str:
+    out, i = [], 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            tok = fmt[i:i + 2]
+            if tok in _STRPTIME:
+                out.append(_STRPTIME[tok])
+                i += 2
+                continue
+            raise ValueError(f"unsupported strptime token {tok!r} in {fmt!r}")
+        # literal chars that collide with Spark pattern letters get quoted
+        c = fmt[i]
+        out.append(f"'{c}'" if c.isalpha() else c)
+        i += 1
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------
+# per-type parse expressions (string column -> typed column, NULL on bad)
+# ---------------------------------------------------------------------
+
+_INT_RX = {
+    10: r"[+-]?[0-9]+",
+    16: r"[+-]?(0[xX])?[0-9a-fA-F]+",
+    8: r"[+-]?[0-7]+",
+}
+
+
+def _trimmed(col: Column) -> Column:
+    return F.trim(col)
+
+
+def _int_base(col: Column, bits: int, base: int, ignore_trailing: bool) -> Column:
+    s = _trimmed(col)
+    if ignore_trailing:
+        s = F.regexp_extract(s, f"^({_INT_RX.get(base, _INT_RX[10])})", 1)
+        s = F.when(s == "", None).otherwise(s)
+    tgt = "bigint" if bits == 64 else "int"
+    if base == 10:
+        ok = s.rlike(r"^[+-]?[0-9]+$")
+        return F.when(ok, s.try_cast(tgt))
+    if base == 16:
+        body = F.regexp_replace(s, r"^([+-]?)0[xX]", r"$1")
+        ok = body.rlike(r"^[+-]?[0-9a-fA-F]+$")
+        neg = body.startswith("-")
+        mag = F.regexp_replace(body, r"^[+-]", "")
+        val = F.conv(mag, 16, 10).try_cast("bigint")
+        return F.when(ok, F.when(neg, -val).otherwise(val)).try_cast(tgt)
+    if base == 8:
+        ok = s.rlike(r"^[+-]?[0-7]+$")
+        neg = s.startswith("-")
+        mag = F.regexp_replace(s, r"^[+-]", "")
+        val = F.conv(mag, 8, 10).try_cast("bigint")
+        return F.when(ok, F.when(neg, -val).otherwise(val)).try_cast(tgt)
+    if base == 0:
+        # strtol base-0: 0x... hex, 0... octal, else decimal
+        hexish = s.rlike(r"^[+-]?0[xX][0-9a-fA-F]+$")
+        octish = s.rlike(r"^[+-]?0[0-7]*$")
+        decish = s.rlike(r"^[+-]?[1-9][0-9]*$|^[+-]?0$")
+        return (
+            F.when(s.rlike(r"^[+-]?0$"), F.lit(0))
+            .when(hexish, _int_base(s, 64, 16, False))
+            .when(octish, _int_base(F.regexp_replace(s, r"^([+-]?)0", r"$1"),
+                                    64, 8, False))
+            .when(decish, s.try_cast("bigint"))
+            .try_cast(tgt)
+        )
+    raise ValueError(f"unsupported int base {base}")
+
+
+def _float(col: Column, bits: int, ignore_trailing: bool, numeric_comma: bool) -> Column:
+    s = _trimmed(col)
+    if numeric_comma:
+        s = F.regexp_replace(s, ",", ".")
+    if ignore_trailing:
+        s = F.regexp_extract(
+            s, r"^([+-]?(?:[0-9]*\.?[0-9]+(?:[eE][+-]?[0-9]+)?|[iI][nN][fF]\w*|[nN][aA][nN]))", 1)
+        s = F.when(s == "", None).otherwise(s)
+    return s.try_cast("double" if bits == 64 else "float")
+
+
+def _floatint(col: Column, bits: int, mode: str, ignore_trailing: bool,
+              numeric_comma: bool) -> Column:
+    f = _float(col, 64, ignore_trailing, numeric_comma)
+    tgt = "bigint" if bits == 64 else "int"
+    if mode == "e":  # exact: fail on fractional part or beyond 2^53
+        ok = (f == F.floor(f)) & (F.abs(f) <= F.lit(2.0 ** 53))
+        return F.when(ok, f).try_cast(tgt)
+    # saturating: clamp to target range
+    lo = F.lit(-(2 ** (bits - 1)))
+    hi = F.lit(2 ** (bits - 1) - 1)
+    clamped = F.least(F.greatest(F.floor(f).cast("decimal(38,0)"), lo.cast("decimal(38,0)")),
+                      hi.cast("decimal(38,0)"))
+    return F.when(f.isNotNull(), clamped).try_cast(tgt)
+
+
+_FALSE_SET = ["false", "0", "no", "off", "nil", "null", ""]
+
+
+def _strbool(col: Column) -> Column:
+    s = F.lower(_trimmed(col))
+    return F.when(col.isNull(), None).otherwise(~s.isin(*_FALSE_SET))
+
+
+def _floatbool(col: Column, ignore_trailing: bool) -> Column:
+    f = _float(col, 64, ignore_trailing, False)
+    return F.when(f.isNotNull(), f != 0.0)
+
+
+def _datetime(col: Column, fmt: str, timezone: str | None) -> Column:
+    if fmt == "%s" or fmt == "unixtime":
+        secs = _trimmed(col).try_cast("double")
+        ts = F.timestamp_micros((secs * 1_000_000).try_cast("long"))
+    elif fmt == "javadatetime":  # ms since epoch (dataset_type.py:812-820)
+        ms = _trimmed(col).try_cast("long")
+        ts = F.timestamp_millis(ms)
+    else:
+        ts = F.try_to_timestamp(_trimmed(col), F.lit(strptime_to_spark(fmt)))
+    if timezone:
+        ts = F.to_utc_timestamp(ts, timezone)
+    return ts
+
+
+def _date(col: Column, fmt: str) -> Column:
+    return F.try_to_timestamp(_trimmed(col), F.lit(strptime_to_spark(fmt))).cast("date")
+
+
+def _time_us(col: Column, fmt: str) -> Column:
+    """time-of-day -> µs since midnight (LongType; SURVEY §7.4)."""
+    ts = F.try_to_timestamp(_trimmed(col), F.lit(strptime_to_spark(fmt)))
+    return (
+        F.hour(ts).cast("long") * 3_600_000_000
+        + F.minute(ts).cast("long") * 60_000_000
+        + F.second(ts).cast("long") * 1_000_000
+        + (F.unix_micros(ts) % 1_000_000)
+    )
+
+
+def _ascii(col: Column, strip: bool, errors: str) -> Column:
+    s = F.trim(col) if strip else col
+    is_ascii = s.rlike(r"^[\x00-\x7F]*$")
+    if errors == "strict":
+        return F.when(is_ascii, s)
+    if errors == "replace":
+        return F.when(is_ascii, s).otherwise(F.regexp_replace(s, r"[^\x00-\x7F]", "?"))
+    # encode: backslash-escape non-ascii (approximation of the reference's
+    # \xNN escaping)
+    return F.when(is_ascii, s).otherwise(F.regexp_replace(s, r"[^\x00-\x7F]", "\\\\x?"))
+
+
+def _json_valid(col: Column) -> Column:
+    # valid JSON round-trips through a permissive parse; invalid -> NULL
+    parsed = F.try_parse_json(col)
+    return F.when(parsed.isNotNull() | (F.lower(F.trim(col)) == "null"), col)
+
+
+def _number(col: Column, numeric_comma: bool) -> Column:
+    """int-if-integral-else-float, capped to int64/double (divergence from
+    the reference's ±2^1007 documented in SURVEY §7.4). Returned as
+    DOUBLE (lossless for |v| < 2^53, the practical range)."""
+    return _float(col, 64, False, numeric_comma)
+
+
+def _number_int(col: Column, numeric_comma: bool) -> Column:
+    s = _trimmed(col)
+    if numeric_comma:
+        s = F.regexp_replace(s, ",", ".")
+    as_int = s.try_cast("bigint")
+    via_float = _floatint(col, 64, "e", False, numeric_comma)
+    return F.coalesce(as_int, via_float)
+
+
+# ---------------------------------------------------------------------
+# the menu
+# ---------------------------------------------------------------------
+
+def convert_expr(
+    col: Column | str,
+    typename: str,
+    numeric_comma: bool = False,
+    timezone: str | None = None,
+) -> Column:
+    """Return the typed expression for one reference conversion name.
+    NULL where the reference would mark the value bad."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = typename
+    ignore = t.endswith("i") and not t.startswith(("ascii", "unicode")) and ":" not in t
+    base_t = t[:-1] if ignore else t
+
+    if base_t in ("float64", "float32"):
+        return _float(c, 64 if base_t == "float64" else 32, ignore, numeric_comma)
+    if base_t.startswith("floatint"):
+        rest = base_t[len("floatint"):]
+        bits = int(rest[:2])
+        mode = rest[2:] or "e"
+        return _floatint(c, bits, mode, ignore, numeric_comma)
+    if base_t.startswith(("int32_", "int64_", "bits32_", "bits64_")):
+        kind, base = base_t.split("_")
+        bits = int(kind[-2:])
+        v = _int_base(c, bits, int(base), ignore)
+        if kind.startswith("bits"):  # unsigned: reject negatives
+            v = F.when(v >= 0, v)
+        return v
+    if base_t in ("int32", "int64"):
+        return _int_base(c, int(base_t[-2:]), 10, ignore)
+    if base_t == "strbool":
+        return _strbool(c)
+    if base_t == "floatbool":
+        return _floatbool(c, ignore)
+    if t.startswith("datetime:"):
+        return _datetime(c, t.split(":", 1)[1], timezone)
+    if t in ("javadatetime", "unixtime"):
+        return _datetime(c, t, timezone)
+    if t.startswith("date:"):
+        return _date(c, t.split(":", 1)[1])
+    if t.startswith("time:"):
+        return _time_us(c, t.split(":", 1)[1])
+    if t == "number":
+        return _number(c, numeric_comma)
+    if t == "number:int":
+        return _number_int(c, numeric_comma)
+    if t == "json":
+        return _json_valid(c)
+    if t.startswith("ascii"):
+        strip = "strip" in t
+        errors = t.split(":", 1)[1] if ":" in t else "encode"
+        return _ascii(c, strip, errors)
+    if t.startswith("unicode"):
+        strip = "strip" in t
+        return F.trim(c) if strip else c
+    if t.startswith("bytes"):
+        strip = "strip" in t
+        s = F.trim(c) if strip else c
+        return F.encode(s, "utf-8")
+    raise ValueError(f"unknown conversion type {typename!r}")
+
+
+CONVERSION_MENU = [
+    "float64", "float32", "float64i", "float32i",
+    "floatint64e", "floatint64s", "floatint32e", "floatint32s",
+    "int64_0", "int64_8", "int64_10", "int64_16",
+    "int32_0", "int32_8", "int32_10", "int32_16",
+    "bits64_0", "bits64_8", "bits64_10", "bits64_16",
+    "bits32_0", "bits32_8", "bits32_10", "bits32_16",
+    "strbool", "floatbool",
+    "datetime:<fmt>", "date:<fmt>", "time:<fmt>", "javadatetime", "unixtime",
+    "number", "number:int", "json",
+    "ascii", "ascii:strict", "ascii:replace", "asciistrip",
+    "unicode", "unicodestrip", "bytes", "bytesstrip",
+]
+
+
+# ---------------------------------------------------------------------
+# the dataset_type operator
+# ---------------------------------------------------------------------
+
+def dataset_type(
+    df: DataFrame,
+    column_types: dict[str, str],
+    defaults: dict[str, object] | None = None,
+    filter_bad: bool = False,
+    rename: dict[str, str] | None = None,
+    discard_untyped: bool = False,
+    numeric_comma: bool = False,
+    timezone: str | None = None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Type string columns; returns (typed_df, bad_df_or_None).
+
+    Mirrors a_dataset_type.py options: rename happens before typing;
+    ``defaults[col]`` substitutes on parse failure (None default means
+    "allow null"); ``filter_bad`` drops rows where an un-defaulted column
+    failed and returns them as bad_df (original values + failed column
+    names) — the reference's ``bad`` dataset.
+
+    One pass, no badmap: every conversion and the bad-row predicate are
+    columns in the same projection (SURVEY §7.4)."""
+    defaults = defaults or {}
+    if rename:
+        for old, new in rename.items():
+            if new is None:
+                df = df.drop(old)
+            else:
+                df = df.withColumnRenamed(old, new)
+
+    converted: dict[str, Column] = {}
+    fail_flags: list[Column] = []
+    fail_names: list[Column] = []
+    for name, typ in column_types.items():
+        expr = convert_expr(name, typ, numeric_comma=numeric_comma, timezone=timezone)
+        failed = expr.isNull() & F.col(name).isNotNull()
+        if name in defaults:
+            dv = defaults[name]
+            expr = F.coalesce(expr, F.lit(dv)) if dv is not None else expr
+        else:
+            fail_flags.append(failed)
+            fail_names.append(F.when(failed, F.lit(name)))
+        converted[name] = expr
+
+    any_bad = None
+    if fail_flags:
+        any_bad = fail_flags[0]
+        for f_ in fail_flags[1:]:
+            any_bad = any_bad | f_
+
+    untyped = [c for c in df.columns if c not in column_types]
+    out_cols = [converted[c].alias(c) if c in converted else F.col(c)
+                for c in df.columns if not (discard_untyped and c in untyped and c in untyped)]
+    if discard_untyped:
+        out_cols = [converted[c].alias(c) for c in df.columns if c in converted]
+
+    bad_df = None
+    typed = df
+    if filter_bad and any_bad is not None:
+        bad_df = df.filter(any_bad).withColumn(
+            "bad_columns",
+            F.array_compact(F.array(*fail_names)) if fail_names else F.array(),
+        )
+        typed = df.filter(~F.coalesce(any_bad, F.lit(False)))
+    return typed.select(*out_cols), bad_df

@@ -380,6 +380,58 @@ FROM t GROUP BY t_bool ORDER BY t_bool
 """
 
 
+def dataset_type_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset_type OPERATOR (accelerator_spark.functions.dataset_type)
+    driven end-to-end: synthesize messy strings (some unparseable), type
+    them with defaults + filter_bad, aggregate the typed output. Bad rows
+    ('R' flag rows get 'X<qty>' garbage) drop; the 'N'-flag discount gets
+    a default. Oracle reproduces the same semantics in SQL."""
+    from .functions.conversions import dataset_type
+
+    li = _t(spark, sf_dir, "lineitem")
+    messy = li.select(
+        F.col("l_orderkey").cast("string").alias("s_key"),
+        F.when(F.col("l_returnflag") == "R", F.concat(F.lit("X"), F.col("l_quantity").cast("string")))
+        .otherwise(F.col("l_quantity").cast("string")).alias("s_qty"),
+        F.when(F.col("l_linestatus") == "O", F.lit("oops"))
+        .otherwise(F.col("l_discount").cast("string")).alias("s_disc"),
+    )
+    typed, bad = dataset_type(
+        messy,
+        {"s_key": "int64_10", "s_qty": "float64", "s_disc": "float64"},
+        defaults={"s_disc": -1.0},
+        filter_bad=True,
+    )
+    return typed.agg(
+        F.count(F.lit(1)).alias("n_good"),
+        F.round(F.sum("s_qty"), 2).alias("sum_qty"),
+        F.round(F.sum("s_disc"), 2).alias("sum_disc"),
+        F.max("s_key").alias("max_key"),
+    )
+
+
+ORACLE_DSTYPE = """
+WITH messy AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS s_key,
+         CASE WHEN l_returnflag = 'R' THEN 'X' || CAST(l_quantity AS VARCHAR)
+              ELSE CAST(l_quantity AS VARCHAR) END AS s_qty,
+         CASE WHEN l_linestatus = 'O' THEN 'oops'
+              ELSE CAST(l_discount AS VARCHAR) END AS s_disc
+  FROM lineitem
+), typed AS (
+  SELECT TRY_CAST(s_key AS BIGINT) AS s_key,
+         TRY_CAST(s_qty AS DOUBLE) AS s_qty,
+         coalesce(TRY_CAST(s_disc AS DOUBLE), -1.0) AS s_disc
+  FROM messy
+  WHERE TRY_CAST(s_qty AS DOUBLE) IS NOT NULL
+    AND TRY_CAST(s_key AS BIGINT) IS NOT NULL
+)
+SELECT count(*) AS n_good, round(sum(s_qty), 2) AS sum_qty,
+       round(sum(s_disc), 2) AS sum_disc, max(s_key) AS max_key
+FROM typed
+"""
+
+
 # =====================================================================
 # Events: time-series / sessionization / as-of (streaming-adjacent)
 # =====================================================================
@@ -864,6 +916,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_filter_projection": range_filter_projection,
     "merge_customer_nation": merge_customer_nation,
     "typed_from_strings": typed_from_strings,
+    "dataset_type_operator": dataset_type_operator,
     "events_hourly": events_hourly,
     "events_json_props": events_json_props,
     "sessionize_events": sessionize_events,
@@ -895,6 +948,7 @@ ORACLES: dict[str, str] = {
     "range_filter_projection": ORACLE_RANGE,
     "merge_customer_nation": ORACLE_MERGE,
     "typed_from_strings": ORACLE_TYPED,
+    "dataset_type_operator": ORACLE_DSTYPE,
     "events_hourly": ORACLE_HOURLY,
     "events_json_props": ORACLE_JSON_PROPS,
     "sessionize_events": ORACLE_SESSIONIZE,

@@ -1,0 +1,134 @@
+"""dataset_type conversion menu — fixtures from FIXTURES.md §2 /
+the reference's a_test_dataset_type_corner_cases.py semantics."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from accelerator_spark.functions.conversions import (
+    convert_expr, dataset_type, strptime_to_spark,
+)
+
+
+def conv(spark, values, typ, **kw):
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    return [r[0] for r in df.select(convert_expr("s", typ, **kw)).collect()]
+
+
+def test_int_base10(spark):
+    assert conv(spark, ["42", " -7 ", "0x1f", "", "NaN", "9223372036854775807"],
+                "int64_10") == [42, -7, None, None, None, 9223372036854775807]
+
+
+def test_int_base16(spark):
+    assert conv(spark, ["1f", "FF", "zz", "0x10", "-a"], "int64_16") == \
+        [31, 255, None, 16, -10]
+
+
+def test_int_base8_and_0(spark):
+    assert conv(spark, ["17", "9"], "int64_8") == [15, None]
+    assert conv(spark, ["0x10", "010", "10", "0", "junk"], "int64_0") == \
+        [16, 8, 10, 0, None]
+
+
+def test_int_ignore_trailing(spark):
+    assert conv(spark, ["42abc", "-7.5", "abc"], "int64_10i") == [42, -7, None]
+
+
+def test_bits_reject_negative(spark):
+    assert conv(spark, ["5", "-5"], "bits64_10") == [5, None]
+
+
+def test_float(spark):
+    out = conv(spark, ["3.14", "1e100", "-inf", "x", ""], "float64")
+    assert out[0] == 3.14 and out[1] == 1e100
+    assert out[2] == float("-inf") and out[3] is None and out[4] is None
+
+
+def test_float_numeric_comma(spark):
+    assert conv(spark, ["3,14"], "float64", numeric_comma=True) == [3.14]
+
+
+def test_floatint_exact_vs_saturating(spark):
+    assert conv(spark, ["3.0", "2.5", "1e300"], "floatint64e") == [3, None, None]
+    sat = conv(spark, ["1e300", "-1e300", "3.9"], "floatint64s")
+    assert sat == [9223372036854775807, -9223372036854775808, 3]
+
+
+def test_strbool(spark):
+    vals = ["true", "FALSE", "0", "no", "off", "nil", "null", "", "1", "yes", "banana"]
+    assert conv(spark, vals, "strbool") == \
+        [True, False, False, False, False, False, False, False, True, True, True]
+
+
+def test_floatbool(spark):
+    assert conv(spark, ["0.0", "1.5", "x"], "floatbool") == [False, True, None]
+
+
+def test_date_and_bad_date(spark):
+    out = conv(spark, ["2024-02-29", "2023-02-29", "not a date"], "date:%Y-%m-%d")
+    assert out == [datetime.date(2024, 2, 29), None, None]
+
+
+def test_datetime_with_micros(spark):
+    out = conv(spark, ["2024-01-02 03:04:05.000678"], "datetime:%Y-%m-%d %H:%M:%S.%f")
+    assert out == [datetime.datetime(2024, 1, 2, 3, 4, 5, 678)]
+
+
+def test_datetime_epoch_forms(spark):
+    assert conv(spark, ["1700000000"], "unixtime") == \
+        [datetime.datetime(2023, 11, 14, 22, 13, 20)]
+    assert conv(spark, ["1700000000123"], "javadatetime") == \
+        [datetime.datetime(2023, 11, 14, 22, 13, 20, 123000)]
+
+
+def test_time_us(spark):
+    out = conv(spark, ["12:00:00", "00:01:02"], "time:%H:%M:%S")
+    assert out == [12 * 3600 * 1_000_000, 62 * 1_000_000]
+
+
+def test_number(spark):
+    out = conv(spark, ["42", "3.5", "junk"], "number")
+    assert out == [42.0, 3.5, None]
+    assert conv(spark, ["42", "3.0", "3.5"], "number:int") == [42, 3, None]
+
+
+def test_json(spark):
+    out = conv(spark, ['{"a":[1,2]}', 'null', '"x"', '{bad'], "json")
+    assert out == ['{"a":[1,2]}', "null", '"x"', None]
+
+
+def test_ascii_modes(spark):
+    assert conv(spark, ["foo", "blå"], "ascii:strict") == ["foo", None]
+    assert conv(spark, ["blå"], "ascii:replace") == ["bl?"]
+
+
+def test_strptime_translation():
+    assert strptime_to_spark("%Y-%m-%d %H:%M:%S.%f") == "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    assert strptime_to_spark("%d/%b/%Y") == "dd/MMM/yyyy"
+    with pytest.raises(ValueError):
+        strptime_to_spark("%Q")
+
+
+def test_dataset_type_defaults_and_filter_bad(spark):
+    df = spark.createDataFrame(
+        [("1", "2.5", "x"), ("bad", "3.5", "y"), ("3", "bad", "z")],
+        "a string, b string, c string")
+    # default rescues column a; b has no default -> its bad row drops
+    typed, bad = dataset_type(
+        df, {"a": "int64_10", "b": "float64"},
+        defaults={"a": -1}, filter_bad=True)
+    rows = {tuple(r) for r in typed.collect()}
+    assert rows == {(1, 2.5, "x"), (-1, 3.5, "y")}
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1 and bad_rows[0]["a"] == "3"
+    assert bad_rows[0]["bad_columns"] == ["b"]
+
+
+def test_dataset_type_rename_discard(spark):
+    df = spark.createDataFrame([("1", "junk")], "x string, drop_me string")
+    typed, _ = dataset_type(
+        df, {"y": "int64_10"}, rename={"x": "y", "drop_me": None})
+    assert typed.columns == ["y"]
+    assert typed.collect()[0]["y"] == 1
