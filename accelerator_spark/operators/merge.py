@@ -1,0 +1,39 @@
+"""dataset_merge: column-wise zip of datasets.
+
+Reference (/root/reference/accelerator/dataset.py:329-377,
+standard_methods/a_dataset_merge.py:19-39): merge 2+ datasets with
+identical per-slice line counts; later datasets' columns override
+earlier; requires a common ancestor unless ``allow_unrelated``.
+
+Spark mapping (SURVEY §2.5): the dominant use (add columns to an
+existing dataset) is a join on the shared row-id (``lineno``). Line-count
+equality is the merge precondition; the reference checks it eagerly — we
+do too (two cheap counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..dataset import LINENO
+
+
+def dataset_merge(*dfs: DataFrame, on: str = LINENO, check_lines: bool = True) -> DataFrame:
+    """Zip columns of DataFrames sharing a row-id column. Later frames'
+    columns override earlier ones (reference: later datasets win,
+    dataset.py:358-365)."""
+    if len(dfs) < 2:
+        raise ValueError("dataset_merge needs at least 2 datasets")
+    for d in dfs:
+        if on not in d.columns:
+            raise ValueError(f"merge key {on!r} missing from {d.columns}")
+    if check_lines:
+        counts = [d.count() for d in dfs]
+        if len(set(counts)) != 1:
+            raise ValueError(f"line counts differ: {counts} (reference requires equality)")
+    out = dfs[0]
+    for d in dfs[1:]:
+        override = [c for c in d.columns if c != on]
+        keep = [c for c in out.columns if c not in override]
+        out = out.select(*keep).join(d, on=on, how="inner")
+    return out

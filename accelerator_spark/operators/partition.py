@@ -1,0 +1,79 @@
+"""Partitioning / distribution operators.
+
+Reference: ``dataset_hashpart`` rewrites a dataset hash-partitioned on one
+column (/root/reference/accelerator/standard_methods/a_dataset_hashpart.py:
+32-135); ``dataset_unroundrobin`` restores original row order
+(a_dataset_unroundrobin.py:22-101); round-robin split writers cycle slices
+(accelerator/dataset.py:1369-1375).
+
+Spark mapping (SURVEY §2.3): partition placement is an engine concern —
+``repartition(n, col)`` for hash co-location, ``repartition(n)`` for
+round-robin, ``repartitionByRange`` for the trigger-column "keep equal
+keys together" contract. Row identity never depends on which partition a
+row lives in, so results are invariant — the checksum tests assert that.
+
+At scale: hashpart before a chain of same-key operations = the
+``bucketBy`` pattern; ``Dataset.write(hashlabel=...)`` records the
+contract in the manifest so later steps know the data is co-partitioned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..dataset import LINENO
+
+
+def hashpart(df: DataFrame, hashlabel: str, partitions: int | None = None) -> DataFrame:
+    """Hash-partition on one column (the reference's single-column
+    hashlabel contract, accelerator/dataset.py:1362-1368)."""
+    n = partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, F.col(hashlabel))
+
+
+def roundrobin(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin redistribution (no-hashlabel split writers)."""
+    n = partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n)
+
+
+def unroundrobin(df: DataFrame, lineno_col: str = LINENO,
+                 trigger_column: str | None = None,
+                 partitions: int | None = None) -> DataFrame:
+    """Restore original ingest order (a_dataset_unroundrobin.py:22-101):
+    ``new.iterate(None) == old.iterate('roundrobin')`` becomes a sort on
+    the ingest-order column. ``trigger_column`` keeps equal values in the
+    same partition (range partitioning on the trigger, then order within
+    partitions) — the reference's delayed-slice-switch semantics."""
+    if trigger_column:
+        n = partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        return df.repartitionByRange(n, F.col(trigger_column)) \
+                 .sortWithinPartitions(trigger_column, lineno_col)
+    return df.orderBy(lineno_col)
+
+
+def filter_columns(df: DataFrame, keep: list[str] | None = None,
+                   discard: list[str] | None = None) -> DataFrame:
+    """dataset_filter_columns (a_dataset_filter_columns.py:27-44): keep or
+    discard a column subset. Zero-copy in the reference via link_to_here;
+    zero-IO here via parquet column pruning."""
+    if keep is not None:
+        return df.select(*keep)
+    if discard:
+        return df.drop(*discard)
+    return df
+
+
+def slice_rows(df: DataFrame, start: int = 0, stop: int | None = None,
+               order_col: str = LINENO) -> DataFrame:
+    """The iterate ``slice=`` surface (accelerator/dataset.py:508-516):
+    global offset/limit against a deterministic order column (reference
+    order is per-slice insertion order; ours is the lineno contract,
+    SURVEY §7.4)."""
+    out = df.orderBy(order_col)
+    if start:
+        out = out.offset(start)
+    if stop is not None:
+        out = out.limit(stop - start)
+    return out

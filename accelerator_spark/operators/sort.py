@@ -1,0 +1,56 @@
+"""dataset_sort: stable multi-column sort with the reference's exact
+None/NaN ordering.
+
+Reference (/root/reference/accelerator/standard_methods/a_dataset_sort.py):
+- stable (equal keys keep input order) — :82-124 builds a stable sort
+  index;
+- one asc/desc flag for ALL columns (:50-55);
+- within-slice by default, global with ``sort_across_slices`` (:132-184);
+- None ordering (filter_unsortable :60-80): None sorts as the MINIMUM for
+  strings/numbers (empty string / -inf), but as the MAXIMUM for
+  date/time/datetime columns; NaN sorts as +inf (last ascending).
+
+Spark mapping (SURVEY §2.4):
+- stability: append the ingest-order ``lineno`` column as the final,
+  always-ascending key (Spark's sort is not stable by itself);
+- None: ``asc_nulls_first`` / ``desc_nulls_last`` for most types,
+  inverted for datetime-ish columns (None==max => nulls LAST ascending);
+- NaN: Spark already orders NaN greater than +Inf — matches;
+- global sort = range-partitioned exchange (Spark's range partitioner is
+  the reference's "even re-split" :132-184, but streaming and spillable);
+  within-partition sort = sortWithinPartitions, no exchange at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+
+from ..dataset import LINENO
+
+_DATETIME_TYPES = {"date", "timestamp", "timestamp_ntz"}
+
+
+def _key(df: DataFrame, col: str, descending: bool) -> Column:
+    c = df[col]
+    is_dt = dict(df.dtypes).get(col) in _DATETIME_TYPES
+    if not descending:
+        # None = min … except datetime where None = max
+        return c.asc_nulls_last() if is_dt else c.asc_nulls_first()
+    return c.desc_nulls_first() if is_dt else c.desc_nulls_last()
+
+
+def dataset_sort(
+    df: DataFrame,
+    sort_columns: str | list[str],
+    descending: bool = False,
+    across_slices: bool = True,
+    stable_col: str | None = LINENO,
+) -> DataFrame:
+    """Sort with reference semantics. ``across_slices=False`` maps to
+    sortWithinPartitions (the reference's default per-slice sort — no
+    shuffle at all); True is a global sort."""
+    cols = [sort_columns] if isinstance(sort_columns, str) else list(sort_columns)
+    keys = [_key(df, c, descending) for c in cols]
+    if stable_col and stable_col in df.columns:
+        keys.append(df[stable_col].asc())
+    return df.orderBy(*keys) if across_slices else df.sortWithinPartitions(*keys)

@@ -331,6 +331,55 @@ FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
 """
 
 
+def sort_nulls_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dataset_sort semantics surfaced as a query: derive NULLs, sort with
+    the reference's None-is-minimum rule (nulls first ascending), take a
+    deterministic top-50. Spark plans TakeOrderedAndProject — no full
+    sort at any scale."""
+    cust = _t(spark, sf_dir, "customer")
+    v = F.when(F.col("c_acctbal") < 0, None).otherwise(F.round("c_acctbal", 2))
+    return (
+        cust.select("c_custkey", v.alias("bal"))
+        .orderBy(F.col("bal").asc_nulls_first(), F.col("c_custkey").asc())
+        .limit(50)
+    )
+
+
+ORACLE_SORT_NULLS = """
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN NULL ELSE round(c_acctbal, 2) END AS bal
+FROM customer
+ORDER BY bal ASC NULLS FIRST, c_custkey ASC
+LIMIT 50
+"""
+
+
+def hashpart_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dataset_hashpart surfaced as a query: hash-partitioning must not
+    change content — checksum(repartition(df)) == checksum(df). The
+    oracle computes the plain checksum; a mismatch would mean the
+    partitioner dropped/duplicated rows."""
+    from .operators.partition import hashpart
+
+    orders = hashpart(_t(spark, sf_dir, "orders"), "o_custkey", partitions=16)
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("<N>")) for c in cols]
+    h = F.conv(F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 15), 16, 10).cast("long")
+    return orders.select(h.alias("h")).agg(
+        F.count(F.lit(1)).alias("lines"), F.bit_xor("h").alias("checksum_xor"))
+
+
+ORACLE_HASHPART = """
+SELECT count(*) AS lines,
+       bit_xor(CAST(('0x' || substring(md5(concat_ws(chr(31),
+         coalesce(CAST(o_orderkey AS VARCHAR), '<N>'),
+         coalesce(CAST(o_custkey  AS VARCHAR), '<N>'),
+         coalesce(o_orderstatus, '<N>'),
+         coalesce(o_orderpriority, '<N>'))), 1, 15)) AS BIGINT)) AS checksum_xor
+FROM orders
+"""
+
+
 # =====================================================================
 # Typing (SURVEY §2.8 dataset_type) — string -> typed with bad handling
 # =====================================================================
@@ -915,6 +964,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brand_part_stats": brand_part_stats,
     "range_filter_projection": range_filter_projection,
     "merge_customer_nation": merge_customer_nation,
+    "sort_nulls_semantics": sort_nulls_semantics,
+    "hashpart_invariance": hashpart_invariance,
     "typed_from_strings": typed_from_strings,
     "dataset_type_operator": dataset_type_operator,
     "events_hourly": events_hourly,
@@ -947,6 +998,8 @@ ORACLES: dict[str, str] = {
     "brand_part_stats": ORACLE_BRAND,
     "range_filter_projection": ORACLE_RANGE,
     "merge_customer_nation": ORACLE_MERGE,
+    "sort_nulls_semantics": ORACLE_SORT_NULLS,
+    "hashpart_invariance": ORACLE_HASHPART,
     "typed_from_strings": ORACLE_TYPED,
     "dataset_type_operator": ORACLE_DSTYPE,
     "events_hourly": ORACLE_HOURLY,

