@@ -1,0 +1,162 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Five tiers (north-star extensions per the build brief; none exist in the
+reference — they are the 100 TB-pipeline surface this engine adds):
+
+- exact:          hash-groupBy on a normalized fingerprint
+- minhash + LSH:  shingle -> k minhashes -> banded signatures ->
+                  bucket-join candidates (no all-pairs work)
+- simhash:        token-hash bit votes -> hamming-ball candidates
+- n-gram jaccard: inverted-index join (queries.ngram_jaccard_pairs)
+- embedding:      cosine near-dup via sign-LSH buckets (similarity.py)
+
+Scale design: every path is shuffle-on-key + bounded per-key expansion.
+The only quadratic step (pair generation) happens inside an LSH bucket /
+shingle group whose size is capped, so worst-case work is
+O(n * bucket_cap) — the standard web-scale dedup shape.
+
+Hashes are md5-derived (not xxhash64) so DuckDB can replicate every
+signature bit-for-bit — the correctness gate covers the *whole* LSH
+pipeline, not just a rows-only count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def norm_text(col: Column) -> Column:
+    """Canonical text form: lowercase, whitespace-collapsed."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def fingerprint(col: Column) -> Column:
+    return F.md5(norm_text(col))
+
+
+def _h(col: Column, seed: int) -> Column:
+    """Deterministic 60-bit hash #seed, reproducible in DuckDB as
+    CAST(('0x' || substring(md5(x || ':seed'), 1, 15)) AS BIGINT)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(col, F.lit(f":{seed}"))), 1, 15), 16, 10
+    ).cast("long")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep min-id per normalized-text group. One shuffle on the
+    fingerprint."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_" + id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def word_shingles(text_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (JVM-side)."""
+    toks = F.split(F.trim(text_col), r"\s+")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      num_hashes: int = 8, shingle_n: int = 3) -> DataFrame:
+    """(id, sig: array<long>[num_hashes]) — min over shingles of hash_i."""
+    grams = word_shingles(F.col(text_col), shingle_n)
+    sh = df.select(F.col(id_col), F.explode(grams).alias("g"))
+    aggs = [F.min(_h(F.col("g"), i)).alias(f"h{i}") for i in range(num_hashes)]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                           num_hashes: int = 8, bands: int = 4,
+                           shingle_n: int = 3,
+                           bucket_cap: int = 50) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    num_hashes/bands rows per band; docs agreeing on ALL rows of any band
+    become a candidate pair. Plan: signature agg (shuffle 1) -> explode
+    bands -> groupBy (band, key) (shuffle 2) -> in-bucket pair expansion
+    capped at ``bucket_cap`` (skew guard) -> distinct pairs (shuffle 3).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("_", *[F.col("sig")[b * r + j].cast("string") for j in range(r)]).alias("key"),
+        )
+        for b in range(bands)
+    ])
+    exploded = sig.select(id_col, F.explode(band_structs).alias("bk")) \
+        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    buckets = (
+        exploded.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= bucket_cap))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) ->"
+                " transform(slice(ids, i + 2, size(ids)),"
+                " y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b").distinct()
+    return pairs
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 16) -> DataFrame:
+    """SimHash fingerprint: per-token md5-hash bit votes -> sign -> bits.
+    (id, simhash long). Hamming-close fingerprints = near-dups."""
+    toks = F.split(norm_text(F.col(text_col)), " ")
+    t = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    h = _h(F.col("tok"), 0)
+    votes = [
+        F.sum(F.when(((F.shiftright(h, j)).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = t.groupBy(id_col).agg(*votes)
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        out = out + F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(0).cast("long")
+    return agg.select(id_col, out.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       bits: int = 16, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance, blocked on half-bands
+    (a pair within distance<=max_hamming shares at least one half when
+    max_hamming < 2): block-join then exact hamming filter via
+    bit_count(xor). Scale: the block key bounds the join fanout."""
+    sh = simhash(df, text_col, id_col, bits)
+    half = bits // 2
+    lo = F.col("simhash").bitwiseAND(F.lit((1 << half) - 1))
+    hi = F.shiftright(F.col("simhash"), half)
+    blocks = sh.select(
+        id_col, "simhash",
+        F.explode(F.array(
+            F.concat(F.lit("L"), lo.cast("string")),
+            F.concat(F.lit("H"), hi.cast("string")),
+        )).alias("blk"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .filter(ham <= max_hamming)
+        .select(F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+                ham.alias("hamming"))
+        .distinct()
+    )

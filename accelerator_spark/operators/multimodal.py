@@ -1,0 +1,110 @@
+"""Multimodal column handling: image/audio/video as opaque binary columns
+with typed metadata (north-star extension).
+
+The Spark-side plumbing is real and tested: schema conventions, Arrow-
+batched mapInPandas decode pipeline, partition sizing for large blobs.
+The codec work itself (image decode/resize, audio features, video frame
+sampling) is STUBBED per the build brief — the container has no
+image/audio libraries — behind ``decoder=`` hooks: pass a real decoder
+when the libs exist; the default DETERMINISTIC_FAKE produces stable
+pseudo-features so the distributed plumbing is testable end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# schema convention: payload + typed metadata travel together
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("n_bytes", T.LongType(), True),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+])
+
+
+def attach_payload_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """JVM-side metadata for a binary column (no decode needed)."""
+    p = F.col(payload_col)
+    return df.withColumn("n_bytes", F.octet_length(p).cast("long")) \
+             .withColumn("magic", F.substring(F.hex(p), 1, 8))
+
+
+def real_decoder(payload: bytes, mime: str):  # pragma: no cover - stub
+    """The real codec hook. Container has no PIL/ffmpeg — by design this
+    raises; swap in an implementation where the libs exist."""
+    raise NotImplementedError(
+        "media decode requires image/audio libs not present in this "
+        "container; pass decoder=DETERMINISTIC_FAKE or a real codec")
+
+
+def DETERMINISTIC_FAKE(payload: bytes, mime: str):
+    """Stable fake decode: 4 pseudo-features + fake dimensions derived
+    from the payload digest. Lets the distributed pipeline (batching,
+    schema, partitioning) be exercised and asserted deterministically."""
+    d = hashlib.md5(payload or b"").digest()
+    feat = [b / 255.0 for b in d[:4]]
+    return feat, int.from_bytes(d[4:6], "big") % 4096, int.from_bytes(d[6:8], "big") % 4096
+
+
+def decode_features(
+    df: DataFrame,
+    decoder: Callable = real_decoder,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    mime_col: str = "mime",
+    batch_partitions: int | None = None,
+) -> DataFrame:
+    """Arrow-batched decode via mapInPandas.
+
+    Scale notes: blobs are big — repartition first so a task's Arrow
+    batches fit executor memory (``batch_partitions``), and keep ONLY the
+    columns the decode needs flowing through Python (column pruning
+    matters 100x more when a column is megabytes per row)."""
+    cols = [id_col, payload_col, mime_col]
+    slim = df.select(*cols)
+    if batch_partitions:
+        slim = slim.repartition(batch_partitions)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = row[payload_col]
+                feat, w, h = decoder(bytes(payload) if payload is not None else b"",
+                                     row[mime_col])
+                out.append((row[id_col], row[mime_col],
+                            len(payload) if payload is not None else 0,
+                            feat, w, h))
+            yield pd.DataFrame(out, columns=[
+                "media_id", "mime", "n_bytes", "feature", "width", "height"])
+
+    return slim.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 30,
+                      duration_col: str = "n_frames") -> DataFrame:
+    """Video frame-sampling *plan*: expand (media_id, n_frames) into the
+    frame indices to decode — the distributed part of frame sampling;
+    the per-frame decode goes through decode_features. JVM-side."""
+    return df.withColumn(
+        "frame_idx",
+        F.explode(F.sequence(F.lit(0), F.greatest(F.col(duration_col) - 1, F.lit(0)),
+                             F.lit(every_n))),
+    )

@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths (north-star extension):
+- brute-force exact cosine top-k: one distributed pass over the corpus
+  per query batch (queries are broadcast). The correctness baseline.
+- sign-LSH (random hyperplane) bucketed ANN: each vector gets a b-bit
+  signature; candidates share a signature band; exact cosine reranks
+  within buckets. Recall < 1 by construction — the scale path for
+  corpora where n_queries * n_corpus is infeasible.
+
+All vector math is JVM-side higher-order functions (zip_with/aggregate);
+hyperplanes are seeded numpy constants broadcast as literals, so results
+are deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     round_digits: int = 4) -> DataFrame:
+    """Exact top-k neighbors per query vector. Queries broadcast; corpus
+    scanned once; rank on rounded cosine + id tiebreak (deterministic)."""
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb"))
+    c = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_emb"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id",
+                F.round(cosine(F.col("q_emb"), F.col("c_emb")), round_digits).alias("cosine"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(bits, dim).tolist()
+
+
+def sign_lsh_signature(df: DataFrame, dim: int, bits: int = 16,
+                       vec_col: str = "embedding", seed: int = 42) -> DataFrame:
+    """Append an integer sign-LSH signature column ``lsh_sig``."""
+    planes = _hyperplanes(dim, bits, seed)
+    sig = F.lit(0).cast("long")
+    for j, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        sig = sig + F.when(dot(F.col(vec_col), plane) >= 0, F.lit(1 << j)).otherwise(0).cast("long")
+    return df.withColumn("lsh_sig", sig)
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+             bits: int = 16, bands: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             seed: int = 42) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing any
+    signature band with the query; exact cosine rerank inside candidates.
+
+    Scale: the join key is (band, band_sig) — corpus is bucketed once and
+    reused for any number of queries; per-bucket fanout is data-dependent
+    (tune bits/bands for density)."""
+    assert bits % bands == 0
+    r = bits // bands
+
+    def banded(df: DataFrame, prefix: str) -> DataFrame:
+        sigd = sign_lsh_signature(df, dim, bits, vec_col, seed)
+        band_arr = F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("lsh_sig"), b * r).bitwiseAND(F.lit((1 << r) - 1)).alias("bsig"),
+            ) for b in range(bands)
+        ])
+        return sigd.select(
+            F.col(id_col).alias(f"{prefix}_id"), F.col(vec_col).alias(f"{prefix}_emb"),
+            F.explode(band_arr).alias("bk"),
+        ).select(f"{prefix}_id", f"{prefix}_emb",
+                 F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig"))
+
+    cb = banded(corpus, "c")
+    qb = banded(queries, "q")
+    cand = (
+        cb.join(qb, ["band", "bsig"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", "q_emb", "c_emb")
+        .distinct()
+    )
+    scored = cand.select(
+        "q_id", "c_id", F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4).alias("cosine"))
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_near_pairs(df: DataFrame, threshold: float = 0.95,
+                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup pairs (exact all-pairs; use sign-LSH blocking
+    for big corpora — see lsh_topk's banding)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("e_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("e_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("e_a"), F.col("e_b")), 4).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,121 @@
+"""Text-analysis operators for corpus curation (north-star extension):
+language-ID (n-gram/stopword evidence), quality scoring, token counting,
+fingerprinting. All JVM-side expressions — no Python in the hot path.
+Column-level API so they compose into any pipeline step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import fingerprint, norm_text
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "is", "to", "in"],
+    "es": ["el", "la", "de", "y", "es", "en", "un"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu"],
+    "fr": ["le", "la", "de", "et", "est", "un", "dans"],
+}
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token estimate: words + digit runs + punctuation
+    treated as separate tokens (a cheap regex proxy for BPE counts)."""
+    return F.size(
+        F.filter(
+            F.split(col, r"(?=[\s\p{Punct}])|(?<=[\s\p{Punct}])"),
+            lambda t: F.trim(t) != "",
+        )
+    )
+
+
+def stopword_evidence(col: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(F.lower(col)), lambda t: t.isin(*words)))
+
+
+def lang_scores(col: Column) -> Column:
+    """Map of lang -> stopword evidence count."""
+    return F.map_from_arrays(
+        F.array(*[F.lit(l) for l in STOPWORDS]),
+        F.array(*[stopword_evidence(col, l) for l in STOPWORDS]),
+    )
+
+
+def predict_lang(col: Column, min_evidence: int = 2) -> Column:
+    """argmax over lang_scores with deterministic tie-break (lang name)."""
+    pairs = F.array(*[
+        F.struct(stopword_evidence(col, l).alias("n"), F.lit(l).alias("lang"))
+        for l in sorted(STOPWORDS)
+    ])
+    best = F.array_max(pairs)
+    return F.when(best["n"] >= min_evidence, best["lang"]).otherwise(F.lit("unk"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append standard quality-scoring features."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    return (
+        df.withColumn("q_n_tokens", n_tok)
+        .withColumn("q_n_chars", n_chars)
+        .withColumn("q_avg_token_len",
+                    F.round((n_chars - n_tok + 1) / F.greatest(n_tok, F.lit(1)), 4))
+        .withColumn("q_punct_ratio",
+                    F.round(F.length(F.regexp_replace(t, r"[^\p{Punct}]", "")) /
+                            F.greatest(n_chars, F.lit(1)), 4))
+        .withColumn("q_digit_ratio",
+                    F.round(F.length(F.regexp_replace(t, r"[^0-9]", "")) /
+                            F.greatest(n_chars, F.lit(1)), 4))
+        .withColumn("q_stopword_ratio",
+                    F.round(stopword_evidence(t, "en") / F.greatest(n_tok, F.lit(1)), 4))
+        .withColumn("q_uniq_token_ratio",
+                    F.round(F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1)), 4))
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  min_tokens: int = 5, max_punct: float = 0.3) -> DataFrame:
+    """Boolean keep/drop + reason, the filter stage of a curation
+    pipeline."""
+    feat = quality_features(df, text_col)
+    reason = (
+        F.when(F.col("q_n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("q_punct_ratio") > max_punct, F.lit("too_punct"))
+        .when(F.col("q_uniq_token_ratio") < 0.2, F.lit("too_repetitive"))
+    )
+    return feat.withColumn("q_drop_reason", reason) \
+               .withColumn("q_keep", reason.isNull())
+
+
+def rolling_fingerprint(col: Column, window: int = 8) -> Column:
+    """Winnowing-style document fingerprint: min over rolling-window
+    hashes of the token stream (deterministic, md5-derived)."""
+    toks = tokens(norm_text(col))
+    windows = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, window)),
+    )
+    hashes = F.transform(
+        windows,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"),
+    )
+    return F.array_min(hashes)
+
+
+__all__ = [
+    "tokens", "token_count", "bpe_ish_token_count", "stopword_evidence",
+    "lang_scores", "predict_lang", "quality_features", "quality_score",
+    "rolling_fingerprint", "fingerprint", "norm_text", "STOPWORDS",
+]

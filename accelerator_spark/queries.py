@@ -847,6 +847,124 @@ WHERE common / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.35
 """
 
 
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (operators/dedup.py) — the banded
+    LSH pipeline end-to-end: shingle -> 8 md5-derived minhashes -> 4
+    bands -> bucket-join -> distinct pairs. The md5 hash family makes
+    every signature reproducible in the DuckDB oracle, so the gate checks
+    the whole LSH pipeline, not a rows-only count."""
+    from .operators.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return minhash_lsh_candidates(docs, num_hashes=8, bands=4, bucket_cap=50)
+
+
+def _minhash_oracle() -> str:
+    hcols = ",\n         ".join(
+        f"min(CAST(('0x'||substring(md5(g||':{i}'),1,15)) AS BIGINT)) AS h{i}"
+        for i in range(8)
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, CAST(h{2*b} AS VARCHAR)||'_'||CAST(h{2*b+1} AS VARCHAR) AS key FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(
+      generate_series(1, greatest(len(t) - 2, 1)),
+      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g
+  FROM toks
+), sig AS (
+  SELECT doc_id,
+         {hcols}
+  FROM grams GROUP BY doc_id
+), bands AS (
+{bands}
+), buckets AS (
+  SELECT band, key, list_sort(list(doc_id)) AS ids
+  FROM bands GROUP BY band, key
+  HAVING count(*) BETWEEN 2 AND 50
+)
+SELECT DISTINCT p.doc_a AS doc_a, p.doc_b AS doc_b FROM (
+  SELECT unnest(flatten(list_transform(generate_series(1, len(ids)),
+         i -> list_transform(generate_series(i+1, len(ids)),
+         j -> struct_pack(doc_a := ids[i], doc_b := ids[j]))))) AS p
+  FROM buckets)
+"""
+
+
+ORACLE_MINHASH = _minhash_oracle()
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (operators/dedup.simhash): md5-derived
+    token hashes -> per-bit votes -> sign bits. Fully reproduced by the
+    oracle's generated 16-bit CASE expressions."""
+    from .operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return simhash(docs, bits=16)
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits)
+    )
+    total = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        for j in range(bits)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, CAST(('0x'||substring(md5(tok||':0'),1,15)) AS BIGINT) AS hv
+  FROM t
+), v AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, {total} AS simhash FROM v
+"""
+
+
+ORACLE_SIMHASH = _simhash_oracle()
+
+
+def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (operators/similarity.
+    cosine_near_pairs) on a bounded id range; exact all-pairs is the
+    correctness baseline — the sign-LSH blocked variant is the scale path
+    (operators/similarity.lsh_topk banding)."""
+    from .operators.similarity import cosine_near_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return cosine_near_pairs(emb, threshold=0.35)
+
+
+ORACLE_EMB_PAIRS = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding, b.embedding) /
+             (sqrt(list_dot_product(a.embedding, a.embedding)) *
+              sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cosine
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND round(list_dot_product(a.embedding, b.embedding) /
+            (sqrt(list_dot_product(a.embedding, a.embedding)) *
+             sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= 0.35
+"""
+
+
 # =====================================================================
 # Similarity search (north-star: embeddings table)
 # =====================================================================
@@ -979,6 +1097,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprints": doc_fingerprints,
     "dedup_exact": dedup_exact,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "simhash_fingerprints": simhash_fingerprints,
+    "embedding_near_pairs": embedding_near_pairs,
     "cosine_topk": cosine_topk,
     "embedding_stats": embedding_stats,
     "multimodal_meta": multimodal_meta,
@@ -1013,6 +1134,9 @@ ORACLES: dict[str, str] = {
     "doc_fingerprints": ORACLE_FP,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "ngram_jaccard_pairs": ORACLE_JACCARD,
+    "minhash_lsh_pairs": ORACLE_MINHASH,
+    "simhash_fingerprints": ORACLE_SIMHASH,
+    "embedding_near_pairs": ORACLE_EMB_PAIRS,
     "cosine_topk": ORACLE_COSINE,
     "embedding_stats": ORACLE_EMB_STATS,
     "multimodal_meta": ORACLE_MULTIMODAL,

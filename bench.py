@@ -31,6 +31,9 @@ HEADLINE = [
     "checksum_lineitem",
     "dedup_exact",
     "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "embedding_near_pairs",
     "cosine_topk",
     "text_quality",
 ]
