@@ -749,6 +749,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic winner), report group size. At 100 TB this is one
     hash-shuffle on the fingerprint — the standard exact-dedup plan."""
     docs = _t(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     return (
         docs.select("doc_id", F.md5(norm).alias("fp"))
