@@ -1,0 +1,120 @@
+"""``asx`` — thin CLI over manifests/registry, mirroring the reference's
+``ax`` shell (SURVEY §2.11: sh/ds.py, sh/grep.py, sh/job.py, sh/urd.py).
+
+Commands:
+  ds <path>                 dataset schema, lines, hashlabel, min/max, chain
+  cat <path> [-n N]         print rows (csv to stdout)
+  grep <pattern> <path>     regex search across all columns (reference:
+                            parallel per-slice grep -> here a distributed
+                            filter(rlike) — same result, Spark parallelism)
+  job <workdir> <jobid>     job record from the build database
+  urd <workdir> [list]      registry lists / entries
+Run: python -m accelerator_spark.cli <cmd> ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .build import Urd
+from .dataset import Dataset
+
+
+def _spark():
+    from .session import get_spark
+    return get_spark(app_name="asx_cli")
+
+
+def cmd_ds(args) -> int:
+    ds = Dataset.load(args.path)
+    m = ds.manifest
+    print(f"dataset: {args.path}")
+    print(f"caption: {m.get('caption', '')}  lines: {m['lines']}  "
+          f"hashlabel: {m.get('hashlabel')}")
+    print("columns:")
+    for name, typ in m["columns"].items():
+        mm = m.get("minmax", {}).get(name)
+        rng = f"  [{mm[0]} .. {mm[1]}]" if mm else ""
+        print(f"  {name}: {typ}{rng}")
+    chain = ds.chain()
+    if len(chain) > 1:
+        print(f"chain ({len(chain)} datasets, oldest first):")
+        for c in chain:
+            print(f"  {c.path}  lines={c.lines}")
+    return 0
+
+
+def cmd_cat(args) -> int:
+    spark = _spark()
+    df = Dataset.load(args.path).df(spark) if Dataset.exists(args.path) \
+        else spark.read.parquet(args.path)
+    rows = df.limit(args.n).collect()
+    print(",".join(df.columns))
+    for r in rows:
+        print(",".join("" if v is None else str(v) for v in r))
+    return 0
+
+
+def cmd_grep(args) -> int:
+    from pyspark.sql import functions as F
+    spark = _spark()
+    df = Dataset.load(args.path).df(spark) if Dataset.exists(args.path) \
+        else spark.read.parquet(args.path)
+    cols = args.columns.split(",") if args.columns else df.columns
+    joined = F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols])
+    hits = df.filter(joined.rlike(args.pattern))
+    n = 0
+    for r in hits.limit(args.n).collect():
+        print(",".join("" if v is None else str(v) for v in r))
+        n += 1
+    print(f"# {n} rows shown (limit {args.n})", file=sys.stderr)
+    return 0
+
+
+def cmd_job(args) -> int:
+    import os
+    dbpath = os.path.join(args.workdir, "jobdb.jsonl")
+    with open(dbpath) as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec["jobid"] == args.jobid:
+                print(json.dumps(rec, indent=2))
+                return 0
+    print(f"job {args.jobid} not found in {dbpath}", file=sys.stderr)
+    return 1
+
+
+def cmd_urd(args) -> int:
+    u = Urd(args.workdir)
+    if not args.list:
+        for name in u.lists():
+            print(name)
+        return 0
+    for e in u._entries(args.list):
+        print(f"{e['ts']}  {json.dumps(e['payload'])}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="asx", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("ds"); d.add_argument("path"); d.set_defaults(fn=cmd_ds)
+    c = sub.add_parser("cat"); c.add_argument("path")
+    c.add_argument("-n", type=int, default=20); c.set_defaults(fn=cmd_cat)
+    g = sub.add_parser("grep"); g.add_argument("pattern"); g.add_argument("path")
+    g.add_argument("-c", "--columns", default=None)
+    g.add_argument("-n", type=int, default=100); g.set_defaults(fn=cmd_grep)
+    j = sub.add_parser("job"); j.add_argument("workdir"); j.add_argument("jobid")
+    j.set_defaults(fn=cmd_job)
+    u = sub.add_parser("urd"); u.add_argument("workdir")
+    u.add_argument("list", nargs="?"); u.set_defaults(fn=cmd_urd)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,143 @@
+"""Structured Streaming wrappers — the Spark-native upgrade beyond the
+reference (SURVEY §2.9: optional; parity needs only incremental batch).
+
+Patterns packaged:
+- file-source stream (``readStream`` over a directory; schema explicit —
+  streaming sources don't infer);
+- watermarked tumbling-window aggregation (same logical plan as the
+  batch events_hourly query);
+- Trigger.AvailableNow runner: drain-all-then-stop with a checkpoint —
+  the exactly-once incremental execution mode that matches the
+  reference's batch-chain semantics;
+- stateful sessionization via applyInPandasWithState (custom stateful
+  operator escape hatch, SURVEY §2.10).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stream_from_directory(spark: SparkSession, path: str, schema: T.StructType,
+                          fmt: str = "parquet",
+                          max_files_per_trigger: int | None = None) -> DataFrame:
+    r = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.format(fmt).load(path)
+
+
+def windowed_counts(stream_df: DataFrame, ts_col: str = "ts",
+                    window: str = "1 hour", watermark: str = "2 hours",
+                    group_cols: list[str] | None = None) -> DataFrame:
+    """Watermarked tumbling-window counts; late rows beyond the watermark
+    are dropped, state is bounded — the scale-safe streaming agg."""
+    g = [F.window(F.col(ts_col), window).alias("win")] + [
+        F.col(c) for c in (group_cols or [])
+    ]
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(*g)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    )
+
+
+def run_available_now(stream_df: DataFrame, sink_path: str, checkpoint: str,
+                      output_mode: str = "append", fmt: str = "parquet") -> None:
+    """Drain everything currently available, then stop. Re-running picks
+    up only NEW files (checkpoint) — the streaming twin of ChainRunner."""
+    q = (
+        stream_df.writeStream.format(fmt)
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+_SESSION_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_start", T.TimestampType()),
+    T.StructField("session_end", T.TimestampType()),
+    T.StructField("n_events", T.LongType()),
+])
+
+_STATE_SCHEMA = T.StructType([
+    T.StructField("start_us", T.LongType()),
+    T.StructField("last_us", T.LongType()),
+    T.StructField("n", T.LongType()),
+])
+
+
+def sessionize_stateful(stream_df: DataFrame, gap_minutes: int = 30,
+                        ts_col: str = "ts", user_col: str = "user_id") -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user open session in state; a gap > gap_minutes (or state
+    timeout) closes and emits it. This is the §2.10 escape hatch shape —
+    state is per-key and bounded, so it distributes.
+
+    EXPERIMENTAL: in this container's Spark 4.1.2 local build, Python
+    stateful streaming operators (both applyInPandasWithState and
+    transformWithStateInPandas) hang in the first microbatch — verified
+    empirically; JVM-side stateful aggregation (windowed_counts) works.
+    Use the batch sessionizer (queries.sessionize_events, oracle-gated)
+    or windowed_counts until the environment supports Python state."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame([{
+                "user_id": user_id,
+                "session_start": _us_ts(start_us),
+                "session_end": _us_ts(last_us),
+                "n_events": n,
+            }])
+            return
+        ts_list: list[int] = []
+        for pdf in pdfs:
+            ts_list.extend(int(v.value // 1000) for v in pd.to_datetime(pdf[ts_col]))
+        if not ts_list:
+            return
+        ts_list.sort()
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = ts_list[0], ts_list[0], 0
+        out = []
+        for t in ts_list:
+            if last_us is not None and t - last_us > gap_us:
+                out.append({
+                    "user_id": user_id,
+                    "session_start": _us_ts(start_us),
+                    "session_end": _us_ts(last_us),
+                    "n_events": n,
+                })
+                start_us, n = t, 0
+            last_us = t
+            n += 1
+        state.update((start_us, last_us, n))
+        state.setTimeoutDuration(gap_minutes * 60 * 1000)
+        if out:
+            yield pd.DataFrame(out)
+
+    return stream_df.groupBy(user_col).applyInPandasWithState(
+        fn, _SESSION_SCHEMA, _STATE_SCHEMA, "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def _us_ts(us: int) -> _dt.datetime:
+    return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)

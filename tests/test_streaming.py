@@ -1,0 +1,90 @@
+"""Streaming: incremental chains (reference parity) + Structured
+Streaming (AvailableNow, watermarked windows, stateful sessionize)."""
+
+import glob
+
+from pyspark.sql import functions as F, types as T
+
+from accelerator_spark.build import BuildContext, Urd
+from accelerator_spark.dataset import Dataset
+from accelerator_spark.streaming import (
+    ChainRunner, run_available_now, stream_from_directory, windowed_counts,
+)
+
+from conftest import load
+
+
+def test_chain_runner_incremental(spark, sf_dir, tmp_path):
+    ctx = BuildContext(spark, str(tmp_path / "wd"))
+    urd = Urd(str(tmp_path / "wd"))
+    runner = ChainRunner(ctx, urd, "daily")
+    src_path = f"{sf_dir}/orders.parquet"
+
+    def import_day(spark, datasets, options):
+        df = spark.read.parquet(options["path"])
+        return df.filter(F.col("o_orderkey") % 3 == options["day"])
+
+    head = runner.process(
+        {"d1": {"path": src_path, "day": 0}, "d2": {"path": src_path, "day": 1}},
+        import_day)
+    assert len(head.chain()) == 2
+    n2 = head.chain_df(spark).count()
+
+    # second wave: only d3 is new; d1/d2 skipped via urd
+    head = runner.process(
+        {"d1": {"path": src_path, "day": 0},
+         "d2": {"path": src_path, "day": 1},
+         "d3": {"path": src_path, "day": 2}},
+        import_day)
+    assert len(head.chain()) == 3
+    assert head.chain_df(spark).count() == load(spark, sf_dir, "orders").count()
+    assert head.chain_df(spark).count() > n2
+    # urd recorded 3 batches, none cached on first build
+    assert runner.seen() == {"d1", "d2", "d3"}
+
+
+def test_available_now_streaming_roundtrip(spark, sf_dir, tmp_path):
+    src_dir = str(tmp_path / "in")
+    load(spark, sf_dir, "nation").write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    stream = stream_from_directory(spark, src_dir, schema)
+    assert stream.isStreaming
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_available_now(stream, sink, ckpt)
+    got = spark.read.parquet(sink)
+    assert got.count() == 25
+
+    # incremental: add one new file, rerun -> only the new rows are added
+    load(spark, sf_dir, "nation").limit(3).coalesce(1).write.mode("append").parquet(src_dir)
+    run_available_now(stream_from_directory(spark, src_dir, schema), sink, ckpt)
+    assert spark.read.parquet(sink).count() == 28
+
+
+def test_windowed_counts_watermark_plan(spark, sf_dir, tmp_path):
+    """Watermarked windowed agg compiles and produces the right schema in
+    a streaming plan; values checked via the batch twin (events_hourly
+    oracle covers numeric parity)."""
+    src_dir = str(tmp_path / "ev")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ev.write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = stream_from_directory(spark, src_dir, schema)
+    agg = windowed_counts(stream, group_cols=["event_type"])
+    assert agg.isStreaming
+    sink = str(tmp_path / "agg_out")
+    run_available_now(agg, sink, str(tmp_path / "agg_ckpt"), output_mode="append")
+    # append mode emits only watermark-closed windows; with a single
+    # drain, late-window rows may be withheld — assert structure + subset
+    out = spark.read.parquet(sink)
+    assert set(out.columns) == {"win", "event_type", "n", "sum_value"}
+    batch = ev.groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type")) \
+        .agg(F.count(F.lit(1)).alias("n"))
+    if out.count():
+        j = out.select("win", "event_type", "n").join(
+            batch.select("win", "event_type", F.col("n").alias("n_batch")),
+            ["win", "event_type"])
+        assert j.filter(F.col("n") != F.col("n_batch")).count() == 0
