@@ -27,15 +27,15 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+BPE_TOKEN_RX = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
 def bpe_ish_token_count(col: Column) -> Column:
-    """Sub-word-ish token estimate: words + digit runs + punctuation
-    treated as separate tokens (a cheap regex proxy for BPE counts)."""
-    return F.size(
-        F.filter(
-            F.split(col, r"(?=[\s\p{Punct}])|(?<=[\s\p{Punct}])"),
-            lambda t: F.trim(t) != "",
-        )
-    )
+    """Sub-word-ish token estimate: alnum runs + each punctuation char as
+    its own token (a cheap regex proxy for BPE counts). Uses
+    regexp_extract_all with an RE2-safe pattern so the DuckDB oracle can
+    run the identical regex."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RX), F.lit(0)))
 
 
 def stopword_evidence(col: Column, lang: str) -> Column:
@@ -86,14 +86,15 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def quality_score(df: DataFrame, text_col: str = "text",
-                  min_tokens: int = 5, max_punct: float = 0.3) -> DataFrame:
+                  min_tokens: int = 5, max_punct: float = 0.3,
+                  min_uniq: float = 0.2) -> DataFrame:
     """Boolean keep/drop + reason, the filter stage of a curation
     pipeline."""
     feat = quality_features(df, text_col)
     reason = (
         F.when(F.col("q_n_tokens") < min_tokens, F.lit("too_short"))
         .when(F.col("q_punct_ratio") > max_punct, F.lit("too_punct"))
-        .when(F.col("q_uniq_token_ratio") < 0.2, F.lit("too_repetitive"))
+        .when(F.col("q_uniq_token_ratio") < min_uniq, F.lit("too_repetitive"))
     )
     return feat.withColumn("q_drop_reason", reason) \
                .withColumn("q_keep", reason.isNull())

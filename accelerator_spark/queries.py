@@ -1066,6 +1066,375 @@ FROM documents
 
 
 # =====================================================================
+# Windows / pivot / cube / set-ops / subquery shapes (native new surface
+# beyond the reference — SURVEY §2.5/§2.6 'absent' rows)
+# =====================================================================
+
+def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per status x priority. Fixed pivot values so
+    the output schema is static (scale rule: never let pivot scan for
+    distinct values at 100 TB). Oracle uses conditional aggregation —
+    same result, portable SQL."""
+    orders = _t(spark, sf_dir, "orders")
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", pris)
+        .agg(F.count(F.lit(1)))
+        .orderBy("o_orderstatus")
+    )
+    for p in pris:
+        out = out.withColumnRenamed(p, "p" + p[0])
+    return out.na.fill(0, ["p1", "p2", "p3", "p4", "p5"])
+
+
+ORACLE_PIVOT = """
+SELECT o_orderstatus,
+       count(*) FILTER (o_orderpriority = '1-URGENT')        AS p1,
+       count(*) FILTER (o_orderpriority = '2-HIGH')          AS p2,
+       count(*) FILTER (o_orderpriority = '3-MEDIUM')        AS p3,
+       count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+       count(*) FILTER (o_orderpriority = '5-LOW')           AS p5
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over returnflag x linestatus."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+ORACLE_CUBE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL API (Catalyst compiles it to the same
+    expand+agg plan the DataFrame rollup/cube use)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+ORACLE_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def running_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-total window over ordered months (frame = unbounded
+    preceding). Cumulative sums round AFTER the window so intermediate
+    fp error doesn't compound differently across engines."""
+    monthly = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(F.sum("o_totalprice").alias("t"))
+    )
+    w = W.orderBy("month").rowsBetween(W.unboundedPreceding, 0)
+    return monthly.select(
+        "month",
+        F.round("t", 2).alias("monthly_total"),
+        F.round(F.sum("t").over(w), 2).alias("running_total"),
+    ).orderBy("month")
+
+
+ORACLE_RUNNING = """
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         sum(o_totalprice) AS t
+  FROM orders GROUP BY 1
+)
+SELECT month, round(t, 2) AS monthly_total,
+       round(sum(t) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING), 2) AS running_total
+FROM m ORDER BY month
+"""
+
+
+def month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead window: month-over-month order-count delta."""
+    monthly = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.orderBy("month")
+    return monthly.select(
+        "month", "n",
+        (F.col("n") - F.lag("n", 1).over(w)).alias("delta"),
+    ).orderBy("month")
+
+
+ORACLE_MOM = """
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         count(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT month, n, n - lag(n, 1) OVER (ORDER BY month) AS delta
+FROM m ORDER BY month
+"""
+
+
+def ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) over totalprice (unique tiebreak via orderkey makes the
+    bucketing deterministic); per-quartile stats."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("q", F.ntile(4).over(w))
+        .groupBy("q")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("min_p"),
+            F.round(F.max("o_totalprice"), 2).alias("max_p"),
+        )
+        .orderBy("q")
+    )
+
+
+ORACLE_NTILE = """
+SELECT q, count(*) AS n, round(min(o_totalprice), 2) AS min_p,
+       round(max(o_totalprice), 2) AS max_p
+FROM (SELECT o_totalprice,
+             ntile(4) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS q
+      FROM orders)
+GROUP BY q ORDER BY q
+"""
+
+
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_cont (continuous interpolation is specified by the SQL
+    standard, so both engines agree to fp noise; rounded)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)"), 2).alias("p50"),
+        F.round(F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice)"), 2).alias("p90"),
+    ).orderBy("o_orderstatus")
+
+
+ORACLE_PERCENTILES = """
+SELECT o_orderstatus,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p50,
+       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p90
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (SURVEY §2.5 'absent in reference' row):
+    customers active in 1995 who placed no order in 1996 (churn set)."""
+    orders = _t(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.distinct().exceptAll(y96.distinct()) \
+        .withColumnRenamed("o_custkey", "custkey")
+
+
+ORACLE_SETOPS = """
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+"""
+
+
+def union_chain_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-union semantics as a query (SURVEY §2.5 union-of-chain):
+    three disjoint slices unioned back must aggregate exactly like the
+    whole table."""
+    orders = _t(spark, sf_dir, "orders")
+    parts = [orders.filter(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    chain = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return chain.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    ).orderBy("o_orderstatus")
+
+
+ORACLE_UNION_CHAIN = """
+SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def big_spender_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (customers whose max order exceeds a
+    threshold) — decorrelated to join+agg, the plan Catalyst produces
+    for the subquery form as well."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    mx = orders.groupBy("o_custkey").agg(F.max("o_totalprice").alias("mx"))
+    return (
+        cust.join(mx, cust.c_custkey == mx.o_custkey)
+        .filter(F.col("mx") > 400000)
+        .select("c_custkey", "c_name", F.round("mx", 2).alias("max_order"))
+    )
+
+
+ORACLE_BIG_SPENDER = """
+SELECT c_custkey, c_name, round(mx, 2) AS max_order
+FROM customer
+JOIN (SELECT o_custkey, max(o_totalprice) AS mx FROM orders GROUP BY o_custkey) m
+  ON c_custkey = m.o_custkey
+WHERE mx > 400000
+"""
+
+
+# =====================================================================
+# More text/type operators as queries
+# =====================================================================
+
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish sub-word token counting (operators/text.
+    bpe_ish_token_count) — identical RE2 regex on both engines."""
+    from .operators.text import bpe_ish_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_ish_token_count(F.col("text")).alias("n_bpe"))
+
+
+ORACLE_BPE = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe
+FROM documents
+"""
+
+
+def quality_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality_score operator end-to-end: drop-reason histogram over the
+    corpus (the curation pipeline's monitoring query)."""
+    from .operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return (
+        quality_score(docs, min_tokens=20, min_uniq=0.4)
+        .groupBy(F.coalesce("q_drop_reason", F.lit("kept")).alias("reason"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("q_n_tokens"), 2).alias("avg_tokens"))
+        .orderBy("reason")
+    )
+
+
+ORACLE_QUALITY_REPORT = """
+WITH feat AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         length(regexp_replace(text, '[^[:punct:]]', '', 'g')) /
+           CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+         len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) /
+           CAST(greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) AS DOUBLE)
+           AS uniq_ratio
+  FROM documents
+), reasons AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens < 20 THEN 'too_short'
+              WHEN punct_ratio > 0.3 THEN 'too_punct'
+              WHEN uniq_ratio < 0.4 THEN 'too_repetitive'
+              ELSE 'kept' END AS reason
+  FROM feat
+)
+SELECT reason, count(*) AS n, round(avg(n_tokens), 2) AS avg_tokens
+FROM reasons GROUP BY reason ORDER BY reason
+"""
+
+
+def predicted_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """predict_lang operator (argmax stopword evidence over 4 languages
+    with deterministic tiebreak) — distribution by true label."""
+    from .operators.text import predict_lang
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", predict_lang(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+def _predicted_langs_oracle() -> str:
+    from .operators.text import STOPWORDS
+    evid = ",\n           ".join(
+        "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+        f"t -> t IN ({', '.join(repr(w) for w in STOPWORDS[l])}))) AS e_{l}"
+        for l in sorted(STOPWORDS)
+    )
+    # argmax with lang-name tiebreak == max over (n, lang) structs in both
+    # engines; DuckDB: greatest of structs compares fieldwise
+    structs = ", ".join(f"{{'n': e_{l}, 'lang': '{l}'}}" for l in sorted(STOPWORDS))
+    return f"""
+WITH ev AS (
+  SELECT lang,
+           {evid}
+  FROM documents
+), best AS (
+  SELECT lang, list_max([{structs}]) AS b FROM ev
+)
+SELECT lang,
+       CASE WHEN b['n'] >= 2 THEN b['lang'] ELSE 'unk' END AS predicted,
+       count(*) AS n
+FROM best GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+ORACLE_PRED_LANGS = _predicted_langs_oracle()
+
+
+def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling fingerprint (operators/text.
+    rolling_fingerprint, window=8), md5-derived so the oracle reproduces
+    it exactly."""
+    from .operators.text import rolling_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return docs.select("doc_id", rolling_fingerprint(F.col("text"), 8).alias("fp"))
+
+
+ORACLE_ROLLING_FP = """
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+), wins AS (
+  SELECT doc_id, list_transform(
+           generate_series(1, greatest(len(t) - 7, 1)),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                          t[i+4], t[i+5], t[i+6], t[i+7])) AS ws
+  FROM toks
+)
+SELECT doc_id,
+       list_min(list_transform(ws,
+         w -> CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT))) AS fp
+FROM wins
+"""
+
+
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL). No oracle: HLL sketches are
+    engine-specific by nature — the driver records the rows-only check;
+    the EXACT countDistinct twin is oracle-gated in brand_part_stats."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count(F.lit(1)).alias("n"),
+    ).orderBy("l_returnflag")
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -1104,6 +1473,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": cosine_topk,
     "embedding_stats": embedding_stats,
     "multimodal_meta": multimodal_meta,
+    "pivot_status_priority": pivot_status_priority,
+    "cube_lineitem": cube_lineitem,
+    "grouping_sets_orders": grouping_sets_orders,
+    "running_monthly_revenue": running_monthly_revenue,
+    "month_over_month": month_over_month,
+    "ntile_price_quartiles": ntile_price_quartiles,
+    "price_percentiles": price_percentiles,
+    "segment_set_ops": segment_set_ops,
+    "union_chain_parts": union_chain_parts,
+    "big_spender_customers": big_spender_customers,
+    "bpe_token_counts": bpe_token_counts,
+    "quality_filter_report": quality_filter_report,
+    "predicted_langs": predicted_langs,
+    "rolling_fingerprints": rolling_fingerprints,
+    "approx_distinct_parts": approx_distinct_parts,
 }
 
 ORACLES: dict[str, str] = {
@@ -1141,4 +1525,19 @@ ORACLES: dict[str, str] = {
     "cosine_topk": ORACLE_COSINE,
     "embedding_stats": ORACLE_EMB_STATS,
     "multimodal_meta": ORACLE_MULTIMODAL,
+    "pivot_status_priority": ORACLE_PIVOT,
+    "cube_lineitem": ORACLE_CUBE,
+    "grouping_sets_orders": ORACLE_GROUPING_SETS,
+    "running_monthly_revenue": ORACLE_RUNNING,
+    "month_over_month": ORACLE_MOM,
+    "ntile_price_quartiles": ORACLE_NTILE,
+    "price_percentiles": ORACLE_PERCENTILES,
+    "segment_set_ops": ORACLE_SETOPS,
+    "union_chain_parts": ORACLE_UNION_CHAIN,
+    "big_spender_customers": ORACLE_BIG_SPENDER,
+    "bpe_token_counts": ORACLE_BPE,
+    "quality_filter_report": ORACLE_QUALITY_REPORT,
+    "predicted_langs": ORACLE_PRED_LANGS,
+    "rolling_fingerprints": ORACLE_ROLLING_FP,
+    # approx_distinct_parts: intentionally no oracle (engine-specific HLL)
 }
