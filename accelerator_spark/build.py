@@ -165,19 +165,30 @@ class BuildContext:
         elif result is None:
             result = {}
         outputs: dict[str, str] = {}
-        for name, df in result.items():
-            path = os.path.join(jobdir, name)
-            Dataset.write(
-                df, path,
-                hashlabel=hashlabel,
-                previous=previous if name == "default" else None,
-                caption=f"{jobid}/{name}",
-            )
-            outputs[name] = path
+        artifacts: dict[str, Any] = {}
+        for name, val in result.items():
+            if isinstance(val, DataFrame):
+                path = os.path.join(jobdir, name)
+                Dataset.write(
+                    val, path,
+                    hashlabel=hashlabel,
+                    previous=previous if name == "default" else None,
+                    caption=f"{jobid}/{name}",
+                )
+                outputs[name] = path
+            else:
+                # non-DataFrame results = per-job scalar artifacts, the
+                # reference's job.save/json_save (accelerator/job.py:
+                # 141-150, blob.py) — JSON in the job dir
+                apath = os.path.join(jobdir, f"{name}.json")
+                with open(apath, "w") as f:
+                    json.dump(val, f, default=str)
+                artifacts[name] = apath
 
         key = self._job_key(fn, options, datasets)
         rec = JobRecord(jobid=jobid, method=fn.__name__, key=key,
-                        outputs=outputs, time_built=time.time())
+                        outputs=outputs, artifacts=artifacts,
+                        time_built=time.time())
         self._db[key] = rec
         self._append(rec)
         return Job(self, rec, cached=False)
@@ -209,6 +220,16 @@ class Job:
     @property
     def output_names(self) -> list[str]:
         return list(self._rec.outputs) if self._rec else []
+
+    def load(self, name: str) -> Any:
+        """Load a JSON artifact saved by the step (reference job.load /
+        json_load, accelerator/job.py:229-236)."""
+        with open(self._rec.artifacts[name]) as f:
+            return json.load(f)
+
+    @property
+    def artifact_names(self) -> list[str]:
+        return list(self._rec.artifacts) if self._rec else []
 
 
 class Urd:

@@ -53,6 +53,15 @@ def checksum_df(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     )
 
 
+def checksum_chain(dataset, spark, columns: list[str] | None = None,
+                   length: int = -1) -> dict:
+    """Chain-wide digest (the reference's dataset_checksum_chain,
+    a_dataset_checksum_chain.py:36-50: per-dataset checksums xor-folded).
+    Equivalent to checksumming the chain union — xor/sum fold over rows
+    is associative across datasets."""
+    return checksum(dataset.chain_df(spark, length=length), columns)
+
+
 def datasets_equal(a: DataFrame, b: DataFrame, columns: list[str] | None = None) -> bool:
     """Order-insensitive equality of two DataFrames on shared columns —
     the reference's test_compare_datasets idiom (SURVEY §5)."""

@@ -331,6 +331,159 @@ FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
 """
 
 
+def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority counts for orders having at least
+    one late-shipped line (EXISTS -> left_semi; one shuffle on
+    orderkey)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01")))
+    # schema has no commitdate; "late" proxy: a line shipped after
+    # 1996-09-01 (late in the quarter being reported)
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_shipdate") >= F.lit("1996-09-01")).select("l_orderkey")
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-agg — the pushdown benchmark (every
+    predicate reaches the parquet reader; zero shuffle, 1-row result)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20.
+    lineitem⨝orders shuffles; customer/nation broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01")))
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+ORACLE_Q10 = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share in one month; conditional agg
+    over a broadcast dim join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01")))
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(100 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                    / F.sum(rev), 2).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+ORACLE_Q14 = """
+SELECT round(100 * sum(CASE WHEN p_type = 'PROMO'
+                            THEN l_extendedprice * (1 - l_discount)
+                            ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_pct,
+       count(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers with large-volume orders (HAVING over a
+    groupBy, then joins back). The groupBy-then-semi-join plan keeps the
+    big side distributed."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey",
+                F.round("o_totalprice", 2).alias("price"),
+                F.round("total_qty", 2).alias("total_qty"))
+    )
+
+
+ORACLE_Q18 = """
+SELECT c_custkey, c_name, o_orderkey,
+       round(o_totalprice, 2) AS price, round(total_qty, 2) AS total_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) b
+JOIN orders   ON b.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def sort_nulls_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dataset_sort semantics surfaced as a query: derive NULLs, sort with
     the reference's None-is-minimum rule (nulls first ascending), take a
@@ -1442,6 +1595,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_nation_revenue": q5_nation_revenue,
+    "q4_priority_check": q4_priority_check,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_orders": q18_large_orders,
     "top3_orders_per_customer": top3_orders_per_customer,
     "customers_with_orders": customers_with_orders,
     "customers_without_orders": customers_without_orders,
@@ -1494,6 +1652,11 @@ ORACLES: dict[str, str] = {
     "q1_pricing_summary": ORACLE_Q1,
     "q3_shipping_priority": ORACLE_Q3,
     "q5_nation_revenue": ORACLE_Q5,
+    "q4_priority_check": ORACLE_Q4,
+    "q6_forecast_revenue": ORACLE_Q6,
+    "q10_returned_items": ORACLE_Q10,
+    "q14_promo_revenue": ORACLE_Q14,
+    "q18_large_orders": ORACLE_Q18,
     "top3_orders_per_customer": ORACLE_TOP3,
     "customers_with_orders": ORACLE_SEMI,
     "customers_without_orders": ORACLE_ANTI,

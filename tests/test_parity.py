@@ -1,0 +1,167 @@
+"""Parity fixtures: the all-types round-trip table (FIXTURES.md §1 /
+reference test_data.py:41-74), job artifacts, equivalent_hashes, subjobs,
+chain checksum, zip import."""
+
+import datetime
+import os
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from accelerator_spark.build import BuildContext, Urd
+from accelerator_spark.dataset import Dataset
+from accelerator_spark.operators.checksum import checksum, checksum_chain, datasets_equal
+from accelerator_spark.sources.zip import csvimport_zip
+
+from conftest import load
+
+D = datetime.datetime
+NAN = float("nan")
+
+
+@pytest.fixture(scope="module")
+def alltypes(spark):
+    """All-types fixture with extreme values (FIXTURES.md §1): int64/32
+    bounds, 1e100, ±0.0, NaN, µs-precision timestamps incl. 1916, NULLs,
+    38-digit decimal, bytes, unicode, json."""
+    schema = T.StructType([
+        T.StructField("lineno", T.LongType(), False),
+        T.StructField("c_int64", T.LongType(), True),
+        T.StructField("c_int32", T.IntegerType(), True),
+        T.StructField("c_bits64", T.DecimalType(20, 0), False),
+        T.StructField("c_float64", T.DoubleType(), True),
+        T.StructField("c_float32", T.FloatType(), True),
+        T.StructField("c_number", T.DecimalType(38, 0), True),
+        T.StructField("c_bool", T.BooleanType(), True),
+        T.StructField("c_datetime", T.TimestampType(), True),
+        T.StructField("c_date", T.DateType(), True),
+        T.StructField("c_time_us", T.LongType(), True),
+        T.StructField("c_bytes", T.BinaryType(), True),
+        T.StructField("c_unicode", T.StringType(), True),
+        T.StructField("c_json", T.StringType(), True),
+    ])
+    from decimal import Decimal
+    rows = [
+        (0, 9223372036854775807, 2147483647, Decimal(18446744073709551615),
+         1e100, 100.0, Decimal(10**38 - 1), True,
+         D(1916, 2, 29, 23, 59, 59, 999999), datetime.date(2016, 2, 29),
+         43200999999, b"foo", "blå", '{"a":[1,2,{"b":{}}]}'),
+        (1, -9223372036854775808, -2147483647, Decimal(0),
+         -0.0, -0.0, Decimal(13578058080989382), False,
+         D(1970, 1, 1, 0, 0, 0, 1), datetime.date(2016, 2, 28),
+         62000003, b"", "blä", "null"),
+        (2, 100, -1, Decimal(0x55AA55AA55AA55AA),
+         1 / 3, 2.0, Decimal(42), None,
+         None, None, None, None, None, None),
+        (3, None, None, Decimal(1),
+         NAN, NAN, None, True,
+         D(2024, 6, 1, 12, 0), datetime.date(2017, 6, 27),
+         0, b"blutti", "bla", '"blä"'),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_alltypes_roundtrip(spark, alltypes, tmp_path):
+    ds = Dataset.write(alltypes, str(tmp_path / "alltypes"))
+    back = ds.df(spark)
+    assert ds.lines == 4
+    assert datasets_equal(alltypes, back)
+    # exact value round-trip incl. µs precision and NaN
+    orig = {r["lineno"]: r for r in alltypes.collect()}
+    got = {r["lineno"]: r for r in back.collect()}
+    assert got[0]["c_datetime"] == D(1916, 2, 29, 23, 59, 59, 999999)
+    assert got[0]["c_number"] == orig[0]["c_number"]
+    assert got[3]["c_float64"] != got[3]["c_float64"]  # NaN preserved
+    assert got[1]["c_int64"] == -9223372036854775808
+    assert got[0]["c_unicode"] == "blå"
+    # manifest minmax for orderable columns
+    assert ds.min("c_int32") == -2147483647 and ds.max("c_int32") == 2147483647
+
+
+def test_alltypes_sort_and_checksum_stability(spark, alltypes, tmp_path):
+    from accelerator_spark.operators.sort import dataset_sort
+    out = dataset_sort(alltypes, "c_float64").collect()
+    # -0.0, 1/3, 1e100, NaN last (a_dataset_sort.py NaN==+inf rule)
+    assert [r["lineno"] for r in out] == [1, 2, 0, 3]
+    assert checksum(alltypes) == checksum(alltypes.orderBy(F.rand(seed=5)))
+
+
+def test_job_artifacts(spark, sf_dir, tmp_path):
+    ctx = BuildContext(spark, str(tmp_path / "wd"))
+
+    def stats_step(spark, datasets, options):
+        df = spark.read.parquet(options["path"])
+        row = df.agg(F.count(F.lit(1)).alias("n"), F.max("o_totalprice").alias("mx")).collect()[0]
+        return {"default": df.limit(10),
+                "stats": {"n": row["n"], "max_price": row["mx"]}}
+
+    j = ctx.build(stats_step, options={"path": f"{sf_dir}/orders.parquet"})
+    assert j.artifact_names == ["stats"]
+    stats = j.load("stats")
+    assert stats["n"] == load(spark, sf_dir, "orders").count()
+    # memo-hit returns the same artifacts
+    j2 = ctx.build(stats_step, options={"path": f"{sf_dir}/orders.parquet"})
+    assert j2.cached and j2.load("stats") == stats
+
+
+def test_equivalent_hashes(spark, sf_dir, tmp_path):
+    from accelerator_spark.build import source_hash
+    ctx = BuildContext(spark, str(tmp_path / "wd"))
+
+    def step_v1(spark, datasets, options):
+        return spark.read.parquet(f"{sf_dir}/nation.parquet")
+
+    j1 = ctx.build(step_v1)
+    old_hash = source_hash(step_v1)
+
+    def step_v2(spark, datasets, options):
+        # cosmetically different source
+        return spark.read.parquet(f"{sf_dir}/nation.parquet")  # comment
+
+    step_v2.__name__ = "step_v1"
+    # WITHOUT the equivalence claim a changed source rebuilds...
+    j2 = ctx.build(step_v2, options={"probe": 1})
+    assert not j2.cached
+    # ...WITH it, the old job is reused despite the new source
+    step_v2.equivalent = [old_hash]
+    j3 = ctx.build(step_v2)
+    assert j3.cached and j3.jobid == j1.jobid
+
+
+def test_subjobs(spark, sf_dir, tmp_path):
+    """Methods building other methods (reference subjobs.py:33-60):
+    a step calls ctx.build recursively."""
+    ctx = BuildContext(spark, str(tmp_path / "wd"))
+
+    def inner(spark, datasets, options):
+        return spark.read.parquet(f"{sf_dir}/region.parquet")
+
+    def outer(spark, datasets, options):
+        sub = ctx.build(inner)  # subjob
+        return sub.df().withColumn("doubled", F.col("r_regionkey") * 2)
+
+    j = ctx.build(outer)
+    assert j.df().filter(F.col("doubled") == F.col("r_regionkey") * 2).count() == 5
+    # inner job memoized independently
+    assert ctx.build(inner).cached
+
+
+def test_checksum_chain(spark, sf_dir, tmp_path):
+    src = load(spark, sf_dir, "region")
+    a = Dataset.write(src.filter("r_regionkey < 2"), str(tmp_path / "a"))
+    b = Dataset.write(src.filter("r_regionkey >= 2"), str(tmp_path / "b"), previous=a)
+    assert checksum_chain(b, spark) == checksum(src)
+
+
+def test_csvimport_zip(spark, tmp_path):
+    zp = str(tmp_path / "data.zip")
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("dir/a.csv", "x,y\n1,2\n3,4\n")
+        zf.writestr("dir/b.csv", "x,y\n5,6\n")
+        zf.writestr("skip.txt", "not,csv\n")
+    res = csvimport_zip(spark, zp, include_re=r"\.csv$", strip_dirs=True,
+                        allow_bad=True)
+    assert set(res.members) == {"a.csv", "b.csv"}
+    rows = {(r["x"], r["y"], r["_zip_member"]) for r in res.chain.collect()}
+    assert rows == {("1", "2", "a.csv"), ("3", "4", "a.csv"), ("5", "6", "b.csv")}
