@@ -311,6 +311,8 @@ def dataset_type(
     discard_untyped: bool = False,
     numeric_comma: bool = False,
     timezone: str | None = None,
+    hashlabel: str | None = None,
+    partitions: int | None = None,
 ) -> tuple[DataFrame, DataFrame | None]:
     """Type string columns; returns (typed_df, bad_df_or_None).
 
@@ -364,4 +366,11 @@ def dataset_type(
             F.array_compact(F.array(*fail_names)) if fail_names else F.array(),
         )
         typed = df.filter(~F.coalesce(any_bad, F.lit(False)))
-    return typed.select(*out_cols), bad_df
+    out = typed.select(*out_cols)
+    if hashlabel:
+        # typed+rehash fused in one Spark job — the reference's
+        # dataset_type hashlabel option (a_dataset_type.py:343-363 builds
+        # a slicemap; here the repartition rides the same plan)
+        n = partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        out = out.repartition(n, F.col(hashlabel))
+    return out, bad_df

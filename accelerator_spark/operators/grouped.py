@@ -1,0 +1,64 @@
+"""Grouped-map escape hatch: the reference's analysis-per-hashlabel-group
+idiom (SURVEY §2.10).
+
+In the reference, a method's ``analysis(sliceno)`` runs arbitrary Python
+per slice, and hashlabel guarantees a key's rows are all in that slice —
+so "per-key Python" is the core custom-logic pattern. The Spark twin is
+``applyInPandas``: one shuffle on the key, then an Arrow-batched pandas
+function per group. Use ONLY when the logic genuinely can't be expressed
+as DataFrame ops (it leaves whole-stage codegen and ships data through
+Python).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def analysis_per_key(
+    df: DataFrame,
+    key: str | list[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: T.StructType | str,
+) -> DataFrame:
+    """Run ``fn`` once per key group (pandas in, pandas out).
+
+    Equivalent of: hashpart on ``key`` + per-slice Python over that key's
+    rows. One shuffle; group must fit one executor's memory (same
+    constraint as the reference's per-slice dict)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    return df.groupBy(*keys).applyInPandas(fn, schema=schema)
+
+
+def fit_per_group_linear(df: DataFrame, key: str, x_col: str, y_col: str) -> DataFrame:
+    """Worked example: least-squares fit per group — the kind of
+    model-per-key step the reference writes as analysis() + numpy."""
+    import numpy as np
+
+    schema = T.StructType([
+        T.StructField(key, T.LongType()),
+        T.StructField("slope", T.DoubleType()),
+        T.StructField("intercept", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ])
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[x_col].to_numpy(dtype=float)
+        y = pdf[y_col].to_numpy(dtype=float)
+        if len(x) < 2 or np.ptp(x) == 0:
+            slope, intercept = 0.0, float(y.mean()) if len(y) else 0.0
+        else:
+            slope, intercept = np.polyfit(x, y, 1)
+        return pd.DataFrame([{
+            key: pdf[key].iloc[0],
+            "slope": float(slope),
+            "intercept": float(intercept),
+            "n": len(pdf),
+        }])
+
+    return df.groupBy(key).applyInPandas(fit, schema=schema)
