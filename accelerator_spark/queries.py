@@ -942,8 +942,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
         )
     )
+    # set sizes computed from the grams ARRAY (narrow op, no explode and
+    # no extra shuffle — the exploded path below is scanned only once)
+    sizes = docs.select("doc_id", F.size(grams).alias("sz"))
     sh = docs.select("doc_id", F.explode(grams).alias("g"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     # group docs by shingle (df cutoff bounds group size, so the k*(k-1)/2
     # pair expansion below is bounded too); generating pairs inside the
     # group halves the rows a self-join would shuffle and skips the probe
@@ -962,8 +964,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select("p.doc_a", "p.doc_b")
     common = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("common"))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    # sizes is one row per doc — broadcast both lookup sides
+    sa = F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")))
+    sb = F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")))
     return (
         common.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn("jaccard", F.round(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 4))

@@ -1,0 +1,66 @@
+"""Plan guardrails: assert the physical plans keep the properties the
+100 TB design depends on (pushdown, pruning, broadcast, no stray
+cartesian). These are regression tests for `.explain()` work — a change
+that silently drops a pushed filter or flips a broadcast to SMJ fails
+here, not in production."""
+
+import re
+
+from accelerator_spark import queries as Q
+
+
+def _plan(spark, name, sf_dir):
+    return Q.QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    s = _plan(spark, "q1_pricing_summary", sf_dir)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in s
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", s)
+    read_cols = {c.split("#")[0] for c in m.group(1).split(",")}
+    # projection pruning: only the 6 needed columns reach the scan
+    assert read_cols == {"l_quantity", "l_extendedprice", "l_discount",
+                         "l_returnflag", "l_linestatus", "l_shipdate"}
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    s = _plan(spark, "q5_nation_revenue", sf_dir)
+    assert s.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
+
+
+def test_q6_no_shuffle_scan_agg(spark, sf_dir):
+    s = _plan(spark, "q6_forecast_revenue", sf_dir)
+    # single-stage partial+final agg: exactly one exchange (to the 1-row
+    # final agg), no joins
+    assert "Join" not in s
+    assert s.count("Exchange") == 1
+    # the scan carries the predicates (plan text truncates PushedFilters
+    # for long filter lists; DataFilters shows the same pushdown)
+    assert "DataFilters: [isnotnull(l_shipdate" in s
+
+
+def test_top100_uses_take_ordered(spark, sf_dir):
+    s = _plan(spark, "top100_orders", sf_dir)
+    assert "TakeOrderedAndProject" in s  # no global sort materialization
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_dir):
+    s = _plan(spark, "cosine_topk", sf_dir)
+    assert "BroadcastNestedLoopJoin" in s or "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
+
+
+def test_jaccard_no_cartesian_and_parallel_explode(spark, sf_dir):
+    s = _plan(spark, "ngram_jaccard_pairs", sf_dir)
+    assert "CartesianProduct" not in s
+    assert "Generate explode" in s or "Generate" in s
+    # the size-lookup joins ride broadcast, not shuffle
+    assert s.count("BroadcastHashJoin") >= 2
+
+
+def test_asof_single_shuffle(spark, sf_dir):
+    s = _plan(spark, "asof_click_purchase", sf_dir)
+    assert "Join" not in s  # union+window, never a join
+    assert "Window" in s
