@@ -65,6 +65,29 @@ def filter_columns(df: DataFrame, keep: list[str] | None = None,
     return df
 
 
+def translate(df: DataFrame, mapping: dict[str, "dict | object"],
+              default_miss=None) -> DataFrame:
+    """The iterate ``translators=`` surface (SURVEY §2.2,
+    accelerator/dataset.py:469-476): per-column value rewriting applied
+    before filters. Dict translators become literal maps (JVM-side
+    element_at — dict-miss yields NULL, matching the reference's
+    dict.get); callables are not accepted here — express them as Column
+    expressions or go through the grouped/pandas escape hatch."""
+    from pyspark.sql import functions as FF
+    from itertools import chain as _chain
+
+    out = df
+    for col, tr in mapping.items():
+        if isinstance(tr, dict):
+            literal_map = FF.create_map(*[FF.lit(x) for x in _chain(*tr.items())])
+            v = literal_map[FF.col(col)]
+            out = out.withColumn(col, FF.coalesce(v, FF.lit(default_miss))
+                                 if default_miss is not None else v)
+        else:  # a Column expression
+            out = out.withColumn(col, tr)
+    return out
+
+
 def slice_rows(df: DataFrame, start: int = 0, stop: int | None = None,
                order_col: str = LINENO) -> DataFrame:
     """The iterate ``slice=`` surface (accelerator/dataset.py:508-516):

@@ -25,7 +25,16 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 
+_TUNED: set[int] = set()
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # apply engine confs once per session — the driver may hand us a
+    # session without AQE/UTC set
+    if id(spark) not in _TUNED:
+        from .session import tune_for_session
+        tune_for_session(spark)
+        _TUNED.add(id(spark))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

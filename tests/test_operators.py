@@ -120,3 +120,18 @@ def test_merge_override_and_count_check(spark, sf_dir):
     short = base.limit(3)
     with pytest.raises(ValueError, match="line counts differ"):
         dataset_merge(base, short.select("lineno", F.lit(2).alias("flag")))
+
+
+def test_translate_dict_and_expr(spark, sf_dir):
+    from accelerator_spark.operators.partition import translate
+    src = load(spark, sf_dir, "region")
+    out = translate(src, {
+        "r_name": {"AFRICA": "ZERO", "AMERICA": "ONE"},
+        "r_regionkey": F.col("r_regionkey") * 10,
+    })
+    rows = {r["r_regionkey"]: r["r_name"] for r in out.collect()}
+    assert rows[0] == "ZERO" and rows[10] == "ONE"
+    assert rows[20] is None  # dict-miss -> None (reference semantics)
+    out2 = translate(src, {"r_name": {"AFRICA": "ZERO"}}, default_miss="UNK")
+    vals = {r["r_name"] for r in out2.collect()}
+    assert vals == {"ZERO", "UNK"}
