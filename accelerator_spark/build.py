@@ -251,6 +251,13 @@ class Urd:
             return [json.loads(x) for x in f if x.strip()]
 
     def add(self, listname: str, timestamp: str, payload: dict) -> None:
+        """Append an entry. Idempotent: re-adding the same (list, ts,
+        payload) is a no-op, so re-running a build script doesn't
+        duplicate the log (the reference's urd rejects duplicate
+        timestamps; we accept-and-dedupe the identical case)."""
+        prior = self.peek(listname, timestamp)
+        if prior is not None and prior["payload"] == payload:
+            return
         with open(self.path, "a") as f:
             f.write(_stable_json({"list": listname, "ts": timestamp,
                                   "payload": payload, "added": time.time()}) + "\n")

@@ -86,6 +86,50 @@ def cmd_job(args) -> int:
     return 1
 
 
+def cmd_run(args) -> int:
+    """Run a build script (the reference's main entry point, ``ax run``:
+    sh/__init__.py:263-285 → build.py main). The script defines
+    ``main(urd)`` where urd is a build context facade exposing
+    ``.build(step, ...)`` (memoized) and the urd registry — mirroring the
+    reference's ``urd.build(...)`` surface (accelerator/build.py:568)."""
+    import importlib.util
+
+    from .build import BuildContext, Urd
+
+    spec = importlib.util.spec_from_file_location("build_script", args.script)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    if not hasattr(mod, "main"):
+        print(f"{args.script}: no main(urd) function", file=sys.stderr)
+        return 1
+
+    spark = _spark()
+    ctx = BuildContext(spark, args.workdir)
+    registry = Urd(args.workdir)
+
+    class UrdFacade:
+        """build + registry in one handle, like the reference's urd."""
+
+        def __init__(self):
+            self.ctx = ctx
+            self.registry = registry
+            self.spark = spark
+
+        def build(self, step, **kw):
+            return ctx.build(step, **kw)
+
+        def add(self, listname, ts, payload):
+            registry.add(listname, ts, payload)
+
+        latest = staticmethod(registry.latest)
+        first = staticmethod(registry.first)
+        since = staticmethod(registry.since)
+        peek = staticmethod(registry.peek)
+
+    mod.main(UrdFacade())
+    return 0
+
+
 def cmd_urd(args) -> int:
     u = Urd(args.workdir)
     if not args.list:
@@ -111,6 +155,8 @@ def main(argv: list[str] | None = None) -> int:
     j.set_defaults(fn=cmd_job)
     u = sub.add_parser("urd"); u.add_argument("workdir")
     u.add_argument("list", nargs="?"); u.set_defaults(fn=cmd_urd)
+    r = sub.add_parser("run"); r.add_argument("workdir"); r.add_argument("script")
+    r.set_defaults(fn=cmd_run)
 
     args = p.parse_args(argv)
     return args.fn(args)
