@@ -935,8 +935,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index join (explode shingles -> self-join on shingle ->
     count intersections -> Jaccard). This is the scale-correct shape:
     no all-pairs cross join; the shingle join only touches docs sharing a
-    shingle. Skew guard: drop shingles appearing in >1% of docs (stopword
-    shingles explode quadratically).
+    shingle. Skew guard: drop shingles appearing in >1% of docs AND cap
+    shingle groups at 64 docs — pair expansion is quadratic in group
+    size, so without the absolute cap a duplicate-heavy corpus (every
+    doc copied 8x) blows up 60x (measured at 4.8M-row scale test). Run
+    exact dedup first on dup-heavy corpora; the cap is the backstop.
 
     Partitioning note: compact text expands ~50x at the shingle explode —
     repartition BEFORE the explode so the expansion uses every core (a
@@ -955,13 +958,21 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no extra shuffle — the exploded path below is scanned only once)
     sizes = docs.select("doc_id", F.size(grams).alias("sz"))
     sh = docs.select("doc_id", F.explode(grams).alias("g"))
-    # group docs by shingle (df cutoff bounds group size, so the k*(k-1)/2
-    # pair expansion below is bounded too); generating pairs inside the
-    # group halves the rows a self-join would shuffle and skips the probe
+    cap = min(int(n_docs * 0.01), 64)
+    # filter by document frequency BEFORE collect_list: the count agg is
+    # map-side-combinable (cheap even for hot shingles), so heavy groups
+    # are discarded without ever materializing their doc lists — the
+    # collect only sees groups of 2..cap docs. Measured 102s -> ~20s at
+    # the 4.8M-row scale test.
+    ok = (
+        sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") > 1) & (F.col("df") <= cap))
+        .select("g")
+    )
     byg = (
-        sh.groupBy("g")
+        sh.join(ok, "g")
+        .groupBy("g")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= F.lit(int(n_docs * 0.01))))
     )
     pairs = byg.select(
         F.explode(
@@ -996,7 +1007,8 @@ WITH toks AS (
   SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
 ), freq AS (
   SELECT g FROM grams GROUP BY g
-  HAVING count(*) <= (SELECT count(*) FROM documents) * 0.01
+  HAVING count(*) <= least(CAST(floor((SELECT count(*) FROM documents) * 0.01)
+                                AS BIGINT), 64)
 ), kept AS (
   SELECT grams.doc_id, grams.g FROM grams JOIN freq USING (g)
 ), pairs AS (

@@ -40,8 +40,12 @@ def get_spark(
     master = master or f"local[{cpus}]"
     n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
 
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     builder = (
         SparkSession.builder.appName(app_name)
+        # local mode: driver memory is the ONLY heap knob (executors live
+        # in the driver JVM); the 1g default OOMs at ~5M-row shuffles
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
