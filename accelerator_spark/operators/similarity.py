@@ -108,6 +108,55 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_assign(corpus: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantization: nearest centroid per vector (by cosine,
+    rounded + centroid-id tiebreak for cross-engine determinism).
+    Centroids broadcast; corpus scanned once — the build step of an IVF
+    index. Returns corpus columns + centroid_id + centroid_cos."""
+    c = centroids.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_emb"))
+    scored = corpus.crossJoin(F.broadcast(c)).withColumn(
+        "centroid_cos", F.round(cosine(F.col(vec_col), F.col("c_emb")), 4))
+    w = W.partitionBy(id_col).orderBy(F.col("centroid_cos").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "c_emb")
+        .withColumnRenamed("c_id", "centroid_id")
+    )
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+             k: int = 5, n_probe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN search: probe the query's ``n_probe`` nearest cells, exact
+    cosine rerank within them. Recall < 1 (vectors in unprobed cells are
+    missed) — the IVF scale path complementing sign-LSH (lsh_topk).
+
+    Plan: corpus bucketed by cell once (reusable); per query, candidates
+    = cells the query probes — join on centroid_id, so work is
+    n_queries * (corpus / n_cells) * n_probe instead of n_queries *
+    corpus."""
+    cor = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("c_id2"), F.col(vec_col).alias("c_emb2"), "centroid_id")
+    c = centroids.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_emb"))
+    qscored = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")) \
+        .crossJoin(F.broadcast(c)) \
+        .withColumn("qc_cos", F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4))
+    wq = W.partitionBy("q_id").orderBy(F.col("qc_cos").desc(), F.col("c_id").asc())
+    probes = (
+        qscored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select("q_id", "q_emb", F.col("c_id").alias("centroid_id"))
+    )
+    cand = probes.join(cor, "centroid_id").filter(F.col("q_id") != F.col("c_id2"))
+    scored = cand.select(
+        "q_id", F.col("c_id2").alias("c_id"),
+        F.round(cosine(F.col("q_emb"), F.col("c_emb2")), 4).alias("cosine"))
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def cosine_near_pairs(df: DataFrame, threshold: float = 0.95,
                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Embedding near-dup pairs (exact all-pairs; use sign-LSH blocking

@@ -643,6 +643,106 @@ FROM typed
 """
 
 
+def dataset_type_menu2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second dataset_type slice: hex ints (int64_16), time-of-day to
+    µs-since-midnight (time:%H:%M:%S -> LongType, SURVEY §7.4), number
+    (int-or-float), unixtime epoch parse — all through
+    functions.conversions expressions, oracle-mirrored."""
+    from .functions.conversions import convert_expr
+
+    orders = _t(spark, sf_dir, "orders")
+    messy = orders.select(
+        "o_orderkey",
+        F.lower(F.hex(F.col("o_orderkey"))).alias("s_hex"),
+        F.date_format(F.timestamp_seconds(F.col("o_orderkey") % 86400), "HH:mm:ss").alias("s_time"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.col("o_totalprice").cast("string"))
+        .otherwise(F.col("o_custkey").cast("string")).alias("s_number"),
+        (F.col("o_orderkey") + 1700000000).cast("string").alias("s_epoch"),
+    )
+    typed = messy.select(
+        "o_orderkey",
+        convert_expr("s_hex", "int64_16").alias("t_hex"),
+        convert_expr("s_time", "time:%H:%M:%S").alias("t_time_us"),
+        convert_expr("s_number", "number").alias("t_number"),
+        convert_expr("s_epoch", "unixtime").alias("t_epoch"),
+    )
+    return typed.agg(
+        F.sum(F.when(F.col("t_hex") == F.col("o_orderkey"), 1).otherwise(0)).alias("hex_roundtrips"),
+        F.sum("t_time_us").alias("sum_time_us"),
+        F.round(F.sum("t_number"), 2).alias("sum_number"),
+        F.max("t_epoch").alias("max_epoch"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+ORACLE_MENU2 = """
+WITH messy AS (
+  SELECT o_orderkey,
+         lower(to_hex(o_orderkey)) AS s_hex,
+         strftime(to_timestamp(o_orderkey % 86400), '%H:%M:%S') AS s_time,
+         CASE WHEN o_orderkey % 2 = 0 THEN CAST(o_totalprice AS VARCHAR)
+              ELSE CAST(o_custkey AS VARCHAR) END AS s_number,
+         CAST(o_orderkey + 1700000000 AS VARCHAR) AS s_epoch
+  FROM orders
+), typed AS (
+  SELECT o_orderkey,
+         CAST(('0x' || s_hex) AS BIGINT) AS t_hex,
+         (CAST(substring(s_time, 1, 2) AS BIGINT) * 3600
+          + CAST(substring(s_time, 4, 2) AS BIGINT) * 60
+          + CAST(substring(s_time, 7, 2) AS BIGINT)) * 1000000 AS t_time_us,
+         TRY_CAST(s_number AS DOUBLE) AS t_number,
+         to_timestamp(CAST(s_epoch AS BIGINT)) AS t_epoch
+  FROM messy
+)
+SELECT sum(CASE WHEN t_hex = o_orderkey THEN 1 ELSE 0 END) AS hex_roundtrips,
+       sum(t_time_us) AS sum_time_us,
+       round(sum(t_number), 2) AS sum_number,
+       CAST(max(t_epoch) AS TIMESTAMP) AS max_epoch,
+       count(*) AS n
+FROM typed
+"""
+
+
+def ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style coarse quantization (operators/similarity.ivf_assign):
+    assign every vector to its nearest of 8 seed centroids (vectors
+    0..7), count + mean cosine per cell. The cell index is the IVF
+    partition map an ANN search probes. Deterministic: rank on rounded
+    cosine with centroid-id tiebreak."""
+    from .operators.similarity import ivf_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8)
+    assigned = ivf_assign(emb, cents)
+    return (
+        assigned.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("centroid_cos"), 4).alias("avg_cos"))
+        .orderBy("centroid_id")
+    )
+
+
+ORACLE_IVF = """
+WITH c AS (
+  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT e.vec_id, c.c_id,
+         round(list_dot_product(e.embedding, c.c_emb) /
+               (sqrt(list_dot_product(e.embedding, e.embedding)) *
+                sqrt(list_dot_product(c.c_emb, c.c_emb))), 4) AS cos
+  FROM embeddings e, c
+), best AS (
+  SELECT vec_id, c_id AS centroid_id, cos AS centroid_cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, c_id ASC) AS rn
+  FROM scored
+)
+SELECT centroid_id, count(*) AS n, round(avg(centroid_cos), 4) AS avg_cos
+FROM best WHERE rn = 1
+GROUP BY centroid_id ORDER BY centroid_id
+"""
+
+
 # =====================================================================
 # Events: time-series / sessionization / as-of (streaming-adjacent)
 # =====================================================================
@@ -1638,6 +1738,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hashpart_invariance": hashpart_invariance,
     "typed_from_strings": typed_from_strings,
     "dataset_type_operator": dataset_type_operator,
+    "dataset_type_menu2": dataset_type_menu2,
+    "ivf_centroid_assign": ivf_centroid_assign,
     "events_hourly": events_hourly,
     "events_json_props": events_json_props,
     "sessionize_events": sessionize_events,
@@ -1695,6 +1797,8 @@ ORACLES: dict[str, str] = {
     "hashpart_invariance": ORACLE_HASHPART,
     "typed_from_strings": ORACLE_TYPED,
     "dataset_type_operator": ORACLE_DSTYPE,
+    "dataset_type_menu2": ORACLE_MENU2,
+    "ivf_centroid_assign": ORACLE_IVF,
     "events_hourly": ORACLE_HOURLY,
     "events_json_props": ORACLE_JSON_PROPS,
     "sessionize_events": ORACLE_SESSIONIZE,

@@ -160,3 +160,18 @@ def test_frame_sample_plan(spark):
     out = frame_sample_plan(df, every_n=30).collect()
     got = {(r["media_id"], r["frame_idx"]) for r in out}
     assert got == {(1, 0), (1, 30), (1, 60), (1, 90), (2, 0)}
+
+
+def test_ivf_topk_subset_of_exact(spark, emb):
+    from accelerator_spark.operators.similarity import ivf_topk
+    qs = emb.filter(F.col("vec_id") < 3)
+    cents = emb.filter(F.col("vec_id") < 8)
+    exact = brute_force_topk(emb, qs, k=10)
+    approx = ivf_topk(emb, qs, cents, k=10, n_probe=2)
+    j = approx.alias("a").join(
+        exact.alias("e"),
+        (F.col("a.q_id") == F.col("e.q_id")) & (F.col("a.c_id") == F.col("e.c_id")))
+    # cosines agree wherever both paths scored the pair
+    assert j.filter(F.col("a.cosine") != F.col("e.cosine")).count() == 0
+    assert j.count() > 0  # nonzero recall with 2-probe over 8 cells
+    assert approx.filter(F.col("rank") > 10).count() == 0
