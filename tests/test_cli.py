@@ -1,0 +1,82 @@
+"""asx CLI — in-process invocations of main() (the reference tests its
+shell the same way: subprocess `ax` calls, SURVEY §5; in-process keeps
+the Spark session shared)."""
+
+import json
+
+import pytest
+
+from accelerator_spark.build import BuildContext, Urd
+from accelerator_spark import cli
+
+from conftest import load
+
+
+@pytest.fixture(scope="module")
+def workdir(spark, sf_dir, tmp_path_factory):
+    wd = str(tmp_path_factory.mktemp("cli_wd"))
+    ctx = BuildContext(spark, wd)
+
+    def import_nation(spark_, datasets, options):
+        return load(spark_, sf_dir, "nation")
+
+    j = ctx.build(import_nation, hashlabel="n_regionkey")
+    Urd(wd).add("nations", "2024-01-01", {"job": j.jobid})
+    return wd, j
+
+
+def test_cli_ds(workdir, capsys):
+    wd, j = workdir
+    assert cli.main(["ds", j.dataset().path]) == 0
+    out = capsys.readouterr().out
+    assert "lines: 25" in out and "hashlabel: n_regionkey" in out
+    assert "n_nationkey: int" in out
+
+
+def test_cli_cat_and_grep(workdir, capsys):
+    wd, j = workdir
+    assert cli.main(["cat", j.dataset().path, "-n", "3"]) == 0
+    out = capsys.readouterr().out
+    assert out.splitlines()[0] == "n_nationkey,n_name,n_regionkey"
+    assert len(out.splitlines()) == 4
+
+    assert cli.main(["grep", r"\bNATION_1\b", j.dataset().path]) == 0
+    out = capsys.readouterr().out
+    assert "NATION_1" in out and "NATION_12" not in out
+
+
+def test_cli_job_and_urd(workdir, capsys):
+    wd, j = workdir
+    assert cli.main(["job", wd, j.jobid]) == 0
+    rec = json.loads(capsys.readouterr().out)
+    assert rec["jobid"] == j.jobid
+
+    assert cli.main(["urd", wd]) == 0
+    assert "nations" in capsys.readouterr().out
+    assert cli.main(["urd", wd, "nations"]) == 0
+    assert "2024-01-01" in capsys.readouterr().out
+
+
+def test_cli_job_missing(workdir, capsys):
+    wd, _ = workdir
+    assert cli.main(["job", wd, "nope-99"]) == 1
+
+
+def test_cli_run_script(workdir, tmp_path, capsys):
+    wd, _ = workdir
+    script = tmp_path / "bs.py"
+    script.write_text(
+        "from pyspark.sql import functions as F\n"
+        "def tiny(spark, datasets, options):\n"
+        "    return spark.range(options['n']).withColumn('x', F.col('id') * 2)\n"
+        "def main(urd):\n"
+        "    j = urd.build(tiny, options={'n': 7})\n"
+        "    urd.add('tiny', 't1', {'job': j.jobid})\n"
+        "    print('LINES', j.dataset().lines)\n"
+    )
+    assert cli.main(["run", wd, str(script)]) == 0
+    assert "LINES 7" in capsys.readouterr().out
+    # rerun memo-hits, urd stays deduped
+    assert cli.main(["run", wd, str(script)]) == 0
+    assert cli.main(["urd", wd, "tiny"]) == 0
+    assert capsys.readouterr().out.count("t1") == 1
