@@ -130,6 +130,23 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_workdir(args) -> int:
+    """List jobs in a workdir (the reference's ``ax workdir``)."""
+    import os
+    dbpath = os.path.join(args.workdir, "jobdb.jsonl")
+    if not os.path.exists(dbpath):
+        print(f"no job database at {dbpath}", file=sys.stderr)
+        return 1
+    with open(dbpath) as f:
+        for line in f:
+            rec = json.loads(line)
+            outs = ", ".join(rec.get("outputs", {}))
+            arts = ", ".join(rec.get("artifacts", {}))
+            extra = f"  artifacts: {arts}" if arts else ""
+            print(f"{rec['jobid']:<28} outputs: {outs or '-'}{extra}")
+    return 0
+
+
 def cmd_urd(args) -> int:
     u = Urd(args.workdir)
     if not args.list:
@@ -157,6 +174,8 @@ def main(argv: list[str] | None = None) -> int:
     u.add_argument("list", nargs="?"); u.set_defaults(fn=cmd_urd)
     r = sub.add_parser("run"); r.add_argument("workdir"); r.add_argument("script")
     r.set_defaults(fn=cmd_run)
+    w = sub.add_parser("workdir"); w.add_argument("workdir")
+    w.set_defaults(fn=cmd_workdir)
 
     args = p.parse_args(argv)
     return args.fn(args)
