@@ -20,21 +20,32 @@ from accelerator_spark import queries as Q
 from accelerator_spark.session import get_spark
 
 HEADLINE = [
+    # relational core
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_orders",
     "top3_orders_per_customer",
     "brand_part_stats",
+    "pivot_status_priority",
+    "running_monthly_revenue",
+    # events / time-series
     "events_hourly",
     "sessionize_events",
     "asof_click_purchase",
+    # engine ops
     "checksum_lineitem",
+    "dataset_type_operator",
+    # LLM-pipeline extensions
     "dedup_exact",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_fingerprints",
     "embedding_near_pairs",
     "cosine_topk",
+    "ivf_centroid_assign",
     "text_quality",
 ]
 

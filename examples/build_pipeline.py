@@ -1,0 +1,80 @@
+"""Worked example: the reference's daily-import pipeline shape
+(examples/build_tutorial05.py in /root/reference) re-expressed on this
+engine, extended with the LLM-curation stages.
+
+Run:  python -m accelerator_spark.cli run /tmp/example_wd examples/build_pipeline.py
+
+Per "day" it imports a batch (memoized — re-running skips finished
+days), types it, hash-partitions on the analysis key, links it into a
+chain, and logs it in urd; then reports over the whole chain, and runs a
+dedup pass over the documents corpus.
+"""
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def import_day(spark, datasets, options):
+    """csvimport-equivalent: here the 'raw feed' is a parquet slice; a
+    real feed would use accelerator_spark.sources.csvimport."""
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    return df.filter(F.col("o_orderkey") % 3 == options["day"])
+
+
+def typed_orders(spark, datasets, options):
+    """dataset_type stage: stringly input -> typed with bad capture."""
+    from accelerator_spark.functions import dataset_type
+
+    raw = datasets["orders"].df(spark).select(
+        F.col("o_orderkey").cast("string").alias("o_orderkey"),
+        F.col("o_custkey").cast("string").alias("o_custkey"),
+        F.col("o_totalprice").cast("string").alias("o_totalprice"),
+    )
+    typed, _bad = dataset_type(
+        raw,
+        {"o_orderkey": "int64_10", "o_custkey": "int64_10",
+         "o_totalprice": "float64"},
+        filter_bad=True,
+        hashlabel="o_custkey",  # typed+rehash fused
+    )
+    return typed
+
+
+def report(spark, datasets, options):
+    """aggregate over the full chain (union of all days)."""
+    chain = datasets["latest"].chain_df(spark)
+    return {
+        "default": chain.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend")),
+        "totals": {"rows": chain.count()},
+    }
+
+
+def dedup_documents(spark, datasets, options):
+    from accelerator_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = minhash_lsh_candidates(docs)
+    keep = docs.join(pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
+                     "doc_id", "left_anti")
+    return keep
+
+
+def main(urd):
+    prev = None
+    for day in range(3):
+        imp = urd.build(import_day, options={"day": day})
+        typed = urd.build(typed_orders, datasets={"orders": imp.dataset()},
+                          previous=prev, hashlabel="o_custkey")
+        prev = typed.dataset()
+        urd.add("daily-orders", f"2024-01-0{day + 1}",
+                {"job": typed.jobid, "dataset": prev.path})
+        print(f"day {day}: {typed.jobid} cached={typed.cached} lines={prev.lines}")
+
+    rep = urd.build(report, datasets={"latest": prev})
+    print("report rows:", rep.dataset().lines, "totals:", rep.load("totals"))
+
+    dd = urd.build(dedup_documents)
+    print("documents after near-dup removal:", dd.dataset().lines)
