@@ -165,3 +165,38 @@ def test_csvimport_zip(spark, tmp_path):
     assert set(res.members) == {"a.csv", "b.csv"}
     rows = {(r["x"], r["y"], r["_zip_member"]) for r in res.chain.collect()}
     assert rows == {("1", "2", "a.csv"), ("3", "4", "a.csv"), ("5", "6", "b.csv")}
+
+
+def test_typed_then_hashed_equals_hashed_then_typed(spark, sf_dir):
+    """Reference a_test_dataset_type_hashing: typing then hashing must
+    equal hashing then typing — content identical, co-location identical."""
+    from accelerator_spark.functions.conversions import dataset_type
+    from accelerator_spark.operators.partition import hashpart
+
+    src = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("k"),
+        F.col("o_custkey").cast("string").alias("c"))
+    spec = {"k": "int64_10", "c": "int64_10"}
+
+    a, _ = dataset_type(src, spec, hashlabel="c", partitions=8)  # type->hash
+    b, _ = dataset_type(hashpart(src, "c", partitions=8), spec)  # hash->type
+    assert datasets_equal(a, b)
+    for df in (a, b):
+        spread = (df.withColumn("pid", F.spark_partition_id())
+                  .groupBy("c").agg(F.countDistinct("pid").alias("n"))
+                  .agg(F.max("n")).collect()[0][0])
+        assert spread == 1
+
+
+def test_chain_stop_and_length(spark, sf_dir, tmp_path):
+    """Reference a_test_selfchain/rechain: chain(length=), stop_ds."""
+    src = load(spark, sf_dir, "region")
+    d1 = Dataset.write(src.limit(1), str(tmp_path / "c1"))
+    d2 = Dataset.write(src.limit(2), str(tmp_path / "c2"), previous=d1)
+    d3 = Dataset.write(src.limit(3), str(tmp_path / "c3"), previous=d2)
+    assert [d.path for d in d3.chain(length=2)] == [d2.path, d3.path]
+    assert [d.path for d in d3.chain(stop_ds=d1)] == [d2.path, d3.path]
+    assert [d.path for d in d3.chain(stop_ds=d1.path)] == [d2.path, d3.path]
+    assert d3.chain_df(spark, length=1).count() == 3
+    # full chain: 1 + 2 + 3 rows
+    assert d3.chain_df(spark).count() == 6
