@@ -46,17 +46,21 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2:]
 
-    from accelerator_spark import queries as Q
+    # go through the driver's actual artifact, not the library module —
+    # catches wiring drift between queries.py and __spark_entry__
+    import __spark_entry__ as entrymod
+    QUERIES = entrymod.queries()
+    ORACLES = entrymod.oracle_sql()
 
     spark = get_spark(app_name="oracle_check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    todo = names or list(Q.QUERIES)
+    todo = names or list(QUERIES)
     failures = []
     for name in todo:
-        fn = Q.QUERIES[name]
+        fn = QUERIES[name]
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
@@ -65,11 +69,11 @@ def main():
             failures.append(name)
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
             continue
-        if name not in Q.ORACLES:
+        if name not in ORACLES:
             print(f"SKIP {name}: rows-only ({len(s_rows)} rows)")
             continue
         try:
-            cur = con.execute(Q.ORACLES[name])
+            cur = con.execute(ORACLES[name])
             o_cols = [d[0] for d in cur.description]
             o_rows = cur.fetchall()
         except Exception as e:
