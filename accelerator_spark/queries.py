@@ -23,6 +23,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark import StorageLevel
 
 
 _TUNED: set[int] = set()
@@ -1045,7 +1046,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition BEFORE the explode so the expansion uses every core (a
     1-file parquet input otherwise runs the whole explode on 1 task)."""
     docs = _t(spark, sf_dir, "documents")
-    n_docs = docs.count()  # tiny scalar, used for the frequency cutoff
+    n_docs = docs.count()  # parquet-stats count, no shingle work
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     toks = F.split(F.trim(F.col("text")), r"\s+")
     grams = F.array_distinct(
@@ -1054,10 +1055,16 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
         )
     )
-    # set sizes computed from the grams ARRAY (narrow op, no explode and
-    # no extra shuffle — the exploded path below is scanned only once)
-    sizes = docs.select("doc_id", F.size(grams).alias("sz"))
-    sh = docs.select("doc_id", F.explode(grams).alias("g"))
+    # Tokenize + shingle ONCE and persist the per-doc gram arrays: the
+    # df-prefilter below needs two passes over the exploded shingles, and
+    # without the persist each pass re-runs the regex tokenizer (the
+    # dominant cost — measured 4 redundant shingle passes before this).
+    # One row per input doc, spillable (MEMORY_AND_DISK), so it scales
+    # like the input, not like the explode.
+    base = docs.select("doc_id", grams.alias("gs")).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = base.select(
+        "doc_id", F.size("gs").alias("sz"), F.explode("gs").alias("g")
+    )
     cap = min(int(n_docs * 0.01), 64)
     # filter by document frequency BEFORE collect_list: the count agg is
     # map-side-combinable (cheap even for hot shingles), so heavy groups
@@ -1069,26 +1076,30 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("df") > 1) & (F.col("df") <= cap))
         .select("g")
     )
+    # each doc's set size rides along through the explode -> collect ->
+    # pair expansion, so no size-lookup joins are needed afterwards
     byg = (
         sh.join(ok, "g")
         .groupBy("g")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sz"))).alias("ids"))
     )
     pairs = byg.select(
         F.explode(
             F.expr(
                 "flatten(transform(ids, (x, i) ->"
                 " transform(slice(ids, i + 2, size(ids)),"
-                " y -> struct(x AS doc_a, y AS doc_b))))"
+                " y -> struct(x.doc_id AS doc_a, x.sz AS sz_a,"
+                "             y.doc_id AS doc_b, y.sz AS sz_b))))"
             )
         ).alias("p")
-    ).select("p.doc_a", "p.doc_b")
-    common = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("common"))
-    # sizes is one row per doc — broadcast both lookup sides
-    sa = F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")))
-    sb = F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")))
+    ).select("p.doc_a", "p.sz_a", "p.doc_b", "p.sz_b")
+    # sz_a/sz_b are functionally determined by doc_a/doc_b, so folding
+    # them into the grouping key is free (no extra distinct values)
+    common = pairs.groupBy("doc_a", "sz_a", "doc_b", "sz_b").agg(
+        F.count(F.lit(1)).alias("common")
+    )
     return (
-        common.join(sa, "doc_a").join(sb, "doc_b")
+        common
         .withColumn("jaccard", F.round(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 4))
         .filter(F.col("jaccard") >= 0.35)
         .select("doc_a", "doc_b", "jaccard")
