@@ -23,7 +23,6 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
-from pyspark import StorageLevel
 
 
 _TUNED: set[int] = set()
@@ -1055,13 +1054,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
         )
     )
-    # Tokenize + shingle ONCE and persist the per-doc gram arrays: the
-    # df-prefilter below needs two passes over the exploded shingles, and
-    # without the persist each pass re-runs the regex tokenizer (the
-    # dominant cost — measured 4 redundant shingle passes before this).
-    # One row per input doc, spillable (MEMORY_AND_DISK), so it scales
-    # like the input, not like the explode.
-    base = docs.select("doc_id", grams.alias("gs")).persist(StorageLevel.MEMORY_AND_DISK)
+    # Tokenize + shingle in ONE definition consumed by both passes (the
+    # df-prefilter needs two scans over the exploded shingles; the old
+    # shape ran FOUR — separate sizes branch, count scan, build + probe).
+    # Deliberately NOT persisted: measured at sf0.1, caching the gram
+    # arrays saved ~2s here but the lingering executor-memory pressure
+    # cost ~9s on the next query even after unpersist — recomputing one
+    # extra tokenizer pass is the cheaper, interference-free choice, and
+    # at 100 TB a cache of the whole corpus would thrash anyway.
+    base = docs.select("doc_id", grams.alias("gs"))
     sh = base.select(
         "doc_id", F.size("gs").alias("sz"), F.explode("gs").alias("g")
     )

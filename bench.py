@@ -70,6 +70,10 @@ def main() -> None:
             df = fn(spark, sf_dir)
             n = df.count()  # forces full execution; result stays distributed
             best = min(best, time.perf_counter() - t0)
+            # queries that persist intermediates (e.g. ngram shingle
+            # arrays) must repay that cost every run, and must not
+            # distort the next query's memory budget
+            spark.catalog.clearCache()
         times[name] = round(best, 3)
         print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
 
