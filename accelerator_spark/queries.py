@@ -1724,6 +1724,439 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# TPC-H analogue extensions (adapted to the driver schema: no partsupp,
+# no l_shipmode/commitdate/receiptdate/phone — each query states its
+# adaptation). These widen SURVEY §2.7's "new relational surface".
+# =====================================================================
+
+def q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analogue (no partsupp: supply cost proxied by observed
+    avg unit price in lineitem). For each Brand#1 part, the supplier
+    selling it cheapest. Plan: lineitem scan -> partial agg on
+    (partkey, suppkey) -> window min per part; part+supplier+nation
+    broadcast. One fact shuffle total."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    unit = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias("unit_price"))
+    )
+    w = W.partitionBy("l_partkey").orderBy(F.col("unit_price").asc(), F.col("l_suppkey").asc())
+    best = unit.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select(
+            F.col("p_partkey"), F.col("p_name"),
+            F.col("s_name").alias("cheapest_supplier"),
+            F.col("n_name").alias("supplier_nation"),
+            F.col("unit_price"),
+        )
+    )
+
+
+ORACLE_Q2 = """
+WITH unit AS (
+  SELECT l_partkey, l_suppkey,
+         round(avg(l_extendedprice / l_quantity), 4) AS unit_price
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY l_partkey
+                               ORDER BY unit_price ASC, l_suppkey ASC) AS rk
+  FROM unit
+)
+SELECT p_partkey, p_name, s_name AS cheapest_supplier,
+       n_name AS supplier_nation, unit_price
+FROM best
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE rk = 1 AND p_brand = 'Brand#1'
+"""
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: revenue shipped between two nations, by direction and
+    year. supplier/customer/nation broadcast; lineitem⨝orders is the one
+    big shuffle. The nation-pair filter lands on broadcast dims so the
+    fact scan stays full-width until the joins prune it."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") <= F.lit("1997-12-31"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cust_nk"), F.col("n_name").alias("cust_nation"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("supp_nk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("cust_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+ORACLE_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                     AND TIMESTAMP '1997-12-31 00:00:00'
+  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_5 suppliers' share of PROMO-part revenue sold to
+    ASIA customers, per year. Conditional agg over one joined plan —
+    share = sum(when)/sum, no second pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") <= F.lit("1997-12-31"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cnat = nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey).select(
+        F.col("n_nationkey").alias("cust_nk"))
+    snat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cnat), cust.c_nationkey == F.col("cust_nk"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(snat), supp.s_nationkey == F.col("supp_nk"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol), 4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+ORACLE_Q8 = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_5'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                      AND TIMESTAMP '1997-12-31 00:00:00'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analogue (no ps_supplycost: cost proxied as 60% of
+    p_retailprice per unit). Profit on ECONOMY parts by supplier nation
+    and year. part/supplier/nation broadcast; one fact shuffle for the
+    groupBy."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+ORACLE_Q9 = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_type = 'ECONOMY'
+GROUP BY 1, 2 ORDER BY 1, 2 DESC
+"""
+
+
+def q12_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analogue (no l_shipmode/commitdate: buckets are
+    order->ship latency instead). Orders shipped >90 days after order
+    date, split by high/low priority. lineitem⨝orders shuffle join on
+    orderkey, then a 2-row agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy(
+            F.when(high, F.lit("high")).otherwise(F.lit("low")).alias("priority_class")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("late_lines"),
+            F.countDistinct(F.col("l_orderkey")).alias("late_orders"),
+            F.round(F.avg(F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))), 2).alias("avg_delay_days"),
+        )
+        .orderBy("priority_class")
+    )
+
+
+ORACLE_Q12 = """
+SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 'high' ELSE 'low' END AS priority_class,
+       count(*) AS late_lines,
+       count(DISTINCT l_orderkey) AS late_orders,
+       round(avg(datediff('day', o_orderdate, l_shipdate)), 2) AS avg_delay_days
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE datediff('day', o_orderdate, l_shipdate) > 90
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of orders-per-customer including
+    zero-order customers (left outer join), excluding 1-URGENT orders.
+    Two aggs: per-customer count, then histogram of counts."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+ORACLE_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with max revenue in 1996Q1. The max is a
+    broadcast-joined 1-row agg, not a driver-side collect, so the plan
+    stays fully distributed."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.max_rev)
+        .join(F.broadcast(supp), rev.supplier_no == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_Q15 = """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analogue (no partsupp: supplier-part relationships
+    observed from lineitem). Distinct suppliers per (brand, type, size)
+    for small sizes, excluding Brand#5. countDistinct after a broadcast
+    part join — one shuffle on the group keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5") & F.col("p_size").isin(1, 2, 3, 4, 5)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+ORACLE_Q16 = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_size IN (1, 2, 3, 4, 5)
+GROUP BY 1, 2, 3 ORDER BY 4 DESC, 1, 2, 3
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: yearly revenue that would be lost by dropping
+    small-quantity (< 20% of the part's average) Brand#2 orders. The
+    per-part average is a self-agg joined back on partkey — at scale a
+    shuffle join co-partitioned with the probe, never a collect."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    li_b = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    avg_q = li_b.groupBy(F.col("l_partkey").alias("ap")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut"))
+    return (
+        li_b.join(avg_q, li_b.l_partkey == avg_q.ap)
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+ORACLE_Q17 = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#2'
+  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue under OR-of-ANDs brand/size/quantity predicates.
+    Catalyst pushes the common part-side predicates into the broadcast
+    build; the disjunction evaluates post-join in one codegen stage."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 5))
+         & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 10))
+           & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#34") & (F.col("p_size").between(1, 15))
+           & (F.col("l_quantity").between(20, 30)))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+ORACLE_Q19 = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analogue (no phone column: grouped by nation instead of
+    country code; "no orders" relaxed to "no orders since 2000" — the
+    synthetic data gives every customer at least one early order).
+    Customers with above-average positive balance gone dormant: scalar
+    avg via broadcast cross-join, anti-join against recent orders,
+    per-nation agg."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+    nat = _t(spark, sf_dir, "nation")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal"))
+    rich = cust.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    dormant = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        dormant.join(F.broadcast(nat), dormant.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("nation")
+    )
+
+
+ORACLE_Q22 = """
+SELECT n_name AS nation, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -1736,6 +2169,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q10_returned_items": q10_returned_items,
     "q14_promo_revenue": q14_promo_revenue,
     "q18_large_orders": q18_large_orders,
+    "q2_cheapest_supplier": q2_cheapest_supplier,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q12_ship_delay": q12_ship_delay,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q22_dormant_customers": q22_dormant_customers,
     "top3_orders_per_customer": top3_orders_per_customer,
     "customers_with_orders": customers_with_orders,
     "customers_without_orders": customers_without_orders,
@@ -1795,6 +2239,17 @@ ORACLES: dict[str, str] = {
     "q10_returned_items": ORACLE_Q10,
     "q14_promo_revenue": ORACLE_Q14,
     "q18_large_orders": ORACLE_Q18,
+    "q2_cheapest_supplier": ORACLE_Q2,
+    "q7_volume_shipping": ORACLE_Q7,
+    "q8_market_share": ORACLE_Q8,
+    "q9_product_profit": ORACLE_Q9,
+    "q12_ship_delay": ORACLE_Q12,
+    "q13_order_count_distribution": ORACLE_Q13,
+    "q15_top_supplier": ORACLE_Q15,
+    "q16_supplier_part_counts": ORACLE_Q16,
+    "q17_small_quantity_revenue": ORACLE_Q17,
+    "q19_disjunctive_revenue": ORACLE_Q19,
+    "q22_dormant_customers": ORACLE_Q22,
     "top3_orders_per_customer": ORACLE_TOP3,
     "customers_with_orders": ORACLE_SEMI,
     "customers_without_orders": ORACLE_ANTI,

@@ -27,6 +27,10 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q10_returned_items",
     "q18_large_orders",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q13_order_count_distribution",
+    "q19_disjunctive_revenue",
     "top3_orders_per_customer",
     "brand_part_stats",
     "pivot_status_priority",
