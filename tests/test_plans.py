@@ -66,3 +66,38 @@ def test_asof_single_shuffle(spark, sf_dir):
     s = _plan(spark, "asof_click_purchase", sf_dir)
     assert "Join" not in s  # union+window, never a join
     assert "Window" in s
+
+
+def test_q7_broadcast_dims_single_fact_shuffle(spark, sf_dir):
+    s = _plan(spark, "q7_volume_shipping", sf_dir)
+    # customer/supplier/nation×2 all broadcast; lineitem⨝orders is the
+    # only join allowed to shuffle
+    assert s.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in s
+    # shipdate range reaches the lineitem scan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in s
+
+
+def test_q9_all_dims_broadcast(spark, sf_dir):
+    s = _plan(spark, "q9_product_profit", sf_dir)
+    assert s.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in s
+    # p_type filter prunes the broadcast build side at its own scan
+    assert "EqualTo(p_type,ECONOMY)" in s
+
+
+def test_q15_max_subquery_stays_distributed(spark, sf_dir):
+    s = _plan(spark, "q15_top_supplier", sf_dir)
+    # the max-revenue scalar joins back via broadcast, never a collect
+    assert s.count("BroadcastHashJoin") >= 1 or "BroadcastNestedLoopJoin" in s
+    assert "CartesianProduct" not in s
+
+
+def test_q19_part_predicates_prune_build_side(spark, sf_dir):
+    s = _plan(spark, "q19_disjunctive_revenue", sf_dir)
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
+    # the disjunction references both sides so it can't push into either
+    # scan wholesale — but quantity bounds derivable for the fact scan
+    # and brand/size Or-filters for the part scan should both appear
+    assert "Or(" in s
