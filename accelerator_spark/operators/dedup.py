@@ -160,3 +160,49 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
                 ham.alias("hamming"))
         .distinct()
     )
+
+
+def connected_components(edges: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b", max_iter: int = 25) -> DataFrame:
+    """Connected components over a candidate-pair edge list by iterative
+    min-label propagation: every node repeatedly adopts the smallest
+    label among itself and its neighbors until fixpoint. Returns
+    (node, component) where component = min node id in the component.
+
+    This is the step that turns pairwise near-dup CANDIDATES into
+    canonical dedup GROUPS (keep min-id per component, drop the rest).
+
+    Scale design: each iteration is one shuffle join (edges ⨝ labels on
+    node) + one min-agg — the Pregel/GraphX large-graph shape, never a
+    driver-side graph. Iterations are bounded by the graph diameter
+    (near-dup components are shallow; 25 covers pathological chains).
+    ``localCheckpoint`` truncates the lineage each round so plan depth
+    stays O(1) instead of O(iterations), which is what makes iteration
+    viable on a real cluster.
+    """
+    both = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    ).distinct().localCheckpoint()
+    labels = both.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("component")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        prop = both.join(labels, both.v == labels.node).select(
+            F.col("u").alias("node"), F.col("component")
+        )
+        new_labels = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.component") < F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

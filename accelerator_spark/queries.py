@@ -1712,6 +1712,39 @@ FROM wins
 """
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS: connected components (iterative min-label
+    propagation, operators/dedup.py) over the MinHash-LSH candidate
+    pairs. The md5 hash family keeps the pairs reproducible in DuckDB,
+    and the component step is replicated there with a recursive CTE — so
+    the gate checks candidate generation AND the grouping fixpoint.
+    Scale: each iteration is one edges⨝labels shuffle + min-agg
+    (Pregel shape); lineage truncated per round via localCheckpoint."""
+    from .operators.dedup import connected_components, minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    pairs = minhash_lsh_candidates(docs, num_hashes=8, bands=4, bucket_cap=50)
+    cc = connected_components(pairs)
+    return cc.select(F.col("node").alias("doc_id"), F.col("component").alias("component_id"))
+
+
+ORACLE_COMPONENTS = f"""
+WITH RECURSIVE pairs AS ({ORACLE_MINHASH}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+cc AS (
+  SELECT u AS node, u AS component FROM edges
+  UNION
+  SELECT e.u AS node, cc.component FROM cc JOIN edges e ON e.v = cc.node
+)
+SELECT node AS doc_id, min(component) AS component_id FROM cc GROUP BY node
+"""
+
+
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL). No oracle: HLL sketches are
     engine-specific by nature — the driver records the rows-only check;
@@ -2208,6 +2241,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_lsh_pairs": minhash_lsh_pairs,
+    "dedup_components": dedup_components,
     "simhash_fingerprints": simhash_fingerprints,
     "embedding_near_pairs": embedding_near_pairs,
     "cosine_topk": cosine_topk,
@@ -2278,6 +2312,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "ngram_jaccard_pairs": ORACLE_JACCARD,
     "minhash_lsh_pairs": ORACLE_MINHASH,
+    "dedup_components": ORACLE_COMPONENTS,
     "simhash_fingerprints": ORACLE_SIMHASH,
     "embedding_near_pairs": ORACLE_EMB_PAIRS,
     "cosine_topk": ORACLE_COSINE,

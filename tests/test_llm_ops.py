@@ -175,3 +175,22 @@ def test_ivf_topk_subset_of_exact(spark, emb):
     assert j.filter(F.col("a.cosine") != F.col("e.cosine")).count() == 0
     assert j.count() > 0  # nonzero recall with 2-probe over 8 cells
     assert approx.filter(F.col("rank") > 10).count() == 0
+
+
+def test_connected_components_topology(spark):
+    from accelerator_spark.operators.dedup import connected_components
+    # chain 1-2-3-4, triangle 10-11-12 (+redundant edge), isolated pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {(r["node"], r["component"]) for r in connected_components(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
+                   (10, 10), (11, 10), (12, 10),
+                   (20, 20), (21, 20)}
+
+
+def test_connected_components_empty_edges(spark):
+    from accelerator_spark.operators.dedup import connected_components
+    edges = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(edges).count() == 0
