@@ -100,3 +100,30 @@ def slice_rows(df: DataFrame, start: int = 0, stop: int | None = None,
     if stop is not None:
         out = out.limit(stop - start)
     return out
+
+
+def salted_join(big: DataFrame, small: DataFrame, on: str,
+                how: str = "inner", salts: int = 8) -> DataFrame:
+    """Shuffle join with manual key salting for skewed join keys.
+
+    The big side gets a deterministic pseudo-random salt in [0, salts);
+    the small side is replicated once per salt value. Joining on
+    (key, salt) spreads a hot key over ``salts`` reducers instead of one.
+
+    This is the manual fallback for when AQE's skew-join splitting can't
+    apply (e.g. the skewed side feeds an aggregation in the same stage,
+    or a non-sort-merge plan is forced). Replication cost: small side
+    ×salts — only use when `small` really is small, but too big or too
+    row-multiplying to broadcast outright.
+
+    The salt derives from xxhash64 over ALL big-side columns (stable row
+    content hash, no rand() — keeps the plan deterministic and
+    re-executable, which retries and speculative tasks require).
+    """
+    salt_b = F.abs(F.xxhash64(*big.columns)) % salts
+    big_s = big.withColumn("__salt", salt_b.cast("int"))
+    small_s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    )
+    joined = big_s.join(small_s, [on, "__salt"], how)
+    return joined.drop("__salt")

@@ -1712,6 +1712,39 @@ FROM wins
 """
 
 
+def salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual skew-salted shuffle join (operators/partition.py
+    salted_join): lineitem⨝orders on a deliberately-skewed key layout,
+    spread over 8 salt buckets, then aggregated. The oracle is the PLAIN
+    join — salting must be invisible in the result. At 100 TB this is
+    the tool for hot keys that AQE's sort-merge skew split can't reach."""
+    from .operators.partition import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity", "l_extendedprice")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = salted_join(li, orders, "o_orderkey", salts=8)
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_SALTED_JOIN = """
+SELECT o_orderpriority,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       count(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup GROUPS: connected components (iterative min-label
     propagation, operators/dedup.py) over the MinHash-LSH candidate
@@ -2242,6 +2275,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "dedup_components": dedup_components,
+    "salted_join_agg": salted_join_agg,
     "simhash_fingerprints": simhash_fingerprints,
     "embedding_near_pairs": embedding_near_pairs,
     "cosine_topk": cosine_topk,
@@ -2313,6 +2347,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_pairs": ORACLE_JACCARD,
     "minhash_lsh_pairs": ORACLE_MINHASH,
     "dedup_components": ORACLE_COMPONENTS,
+    "salted_join_agg": ORACLE_SALTED_JOIN,
     "simhash_fingerprints": ORACLE_SIMHASH,
     "embedding_near_pairs": ORACLE_EMB_PAIRS,
     "cosine_topk": ORACLE_COSINE,

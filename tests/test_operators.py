@@ -135,3 +135,24 @@ def test_translate_dict_and_expr(spark, sf_dir):
     out2 = translate(src, {"r_name": {"AFRICA": "ZERO"}}, default_miss="UNK")
     vals = {r["r_name"] for r in out2.collect()}
     assert vals == {"ZERO", "UNK"}
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from accelerator_spark.operators.partition import salted_join
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    li = li.withColumnRenamed("l_orderkey", "o_orderkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    plain = li.join(orders, "o_orderkey").groupBy("o_orderpriority").agg(
+        F.sum("l_quantity").alias("q"))
+    salted = salted_join(li, orders, "o_orderkey", salts=4).groupBy(
+        "o_orderpriority").agg(F.sum("l_quantity").alias("q"))
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_preserves_unmatched(spark):
+    from accelerator_spark.operators.partition import salted_join
+    big = spark.createDataFrame([(1, "a"), (2, "b"), (9, "z")], "k long, v string")
+    small = spark.createDataFrame([(1, "X"), (2, "Y")], "k long, w string")
+    out = salted_join(big, small, "k", how="left", salts=3).collect()
+    assert len(out) == 3
+    assert {r["k"]: r["w"] for r in out} == {1: "X", 2: "Y", 9: None}
