@@ -1,0 +1,134 @@
+"""Property-based tests (hypothesis) — model-checked semantics.
+
+The reference has no randomized testing (SURVEY §5 'Absent'); these
+close that gap. Each property compares a Spark operator against an
+independent pure-Python model on arbitrary generated inputs.
+``derandomize=True`` keeps CI deterministic; examples are small because
+each one runs a real (local) Spark job.
+"""
+
+import re
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from accelerator_spark.functions.conversions import convert_expr
+from accelerator_spark.operators.checksum import checksum
+from accelerator_spark.operators.partition import salted_join
+from accelerator_spark.operators.sort import dataset_sort
+
+PROP = settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+
+I64_MIN, I64_MAX = -(2**63), 2**63 - 1
+
+int_strings = st.one_of(
+    st.integers(min_value=-(2**70), max_value=2**70).map(str),
+    st.text(alphabet="0123456789+- .xeAf", max_size=10),
+    st.just(""),
+)
+
+
+def _model_int64_10(s: str):
+    t = s.strip()
+    if not re.fullmatch(r"[+-]?[0-9]+", t):
+        return None
+    v = int(t)
+    return v if I64_MIN <= v <= I64_MAX else None
+
+
+@PROP
+@given(st.lists(int_strings, max_size=12))
+def test_prop_int64_10_matches_python_model(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = [r["o"] for r in
+           df.select(convert_expr("s", "int64_10").alias("o")).collect()]
+    assert sorted(got, key=repr) == sorted(
+        (_model_int64_10(v) for v in vals), key=repr)
+
+
+bool_strings = st.one_of(
+    st.sampled_from(["false", "0", "no", "off", "nil", "null", "", "true",
+                     "1", "yes", "ON", "  False ", "NULL", "x"]),
+    st.text(max_size=6),
+)
+
+
+@PROP
+@given(st.lists(bool_strings, max_size=12))
+def test_prop_strbool_matches_python_model(spark, vals):
+    false_set = {"false", "0", "no", "off", "nil", "null", ""}
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = [r["o"] for r in
+           df.select(convert_expr("s", "strbool").alias("o")).collect()]
+    want = [v.strip().lower() not in false_set for v in vals]
+    assert sorted(got) == sorted(want)
+
+
+rows = st.lists(
+    st.tuples(st.integers(min_value=-3, max_value=3), st.integers(0, 10**6)),
+    max_size=20,
+)
+
+
+@PROP
+@given(rows, st.booleans())
+def test_prop_sort_is_stable(spark, data, descending):
+    data = [(k, i) for i, (k, _) in enumerate(data)]  # lineno = input order
+    df = spark.createDataFrame(data or [], "k int, lineno long")
+    got = [(r["k"], r["lineno"]) for r in
+           dataset_sort(df, "k", descending=descending,
+                        stable_col="lineno").collect()]
+    want = sorted(data, key=lambda t: t[0], reverse=descending)
+    assert got == want  # equal keys keep input order on both sides
+
+
+@PROP
+@given(rows, st.randoms())
+def test_prop_checksum_order_invariant(spark, data, rnd):
+    df1 = spark.createDataFrame(data or [], "k int, v long")
+    shuffled = list(data)
+    rnd.shuffle(shuffled)
+    df2 = spark.createDataFrame(shuffled or [], "k int, v long").repartition(3)
+    assert checksum(df1) == checksum(df2)
+    if data:
+        extra = spark.createDataFrame([(99, 12345)], "k int, v long")
+        assert checksum(df1.union(extra)) != checksum(df1)
+
+
+join_rows = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(-100, 100)), max_size=15)
+
+
+@PROP
+@given(join_rows, join_rows, st.integers(1, 5),
+       st.sampled_from(["inner", "left"]))
+def test_prop_salted_join_equals_plain_join(spark, big, small, salts, how):
+    bdf = spark.createDataFrame(big or [], "k int, v long")
+    # dedup small-side keys (lookup-table shape)
+    seen, srows = set(), []
+    for k, w in small:
+        if k not in seen:
+            seen.add(k)
+            srows.append((k, w))
+    sdf = spark.createDataFrame(srows or [], "k int, w long")
+    plain = sorted(map(tuple, bdf.join(sdf, "k", how).collect()))
+    salted = sorted(map(tuple, salted_join(bdf, sdf, "k", how, salts).collect()))
+    assert plain == salted
+
+
+@PROP
+@given(join_rows)
+def test_prop_hashpart_agg_invariant(spark, data):
+    from accelerator_spark.operators.partition import hashpart
+    df = spark.createDataFrame(data or [], "k int, v long")
+    plain = sorted(map(tuple,
+        df.groupBy("k").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")).collect()))
+    parted = sorted(map(tuple,
+        hashpart(df, "k", 5).groupBy("k").agg(
+            F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")).collect()))
+    assert plain == parted
