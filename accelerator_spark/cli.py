@@ -130,6 +130,40 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_script(args) -> int:
+    """List build scripts in a directory (``ax script``:
+    sh/script.py:33-41 — build.py / build_*.py discovery, the same
+    pattern accelerator/build.py:632 find_automata uses)."""
+    import glob
+    import os
+    hits = sorted(
+        p for pat in ("build.py", "build_*.py")
+        for p in glob.glob(os.path.join(args.dir, pat))
+    )
+    for path in hits:
+        name = os.path.basename(path)[:-3]
+        name = "initial" if name == "build" else name.replace("build_", "", 1)
+        print(f"{name:<24} {path}")
+    return 0 if hits else 1
+
+
+def cmd_method(args) -> int:
+    """List the steps a build script calls (``ax method``:
+    sh/method.py:29 lists methods; our methods are plain functions, so
+    show each script-level function with its docstring first line)."""
+    import ast
+    with open(args.script) as f:
+        tree = ast.parse(f.read())
+    found = False
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            doc = ast.get_docstring(node) or ""
+            first = doc.splitlines()[0] if doc else ""
+            print(f"{node.name:<28} {first}")
+            found = True
+    return 0 if found else 1
+
+
 def cmd_workdir(args) -> int:
     """List jobs in a workdir (the reference's ``ax workdir``)."""
     import os
@@ -176,6 +210,10 @@ def main(argv: list[str] | None = None) -> int:
     r.set_defaults(fn=cmd_run)
     w = sub.add_parser("workdir"); w.add_argument("workdir")
     w.set_defaults(fn=cmd_workdir)
+    s = sub.add_parser("script"); s.add_argument("dir")
+    s.set_defaults(fn=cmd_script)
+    m = sub.add_parser("method"); m.add_argument("script")
+    m.set_defaults(fn=cmd_method)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -44,6 +44,7 @@ HEADLINE = [
     "dataset_type_operator",
     # LLM-pipeline extensions
     "dedup_exact",
+    "salted_join_agg",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_fingerprints",

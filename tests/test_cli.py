@@ -80,3 +80,21 @@ def test_cli_run_script(workdir, tmp_path, capsys):
     assert cli.main(["run", wd, str(script)]) == 0
     assert cli.main(["urd", wd, "tiny"]) == 0
     assert capsys.readouterr().out.count("t1") == 1
+
+
+def test_cli_script_and_method(tmp_path, capsys):
+    (tmp_path / "build.py").write_text("def main(urd):\n    pass\n")
+    (tmp_path / "build_daily.py").write_text(
+        'def step_a(spark, datasets, options):\n    """does a thing"""\n'
+        "def main(urd):\n    pass\n"
+    )
+    assert cli.main(["script", str(tmp_path)]) == 0
+    out = capsys.readouterr().out
+    assert "initial" in out and "daily" in out
+    assert cli.main(["method", str(tmp_path / "build_daily.py")]) == 0
+    out = capsys.readouterr().out
+    assert "step_a" in out and "does a thing" in out
+    # empty dir: nonzero like the reference's empty listing
+    empty = tmp_path / "none"
+    empty.mkdir()
+    assert cli.main(["script", str(empty)]) == 1
