@@ -62,3 +62,34 @@ def fit_per_group_linear(df: DataFrame, key: str, x_col: str, y_col: str) -> Dat
         }])
 
     return df.groupBy(key).applyInPandas(fit, schema=schema)
+
+
+def grouped_agg_udaf(y_col: str):
+    """Worked example of the pandas GROUPED_AGG UDAF path (the third
+    Python escape hatch besides grouped-map and mapInPandas): a median
+    aggregator usable inside ``groupBy().agg()`` and over windows.
+
+    Arrow ships each group's column to Python once; the result slots
+    into the normal agg plan. Prefer native ``F.median``/``F.percentile``
+    in real code — this exists to keep the UDAF surface exercised
+    end-to-end (SURVEY §2.10 UDAF row)."""
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("double")
+    def median_udaf(v: pd.Series) -> float:
+        return float(v.median())
+
+    return median_udaf(y_col)
+
+
+def grouped_count_udaf(y_col: str):
+    """Companion pandas UDAF: Spark disallows mixing GROUPED_AGG pandas
+    UDFs with JVM aggregates in one ``agg()`` — so a query wanting
+    median + count through the pandas path needs both as pandas."""
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def count_udaf(v: pd.Series) -> int:
+        return int(len(v))
+
+    return count_udaf(y_col)

@@ -1712,6 +1712,34 @@ FROM wins
 """
 
 
+def udaf_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas GROUPED_AGG UDAF through the gate: per-segment median
+    account balance via an Arrow-batched Python aggregator
+    (operators/grouped.py grouped_agg_udaf). DuckDB's exact median is
+    the oracle. The plan is a normal partial-less hash agg with one
+    Python stage per group — the UDAF escape hatch, kept out of hot
+    paths by design (SCALE.md)."""
+    from .operators.grouped import grouped_agg_udaf, grouped_count_udaf
+
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.round(grouped_agg_udaf("c_acctbal"), 2).alias("median_bal"),
+            grouped_count_udaf("c_acctbal").alias("n_cust"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_UDAF_MEDIAN = """
+SELECT c_mktsegment,
+       round(median(c_acctbal), 2) AS median_bal,
+       count(*) AS n_cust
+FROM customer GROUP BY 1 ORDER BY 1
+"""
+
+
 def salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manual skew-salted shuffle join (operators/partition.py
     salted_join): lineitem⨝orders on a deliberately-skewed key layout,
@@ -2276,6 +2304,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "dedup_components": dedup_components,
     "salted_join_agg": salted_join_agg,
+    "udaf_median_price": udaf_median_price,
     "simhash_fingerprints": simhash_fingerprints,
     "embedding_near_pairs": embedding_near_pairs,
     "cosine_topk": cosine_topk,
@@ -2348,6 +2377,7 @@ ORACLES: dict[str, str] = {
     "minhash_lsh_pairs": ORACLE_MINHASH,
     "dedup_components": ORACLE_COMPONENTS,
     "salted_join_agg": ORACLE_SALTED_JOIN,
+    "udaf_median_price": ORACLE_UDAF_MEDIAN,
     "simhash_fingerprints": ORACLE_SIMHASH,
     "embedding_near_pairs": ORACLE_EMB_PAIRS,
     "cosine_topk": ORACLE_COSINE,
