@@ -1712,6 +1712,30 @@ FROM wins
 """
 
 
+_SQL_MULTI_SUPPLIER = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       round(avg(n_supp), 2) AS avg_suppliers
+FROM (SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp
+      FROM lineitem GROUP BY l_orderkey
+      HAVING count(DISTINCT l_suppkey) > 1) multi
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def sql_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-string surface (sqlapi.py) end-to-end: one ANSI query text
+    runs on BOTH engines — spark.sql() here, DuckDB as the oracle. The
+    reference has no SQL at all (SURVEY §0); this gate proves the whole
+    SQL entry point, including HAVING over a distinct-agg subquery and
+    the join back to orders."""
+    from .sqlapi import sql
+
+    return sql(spark, sf_dir, _SQL_MULTI_SUPPLIER)
+
+
 def udaf_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pandas GROUPED_AGG UDAF through the gate: per-segment median
     account balance via an Arrow-batched Python aggregator
@@ -2305,6 +2329,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_components": dedup_components,
     "salted_join_agg": salted_join_agg,
     "udaf_median_price": udaf_median_price,
+    "sql_multi_supplier_orders": sql_multi_supplier_orders,
     "simhash_fingerprints": simhash_fingerprints,
     "embedding_near_pairs": embedding_near_pairs,
     "cosine_topk": cosine_topk,
@@ -2378,6 +2403,7 @@ ORACLES: dict[str, str] = {
     "dedup_components": ORACLE_COMPONENTS,
     "salted_join_agg": ORACLE_SALTED_JOIN,
     "udaf_median_price": ORACLE_UDAF_MEDIAN,
+    "sql_multi_supplier_orders": _SQL_MULTI_SUPPLIER,
     "simhash_fingerprints": ORACLE_SIMHASH,
     "embedding_near_pairs": ORACLE_EMB_PAIRS,
     "cosine_topk": ORACLE_COSINE,
