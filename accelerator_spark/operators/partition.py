@@ -127,3 +127,39 @@ def salted_join(big: DataFrame, small: DataFrame, on: str,
     )
     joined = big_s.join(small_s, [on, "__salt"], how)
     return joined.drop("__salt")
+
+
+def _md5_bucket(col, buckets: int = 10_000):
+    """Deterministic uniform bucket in [0, buckets) from a column value.
+    md5-derived (not xxhash64) so DuckDB replicates it bit-for-bit:
+    CAST(('0x'||substring(md5(CAST(x AS VARCHAR)),1,15)) AS BIGINT) % buckets."""
+    h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10)
+    return h.cast("long") % buckets
+
+
+def hash_sample(df: DataFrame, col: str, rate: float) -> DataFrame:
+    """Reproducible sample: keep rows whose id-hash bucket falls under
+    ``rate``. Unlike ``df.sample`` this is deterministic across runs,
+    engines, partitionings and cluster sizes — the property a training-
+    data pipeline needs so a 1% dev-corpus is THE SAME 1% every rebuild.
+    Pure narrow filter: no shuffle, pushes down around it."""
+    return df.filter(_md5_bucket(col) < int(rate * 10_000))
+
+
+def hash_split(df: DataFrame, col: str, weights: dict[str, float],
+               split_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test split. ``weights`` maps split name →
+    fraction (must sum to ≤1; remainder falls in the last split).
+    Row placement depends only on the id value, so adding data or
+    changing partitioning never moves an existing row between splits."""
+    b = _md5_bucket(col)
+    expr = None
+    lo = 0
+    names = list(weights)
+    for name in names[:-1]:
+        hi = lo + int(weights[name] * 10_000)
+        cond = (b >= lo) & (b < hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    expr = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(split_col, expr)

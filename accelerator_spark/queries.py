@@ -1712,6 +1712,56 @@ FROM wins
 """
 
 
+def hash_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 10% corpus sample (operators/partition.py
+    hash_sample): membership depends only on md5(doc_id), so the sample
+    is identical across runs, engines, partitionings and cluster sizes —
+    verified literally here, since DuckDB recomputes the same sample.
+    Narrow filter, no shuffle."""
+    from .operators.partition import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.10).select("doc_id", "lang", "n_chars")
+
+
+ORACLE_HASH_SAMPLE = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      % 10000 < 1000
+"""
+
+
+def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (hash_split, 80/10/10) —
+    row placement depends only on doc_id, so appending data or changing
+    partitioning never moves an existing row between splits. The gate
+    recomputes every assignment in DuckDB."""
+    from .operators.partition import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        out.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"))
+        .orderBy("split")
+    )
+
+
+ORACLE_SPLIT = """
+WITH b AS (
+  SELECT *, CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 10000 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
 _SQL_MULTI_SUPPLIER = """
 SELECT o_orderpriority,
        count(*) AS n_orders,
@@ -2330,6 +2380,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_join_agg": salted_join_agg,
     "udaf_median_price": udaf_median_price,
     "sql_multi_supplier_orders": sql_multi_supplier_orders,
+    "hash_sample_documents": hash_sample_documents,
+    "dataset_split_counts": dataset_split_counts,
     "simhash_fingerprints": simhash_fingerprints,
     "embedding_near_pairs": embedding_near_pairs,
     "cosine_topk": cosine_topk,
@@ -2404,6 +2456,8 @@ ORACLES: dict[str, str] = {
     "salted_join_agg": ORACLE_SALTED_JOIN,
     "udaf_median_price": ORACLE_UDAF_MEDIAN,
     "sql_multi_supplier_orders": _SQL_MULTI_SUPPLIER,
+    "hash_sample_documents": ORACLE_HASH_SAMPLE,
+    "dataset_split_counts": ORACLE_SPLIT,
     "simhash_fingerprints": ORACLE_SIMHASH,
     "embedding_near_pairs": ORACLE_EMB_PAIRS,
     "cosine_topk": ORACLE_COSINE,

@@ -156,3 +156,27 @@ def test_salted_join_left_preserves_unmatched(spark):
     out = salted_join(big, small, "k", how="left", salts=3).collect()
     assert len(out) == 3
     assert {r["k"]: r["w"] for r in out} == {1: "X", 2: "Y", 9: None}
+
+
+def test_hash_split_partition_invariant_and_total(spark, sf_dir):
+    from accelerator_spark.operators.partition import hash_split
+    docs = load(spark, sf_dir, "documents")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = hash_split(docs, "doc_id", w).select("doc_id", "split")
+    b = hash_split(docs.repartition(7), "doc_id", w).select("doc_id", "split")
+    assert a.count() == docs.count()  # every row lands in exactly one split
+    # same row -> same split regardless of partitioning
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_hash_sample_is_subset_and_stable(spark, sf_dir):
+    from accelerator_spark.operators.partition import hash_sample
+    docs = load(spark, sf_dir, "documents")
+    s1 = hash_sample(docs, "doc_id", 0.2).select("doc_id")
+    s2 = hash_sample(docs.repartition(5), "doc_id", 0.2).select("doc_id")
+    assert s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
+    n, total = s1.count(), docs.count()
+    assert 0 < n < total
+    # a bigger rate strictly contains the smaller sample
+    s3 = hash_sample(docs, "doc_id", 0.5).select("doc_id")
+    assert s1.exceptAll(s3).count() == 0
