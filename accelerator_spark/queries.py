@@ -91,15 +91,17 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-way join + agg + top-10. customer is the small side of the first
-    join -> broadcast; lineitem⨝orders shuffles on orderkey (the natural
-    key, co-partitioned by the join itself)."""
+    """3-way join + agg + top-10. customer is left UNHINTED: it scales
+    with SF, so AQE auto-broadcasts it while it fits (it does at bench
+    scale — plan test asserts it) and shuffles it at 100 TB; forcing the
+    hint would OOM a real cluster. lineitem⨝orders shuffles on orderkey
+    (the natural key, co-partitioned by the join itself)."""
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
@@ -123,9 +125,10 @@ LIMIT 10
 
 
 def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star join through 4 dimensions. nation/region/supplier/customer are
-    broadcast (tiny at any SF relative to facts); only the
-    lineitem⨝orders edge shuffles."""
+    """Star join through 4 dimensions. nation/region are fixed-size ->
+    explicit broadcast; supplier/customer SCALE with SF -> left to AQE
+    (auto-broadcast while small, shuffle at 100 TB). Only the
+    lineitem⨝orders edge must shuffle."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -134,8 +137,8 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .filter(cust.c_nationkey == supp.s_nationkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
@@ -285,7 +288,7 @@ def brand_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
@@ -408,7 +411,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = _t(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
@@ -442,7 +445,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(100 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
                     / F.sum(rev), 2).alias("promo_pct"),
@@ -476,7 +479,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select("c_custkey", "c_name", "o_orderkey",
                 F.round("o_totalprice", 2).alias("price"),
                 F.round("total_qty", 2).alias("total_qty"))
@@ -1901,8 +1904,9 @@ def q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 analogue (no partsupp: supply cost proxied by observed
     avg unit price in lineitem). For each Brand#1 part, the supplier
     selling it cheapest. Plan: lineitem scan -> partial agg on
-    (partkey, suppkey) -> window min per part; part+supplier+nation
-    broadcast. One fact shuffle total."""
+    (partkey, suppkey) -> window min per part. nation is hint-broadcast;
+    part/supplier scale with SF so AQE decides for them. One fact
+    shuffle total."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     supp = _t(spark, sf_dir, "supplier")
@@ -1914,8 +1918,8 @@ def q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("l_partkey").orderBy(F.col("unit_price").asc(), F.col("l_suppkey").asc())
     best = unit.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
     return (
-        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        best.join(part, best.l_partkey == part.p_partkey)
+        .join(supp, best.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .select(
             F.col("p_partkey"), F.col("p_name"),
@@ -1948,9 +1952,9 @@ WHERE rk = 1 AND p_brand = 'Brand#1'
 
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7: revenue shipped between two nations, by direction and
-    year. supplier/customer/nation broadcast; lineitem⨝orders is the one
-    big shuffle. The nation-pair filter lands on broadcast dims so the
-    fact scan stays full-width until the joins prune it."""
+    year. nation×2 are hint-broadcast (25 rows); supplier/customer are
+    AQE-decided (they scale with SF). lineitem⨝orders is the one big
+    shuffle."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") <= F.lit("1997-12-31"))
     )
@@ -1963,8 +1967,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("cust_nk"), F.col("n_name").alias("cust_nation"))
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("supp_nk"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("cust_nk"))
         .filter(
@@ -2003,7 +2007,8 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8: NATION_5 suppliers' share of PROMO-part revenue sold to
     ASIA customers, per year. Conditional agg over one joined plan —
-    share = sum(when)/sum, no second pass."""
+    share = sum(when)/sum, no second pass. region/nation hint-broadcast;
+    part/customer/supplier AQE-decided (SF-scaling)."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") <= F.lit("1997-12-31"))
@@ -2019,11 +2024,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("supp_nation"))
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(cnat), cust.c_nationkey == F.col("cust_nk"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(snat), supp.s_nationkey == F.col("supp_nk"))
     )
     return (
@@ -2061,8 +2066,8 @@ GROUP BY 1 ORDER BY 1
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 analogue (no ps_supplycost: cost proxied as 60% of
     p_retailprice per unit). Profit on ECONOMY parts by supplier nation
-    and year. part/supplier/nation broadcast; one fact shuffle for the
-    groupBy."""
+    and year. nation hint-broadcast; part/supplier AQE-decided
+    (SF-scaling); one fact shuffle for the groupBy."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
@@ -2073,9 +2078,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -2179,7 +2184,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = rev.agg(F.max("total_revenue").alias("max_rev"))
     return (
         rev.join(F.broadcast(mx), rev.total_revenue == mx.max_rev)
-        .join(F.broadcast(supp), rev.supplier_no == supp.s_suppkey)
+        .join(supp, rev.supplier_no == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -2204,14 +2209,14 @@ ORDER BY s_suppkey
 def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 analogue (no partsupp: supplier-part relationships
     observed from lineitem). Distinct suppliers per (brand, type, size)
-    for small sizes, excluding Brand#5. countDistinct after a broadcast
-    part join — one shuffle on the group keys."""
+    for small sizes, excluding Brand#5. countDistinct after the part
+    join (AQE-decided side) — one shuffle on the group keys."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#5") & F.col("p_size").isin(1, 2, 3, 4, 5)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -2234,7 +2239,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle join co-partitioned with the probe, never a collect."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
-    li_b = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    li_b = li.join(part, li.l_partkey == part.p_partkey)
     avg_q = li_b.groupBy(F.col("l_partkey").alias("ap")).agg(
         (F.avg("l_quantity") * 0.2).alias("qty_cut"))
     return (
@@ -2259,7 +2264,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     build; the disjunction evaluates post-join in one codegen stage."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 5))
          & (F.col("l_quantity").between(1, 11)))
