@@ -58,6 +58,82 @@ def source_hash(fn: Callable) -> str:
     return hashlib.sha1(src.encode()).hexdigest()
 
 
+# -- typed option declarations (reference: accelerator/extras.py:412-518:
+# OptionEnum, OptionString/RequiredOption, OptionDefault) -----------------
+
+class OptionEnum:
+    """Declares an enum-valued option: ``step.options = {"mode":
+    OptionEnum("fast", "exact")}``. First value is the default unless
+    ``required=True``."""
+
+    def __init__(self, *values: str, required: bool = False):
+        if not values:
+            raise ValueError("OptionEnum needs at least one value")
+        self.values = values
+        self.required = required
+
+    @property
+    def default(self):
+        return None if self.required else self.values[0]
+
+
+class RequiredOption:
+    """Declares a required option of a given type: ``RequiredOption(int)``.
+    build() refuses to run the step if it is missing or mistyped."""
+
+    def __init__(self, typ: type):
+        self.typ = typ
+
+
+def resolve_options(fn: Callable, given: dict[str, Any]) -> dict[str, Any]:
+    """Validate ``given`` against ``fn.options`` (if declared) and fill
+    defaults. The RESOLVED dict feeds the memo key, so ``build(step)``
+    and ``build(step, options={<explicit defaults>})`` hit the same job —
+    the reference resolves params before optset matching the same way
+    (accelerator/methods.py:128-136).
+
+    Declaration forms: plain value = typed default (type enforced on
+    override); OptionEnum; RequiredOption(type); None = untyped optional.
+    Undeclared keys in ``given`` are rejected (catches typos that would
+    otherwise silently fork the memo key)."""
+    decl = getattr(fn, "options", None)
+    if decl is None:
+        return dict(given)
+    unknown = set(given) - set(decl)
+    if unknown:
+        raise TypeError(f"{fn.__name__}: unknown options {sorted(unknown)}")
+    out: dict[str, Any] = {}
+    for name, spec in decl.items():
+        has = name in given
+        v = given.get(name)
+        if isinstance(spec, OptionEnum):
+            if not has:
+                if spec.required:
+                    raise TypeError(f"{fn.__name__}: option {name!r} is required")
+                v = spec.default
+            elif v not in spec.values:
+                raise TypeError(
+                    f"{fn.__name__}: option {name!r} must be one of {spec.values}, got {v!r}")
+        elif isinstance(spec, RequiredOption):
+            if not has:
+                raise TypeError(f"{fn.__name__}: option {name!r} is required")
+            if not isinstance(v, spec.typ):
+                raise TypeError(
+                    f"{fn.__name__}: option {name!r} must be {spec.typ.__name__}, "
+                    f"got {type(v).__name__}")
+        elif spec is None:
+            v = v if has else None
+        else:  # plain typed default
+            if not has:
+                v = spec
+            elif not isinstance(v, type(spec)) and v is not None:
+                raise TypeError(
+                    f"{fn.__name__}: option {name!r} must be {type(spec).__name__}, "
+                    f"got {type(v).__name__}")
+        out[name] = v
+    return out
+
+
 @dataclass
 class JobRecord:
     jobid: str
@@ -138,7 +214,7 @@ class BuildContext:
         hashlabel: str | None = None,
         previous: Dataset | None = None,
     ) -> "Job":
-        options = options or {}
+        options = resolve_options(fn, options or {})
         datasets = datasets or {}
         rec = self._match(fn, options, datasets)
         if why_build:

@@ -200,3 +200,41 @@ def test_chain_stop_and_length(spark, sf_dir, tmp_path):
     assert d3.chain_df(spark, length=1).count() == 3
     # full chain: 1 + 2 + 3 rows
     assert d3.chain_df(spark).count() == 6
+
+
+def test_typed_options_resolution(spark, tmp_path):
+    from accelerator_spark.build import (
+        BuildContext, OptionEnum, RequiredOption)
+    import pytest as _pytest
+
+    calls = []
+
+    def step(spark, datasets, options):
+        calls.append(dict(options))
+        return spark.range(options["n"])
+
+    step.options = {
+        "n": RequiredOption(int),
+        "mode": OptionEnum("fast", "exact"),
+        "sep": ",",
+        "note": None,
+    }
+    ctx = BuildContext(spark, str(tmp_path / "wd"))
+    j1 = ctx.build(step, options={"n": 3})
+    assert calls[-1] == {"n": 3, "mode": "fast", "sep": ",", "note": None}
+    # explicit defaults memo-hit the same job as implicit ones
+    j2 = ctx.build(step, options={"n": 3, "mode": "fast", "sep": ","})
+    assert j2.cached and j2.jobid == j1.jobid
+    # different enum value = different job
+    j3 = ctx.build(step, options={"n": 3, "mode": "exact"})
+    assert not j3.cached
+    with _pytest.raises(TypeError, match="required"):
+        ctx.build(step, options={})
+    with _pytest.raises(TypeError, match="one of"):
+        ctx.build(step, options={"n": 1, "mode": "wrong"})
+    with _pytest.raises(TypeError, match="unknown"):
+        ctx.build(step, options={"n": 1, "typo": True})
+    with _pytest.raises(TypeError, match="must be int"):
+        ctx.build(step, options={"n": "3"})
+    with _pytest.raises(TypeError, match="must be str"):
+        ctx.build(step, options={"n": 1, "sep": 5})
