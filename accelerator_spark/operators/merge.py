@@ -13,7 +13,8 @@ do too (two cheap counts).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 from ..dataset import LINENO
 
@@ -37,3 +38,39 @@ def dataset_merge(*dfs: DataFrame, on: str = LINENO, check_lines: bool = True) -
         keep = [c for c in out.columns if c not in override]
         out = out.select(*keep).join(d, on=on, how="inner")
     return out
+
+
+def asof_join(left: DataFrame, right: DataFrame, by: str, on: str,
+              carry: dict[str, str], tiebreak: str | None = None) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right.on <= left.on`` in the same ``by`` group; ``carry`` maps
+    right columns to output names. Spark has no native ASOF — the
+    scale-correct shape is union+window: tag both sides, ONE shuffle on
+    ``by``, running ``last(..., ignoreNulls)`` ordered by (on, side).
+    Linear work, no range-join explosion, any scale.
+
+    Right rows sort before left rows at equal ``on`` (<= semantics).
+    ``tiebreak`` breaks order among equal (on, side) rows for
+    deterministic results when the right side has duplicate timestamps.
+    Left rows with no prior right row carry NULLs (callers filter if
+    they want inner semantics).
+    """
+    lcols = set(left.columns)
+    tagged_l = left.withColumn("__side", F.lit(1))
+    tagged_r = right.withColumn("__side", F.lit(0))
+    both = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
+    order = [F.col(on).asc(), F.col("__side").asc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    w = (
+        Window.partitionBy(by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = both
+    for src, dst in carry.items():
+        out = out.withColumn(
+            dst, F.last(F.when(F.col("__side") == 0, F.col(src)),
+                        ignorenulls=True).over(w))
+    keep = [c for c in left.columns] + list(carry.values())
+    return out.filter(F.col("__side") == 1).select(*keep)

@@ -834,31 +834,22 @@ ORACLE_SESSIONIZE = _SESSIONIZE_SQL.format(
 
 def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (SURVEY §2.7 'as-of' row): for each click event, the
-    most recent purchase by the same user at or before the click. Spark
-    lacks a native ASOF; the scale-correct plan is the union+window
-    trick: union both sides tagged, one shuffle on user_id, then
-    last(purchase_ts, ignoreNulls) over (user ORDER BY ts) — linear work,
-    no range-join blowup, works at any scale. DuckDB oracle uses its
-    native ASOF JOIN."""
+    most recent purchase by the same user at or before the click, via
+    the reusable ``asof_join`` operator (operators/merge.py): Spark
+    lacks a native ASOF; the scale-correct plan is union+window — one
+    shuffle on user_id, linear work, no range-join blowup. DuckDB
+    oracle uses its native ASOF JOIN."""
+    from .operators.merge import asof_join
+
     ev = _events(spark, sf_dir)
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id", F.lit(1).alias("is_click")
-    )
+        "user_id", "ts", "event_id")
     purch = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id", F.lit(0).alias("is_click")
-    )
-    both = clicks.unionByName(purch).withColumn(
-        "p_ts", F.when(F.col("is_click") == 0, F.col("ts"))
-    )
-    # purchases (is_click=0) sort before clicks at equal ts => "<=" semantics
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "is_click", "event_id")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
+        "user_id", "ts", "event_id")
+    out = asof_join(clicks, purch, by="user_id", on="ts",
+                    carry={"ts": "last_purchase_ts"}, tiebreak="event_id")
     return (
-        both.withColumn("last_purchase_ts", F.last("p_ts", ignorenulls=True).over(w))
-        .filter((F.col("is_click") == 1) & F.col("last_purchase_ts").isNotNull())
+        out.filter(F.col("last_purchase_ts").isNotNull())
         .select(F.col("event_id").alias("click_id"), "user_id", "last_purchase_ts")
     )
 
@@ -2292,6 +2283,95 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
 """
 
 
+def q11_nation_stock_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analogue (no partsupp: 'stock value' proxied by shipped
+    lineitem value). Parts whose shipped value from NATION_5 suppliers
+    exceeds 0.1% of that nation's total — per-part agg, scalar total via
+    broadcast cross-join (never a collect), fraction filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 5)
+    val = F.col("l_extendedprice") * F.col("l_quantity")
+    per_part = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("value"))
+    )
+    total = per_part.agg(F.sum("value").alias("total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("total") * 0.001)
+        .select("l_partkey", F.round("value", 2).alias("value"))
+        .orderBy(F.col("value").desc(), F.col("l_partkey"))
+    )
+
+
+ORACLE_Q11 = """
+WITH per_part AS (
+  SELECT l_partkey, sum(l_extendedprice * l_quantity) AS value
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey = 5
+  GROUP BY 1
+)
+SELECT l_partkey, round(value, 2) AS value
+FROM per_part
+WHERE value > (SELECT sum(value) FROM per_part) * 0.001
+ORDER BY 2 DESC, 1
+"""
+
+
+def q21_lonely_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analogue (no receipt/commit dates: 'late' = shipped
+    more than 60 days after the order date). Suppliers who were the ONLY
+    late supplier on a multi-supplier order — the reference pattern's
+    EXISTS + NOT EXISTS double correlation, decorrelated into one
+    per-order aggregate joined back (single extra shuffle, no correlated
+    re-scans)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60
+    per_os = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(late, 1).otherwise(0)).alias("was_late"))
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("was_late").alias("n_late"),
+    )
+    lonely = (
+        per_os.join(per_o, "l_orderkey")
+        .filter((F.col("was_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    return (
+        lonely.join(supp, lonely.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+ORACLE_Q21 = """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN datediff('day', o_orderdate, l_shipdate) > 60
+                  THEN 1 ELSE 0 END) AS was_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), per_o AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(was_late) AS n_late
+  FROM per_os GROUP BY 1
+)
+SELECT s_name, count(*) AS numwait
+FROM per_os
+JOIN per_o USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE was_late = 1 AND n_supp > 1 AND n_late = 1
+GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20
+"""
+
+
 def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 analogue (no phone column: grouped by nation instead of
     country code; "no orders" relaxed to "no orders since 2000" — the
@@ -2352,6 +2432,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_supplier_part_counts": q16_supplier_part_counts,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q11_nation_stock_value": q11_nation_stock_value,
+    "q21_lonely_late_supplier": q21_lonely_late_supplier,
     "q22_dormant_customers": q22_dormant_customers,
     "top3_orders_per_customer": top3_orders_per_customer,
     "customers_with_orders": customers_with_orders,
@@ -2428,6 +2510,8 @@ ORACLES: dict[str, str] = {
     "q16_supplier_part_counts": ORACLE_Q16,
     "q17_small_quantity_revenue": ORACLE_Q17,
     "q19_disjunctive_revenue": ORACLE_Q19,
+    "q11_nation_stock_value": ORACLE_Q11,
+    "q21_lonely_late_supplier": ORACLE_Q21,
     "q22_dormant_customers": ORACLE_Q22,
     "top3_orders_per_customer": ORACLE_TOP3,
     "customers_with_orders": ORACLE_SEMI,

@@ -180,3 +180,17 @@ def test_hash_sample_is_subset_and_stable(spark, sf_dir):
     # a bigger rate strictly contains the smaller sample
     s3 = hash_sample(docs, "doc_id", 0.5).select("doc_id")
     assert s1.exceptAll(s3).count() == 0
+
+
+def test_asof_join_semantics(spark):
+    from accelerator_spark.operators.merge import asof_join
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")], "k long, t long, lv string")
+    right = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 15, "r15"), (2, 9, "r9")], "k long, t long, rv string")
+    out = {(r["k"], r["t"]): r["rv_at"] for r in
+           asof_join(left, right, by="k", on="t",
+                     carry={"rv": "rv_at"}).collect()}
+    # t=10 matches the equal-ts right row (<= semantics); t=20 takes the
+    # latest earlier (15); k=2 t=5 has no prior right row -> NULL
+    assert out == {(1, 10): "r10", (1, 20): "r15", (2, 5): None}
