@@ -194,8 +194,10 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
             labels.union(prop)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+        # the changed-count action materializes the lazy checkpoint, so
+        # each round costs ONE Spark job, not two
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))

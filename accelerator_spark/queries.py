@@ -2286,8 +2286,11 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
 def q11_nation_stock_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 analogue (no partsupp: 'stock value' proxied by shipped
     lineitem value). Parts whose shipped value from NATION_5 suppliers
-    exceeds 0.1% of that nation's total — per-part agg, scalar total via
-    broadcast cross-join (never a collect), fraction filter."""
+    exceeds 2× the average part's value — per-part agg, scalar stats via
+    broadcast cross-join (never a collect). The threshold is relative to
+    the AVERAGE (not a fixed fraction of the total as in stock TPC-H) so
+    the selectivity is scale-invariant: a fixed fraction empties out as
+    the part count grows with SF."""
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 5)
     val = F.col("l_extendedprice") * F.col("l_quantity")
@@ -2296,10 +2299,10 @@ def q11_nation_stock_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(val).alias("value"))
     )
-    total = per_part.agg(F.sum("value").alias("total"))
+    stats = per_part.agg(F.avg("value").alias("avg_value"))
     return (
-        per_part.join(F.broadcast(total))
-        .filter(F.col("value") > F.col("total") * 0.001)
+        per_part.join(F.broadcast(stats))
+        .filter(F.col("value") > F.col("avg_value") * 2)
         .select("l_partkey", F.round("value", 2).alias("value"))
         .orderBy(F.col("value").desc(), F.col("l_partkey"))
     )
@@ -2314,7 +2317,7 @@ WITH per_part AS (
 )
 SELECT l_partkey, round(value, 2) AS value
 FROM per_part
-WHERE value > (SELECT sum(value) FROM per_part) * 0.001
+WHERE value > (SELECT avg(value) FROM per_part) * 2
 ORDER BY 2 DESC, 1
 """
 

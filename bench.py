@@ -31,6 +31,7 @@ HEADLINE = [
     "q9_product_profit",
     "q13_order_count_distribution",
     "q19_disjunctive_revenue",
+    "q21_lonely_late_supplier",
     "top3_orders_per_customer",
     "brand_part_stats",
     "pivot_status_priority",
