@@ -108,3 +108,56 @@ def frame_sample_plan(df: DataFrame, every_n: int = 30,
         F.explode(F.sequence(F.lit(0), F.greatest(F.col(duration_col) - 1, F.lit(0)),
                              F.lit(every_n))),
     )
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+])
+
+
+def FAKE_RESIZER(payload: bytes, mime: str, max_side: int):
+    """Deterministic resize stub: emits a digest-derived payload whose
+    'dimensions' are clamped to ``max_side`` preserving aspect ratio —
+    exercises the binary-in/binary-out pipeline shape end-to-end."""
+    _, w, h = DETERMINISTIC_FAKE(payload, mime)
+    w, h = max(w, 1), max(h, 1)
+    scale = min(1.0, max_side / max(w, h))
+    nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
+    return hashlib.md5((payload or b"") + f":{nw}x{nh}".encode()).digest(), nw, nh
+
+
+def resize_media(
+    df: DataFrame,
+    max_side: int = 512,
+    resizer: Callable = FAKE_RESIZER,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    mime_col: str = "mime",
+    batch_partitions: int | None = None,
+) -> DataFrame:
+    """Binary-in/binary-out media transform (resize/transcode shape):
+    the second mapInPandas pattern besides decode_features — output rows
+    carry a NEW binary payload, so Arrow batch sizing matters on both
+    directions. Swap ``resizer`` for a real PIL/ffmpeg hook outside this
+    container."""
+    slim = df.select(id_col, payload_col, mime_col)
+    if batch_partitions:
+        slim = slim.repartition(batch_partitions)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = row[payload_col]
+                blob, w, h = resizer(
+                    bytes(payload) if payload is not None else b"",
+                    row[mime_col], max_side)
+                out.append((row[id_col], row[mime_col], blob, w, h))
+            yield pd.DataFrame(out, columns=[
+                "media_id", "mime", "payload", "width", "height"])
+
+    return slim.mapInPandas(run, schema=RESIZED_SCHEMA)

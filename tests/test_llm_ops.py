@@ -194,3 +194,21 @@ def test_connected_components_empty_edges(spark):
     from accelerator_spark.operators.dedup import connected_components
     edges = spark.createDataFrame([], "doc_a long, doc_b long")
     assert connected_components(edges).count() == 0
+
+
+def test_resize_media_plumbing(spark):
+    from accelerator_spark.operators.multimodal import resize_media
+    rows = [(1, b"img-one-bytes", "image/png"),
+            (2, b"img-two-bytes", "image/jpeg"),
+            (3, None, "image/png")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary, mime string")
+    out = {r["media_id"]: r for r in
+           resize_media(df, max_side=64, batch_partitions=2).collect()}
+    assert set(out) == {1, 2, 3}
+    for r in out.values():
+        assert max(r["width"], r["height"]) <= 64
+        assert isinstance(r["payload"], (bytes, bytearray))
+    # deterministic: same input -> same resized payload
+    again = {r["media_id"]: r["payload"] for r in
+             resize_media(df, max_side=64).collect()}
+    assert {k: v["payload"] for k, v in out.items()} == again
