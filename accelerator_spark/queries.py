@@ -1298,6 +1298,64 @@ SELECT q_id, c_id, cosine, rank FROM (
 """
 
 
+def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF ANN search through the gate (operators/similarity.py
+    ivf_topk): corpus coarse-quantized to 8 cells, queries probe their 2
+    nearest cells, exact cosine rerank inside the probed cells only.
+    DuckDB replays the identical index build + probe + rerank, so the
+    oracle checks the whole approximate pipeline bit-for-bit (rounded
+    cosines + id tiebreaks keep both engines' rankings identical).
+    Scale: work is n_q × (corpus / n_cells) × n_probe, vs n_q × corpus
+    for the brute-force twin (cosine_topk)."""
+    from .operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8)
+    qs = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 13))
+    return ivf_topk(emb, qs, cents, k=5, n_probe=2)
+
+
+_COS = ("round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * "
+        "sqrt(list_dot_product({b}, {b}))), 4)")
+
+ORACLE_IVF_TOPK = f"""
+WITH cent AS (
+  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8
+), assign AS (
+  SELECT vec_id, embedding, c_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, c_id ASC) AS rn
+  FROM (SELECT e.vec_id, e.embedding, cent.c_id,
+               {_COS.format(a='e.embedding', b='cent.c_emb')} AS cos
+        FROM embeddings e, cent)
+), cor AS (
+  SELECT vec_id AS cand_id, embedding AS cand_emb, c_id AS centroid_id
+  FROM assign WHERE rn = 1
+), q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id >= 8 AND vec_id < 13
+), probes AS (
+  SELECT q_id, q_emb, c_id AS centroid_id FROM (
+    SELECT q.q_id, q.q_emb, cent.c_id,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {_COS.format(a='q.q_emb', b='cent.c_emb')} DESC,
+                                       cent.c_id ASC) AS rn
+    FROM q, cent)
+  WHERE rn <= 2
+), scored AS (
+  SELECT q_id, cand_id AS c_id,
+         {_COS.format(a='q_emb', b='cand_emb')} AS cosine
+  FROM probes JOIN cor USING (centroid_id)
+  WHERE cand_id <> q_id
+)
+SELECT q_id, c_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, c_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-column plumbing check: norms and dimension stats per label —
     array<float> handled natively by Spark higher-order functions."""
@@ -2475,6 +2533,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_fingerprints": simhash_fingerprints,
     "embedding_near_pairs": embedding_near_pairs,
     "cosine_topk": cosine_topk,
+    "ivf_topk_search": ivf_topk_search,
     "embedding_stats": embedding_stats,
     "multimodal_meta": multimodal_meta,
     "pivot_status_priority": pivot_status_priority,
@@ -2553,6 +2612,7 @@ ORACLES: dict[str, str] = {
     "simhash_fingerprints": ORACLE_SIMHASH,
     "embedding_near_pairs": ORACLE_EMB_PAIRS,
     "cosine_topk": ORACLE_COSINE,
+    "ivf_topk_search": ORACLE_IVF_TOPK,
     "embedding_stats": ORACLE_EMB_STATS,
     "multimodal_meta": ORACLE_MULTIMODAL,
     "pivot_status_priority": ORACLE_PIVOT,
