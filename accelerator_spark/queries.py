@@ -2384,9 +2384,11 @@ def q21_lonely_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 analogue (no receipt/commit dates: 'late' = shipped
     more than 60 days after the order date). Suppliers who were the ONLY
     late supplier on a multi-supplier order — the reference pattern's
-    EXISTS + NOT EXISTS double correlation, decorrelated into one
-    per-order aggregate joined back (single extra shuffle, no correlated
-    re-scans)."""
+    EXISTS + NOT EXISTS double correlation. The per-order stats come
+    from WINDOW functions over the per-(order,supplier) aggregate, not a
+    groupBy+join-back: the join-back shape computes the heavy
+    lineitem⨝orders subtree TWICE (verified: no ReusedExchange in the
+    final plan), the window shape scans it once."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     supp = _t(spark, sf_dir, "supplier")
@@ -2396,12 +2398,11 @@ def q21_lonely_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(F.when(late, 1).otherwise(0)).alias("was_late"))
     )
-    per_o = per_os.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum("was_late").alias("n_late"),
-    )
+    wo = W.partitionBy("l_orderkey")
     lonely = (
-        per_os.join(per_o, "l_orderkey")
+        per_os
+        .withColumn("n_supp", F.count(F.lit(1)).over(wo))
+        .withColumn("n_late", F.sum("was_late").over(wo))
         .filter((F.col("was_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
     )
     return (
