@@ -164,6 +164,24 @@ def cmd_method(args) -> int:
     return 0 if found else 1
 
 
+def cmd_explain(args) -> int:
+    """Show the physical plan of a registered query (the `.explain`
+    review loop from SCALE.md as a shell command). Lists query names
+    when called without one."""
+    from . import queries as Q
+    if not args.query:
+        for name in sorted(Q.QUERIES):
+            print(name)
+        return 0
+    if args.query not in Q.QUERIES:
+        print(f"unknown query {args.query!r} (run without a name to list)",
+              file=sys.stderr)
+        return 1
+    df = Q.QUERIES[args.query](_spark(), args.sf_dir)
+    df.explain("formatted")
+    return 0
+
+
 def cmd_workdir(args) -> int:
     """List jobs in a workdir (the reference's ``ax workdir``)."""
     import os
@@ -214,6 +232,9 @@ def main(argv: list[str] | None = None) -> int:
     s.set_defaults(fn=cmd_script)
     m = sub.add_parser("method"); m.add_argument("script")
     m.set_defaults(fn=cmd_method)
+    e = sub.add_parser("explain"); e.add_argument("query", nargs="?")
+    e.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    e.set_defaults(fn=cmd_explain)
 
     args = p.parse_args(argv)
     return args.fn(args)

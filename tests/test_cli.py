@@ -98,3 +98,11 @@ def test_cli_script_and_method(tmp_path, capsys):
     empty = tmp_path / "none"
     empty.mkdir()
     assert cli.main(["script", str(empty)]) == 1
+
+
+def test_cli_explain(capsys):
+    assert cli.main(["explain"]) == 0
+    assert "q1_pricing_summary" in capsys.readouterr().out
+    assert cli.main(["explain", "q6_forecast_revenue"]) == 0
+    assert "Physical Plan" in capsys.readouterr().out
+    assert cli.main(["explain", "nope"]) == 1
