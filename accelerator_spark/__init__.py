@@ -14,12 +14,12 @@ Layers:
 
 from .session import get_spark, tune_for_session
 from .dataset import Dataset, with_lineno, LINENO
-from .build import BuildContext, Urd
+from .build import BuildContext, Urd, OptionEnum, RequiredOption
 
 __all__ = [
     "get_spark", "tune_for_session",
     "Dataset", "with_lineno", "LINENO",
-    "BuildContext", "Urd",
+    "BuildContext", "Urd", "OptionEnum", "RequiredOption",
 ]
 
 __version__ = "0.1.0"
