@@ -163,3 +163,22 @@ def hash_split(df: DataFrame, col: str, weights: dict[str, float],
         lo = hi
     expr = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn(split_col, expr)
+
+
+def per_key_sample(df: DataFrame, key: str, n: int, id_col: str) -> DataFrame:
+    """Deterministic per-key cap: keep at most ``n`` rows per key,
+    chosen by id-hash order (NOT input order, which is partitioning-
+    dependent). The domain-cap operator of corpus curation — stops one
+    source from dominating a training set, reproducibly: the kept set
+    depends only on the ids present under the key.
+
+    One shuffle on ``key``; the window's running row_number needs no
+    full-group materialization."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(key).orderBy(_md5_bucket(id_col, 1 << 62),
+                                        F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

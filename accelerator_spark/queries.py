@@ -1788,6 +1788,31 @@ WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
 """
 
 
+def per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-cap sampling (operators/partition.py per_key_sample): at
+    most 20 documents per source, selected by id-hash order so the kept
+    set is reproducible across runs/engines/partitionings — DuckDB
+    reselects the identical rows. The anti-domination step of corpus
+    curation."""
+    from .operators.partition import per_key_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = per_key_sample(docs, "source", 20, "doc_id")
+    return kept.select("source", "doc_id", "lang")
+
+
+ORACLE_PER_SOURCE = """
+SELECT source, doc_id, lang FROM (
+  SELECT source, doc_id, lang,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 4611686018427387904, doc_id) AS rn
+  FROM documents
+) WHERE rn <= 20
+"""
+
+
 def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (hash_split, 80/10/10) —
     row placement depends only on doc_id, so appending data or changing
@@ -2536,6 +2561,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_multi_supplier_orders": sql_multi_supplier_orders,
     "hash_sample_documents": hash_sample_documents,
     "dataset_split_counts": dataset_split_counts,
+    "per_source_sample": per_source_sample,
     "simhash_fingerprints": simhash_fingerprints,
     "embedding_near_pairs": embedding_near_pairs,
     "cosine_topk": cosine_topk,
@@ -2615,6 +2641,7 @@ ORACLES: dict[str, str] = {
     "sql_multi_supplier_orders": _SQL_MULTI_SUPPLIER,
     "hash_sample_documents": ORACLE_HASH_SAMPLE,
     "dataset_split_counts": ORACLE_SPLIT,
+    "per_source_sample": ORACLE_PER_SOURCE,
     "simhash_fingerprints": ORACLE_SIMHASH,
     "embedding_near_pairs": ORACLE_EMB_PAIRS,
     "cosine_topk": ORACLE_COSINE,
