@@ -901,6 +901,54 @@ FROM lineitem
 # Text analysis (north-star: documents table)
 # =====================================================================
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (docs 0..49): tf from one explode
+    + groupBy, document frequency from a distinct-explode agg, idf =
+    ln(N/df) joined back on term, window top-3. Two shuffles over the
+    token stream + one term-keyed join — the standard distributed TF-IDF
+    plan (no vocabulary ever reaches the driver). Rounded scores +
+    term tiebreaks keep both engines' rankings identical."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(df_, "term")
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.filter(F.col("doc_id") < 50)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+ORACLE_TFIDF = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+), scored AS (
+  SELECT doc_id, term,
+         round(tf * ln((SELECT count(*) FROM documents) / CAST(df AS DOUBLE)), 4) AS tfidf
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tfidf, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored WHERE doc_id < 50
+) WHERE rank <= 3
+"""
+
+
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace tokenizer) — per-doc token count +
     corpus stats. All JVM-side expressions."""
@@ -2549,6 +2597,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_click_purchase": asof_click_purchase,
     "checksum_lineitem": checksum_lineitem,
     "token_counts": token_counts,
+    "tfidf_top_terms": tfidf_top_terms,
     "text_quality": text_quality,
     "lang_id": lang_id,
     "doc_fingerprints": doc_fingerprints,
@@ -2629,6 +2678,7 @@ ORACLES: dict[str, str] = {
     "asof_click_purchase": ORACLE_ASOF,
     "checksum_lineitem": ORACLE_CHECKSUM,
     "token_counts": ORACLE_TOKENS,
+    "tfidf_top_terms": ORACLE_TFIDF,
     "text_quality": ORACLE_QUALITY,
     "lang_id": ORACLE_LANG,
     "doc_fingerprints": ORACLE_FP,
