@@ -1459,6 +1459,78 @@ FROM documents
 """
 
 
+def frame_sample_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling *plan* (operators/multimodal.
+    frame_sample_plan): expand (media_id, n_frames) into every 30th
+    frame index — the distributed half of frame sampling; the per-frame
+    decode is the mapInPandas path. Pure JVM explode(sequence(...)), so
+    at 100 TB the expansion runs inside codegen with no Python and the
+    output partitioning follows the input (no shuffle at all)."""
+    from .operators.multimodal import frame_sample_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") % 300 + 1).alias("n_frames"),
+    )
+    return frame_sample_plan(media, every_n=30, duration_col="n_frames")
+
+
+ORACLE_FRAME_SAMPLE = """
+SELECT doc_id AS media_id, n_chars % 300 + 1 AS n_frames,
+       unnest(generate_series(0, greatest(n_chars % 300, 0), 30)) AS frame_idx
+FROM documents
+"""
+
+
+def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode_features end-to-end through the gate: documents.text as a
+    binary payload, Arrow-batched mapInPandas decode with the
+    DETERMINISTIC_FAKE codec (md5-derived features/dims — the container
+    has no image libs, per brief), then a JVM-side feature reduction.
+    The oracle replays the fake codec arithmetic in SQL byte-for-byte
+    (md5 hex -> bytes -> REAL features / 4096-mod dims), so the whole
+    Python decode path is value-checked, not just row-counted. Feature
+    elements are float32; both sides cast per-element to double before
+    summing so the fp path is identical."""
+    from .operators.multimodal import DETERMINISTIC_FAKE, decode_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+    )
+    feats = decode_features(
+        media, decoder=DETERMINISTIC_FAKE,
+        batch_partitions=spark.sparkContext.defaultParallelism)
+    return feats.select(
+        "media_id", "mime", "n_bytes",
+        F.expr("round(aggregate(feature, cast(0.0 as double),"
+               " (a, x) -> a + cast(x as double)), 4)").alias("feat_sum"),
+        "width", "height",
+    )
+
+
+ORACLE_DECODE = """
+WITH h AS (
+  SELECT doc_id AS media_id, 'text/plain' AS mime,
+         octet_length(encode(text)) AS n_bytes, md5(text) AS d
+  FROM documents
+)
+SELECT media_id, mime, n_bytes,
+       round(
+         CAST(CAST(('0x' || substr(d, 1, 2)) AS INT) / 255.0 AS REAL)::DOUBLE
+       + CAST(CAST(('0x' || substr(d, 3, 2)) AS INT) / 255.0 AS REAL)::DOUBLE
+       + CAST(CAST(('0x' || substr(d, 5, 2)) AS INT) / 255.0 AS REAL)::DOUBLE
+       + CAST(CAST(('0x' || substr(d, 7, 2)) AS INT) / 255.0 AS REAL)::DOUBLE,
+       4) AS feat_sum,
+       CAST(('0x' || substr(d, 9, 4)) AS INT) % 4096 AS width,
+       CAST(('0x' || substr(d, 13, 4)) AS INT) % 4096 AS height
+FROM h
+"""
+
+
 # =====================================================================
 # Windows / pivot / cube / set-ops / subquery shapes (native new surface
 # beyond the reference — SURVEY §2.5/§2.6 'absent' rows)
@@ -2549,6 +2621,58 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analogue (no partsupp: 'excess availability' re-cast as
+    shipment dominance). Suppliers who shipped >25% of a red part's total
+    1995 volume, with how many parts they dominate. Plan: pushed-down
+    year filter -> join to the red-part subset -> one partial agg on
+    (suppkey, partkey) -> window share per partkey -> supplier/nation
+    lookup. part scales with SF so it stays unhinted (AQE decides);
+    nation is fixed-size -> broadcast. One fact shuffle + one window
+    shuffle on the already-reduced agg."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1995)
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    qty = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    w = W.partitionBy("l_partkey")
+    dom = qty.withColumn("part_total", F.sum("qty").over(w)).filter(
+        F.col("qty") > 0.25 * F.col("part_total"))
+    return (
+        dom.join(supp, dom.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("dominated_parts"),
+            F.round(F.sum("qty"), 2).alias("dominated_qty"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_Q20 = """
+WITH qty AS (
+  SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE year(l_shipdate) = 1995 AND p_name LIKE 'red%'
+  GROUP BY 1, 2
+), dom AS (
+  SELECT *, sum(qty) OVER (PARTITION BY l_partkey) AS part_total FROM qty
+)
+SELECT s_suppkey, s_name, n_name AS nation,
+       count(*) AS dominated_parts, round(sum(qty), 2) AS dominated_qty
+FROM dom
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE qty > 0.25 * part_total
+GROUP BY 1, 2, 3 ORDER BY 1
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2575,6 +2699,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_nation_stock_value": q11_nation_stock_value,
     "q21_lonely_late_supplier": q21_lonely_late_supplier,
     "q22_dormant_customers": q22_dormant_customers,
+    "q20_dominant_supplier": q20_dominant_supplier,
     "top3_orders_per_customer": top3_orders_per_customer,
     "customers_with_orders": customers_with_orders,
     "customers_without_orders": customers_without_orders,
@@ -2617,6 +2742,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk_search": ivf_topk_search,
     "embedding_stats": embedding_stats,
     "multimodal_meta": multimodal_meta,
+    "frame_sample_media": frame_sample_media,
+    "media_decode_features": media_decode_features,
     "pivot_status_priority": pivot_status_priority,
     "cube_lineitem": cube_lineitem,
     "grouping_sets_orders": grouping_sets_orders,
@@ -2656,6 +2783,7 @@ ORACLES: dict[str, str] = {
     "q11_nation_stock_value": ORACLE_Q11,
     "q21_lonely_late_supplier": ORACLE_Q21,
     "q22_dormant_customers": ORACLE_Q22,
+    "q20_dominant_supplier": ORACLE_Q20,
     "top3_orders_per_customer": ORACLE_TOP3,
     "customers_with_orders": ORACLE_SEMI,
     "customers_without_orders": ORACLE_ANTI,
@@ -2698,6 +2826,8 @@ ORACLES: dict[str, str] = {
     "ivf_topk_search": ORACLE_IVF_TOPK,
     "embedding_stats": ORACLE_EMB_STATS,
     "multimodal_meta": ORACLE_MULTIMODAL,
+    "frame_sample_media": ORACLE_FRAME_SAMPLE,
+    "media_decode_features": ORACLE_DECODE,
     "pivot_status_priority": ORACLE_PIVOT,
     "cube_lineitem": ORACLE_CUBE,
     "grouping_sets_orders": ORACLE_GROUPING_SETS,
