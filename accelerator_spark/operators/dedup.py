@@ -71,12 +71,26 @@ def word_shingles(text_col: Column, n: int = 3) -> Column:
 
 def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       num_hashes: int = 8, shingle_n: int = 3) -> DataFrame:
-    """(id, sig: array<long>[num_hashes]) — min over shingles of hash_i."""
+    """(id, sig: array<long>[num_hashes]) — min over shingles of hash_i.
+
+    Shuffle-free: the min-over-shingles runs per ROW via
+    array_min(transform(...)) instead of explode + groupBy(id) — the
+    shingle stream (~50x the text) never hits an exchange. At 100 TB
+    this turns signature building into a pure map stage that chains onto
+    the scan; only the tiny (id, sig) rows continue downstream. The
+    grams array is bound once in its own projection so CollapseProject
+    keeps the 8 hash passes from re-shingling (expensive expr used 8x
+    is not inlined)."""
     grams = word_shingles(F.col(text_col), shingle_n)
-    sh = df.select(F.col(id_col), F.explode(grams).alias("g"))
-    aggs = [F.min(_h(F.col("g"), i)).alias(f"h{i}") for i in range(num_hashes)]
-    sig = sh.groupBy(id_col).agg(*aggs)
-    return sig.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    base = df.select(F.col(id_col), grams.alias("_gs"))
+
+    def min_hash_i(i: int) -> Column:
+        # closure, NOT a default-arg lambda: `lambda g, i=i` would be
+        # (element, index) to transform and silently hash wrong
+        return F.array_min(F.transform(F.col("_gs"), lambda g: _h(g, i)))
+
+    sig = F.array(*[min_hash_i(i) for i in range(num_hashes)])
+    return base.select(id_col, sig.alias("sig"))
 
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -124,17 +138,25 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """SimHash fingerprint: per-token md5-hash bit votes -> sign -> bits.
     (id, simhash long). Hamming-close fingerprints = near-dups."""
     toks = F.split(norm_text(F.col(text_col)), " ")
-    t = df.select(F.col(id_col), F.explode(toks).alias("tok"))
-    h = _h(F.col("tok"), 0)
-    votes = [
-        F.sum(F.when(((F.shiftright(h, j)).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)).alias(f"b{j}")
-        for j in range(bits)
-    ]
-    agg = t.groupBy(id_col).agg(*votes)
+    # Shuffle-free: hash each token once per row (one md5 per token,
+    # materialized in _hvs so the 16 bit-votes don't re-hash), then the
+    # votes are per-row array aggregates — no explode, no exchange. At
+    # 100 TB the whole fingerprint is a map stage fused into the scan.
+    base = df.select(F.col(id_col),
+                     F.transform(toks, lambda t: _h(t, 0)).alias("_hvs"))
+    def vote(j: int) -> Column:
+        # closure, NOT a default-arg lambda (that reads as a 2-arg
+        # (acc, idx) lambda to the higher-order function)
+        return F.aggregate(
+            F.col("_hvs"), F.lit(0),
+            lambda a, x: a + F.when(
+                (F.shiftright(x, j)).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
     out = F.lit(0).cast("long")
     for j in range(bits):
-        out = out + F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(0).cast("long")
-    return agg.select(id_col, out.alias("simhash"))
+        out = out + F.when(vote(j) > 0, F.lit(1 << j)).otherwise(0).cast("long")
+    return base.select(id_col, out.alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
