@@ -1198,8 +1198,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
+    # two md5 digests per shingle, four disjoint 32-bit hex windows each
+    # (mirrors operators/dedup._md5_window)
     hcols = ",\n         ".join(
-        f"min(CAST(('0x'||substring(md5(g||':{i}'),1,15)) AS BIGINT)) AS h{i}"
+        f"min(CAST(('0x'||substring(md5(g||':{i // 4}'),{8 * (i % 4) + 1},8)) AS BIGINT)) AS h{i}"
         for i in range(8)
     )
     bands = "\n  UNION ALL\n".join(
