@@ -1074,14 +1074,25 @@ GROUP BY fp
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs by word-3-gram Jaccard >= 0.35, via the
-    inverted-index join (explode shingles -> self-join on shingle ->
-    count intersections -> Jaccard). This is the scale-correct shape:
-    no all-pairs cross join; the shingle join only touches docs sharing a
-    shingle. Skew guard: drop shingles appearing in >1% of docs AND cap
-    shingle groups at 64 docs — pair expansion is quadratic in group
-    size, so without the absolute cap a duplicate-heavy corpus (every
-    doc copied 8x) blows up 60x (measured at 4.8M-row scale test). Run
-    exact dedup first on dup-heavy corpora; the cap is the backstop.
+    inverted index (explode shingles -> group docs per shingle -> expand
+    pairs -> count intersections -> Jaccard). This is the scale-correct
+    shape: no all-pairs cross join; only docs sharing a shingle meet.
+    Skew guard: drop shingles appearing in >1% of docs AND cap shingle
+    groups at 64 docs — pair expansion is quadratic in group size, so
+    without the absolute cap a duplicate-heavy corpus (every doc copied
+    8x) blows up 60x (measured at 4.8M-row scale test). Run exact dedup
+    first on dup-heavy corpora; the cap is the backstop.
+
+    The document-frequency prefilter is a window count over the exploded
+    stream (count(*) OVER (PARTITION BY g)), NOT a separate count-agg +
+    semi-join: one tokenize scan and one shuffle instead of two of each —
+    measured 2.6s -> 2.0s warm / 6.5s -> 3.0s cold at sf0.1, identical
+    rows. At 100 TB the rare-shingle vocabulary outgrows any broadcast,
+    so the join formulation degrades to a sort-merge join that shuffles
+    + sorts the SAME full shingle stream WindowExec does — the window
+    shape is never worse, and hot-shingle partitions spill rather than
+    OOM in both. The follow-up collect_list groupBy reuses the window's
+    hashpartitioning(g): no extra exchange (verified in the plan).
 
     Partitioning note: compact text expands ~50x at the shingle explode —
     repartition BEFORE the explode so the expansion uses every core (a
@@ -1101,9 +1112,6 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = F.array_distinct(
         F.transform(_z, lambda s: F.concat_ws(" ", s["a"], s["b"], s["c"]))
     )
-    # Tokenize + shingle in ONE definition consumed by both passes (the
-    # df-prefilter needs two scans over the exploded shingles; the old
-    # shape ran FOUR — separate sizes branch, count scan, build + probe).
     # Deliberately NOT persisted: measured at sf0.1, caching the gram
     # arrays saved ~2s here but the lingering executor-memory pressure
     # cost ~9s on the next query even after unpersist — recomputing one
@@ -1114,20 +1122,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size("gs").alias("sz"), F.explode("gs").alias("g")
     )
     cap = min(int(n_docs * 0.01), 64)
-    # filter by document frequency BEFORE collect_list: the count agg is
-    # map-side-combinable (cheap even for hot shingles), so heavy groups
-    # are discarded without ever materializing their doc lists — the
-    # collect only sees groups of 2..cap docs. Measured 102s -> ~20s at
-    # the 4.8M-row scale test.
-    ok = (
-        sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") > 1) & (F.col("df") <= cap))
-        .select("g")
-    )
+    # filter by document frequency BEFORE collect_list, via a window
+    # count in the SAME shuffle that groups the docs: heavy groups are
+    # discarded before their doc lists materialize (the collect only
+    # sees groups of 2..cap docs — without the prefilter, 102s -> ~20s
+    # at the 4.8M-row scale test), and the tokenize+explode runs once.
     # each doc's set size rides along through the explode -> collect ->
-    # pair expansion, so no size-lookup joins are needed afterwards
+    # pair expansion, so no size-lookup joins are needed afterwards.
+    dfreq = F.count(F.lit(1)).over(W.partitionBy("g"))
     byg = (
-        sh.join(ok, "g")
+        sh.withColumn("df", dfreq)
+        .filter((F.col("df") > 1) & (F.col("df") <= cap))
         .groupBy("g")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sz"))).alias("ids"))
     )

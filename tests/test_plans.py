@@ -56,10 +56,11 @@ def test_jaccard_no_cartesian_and_parallel_explode(spark, sf_dir):
     s = _plan(spark, "ngram_jaccard_pairs", sf_dir)
     assert "CartesianProduct" not in s
     assert "Generate explode" in s or "Generate" in s
-    # set sizes ride through the explode inside the pair structs, so the
-    # ONLY join left is the document-frequency prefilter — the old shape
-    # had two more size-lookup joins on top
-    assert s.count("Join") == 1
+    # set sizes ride through the explode inside the pair structs, and the
+    # document-frequency prefilter is a window count in the same shuffle
+    # that groups the docs — the plan is entirely join-free
+    assert s.count("Join") == 0
+    assert "Window" in s
 
 
 def test_asof_single_shuffle(spark, sf_dir):
