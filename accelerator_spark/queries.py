@@ -2541,11 +2541,21 @@ def q21_lonely_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 analogue (no receipt/commit dates: 'late' = shipped
     more than 60 days after the order date). Suppliers who were the ONLY
     late supplier on a multi-supplier order — the reference pattern's
-    EXISTS + NOT EXISTS double correlation. The per-order stats come
-    from WINDOW functions over the per-(order,supplier) aggregate, not a
-    groupBy+join-back: the join-back shape computes the heavy
-    lineitem⨝orders subtree TWICE (verified: no ReusedExchange in the
-    final plan), the window shape scans it once."""
+    EXISTS + NOT EXISTS double correlation, decorrelated to two stacked
+    aggregations over one lineitem⨝orders pass. Because n_late == 1 the
+    lonely supplier IS max(suppkey WHERE late), so the second agg folds
+    the per-order stats AND the supplier extraction into one hash agg;
+    only qualifying orders (one row each) reach the supplier join. Every
+    exchange keeps its map-side partial combine — measured: forcing the
+    stacked groupBys onto one explicit repartition(l_orderkey) halves
+    the exchange count but shuffles the RAW join output (no partial
+    agg), 1.7s -> 6.4s at sf0.1. When orders outgrows broadcast (100 TB)
+    the join's own hashpartitioning(l_orderkey) satisfies both groupBys
+    (partitioning ⊆ grouping keys) and the stacked aggs add no exchange
+    at all. A window over l_orderkey computes the same stats but must
+    SORT every partition of the per-(order,supplier) stream first; a
+    groupBy+join-back computes the heavy join subtree twice (no
+    ReusedExchange). The agg shape does neither."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     supp = _t(spark, sf_dir, "supplier")
@@ -2555,12 +2565,14 @@ def q21_lonely_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(F.when(late, 1).otherwise(0)).alias("was_late"))
     )
-    wo = W.partitionBy("l_orderkey")
     lonely = (
-        per_os
-        .withColumn("n_supp", F.count(F.lit(1)).over(wo))
-        .withColumn("n_late", F.sum("was_late").over(wo))
-        .filter((F.col("was_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        per_os.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum("was_late").alias("n_late"),
+            F.max(F.when(F.col("was_late") == 1, F.col("l_suppkey"))).alias("l_suppkey"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
     )
     return (
         lonely.join(supp, lonely.l_suppkey == supp.s_suppkey)
@@ -2579,14 +2591,14 @@ WITH per_os AS (
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   GROUP BY 1, 2
 ), per_o AS (
-  SELECT l_orderkey, count(*) AS n_supp, sum(was_late) AS n_late
+  SELECT l_orderkey, count(*) AS n_supp, sum(was_late) AS n_late,
+         max(CASE WHEN was_late = 1 THEN l_suppkey END) AS late_supp
   FROM per_os GROUP BY 1
 )
 SELECT s_name, count(*) AS numwait
-FROM per_os
-JOIN per_o USING (l_orderkey)
-JOIN supplier ON l_suppkey = s_suppkey
-WHERE was_late = 1 AND n_supp > 1 AND n_late = 1
+FROM per_o
+JOIN supplier ON late_supp = s_suppkey
+WHERE n_supp > 1 AND n_late = 1
 GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20
 """
 
