@@ -261,3 +261,30 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         if changed == 0:
             break
     return labels
+
+
+def decontaminate(train: DataFrame, heldout: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 8) -> DataFrame:
+    """Benchmark decontamination: drop every train row that shares ANY
+    word n-gram with the held-out/eval corpus (the standard guard
+    against test-set leakage into a training set; 8-13 word grams are
+    the published range — 8 here because the synthetic docs are short).
+
+    Scale shape: held-out grams are exploded and deduplicated, train
+    grams are exploded and semi-joined against them on the gram STRING —
+    an inverted-index membership probe, never an all-pairs comparison.
+    No broadcast hint: eval suites are small today but the held-out side
+    scales with whatever corpus is quarantined, so AQE picks broadcast
+    while it fits and a shuffled semi-join beyond. Contaminated ids are
+    distinct'd BEFORE the anti-join so the final probe is id-vs-id,
+    not id-vs-gram-explosion.
+    """
+    tg = train.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g")
+    )
+    hg = heldout.select(
+        F.explode(word_shingles(F.col(text_col), n)).alias("g")
+    ).distinct()
+    bad = tg.join(hg, "g", "left_semi").select(id_col).distinct()
+    return train.join(bad, id_col, "left_anti")

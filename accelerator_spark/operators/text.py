@@ -115,8 +115,44 @@ def rolling_fingerprint(col: Column, window: int = 8) -> Column:
     return F.array_min(hashes)
 
 
+def pack_sequences(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", budget: int = 512,
+                   buckets: int = 32) -> DataFrame:
+    """Assign each document to a fixed-token-budget training sequence:
+    (bucket, seq_id, seq_start). The packing rule is contiguous greedy —
+    docs are laid out in deterministic order and a sequence boundary
+    falls every ``budget`` tokens; a doc belongs to the sequence its
+    START offset lands in (docs may straddle a boundary; the trainer's
+    loader decides whether to split or pad, this operator decides
+    placement).
+
+    Scale design: a GLOBAL greedy pack is a single-partition window — a
+    non-starter. Instead docs are md5-bucketed into ``buckets``
+    independent packing streams and packed within each: one hash
+    exchange + a per-bucket sort, both bounded by corpus/buckets. Set
+    buckets ~ k×cores on a cluster (32 matches the local harness). The
+    md5 bucket and the (bucket, id) order depend only on the id values,
+    so placement is reproducible across runs, partitionings and cluster
+    sizes — rebuilding the corpus yields byte-identical sequences, which
+    is what makes training runs comparable.
+    """
+    from pyspark.sql import Window
+    from .partition import _md5_bucket
+
+    nt = token_count(F.col(text_col))
+    w = (Window.partitionBy("bucket").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        df.withColumn("bucket", _md5_bucket(id_col, buckets))
+        .withColumn("n_tokens", nt)
+        .withColumn("seq_start", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .withColumn("seq_id", F.floor(F.col("seq_start") / budget))
+    )
+
+
 __all__ = [
     "tokens", "token_count", "bpe_ish_token_count", "stopword_evidence",
     "lang_scores", "predict_lang", "quality_features", "quality_score",
     "rolling_fingerprint", "fingerprint", "norm_text", "STOPWORDS",
+    "pack_sequences",
 ]

@@ -2692,6 +2692,132 @@ GROUP BY 1, 2, 3 ORDER BY 1
 """
 
 
+def decontaminate_train_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py decontaminate):
+    a deterministic 5% of the corpus plays the held-out eval set; every
+    remaining train doc sharing ANY word 8-gram with it is dropped (the
+    standard test-set-leakage guard for training corpora). Reported
+    per-source so the gate checks WHICH docs were dropped, not just how
+    many.
+
+    Scale shape: inverted-index membership probe — explode held-out
+    grams, distinct, semi-join train grams against them; contaminated
+    ids distinct'd before the anti-join. No all-pairs comparison
+    anywhere; the only shuffles are the gram semi-join and the final
+    per-source agg. The held-out split is md5(doc_id)-derived, so the
+    same docs are held out at every scale and on both engines."""
+    from .operators.dedup import word_shingles
+    from .operators.partition import _md5_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    bucket = _md5_bucket("doc_id")
+    held = docs.filter(bucket < 500)
+    train = docs.filter(bucket >= 500)
+    tg = train.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 8)).alias("g")
+    )
+    hg = held.select(
+        F.explode(word_shingles(F.col("text"), 8)).alias("g")
+    ).distinct()
+    bad = (
+        tg.join(hg, "g", "left_semi")
+        .select("doc_id").distinct()
+        .withColumn("contaminated", F.lit(1))
+    )
+    return (
+        train.join(bad, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(F.coalesce(F.col("contaminated"), F.lit(0))).alias("n_contaminated"),
+            (F.count(F.lit(1))
+             - F.sum(F.coalesce(F.col("contaminated"), F.lit(0)))).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 10000 AS b,
+         regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, source, b,
+         list_transform(generate_series(1, greatest(len(t) - 7, 1)),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                          t[i+4], t[i+5], t[i+6], t[i+7])) AS gs
+  FROM toks
+), hg AS (
+  SELECT DISTINCT unnest(gs) AS g FROM grams WHERE b < 500
+), bad AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(gs) AS g FROM grams WHERE b >= 500) tg
+  JOIN hg USING (g)
+)
+SELECT source,
+       count(*) AS n_train,
+       count(bad.doc_id) AS n_contaminated,
+       count(*) - count(bad.doc_id) AS n_kept
+FROM (SELECT doc_id, source FROM grams WHERE b >= 500) train
+LEFT JOIN bad USING (doc_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed-token-budget training sequences
+    (operators/text.py pack_sequences, budget=512 whitespace tokens,
+    32 parallel packing streams) and report per-sequence stats. The
+    pack is contiguous greedy in deterministic (bucket, doc_id) order,
+    so sequence membership is identical across runs, engines and
+    cluster sizes — DuckDB reproduces it bit-for-bit here.
+
+    Scale shape: one hash exchange on the md5 bucket + a per-bucket
+    sort; the per-sequence groupBy keys start with the bucket, so it
+    reuses the window's partitioning (no extra exchange — same trick as
+    the jaccard prefilter). A global pack would be a single-partition
+    window; bucketed packing is embarrassingly parallel at any corpus
+    size (buckets ~ k×cores)."""
+    from .operators.text import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, "doc_id", "text", budget=512, buckets=32)
+    return (
+        packed.groupBy("bucket", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("bucket", "seq_id")
+    )
+
+
+ORACLE_SEQUENCE_PACKING = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 32 AS bucket,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+), placed AS (
+  SELECT doc_id, bucket, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS seq_start
+  FROM d
+)
+SELECT bucket, CAST(floor(seq_start / 512) AS BIGINT) AS seq_id,
+       count(*) AS n_docs, sum(n_tokens) AS seq_tokens,
+       min(doc_id) AS first_doc
+FROM placed
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2778,6 +2904,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "predicted_langs": predicted_langs,
     "rolling_fingerprints": rolling_fingerprints,
     "approx_distinct_parts": approx_distinct_parts,
+    "decontaminate_train_set": decontaminate_train_set,
+    "sequence_packing": sequence_packing,
 }
 
 ORACLES: dict[str, str] = {
@@ -2862,4 +2990,6 @@ ORACLES: dict[str, str] = {
     "predicted_langs": ORACLE_PRED_LANGS,
     "rolling_fingerprints": ORACLE_ROLLING_FP,
     # approx_distinct_parts: intentionally no oracle (engine-specific HLL)
+    "decontaminate_train_set": ORACLE_DECONTAMINATE,
+    "sequence_packing": ORACLE_SEQUENCE_PACKING,
 }

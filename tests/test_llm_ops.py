@@ -212,3 +212,36 @@ def test_resize_media_plumbing(spark):
     again = {r["media_id"]: r["payload"] for r in
              resize_media(df, max_side=64).collect()}
     assert {k: v["payload"] for k, v in out.items()} == again
+
+
+def test_decontaminate_drops_planted_leak(spark, docs):
+    from accelerator_spark.operators.dedup import decontaminate
+
+    # plant the leak: one "train" doc is a verbatim copy of a held-out doc
+    heldout = docs.limit(3)
+    leak = heldout.limit(1).withColumn("doc_id", F.col("doc_id") + 100000)
+    clean = docs.filter(F.col("doc_id") >= 100).limit(10)
+    train = clean.unionByName(leak)
+    kept = decontaminate(train, heldout, n=8)
+    assert kept.filter(F.col("doc_id") >= 100000).count() == 0  # leak dropped
+    assert kept.count() == clean.count()  # nothing else touched
+
+
+def test_pack_sequences_deterministic_and_budgeted(spark, docs):
+    from accelerator_spark.operators.text import pack_sequences
+
+    a = pack_sequences(docs, budget=512, buckets=8)
+    # partitioning-invariant: same placement regardless of input layout
+    b = pack_sequences(docs.repartition(17), budget=512, buckets=8)
+    cols = ["doc_id", "bucket", "seq_id", "seq_start"]
+    assert sorted(a.select(*cols).collect()) == sorted(b.select(*cols).collect())
+    # every doc STARTS inside its sequence's budget window
+    bad = a.filter(
+        (F.col("seq_start") < F.col("seq_id") * 512)
+        | (F.col("seq_start") >= (F.col("seq_id") + 1) * 512)
+    )
+    assert bad.count() == 0
+    # token mass is preserved through the packing
+    total = a.agg(F.sum("n_tokens")).first()[0]
+    from accelerator_spark.operators.text import token_count
+    assert total == docs.select(token_count(F.col("text")).alias("n")).agg(F.sum("n")).first()[0]
