@@ -2768,6 +2768,65 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per doc: fraction of
+    2-gram occurrences taken by the most frequent 2-gram (r_top2) and
+    fraction of duplicated 2-gram occurrences (dup2). Repetitive,
+    boilerplate-heavy docs score high on both — the published corpus
+    filters cut at ~0.2 / ~0.3; the thresholds stay with the caller,
+    this query is the measurement.
+
+    Scale shape: explode 2-grams → count per (doc, gram) → fold into
+    per-doc stats. The second agg rides the first's hashpartitioning
+    (doc_id ⊆ (doc_id, g) — same stacked-agg trick as q21), so the
+    whole thing is one shuffle over the gram stream with map-side
+    combine, then a broadcast-free scan. No per-doc window, no sort."""
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # NON-distinct 2-gram stream: repetition is exactly what the
+    # array_distinct inside word_shingles would erase, so shingle inline
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    _n = F.size(toks)
+    ln = F.greatest(_n - 1, F.lit(1))
+    z = F.arrays_zip(
+        F.slice(toks, 1, ln).alias("a"), F.slice(toks, 2, ln).alias("b")
+    )
+    grams = F.transform(z, lambda s: F.concat_ws(" ", s["a"], s["b"]))
+    per_dg = (
+        docs.select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per_dg.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_2grams"),
+            F.max("cnt").alias("top2_cnt"),
+            F.round(F.max("cnt") / F.sum("cnt"), 4).alias("r_top2"),
+            F.round((F.sum("cnt") - F.count(F.lit(1))) / F.sum("cnt"), 4).alias("dup2"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_REPETITION = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 1, 1)),
+                i -> concat_ws(' ', t[i], t[i+1]))) AS g
+  FROM toks
+), per_dg AS (
+  SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY 1, 2
+)
+SELECT doc_id, sum(cnt) AS n_2grams, max(cnt) AS top2_cnt,
+       round(max(cnt) / sum(cnt), 4) AS r_top2,
+       round((sum(cnt) - count(*)) / sum(cnt), 4) AS dup2
+FROM per_dg GROUP BY 1 ORDER BY 1
+"""
+
+
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack documents into fixed-token-budget training sequences
     (operators/text.py pack_sequences, budget=512 whitespace tokens,
@@ -2906,6 +2965,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct_parts": approx_distinct_parts,
     "decontaminate_train_set": decontaminate_train_set,
     "sequence_packing": sequence_packing,
+    "repetition_signals": repetition_signals,
 }
 
 ORACLES: dict[str, str] = {
@@ -2992,4 +3052,5 @@ ORACLES: dict[str, str] = {
     # approx_distinct_parts: intentionally no oracle (engine-specific HLL)
     "decontaminate_train_set": ORACLE_DECONTAMINATE,
     "sequence_packing": ORACLE_SEQUENCE_PACKING,
+    "repetition_signals": ORACLE_REPETITION,
 }

@@ -53,6 +53,9 @@ HEADLINE = [
     "cosine_topk",
     "ivf_centroid_assign",
     "text_quality",
+    "decontaminate_train_set",
+    "sequence_packing",
+    "repetition_signals",
 ]
 
 
