@@ -169,3 +169,39 @@ def cosine_near_pairs(df: DataFrame, threshold: float = 0.95,
         .select("id_a", "id_b", F.round(cosine(F.col("e_a"), F.col("e_b")), 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup(corpus: DataFrame, centroids: DataFrame,
+                   threshold: float = 0.92, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication: coarse-cluster the corpus
+    with ivf_assign, compare embeddings ALL-PAIRS ONLY WITHIN a cell,
+    and drop every vector that has a smaller-id neighbor above the
+    cosine threshold (one survivor per near-dup clique — the min id, so
+    the choice is deterministic). Returns the kept rows + centroid_id.
+
+    Scale design: the quadratic comparison is confined to a cell — the
+    self-join shuffles on centroid_id, so total work is
+    sum(cell_size²) ≈ n²/k, not n². Pick k so cells fit a task
+    (k ~ n/10k on a real corpus) and let AQE's skew split handle fat
+    cells; the centroid set itself stays broadcast-small. This is the
+    published recipe for embedding-level dedup at corpus scale: cluster
+    first, compare within cluster only.
+    """
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        id_col, vec_col, "centroid_id"
+    )
+    a = assigned.select(
+        "centroid_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("e_a")
+    )
+    b = assigned.select(
+        "centroid_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("e_b")
+    )
+    dropped = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine(F.col("e_a"), F.col("e_b")), 4) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, id_col, "left_anti")

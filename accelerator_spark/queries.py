@@ -2768,6 +2768,80 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/similarity.
+    semantic_dedup): cluster embeddings into IVF cells (8 seed
+    centroids, same cells as ivf_centroid_assign), compare all-pairs
+    cosine ONLY within a cell, drop every vector with a smaller-id
+    neighbor >= 0.35 (threshold tuned to the synthetic embeddings'
+    similarity range). Reports per-cell before/dropped/kept counts, so
+    the gate checks the clustering AND the in-cell pruning.
+
+    Scale: quadratic work confined to cells (n²/k total), shuffled on
+    centroid_id; the full-corpus all-pairs variant (embedding_near_pairs)
+    is the correctness baseline this approximates at scale."""
+    from .operators.similarity import cosine, ivf_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8)
+    assigned = ivf_assign(emb, cents).select("vec_id", "embedding", "centroid_id")
+    a = assigned.select(
+        "centroid_id", F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a")
+    )
+    b = assigned.select(
+        "centroid_id", F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b")
+    )
+    dropped = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine(F.col("e_a"), F.col("e_b")), 4) >= 0.35)
+        .select(F.col("id_b").alias("vec_id")).distinct()
+        .withColumn("d", F.lit(1))
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left")
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.sum(F.coalesce(F.col("d"), F.lit(0))).alias("n_dropped"),
+            (F.count(F.lit(1)) - F.sum(F.coalesce(F.col("d"), F.lit(0)))).alias("n_kept"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+ORACLE_SEMANTIC_DEDUP = """
+WITH c AS (
+  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT e.vec_id, e.embedding, c.c_id,
+         round(list_dot_product(e.embedding, c.c_emb) /
+               (sqrt(list_dot_product(e.embedding, e.embedding)) *
+                sqrt(list_dot_product(c.c_emb, c.c_emb))), 4) AS cos
+  FROM embeddings e, c
+), best AS (
+  SELECT vec_id, embedding, c_id AS centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, c_id ASC) AS rn
+  FROM scored
+), assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM best WHERE rn = 1
+), dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.embedding, b.embedding) /
+              (sqrt(list_dot_product(a.embedding, a.embedding)) *
+               sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= 0.35
+)
+SELECT centroid_id, count(*) AS n_before,
+       count(dropped.vec_id) AS n_dropped,
+       count(*) - count(dropped.vec_id) AS n_kept
+FROM assigned LEFT JOIN dropped USING (vec_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per doc: fraction of
     2-gram occurrences taken by the most frequent 2-gram (r_top2) and
@@ -2966,6 +3040,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_train_set": decontaminate_train_set,
     "sequence_packing": sequence_packing,
     "repetition_signals": repetition_signals,
+    "semantic_dedup_report": semantic_dedup_report,
 }
 
 ORACLES: dict[str, str] = {
@@ -3053,4 +3128,5 @@ ORACLES: dict[str, str] = {
     "decontaminate_train_set": ORACLE_DECONTAMINATE,
     "sequence_packing": ORACLE_SEQUENCE_PACKING,
     "repetition_signals": ORACLE_REPETITION,
+    "semantic_dedup_report": ORACLE_SEMANTIC_DEDUP,
 }

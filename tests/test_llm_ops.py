@@ -245,3 +245,16 @@ def test_pack_sequences_deterministic_and_budgeted(spark, docs):
     total = a.agg(F.sum("n_tokens")).first()[0]
     from accelerator_spark.operators.text import token_count
     assert total == docs.select(token_count(F.col("text")).alias("n")).agg(F.sum("n")).first()[0]
+
+
+def test_semantic_dedup_drops_planted_copy(spark, emb):
+    from accelerator_spark.operators.similarity import semantic_dedup
+
+    base = emb.filter(F.col("vec_id") < 100)
+    # plant an exact embedding copy under a new id: cosine 1.0, same cell
+    copy = base.limit(1).withColumn("vec_id", F.col("vec_id") + 100000)
+    corpus = base.unionByName(copy)
+    cents = base.filter(F.col("vec_id") < 8)
+    kept = semantic_dedup(corpus, cents, threshold=0.9999)
+    assert kept.filter(F.col("vec_id") >= 100000).count() == 0  # copy dropped
+    assert kept.count() == base.count()  # original survives (min id wins)
