@@ -102,3 +102,19 @@ def test_q19_part_predicates_prune_build_side(spark, sf_dir):
     # scan wholesale — but quantity bounds derivable for the fact scan
     # and brand/size Or-filters for the part scan should both appear
     assert "Or(" in s
+
+
+def test_sequence_packing_single_exchange(spark, sf_dir):
+    s = _plan(spark, "sequence_packing", sf_dir)
+    # the per-sequence groupBy keys start with the window's bucket, so
+    # it reuses the pack's hashpartitioning — one exchange total
+    assert s.count("Exchange hashpartitioning") == 1
+    assert "Window" in s
+
+
+def test_repetition_signals_shuffle_free(spark, sf_dir):
+    s = _plan(spark, "repetition_signals", sf_dir)
+    # per-doc measurement never leaves the row: sorted-array fold, no
+    # explode/groupBy — the plan has no shuffle at all
+    assert s.count("Exchange hashpartitioning") == 0
+    assert "Generate explode" not in s
