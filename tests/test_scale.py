@@ -70,3 +70,58 @@ def test_checksum_at_16x_partition_invariant(spark, li16):
     a = checksum(li16, cols)
     b = checksum(li16.repartition(64), cols)
     assert a == b
+
+
+@pytest.fixture(scope="module")
+def docs16(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = d
+    for i in range(4):  # 16x, ids kept unique so every doc has 16 copies
+        out = out.unionByName(
+            out.withColumn("doc_id", F.col("doc_id") + F.lit(100000 * 2**i)))
+    return out
+
+
+def test_decontaminate_at_16x_dup_heavy(spark, docs16):
+    # worst case for gram joins: EVERY doc has 16 verbatim copies. The
+    # semi-join must stay row-bounded (no pair expansion) and every copy
+    # of a held-out doc must be caught.
+    from accelerator_spark.operators.dedup import decontaminate
+
+    heldout = docs16.filter(F.col("doc_id") < 100)  # 100 originals
+    train = docs16.filter(F.col("doc_id") >= 100)
+    kept = decontaminate(train, heldout, n=8)
+    n_train, n_kept = train.count(), kept.count()
+    assert n_kept < n_train  # the 15 other copies of each held-out doc dropped
+    # every surviving doc shares no 8-gram with heldout -> re-running
+    # decontamination against the kept set is a fixpoint
+    assert decontaminate(kept, heldout, n=8).count() == n_kept
+
+
+def test_pack_sequences_at_16x(spark, docs16):
+    from accelerator_spark.operators.text import pack_sequences
+
+    packed = pack_sequences(docs16, budget=512, buckets=64)
+    assert packed.count() == docs16.count()  # every doc placed exactly once
+    bad = packed.filter(
+        (F.col("seq_start") < F.col("seq_id") * 512)
+        | (F.col("seq_start") >= (F.col("seq_id") + 1) * 512)
+    )
+    assert bad.count() == 0
+
+
+def test_semantic_dedup_at_16x(spark):
+    # 16x embeddings with 256 centroids: cells stay task-sized (the k
+    # scaling rule from SCALE.md) and every planted copy is dropped.
+    from accelerator_spark.operators.similarity import semantic_dedup
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = e
+    for i in range(4):
+        out = out.unionByName(
+            out.withColumn("vec_id", F.col("vec_id") + F.lit(100000 * 2**i)))
+    cents = e.filter(F.col("vec_id") < 256)
+    kept = semantic_dedup(out, cents, threshold=0.9999)
+    # every vector exists 16x verbatim -> exactly the 16x dups drop,
+    # one survivor (the min id) per clique
+    assert kept.count() == e.count()
