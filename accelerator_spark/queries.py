@@ -2768,6 +2768,85 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis over the event stream: users who did
+    view → click → purchase IN ORDER (each stage strictly after the
+    previous one's first qualifying timestamp). The classic behavioral-
+    analytics query none of the single-pass aggregates express, because
+    stage N's timestamp depends on stage N-1's.
+
+    Scale shape: ONE shuffle. Events group to their user, the per-user
+    timeline is sorted in-row and folded with a single F.aggregate pass
+    that advances the stage timestamps — the sequential dependency
+    lives inside the row, not in the plan. The alternative (3 stacked
+    min-aggs each joined back on the previous stage) is 3 shuffles + 2
+    joins and rescans events per stage. Per-user state is the timeline
+    (bounded by per-user activity; cap with a per-key sample upstream
+    for pathological bot users). The oracle expresses the same
+    semantics as nested stage-wise mins — two formulations, one truth.
+    """
+    ev = _events(spark, sf_dir)
+    init = F.struct(
+        F.lit(None).cast("timestamp").alias("t1"),
+        F.lit(None).cast("timestamp").alias("t2"),
+        F.lit(None).cast("timestamp").alias("t3"),
+    )
+
+    def _advance(acc, x):
+        return F.struct(
+            F.when(
+                acc["t1"].isNull() & (x["event_type"] == "view"), x["ts"]
+            ).otherwise(acc["t1"]).alias("t1"),
+            F.when(
+                acc["t2"].isNull() & acc["t1"].isNotNull()
+                & (x["event_type"] == "click") & (x["ts"] > acc["t1"]),
+                x["ts"],
+            ).otherwise(acc["t2"]).alias("t2"),
+            F.when(
+                acc["t3"].isNull() & acc["t2"].isNotNull()
+                & (x["event_type"] == "purchase") & (x["ts"] > acc["t2"]),
+                x["ts"],
+            ).otherwise(acc["t3"]).alias("t3"),
+        )
+
+    timeline = F.sort_array(F.collect_list(F.struct("ts", "event_type")))
+    per_user = ev.groupBy("user_id").agg(
+        F.aggregate(timeline, init, _advance).alias("f")
+    )
+    return per_user.select(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("f.t1").alias("n_view"),
+        F.count("f.t2").alias("n_view_click"),
+        F.count("f.t3").alias("n_full_funnel"),
+        F.round(F.count("f.t2") / F.count("f.t1"), 4).alias("click_rate"),
+        F.round(F.count("f.t3") / F.count("f.t1"), 4).alias("funnel_rate"),
+    )
+
+
+ORACLE_FUNNEL = """
+WITH ev AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+), s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM ev
+  WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(ts) AS t2 FROM ev e JOIN s1 USING (user_id)
+  WHERE event_type = 'click' AND ts > t1 GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(ts) AS t3 FROM ev e JOIN s2 USING (user_id)
+  WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1
+)
+SELECT (SELECT count(DISTINCT user_id) FROM ev) AS n_users,
+       (SELECT count(*) FROM s1) AS n_view,
+       (SELECT count(*) FROM s2) AS n_view_click,
+       (SELECT count(*) FROM s3) AS n_full_funnel,
+       round((SELECT count(*) FROM s2) * 1.0 / (SELECT count(*) FROM s1), 4)
+         AS click_rate,
+       round((SELECT count(*) FROM s3) * 1.0 / (SELECT count(*) FROM s1), 4)
+         AS funnel_rate
+"""
+
+
 def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (operators/similarity.
     semantic_dedup): cluster embeddings into IVF cells (8 seed
@@ -3069,6 +3148,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_packing": sequence_packing,
     "repetition_signals": repetition_signals,
     "semantic_dedup_report": semantic_dedup_report,
+    "funnel_conversion": funnel_conversion,
 }
 
 ORACLES: dict[str, str] = {
@@ -3157,4 +3237,5 @@ ORACLES: dict[str, str] = {
     "sequence_packing": ORACLE_SEQUENCE_PACKING,
     "repetition_signals": ORACLE_REPETITION,
     "semantic_dedup_report": ORACLE_SEMANTIC_DEDUP,
+    "funnel_conversion": ORACLE_FUNNEL,
 }

@@ -118,3 +118,11 @@ def test_repetition_signals_shuffle_free(spark, sf_dir):
     # explode/groupBy — the plan has no shuffle at all
     assert s.count("Exchange hashpartitioning") == 0
     assert "Generate explode" not in s
+
+
+def test_funnel_single_shuffle_no_joins(spark, sf_dir):
+    s = _plan(spark, "funnel_conversion", sf_dir)
+    # the stage-ordering dependency is folded inside the row — the plan
+    # is one exchange on user_id, no stage-wise join-backs
+    assert s.count("Exchange hashpartitioning") == 1
+    assert s.count("Join") == 0
