@@ -142,8 +142,82 @@ class Dataset:
             json.dump(manifest, f, indent=1, default=_json_safe)
         return cls(path=path, manifest=manifest)
 
+    @classmethod
+    def write_bucketed(
+        cls,
+        df: DataFrame,
+        path: str,
+        table: str,
+        bucket_col: str,
+        n_buckets: int = 32,
+        previous: "Dataset | str | None" = None,
+        caption: str = "",
+    ) -> "Dataset":
+        """Write with PERSISTED bucketing — the durable form of the
+        reference's hashlabel contract (accelerator/dataset.py:1362-1368;
+        SURVEY §4 "hash co-partitioning"). ``Dataset.write(hashlabel=)``
+        co-partitions for ONE step; each later same-key join or groupBy
+        still re-shuffles, because plain parquet carries no layout
+        metadata. ``bucketBy`` records the layout in the catalog: every
+        downstream join/agg on ``bucket_col`` between tables bucketed the
+        same way runs with ZERO exchanges on either side (plan-tested).
+        At 100 TB this is the difference between shuffling the fact table
+        once at write time and shuffling it in every pipeline step.
+
+        The catalog entry is per-session (in-memory catalog); the layout
+        itself lives in the files + manifest, and ``register_bucketed``
+        re-creates the table entry in a fresh session from the manifest
+        alone.
+        """
+        spark = df.sparkSession
+        data_dir = os.path.join(path, "data")
+        (df.write.mode("overwrite").format("parquet")
+         .bucketBy(n_buckets, bucket_col).sortBy(bucket_col)
+         .option("path", data_dir).saveAsTable(table))
+        written = spark.table(table)
+        manifest = {
+            "version": 1,
+            "id": uuid.uuid4().hex,
+            "created": time.time(),
+            "caption": caption,
+            "filename": None,
+            "hashlabel": bucket_col,
+            "bucketing": {"table": table, "col": bucket_col, "n": n_buckets},
+            "previous": previous.path if isinstance(previous, Dataset) else previous,
+            "columns": {f_.name: f_.dataType.simpleString() for f_ in written.schema.fields},
+            "nullable": {f_.name: f_.nullable for f_ in written.schema.fields},
+            "lines": written.count(),
+            "minmax": {},
+        }
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, MANIFEST_NAME), "w") as f:
+            json.dump(manifest, f, indent=1, default=_json_safe)
+        return cls(path=path, manifest=manifest)
+
+    def register_bucketed(self, spark: SparkSession) -> DataFrame:
+        """Re-create the bucketed table entry from the manifest (needed
+        once per new session — bucket layout is in the files, but Spark
+        only TRUSTS it via a catalog entry). Idempotent."""
+        b = self.manifest.get("bucketing")
+        if not b:
+            raise ValueError(f"dataset at {self.path} was not written bucketed")
+        if not spark.catalog.tableExists(b["table"]):
+            cols = ", ".join(
+                f"`{c}` {t}" for c, t in self.manifest["columns"].items()
+            )
+            spark.sql(
+                f"CREATE TABLE `{b['table']}` ({cols}) USING parquet "
+                f"CLUSTERED BY (`{b['col']}`) SORTED BY (`{b['col']}`) "
+                f"INTO {b['n']} BUCKETS "
+                f"LOCATION '{os.path.join(self.path, 'data')}'"
+            )
+        return spark.table(b["table"])
+
     # -- reading ---------------------------------------------------------
     def df(self, spark: SparkSession) -> DataFrame:
+        b = self.manifest.get("bucketing")
+        if b:
+            return self.register_bucketed(spark)
         return spark.read.parquet(os.path.join(self.path, "data"))
 
     # -- metadata --------------------------------------------------------

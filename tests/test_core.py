@@ -99,3 +99,43 @@ def test_with_lineno_order_recovery(spark, sf_dir, tmp_path):
     back = ds.df(spark).orderBy("lineno").drop("lineno").collect()
     orig = src.orderBy("lineno").drop("lineno").collect()
     assert back == orig
+
+
+def test_bucketed_write_joins_without_exchange(spark, sf_dir, tmp_path):
+    from accelerator_spark.dataset import Dataset
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    dl = Dataset.write_bucketed(li, str(tmp_path / "li"), "t_li_b", "l_orderkey", 8)
+    do = Dataset.write_bucketed(orders, str(tmp_path / "or"), "t_or_b", "o_orderkey", 8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = dl.df(spark).join(
+            do.df(spark), F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # both sides bucketed on the join key with equal bucket counts:
+        # the sort-merge join needs NO exchange on either side
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert j.count() == li.count()
+        # and a groupBy on the bucket column needs no exchange either
+        agg = dl.df(spark).groupBy("l_orderkey").count()
+        aplan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in aplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # fresh-session path: drop the catalog entries, re-register from the
+    # manifest alone, and the layout is still trusted
+    spark.sql("DROP TABLE t_li_b")
+    reread = Dataset.load(str(tmp_path / "li")).df(spark)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        aplan2 = (reread.groupBy("l_orderkey").count()
+                  ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange hashpartitioning" not in aplan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    spark.sql("DROP TABLE t_li_b")
+    spark.sql("DROP TABLE t_or_b")
