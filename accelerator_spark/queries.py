@@ -2768,6 +2768,68 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING path through the full correctness gate: events read
+    with readStream, watermarked tumbling-window aggregation
+    (streaming/structured.py windowed_counts), drained to a memory sink
+    under Trigger.AvailableNow, and the drained result hash-compared to
+    the SAME DuckDB oracle the batch form would use. Proves the
+    streaming plan computes the identical answer — the property that
+    lets a pipeline move from nightly chain batches to a live stream
+    without changing semantics (SURVEY §2.9: chains ARE the reference's
+    streaming; this is the Spark-native upgrade).
+
+    Scale: watermark bounds state (late rows beyond 2h are dropped once
+    the watermark passes — irrelevant here because AvailableNow drains a
+    static directory, but the plan is the production plan); the window
+    agg is a standard partial/final hash agg per microbatch."""
+    import os
+    import tempfile
+
+    from .streaming.structured import stream_from_directory, windowed_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file stream source wants a DIRECTORY; the test fixture is a
+    # single parquet file — expose it through a symlink dir (a real
+    # deployment streams an ingest directory, so this shim is test-only)
+    stream_dir = tempfile.mkdtemp(prefix="stream_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(stream_dir, "events.parquet"),
+    )
+    raw = stream_from_directory(spark, stream_dir, schema)
+    ev = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    agg = windowed_counts(ev, "ts", "1 hour", "2 hours", ["event_type"])
+    q = (
+        agg.writeStream.format("memory").queryName("stream_hourly")
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+    return (
+        spark.table("stream_hourly")
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n",
+            F.round("sum_value", 2).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+ORACLE_STREAM_HOURLY = """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-funnel analysis over the event stream: users who did
     view → click → purchase IN ORDER (each stage strictly after the
@@ -3149,6 +3211,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_signals": repetition_signals,
     "semantic_dedup_report": semantic_dedup_report,
     "funnel_conversion": funnel_conversion,
+    "streaming_hourly_counts": streaming_hourly_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -3238,4 +3301,5 @@ ORACLES: dict[str, str] = {
     "repetition_signals": ORACLE_REPETITION,
     "semantic_dedup_report": ORACLE_SEMANTIC_DEDUP,
     "funnel_conversion": ORACLE_FUNNEL,
+    "streaming_hourly_counts": ORACLE_STREAM_HOURLY,
 }
