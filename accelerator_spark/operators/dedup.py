@@ -263,6 +263,49 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     return labels
 
 
+def duplicate_ngram_fraction(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", n: int = 5,
+                             carry: tuple = ()) -> DataFrame:
+    """Cross-document duplication score per doc: the fraction of a
+    document's DISTINCT word n-grams that also occur in at least one
+    OTHER document (the corpus-level exact-substring-duplication signal
+    from Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better" — there via suffix arrays; here via the n-gram
+    approximation that distributes).
+
+    Returns (id_col, *carry, n_grams, n_dup_grams, dup_fraction);
+    `carry` columns ride along the explode so downstream roll-ups
+    (per-source, per-lang) need no join back to the input.
+
+    Scale shape: two shuffles, zero joins. Grams are distinct per doc
+    at explode time (word_shingles dedups in the row), so the document
+    frequency of a gram is simply count(*) over a window partitioned by
+    the gram — no groupBy+join-back. The second shuffle folds the
+    per-gram flags to per-doc counts. Gram cardinality grows with the
+    corpus but each window partition is tiny (the df of one gram), so
+    there is no skewed-reducer risk at 100 TB; the shuffle volume is
+    the exploded gram stream itself, the unavoidable lower bound for
+    any exact cross-doc comparison.
+    """
+    from pyspark.sql import Window
+
+    grams = df.select(
+        F.col(id_col), *[F.col(c) for c in carry],
+        F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+    )
+    flagged = grams.withColumn(
+        "df_g", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    return (
+        flagged.groupBy(id_col, *carry)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("df_g") > 1).cast("long")).alias("n_dup_grams"),
+        )
+        .withColumn("dup_fraction", F.col("n_dup_grams") / F.col("n_grams"))
+    )
+
+
 def decontaminate(train: DataFrame, heldout: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   n: int = 8) -> DataFrame:

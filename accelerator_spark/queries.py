@@ -2768,6 +2768,63 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def cross_doc_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication report (operators/dedup.py
+    duplicate_ngram_fraction): per source, how many documents exist,
+    how many distinct word 5-grams they carry, how many of those grams
+    also appear in another document, and how many docs are MOSTLY
+    duplicate (more than half their grams shared). The per-source roll-
+    up of the Lee-et-al exact-substring-duplication signal — the number
+    a curation pipeline watches to decide which crawl sources to dedup
+    or drop.
+
+    All-integer output so the oracle hash is exact (no float rounding
+    seam). Scale shape inherits the operator's: two shuffles (gram
+    window, per-doc fold) plus one more for the per-source agg; no
+    joins anywhere."""
+    from .operators.dedup import duplicate_ngram_fraction
+
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = duplicate_ngram_fraction(docs, n=5, carry=("source",))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").alias("total_grams"),
+            F.sum("n_dup_grams").alias("dup_grams"),
+            F.sum((2 * F.col("n_dup_grams") > F.col("n_grams")).cast("long"))
+            .alias("mostly_dup_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_CROSS_DOC_DUP = """
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, source, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(t) - 4, 1)),
+      i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])))) AS g
+  FROM toks
+), flag AS (
+  SELECT doc_id, source, count(*) OVER (PARTITION BY g) AS df_g FROM grams
+), per_doc AS (
+  SELECT doc_id, source, count(*) AS n_grams,
+         sum(CASE WHEN df_g > 1 THEN 1 ELSE 0 END) AS n_dup
+  FROM flag GROUP BY 1, 2
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_grams) AS BIGINT) AS total_grams,
+       CAST(sum(n_dup) AS BIGINT) AS dup_grams,
+       CAST(sum(CASE WHEN 2 * n_dup > n_grams THEN 1 ELSE 0 END) AS BIGINT)
+         AS mostly_dup_docs
+FROM per_doc GROUP BY 1 ORDER BY 1
+"""
+
+
 def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING path through the full correctness gate: events read
     with readStream, watermarked tumbling-window aggregation
@@ -3207,6 +3264,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_fingerprints": rolling_fingerprints,
     "approx_distinct_parts": approx_distinct_parts,
     "decontaminate_train_set": decontaminate_train_set,
+    "cross_doc_duplication": cross_doc_duplication,
     "sequence_packing": sequence_packing,
     "repetition_signals": repetition_signals,
     "semantic_dedup_report": semantic_dedup_report,
@@ -3297,6 +3355,7 @@ ORACLES: dict[str, str] = {
     "rolling_fingerprints": ORACLE_ROLLING_FP,
     # approx_distinct_parts: intentionally no oracle (engine-specific HLL)
     "decontaminate_train_set": ORACLE_DECONTAMINATE,
+    "cross_doc_duplication": ORACLE_CROSS_DOC_DUP,
     "sequence_packing": ORACLE_SEQUENCE_PACKING,
     "repetition_signals": ORACLE_REPETITION,
     "semantic_dedup_report": ORACLE_SEMANTIC_DEDUP,

@@ -258,3 +258,20 @@ def test_semantic_dedup_drops_planted_copy(spark, emb):
     kept = semantic_dedup(corpus, cents, threshold=0.9999)
     assert kept.filter(F.col("vec_id") >= 100000).count() == 0  # copy dropped
     assert kept.count() == base.count()  # original survives (min id wins)
+
+
+def test_duplicate_ngram_fraction_planted(spark):
+    from accelerator_spark.operators.dedup import duplicate_ngram_fraction
+
+    rows = [
+        (1, "a b c d e f g h", "s0"),      # shares the 5-gram stream with 2
+        (2, "a b c d e f g h", "s0"),      # exact copy -> fraction 1.0
+        (3, "q r s t u v w x", "s1"),      # unique -> fraction 0.0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r["doc_id"]: r for r in
+           duplicate_ngram_fraction(df, n=5, carry=("source",)).collect()}
+    assert out[1]["dup_fraction"] == 1.0 and out[2]["dup_fraction"] == 1.0
+    assert out[3]["dup_fraction"] == 0.0
+    assert out[1]["n_grams"] == 4  # 8 tokens -> 4 distinct 5-grams
+    assert out[1]["source"] == "s0"  # carry column rides through
