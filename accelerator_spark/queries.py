@@ -39,14 +39,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects. Read nanos as long (legacy conf) and convert
-    to a microsecond timestamp JVM-side (``ts div 1000`` floors exactly —
-    integer math, no double round-trip). Oracles CAST ts to µs TIMESTAMP
-    the same way."""
+    """Load events with ``ts`` normalized to a session-TZ-free µs
+    timestamp, whatever the parquet physical type is. Generations of the
+    testdata have stored ts as TIMESTAMP(NANOS) (unreadable by Spark's
+    vectorized reader without the nanosAsLong legacy conf) and as plain
+    TIMESTAMP(MICROS)/isAdjustedToUTC=false (read as TIMESTAMP_NTZ).
+    Handle both: nanos-as-long -> timestamp_micros(ts div 1000) (integer
+    floor, exact); NTZ -> cast to TIMESTAMP (identity under the UTC
+    session TZ we always set). Oracles CAST ts to TIMESTAMP the same way."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    t = dict(ev.dtypes).get("ts", "")
+    if t in ("bigint", "long"):
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif t != "timestamp":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return ev
 
 
 # =====================================================================
@@ -673,7 +681,8 @@ def dataset_type_menu2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("t_hex") == F.col("o_orderkey"), 1).otherwise(0)).alias("hex_roundtrips"),
         F.sum("t_time_us").alias("sum_time_us"),
         F.round(F.sum("t_number"), 2).alias("sum_number"),
-        F.max("t_epoch").alias("max_epoch"),
+        # epoch seconds, not a raw timestamp: tz-aware vs naive hashing
+        F.max("t_epoch").cast("long").alias("max_epoch"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -700,7 +709,7 @@ WITH messy AS (
 SELECT sum(CASE WHEN t_hex = o_orderkey THEN 1 ELSE 0 END) AS hex_roundtrips,
        sum(t_time_us) AS sum_time_us,
        round(sum(t_number), 2) AS sum_number,
-       CAST(max(t_epoch) AS TIMESTAMP) AS max_epoch,
+       CAST(epoch(max(t_epoch)) AS BIGINT) AS max_epoch,
        count(*) AS n
 FROM typed
 """
@@ -755,16 +764,20 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     accelerator_spark.streaming uses the same logical plan under
     Trigger.AvailableNow)."""
     ev = _events(spark, sf_dir)
+    # hour rendered as a string: raw timestamps hash differently across
+    # engines (tz-aware vs naive); strings are engine-neutral
     return (
-        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
         .orderBy("hour", "event_type")
     )
 
 
 ORACLE_HOURLY = """
-SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
-       count(*) AS n, round(sum(value), 2) AS sum_value
+SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -803,7 +816,9 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     window functions inside the partition. Written in SQL (identical
     logical plan to the DataFrame form; Catalyst compiles both the same)."""
     _events(spark, sf_dir).createOrReplaceTempView("events_us")
-    return spark.sql(_SESSIONIZE_SQL.format(src="events_us", interval="INTERVAL '30' MINUTE"))
+    return spark.sql(_SESSIONIZE_SQL.format(
+        src="events_us", interval="INTERVAL '30' MINUTE",
+        fmt_open="date_format(", fmt_close=", 'yyyy-MM-dd HH:mm:ss')"))
 
 
 _SESSIONIZE_SQL = """
@@ -821,14 +836,17 @@ WITH flagged AS (
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,
-       min(ts) AS session_start, max(ts) AS session_end
+       {fmt_open}min(ts){fmt_close} AS session_start,
+       {fmt_open}max(ts){fmt_close} AS session_end
 FROM sess GROUP BY user_id, session_id
 """
 
-# Same logical SQL for DuckDB: µs-cast ts + DuckDB interval spelling.
+# Same logical SQL for DuckDB: µs-cast ts + DuckDB interval/strftime
+# spelling. Session bounds rendered as strings (engine-neutral hashing).
 ORACLE_SESSIONIZE = _SESSIONIZE_SQL.format(
     src="(SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)",
     interval="INTERVAL 30 MINUTE",
+    fmt_open="strftime(", fmt_close=", '%Y-%m-%d %H:%M:%S')",
 )
 
 
@@ -850,14 +868,17 @@ def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                     carry={"ts": "last_purchase_ts"}, tiebreak="event_id")
     return (
         out.filter(F.col("last_purchase_ts").isNotNull())
-        .select(F.col("event_id").alias("click_id"), "user_id", "last_purchase_ts")
+        .select(F.col("event_id").alias("click_id"), "user_id",
+                F.date_format("last_purchase_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                .alias("last_purchase_ts"))
     )
 
 
 ORACLE_ASOF = """
 WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
            FROM events)
-SELECT c.event_id AS click_id, c.user_id, p.ts AS last_purchase_ts
+SELECT c.event_id AS click_id, c.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_purchase_ts
 FROM (SELECT * FROM e WHERE event_type = 'click') c
 ASOF JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
   ON c.user_id = p.user_id AND p.ts <= c.ts
@@ -2856,7 +2877,12 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(stream_dir, "events.parquet"),
     )
     raw = stream_from_directory(spark, stream_dir, schema)
-    ev = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # same ts normalization as _events: nanos-as-long or NTZ -> TIMESTAMP
+    t = dict(raw.dtypes).get("ts", "")
+    if t in ("bigint", "long"):
+        ev = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        ev = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = windowed_counts(ev, "ts", "1 hour", "2 hours", ["event_type"])
     q = (
         agg.writeStream.format("memory").queryName("stream_hourly")
@@ -2871,7 +2897,7 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.table("stream_hourly")
         .select(
-            F.col("win.start").alias("hour"),
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
             "event_type",
             "n",
             F.round("sum_value", 2).alias("sum_value"),
@@ -2881,8 +2907,8 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_STREAM_HOURLY = """
-SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
-       count(*) AS n, round(sum(value), 2) AS sum_value
+SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 

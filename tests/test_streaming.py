@@ -67,9 +67,8 @@ def test_windowed_counts_watermark_plan(spark, sf_dir, tmp_path):
     a streaming plan; values checked via the batch twin (events_hourly
     oracle covers numeric parity)."""
     src_dir = str(tmp_path / "ev")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    from accelerator_spark.queries import _events
+    ev = _events(spark, sf_dir)
     ev.write.parquet(src_dir)
     schema = spark.read.parquet(src_dir).schema
     stream = stream_from_directory(spark, src_dir, schema)
