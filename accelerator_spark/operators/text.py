@@ -150,9 +150,98 @@ def pack_sequences(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+# RE2-safe patterns (no backrefs/lookaround) so the DuckDB oracle can run
+# the IDENTICAL regex — the same property BPE_TOKEN_RX relies on.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+# order matters: emails contain dots+digits, so redact them before ipv4;
+# phone/ipv4 cannot overlap each other.
+PII_ORDER = ["email", "phone", "ipv4"]
+
+
+def pii_counts(col: Column) -> Column:
+    """Map kind -> number of PII matches in the column (pre-redaction)."""
+    return F.map_from_arrays(
+        F.array(*[F.lit(k) for k in PII_ORDER]),
+        F.array(*[
+            F.size(F.regexp_extract_all(col, F.lit(PII_PATTERNS[k]), F.lit(0)))
+            for k in PII_ORDER
+        ]),
+    )
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails / NANP-style phone numbers / IPv4s with typed
+    placeholder tokens. One JVM-side regexp_replace per kind, applied in
+    PII_ORDER (email first — its pattern can contain digit-dot runs an
+    ipv4 pattern would half-match). Curation pipelines run this before
+    any text leaves the controlled zone; at 100 TB it is a pure
+    map-stage expression (no shuffle, whole-stage codegen)."""
+    out = col
+    for k in PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[k], f"<{k.upper()}>")
+    return out
+
+
+def clean_lines(df: DataFrame, text_col: str = "text",
+                min_words: int = 5) -> DataFrame:
+    """C4-style line-level cleaning: split the document on newlines, keep
+    lines with >= min_words whitespace words, rejoin. Appends
+    ``lines_in`` / ``lines_kept`` / cleaned ``text_clean``.
+
+    Scale: pure per-row array expressions (split/filter/concat) — no
+    shuffle, no UDF; the whole stage pipelines inside the scan."""
+    t = F.col(text_col)
+    lines = F.split(t, r"\n")
+    kept = F.filter(
+        lines, lambda ln: F.size(F.split(F.trim(ln), r"\s+")) >= min_words)
+    return (
+        df.withColumn("lines_in", F.size(lines))
+        .withColumn("lines_kept", F.size(kept))
+        .withColumn("text_clean", F.concat_ws("\n", kept))
+    )
+
+
+def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", ndigits: int = 4) -> DataFrame:
+    """Per-document mean ln-probability under the corpus's own unigram
+    LM — the classic cheap quality proxy (CCNet-style: a doc of rare /
+    never-repeated tokens scores low). Returns id_col, n_tokens,
+    avg_logprob.
+
+    Plan shape (2 shuffles, no driver data):
+      1. explode tokens -> groupBy(token) vocabulary counts;
+      2. re-join the token stream to the vocabulary on token (AQE
+         broadcasts the vocab while it fits; beyond that it degrades to
+         a shuffle join — both sides are already token-partitioned from
+         step 1's exchange) -> groupBy(doc) mean.
+    The corpus-total token count is a 1-row broadcast joined in, never
+    a collect()."""
+    toks = (
+        df.select(id_col, F.explode(tokens(F.col(text_col))).alias("tok"))
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = vocab.agg(F.sum("tf").cast("double").alias("corpus_n"))
+    scored = (
+        toks.join(vocab, "tok")
+        .join(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("tf") / F.col("corpus_n"))), ndigits)
+            .alias("avg_logprob"),
+        )
+    )
+    return scored
+
+
 __all__ = [
     "tokens", "token_count", "bpe_ish_token_count", "stopword_evidence",
     "lang_scores", "predict_lang", "quality_features", "quality_score",
     "rolling_fingerprint", "fingerprint", "norm_text", "STOPWORDS",
-    "pack_sequences",
+    "pack_sequences", "pii_counts", "redact_pii", "clean_lines",
+    "unigram_logprob", "PII_PATTERNS",
 ]

@@ -3204,6 +3204,252 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 
 # =====================================================================
+# Curation round 2: PII redaction, line cleaning, LM quality, JSONL IO
+# =====================================================================
+
+def pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/text.redact_pii): the synthetic corpus
+    has no PII, so the query deterministically injects emails / phones /
+    IPv4s derived from (doc_id, source) — the same self-synthesis idiom
+    dataset_type_menu2 uses — then counts matches per kind and verifies
+    redaction leaves zero residual matches. Both engines run the
+    IDENTICAL RE2-safe regexes (Spark regexp_replace is global by
+    default; the oracle passes the 'g' flag).
+
+    Scale: pure map-stage expressions over the scan — no shuffle except
+    the final tiny per-source agg."""
+    from .operators.text import PII_PATTERNS, pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), k.cast("string"),
+        F.lit("@"), F.col("source"), F.lit(".example.com"),
+        F.when(k % 3 == 0, F.concat(
+            F.lit(" call 555-"),
+            F.lpad((k % 1000).cast("string"), 3, "0"), F.lit("-"),
+            F.lpad((k % 10000).cast("string"), 4, "0"),
+        )).otherwise(F.lit("")),
+        F.when(k % 5 == 0, F.concat(
+            F.lit(" from 10.0."),
+            (k % 256).cast("string"), F.lit("."),
+            (k % 100).cast("string"),
+        )).otherwise(F.lit("")),
+    )
+    counts = pii_counts(injected)
+    residual = sum(
+        F.size(F.regexp_extract_all(redact_pii(injected), F.lit(p), F.lit(0)))
+        for p in PII_PATTERNS.values()
+    )
+    return (
+        docs.select(
+            "source",
+            counts["email"].alias("n_email"),
+            counts["phone"].alias("n_phone"),
+            counts["ipv4"].alias("n_ip"),
+            residual.alias("resid"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_email").alias("emails"),
+            F.sum("n_phone").alias("phones"),
+            F.sum("n_ip").alias("ips"),
+            F.sum("resid").alias("residual_matches"),
+        )
+        .orderBy("source")
+    )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+ORACLE_PII = f"""
+WITH injected AS (
+  SELECT source,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' || source
+              || '.example.com'
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                           || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END
+              || CASE WHEN doc_id % 5 = 0
+                      THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                           || '.' || CAST(doc_id % 100 AS VARCHAR)
+                      ELSE '' END AS txt
+  FROM documents
+), redacted AS (
+  SELECT source, txt,
+         regexp_replace(regexp_replace(regexp_replace(txt,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g'),
+           '{_PII_IP}', '<IPV4>', 'g') AS red
+  FROM injected
+)
+SELECT source, count(*) AS n_docs,
+       sum(len(regexp_extract_all(txt, '{_PII_EMAIL}'))) AS emails,
+       sum(len(regexp_extract_all(txt, '{_PII_PHONE}'))) AS phones,
+       sum(len(regexp_extract_all(txt, '{_PII_IP}'))) AS ips,
+       sum(len(regexp_extract_all(red, '{_PII_EMAIL}'))
+         + len(regexp_extract_all(red, '{_PII_PHONE}'))
+         + len(regexp_extract_all(red, '{_PII_IP}'))) AS residual_matches
+FROM redacted GROUP BY source ORDER BY source
+"""
+
+
+def line_cleaning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (operators/text.clean_lines): the
+    corpus is single-line, so each doc is expanded to 3 lines (full
+    text / first-10-words / first-60-words) and lines under 50 words
+    are dropped — keep/drop is data-dependent on each doc's real word
+    count. Reports per-source line survival and surviving chars.
+
+    Scale: split/filter/concat array expressions in the scan stage;
+    one tiny per-source agg shuffle."""
+    from .operators.text import clean_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    multiline = F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.concat_ws(" ", F.slice(words, 1, 10)),
+        F.concat_ws(" ", F.slice(words, 1, 60)),
+    )
+    cleaned = clean_lines(
+        docs.withColumn("text", multiline), min_words=50)
+    return (
+        cleaned.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("lines_in").alias("lines_in"),
+            F.sum("lines_kept").alias("lines_kept"),
+            F.sum(F.length("text_clean")).alias("clean_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_LINE_CLEANING = """
+WITH ml AS (
+  SELECT source,
+         text || chr(10)
+              || array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')
+              || chr(10)
+              || array_to_string(list_slice(string_split(text, ' '), 1, 60), ' ')
+           AS txt
+  FROM documents
+), f AS (
+  SELECT source,
+         len(string_split(txt, chr(10))) AS lines_in,
+         list_filter(string_split(txt, chr(10)),
+                     ln -> len(regexp_split_to_array(trim(ln), '\\s+')) >= 50)
+           AS kept
+  FROM ml
+)
+SELECT source, count(*) AS n_docs,
+       sum(lines_in) AS lines_in,
+       sum(len(kept)) AS lines_kept,
+       sum(length(array_to_string(kept, chr(10)))) AS clean_chars
+FROM f GROUP BY source ORDER BY source
+"""
+
+
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-quality proxy (operators/text.unigram_logprob): score every
+    document by its mean ln-probability under the corpus's own unigram
+    distribution (CCNet-style cheap perplexity stand-in), then roll up
+    per source. Two shuffles: vocabulary build + per-doc agg; the
+    corpus total rides as a 1-row broadcast."""
+    from .operators.text import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = unigram_logprob(docs)
+    return (
+        scored.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("avg_logprob"), 2).alias("avg_lp"),
+            F.min("n_tokens").alias("min_toks"),
+            F.max("n_tokens").alias("max_toks"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_UNIGRAM_LP = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, count(*) AS tf FROM toks GROUP BY tok
+), total AS (
+  SELECT CAST(sum(tf) AS DOUBLE) AS corpus_n FROM vocab
+), scored AS (
+  SELECT t.doc_id, count(*) AS n_tokens,
+         round(avg(ln(v.tf / total.corpus_n)), 4) AS avg_logprob
+  FROM toks t JOIN vocab v USING (tok) CROSS JOIN total
+  GROUP BY t.doc_id
+)
+SELECT d.source, count(*) AS n_docs,
+       round(avg(s.avg_logprob), 2) AS avg_lp,
+       min(s.n_tokens) AS min_toks,
+       max(s.n_tokens) AS max_toks
+FROM scored s JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+def jsonl_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source/sink gate (sources/jsonl.py): export documents to
+    newline-delimited JSON, re-import with an explicit schema, and
+    digest the round-tripped rows with the order-independent md5-xor
+    checksum. The oracle digests the parquet directly — a hash match
+    proves the JSONL path loses nothing (ids, full text bytes, nulls).
+
+    Scale: export+import are distributed file ops (one shard per
+    partition); the digest is a distributed agg."""
+    import tempfile
+
+    from .sources.jsonl import jsonlexport, jsonlimport
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="jsonl_rt_")
+    jsonlexport(docs, path)
+    back = jsonlimport(
+        spark, path,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).default
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("<N>"))
+        for c in ["doc_id", "text", "lang", "source", "n_chars"]
+    ]
+    h = F.conv(F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 15), 16, 10).cast("long")
+    return back.select(h.alias("h"), F.col("n_chars")).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.bit_xor("h").alias("checksum_xor"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+ORACLE_JSONL_RT = """
+SELECT count(*) AS docs,
+       bit_xor(CAST(('0x' || substring(md5(
+         concat_ws(chr(31),
+           coalesce(CAST(doc_id AS VARCHAR), '<N>'),
+           coalesce(text, '<N>'),
+           coalesce(lang, '<N>'),
+           coalesce(source, '<N>'),
+           coalesce(CAST(n_chars AS VARCHAR), '<N>'))), 1, 15)) AS BIGINT)) AS checksum_xor,
+       sum(n_chars) AS total_chars
+FROM documents
+"""
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -3296,6 +3542,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup_report": semantic_dedup_report,
     "funnel_conversion": funnel_conversion,
     "streaming_hourly_counts": streaming_hourly_counts,
+    "pii_redaction_report": pii_redaction_report,
+    "line_cleaning_report": line_cleaning_report,
+    "unigram_logprob_quality": unigram_logprob_quality,
+    "jsonl_roundtrip_checksum": jsonl_roundtrip_checksum,
 }
 
 ORACLES: dict[str, str] = {
@@ -3387,4 +3637,8 @@ ORACLES: dict[str, str] = {
     "semantic_dedup_report": ORACLE_SEMANTIC_DEDUP,
     "funnel_conversion": ORACLE_FUNNEL,
     "streaming_hourly_counts": ORACLE_STREAM_HOURLY,
+    "pii_redaction_report": ORACLE_PII,
+    "line_cleaning_report": ORACLE_LINE_CLEANING,
+    "unigram_logprob_quality": ORACLE_UNIGRAM_LP,
+    "jsonl_roundtrip_checksum": ORACLE_JSONL_RT,
 }

@@ -56,6 +56,8 @@ HEADLINE = [
     "decontaminate_train_set",
     "sequence_packing",
     "repetition_signals",
+    "pii_redaction_report",
+    "unigram_logprob_quality",
 ]
 
 

@@ -275,3 +275,74 @@ def test_duplicate_ngram_fraction_planted(spark):
     assert out[3]["dup_fraction"] == 0.0
     assert out[1]["n_grams"] == 4  # 8 tokens -> 4 distinct 5-grams
     assert out[1]["source"] == "s0"  # carry column rides through
+
+
+def test_redact_pii_and_counts(spark):
+    from accelerator_spark.operators.text import pii_counts, redact_pii
+
+    rows = [
+        (1, "mail a.b_c+1@sub.host.org now"),
+        (2, "call 555-123-4567 or visit 10.0.42.7 today"),
+        (3, "nothing sensitive here"),
+        (4, "two mails x@y.io z@w.ai and 1.2.3.4"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    out = {r["id"]: r for r in df.select(
+        "id", pii_counts(F.col("t")).alias("c"),
+        redact_pii(F.col("t")).alias("red")).collect()}
+    assert out[1]["c"]["email"] == 1 and out[1]["red"] == "mail <EMAIL> now"
+    assert out[2]["c"]["phone"] == 1 and out[2]["c"]["ipv4"] == 1
+    assert out[2]["red"] == "call <PHONE> or visit <IPV4> today"
+    assert out[3]["red"] == "nothing sensitive here"
+    assert out[4]["c"]["email"] == 2 and out[4]["c"]["ipv4"] == 1
+    # email redaction runs first: the ipv4-ish digits inside an address
+    # never survive to the ipv4 pass
+    assert "<EMAIL>" in out[4]["red"] and "<IPV4>" in out[4]["red"]
+
+
+def test_clean_lines_word_threshold(spark):
+    from accelerator_spark.operators.text import clean_lines
+
+    df = spark.createDataFrame(
+        [(1, "one two three four five\nshort line\nsix seven eight nine ten")],
+        ["id", "text"])
+    row = clean_lines(df, min_words=5).collect()[0]
+    assert row["lines_in"] == 3 and row["lines_kept"] == 2
+    assert row["text_clean"] == (
+        "one two three four five\nsix seven eight nine ten")
+
+
+def test_unigram_logprob_math(spark):
+    import math
+
+    from accelerator_spark.operators.text import unigram_logprob
+
+    # corpus: 4 tokens total; 'a' appears 3x (p=0.75), 'b' once (p=0.25)
+    df = spark.createDataFrame(
+        [(1, "a a a"), (2, "b")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert out[1]["n_tokens"] == 3
+    assert abs(out[1]["avg_logprob"] - round(math.log(0.75), 4)) < 1e-9
+    assert abs(out[2]["avg_logprob"] - round(math.log(0.25), 4)) < 1e-9
+
+
+def test_jsonl_roundtrip_and_bad_capture(spark, tmp_path):
+    from accelerator_spark.sources.jsonl import jsonlexport, jsonlimport
+
+    src = spark.createDataFrame(
+        [(1, "hello", None), (2, "wörld\nnewline", 7)],
+        ["id", "txt", "opt"])
+    path = str(tmp_path / "out")
+    jsonlexport(src, path)
+    back = jsonlimport(spark, path, "id bigint, txt string, opt bigint").default
+    assert sorted(tuple(r) for r in back.collect()) == \
+        sorted(tuple(r) for r in src.collect())
+
+    # bad-line capture: hand-write a file with one broken line
+    badfile = tmp_path / "mixed.jsonl"
+    badfile.write_text('{"id": 1, "txt": "ok"}\n{not json at all\n')
+    res = jsonlimport(spark, str(badfile), "id bigint, txt string",
+                      allow_bad=True)
+    assert res.default.count() == 1
+    bad = res.bad.collect()
+    assert len(bad) == 1 and "not json" in bad[0]["data"]
