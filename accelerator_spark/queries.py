@@ -3449,6 +3449,83 @@ FROM documents
 """
 
 
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key dedup — the CDC/upsert compaction idiom
+    (reference analogue: chains carry updates append-only and the
+    consumer picks the newest row per key, SURVEY §1.1 chains). One
+    window over user_id; ties broken on event_id so both engines pick
+    the same row. At 100 TB this is one hash exchange on the key; AQE
+    splits skewed users."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+        )
+    )
+
+
+ORACLE_LATEST = """
+WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+           FROM events),
+r AS (
+  SELECT user_id, event_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM e
+)
+SELECT user_id, event_id AS last_event_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+FROM r WHERE rn = 1
+"""
+
+
+def range_join_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join — SURVEY §2.7's theta-join row: classify
+    every event's value into a small table of [lo, hi) bands via a
+    non-equi join condition. The band table is tiny and carries an
+    explicit broadcast hint, so the plan is BroadcastNestedLoopJoin —
+    each row tests ~5 intervals map-side, no shuffle, no cartesian
+    blowup. That is the scale-correct shape whenever the interval side
+    is bounded; interval trees / bucketized equi-prejoins only pay off
+    when BOTH sides are large."""
+    ev = _events(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [("tiny", 0.0, 10.0), ("small", 10.0, 50.0), ("mid", 50.0, 200.0),
+         ("large", 200.0, 1000.0), ("huge", 1000.0, 1e18)],
+        ["band", "lo", "hi"],
+    )
+    joined = ev.join(
+        F.broadcast(bands),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        "inner",
+    )
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("band")
+    )
+
+
+ORACLE_RANGE_JOIN = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('tiny', 0.0, 10.0), ('small', 10.0, 50.0), ('mid', 50.0, 200.0),
+         ('large', 200.0, 1000.0), ('huge', 1000.0, 1e18)
+)
+SELECT band, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY band ORDER BY band
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -3546,6 +3623,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_cleaning_report": line_cleaning_report,
     "unigram_logprob_quality": unigram_logprob_quality,
     "jsonl_roundtrip_checksum": jsonl_roundtrip_checksum,
+    "latest_event_per_user": latest_event_per_user,
+    "range_join_value_buckets": range_join_value_buckets,
 }
 
 ORACLES: dict[str, str] = {
@@ -3641,4 +3720,6 @@ ORACLES: dict[str, str] = {
     "line_cleaning_report": ORACLE_LINE_CLEANING,
     "unigram_logprob_quality": ORACLE_UNIGRAM_LP,
     "jsonl_roundtrip_checksum": ORACLE_JSONL_RT,
+    "latest_event_per_user": ORACLE_LATEST,
+    "range_join_value_buckets": ORACLE_RANGE_JOIN,
 }

@@ -14,10 +14,11 @@ build_tutorial05.py). We provide both:
 
 from .incremental import ChainRunner
 from .structured import (
-    run_available_now, stream_from_directory, windowed_counts, sessionize_stateful,
+    run_available_now, stream_dedup, stream_from_directory, windowed_counts,
+    sessionize_stateful,
 )
 
 __all__ = [
     "ChainRunner", "stream_from_directory", "windowed_counts",
-    "run_available_now", "sessionize_stateful",
+    "run_available_now", "sessionize_stateful", "stream_dedup",
 ]

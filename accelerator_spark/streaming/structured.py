@@ -50,6 +50,24 @@ def windowed_counts(stream_df: DataFrame, ts_col: str = "ts",
     )
 
 
+def stream_dedup(stream_df: DataFrame, keys: list[str],
+                 ts_col: str | None = None,
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming deduplication on key columns — JVM-side stateful
+    operator (works in this container, unlike the Python state ops).
+
+    With ``ts_col``, uses dropDuplicatesWithinWatermark: the dedup state
+    for a key is dropped once the watermark passes it, so state stays
+    bounded by the watermark horizon — the only shape that survives an
+    unbounded 100 TB/day stream. Without it, plain dropDuplicates keeps
+    one state entry per distinct key forever (fine for bounded drains,
+    ruinous for continuous streams)."""
+    if ts_col is not None:
+        return stream_df.withWatermark(ts_col, watermark) \
+                        .dropDuplicatesWithinWatermark(keys)
+    return stream_df.dropDuplicates(keys)
+
+
 def run_available_now(stream_df: DataFrame, sink_path: str, checkpoint: str,
                       output_mode: str = "append", fmt: str = "parquet") -> None:
     """Drain everything currently available, then stop. Re-running picks

@@ -87,3 +87,26 @@ def test_windowed_counts_watermark_plan(spark, sf_dir, tmp_path):
             batch.select("win", "event_type", F.col("n").alias("n_batch")),
             ["win", "event_type"])
         assert j.filter(F.col("n") != F.col("n_batch")).count() == 0
+
+
+def test_stream_dedup_drops_planted_duplicates(spark, sf_dir, tmp_path):
+    """Streaming dropDuplicatesWithinWatermark (JVM stateful): a source
+    directory holding the same rows twice drains to exactly one copy
+    per event_id."""
+    from accelerator_spark.queries import _events
+    from accelerator_spark.streaming import stream_dedup
+
+    src_dir = str(tmp_path / "dup_src")
+    ev = _events(spark, sf_dir).limit(200)
+    ev.write.parquet(src_dir)                       # copy 1
+    ev.write.mode("append").parquet(src_dir)        # copy 2 (exact dups)
+    schema = spark.read.parquet(src_dir).schema
+    n_distinct = spark.read.parquet(src_dir).select("event_id").distinct().count()
+
+    stream = stream_from_directory(spark, src_dir, schema)
+    deduped = stream_dedup(stream, ["event_id"], ts_col="ts")
+    sink = str(tmp_path / "dedup_out")
+    run_available_now(deduped, sink, str(tmp_path / "dedup_ckpt"))
+    out = spark.read.parquet(sink)
+    assert out.count() == n_distinct == 200
+    assert out.select("event_id").distinct().count() == n_distinct
