@@ -126,3 +126,40 @@ def test_funnel_single_shuffle_no_joins(spark, sf_dir):
     # is one exchange on user_id, no stage-wise join-backs
     assert s.count("Exchange hashpartitioning") == 1
     assert s.count("Join") == 0
+
+
+def test_pii_redaction_map_stage_only(spark, sf_dir):
+    # regex inject+count+redact all evaluate in the scan stage; the only
+    # exchange feeds the tiny per-source agg
+    s = _plan(spark, "pii_redaction_report", sf_dir)
+    assert "Join" not in s
+    assert s.count("Exchange") <= 2  # partial->final agg (+AQE shuffle read)
+
+
+def test_line_cleaning_map_stage_only(spark, sf_dir):
+    s = _plan(spark, "line_cleaning_report", sf_dir)
+    assert "Join" not in s
+    assert s.count("Exchange") <= 2
+
+
+def test_range_join_broadcasts_band_table(spark, sf_dir):
+    s = _plan(spark, "range_join_value_buckets", sf_dir)
+    # non-equi join against the bounded band table must be broadcast —
+    # never a cartesian product, never a shuffled nested loop
+    assert "BroadcastNestedLoopJoin" in s
+    assert "CartesianProduct" not in s
+    assert "ShuffleExchange" not in s.split("BroadcastNestedLoopJoin")[0]
+
+
+def test_latest_event_single_window_shuffle(spark, sf_dir):
+    s = _plan(spark, "latest_event_per_user", sf_dir)
+    # one hash exchange on user_id for the window; no joins
+    assert "Join" not in s
+    assert s.count("Exchange hashpartitioning") == 1
+
+
+def test_unigram_logprob_vocab_broadcast_or_token_partitioned(spark, sf_dir):
+    s = _plan(spark, "unigram_logprob_quality", sf_dir)
+    # the 1-row corpus total must be broadcast, never collected
+    assert "BroadcastExchange" in s
+    assert "CartesianProduct" not in s
