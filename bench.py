@@ -73,29 +73,40 @@ def main() -> None:
     # compilation; steady-state throughput is what scales to a cluster.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = Q.QUERIES[name]
         best, n = float("inf"), 0
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()  # forces full execution; result stays distributed
-            best = min(best, time.perf_counter() - t0)
-            # queries that persist intermediates (e.g. ngram shingle
-            # arrays) must repay that cost every run, and must not
-            # distort the next query's memory budget
-            spark.catalog.clearCache()
+        # a single failing query must not sink the whole benchmark (and
+        # with it the round's perf record) — record the error, move on
+        try:
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                n = df.count()  # forces full execution; result stays distributed
+                best = min(best, time.perf_counter() - t0)
+                # queries that persist intermediates (e.g. ngram shingle
+                # arrays) must repay that cost every run, and must not
+                # distort the next query's memory budget
+                spark.catalog.clearCache()
+        except Exception as e:  # noqa: BLE001 — deliberate catch-all
+            errors[name] = str(e).split("\n")[0][:200]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         times[name] = round(best, 3)
         print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
