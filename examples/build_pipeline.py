@@ -62,6 +62,38 @@ def dedup_documents(spark, datasets, options):
     return keep
 
 
+def curate_documents(spark, datasets, options):
+    """The full curation sweep over the deduped corpus, every stage a
+    map-level op in ONE pass: line cleaning -> PII redaction -> quality
+    score, then LM scoring (2 shuffles) and sequence packing."""
+    from accelerator_spark.operators.text import (
+        clean_lines, pack_sequences, quality_score, redact_pii,
+        unigram_logprob,
+    )
+
+    docs = datasets["docs"].df(spark)
+    cleaned = (
+        clean_lines(docs, min_words=3)
+        .withColumn("text", redact_pii(F.col("text_clean")))
+        .drop("text_clean")
+    )
+    scored = quality_score(cleaned, min_tokens=5)
+    kept = scored.filter(F.col("q_keep")).select(
+        "doc_id", "text", "lang", "source")
+    lm = unigram_logprob(kept)
+    packed = pack_sequences(
+        kept.join(lm.select("doc_id", "avg_logprob"), "doc_id"),
+        budget=512)
+    return {
+        "default": packed,
+        "stats": {
+            "in": docs.count(),
+            "kept": kept.count(),
+            "sequences": packed.select("bucket", "seq_id").distinct().count(),
+        },
+    }
+
+
 def main(urd):
     prev = None
     for day in range(3):
@@ -78,3 +110,6 @@ def main(urd):
 
     dd = urd.build(dedup_documents)
     print("documents after near-dup removal:", dd.dataset().lines)
+
+    cur = urd.build(curate_documents, datasets={"docs": dd.dataset()})
+    print("curation stats:", cur.load("stats"))
