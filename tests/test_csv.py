@@ -103,3 +103,20 @@ def test_export_gzip_sliced(spark, sf_dir, tmp_path):
     files = glob.glob(out + "/*.csv.gz")
     assert len(files) == 3
     assert gz.open(files[0], "rt").readline().startswith("r_")
+
+
+def test_separator_sweep_exotic_bytes(spark, tmp_path):
+    """Reference csvimport accepts ANY single iso-8859-1 byte separator
+    (test_methods/a_test_csvimport_separators.py sweeps 0x00-0xFF). Sweep
+    the hazardous classes through the text path: regex metacharacters
+    (escaping), control bytes, whitespace, and non-ASCII."""
+    seps = ["|", ".", "*", "+", "?", "^", "$", "(", "[", "{", "\\",
+            "\t", "\x00", "\x07", "\x1f", ";", "~", "þ", "§"]
+    for i, sep in enumerate(seps):
+        p = _write(tmp_path, f"sep_{i}.csv",
+                   f"a{sep}b\nv1{sep}v2\nx{sep}y\n")
+        res = csvimport(spark, p, separator=sep, allow_bad=True)
+        assert res.default.columns == ["a", "b"], repr(sep)
+        rows = sorted(tuple(r) for r in res.default.collect())
+        assert rows == [("v1", "v2"), ("x", "y")], repr(sep)
+        assert res.bad.count() == 0, repr(sep)
