@@ -125,3 +125,40 @@ def test_semantic_dedup_at_16x(spark):
     # every vector exists 16x verbatim -> exactly the 16x dups drop,
     # one survivor (the min id) per clique
     assert kept.count() == e.count()
+
+
+def test_unigram_logprob_at_16x(spark, docs16):
+    """16x corpus: vocabulary is UNCHANGED by verbatim replication
+    (same tokens, 16x the counts, same probabilities) — per-doc scores
+    must equal the 1x scores exactly. Catches any design that leaks
+    corpus size into the per-doc math beyond the probability ratio."""
+    from accelerator_spark.operators.text import unigram_logprob
+
+    d1 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    s1 = {r["doc_id"]: r["avg_logprob"] for r in unigram_logprob(d1).collect()}
+    s16 = unigram_logprob(docs16)
+    # copy k of doc i carries id i + offset; compare a sample of copies
+    sample = s16.filter(F.col("doc_id") < 3000).collect()
+    assert len(sample) > 0
+    for r in sample:
+        base_id = r["doc_id"] % 100000
+        if base_id in s1:
+            assert abs(r["avg_logprob"] - s1[base_id]) < 1e-9, base_id
+
+
+def test_redact_and_clean_at_16x(spark, docs16):
+    """Map-stage ops at 16x: still one scan stage, rows preserved, and
+    the planted PII count scales exactly 16x."""
+    from accelerator_spark.operators.text import clean_lines, pii_counts, redact_pii
+
+    injected = docs16.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" mail me: a@b.io")))
+    n = docs16.count()
+    agg = injected.select(
+        pii_counts(F.col("text")).alias("c"),
+        F.length(redact_pii(F.col("text"))).alias("len_red"),
+    ).agg(F.sum(F.col("c")["email"]).alias("emails"),
+          F.count(F.lit(1)).alias("rows")).collect()[0]
+    assert agg["rows"] == n and agg["emails"] == n
+    cleaned = clean_lines(injected, min_words=3)
+    assert cleaned.count() == n
