@@ -163,3 +163,15 @@ def test_unigram_logprob_vocab_broadcast_or_token_partitioned(spark, sf_dir):
     # the 1-row corpus total must be broadcast, never collected
     assert "BroadcastExchange" in s
     assert "CartesianProduct" not in s
+
+
+def test_no_cartesian_in_any_query_plan(spark, sf_dir):
+    """Global guardrail: NO query in the graded inventory may compile to
+    a CartesianProduct — the one join strategy that cannot survive any
+    scale-up. Plan-only (nothing executes), so the whole 90+-query sweep
+    stays cheap."""
+    for name, fn in Q.QUERIES.items():
+        if name == "streaming_hourly_counts":  # starts a real stream
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
