@@ -182,3 +182,34 @@ def per_key_sample(df: DataFrame, key: str, n: int, id_col: str) -> DataFrame:
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def compact_files(spark, path: str, target_files: int,
+                  fmt: str = "parquet") -> int:
+    """Small-file compaction: rewrite a table directory into
+    ``target_files`` files. The 100 TB housekeeping operator — streaming
+    ingest and fine-grained incremental steps leave thousands of small
+    files per partition; scans then pay one task + one open per file.
+    Compaction restores scan efficiency without changing content (the
+    checksum test asserts equality).
+
+    Uses coalesce (no shuffle) when shrinking file count — each output
+    task concatenates whole input splits. The rewrite lands in a temp
+    sibling directory first, then atomically replaces the original, so a
+    crash mid-compact never loses the table.
+
+    Returns the number of data files after compaction."""
+    import os
+    import shutil
+
+    df = spark.read.format(fmt).load(path)
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    df.coalesce(target_files).write.mode("overwrite").format(fmt).save(tmp)
+    back = path.rstrip("/") + ".__compact_old__"
+    os.rename(path, back)
+    os.rename(tmp, path)
+    shutil.rmtree(back)
+    return sum(
+        1 for f in os.listdir(path)
+        if not f.startswith(("_", ".")) and f.endswith((".parquet", ".orc", ".csv", ".json", ".gz"))
+    )

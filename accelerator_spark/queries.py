@@ -3527,6 +3527,390 @@ GROUP BY band ORDER BY band
 
 
 # =====================================================================
+# Round 2 additions: analytics, storage layout, curation, streaming
+# =====================================================================
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (product-analytics staple; reference users
+    build this as per-slice dicts keyed on first-seen date — SURVEY §2.6
+    merge_auto idiom). Users cohorted by ISO week of first event; activity
+    counted as distinct (user, day); retention = distinct active users per
+    (cohort_week, week_offset).
+
+    Scale: first-event agg and the activity distinct are both single hash
+    shuffles on user_id; the join is user_id-to-user_id (co-partitioned by
+    AQE after the same-key shuffles); final agg is tiny (weeks × offsets)."""
+    ev = _events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    active = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    j = active.join(firsts, "user_id")
+    return (
+        j.select(
+            "user_id",
+            F.date_format(F.date_trunc("week", F.col("first_day")), "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(F.datediff(F.col("day"), F.col("first_day")) / 7).alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+ORACLE_COHORT = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+), firsts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM ev GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM ev
+)
+SELECT strftime(date_trunc('week', f.first_day), '%Y-%m-%d') AS cohort_week,
+       CAST(floor((a.day - f.first_day) / 7) AS BIGINT) AS week_offset,
+       count(DISTINCT a.user_id) AS active_users
+FROM active a JOIN firsts f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram over events.value (bin 50, clamp at bin 9 —
+    the width_bucket idiom). One scan, one tiny agg; at 100 TB this is a
+    map-side partial agg into 10 groups — effectively free."""
+    ev = _events(spark, sf_dir)
+    bucket = F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("int")
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 2).alias("avg_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_VALUE_HIST = """
+SELECT CAST(least(floor(value / 50), 9) AS INT) AS bucket,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value,
+       round(avg(value), 2) AS avg_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly flagging per event_type: two-pass (stats agg, then
+    broadcast the 5-row stats table back over the scan). The scale shape:
+    the stats side is O(#types) rows — always broadcastable — so the
+    flagging pass is map-only; no second shuffle."""
+    ev = _events(spark, sf_dir)
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.stddev_pop("value").alias("s"))
+    flagged = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type", "value",
+        ((F.col("value") - F.col("m")) / F.col("s")).alias("z"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.abs(F.col("z")) > 2.5, 1).otherwise(0)).alias("n_outliers"),
+            F.round(F.max("z"), 2).alias("max_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_ZSCORE = """
+WITH stats AS (
+  SELECT event_type, avg(value) AS m, stddev_pop(value) AS s
+  FROM events GROUP BY event_type
+), flagged AS (
+  SELECT e.event_type, e.value, (e.value - st.m) / st.s AS z
+  FROM events e JOIN stats st USING (event_type)
+)
+SELECT event_type, count(*) AS n,
+       sum(CASE WHEN abs(z) > 2.5 THEN 1 ELSE 0 END) AS n_outliers,
+       round(max(z), 2) AS max_z
+FROM flagged GROUP BY event_type ORDER BY event_type
+"""
+
+
+def partitioned_pruning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition pruning: orders written
+    partitionBy(year), re-read with a year predicate that prunes to ONE
+    directory. The oracle computes the same aggregate from the flat
+    table — a hash match proves the partitioned rewrite loses nothing
+    and the pruned read returns exactly the partition's rows.
+
+    Scale: partitioned layout is THE 100 TB table design — a year/date
+    predicate then touches only matching directories (PartitionFilters
+    in the scan, zero data read outside them). The rewrite itself is one
+    shuffle-free pass (each task writes its rows into per-year files)."""
+    import tempfile
+
+    orders = _t(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="part_orders_")
+    (
+        orders.withColumn("o_year", F.year("o_orderdate"))
+        .write.mode("overwrite").partitionBy("o_year").parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("o_year") == 1996)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE_PART_PRUNE = """
+SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+WHERE date_part('year', o_orderdate) = 1996
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def orc_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink gate (columnar-format breadth beyond parquet):
+    documents written to ORC, re-read, digested with the order-independent
+    md5-xor checksum; the oracle digests the parquet directly. Both
+    directions are distributed file ops — one shard per partition."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="orc_rt_")
+    docs.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("<N>"))
+        for c in ["doc_id", "text", "lang", "source", "n_chars"]
+    ]
+    h = F.conv(F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 15), 16, 10).cast("long")
+    return back.select(h.alias("h"), F.col("n_chars")).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.bit_xor("h").alias("checksum_xor"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+ORACLE_ORC_RT = """
+SELECT count(*) AS docs,
+       bit_xor(CAST(('0x' || substring(md5(
+         concat_ws(chr(31),
+           coalesce(CAST(doc_id AS VARCHAR), '<N>'),
+           coalesce(text, '<N>'),
+           coalesce(lang, '<N>'),
+           coalesce(source, '<N>'),
+           coalesce(CAST(n_chars AS VARCHAR), '<N>'))), 1, 15)) AS BIGINT)) AS checksum_xor,
+       sum(n_chars) AS total_chars
+FROM documents
+"""
+
+
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-bag-of-words linear quality classifier (the fastText-style
+    scoring pass of LLM curation, run as pure column expressions): each
+    token hashes (md5, 28-bit) into one of 64 buckets; each bucket carries
+    a deterministic integer weight in [-6, 6]; a doc's score is the mean
+    token weight; score > 0 = keep. Integer weight sums are EXACT, so both
+    engines agree bit-for-bit before the final rounded division.
+
+    Scale: map-only over the corpus (no shuffle until the per-lang
+    roll-up); a real model swaps the weight expression for a broadcast
+    weight-vector lookup — same plan shape."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    wsum = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: (F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long") % 64) % 13 - 6,
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    d = docs.select(
+        "lang",
+        wsum.alias("wsum"),
+        F.size(toks).alias("n_toks"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("wsum") > 0, 1).otherwise(0)).alias("n_good"),
+            F.round(F.avg(F.col("wsum") / (6.0 * F.col("n_toks"))), 4).alias("avg_score"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_QUALITY_CLF = """
+WITH s AS (
+  SELECT lang,
+         list_sum(list_transform(
+           regexp_split_to_array(trim(lower(text)), '\\s+'),
+           w -> (CAST(('0x' || substring(md5(w), 1, 7)) AS BIGINT) % 64) % 13 - 6
+         )) AS wsum,
+         len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_toks
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN wsum > 0 THEN 1 ELSE 0 END) AS n_good,
+       round(avg(wsum / (6.0 * n_toks)), 4) AS avg_score
+FROM s GROUP BY lang ORDER BY lang
+"""
+
+
+def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain reweighting / mixture sampling (the DoReMi-style corpus-mix
+    step): each source gets a target weight (deterministic from its name),
+    a 50%-of-corpus budget is split across sources proportionally to
+    weight, and rows are kept by a reproducible md5-uniform draw at
+    rate quota/count — integer-compared (h28·count < quota·2^28) so both
+    engines make the identical keep decision with NO float threshold.
+
+    Scale: the per-source count/quota table is O(#sources) — broadcast;
+    the keep pass is map-only. Rates are engine- and partitioning-
+    invariant (hash of doc_id), so the same sample falls out on any
+    cluster size — the reference's reproducibility contract (SURVEY §1)
+    applied to sampling."""
+    docs = _t(spark, sf_dir, "documents")
+    wt = (F.substring("source", 4, 10).cast("long") % 4 + 1).alias("wt")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.first(wt).alias("wt"))
+    tot = per_src.agg(
+        F.sum("n_docs").alias("total"), F.sum("wt").alias("wsum"))
+    quotas = per_src.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "wt",
+        F.floor(0.5 * F.col("total") * F.col("wt") / F.col("wsum")).alias("quota"),
+    )
+    h28 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10).cast("long")
+    kept = (
+        docs.join(F.broadcast(quotas), "source")
+        .filter(h28 * F.col("n_docs") < F.col("quota") * F.lit(1 << 28))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("kept"))
+    )
+    return (
+        quotas.join(kept, "source", "left")
+        .select(
+            "source", "n_docs", "quota",
+            F.coalesce("kept", F.lit(0)).alias("kept"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_MIXTURE = """
+WITH w AS (
+  SELECT doc_id, source,
+         (CAST(substring(source, 4) AS BIGINT) % 4) + 1 AS wt
+  FROM documents
+), c AS (
+  SELECT source, wt, count(*) AS n_docs FROM w GROUP BY source, wt
+), t AS (
+  SELECT sum(n_docs) AS total, sum(wt) AS wsum FROM c
+), q AS (
+  SELECT source, n_docs, wt,
+         CAST(floor(0.5 * t.total * c.wt / t.wsum) AS BIGINT) AS quota
+  FROM c, t
+), k AS (
+  SELECT w.source, count(*) AS kept
+  FROM w JOIN q USING (source)
+  WHERE CAST(('0x' || substring(md5(CAST(w.doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+        * q.n_docs < q.quota * 268435456
+  GROUP BY w.source
+)
+SELECT q.source, q.n_docs, q.quota, coalesce(k.kept, 0) AS kept
+FROM q LEFT JOIN k USING (source)
+ORDER BY q.source
+"""
+
+
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization via the JVM ``session_window``
+    (gap 30 min) — the native stateful operator the reference has no
+    analogue for (SURVEY §2.9). Drained with Trigger.AvailableNow to a
+    memory sink; the oracle recomputes sessions in batch SQL with the
+    gaps-and-islands lag/cumsum pattern (>= gap starts a new session, the
+    session_window boundary rule) and aggregates identically. A hash
+    match proves streaming state transitions ≡ the batch answer.
+
+    Scale: session_window state is per (user, open session) and closes
+    `gap` after the last event under the watermark — bounded state on an
+    unbounded stream; one shuffle on user_id per microbatch."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = tempfile.mkdtemp(prefix="stream_sess_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(stream_dir, "events.parquet"),
+    )
+    raw = spark.readStream.schema(schema).parquet(stream_dir)
+    t = dict(raw.dtypes).get("ts", "")
+    if t in ("bigint", "long"):
+        ev = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        ev = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    sess = (
+        ev.withWatermark("ts", "10 days")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = "stream_sessions"
+    q = (
+        sess.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_sck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+    return spark.table(name).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+ORACLE_STREAM_SESSIONS = """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+), flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+), sess AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), per AS (
+  SELECT user_id, session_id, count(*) AS n_events
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT count(*) AS n_sessions, sum(n_events) AS n_events,
+       max(n_events) AS max_session_events,
+       count(DISTINCT user_id) AS n_users
+FROM per
+"""
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -3625,6 +4009,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jsonl_roundtrip_checksum": jsonl_roundtrip_checksum,
     "latest_event_per_user": latest_event_per_user,
     "range_join_value_buckets": range_join_value_buckets,
+    "cohort_retention": cohort_retention,
+    "events_value_histogram": events_value_histogram,
+    "anomaly_zscore_events": anomaly_zscore_events,
+    "partitioned_pruning_revenue": partitioned_pruning_revenue,
+    "orc_roundtrip_checksum": orc_roundtrip_checksum,
+    "quality_classifier_score": quality_classifier_score,
+    "domain_mixture_sample": domain_mixture_sample,
+    "streaming_session_counts": streaming_session_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -3722,4 +4114,12 @@ ORACLES: dict[str, str] = {
     "jsonl_roundtrip_checksum": ORACLE_JSONL_RT,
     "latest_event_per_user": ORACLE_LATEST,
     "range_join_value_buckets": ORACLE_RANGE_JOIN,
+    "cohort_retention": ORACLE_COHORT,
+    "events_value_histogram": ORACLE_VALUE_HIST,
+    "anomaly_zscore_events": ORACLE_ZSCORE,
+    "partitioned_pruning_revenue": ORACLE_PART_PRUNE,
+    "orc_roundtrip_checksum": ORACLE_ORC_RT,
+    "quality_classifier_score": ORACLE_QUALITY_CLF,
+    "domain_mixture_sample": ORACLE_MIXTURE,
+    "streaming_session_counts": ORACLE_STREAM_SESSIONS,
 }

@@ -1,0 +1,112 @@
+"""Round-2 operators: storage layout (partitioned write, ORC, compaction),
+analytics (cohort, histogram, z-score), curation (hashed classifier,
+mixture sampling), streaming session windows.
+
+Oracle-hash coverage lives in the driver gate / tools/check_oracle.py;
+these tests pin the operator-level contracts that the hash check can't
+see: file layout effects, plan shape (partition pruning), determinism
+under repartitioning.
+"""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from accelerator_spark import queries as Q
+from accelerator_spark.operators.partition import compact_files
+from tests.conftest import load
+
+
+def _data_files(path):
+    return [
+        f for f in os.listdir(path)
+        if not f.startswith(("_", ".")) and f.endswith(".parquet")
+    ]
+
+
+def test_compact_files_preserves_content(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="compact_t_")
+    docs.repartition(16).write.mode("overwrite").parquet(path)
+    assert len(_data_files(path)) == 16
+    before = docs.select(F.bit_xor(F.xxhash64("doc_id", "text"))).first()[0]
+
+    n = compact_files(spark, path, 2)
+    assert n <= 2
+    assert len(_data_files(path)) == n
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    assert back.select(F.bit_xor(F.xxhash64("doc_id", "text"))).first()[0] == before
+
+
+def test_partitioned_write_prunes(spark, sf_dir):
+    """The pruned read's plan must carry the year predicate as a
+    PartitionFilter (no data read outside the matching directory)."""
+    orders = load(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="prune_t_")
+    (orders.withColumn("o_year", F.year("o_orderdate"))
+     .write.mode("overwrite").partitionBy("o_year").parquet(path))
+    back = spark.read.parquet(path).filter(F.col("o_year") == 1996)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_year" in plan
+    years = [r[0] for r in back.select("o_year").distinct().collect()]
+    assert years == [1996]
+
+
+def test_mixture_sample_deterministic(spark, sf_dir):
+    a = Q.domain_mixture_sample(spark, sf_dir).collect()
+    b = Q.domain_mixture_sample(spark, sf_dir).collect()
+    assert a == b
+    for row in a:
+        assert 0 <= row.kept <= row.n_docs
+    # the budget is ~50% of the corpus; binomial draws keep the total
+    # in a loose band around it
+    total = sum(r.n_docs for r in a)
+    kept = sum(r.kept for r in a)
+    assert 0.25 * total < kept < 0.75 * total
+
+
+def test_quality_classifier_bounded(spark, sf_dir):
+    rows = Q.quality_classifier_score(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.avg_score <= 1.0
+        assert 0 <= r.n_good <= r.n_docs
+
+
+def test_cohort_retention_offsets(spark, sf_dir):
+    rows = Q.cohort_retention(spark, sf_dir).collect()
+    assert rows
+    # offset 0 of a cohort counts every member: it must be the max
+    by_cohort = {}
+    for r in rows:
+        assert r.week_offset >= 0
+        by_cohort.setdefault(r.cohort_week, []).append(r)
+    for members in by_cohort.values():
+        zero = [r.active_users for r in members if r.week_offset == 0]
+        assert zero and zero[0] == max(r.active_users for r in members)
+
+
+def test_value_histogram_total(spark, sf_dir):
+    rows = Q.events_value_histogram(spark, sf_dir).collect()
+    ev = Q._events(spark, sf_dir)
+    assert sum(r.n for r in rows) == ev.count()
+    assert all(0 <= r.bucket <= 9 for r in rows)
+
+
+def test_orc_roundtrip_matches_parquet_digest(spark, sf_dir):
+    got = Q.orc_roundtrip_checksum(spark, sf_dir).first()
+    docs = load(spark, sf_dir, "documents")
+    assert got.docs == docs.count()
+
+
+@pytest.mark.slow
+def test_streaming_sessions_vs_batch(spark, sf_dir):
+    """Streaming session_window must agree with the batch lag/cumsum
+    sessionization on total session count."""
+    got = Q.streaming_session_counts(spark, sf_dir).first()
+    batch = Q.sessionize_events(spark, sf_dir)
+    assert got.n_sessions == batch.count()
+    assert got.n_events == Q._events(spark, sf_dir).count()
