@@ -3910,6 +3910,215 @@ FROM per
 """
 
 
+def gapfill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling over a generated date spine (time-series idiom the
+    reference handles with per-slice dict lookups): build the full
+    min..max day range with ``sequence`` + explode, left-join daily
+    revenue, zero-fill missing days, roll up per month so the output
+    proves spine days without orders were materialized.
+
+    Scale: the spine is generated (no scan) and tiny (#days); the daily
+    agg is one shuffle; the spine join broadcasts the agg — at 100 TB
+    the day-level agg is still only O(days) rows."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("revenue"),
+    )
+    bounds = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day"))
+    filled = spine.join(F.broadcast(daily), "day", "left").select(
+        "day",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+    )
+    return (
+        filled.groupBy(F.date_format("day", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(F.when(F.col("n_orders") > 0, 1).otherwise(0)).alias("days_with_orders"),
+            F.round(F.sum("revenue"), 2).alias("revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+ORACLE_GAPFILL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
+         sum(o_totalprice) AS revenue
+  FROM orders GROUP BY 1
+), bounds AS (
+  SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+         max(CAST(o_orderdate AS DATE)) AS hi
+  FROM orders
+), spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+), filled AS (
+  SELECT s.day, coalesce(d.n_orders, 0) AS n_orders,
+         coalesce(d.revenue, 0.0) AS revenue
+  FROM spine s LEFT JOIN daily d USING (day)
+)
+SELECT strftime(day, '%Y-%m') AS month, count(*) AS n_days,
+       sum(CASE WHEN n_orders > 0 THEN 1 ELSE 0 END) AS days_with_orders,
+       round(sum(revenue), 2) AS revenue
+FROM filled GROUP BY 1 ORDER BY 1
+"""
+
+
+def unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (``unpivot``/melt — the inverse of the pivot
+    query): per-returnflag metric columns melted into (flag, metric,
+    value) rows. Map-only after the tiny agg; reshaping never shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+    )
+    return (
+        wide.unpivot(
+            ["l_returnflag"], ["sum_qty", "sum_price", "avg_disc"],
+            "metric", "value",
+        )
+        .orderBy("l_returnflag", "metric")
+    )
+
+
+ORACLE_UNPIVOT = """
+WITH wide AS (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_price,
+         round(avg(l_discount), 4) AS avg_disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, value
+FROM (UNPIVOT wide ON sum_qty, sum_price, avg_disc
+      INTO NAME metric VALUE value)
+ORDER BY l_returnflag, metric
+"""
+
+
+def window_suite_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth in one pass: lag/lead gaps, percent_rank
+    and cume_dist of order value within each customer's history — all
+    over ONE window spec, so Catalyst compiles a single sort within one
+    hash exchange on o_custkey (check: one Window node in the plan)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    out = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("days_since_prev"),
+        F.datediff(F.lead("o_orderdate").over(w), "o_orderdate").alias("days_to_next"),
+        F.round(F.percent_rank().over(
+            W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")), 4).alias("value_pct_rank"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+    return out.filter(F.col("order_seq") <= 3)
+
+
+ORACLE_WINDOW_SUITE = """
+WITH t AS (
+  SELECT o_custkey, o_orderkey,
+         date_diff('day',
+           lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           o_orderdate) AS days_since_prev,
+         date_diff('day', o_orderdate,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) AS days_to_next,
+         round(percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey), 4) AS value_pct_rank,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, days_since_prev, days_to_next,
+       value_pct_rank, order_seq
+FROM t WHERE order_seq <= 3
+"""
+
+
+def agg_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-function breadth per market segment: exact median,
+    conditional count, boolean aggs, sample correlation — the
+    "merge_auto can't do this" set (reference merges are sum/update only,
+    SURVEY §2.6). One shuffle into 5 groups."""
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.median("c_acctbal"), 2).alias("median_bal"),
+            F.count_if(F.col("c_acctbal") < 0).alias("n_negative"),
+            F.bool_and(F.col("c_acctbal") > -1000).alias("all_above_floor"),
+            F.bool_or(F.col("c_acctbal") > 9000).alias("any_rich"),
+            F.round(F.corr(F.col("c_acctbal"), F.col("c_nationkey").cast("double")), 4).alias("bal_nation_corr"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_AGG_BREADTH = """
+SELECT c_mktsegment, count(*) AS n,
+       round(median(c_acctbal), 2) AS median_bal,
+       count_if(c_acctbal < 0) AS n_negative,
+       bool_and(c_acctbal > -1000) AS all_above_floor,
+       bool_or(c_acctbal > 9000) AS any_rich,
+       round(corr(c_acctbal, CAST(c_nationkey AS DOUBLE)), 4) AS bal_nation_corr
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) matching with blocking — the
+    entity-resolution primitive: part-name pairs with levenshtein ≤ 2,
+    joined only WITHIN blocks sharing the same last word (noun), so the
+    quadratic compare is confined to block-sized groups instead of the
+    full cross product (same shape as the LSH/IVF band-bucket joins).
+
+    Scale: block sizes are bounded by vocabulary (#parts per noun); the
+    join shuffles on the block key; AQE splits any hot block. Never a
+    cartesian product."""
+    part = _t(spark, sf_dir, "part")
+    named = part.select(
+        "p_partkey",
+        F.col("p_name").alias("name"),
+        F.element_at(F.split(F.col("p_name"), " "), -1).alias("block"),
+    )
+    a, b = named.alias("a"), named.alias("b")
+    pairs = (
+        a.join(b, "block")
+        .filter(F.col("a.p_partkey") < F.col("b.p_partkey"))
+        .filter(F.levenshtein(F.col("a.name"), F.col("b.name")) <= 2)
+    )
+    return (
+        pairs.groupBy("block")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(F.col("a.p_partkey")).alias("min_key"),
+        )
+        .orderBy("block")
+    )
+
+
+ORACLE_FUZZY = """
+WITH named AS (
+  SELECT p_partkey, p_name AS name,
+         regexp_split_to_array(p_name, ' ')[-1] AS block
+  FROM part
+)
+SELECT a.block, count(*) AS n_pairs, min(a.p_partkey) AS min_key
+FROM named a JOIN named b ON a.block = b.block
+WHERE a.p_partkey < b.p_partkey
+  AND levenshtein(a.name, b.name) <= 2
+GROUP BY a.block ORDER BY a.block
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -4017,6 +4226,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier_score": quality_classifier_score,
     "domain_mixture_sample": domain_mixture_sample,
     "streaming_session_counts": streaming_session_counts,
+    "gapfill_daily_revenue": gapfill_daily_revenue,
+    "unpivot_flag_metrics": unpivot_flag_metrics,
+    "window_suite_orders": window_suite_orders,
+    "agg_function_breadth": agg_function_breadth,
+    "fuzzy_part_name_pairs": fuzzy_part_name_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -4122,4 +4336,9 @@ ORACLES: dict[str, str] = {
     "quality_classifier_score": ORACLE_QUALITY_CLF,
     "domain_mixture_sample": ORACLE_MIXTURE,
     "streaming_session_counts": ORACLE_STREAM_SESSIONS,
+    "gapfill_daily_revenue": ORACLE_GAPFILL,
+    "unpivot_flag_metrics": ORACLE_UNPIVOT,
+    "window_suite_orders": ORACLE_WINDOW_SUITE,
+    "agg_function_breadth": ORACLE_AGG_BREADTH,
+    "fuzzy_part_name_pairs": ORACLE_FUZZY,
 }

@@ -171,7 +171,24 @@ def test_no_cartesian_in_any_query_plan(spark, sf_dir):
     scale-up. Plan-only (nothing executes), so the whole 90+-query sweep
     stays cheap."""
     for name, fn in Q.QUERIES.items():
-        if name == "streaming_hourly_counts":  # starts a real stream
+        # streaming queries start a real stream drain on construction
+        if name in ("streaming_hourly_counts", "streaming_session_counts"):
             continue
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
+
+
+def test_window_suite_single_exchange(spark, sf_dir):
+    """lag/lead/row_number share one window spec — the plan must hash-
+    exchange on o_custkey exactly once (percent_rank adds a second sort
+    within the same exchange, never a second shuffle)."""
+    s = _plan(spark, "window_suite_orders", sf_dir)
+    assert s.count("Exchange hashpartitioning(o_custkey") == 1
+
+
+def test_fuzzy_pairs_blocked_equi_join(spark, sf_dir):
+    """The levenshtein compare must ride an equi-join on the block key —
+    never a nested-loop over the full cross product."""
+    s = _plan(spark, "fuzzy_part_name_pairs", sf_dir)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
