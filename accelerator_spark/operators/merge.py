@@ -74,3 +74,31 @@ def asof_join(left: DataFrame, right: DataFrame, by: str, on: str,
                         ignorenulls=True).over(w))
     keep = [c for c in left.columns] + list(carry.values())
     return out.filter(F.col("__side") == 1).select(*keep)
+
+
+def apply_changes(base: DataFrame, changes: DataFrame, key: str,
+                  op_col: str = "op") -> DataFrame:
+    """CDC merge (MERGE INTO semantics): apply a change set to a keyed
+    table. ``changes`` carries the base's columns plus ``op_col``:
+    'U' upserts the row (update if the key exists, insert if not),
+    'D' deletes the key. Exactly-one-change-per-key is the caller's
+    contract (dedupe upstream with keep-latest-per-key).
+
+    The reference's analogue is the chain + keep-latest idiom (updates
+    append-only, consumers pick newest); this operator materializes the
+    compacted state in one pass.
+
+    Plan: one full-outer hash join on the key — the change set shuffles
+    only itself (usually tiny vs the base; AQE broadcasts when it fits).
+    No driver involvement, any scale."""
+    cols = base.columns
+    b = base.select(F.col(key).alias("__k"), F.struct(*cols).alias("__b"))
+    c = changes.select(F.col(key).alias("__k"), F.col(op_col).alias("__op"),
+                       F.struct(*cols).alias("__c"))
+    j = b.join(c, "__k", "full_outer")
+    merged = (
+        j.filter(~(F.col("__op").eqNullSafe(F.lit("D"))))
+        .select(F.coalesce("__c", "__b").alias("__r"))
+        .select([F.col(f"__r.{x}").alias(x) for x in cols])
+    )
+    return merged

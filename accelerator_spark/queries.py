@@ -4075,47 +4075,240 @@ FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
 
 def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy (edit-distance) matching with blocking — the
-    entity-resolution primitive: part-name pairs with levenshtein ≤ 2,
-    joined only WITHIN blocks sharing the same last word (noun), so the
-    quadratic compare is confined to block-sized groups instead of the
-    full cross product (same shape as the LSH/IVF band-bucket joins).
+    entity-resolution primitive: count part PAIRS whose names are within
+    levenshtein ≤ 2, compared only WITHIN blocks sharing the same last
+    word (noun).
 
-    Scale: block sizes are bounded by vocabulary (#parts per noun); the
-    join shuffles on the block key; AQE splits any hot block. Never a
-    cartesian product."""
+    Scale design: the quadratic compare runs on the DISTINCT-NAME
+    dictionary (vocabulary-sized — 64 names here, maybe 10^5 at 100 TB),
+    never the row stream; row-level pair counts come back via
+    multiplicities (a·b for cross-name, C(a,2) within a name). A
+    row-level self-join at 20k rows already cost 21s — the dictionary
+    form is O(vocab²/blocks) regardless of table size."""
     part = _t(spark, sf_dir, "part")
-    named = part.select(
-        "p_partkey",
-        F.col("p_name").alias("name"),
-        F.element_at(F.split(F.col("p_name"), " "), -1).alias("block"),
+    names = (
+        part.groupBy(
+            F.element_at(F.split(F.col("p_name"), " "), -1).alias("block"),
+            F.col("p_name").alias("name"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("p_partkey").alias("min_key"))
     )
-    a, b = named.alias("a"), named.alias("b")
+    a, b = names.alias("a"), names.alias("b")
     pairs = (
         a.join(b, "block")
-        .filter(F.col("a.p_partkey") < F.col("b.p_partkey"))
+        .filter(F.col("a.name") <= F.col("b.name"))
         .filter(F.levenshtein(F.col("a.name"), F.col("b.name")) <= 2)
+        .select(
+            "block",
+            F.when(
+                F.col("a.name") == F.col("b.name"),
+                F.col("a.cnt") * (F.col("a.cnt") - 1) / 2,
+            ).otherwise(F.col("a.cnt") * F.col("b.cnt")).cast("long").alias("n_pairs"),
+            F.least("a.min_key", "b.min_key").alias("min_key"),
+        )
     )
     return (
         pairs.groupBy("block")
-        .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.min(F.col("a.p_partkey")).alias("min_key"),
-        )
+        .agg(F.sum("n_pairs").alias("n_pairs"), F.min("min_key").alias("min_key"))
         .orderBy("block")
     )
 
 
 ORACLE_FUZZY = """
-WITH named AS (
-  SELECT p_partkey, p_name AS name,
-         regexp_split_to_array(p_name, ' ')[-1] AS block
-  FROM part
+WITH names AS (
+  SELECT regexp_split_to_array(p_name, ' ')[-1] AS block, p_name AS name,
+         count(*) AS cnt, min(p_partkey) AS min_key
+  FROM part GROUP BY 1, 2
+), pairs AS (
+  SELECT a.block,
+         CAST(CASE WHEN a.name = b.name THEN a.cnt * (a.cnt - 1) / 2
+              ELSE a.cnt * b.cnt END AS BIGINT) AS n_pairs,
+         least(a.min_key, b.min_key) AS min_key
+  FROM names a JOIN names b ON a.block = b.block
+  WHERE a.name <= b.name AND levenshtein(a.name, b.name) <= 2
 )
-SELECT a.block, count(*) AS n_pairs, min(a.p_partkey) AS min_key
-FROM named a JOIN named b ON a.block = b.block
-WHERE a.p_partkey < b.p_partkey
-  AND levenshtein(a.name, b.name) <= 2
-GROUP BY a.block ORDER BY a.block
+SELECT block, sum(n_pairs) AS n_pairs, min(min_key) AS min_key
+FROM pairs GROUP BY block ORDER BY block
+"""
+
+
+def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE (operators/merge.py apply_changes): a deterministic
+    change set — price-bump updates for keys ≡3 (mod 10), deletes for
+    keys ≡7 (mod 10), fresh inserts for keys ≡0 (mod 97) — applied to
+    orders in ONE full-outer hash join; the oracle states the merged
+    result set-theoretically. Hash match proves upsert/delete/insert
+    semantics row-for-row.
+
+    Scale: the change set shuffles only itself; the base shuffles once
+    on the key (or not at all if already bucketed on it). This is the
+    compaction step of an incremental 100 TB table."""
+    from .operators.merge import apply_changes
+
+    orders = _t(spark, sf_dir, "orders")
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 3)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+        .withColumn("op", F.lit("U"))
+    )
+    deletes = (
+        orders.filter(F.col("o_orderkey") % 10 == 7)
+        .withColumn("op", F.lit("D"))
+    )
+    inserts = (
+        orders.filter(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+        .withColumn("o_orderstatus", F.lit("N"))
+        .withColumn("o_totalprice", F.lit(42.0))
+        .withColumn("op", F.lit("U"))
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    merged = apply_changes(orders, changes, "o_orderkey")
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE_CDC_MERGE = """
+WITH merged AS (
+  SELECT o_orderkey, o_orderstatus,
+         o_totalprice + (CASE WHEN o_orderkey % 10 = 3 THEN 1000.0 ELSE 0 END) AS p
+  FROM orders WHERE o_orderkey % 10 <> 7
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'N', 42.0
+  FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT o_orderstatus, count(*) AS n, round(sum(p), 2) AS sum_price,
+       max(o_orderkey) AS max_key
+FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def scd2_event_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style history build: collapse each user's event stream into
+    validity intervals of consecutive same event_type (islands via
+    lag-flag-cumsum), valid_to = next interval's valid_from (NULL while
+    current). Rolled up per event_type: interval count + mean closed-
+    interval duration. One shuffle on user_id; windows share the
+    exchange."""
+    ev = _events(spark, sf_dir)
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(
+            F.lag("event_type").over(wo).isNull()
+            | (F.lag("event_type").over(wo) != F.col("event_type")), 1
+        ).otherwise(0).alias("new_run"),
+    )
+    runs = flagged.withColumn(
+        "run_id", F.sum("new_run").over(
+            wo.rowsBetween(W.unboundedPreceding, 0)))
+    iv = (
+        runs.groupBy("user_id", "run_id")
+        .agg(
+            F.first("event_type").alias("event_type"),
+            F.min("ts").alias("valid_from"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    wn = W.partitionBy("user_id").orderBy("valid_from")
+    iv2 = iv.withColumn("valid_to", F.lead("valid_from").over(wn))
+    return (
+        iv2.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("n_events").alias("n_events"),
+            F.round(F.avg(
+                (F.unix_micros("valid_to") - F.unix_micros("valid_from")) / 1e6
+            ), 2).alias("avg_closed_duration_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_SCD2 = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+), flagged AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS new_run
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs AS (
+  SELECT user_id, ts, event_type,
+         sum(new_run) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM flagged
+), iv AS (
+  SELECT user_id, run_id, min(event_type) AS event_type,
+         min(ts) AS valid_from, count(*) AS n_events
+  FROM runs GROUP BY user_id, run_id
+), iv2 AS (
+  SELECT event_type, n_events, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+           AS valid_to
+  FROM iv
+)
+SELECT event_type, count(*) AS n_intervals, sum(n_events) AS n_events,
+       round(avg(date_diff('microsecond', valid_from, valid_to) / 1e6), 2)
+         AS avg_closed_duration_s
+FROM iv2 GROUP BY event_type ORDER BY event_type
+"""
+
+
+def vector_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function breadth over embeddings: per-vector
+    L2 norm (transform+aggregate fold), reverse-self dot product
+    (zip_with), mean dimension value — rolled up per label. Everything
+    stays a JVM columnar expression (no UDF, no shuffle before the tiny
+    per-label agg); both engines fold arrays left-to-right so the
+    float math agrees to well past the rounded digits."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    rdot = F.aggregate(
+        F.zip_with(v, F.reverse(v), lambda a, b: a * b),
+        F.lit(0.0), lambda a, x: a + x)
+    meandim = F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / F.size("embedding")
+    d = emb.select(
+        "label", norm.alias("norm"), rdot.alias("rdot"), meandim.alias("meandim"))
+    return (
+        d.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+            F.round(F.avg("rdot"), 4).alias("avg_reverse_dot"),
+            F.round(F.avg("meandim"), 4).alias("avg_mean_dim"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_VECTOR_SUITE = """
+WITH d AS (
+  SELECT label,
+         sqrt(list_reduce(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+              (a, b) -> a + b)) AS norm,
+         list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+              list_reverse(list_transform(embedding, x -> CAST(x AS DOUBLE))))
+              AS rdot,
+         list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+              (a, b) -> a + b) / len(embedding) AS meandim
+  FROM embeddings
+)
+SELECT label, count(*) AS n,
+       round(avg(norm), 4) AS avg_norm,
+       round(avg(rdot), 4) AS avg_reverse_dot,
+       round(avg(meandim), 4) AS avg_mean_dim
+FROM d GROUP BY label ORDER BY label
 """
 
 
@@ -4231,6 +4424,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_suite_orders": window_suite_orders,
     "agg_function_breadth": agg_function_breadth,
     "fuzzy_part_name_pairs": fuzzy_part_name_pairs,
+    "cdc_merge_orders": cdc_merge_orders,
+    "scd2_event_type_intervals": scd2_event_type_intervals,
+    "vector_arithmetic_suite": vector_arithmetic_suite,
 }
 
 ORACLES: dict[str, str] = {
@@ -4341,4 +4537,7 @@ ORACLES: dict[str, str] = {
     "window_suite_orders": ORACLE_WINDOW_SUITE,
     "agg_function_breadth": ORACLE_AGG_BREADTH,
     "fuzzy_part_name_pairs": ORACLE_FUZZY,
+    "cdc_merge_orders": ORACLE_CDC_MERGE,
+    "scd2_event_type_intervals": ORACLE_SCD2,
+    "vector_arithmetic_suite": ORACLE_VECTOR_SUITE,
 }

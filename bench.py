@@ -58,6 +58,14 @@ HEADLINE = [
     "repetition_signals",
     "pii_redaction_report",
     "unigram_logprob_quality",
+    # round-2 additions
+    "cohort_retention",
+    "gapfill_daily_revenue",
+    "window_suite_orders",
+    "quality_classifier_score",
+    "domain_mixture_sample",
+    "fuzzy_part_name_pairs",
+    "partitioned_pruning_revenue",
 ]
 
 

@@ -110,3 +110,20 @@ def test_streaming_sessions_vs_batch(spark, sf_dir):
     batch = Q.sessionize_events(spark, sf_dir)
     assert got.n_sessions == batch.count()
     assert got.n_events == Q._events(spark, sf_dir).count()
+
+
+def test_apply_changes_semantics(spark):
+    from accelerator_spark.operators.merge import apply_changes
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, s string, v double")
+    changes = spark.createDataFrame(
+        [(2, "U", "b2", 21.0),   # update existing
+         (3, "D", None, None),   # delete existing
+         (9, "U", "new", 90.0),  # insert fresh key
+         (8, "D", None, None)],  # delete of absent key: no-op
+        "k int, op string, s string, v double")
+    # changes DataFrame must carry the base columns (k, s, v) + op
+    got = {r.k: (r.s, r.v) for r in
+           apply_changes(base, changes.select("k", "s", "v", "op"), "k").collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 21.0), 9: ("new", 90.0)}

@@ -162,3 +162,86 @@ def test_redact_and_clean_at_16x(spark, docs16):
     assert agg["rows"] == n and agg["emails"] == n
     cleaned = clean_lines(injected, min_words=3)
     assert cleaned.count() == n
+
+
+@pytest.fixture(scope="module")
+def ev16(spark):
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = e
+    for i in range(4):  # 16x, event ids kept unique; user ids unchanged
+        out = out.unionByName(
+            out.withColumn("event_id", F.col("event_id") + F.lit(10_000_000 * 2**i)))
+    return out
+
+
+def test_quality_classifier_at_16x(spark, docs16):
+    """The hashed classifier is a pure per-row map: replicating the
+    corpus must leave per-lang mean scores untouched and scale doc
+    counts exactly 16x."""
+    from accelerator_spark import queries as Q
+
+    d1 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    d1.createOrReplaceTempView("__clf_base")
+
+    def scores(df):
+        toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        wsum = F.aggregate(
+            F.transform(
+                toks,
+                lambda t: (F.conv(F.substring(F.md5(t), 1, 7), 16, 10)
+                           .cast("long") % 64) % 13 - 6,
+            ),
+            F.lit(0).cast("long"), lambda a, x: a + x)
+        return (df.select("lang", wsum.alias("wsum"), F.size(toks).alias("n"))
+                .groupBy("lang")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.round(F.avg(F.col("wsum") / (6.0 * F.col("n"))), 4)
+                     .alias("avg_score")))
+
+    base = {r["lang"]: r for r in scores(d1).collect()}
+    for r in scores(docs16).collect():
+        assert r["n_docs"] == base[r["lang"]]["n_docs"] * 16
+        assert abs(r["avg_score"] - base[r["lang"]]["avg_score"]) < 1e-3
+
+
+def test_mixture_quota_scales_16x(spark, docs16):
+    """Mixture sampling at 16x: quotas scale ~16x (floor effects ±16),
+    keep decisions stay per-row deterministic, and no source exceeds
+    its own population."""
+    wt = (F.substring("source", 4, 10).cast("long") % 4 + 1)
+    per = docs16.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.first(wt).alias("wt"))
+    tot = per.agg(F.sum("n").alias("total"), F.sum("wt").alias("wsum"))
+    quotas = per.crossJoin(F.broadcast(tot)).select(
+        "source", "n",
+        F.floor(0.5 * F.col("total") * F.col("wt") / F.col("wsum")).alias("quota"))
+    h28 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10).cast("long")
+    kept = (docs16.join(F.broadcast(quotas), "source")
+            .filter(h28 * F.col("n") < F.col("quota") * F.lit(1 << 28))
+            .groupBy("source").agg(F.count(F.lit(1)).alias("kept")))
+    rows = quotas.join(kept, "source", "left").collect()
+    total = sum(r["n"] for r in rows)
+    kept_n = sum(r["kept"] or 0 for r in rows)
+    assert 0.35 * total < kept_n < 0.65 * total
+    for r in rows:
+        assert (r["kept"] or 0) <= r["n"]
+
+
+def test_cohort_and_sessions_at_16x(spark, ev16):
+    """Cohort retention on 16x events: replicated events add NO new
+    (user, day) activity — active_users per cell must equal the 1x
+    answer exactly (catches any count that isn't DISTINCT-safe)."""
+    def cohort(ev):
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+        active = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+        return (active.join(firsts, "user_id")
+                .select(F.date_format(F.date_trunc("week", "first_day"), "yyyy-MM-dd").alias("w"),
+                        F.floor(F.datediff("day", "first_day") / 7).alias("o"),
+                        "user_id")
+                .groupBy("w", "o").agg(F.countDistinct("user_id").alias("u")))
+
+    e1 = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    base = {(r["w"], r["o"]): r["u"] for r in cohort(e1).collect()}
+    for r in cohort(ev16).collect():
+        assert base[(r["w"], r["o"])] == r["u"]

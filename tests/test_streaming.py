@@ -110,3 +110,47 @@ def test_stream_dedup_drops_planted_duplicates(spark, sf_dir, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == n_distinct == 200
     assert out.select("event_id").distinct().count() == n_distinct
+
+
+def test_foreach_batch_cdc_upsert(spark, sf_dir, tmp_path):
+    """Streaming CDC: change batches arrive as files; every microbatch
+    folds into the keyed table via apply_changes (foreachBatch = the
+    streaming MERGE INTO sink). After the drain the table equals the
+    batch application of all changes in order."""
+    from accelerator_spark.operators.merge import apply_changes
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k int, s string, v double")
+    table_path = str(tmp_path / "cdc_table")
+    base.write.parquet(table_path)
+
+    src = str(tmp_path / "changes_src")
+    # one file = one microbatch (maxFilesPerTrigger=1): order matters
+    spark.createDataFrame([(2, "U", "b2", 21.0), (3, "D", None, None)],
+                          "k int, op string, s string, v double") \
+        .coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame([(5, "U", "e", 50.0), (2, "U", "b3", 22.0)],
+                          "k int, op string, s string, v double") \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+
+    def fold(batch_df, batch_id):
+        current = batch_df.sparkSession.read.parquet(table_path)
+        merged = apply_changes(
+            current, batch_df.select("k", "s", "v", "op"), "k")
+        merged.write.mode("overwrite").parquet(table_path + ".next")
+        out = batch_df.sparkSession.read.parquet(table_path + ".next")
+        out.write.mode("overwrite").parquet(table_path)
+
+    q = (stream.writeStream.foreachBatch(fold)
+         .option("checkpointLocation", str(tmp_path / "cdc_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {r.k: (r.s, r.v) for r in spark.read.parquet(table_path).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b3", 22.0), 4: ("d", 40.0),
+                   5: ("e", 50.0)}
