@@ -4312,6 +4312,111 @@ FROM d GROUP BY label ORDER BY label
 """
 
 
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (the RAG / context-window
+    prep step): 50-token chunks, stride 40 (10-token overlap), chunks
+    MATERIALIZED via sequence+explode+slice — all JVM array expressions —
+    then rolled up per source. n_chunks = 1 + ceil((n-50)/40) for n>50.
+
+    Scale: map-only explode (row → its own chunks, no cross-row data),
+    one shuffle into the tiny per-source agg. Chunk explosion is bounded
+    by token count / stride — linear in corpus size."""
+    C, S = 50, 40
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.when(n <= C, F.lit(1)).otherwise(
+        F.ceil((n - C) / F.lit(float(S))).cast("long") + 1)
+    d = docs.select("source", toks.alias("toks"), n_chunks.alias("n_chunks"))
+    chunks = d.select(
+        "source",
+        F.explode(F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int"))).alias("ci"),
+        "toks",
+    ).select(
+        "source",
+        F.size(F.slice("toks", F.col("ci") * S + 1, C)).alias("chunk_tokens"),
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_tokens").alias("total_chunk_tokens"),
+            F.min("chunk_tokens").alias("min_chunk_tokens"),
+            F.max("chunk_tokens").alias("max_chunk_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_CHUNKS = """
+WITH d AS (
+  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS toks,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n
+  FROM documents
+), sized AS (
+  SELECT source, toks, n,
+         CASE WHEN n <= 50 THEN 1
+              ELSE CAST(ceil((n - 50) / 40.0) AS BIGINT) + 1 END AS n_chunks
+  FROM d
+), chunks AS (
+  SELECT source,
+         len(toks[(ci.g * 40 + 1):least(ci.g * 40 + 50, n)]) AS chunk_tokens
+  FROM sized, unnest(generate_series(0, n_chunks - 1)) ci(g)
+)
+SELECT source, count(*) AS n_chunks,
+       sum(chunk_tokens) AS total_chunk_tokens,
+       min(chunk_tokens) AS min_chunk_tokens,
+       max(chunk_tokens) AS max_chunk_tokens
+FROM chunks GROUP BY source ORDER BY source
+"""
+
+
+def datetime_function_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar-function breadth (the dataset_type datetime menu's
+    query-side complement): quarter, day-of-week, last-day-of-month,
+    date arithmetic — engine-portable spellings (Spark dayofweek is
+    1=Sunday, DuckDB 0=Sunday; the oracle shifts by one). Single scan,
+    tiny agg."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return (
+        orders.select(
+            F.year(d).alias("y"),
+            F.quarter(d).alias("q"),
+            F.dayofweek(d).alias("dow"),
+            F.dayofmonth(F.last_day(d)).alias("month_len"),
+            F.datediff(F.date_add(d, 90), d).alias("plus90"),
+        )
+        .groupBy("y", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("dow").isin(1, 7), 1).otherwise(0)).alias("n_weekend"),
+            F.max("month_len").alias("max_month_len"),
+            F.min("month_len").alias("min_month_len"),
+            F.max("plus90").alias("plus90_const"),
+        )
+        .orderBy("y", "q")
+    )
+
+
+ORACLE_DATETIME_SWEEP = """
+WITH d AS (
+  SELECT year(CAST(o_orderdate AS DATE)) AS y,
+         quarter(CAST(o_orderdate AS DATE)) AS q,
+         dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow,
+         day(last_day(CAST(o_orderdate AS DATE))) AS month_len,
+         90 AS plus90
+  FROM orders
+)
+SELECT y, q, count(*) AS n,
+       sum(CASE WHEN dow IN (1, 7) THEN 1 ELSE 0 END) AS n_weekend,
+       max(month_len) AS max_month_len,
+       min(month_len) AS min_month_len,
+       max(plus90) AS plus90_const
+FROM d GROUP BY y, q ORDER BY y, q
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -4427,6 +4532,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_merge_orders": cdc_merge_orders,
     "scd2_event_type_intervals": scd2_event_type_intervals,
     "vector_arithmetic_suite": vector_arithmetic_suite,
+    "chunk_documents": chunk_documents,
+    "datetime_function_sweep": datetime_function_sweep,
 }
 
 ORACLES: dict[str, str] = {
@@ -4540,4 +4647,6 @@ ORACLES: dict[str, str] = {
     "cdc_merge_orders": ORACLE_CDC_MERGE,
     "scd2_event_type_intervals": ORACLE_SCD2,
     "vector_arithmetic_suite": ORACLE_VECTOR_SUITE,
+    "chunk_documents": ORACLE_CHUNKS,
+    "datetime_function_sweep": ORACLE_DATETIME_SWEEP,
 }
