@@ -213,3 +213,34 @@ def compact_files(spark, path: str, target_files: int,
         1 for f in os.listdir(path)
         if not f.startswith(("_", ".")) and f.endswith((".parquet", ".orc", ".csv", ".json", ".gz"))
     )
+
+
+def mixture_sample(df: DataFrame, source_col: str, id_col: str,
+                   frac: float = 0.5, weights=None):
+    """Domain reweighting / mixture sampling (DoReMi-style corpus mix):
+    split a ``frac``-of-corpus budget across sources proportionally to
+    ``weights`` (a Column giving each row's source weight; rows of one
+    source must agree), then keep rows by a reproducible md5 draw at
+    rate quota/count. Keep decisions are integer comparisons
+    (h28·count < quota·2^28) — engine-, partitioning- and cluster-size-
+    invariant, no float threshold.
+
+    Returns (kept_df, quotas_df); quotas_df carries source, n_docs, wt,
+    quota. The quota table is O(#sources) and broadcast; the keep pass
+    is map-only."""
+    if weights is None:
+        weights = F.lit(1)
+    per_src = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.first(weights).alias("wt"))
+    tot = per_src.agg(F.sum("n_docs").alias("total"), F.sum("wt").alias("wsum"))
+    quotas = per_src.crossJoin(F.broadcast(tot)).select(
+        source_col, "n_docs", "wt",
+        F.floor(frac * F.col("total") * F.col("wt") / F.col("wsum")).alias("quota"),
+    )
+    h28 = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10).cast("long")
+    kept = (
+        df.join(F.broadcast(quotas.select(source_col, "n_docs", "quota")), source_col)
+        .filter(h28 * F.col("n_docs") < F.col("quota") * F.lit(1 << 28))
+        .drop("n_docs", "quota")
+    )
+    return kept, quotas

@@ -245,3 +245,57 @@ __all__ = [
     "pack_sequences", "pii_counts", "redact_pii", "clean_lines",
     "unigram_logprob", "PII_PATTERNS",
 ]
+
+
+def hashed_bow_score(df: DataFrame, text_col: str = "text"):
+    """Hashed-bag-of-words linear scorer (fastText-style shape): tokens
+    hash (md5, 28-bit) into 64 buckets; bucket weights are a
+    deterministic integer function in [-6, 6]; a doc's score is the mean
+    token weight. Adds integer ``wsum`` (exact — engines agree
+    bit-for-bit), ``n_toks``, and double ``score`` = wsum/(6·n_toks) in
+    [-1, 1].
+
+    Map-only: no shuffle; a trained model swaps the weight expression
+    for a broadcast weight-vector lookup with the same plan."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    wsum = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: (F.conv(F.substring(F.md5(t), 1, 7), 16, 10)
+                       .cast("long") % 64) % 13 - 6,
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return (
+        df.withColumn("wsum", wsum)
+        .withColumn("n_toks", F.size(toks))
+        .withColumn("score", F.col("wsum") / (6.0 * F.col("n_toks")))
+    )
+
+
+def chunk_tokens(df: DataFrame, text_col: str = "text",
+                 size: int = 50, stride: int = 40,
+                 carry: list[str] | None = None) -> DataFrame:
+    """Fixed-size token chunking with overlap (RAG / context-window
+    prep): one output row per chunk with ``chunk_index`` and the
+    ``chunk_toks`` token array. n_chunks = 1 + ceil((n-size)/stride)
+    for n > size, else 1 — every token lands in ≥1 chunk.
+
+    Map-only sequence+explode+slice; chunk count is linear in tokens."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+        F.ceil((n - size) / F.lit(float(stride))).cast("long") + 1)
+    keep = carry if carry is not None else [c for c in df.columns if c != text_col]
+    d = df.select(*keep, toks.alias("__toks"), n_chunks.alias("__nc"))
+    return (
+        d.select(
+            *keep,
+            F.explode(F.sequence(F.lit(0), (F.col("__nc") - 1).cast("int"))).alias("chunk_index"),
+            "__toks",
+        )
+        .withColumn("chunk_toks",
+                    F.slice("__toks", F.col("chunk_index") * stride + 1, size))
+        .drop("__toks")
+    )

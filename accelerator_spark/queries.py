@@ -3723,27 +3723,16 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: map-only over the corpus (no shuffle until the per-lang
     roll-up); a real model swaps the weight expression for a broadcast
     weight-vector lookup — same plan shape."""
+    from .operators.text import hashed_bow_score
+
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    wsum = F.aggregate(
-        F.transform(
-            toks,
-            lambda t: (F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long") % 64) % 13 - 6,
-        ),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
-    d = docs.select(
-        "lang",
-        wsum.alias("wsum"),
-        F.size(toks).alias("n_toks"),
-    )
+    d = hashed_bow_score(docs)
     return (
         d.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.when(F.col("wsum") > 0, 1).otherwise(0)).alias("n_good"),
-            F.round(F.avg(F.col("wsum") / (6.0 * F.col("n_toks"))), 4).alias("avg_score"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
         )
         .orderBy("lang")
     )
@@ -3779,23 +3768,13 @@ def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant (hash of doc_id), so the same sample falls out on any
     cluster size — the reference's reproducibility contract (SURVEY §1)
     applied to sampling."""
+    from .operators.partition import mixture_sample
+
     docs = _t(spark, sf_dir, "documents")
-    wt = (F.substring("source", 4, 10).cast("long") % 4 + 1).alias("wt")
-    per_src = docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.first(wt).alias("wt"))
-    tot = per_src.agg(
-        F.sum("n_docs").alias("total"), F.sum("wt").alias("wsum"))
-    quotas = per_src.crossJoin(F.broadcast(tot)).select(
-        "source", "n_docs", "wt",
-        F.floor(0.5 * F.col("total") * F.col("wt") / F.col("wsum")).alias("quota"),
-    )
-    h28 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10).cast("long")
-    kept = (
-        docs.join(F.broadcast(quotas), "source")
-        .filter(h28 * F.col("n_docs") < F.col("quota") * F.lit(1 << 28))
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("kept"))
-    )
+    wt = F.substring("source", 4, 10).cast("long") % 4 + 1
+    kept_df, quotas = mixture_sample(
+        docs, "source", "doc_id", frac=0.5, weights=wt)
+    kept = kept_df.groupBy("source").agg(F.count(F.lit(1)).alias("kept"))
     return (
         quotas.join(kept, "source", "left")
         .select(
@@ -4321,21 +4300,11 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: map-only explode (row → its own chunks, no cross-row data),
     one shuffle into the tiny per-source agg. Chunk explosion is bounded
     by token count / stride — linear in corpus size."""
-    C, S = 50, 40
+    from .operators.text import chunk_tokens
+
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    n = F.size(toks)
-    n_chunks = F.when(n <= C, F.lit(1)).otherwise(
-        F.ceil((n - C) / F.lit(float(S))).cast("long") + 1)
-    d = docs.select("source", toks.alias("toks"), n_chunks.alias("n_chunks"))
-    chunks = d.select(
-        "source",
-        F.explode(F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int"))).alias("ci"),
-        "toks",
-    ).select(
-        "source",
-        F.size(F.slice("toks", F.col("ci") * S + 1, C)).alias("chunk_tokens"),
-    )
+    chunks = chunk_tokens(docs, size=50, stride=40, carry=["source"]).select(
+        "source", F.size("chunk_toks").alias("chunk_tokens"))
     return (
         chunks.groupBy("source")
         .agg(

@@ -94,6 +94,49 @@ def curate_documents(spark, datasets, options):
     }
 
 
+def select_and_chunk(spark, datasets, options):
+    """Round-2 curation tail: classifier-score the curated docs, keep
+    positive scores, rebalance the source mixture (uniform target
+    weights), then chunk to 50-token/stride-40 training windows."""
+    from accelerator_spark.operators.partition import mixture_sample
+    from accelerator_spark.operators.text import chunk_tokens, hashed_bow_score
+
+    docs = datasets["docs"].df(spark).select("doc_id", "text", "lang", "source")
+    scored = hashed_bow_score(docs)
+    good = scored.filter(F.col("score") > 0).drop("wsum", "n_toks", "score")
+    sampled, quotas = mixture_sample(
+        good, "source", "doc_id", frac=options.get("frac", 0.8))
+    chunks = chunk_tokens(sampled, size=50, stride=40,
+                          carry=["doc_id", "source"])
+    return {
+        "default": chunks.select(
+            "doc_id", "source", "chunk_index",
+            F.concat_ws(" ", "chunk_toks").alias("chunk_text")),
+        "stats": {
+            "scored": docs.count(),
+            "kept_good": good.count(),
+            "sampled": sampled.count(),
+            "chunks": chunks.count(),
+        },
+    }
+
+
+def fold_order_changes(spark, datasets, options):
+    """CDC tail: a synthetic daily change feed folded into the typed
+    orders chain head with apply_changes (MERGE INTO semantics)."""
+    from accelerator_spark.operators.merge import apply_changes
+
+    cur = datasets["orders"].df(spark)
+    changes = (
+        cur.filter(F.col("o_orderkey") % 5 == 1)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .withColumn("op", F.lit("U"))
+        .unionByName(
+            cur.filter(F.col("o_orderkey") % 5 == 2).withColumn("op", F.lit("D")))
+    )
+    return apply_changes(cur, changes, "o_orderkey")
+
+
 def main(urd):
     prev = None
     for day in range(3):
@@ -113,3 +156,10 @@ def main(urd):
 
     cur = urd.build(curate_documents, datasets={"docs": dd.dataset()})
     print("curation stats:", cur.load("stats"))
+
+    sel = urd.build(select_and_chunk, datasets={"docs": dd.dataset()},
+                    options={"frac": 0.8})
+    print("select+chunk stats:", sel.load("stats"))
+
+    folded = urd.build(fold_order_changes, datasets={"orders": prev})
+    print("orders after CDC fold:", folded.dataset().lines)

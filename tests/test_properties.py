@@ -132,3 +132,32 @@ def test_prop_hashpart_agg_invariant(spark, data):
         hashpart(df, "k", 5).groupBy("k").agg(
             F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")).collect()))
     assert plain == parted
+
+
+cdc_base = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(-100, 100)),
+    max_size=10, unique_by=lambda t: t[0])
+cdc_changes = st.lists(
+    st.tuples(st.integers(0, 12), st.sampled_from(["U", "D"]),
+              st.integers(-100, 100)),
+    max_size=8, unique_by=lambda t: t[0])
+
+
+@PROP
+@given(cdc_base, cdc_changes)
+def test_prop_apply_changes_matches_dict_model(spark, base, changes):
+    """apply_changes ≡ the obvious dict fold: upserts replace/insert,
+    deletes remove, untouched keys survive."""
+    from accelerator_spark.operators.merge import apply_changes
+
+    bdf = spark.createDataFrame(base or [], "k int, v long")
+    cdf = spark.createDataFrame(
+        [(k, v, op) for k, op, v in changes] or [], "k int, v long, op string")
+    model = dict(base)
+    for k, op, v in changes:
+        if op == "D":
+            model.pop(k, None)
+        else:
+            model[k] = v
+    got = {r.k: r.v for r in apply_changes(bdf, cdf, "k").collect()}
+    assert got == model

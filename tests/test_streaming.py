@@ -154,3 +154,56 @@ def test_foreach_batch_cdc_upsert(spark, sf_dir, tmp_path):
     got = {r.k: (r.s, r.v) for r in spark.read.parquet(table_path).collect()}
     assert got == {1: ("a", 10.0), 2: ("b3", 22.0), 4: ("d", 40.0),
                    5: ("e", 50.0)}
+
+
+def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
+    """Stream-stream inner join with watermarks + a time-range bound
+    (click ⨝ purchase by the same user within 1 hour after the click):
+    the only join shape whose state stays bounded on two unbounded
+    streams. Drained result must equal the identical batch join."""
+    import os
+
+    from accelerator_spark.queries import _events
+
+    ev = _events(spark, sf_dir)
+    src = str(tmp_path / "ss_src")
+    ev.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def side(event_type, alias_pref):
+        s = (spark.readStream.schema(schema).parquet(src)
+             .withColumn("ts", F.col("ts").cast("timestamp"))
+             .filter(F.col("event_type") == event_type)
+             .withWatermark("ts", "2 hours"))
+        return s.select(
+            F.col("user_id").alias(f"{alias_pref}_user"),
+            F.col("ts").alias(f"{alias_pref}_ts"),
+            F.col("event_id").alias(f"{alias_pref}_id"))
+
+    clicks, purchases = side("click", "c"), side("purchase", "p")
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("interval 1 hour")),
+        "inner")
+    sink = str(tmp_path / "ss_out")
+    q = (joined.writeStream.format("parquet")
+         .option("path", sink).option("checkpointLocation", str(tmp_path / "ss_ck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+
+    bc = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    bp = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+    want = bc.join(
+        bp,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("interval 1 hour")),
+        "inner").count()
+    got = spark.read.parquet(sink).count() if os.listdir(sink) else 0
+    assert got == want and want > 0
