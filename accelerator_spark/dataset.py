@@ -106,20 +106,28 @@ class Dataset:
         elif partitions:
             df = df.repartition(partitions)
 
+        # manifest stats (lines, min/max zone maps) ride the write itself
+        # via Observation — ONE scan, not write-then-rescan. At 100 TB the
+        # old read-back agg pass doubled every write's IO.
+        from pyspark.sql import Observation
+
+        aggs = [F.count(F.lit(1)).alias("__lines__")]
+        mm_cols = []
+        if collect_minmax:
+            for f_ in df.schema.fields:
+                if f_.dataType.simpleString() in _MINMAX_TYPES:
+                    mm_cols.append(f_.name)
+                    aggs.append(F.min(f_.name).alias(f"__min_{f_.name}"))
+                    aggs.append(F.max(f_.name).alias(f"__max_{f_.name}"))
+        obs = Observation()
+        df = df.observe(obs, *aggs)
+
         data_dir = os.path.join(path, "data")
         df.write.mode("overwrite").parquet(data_dir)
 
         spark = df.sparkSession
         written = spark.read.parquet(data_dir)
-        aggs = [F.count(F.lit(1)).alias("__lines__")]
-        mm_cols = []
-        if collect_minmax:
-            for f_ in written.schema.fields:
-                if f_.dataType.simpleString() in _MINMAX_TYPES:
-                    mm_cols.append(f_.name)
-                    aggs.append(F.min(f_.name).alias(f"__min_{f_.name}"))
-                    aggs.append(F.max(f_.name).alias(f"__max_{f_.name}"))
-        row = written.agg(*aggs).collect()[0].asDict()
+        row = obs.get
 
         manifest = {
             "version": 1,
@@ -169,7 +177,11 @@ class Dataset:
         re-creates the table entry in a fresh session from the manifest
         alone.
         """
+        from pyspark.sql import Observation
+
         spark = df.sparkSession
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("__lines__"))
         data_dir = os.path.join(path, "data")
         (df.write.mode("overwrite").format("parquet")
          .bucketBy(n_buckets, bucket_col).sortBy(bucket_col)
@@ -186,7 +198,7 @@ class Dataset:
             "previous": previous.path if isinstance(previous, Dataset) else previous,
             "columns": {f_.name: f_.dataType.simpleString() for f_ in written.schema.fields},
             "nullable": {f_.name: f_.nullable for f_ in written.schema.fields},
-            "lines": written.count(),
+            "lines": obs.get["__lines__"],
             "minmax": {},
         }
         os.makedirs(path, exist_ok=True)
@@ -265,6 +277,7 @@ class Dataset:
         length: int = -1,
         stop_ds: "Dataset | str | None" = None,
         range_filter: dict[str, tuple[Any, Any]] | None = None,
+        allow_missing_columns: bool = False,
     ) -> DataFrame:
         """Union-of-chain read (the reference's ``iterate_chain``,
         accelerator/dataset.py:443-446).
@@ -273,7 +286,12 @@ class Dataset:
         whole datasets whose manifest [min,max] misses the range — the
         reference's zone-map skip (accelerator/dataset.py:609-614). Spark's
         parquet row-group stats then skip inside surviving datasets.
-        """
+
+        ``allow_missing_columns=True`` opts into schema evolution across
+        the chain: a batch that ADDED a column unions with older batches,
+        which read NULL for it (the reference requires identical columns;
+        this is new surface for long-lived ingest chains whose feed grows
+        fields)."""
         dss = self.chain(length=length, stop_ds=stop_ds)
         if range_filter:
             dss = [ds for ds in dss if not ds._range_skips(range_filter)]
@@ -282,7 +300,7 @@ class Dataset:
         dfs = [ds.df(spark) for ds in dss]
         out = dfs[0]
         for d in dfs[1:]:
-            out = out.unionByName(d, allowMissingColumns=False)
+            out = out.unionByName(d, allowMissingColumns=allow_missing_columns)
         if range_filter:
             for c, (lo, hi) in range_filter.items():
                 if lo is not None:

@@ -139,3 +139,25 @@ def test_bucketed_write_joins_without_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     spark.sql("DROP TABLE t_li_b")
     spark.sql("DROP TABLE t_or_b")
+
+
+def test_chain_schema_evolution(spark, tmp_path):
+    """A chain whose newest batch grew a column reads end-to-end with
+    allow_missing_columns=True (older rows NULL), and stays strict by
+    default."""
+    import pytest as _pytest
+
+    from accelerator_spark.dataset import Dataset
+
+    d1 = spark.createDataFrame([(1, "a")], "k int, s string")
+    d2 = spark.createDataFrame([(2, "b", 9.5)], "k int, s string, extra double")
+    ds1 = Dataset.write(d1, str(tmp_path / "b1"))
+    ds2 = Dataset.write(d2, str(tmp_path / "b2"), previous=ds1)
+
+    evolved = ds2.chain_df(spark, allow_missing_columns=True).orderBy("k")
+    rows = evolved.collect()
+    assert [r.k for r in rows] == [1, 2]
+    assert rows[0].extra is None and rows[1].extra == 9.5
+
+    with _pytest.raises(Exception):
+        ds2.chain_df(spark).collect()  # strict mode: schema mismatch raises
