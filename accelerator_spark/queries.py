@@ -4386,6 +4386,59 @@ FROM d GROUP BY y, q ORDER BY y, q
 """
 
 
+def string_function_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar-function breadth (translate, lpad, instr, reverse,
+    repeat, replace — engine-portable spellings): one part scan, tiny
+    per-type agg. The reference has no scalar string library at all
+    (plain Python in translators, SURVEY §2.8) — this pins the F.*
+    superset surface."""
+    part = _t(spark, sf_dir, "part")
+    d = part.select(
+        "p_type",
+        F.translate("p_name", "aeiou", "AEIOU").alias("tr"),
+        F.lpad("p_brand", 12, "*").alias("pad"),
+        F.instr(F.col("p_name"), " ").alias("sp_pos"),
+        F.reverse(F.col("p_name")).alias("rev"),
+        F.length(F.replace(F.col("p_name"), F.lit(" "), F.lit("__"))).alias("rep_len"),
+        F.length(F.repeat(F.col("p_brand"), 2)).alias("rep2_len"),
+    )
+    return (
+        d.groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("sp_pos").alias("sum_space_pos"),
+            F.sum("rep_len").alias("sum_rep_len"),
+            F.sum("rep2_len").alias("sum_rep2_len"),
+            F.min("tr").alias("min_translated"),
+            F.max("rev").alias("max_reversed"),
+            F.max("pad").alias("max_padded"),
+        )
+        .orderBy("p_type")
+    )
+
+
+ORACLE_STRING_SWEEP = """
+WITH d AS (
+  SELECT p_type,
+         translate(p_name, 'aeiou', 'AEIOU') AS tr,
+         lpad(p_brand, 12, '*') AS pad,
+         instr(p_name, ' ') AS sp_pos,
+         reverse(p_name) AS rev,
+         length(replace(p_name, ' ', '__')) AS rep_len,
+         length(repeat(p_brand, 2)) AS rep2_len
+  FROM part
+)
+SELECT p_type, count(*) AS n,
+       sum(sp_pos) AS sum_space_pos,
+       sum(rep_len) AS sum_rep_len,
+       sum(rep2_len) AS sum_rep2_len,
+       min(tr) AS min_translated,
+       max(rev) AS max_reversed,
+       max(pad) AS max_padded
+FROM d GROUP BY p_type ORDER BY p_type
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -4503,6 +4556,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vector_arithmetic_suite": vector_arithmetic_suite,
     "chunk_documents": chunk_documents,
     "datetime_function_sweep": datetime_function_sweep,
+    "string_function_sweep": string_function_sweep,
 }
 
 ORACLES: dict[str, str] = {
@@ -4618,4 +4672,5 @@ ORACLES: dict[str, str] = {
     "vector_arithmetic_suite": ORACLE_VECTOR_SUITE,
     "chunk_documents": ORACLE_CHUNKS,
     "datetime_function_sweep": ORACLE_DATETIME_SWEEP,
+    "string_function_sweep": ORACLE_STRING_SWEEP,
 }
