@@ -182,6 +182,18 @@ def cmd_explain(args) -> int:
     return 0
 
 
+def cmd_oracle(args) -> int:
+    """Run a query (or all) against its DuckDB oracle — the driver's
+    correctness gate as a shell command. Exit 0 iff everything matches."""
+    import os
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cmd = [sys.executable, os.path.join(repo, "tools", "check_oracle.py"),
+           args.sf_dir] + (args.queries or [])
+    return subprocess.call(cmd)
+
+
 def cmd_workdir(args) -> int:
     """List jobs in a workdir (the reference's ``ax workdir``)."""
     import os
@@ -235,6 +247,10 @@ def main(argv: list[str] | None = None) -> int:
     e = sub.add_parser("explain"); e.add_argument("query", nargs="?")
     e.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     e.set_defaults(fn=cmd_explain)
+
+    o = sub.add_parser("oracle"); o.add_argument("queries", nargs="*")
+    o.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    o.set_defaults(fn=cmd_oracle)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -106,3 +106,15 @@ def test_cli_explain(capsys):
     assert cli.main(["explain", "q6_forecast_revenue"]) == 0
     assert "Physical Plan" in capsys.readouterr().out
     assert cli.main(["explain", "nope"]) == 1
+
+
+def test_cli_oracle_single_query(tmp_path):
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "accelerator_spark.cli", "oracle",
+         "q4_priority_check", "--sf-dir", "/root/testdata/sf0.001"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert r.returncode == 0
+    assert "1/1 matched" in r.stdout
