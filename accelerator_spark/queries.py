@@ -4439,6 +4439,91 @@ FROM d GROUP BY p_type ORDER BY p_type
 """
 
 
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@5 of the IVF index (8 cells,
+    n_probe=2) against the exact brute-force top-5, per query — the
+    measurement that justifies an approximate index before pointing it
+    at a corpus. Composes the two existing operators; the oracle replays
+    BOTH pipelines in SQL and joins them, so even the evaluation is
+    hash-checked.
+
+    Scale: exact side is n_q×corpus (the evaluation cost, run on a
+    sample); IVF side is n_q×corpus×(n_probe/n_cells). Recall < 1 is
+    expected and part of the oracle-pinned answer."""
+    from .operators.similarity import brute_force_topk, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 13))
+    cents = emb.filter(F.col("vec_id") < 8)
+    exact = brute_force_topk(emb, qs, k=5).select("q_id", "c_id")
+    approx = ivf_topk(emb, qs, cents, k=5, n_probe=2).select("q_id", "c_id")
+    hits = approx.join(exact, ["q_id", "c_id"])
+    per_q = hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        qs.select(F.col("vec_id").alias("q_id"))
+        .join(per_q, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / 5.0, 2).alias("recall_at_5"),
+        )
+        .orderBy("q_id")
+    )
+
+
+ORACLE_ANN_RECALL = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id >= 8 AND vec_id < 13
+), exact AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY cosine DESC, c_id ASC) AS rank
+    FROM (SELECT q.q_id, e.vec_id AS c_id,
+                 {_COS.format(a='q.q_emb', b='e.embedding')} AS cosine
+          FROM q, embeddings e WHERE e.vec_id <> q.q_id)
+  ) WHERE rank <= 5
+), cent AS (
+  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8
+), assign AS (
+  SELECT vec_id, embedding, c_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, c_id ASC) AS rn
+  FROM (SELECT e.vec_id, e.embedding, cent.c_id,
+               {_COS.format(a='e.embedding', b='cent.c_emb')} AS cos
+        FROM embeddings e, cent)
+), cor AS (
+  SELECT vec_id AS cand_id, embedding AS cand_emb, c_id AS centroid_id
+  FROM assign WHERE rn = 1
+), probes AS (
+  SELECT q_id, q_emb, c_id AS centroid_id FROM (
+    SELECT q.q_id, q.q_emb, cent.c_id,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {_COS.format(a='q.q_emb', b='cent.c_emb')} DESC,
+                                       cent.c_id ASC) AS rn
+    FROM q, cent)
+  WHERE rn <= 2
+), approx AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY cosine DESC, c_id ASC) AS rank
+    FROM (SELECT q_id, cand_id AS c_id,
+                 {_COS.format(a='q_emb', b='cand_emb')} AS cosine
+          FROM probes JOIN cor USING (centroid_id)
+          WHERE cand_id <> q_id)
+  ) WHERE rank <= 5
+), hits AS (
+  SELECT a.q_id, count(*) AS n_hits
+  FROM approx a JOIN exact x ON a.q_id = x.q_id AND a.c_id = x.c_id
+  GROUP BY a.q_id
+)
+SELECT q.q_id, coalesce(h.n_hits, 0) AS n_hits,
+       round(coalesce(h.n_hits, 0) / 5.0, 2) AS recall_at_5
+FROM q LEFT JOIN hits h USING (q_id)
+ORDER BY q.q_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -4557,6 +4642,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": chunk_documents,
     "datetime_function_sweep": datetime_function_sweep,
     "string_function_sweep": string_function_sweep,
+    "ann_recall_report": ann_recall_report,
 }
 
 ORACLES: dict[str, str] = {
@@ -4673,4 +4759,5 @@ ORACLES: dict[str, str] = {
     "chunk_documents": ORACLE_CHUNKS,
     "datetime_function_sweep": ORACLE_DATETIME_SWEEP,
     "string_function_sweep": ORACLE_STRING_SWEEP,
+    "ann_recall_report": ORACLE_ANN_RECALL,
 }
