@@ -245,3 +245,32 @@ def test_cohort_and_sessions_at_16x(spark, ev16):
     base = {(r["w"], r["o"]): r["u"] for r in cohort(e1).collect()}
     for r in cohort(ev16).collect():
         assert base[(r["w"], r["o"])] == r["u"]
+
+
+def test_multimodal_decode_at_16x(spark, docs16):
+    """Arrow mapInPandas decode at 16x (320k synthetic blobs): feature
+    extraction stays distributed (no driver collection), every row gets
+    a feature, and features are a pure function of payload bytes —
+    the 16 copies of a doc decode to identical features."""
+    from accelerator_spark.operators.multimodal import (
+        DETERMINISTIC_FAKE, decode_features)
+
+    media = docs16.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("image/fake").alias("mime"),
+    )
+    feats = decode_features(media, decoder=DETERMINISTIC_FAKE,
+                            batch_partitions=32)
+    n_in = media.count()
+    agg = feats.select(
+        "media_id",
+        F.xxhash64(F.concat_ws(",", F.transform(
+            "feature", lambda x: F.format_number(x, 4)))).alias("fh"),
+    )
+    assert agg.count() == n_in
+    # every original doc's 16 copies agree on the feature hash
+    per_doc = (agg.withColumn("base", F.col("media_id") % 100000)
+               .groupBy("base")
+               .agg(F.countDistinct("fh").alias("variants")))
+    assert per_doc.filter(F.col("variants") > 1).count() == 0
