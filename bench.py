@@ -66,6 +66,11 @@ HEADLINE = [
     "domain_mixture_sample",
     "fuzzy_part_name_pairs",
     "partitioned_pruning_revenue",
+    "cdc_merge_orders",
+    "scd2_event_type_intervals",
+    "chunk_documents",
+    "vector_arithmetic_suite",
+    "ann_recall_report",
 ]
 
 
