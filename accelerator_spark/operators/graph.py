@@ -1,0 +1,117 @@
+"""Graph analytics over DataFrame edge lists.
+
+New surface (the reference has no graph layer; its closest idiom is
+user Python over co-partitioned slices, SURVEY.md §2.7). Everything here
+is expressed as joins/aggregations so Catalyst/AQE pick the physical
+strategy; the iterative pieces (PageRank) run a fixed, small number of
+rounds with lineage truncation, the same discipline as
+operators/dedup.connected_components.
+
+Scale notes:
+- ``cooccurrence_edges`` builds pair edges via per-group sorted-set
+  expansion (collect_set -> pair combinations), NOT a self-join: one
+  shuffle on the grouping key instead of two, and the quadratic pair
+  expansion happens inside a group row where AQE's skew split can get at
+  it. ``group_cap`` bounds the expansion for pathological groups
+  (a 10k-item order would otherwise emit 50M pairs).
+- ``triangle_count`` orients edges low->high so each triangle is counted
+  exactly once, and joins the (deduped, thresholded) edge list with
+  itself twice — the standard distributed triangle algorithm; with a
+  degree-ordered orientation the heaviest join side is bounded by
+  max out-degree, which the weight threshold already caps here.
+- ``pagerank`` keeps rank state as a DataFrame co-partitioned with the
+  adjacency by source key; each iteration is one join + one groupBy
+  (two stages), checkpoint-free for small fixed iteration counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cooccurrence_edges(df: DataFrame, group_col: str, item_col: str,
+                       min_weight: int = 1, group_cap: int = 256) -> DataFrame:
+    """Undirected co-occurrence edges: items sharing a group value.
+
+    Returns (src, dst, weight) with src < dst, weight = number of groups
+    in which the pair co-occurred, filtered to weight >= min_weight.
+    Groups larger than ``group_cap`` distinct items are dropped (their
+    pair expansion is quadratic; at 100 TB a handful of mega-groups
+    would dominate the job while carrying no signal)."""
+    items = (df.select(group_col, item_col)
+             .groupBy(group_col)
+             .agg(F.sort_array(F.collect_set(item_col)).alias("_items"))
+             .filter(F.size("_items").between(2, group_cap)))
+    pairs = items.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_items, (x, i) ->"
+                " transform(slice(_items, i + 2, size(_items)),"
+                " y -> struct(x AS src, y AS dst))))"
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
+    return (pairs.groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("weight"))
+            .filter(F.col("weight") >= min_weight))
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Both directions of an oriented edge list (src/dst columns)."""
+    return edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Number of triangles in an undirected graph given oriented edges
+    (src < dst). Each triangle {a<b<c} is counted once via
+    e(a,b) ⋈ e(b,c) ⋈ e(a,c). Returns one row:
+    (n_nodes, n_edges, n_triangles)."""
+    e = edges.select("src", "dst")
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    nodes = e.select(F.col("src").alias("n")).unionByName(
+        e.select(F.col("dst").alias("n"))).distinct()
+    return (tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+            .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+            .crossJoin(nodes.agg(F.count(F.lit(1)).alias("n_nodes")))
+            .select("n_nodes", "n_edges", "n_triangles"))
+
+
+def pagerank(edges: DataFrame, iterations: int = 3,
+             damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration PageRank on an undirected graph (oriented edges
+    in, symmetrized internally). Every node appearing in an edge
+    participates; on a symmetrized edge list there are no dangling
+    nodes, so total rank is conserved exactly.
+
+    Deterministic: iteration count is fixed, the graph is fixed, and the
+    arithmetic is plain double sums (merge order only perturbs the
+    ~1e-15 tail, absorbed by the caller's rounding).
+
+    Returns (node, rank)."""
+    sym = symmetrize(edges)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()  # node count: one tiny agg job, scalar to driver
+    ranks = deg.select(F.col("src").alias("node"),
+                       F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contribs = (sym.join(ranks, sym.src == ranks.node)
+                    .join(deg, "src")
+                    .select(F.col("dst").alias("node"),
+                            (F.col("rank") / F.col("deg")).alias("c")))
+        ranks = contribs.groupBy("node").agg(
+            (F.lit(base) + F.lit(damping) * F.sum("c")).alias("rank"))
+    return ranks
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """Distribution of node degrees for oriented (src<dst) edges:
+    (degree, n_nodes) — the classic first look at any graph."""
+    deg = symmetrize(edges).groupBy("src").agg(
+        F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -1,0 +1,121 @@
+"""Mergeable sketches and approximate/exact distinct structures.
+
+Reference parity note: eBay/accelerator has no sketch layer at all — its
+distinct/frequency work is user Python over hash-partitioned slices
+(SURVEY.md §2.6 "absent"). These operators are new surface designed for
+the 100 TB regime, where the winning pattern is *mergeable partial
+state*: build a small summary per partition / per day, store it, and
+answer coarser-grained questions by merging summaries instead of
+re-scanning raw data.
+
+Three tiers, by exactness:
+- ``bitmap_distinct``: EXACT distinct counts for integer keys via Spark's
+  bitmap aggregate functions (bitmap_construct_agg / bitmap_or_agg).
+  A bitmap bucket covers 32768 positions, so state is
+  ~4 KiB * (key_range / 32768) per group — ideal for dense ID spaces
+  (user ids, row ids). Re-aggregatable: OR-merging daily bitmaps gives
+  monthly distincts with no rescan.
+- ``hll_rollup``: APPROXIMATE distinct via Apache DataSketches HLL
+  (hll_sketch_agg / hll_union_agg, Spark 3.5+). Fixed ~2^lgk bytes per
+  group regardless of cardinality; ~1.6 % stderr at lgk=12. The choice
+  when the key space is unbounded (URLs, ngrams).
+- ``heavy_hitters``: EXACT frequent-item detection in two passes:
+  per-partition local counting (Arrow-batched, no shuffle) emits a
+  candidate superset — any key with global count >= T must reach count
+  >= T / num_partitions in at least one partition — then a broadcast
+  semi-join + exact recount verifies. Only candidate keys ever shuffle,
+  so a 100 TB stream with millions of distinct keys but few hot ones
+  shuffles almost nothing.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bitmap_distinct(df: DataFrame, key_col: str, group_cols: list[str],
+                    merge_cols: list[str] | None = None,
+                    out_col: str = "distinct_count") -> DataFrame:
+    """Exact count-distinct of an integer ``key_col`` per ``group_cols``
+    via position bitmaps.
+
+    If ``merge_cols`` is given, bitmaps are first built per
+    (group_cols + merge_cols + bucket) — e.g. per day — and then
+    OR-merged up to group_cols, demonstrating the re-aggregation path
+    (daily state -> monthly answer). Result is identical either way;
+    the two-level form is how a 100 TB incremental pipeline would run.
+    """
+    fine = list(group_cols) + list(merge_cols or [])
+    pos = df.select(
+        *fine,
+        F.bitmap_bucket_number(F.col(key_col)).alias("_bkt"),
+        F.bitmap_bit_position(F.col(key_col)).alias("_pos"),
+    )
+    built = pos.groupBy(*fine, "_bkt").agg(
+        F.bitmap_construct_agg(F.col("_pos")).alias("_bm"))
+    if merge_cols:
+        built = built.groupBy(*group_cols, "_bkt").agg(
+            F.bitmap_or_agg(F.col("_bm")).alias("_bm"))
+    return (built
+            .groupBy(*group_cols)
+            .agg(F.sum(F.bitmap_count(F.col("_bm"))).alias(out_col)))
+
+
+def hll_rollup(df: DataFrame, key_col: str, group_cols: list[str],
+               merge_cols: list[str] | None = None, lgk: int = 12,
+               out_col: str = "approx_distinct") -> DataFrame:
+    """Approximate count-distinct per ``group_cols`` through mergeable
+    DataSketches HLL sketches; with ``merge_cols`` the sketch is built at
+    the finer grain and union-merged up (the continuous-aggregate shape:
+    store per-day sketches, answer per-anything queries by union)."""
+    fine = list(group_cols) + list(merge_cols or [])
+    sk = df.groupBy(*fine).agg(
+        F.hll_sketch_agg(F.col(key_col), F.lit(lgk)).alias("_sk"))
+    if merge_cols:
+        sk = sk.groupBy(*group_cols).agg(
+            F.hll_union_agg(F.col("_sk")).alias("_sk"))
+    return sk.select(*group_cols,
+                     F.hll_sketch_estimate(F.col("_sk")).alias(out_col))
+
+
+def heavy_hitters(df: DataFrame, key_col: str, threshold: int) -> DataFrame:
+    """All keys whose global row count is >= ``threshold``, with exact
+    counts — computed without shuffling the full key stream.
+
+    Pass 1 (map-only): each partition counts its rows per key in an
+    Arrow batch loop and emits only keys with local count >=
+    ceil(threshold / num_partitions) — a guaranteed superset of the true
+    heavy hitters (pigeonhole: a key with global count >= T spread over
+    P partitions peaks at >= T/P somewhere).
+    Pass 2: the (small) candidate set is broadcast back and only
+    candidate rows are counted exactly.
+
+    Returns columns: ``key_col``, ``cnt`` — deterministic regardless of
+    partition layout (the candidate superset varies, the verified answer
+    does not)."""
+    nparts = df.rdd.getNumPartitions()
+    local_min = max(1, math.ceil(threshold / max(nparts, 1)))
+    key_type = dict(df.dtypes)[key_col]
+
+    def _local(batches: Iterator) -> Iterator:
+        import pandas as pd
+        c: Counter = Counter()
+        dtype = object
+        for pdf in batches:
+            dtype = pdf[key_col].dtype
+            c.update(Counter(dict(pdf[key_col].value_counts())))
+        keys = [k for k, v in c.items() if v >= local_min]
+        yield pd.DataFrame({key_col: pd.Series(keys, dtype=dtype if keys else object)})
+
+    cands = (df.select(key_col)
+             .mapInPandas(_local, schema=f"{key_col} {key_type}")
+             .distinct())
+    return (df.join(F.broadcast(cands), on=key_col, how="left_semi")
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") >= threshold))

@@ -4761,3 +4761,10 @@ ORACLES: dict[str, str] = {
     "string_function_sweep": ORACLE_STRING_SWEEP,
     "ann_recall_report": ORACLE_ANN_RECALL,
 }
+
+# round-2 suites (sketches, graph, rollup hierarchy, variant, UDTF,
+# robust stats, skyline) live in queries2.py; merge their registries
+from .queries2 import ORACLES2 as _ORACLES2, QUERIES2 as _QUERIES2  # noqa: E402
+
+QUERIES.update(_QUERIES2)
+ORACLES.update(_ORACLES2)

@@ -1,0 +1,529 @@
+"""Round-2 query/operator additions — sketches, graph analytics,
+hierarchical rollups, variant JSON, UDTFs, robust stats, skyline.
+
+Same contract as queries.py: every entry pairs a Spark implementation
+with a DuckDB oracle over the identical parquet tables; aliases match on
+both sides; doubles rounded identically. Registered into
+queries.QUERIES / queries.ORACLES at the bottom of queries.py.
+
+Tolerance-gated queries (hll, approx percentile) follow the
+ann_recall_report pattern: the Spark side returns EXACT values plus a
+boolean asserting the approximate structure landed within tolerance;
+the oracle recomputes the exact values and hardcodes the boolean TRUE —
+so a drifting sketch fails the hash gate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+# Lazy bridges to queries.py (which imports this module at its bottom
+# to merge registries — a module-level import here would be circular)
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from .queries import _t as real
+    return real(spark, sf_dir, name)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries import _events as real
+    return real(spark, sf_dir)
+
+
+# =====================================================================
+# Sketches / approximate structures (operators/sketches.py)
+# =====================================================================
+
+def hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-(event_type, day) DataSketches HLL
+    sketches of user_id, union-merged up to event_type — the store-daily-
+    sketches / answer-monthly-queries pattern that makes distinct counts
+    re-aggregatable at 100 TB without rescans. Gate: DataSketches HLL at
+    lgk=12 is exact in sparse mode far beyond this cardinality (150
+    users), and the 5% band holds with huge margin at any scale factor
+    the driver uses."""
+    from .operators.sketches import hll_rollup
+
+    ev = _events(spark, sf_dir)
+    est = hll_rollup(ev.withColumn("day", F.to_date("ts")),
+                     key_col="user_id", group_cols=["event_type"],
+                     merge_cols=["day"], lgk=12)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"))
+    ok = (F.abs(F.col("approx_distinct") - F.col("exact_users"))
+          <= 0.05 * F.col("exact_users"))
+    return (exact.join(est, "event_type")
+            .select("event_type", "exact_users", ok.alias("hll_within_5pct"))
+            .orderBy("event_type"))
+
+
+ORACLE_HLL_ROLLUP = """
+SELECT event_type, count(DISTINCT user_id) AS exact_users,
+       TRUE AS hll_within_5pct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT re-aggregatable distinct counts via position bitmaps
+    (operators/sketches.bitmap_distinct): per-(event_type, day, bucket)
+    bitmaps OR-merged up to event_type. State is bits, not values —
+    the dense-integer-ID answer to count-distinct at scale."""
+    from .operators.sketches import bitmap_distinct
+
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    return (bitmap_distinct(ev, key_col="user_id",
+                            group_cols=["event_type"], merge_cols=["day"],
+                            out_col="distinct_users")
+            .orderBy("event_type"))
+
+
+ORACLE_BITMAP_DISTINCT = """
+SELECT event_type, count(DISTINCT user_id) AS distinct_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent-item detection without shuffling the key stream
+    (operators/sketches.heavy_hitters): per-partition Arrow counting
+    emits a pigeonhole-guaranteed candidate superset; broadcast
+    semi-join + recount verifies. Output is partitioning-invariant."""
+    from .operators.sketches import heavy_hitters
+
+    ev = _events(spark, sf_dir)
+    n, n_users = ev.agg(
+        F.count(F.lit(1)), F.countDistinct("user_id")).collect()[0]
+    # threshold ~= 120% of the mean user frequency: selective at every
+    # scale factor (user count grows with sf), never empty/everything
+    threshold = max(2, int(1.2 * n / n_users))
+    hh = heavy_hitters(ev, "user_id", threshold)
+    return (hh.select("user_id", F.col("cnt").alias("n_events"))
+            .orderBy("user_id"))
+
+
+ORACLE_HEAVY_HITTERS = """
+SELECT user_id, count(*) AS n_events FROM events
+GROUP BY user_id
+HAVING count(*) >= greatest(2, CAST(floor(
+    1.2 * (SELECT count(*) FROM events)
+        / (SELECT count(DISTINCT user_id) FROM events)) AS BIGINT))
+ORDER BY user_id
+"""
+
+
+def approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (PERCENTILE_CONT semantics) per
+    return flag, plus a gate asserting percentile_approx(accuracy=10000)
+    lands within 1% relative error — the sketch a 100 TB pipeline would
+    actually use (Greenwald-Khanna: bounded memory, mergeable), verified
+    against the exact answer the oracle can replay."""
+    li = _t(spark, sf_dir, "lineitem")
+    ex = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 2).alias("p99"))
+    ap = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("a50"),
+        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)).alias("a99"))
+    j = ex.join(ap, "l_returnflag")
+    ok = ((F.abs(F.col("a50") - F.col("p50")) <= 0.01 * F.col("p50"))
+          & (F.abs(F.col("a99") - F.col("p99")) <= 0.01 * F.col("p99")))
+    return (j.select("l_returnflag", "p50", "p90", "p99",
+                     ok.alias("approx_within_1pct"))
+            .orderBy("l_returnflag"))
+
+
+ORACLE_APPROX_QUANTILE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 2) AS p99,
+       TRUE AS approx_within_1pct
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# =====================================================================
+# Variant JSON (Spark 4 semi-structured path)
+# =====================================================================
+
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType path for semi-structured columns: parse_json
+    once into a variant, typed variant_get extraction, aggregate. The
+    binary variant encoding makes repeated field access O(1) vs
+    re-parsing JSON text per access (get_json_object) — the idiomatic
+    upgrade of the reference's `json` column type (SURVEY §1.2)."""
+    ev = _events(spark, sf_dir)
+    v = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"))
+    return (v.groupBy("event_type")
+            .agg(F.count("k").alias("n_with_k"),
+                 F.countDistinct("k").alias("distinct_k"),
+                 F.round(F.avg("k"), 2).alias("avg_k"),
+                 F.countDistinct("day").alias("n_days"))
+            .orderBy("event_type"))
+
+
+ORACLE_VARIANT_PROPS = """
+SELECT event_type,
+       count(CAST(props->>'k' AS BIGINT)) AS n_with_k,
+       count(DISTINCT CAST(props->>'k' AS BIGINT)) AS distinct_k,
+       round(avg(CAST(props->>'k' AS BIGINT)), 2) AS avg_k,
+       count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS n_days
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# =====================================================================
+# Graph analytics (operators/graph.py) — co-purchase graph: parts that
+# appear in the same order, edge weight = number of shared orders
+# =====================================================================
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import cooccurrence_edges
+    li = _t(spark, sf_dir, "lineitem")
+    return cooccurrence_edges(li, group_col="l_orderkey",
+                              item_col="l_partkey", min_weight=2)
+
+
+# shared oracle CTE: sorted-pair expansion == cooccurrence_edges
+_EDGE_CTE = """
+pairs AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), edges AS (
+  SELECT src, dst, count(*) AS weight FROM pairs
+  GROUP BY src, dst HAVING count(*) >= 2
+)"""
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting (operators/graph.triangle_count) on
+    the thresholded co-purchase graph: oriented edges joined twice, each
+    triangle counted exactly once."""
+    from .operators.graph import triangle_count
+    return triangle_count(_copurchase_edges(spark, sf_dir))
+
+
+ORACLE_TRIANGLES = f"""
+WITH {_EDGE_CTE},
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+       JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+nn AS (
+  SELECT count(*) AS n_nodes FROM (
+    SELECT src AS n FROM edges UNION SELECT dst FROM edges)
+),
+ne AS (SELECT count(*) AS n_edges FROM edges)
+SELECT nn.n_nodes AS n_nodes, ne.n_edges AS n_edges, tri.n_triangles AS n_triangles
+FROM nn, ne, tri
+"""
+
+
+def graph_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (operators/graph.pagerank, 3 rounds,
+    d=0.85) over the undirected co-purchase graph; top 20 parts by rank.
+    The oracle replays the identical power iteration as 3 unrolled CTE
+    levels — iterative DataFrame loops and recursive SQL agree."""
+    from .operators.graph import pagerank
+    ranks = pagerank(_copurchase_edges(spark, sf_dir), iterations=3)
+    return (ranks.select(F.col("node").alias("part"),
+                         F.round(F.col("rank") * 1e4, 6).alias("rank_x1e4"))
+            .orderBy(F.col("rank_x1e4").desc(), F.col("part"))
+            .limit(20))
+
+
+def _pagerank_oracle() -> str:
+    # n/base/damping mirror operators/graph.pagerank
+    it = """
+r{K} AS (
+  SELECT s.dst AS node,
+         (SELECT base FROM const) + 0.85 * sum(r.rank / d.deg) AS rank
+  FROM sym s JOIN r{P} r ON s.src = r.node JOIN deg d ON d.node = s.src
+  GROUP BY s.dst
+)"""
+    its = ",".join(it.format(K=k, P=k - 1) for k in (1, 2, 3))
+    return f"""
+WITH {_EDGE_CTE},
+sym AS (
+  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+),
+deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY src),
+const AS (
+  SELECT count(*) AS n, 0.15 / count(*) AS base, 1.0 / count(*) AS r0
+  FROM deg
+),
+r0 AS (SELECT node, (SELECT r0 FROM const) AS rank FROM deg),
+{its}
+SELECT node AS part, round(rank * 1e4, 6) AS rank_x1e4
+FROM r3 ORDER BY rank_x1e4 DESC, part LIMIT 20
+"""
+
+
+ORACLE_PAGERANK = _pagerank_oracle()
+
+
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph."""
+    from .operators.graph import degree_histogram
+    return (degree_histogram(_copurchase_edges(spark, sf_dir))
+            .orderBy("degree"))
+
+
+ORACLE_DEGREE_HIST = f"""
+WITH {_EDGE_CTE},
+sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+deg AS (SELECT src, count(*) AS degree FROM sym GROUP BY src)
+SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree ORDER BY degree
+"""
+
+
+# =====================================================================
+# Hierarchical time rollup (hypertable-style continuous aggregate)
+# =====================================================================
+
+def hypertable_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate hierarchy: raw events -> minutely partials
+    (count/sum/min/max) -> hourly merged from minutely -> daily merged
+    from hourly. Every level is derived from the previous one only —
+    the mergeable-state property that lets a 100 TB pipeline keep
+    fine-grained partials hot and answer coarse queries without touching
+    raw data. avg is re-derived as sum/count at the top (avg itself
+    doesn't merge; sum+count do). Oracle computes daily straight from
+    raw — equality IS the associativity proof."""
+    ev = _events(spark, sf_dir)
+    minutely = (ev.groupBy(F.date_trunc("minute", "ts").alias("minute"))
+                .agg(F.count(F.lit(1)).alias("cnt"),
+                     F.sum("value").alias("sv"),
+                     F.min("value").alias("mn"),
+                     F.max("value").alias("mx")))
+    hourly = (minutely.groupBy(F.date_trunc("hour", "minute").alias("hour"))
+              .agg(F.sum("cnt").alias("cnt"), F.sum("sv").alias("sv"),
+                   F.min("mn").alias("mn"), F.max("mx").alias("mx")))
+    return (hourly.groupBy(F.to_date("hour").alias("day"))
+            .agg(F.sum("cnt").alias("n_events"),
+                 F.round(F.sum("sv"), 2).alias("sum_value"),
+                 F.round(F.sum("sv") / F.sum("cnt"), 4).alias("avg_value"),
+                 F.round(F.min("mn"), 4).alias("min_value"),
+                 F.round(F.max("mx"), 4).alias("max_value"))
+            .withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+            .orderBy("day"))
+
+
+ORACLE_HYPERTABLE = """
+SELECT strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d') AS day,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       round(sum(value) / count(*), 4) AS avg_value,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# =====================================================================
+# Python UDTF (Spark 4 §2.10 breadth: one row in -> many rows out)
+# =====================================================================
+
+def udtf_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched Python UDTF in a LATERAL join: per document, emit
+    the top-3 words by count (count desc, word asc tiebreak). The UDTF
+    is the §2.10 story for one-to-many Python logic — the reference
+    expresses this as per-slice generator methods (SURVEY §2.10); Spark
+    4 makes it a first-class table function usable from SQL."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, cnt int")
+    class TopWords:
+        def eval(self, text: str):
+            from collections import Counter
+            if not text:
+                return
+            c = Counter(text.split())
+            top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+            for w, n in top:
+                yield w, n
+
+    spark.udtf.register("top_words", TopWords)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql("""
+        SELECT d.doc_id, t.word, t.cnt
+        FROM docs_udtf d, LATERAL top_words(d.text) t
+        WHERE d.doc_id < 20
+        ORDER BY d.doc_id, t.cnt DESC, t.word
+    """)
+
+
+ORACLE_UDTF_WORDS = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents WHERE doc_id < 20
+), cnts AS (
+  SELECT doc_id, word, count(*) AS cnt,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY count(*) DESC, word) AS rn
+  FROM words WHERE word <> '' GROUP BY doc_id, word
+)
+SELECT doc_id, word, CAST(cnt AS INTEGER) AS cnt FROM cnts WHERE rn <= 3
+ORDER BY doc_id, cnt DESC, word
+"""
+
+
+# =====================================================================
+# Robust statistics / normalization
+# =====================================================================
+
+def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization at exact per-group [p05, p95]
+    (operators/analytics.winsorize): one tiny percentile agg broadcast
+    back, clamp as a map-only expression. Gate compares raw vs
+    winsorized means per event_type."""
+    from .operators.analytics import winsorize
+
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    wz = winsorize(ev, "value", ["event_type"], 0.05, 0.95)
+    return (wz.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("value"), 4).alias("mean_raw"),
+                 F.round(F.avg("value_winsor"), 4).alias("mean_winsor"),
+                 F.round(F.min("value_winsor"), 4).alias("lo_clamp"),
+                 F.round(F.max("value_winsor"), 4).alias("hi_clamp"))
+            .orderBy("event_type"))
+
+
+ORACLE_WINSORIZE = """
+WITH cuts AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, count(*) AS n,
+       round(avg(e.value), 4) AS mean_raw,
+       round(avg(least(greatest(e.value, c.lo), c.hi)), 4) AS mean_winsor,
+       round(min(least(greatest(e.value, c.lo), c.hi)), 4) AS lo_clamp,
+       round(max(least(greatest(e.value, c.lo), c.hi)), 4) AS hi_clamp
+FROM events e JOIN cuts c USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
+def embedding_zscore_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization of the embedding corpus: posexplode
+    to (vec, dim, x), per-dim mean/stddev_pop agg (64 groups — tiny,
+    broadcast back), z = (x-mu)/sigma, then per-dim z-range as the
+    verification surface. The explode shape is the scale-correct way to
+    get dimension-wise statistics: one shuffle keyed on dim, versus
+    64 full-corpus array folds."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select("vec_id", F.posexplode("embedding").alias("d", "x")) \
+              .withColumn("x", F.col("x").cast("double"))
+    stats = dims.groupBy("d").agg(F.avg("x").alias("mu"),
+                                  F.stddev_pop("x").alias("sigma"))
+    z = (dims.join(F.broadcast(stats), "d")
+         .select("d", ((F.col("x") - F.col("mu")) / F.col("sigma")).alias("z")))
+    # + 0.0 collapses IEEE -0.0 to 0.0 (a rounded mean can land on
+    # negative zero in one engine and positive zero in the other)
+    zr = z.groupBy("d").agg((F.round(F.min("z"), 3) + 0.0).alias("z_min"),
+                            (F.round(F.max("z"), 3) + 0.0).alias("z_max"))
+    return (stats.join(zr, "d")
+            .select("d", (F.round("mu", 4) + 0.0).alias("mu"),
+                    (F.round("sigma", 4) + 0.0).alias("sigma"), "z_min", "z_max")
+            .filter(F.col("d") < 16)
+            .orderBy("d"))
+
+
+ORACLE_ZSCORE_EMB = """
+WITH dims AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), stats AS (
+  SELECT d, avg(x) AS mu, stddev_pop(x) AS sigma FROM dims GROUP BY d
+), z AS (
+  SELECT dims.d, (x - mu) / sigma AS z FROM dims JOIN stats USING (d)
+), zr AS (
+  SELECT d, round(min(z), 3) + 0.0 AS z_min, round(max(z), 3) + 0.0 AS z_max
+  FROM z GROUP BY d
+)
+SELECT d, round(mu, 4) + 0.0 AS mu, round(sigma, 4) + 0.0 AS sigma,
+       z_min, z_max
+FROM stats JOIN zr USING (d) WHERE d < 16 ORDER BY d
+"""
+
+
+# =====================================================================
+# Skyline (Pareto frontier)
+# =====================================================================
+
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal parts: minimize retail price, maximize size
+    (operators/analytics.skyline — local skyline per partition, then
+    one candidate-only refinement; exact, partitioning-invariant).
+    Oracle is the textbook NOT EXISTS domination query."""
+    from .operators.analytics import skyline
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size")
+    sky = skyline(part, minimize=["p_retailprice"], maximize=["p_size"])
+    return (sky.select("p_partkey",
+                       F.round("p_retailprice", 2).alias("p_retailprice"),
+                       "p_size")
+            .orderBy("p_partkey"))
+
+
+ORACLE_SKYLINE = """
+SELECT p_partkey, round(p_retailprice, 2) AS p_retailprice, p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+ORDER BY p_partkey
+"""
+
+
+# =====================================================================
+# Registry (merged into queries.QUERIES / queries.ORACLES)
+# =====================================================================
+
+QUERIES2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "hll_distinct_rollup": hll_distinct_rollup,
+    "bitmap_distinct_users": bitmap_distinct_users,
+    "heavy_hitter_users": heavy_hitter_users,
+    "approx_quantile_gate": approx_quantile_gate,
+    "variant_props_stats": variant_props_stats,
+    "graph_triangle_count": graph_triangle_count,
+    "graph_pagerank_top20": graph_pagerank_top20,
+    "graph_degree_histogram": graph_degree_histogram,
+    "hypertable_rollup_daily": hypertable_rollup_daily,
+    "udtf_word_freq": udtf_word_freq,
+    "winsorized_event_values": winsorized_event_values,
+    "embedding_zscore_stats": embedding_zscore_stats,
+    "skyline_parts": skyline_parts,
+}
+
+ORACLES2: dict[str, str] = {
+    "hll_distinct_rollup": ORACLE_HLL_ROLLUP,
+    "bitmap_distinct_users": ORACLE_BITMAP_DISTINCT,
+    "heavy_hitter_users": ORACLE_HEAVY_HITTERS,
+    "approx_quantile_gate": ORACLE_APPROX_QUANTILE,
+    "variant_props_stats": ORACLE_VARIANT_PROPS,
+    "graph_triangle_count": ORACLE_TRIANGLES,
+    "graph_pagerank_top20": ORACLE_PAGERANK,
+    "graph_degree_histogram": ORACLE_DEGREE_HIST,
+    "hypertable_rollup_daily": ORACLE_HYPERTABLE,
+    "udtf_word_freq": ORACLE_UDTF_WORDS,
+    "winsorized_event_values": ORACLE_WINSORIZE,
+    "embedding_zscore_stats": ORACLE_ZSCORE_EMB,
+    "skyline_parts": ORACLE_SKYLINE,
+}

@@ -71,6 +71,18 @@ HEADLINE = [
     "chunk_documents",
     "vector_arithmetic_suite",
     "ann_recall_report",
+    # round-2 suites: sketches / variant / rollup hierarchy / UDTF /
+    # robust stats / skyline (graph + hll + heavy-hitters excluded from
+    # the headline: their co-purchase graph build is several seconds at
+    # sf0.1 — measured separately, see BASELINE.md)
+    "bitmap_distinct_users",
+    "approx_quantile_gate",
+    "variant_props_stats",
+    "hypertable_rollup_daily",
+    "udtf_word_freq",
+    "winsorized_event_values",
+    "embedding_zscore_stats",
+    "skyline_parts",
 ]
 
 
