@@ -493,6 +493,127 @@ ORDER BY p_partkey
 
 
 # =====================================================================
+# XML source/sink (Spark 4 native XML)
+# =====================================================================
+
+def xml_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink gate (Spark 4 builds in the XML reader/writer —
+    format breadth beyond parquet/orc/csv/jsonl): nation written as XML
+    rows, re-read with the explicit schema (no inference drift), then
+    digested with the order-independent md5-xor checksum the oracle
+    computes over the parquet directly."""
+    import tempfile
+
+    nation = _t(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="xml_rt_") + "/x"
+    (nation.write.mode("overwrite").format("xml")
+     .option("rootTag", "nations").option("rowTag", "nation").save(path))
+    back = (spark.read.format("xml").option("rowTag", "nation")
+            .schema(nation.schema).load(path))
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("<N>"))
+             for c in ["n_nationkey", "n_name", "n_regionkey"]]
+    h = F.conv(F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 15),
+               16, 10).cast("long")
+    return back.select(h.alias("h"), "n_regionkey").agg(
+        F.count(F.lit(1)).alias("nations"),
+        F.bit_xor("h").alias("checksum_xor"),
+        F.sum("n_regionkey").alias("sum_region"))
+
+
+ORACLE_XML_RT = """
+SELECT count(*) AS nations,
+       bit_xor(CAST(('0x' || substring(md5(
+         concat_ws(chr(31),
+           coalesce(CAST(n_nationkey AS VARCHAR), '<N>'),
+           coalesce(n_name, '<N>'),
+           coalesce(CAST(n_regionkey AS VARCHAR), '<N>'))), 1, 15)) AS BIGINT)) AS checksum_xor,
+       sum(n_regionkey) AS sum_region
+FROM nation
+"""
+
+
+# =====================================================================
+# Recursive CTE (Spark 4 WITH RECURSIVE — identical text both engines)
+# =====================================================================
+
+_RECURSIVE_REACH_SQL = """
+WITH RECURSIVE
+po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+  FROM po a JOIN po b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= 2
+),
+top_edges AS (SELECT src, dst FROM e ORDER BY w DESC, src, dst LIMIT 200),
+sym AS (
+  SELECT src, dst FROM top_edges
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM top_edges
+),
+seed AS (SELECT min(src) AS n FROM sym),
+walk(node, depth) AS (
+  SELECT n, 0 FROM seed
+  UNION ALL
+  SELECT s.dst, w.depth + 1 FROM walk w JOIN sym s ON s.src = w.node
+  WHERE w.depth < 3
+)
+SELECT node, min(depth) AS dist, count(*) AS n_walks
+FROM walk GROUP BY node ORDER BY node
+"""
+
+
+def recursive_copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS over the strongest 200 co-purchase edges via
+    WITH RECURSIVE (Spark 4) — the IDENTICAL SQL text runs on DuckDB
+    (like sql_multi_supplier_orders): the recursive working-table
+    semantics of both engines must agree on min-distance AND bounded
+    walk counts. Depth cap 3 bounds work on cycles (UNION ALL
+    recursion); LIMIT is tie-broken deterministically."""
+    from .sqlapi import sql
+    return sql(spark, sf_dir, _RECURSIVE_REACH_SQL)
+
+
+# =====================================================================
+# Interval RANGE window frames (time-based moving aggregates)
+# =====================================================================
+
+def moving_avg_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-aware moving aggregate: per-day revenue with a 7-day
+    RANGE window (INTERVAL '6' DAY PRECEDING — frames follow the
+    calendar, not row counts, so gaps in the date spine are handled
+    correctly). One shuffle for the daily agg; the window runs on the
+    80-row daily table. Complements window_suite_orders (ROWS frames)."""
+    from .sqlapi import sql
+    return sql(spark, sf_dir, """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+)
+SELECT CAST(day AS STRING) AS day, round(rev, 2) AS rev,
+       round(avg(rev) OVER (ORDER BY day
+         RANGE BETWEEN INTERVAL '6' DAY PRECEDING AND CURRENT ROW), 2) AS avg_7d,
+       round(sum(rev) OVER (ORDER BY day
+         RANGE BETWEEN INTERVAL '6' DAY PRECEDING AND CURRENT ROW), 2) AS sum_7d
+FROM daily ORDER BY day
+""")
+
+
+ORACLE_MOVING_7D = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, round(rev, 2) AS rev,
+       round(avg(rev) OVER (ORDER BY day
+         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 2) AS avg_7d,
+       round(sum(rev) OVER (ORDER BY day
+         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 2) AS sum_7d
+FROM daily ORDER BY day
+"""
+
+
+# =====================================================================
 # Registry (merged into queries.QUERIES / queries.ORACLES)
 # =====================================================================
 
@@ -510,6 +631,9 @@ QUERIES2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorized_event_values": winsorized_event_values,
     "embedding_zscore_stats": embedding_zscore_stats,
     "skyline_parts": skyline_parts,
+    "xml_roundtrip_checksum": xml_roundtrip_checksum,
+    "recursive_copurchase_reach": recursive_copurchase_reach,
+    "moving_avg_revenue_7d": moving_avg_revenue_7d,
 }
 
 ORACLES2: dict[str, str] = {
@@ -526,4 +650,7 @@ ORACLES2: dict[str, str] = {
     "winsorized_event_values": ORACLE_WINSORIZE,
     "embedding_zscore_stats": ORACLE_ZSCORE_EMB,
     "skyline_parts": ORACLE_SKYLINE,
+    "xml_roundtrip_checksum": ORACLE_XML_RT,
+    "recursive_copurchase_reach": _RECURSIVE_REACH_SQL,
+    "moving_avg_revenue_7d": ORACLE_MOVING_7D,
 }
