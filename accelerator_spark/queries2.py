@@ -614,6 +614,200 @@ FROM daily ORDER BY day
 
 
 # =====================================================================
+# Profiling / data quality (operators/profile.py; ax ds parity §2.11)
+# =====================================================================
+
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profile of orders (count / nulls / exact
+    distinct / min / max as strings) — the distributed `ax ds` (the
+    reference prints per-column min/max from metadata; we compute the
+    full profile in a single agg over one scan)."""
+    from .operators.profile import profile
+    orders = _t(spark, sf_dir, "orders")
+    return (profile(orders).withColumnRenamed("column", "col_name")
+            .orderBy("col_name"))
+
+
+ORACLE_PROFILE = """
+SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+       count(*) - count(o_orderkey) AS n_nulls,
+       count(DISTINCT o_orderkey) AS n_distinct,
+       CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+       CAST(max(o_orderkey) AS VARCHAR) AS max_value FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+       count(DISTINCT o_custkey),
+       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+       count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+       count(DISTINCT o_totalprice),
+       CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+       count(DISTINCT o_orderdate),
+       strftime(min(CAST(o_orderdate AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S'),
+       strftime(max(CAST(o_orderdate AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S')
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+       count(DISTINCT o_orderpriority), min(o_orderpriority),
+       max(o_orderpriority)
+FROM orders
+ORDER BY col_name
+"""
+
+
+def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint validation (operators/profile.
+    check_constraints) over orders with a deterministic set of planted
+    violations (a bad-status/negative-price/duplicate-key/orphan-FK row
+    per class), so every rule class demonstrably fires. Row-level rules
+    fold into ONE conditional-sum pass; unique and FK run as their own
+    minimal shuffle/join jobs."""
+    from .operators.profile import check_constraints
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    bad = spark.createDataFrame(
+        [(-1, 1, "X", 100.0),        # bad status
+         (-2, 1, "O", -5.0),         # negative price
+         (1, 1, "O", 50.0),          # duplicate of real key 1
+         (-3, -999999, "F", 60.0)],  # orphan custkey
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double")
+    full = orders.unionByName(bad)
+    customer = _t(spark, sf_dir, "customer")
+    rep = check_constraints(
+        full,
+        not_null=["o_orderkey"],
+        accepted_values={"o_orderstatus": ["O", "F", "P"]},
+        ranges={"o_totalprice": (0.0, 1e7)},
+        unique=["o_orderkey"],
+        foreign_keys=[("o_custkey", customer, "c_custkey")])
+    return rep.orderBy("rule")
+
+
+ORACLE_QUALITY_CHECKS = """
+WITH bad(o_orderkey, o_custkey, o_orderstatus, o_totalprice) AS (
+  VALUES (-1, 1, 'X', 100.0), (-2, 1, 'O', -5.0),
+         (1, 1, 'O', 50.0), (-3, -999999, 'F', 60.0)
+), full_t AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+  UNION ALL SELECT * FROM bad
+)
+SELECT 'accepted_values:o_orderstatus' AS rule,
+       count(*) FILTER (o_orderstatus NOT IN ('O','F','P')
+                        OR o_orderstatus IS NULL) AS n_violations FROM full_t
+UNION ALL
+SELECT 'foreign_key:o_custkey->c_custkey',
+       count(*) FILTER (o_custkey NOT IN (SELECT c_custkey FROM customer))
+FROM full_t
+UNION ALL
+SELECT 'not_null:o_orderkey',
+       count(*) FILTER (o_orderkey IS NULL) FROM full_t
+UNION ALL
+SELECT 'range:o_totalprice',
+       count(*) FILTER (o_totalprice NOT BETWEEN 0 AND 1e7
+                        OR o_totalprice IS NULL) FROM full_t
+UNION ALL
+SELECT 'unique:o_orderkey', coalesce(sum(c - 1), 0) FROM (
+  SELECT count(*) AS c FROM full_t GROUP BY o_orderkey HAVING count(*) > 1)
+ORDER BY rule
+"""
+
+
+def cms_frequency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch end-to-end: the JVM builds the mergeable
+    frequency sketch over every lineitem supplier key; the (few-KiB)
+    sketch is decoded in pure Python (operators/sketches.CountMinSketch
+    — the portable-state story) and probed for 5 keys. The gate returns
+    the EXACT frequencies plus booleans asserting the CMS bound
+    (exact <= estimate <= exact + eps*total) — drift in the sketch
+    format, the hash, or the decode fails the hash match."""
+    from .operators.sketches import CountMinSketch
+
+    li = _t(spark, sf_dir, "lineitem")
+    eps, conf = 0.0005, 0.99
+    raw = bytes(li.agg(F.count_min_sketch(
+        "l_suppkey", F.lit(eps), F.lit(conf), F.lit(42)).alias("s"))
+        .collect()[0]["s"])
+    cms = CountMinSketch(raw)
+    probes = [1, 2, 3, 4, 5]
+    est = spark.createDataFrame(
+        [(k, cms.estimate(k), cms.total) for k in probes],
+        "l_suppkey long, est long, total long")
+    exact = (li.filter(F.col("l_suppkey").isin(probes))
+             .groupBy("l_suppkey")
+             .agg(F.count(F.lit(1)).alias("exact_freq")))
+    ok = ((F.col("est") >= F.col("exact_freq"))
+          & (F.col("est") <= F.col("exact_freq")
+             + F.ceil(F.lit(eps) * F.col("total"))))
+    return (exact.join(est, "l_suppkey")
+            .select("l_suppkey", "exact_freq", ok.alias("cms_bound_holds"))
+            .orderBy("l_suppkey"))
+
+
+ORACLE_CMS_GATE = """
+SELECT l_suppkey, count(*) AS exact_freq, TRUE AS cms_bound_holds
+FROM lineitem WHERE l_suppkey IN (1, 2, 3, 4, 5)
+GROUP BY l_suppkey ORDER BY l_suppkey
+"""
+
+
+# =====================================================================
+# Null semantics / three-valued logic suite
+# =====================================================================
+
+def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI null semantics breadth on a derived column with real nulls
+    (status 'O' -> NULL): count vs count(col), distinct-with-null,
+    null-safe equality (<=> / IS NOT DISTINCT FROM), aggregates over
+    all-null groups, coalesce/nullif/nvl2 — the rules every engine must
+    agree on for the rest of the suite to be trustworthy."""
+    from .sqlapi import sql
+    return sql(spark, sf_dir, """
+WITH t AS (
+  SELECT o_orderkey, nullif(o_orderstatus, 'O') AS st, o_totalprice
+  FROM orders
+)
+SELECT count(*) AS n_rows,
+       count(st) AS n_nonnull,
+       count(DISTINCT st) AS n_distinct_nonnull,
+       sum(CASE WHEN st IS NULL THEN 1 ELSE 0 END) AS n_null,
+       count(CASE WHEN st <=> NULL THEN 1 END) AS n_nullsafe_eq_null,
+       round(sum(CASE WHEN st IS NULL THEN o_totalprice END) / 1000, 2)
+         AS sum_null_group_k,
+       min(coalesce(st, 'zz')) AS min_coalesced,
+       count(nvl2(st, 1, NULL)) AS n_nvl2
+FROM t
+""")
+
+
+ORACLE_NULL_SEMANTICS = """
+WITH t AS (
+  SELECT o_orderkey, nullif(o_orderstatus, 'O') AS st, o_totalprice
+  FROM orders
+)
+SELECT count(*) AS n_rows,
+       count(st) AS n_nonnull,
+       count(DISTINCT st) AS n_distinct_nonnull,
+       sum(CASE WHEN st IS NULL THEN 1 ELSE 0 END) AS n_null,
+       count(CASE WHEN st IS NOT DISTINCT FROM NULL THEN 1 END)
+         AS n_nullsafe_eq_null,
+       round(sum(CASE WHEN st IS NULL THEN o_totalprice END) / 1000, 2)
+         AS sum_null_group_k,
+       min(coalesce(st, 'zz')) AS min_coalesced,
+       count(CASE WHEN st IS NOT NULL THEN 1 END) AS n_nvl2
+FROM t
+"""
+
+
+# =====================================================================
 # Registry (merged into queries.QUERIES / queries.ORACLES)
 # =====================================================================
 
@@ -634,6 +828,10 @@ QUERIES2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "xml_roundtrip_checksum": xml_roundtrip_checksum,
     "recursive_copurchase_reach": recursive_copurchase_reach,
     "moving_avg_revenue_7d": moving_avg_revenue_7d,
+    "profile_orders": profile_orders,
+    "orders_quality_report": orders_quality_report,
+    "cms_frequency_gate": cms_frequency_gate,
+    "null_semantics_suite": null_semantics_suite,
 }
 
 ORACLES2: dict[str, str] = {
@@ -653,4 +851,8 @@ ORACLES2: dict[str, str] = {
     "xml_roundtrip_checksum": ORACLE_XML_RT,
     "recursive_copurchase_reach": _RECURSIVE_REACH_SQL,
     "moving_avg_revenue_7d": ORACLE_MOVING_7D,
+    "profile_orders": ORACLE_PROFILE,
+    "orders_quality_report": ORACLE_QUALITY_CHECKS,
+    "cms_frequency_gate": ORACLE_CMS_GATE,
+    "null_semantics_suite": ORACLE_NULL_SEMANTICS,
 }

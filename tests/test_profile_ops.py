@@ -1,0 +1,73 @@
+"""Unit tests for profiling / constraint validation / CMS decode."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from accelerator_spark.operators.profile import check_constraints, profile
+from accelerator_spark.operators.sketches import CountMinSketch
+
+
+def test_profile_counts_nulls_distinct(spark):
+    df = spark.createDataFrame(
+        [Row(a=1, b="x"), Row(a=1, b=None), Row(a=3, b="y")])
+    p = {r["column"]: r for r in profile(df).collect()}
+    assert p["a"]["n_rows"] == 3 and p["a"]["n_nulls"] == 0
+    assert p["a"]["n_distinct"] == 2
+    assert p["a"]["min_value"] == "1" and p["a"]["max_value"] == "3"
+    assert p["b"]["n_nulls"] == 1 and p["b"]["n_distinct"] == 2
+    assert p["b"]["min_value"] == "x" and p["b"]["max_value"] == "y"
+
+
+def test_profile_approx_mode(spark):
+    df = spark.range(1000).withColumn("v", F.col("id") % 10)
+    p = {r["column"]: r for r in
+         profile(df, exact_distinct=False).collect()}
+    assert abs(p["v"]["n_distinct"] - 10) <= 1
+    assert abs(p["id"]["n_distinct"] - 1000) <= 50
+
+
+def test_check_constraints_all_rule_classes(spark):
+    df = spark.createDataFrame(
+        [Row(k=1, s="A", v=5.0), Row(k=1, s="B", v=-1.0),
+         Row(k=2, s="Z", v=2.0), Row(k=None, s="A", v=None)])
+    dim = spark.createDataFrame([Row(d=1), Row(d=2)])
+    rep = {r["rule"]: r["n_violations"] for r in check_constraints(
+        df,
+        not_null=["k"],
+        accepted_values={"s": ["A", "B"]},
+        ranges={"v": (0.0, 10.0)},
+        unique=["k"],
+        foreign_keys=[("k", dim, "d")]).collect()}
+    assert rep["not_null:k"] == 1
+    assert rep["accepted_values:s"] == 1          # 'Z'
+    assert rep["range:v"] == 2                    # -1.0 and NULL
+    assert rep["unique:k"] == 1                   # k=1 twice -> 1 extra
+    assert rep["foreign_key:k->d"] == 1           # NULL key not in dim
+
+
+def test_check_constraints_green_is_reported(spark):
+    df = spark.createDataFrame([Row(k=1), Row(k=2)])
+    rep = {r["rule"]: r["n_violations"]
+           for r in check_constraints(df, not_null=["k"],
+                                      unique=["k"]).collect()}
+    assert rep == {"not_null:k": 0, "unique:k": 0}
+
+
+def test_cms_decode_bounds_and_merge_semantics(spark):
+    # skewed frequencies; decode must reproduce exact counts for hot
+    # keys (width >> #keys) and never underestimate any key
+    df = spark.range(0, 20000).selectExpr(
+        "CASE WHEN id % 100 < 50 THEN id % 2 ELSE id % 1000 END AS k")
+    truth = {r["k"]: r["c"] for r in
+             df.groupBy("k").agg(F.count(F.lit(1)).alias("c")).collect()}
+    raw = bytes(df.agg(F.count_min_sketch(
+        "k", F.lit(0.001), F.lit(0.99), F.lit(7)).alias("s"))
+        .collect()[0]["s"])
+    cms = CountMinSketch(raw)
+    assert cms.total == 20000
+    eps_bound = int(0.001 * cms.total) + 1
+    for k, exact in truth.items():
+        est = cms.estimate(k)
+        assert exact <= est <= exact + eps_bound, (k, exact, est)
