@@ -808,6 +808,183 @@ FROM t
 
 
 # =====================================================================
+# Embedding ML: KNN classification + k-means Lloyd update
+# =====================================================================
+
+_COS2 = ("round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * "
+         "sqrt(list_dot_product({b}, {b}))), 4)")
+
+
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN classification over the embedding corpus: each query vector
+    (vec_id < 50) takes the majority label of its 5 nearest corpus
+    neighbors (cosine, id tiebreaks); per-label accuracy against the
+    true label. The model-based-filtering primitive of a curation
+    pipeline (label = quality bucket), built from one broadcast
+    crossJoin + two windows — no Python in the hot path."""
+    from .operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+        F.col("label").alias("true_label"))
+    c = emb.filter(F.col("vec_id") >= 50).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"),
+        F.col("label").alias("c_label"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "q_id", "true_label", "c_id", "c_label",
+        F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4).alias("cos"))
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    top5 = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    votes = top5.groupBy("q_id", "true_label", "c_label").agg(
+        F.count(F.lit(1)).alias("v"))
+    wv = W.partitionBy("q_id").orderBy(F.col("v").desc(), F.col("c_label").asc())
+    pred = (votes.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("q_id", "true_label", F.col("c_label").alias("pred_label")))
+    return (pred.groupBy("true_label")
+            .agg(F.count(F.lit(1)).alias("n_queries"),
+                 F.sum(F.when(F.col("pred_label") == F.col("true_label"), 1)
+                       .otherwise(0)).alias("n_correct"))
+            .withColumn("accuracy", F.round(F.col("n_correct") / F.col("n_queries"), 3))
+            .orderBy("true_label"))
+
+
+ORACLE_KNN_VOTE = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, label AS true_label
+  FROM embeddings WHERE vec_id < 50
+), c AS (
+  SELECT vec_id AS c_id, embedding AS c_emb, label AS c_label
+  FROM embeddings WHERE vec_id >= 50
+), scored AS (
+  SELECT q_id, true_label, c_id, c_label,
+         {_COS2.format(a='q_emb', b='c_emb')} AS cos
+  FROM c, q
+), top5 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cos DESC, c_id ASC) AS rn
+    FROM scored) WHERE rn <= 5
+), votes AS (
+  SELECT q_id, true_label, c_label, count(*) AS v
+  FROM top5 GROUP BY q_id, true_label, c_label
+), pred AS (
+  SELECT q_id, true_label, c_label AS pred_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY v DESC, c_label ASC) AS rn
+    FROM votes) WHERE rn = 1
+)
+SELECT true_label, count(*) AS n_queries,
+       sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS n_correct,
+       round(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 3) AS accuracy
+FROM pred GROUP BY true_label ORDER BY true_label
+"""
+
+
+def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd (k-means EM) update, fully distributed: assign every
+    vector to its nearest of 4 seed centroids (vec_id < 4), recompute
+    per-dimension means (posexplode -> per-(cluster, dim) agg), report
+    cluster size and centroid L2 shift. The oracle replays assignment +
+    unnest means in SQL — the iterative-refinement building block
+    (ivf/kmeans training) checked exactly."""
+    from .operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", "c_id",
+        F.round(cosine(F.col("embedding"), F.col("c_emb")), 4).alias("cos"))
+    w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    assigned = (scored.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1).select("vec_id", "embedding", "c_id"))
+    dims = assigned.select(
+        "c_id", F.posexplode("embedding").alias("d", "x")) \
+        .withColumn("x", F.col("x").cast("double"))
+    newc = dims.groupBy("c_id", "d").agg(F.avg("x").alias("nx"))
+    oldc = cents.select(
+        "c_id", F.posexplode("c_emb").alias("d", "ox")) \
+        .withColumn("ox", F.col("ox").cast("double"))
+    shift = (newc.join(oldc, ["c_id", "d"])
+             .groupBy("c_id")
+             .agg(F.round(F.sqrt(F.sum((F.col("nx") - F.col("ox")) ** 2)), 3)
+                  .alias("centroid_shift")))
+    sizes = assigned.groupBy("c_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return sizes.join(shift, "c_id").orderBy("c_id")
+
+
+ORACLE_KMEANS_STEP = f"""
+WITH cent AS (
+  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 4
+), assign AS (
+  SELECT vec_id, embedding, c_id FROM (
+    SELECT e.vec_id, e.embedding, cent.c_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_COS2.format(a='e.embedding', b='cent.c_emb')} DESC,
+                      cent.c_id ASC) AS rn
+    FROM embeddings e, cent) WHERE rn = 1
+), dims AS (
+  SELECT c_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM assign
+), newc AS (
+  SELECT c_id, d, avg(x) AS nx FROM dims GROUP BY c_id, d
+), oldc AS (
+  SELECT c_id, generate_subscripts(c_emb, 1) - 1 AS d,
+         CAST(unnest(c_emb) AS DOUBLE) AS ox
+  FROM cent
+), shift AS (
+  SELECT c_id, round(sqrt(sum((nx - ox) * (nx - ox))), 3) AS centroid_shift
+  FROM newc JOIN oldc USING (c_id, d) GROUP BY c_id
+), sizes AS (
+  SELECT c_id, count(*) AS n_members FROM assign GROUP BY c_id
+)
+SELECT c_id, n_members, centroid_shift
+FROM sizes JOIN shift USING (c_id) ORDER BY c_id
+"""
+
+
+# =====================================================================
+# Schema evolution (mergeSchema across parquet generations)
+# =====================================================================
+
+def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: generation 1 of a table lacks a column
+    that generation 2 added; mergeSchema=true reconciles the footers and
+    nulls the missing column — how a long-lived 100 TB table absorbs
+    schema change without rewriting history. The oracle replays the
+    generation split from the flat table."""
+    import tempfile
+
+    orders = _t(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="schevo_")
+    (orders.filter(F.col("o_orderkey") % 2 == 0)
+     .select("o_orderkey", "o_totalprice")
+     .write.mode("overwrite").parquet(path + "/g=1"))
+    (orders.filter(F.col("o_orderkey") % 2 == 1)
+     .select("o_orderkey", "o_totalprice", "o_orderstatus")
+     .write.mode("overwrite").parquet(path + "/g=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        path + "/g=1", path + "/g=2")
+    return (back.groupBy(F.coalesce("o_orderstatus", F.lit("<missing>"))
+                         .alias("status"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+            .orderBy("status"))
+
+
+ORACLE_SCHEMA_EVO = """
+SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus
+            ELSE '<missing>' END AS status,
+       count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1 ORDER BY status
+"""
+
+
+# =====================================================================
 # Registry (merged into queries.QUERIES / queries.ORACLES)
 # =====================================================================
 
@@ -832,6 +1009,9 @@ QUERIES2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_quality_report": orders_quality_report,
     "cms_frequency_gate": cms_frequency_gate,
     "null_semantics_suite": null_semantics_suite,
+    "knn_label_vote": knn_label_vote,
+    "kmeans_lloyd_step": kmeans_lloyd_step,
+    "schema_evolution_union": schema_evolution_union,
 }
 
 ORACLES2: dict[str, str] = {
@@ -855,4 +1035,7 @@ ORACLES2: dict[str, str] = {
     "orders_quality_report": ORACLE_QUALITY_CHECKS,
     "cms_frequency_gate": ORACLE_CMS_GATE,
     "null_semantics_suite": ORACLE_NULL_SEMANTICS,
+    "knn_label_vote": ORACLE_KNN_VOTE,
+    "kmeans_lloyd_step": ORACLE_KMEANS_STEP,
+    "schema_evolution_union": ORACLE_SCHEMA_EVO,
 }
