@@ -194,6 +194,24 @@ def cmd_oracle(args) -> int:
     return subprocess.call(cmd)
 
 
+def cmd_profile(args) -> int:
+    """Distributed per-column profile of a dataset/parquet path
+    (operators/profile.profile): count, nulls, distinct, min, max.
+    The deep version of ``asx ds`` — ds reads manifest metadata,
+    profile scans (one agg pass)."""
+    spark = _spark()
+    df = Dataset.load(args.path).df(spark) if Dataset.exists(args.path) \
+        else spark.read.parquet(args.path)
+    from .operators.profile import profile
+    rows = profile(df, exact_distinct=not args.approx).orderBy("column").collect()
+    widths = (max(len(r["column"]) for r in rows) + 2) if rows else 10
+    print(f"{'column':<{widths}}{'rows':>10}{'nulls':>8}{'distinct':>10}  min .. max")
+    for r in rows:
+        print(f"{r['column']:<{widths}}{r['n_rows']:>10}{r['n_nulls']:>8}"
+              f"{r['n_distinct']:>10}  {r['min_value']} .. {r['max_value']}")
+    return 0
+
+
 def cmd_workdir(args) -> int:
     """List jobs in a workdir (the reference's ``ax workdir``)."""
     import os
@@ -247,6 +265,11 @@ def main(argv: list[str] | None = None) -> int:
     e = sub.add_parser("explain"); e.add_argument("query", nargs="?")
     e.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     e.set_defaults(fn=cmd_explain)
+
+    pf = sub.add_parser("profile"); pf.add_argument("path")
+    pf.add_argument("--approx", action="store_true",
+                    help="approx_count_distinct instead of exact")
+    pf.set_defaults(fn=cmd_profile)
 
     o = sub.add_parser("oracle"); o.add_argument("queries", nargs="*")
     o.add_argument("--sf-dir", default="/root/testdata/sf0.01")

@@ -985,6 +985,138 @@ FROM orders GROUP BY 1 ORDER BY status
 
 
 # =====================================================================
+# Regression / robust stats / star denormalization
+# =====================================================================
+
+def ols_regression_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS via ANSI regr_* aggregates (slope / intercept /
+    r² / count of extendedprice on quantity per return flag): linear
+    regression as ONE distributed aggregation pass — the moment sums
+    fold map-side like any other agg, so model fitting costs a scan,
+    not an ML-framework round-trip."""
+    from .sqlapi import sql
+    return sql(spark, sf_dir, """
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       regr_count(l_extendedprice, l_quantity) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+
+
+ORACLE_OLS = """
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       regr_count(l_extendedprice, l_quantity) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: per-type median + MAD (median absolute
+    deviation), flag |value - med| > 3 * 1.4826 * MAD. Unlike the
+    z-score twin (anomaly_zscore_events) this is insensitive to the
+    outliers themselves. Two tiny percentile aggs broadcast back; the
+    flag pass is map-only. Cut points are computed from ROUNDED med/MAD
+    on both engines so boundary decisions are bit-identical."""
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("med"))
+    dev = (ev.join(F.broadcast(med), "event_type")
+           .select("event_type", "value", "med",
+                   F.abs(F.col("value") - F.col("med")).alias("adev")))
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile("adev", F.lit(0.5)), 4).alias("mad"))
+    flagged = dev.join(F.broadcast(mad), "event_type").withColumn(
+        "is_out",
+        F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad"))
+    return (flagged.groupBy("event_type")
+            .agg(F.first("med").alias("med"), F.first("mad").alias("mad"),
+                 F.sum(F.col("is_out").cast("int")).alias("n_outliers"),
+                 F.count(F.lit(1)).alias("n"))
+            .orderBy("event_type"))
+
+
+ORACLE_MAD = """
+WITH med AS (
+  SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, round(quantile_cont(adev, 0.5), 4) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type, min(d.med) AS med, min(x.mad) AS mad,
+       sum(CASE WHEN abs(d.value - d.med) > 3 * 1.4826 * x.mad
+                THEN 1 ELSE 0 END) AS n_outliers,
+       count(*) AS n
+FROM dev d JOIN mad x USING (event_type)
+GROUP BY d.event_type ORDER BY d.event_type
+"""
+
+
+def wide_denormalize_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full star-schema denormalization (lineitem ⨝ orders ⨝ customer ⨝
+    nation ⨝ region ⨝ part ⨝ supplier — the widest join pipeline in the
+    suite, the shape of every warehouse export), digested to one row
+    (count / md5-xor checksum / revenue). Dims are unhinted: AQE
+    broadcasts them while they fit and demotes when they don't — the
+    same plan survives 100 TB. The only repartition-grade shuffle is
+    lineitem ⨝ orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    wide = (li
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(nation, cust.c_nationkey == nation.n_nationkey)
+            .join(region, nation.n_regionkey == region.r_regionkey)
+            .join(part, li.l_partkey == part.p_partkey)
+            .join(supp, li.l_suppkey == supp.s_suppkey))
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("<N>"))
+             for c in ["l_orderkey", "l_linenumber", "o_orderstatus",
+                       "c_mktsegment", "n_name", "r_name", "p_brand",
+                       "s_name"]]
+    h = F.conv(F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 15),
+               16, 10).cast("long")
+    return wide.select(h.alias("h"), "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor("h").alias("checksum_xor"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+
+
+ORACLE_WIDE_DENORM = """
+SELECT count(*) AS n_rows,
+       bit_xor(CAST(('0x' || substring(md5(concat_ws(chr(31),
+           coalesce(CAST(l_orderkey AS VARCHAR), '<N>'),
+           coalesce(CAST(l_linenumber AS VARCHAR), '<N>'),
+           coalesce(o_orderstatus, '<N>'),
+           coalesce(c_mktsegment, '<N>'),
+           coalesce(n_name, '<N>'),
+           coalesce(r_name, '<N>'),
+           coalesce(p_brand, '<N>'),
+           coalesce(s_name, '<N>'))), 1, 15)) AS BIGINT)) AS checksum_xor,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+"""
+
+
+# =====================================================================
 # Registry (merged into queries.QUERIES / queries.ORACLES)
 # =====================================================================
 
@@ -1012,6 +1144,9 @@ QUERIES2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_label_vote": knn_label_vote,
     "kmeans_lloyd_step": kmeans_lloyd_step,
     "schema_evolution_union": schema_evolution_union,
+    "ols_regression_suite": ols_regression_suite,
+    "mad_outlier_events": mad_outlier_events,
+    "wide_denormalize_checksum": wide_denormalize_checksum,
 }
 
 ORACLES2: dict[str, str] = {
@@ -1038,4 +1173,7 @@ ORACLES2: dict[str, str] = {
     "knn_label_vote": ORACLE_KNN_VOTE,
     "kmeans_lloyd_step": ORACLE_KMEANS_STEP,
     "schema_evolution_union": ORACLE_SCHEMA_EVO,
+    "ols_regression_suite": ORACLE_OLS,
+    "mad_outlier_events": ORACLE_MAD,
+    "wide_denormalize_checksum": ORACLE_WIDE_DENORM,
 }

@@ -118,3 +118,11 @@ def test_cli_oracle_single_query(tmp_path):
         capture_output=True, text=True, cwd="/root/repo", timeout=300)
     assert r.returncode == 0
     assert "1/1 matched" in r.stdout
+
+
+def test_cli_profile(capsys):
+    assert cli.main(["profile", "/root/testdata/sf0.001/nation.parquet"]) == 0
+    out = capsys.readouterr().out
+    assert "n_nationkey" in out and "25" in out
+    assert cli.main(["profile", "/root/testdata/sf0.001/nation.parquet",
+                     "--approx"]) == 0
