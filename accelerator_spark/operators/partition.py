@@ -184,6 +184,101 @@ def per_key_sample(df: DataFrame, key: str, n: int, id_col: str) -> DataFrame:
     )
 
 
+def zorder_layout(df, cols: list[str], bits: int = 8,
+                  num_partitions: int | None = None):
+    """Multi-dimensional data-skipping layout: cluster rows along a
+    Z-order (Morton) curve over numeric ``cols`` so a range predicate on
+    ANY of the dimensions maps to few files/row-groups.
+
+    Each column is quantile-binned into 2^bits buckets using
+    percentile_approx boundaries from ONE aggregation pass (quantile
+    binning spreads skewed distributions over the curve; a global
+    percent_rank window would serialize the table through one task —
+    exactly the shape this module exists to avoid). The tiny boundary
+    arrays ride into the plan as literals; bucketing is a JVM array
+    filter (2^bits comparisons/row). Bucket bits interleave into one
+    z-value; the frame is range-repartitioned + sorted on it. Parquet
+    then records tight per-file min/max for every clustered column —
+    the layout is the index.
+
+    A linear sort optimizes one leading column; Z-order trades a little
+    locality per dimension for usable locality on all of them — the
+    standard lakehouse answer for 100 TB tables queried on several
+    dimensions. Rewrite cost: one stats agg + one range shuffle."""
+    from pyspark.sql import functions as F
+
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    bins = 1 << bits
+    fracs = F.array(*[F.lit(i / bins) for i in range(1, bins)])
+    bounds_row = df.agg(*[
+        F.percentile_approx(F.col(c).cast("double"), fracs, F.lit(10000))
+        .alias(c) for c in cols]).collect()[0]
+
+    out = df
+    rank_cols = []
+    for c in cols:
+        rc = f"_r_{c}"
+        arr = F.array(*[F.lit(float(v)) for v in bounds_row[c]])
+        out = out.withColumn(rc, F.size(F.filter(
+            arr, lambda b: b <= F.col(c).cast("double"))).cast("long"))
+        rank_cols.append(rc)
+    d_count = len(rank_cols)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for d, rc in enumerate(rank_cols):
+            bit = F.shiftright(F.col(rc), b).bitwiseAND(F.lit(1))
+            z = z + (bit * F.lit(1 << (b * d_count + d))).cast("long")
+    out = out.withColumn("_z", z)
+    return (out.repartitionByRange(n, F.col("_z"))
+            .sortWithinPartitions("_z")
+            .drop("_z", *rank_cols))
+
+
+def assign_global_ids(df, order_col: str, id_col: str = "row_id",
+                      num_partitions: int | None = None):
+    """Dense 0-based global row ids in ``order_col`` order WITHOUT a
+    single-task global window.
+
+    The naive ``row_number() OVER (ORDER BY k)`` collapses the whole
+    table into one partition — a non-starter at 100 TB. The scalable
+    form buckets by VALUE, not by physical partition (spark_partition_id
+    is unstable across jobs once AQE re-coalesces a shuffle — measured:
+    the two-job pid-offset variant double-assigned ids):
+
+    1. approx-quantile boundaries of the key (one agg) define N
+       deterministic key-range buckets;
+    2. per-bucket counts (tiny agg, N rows) -> cumulative offsets,
+       broadcast back as a literal map;
+    3. row_number inside each bucket (windows partitioned by bucket id
+       run fully parallel) + the bucket's offset.
+
+    Ids are identical to the naive form whenever ``order_col`` is
+    unique. Reference parity: ``lineno`` assignment generalized from
+    insertion order to any sort order (SURVEY §2.2 roundrobin/lineno).
+    """
+    from pyspark.sql import Window, functions as F
+
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    fracs = F.array(*[F.lit(i / n) for i in range(1, n)])
+    bounds = df.agg(F.percentile_approx(
+        F.col(order_col).cast("double"), fracs, F.lit(10000)).alias("b")
+    ).collect()[0]["b"]
+    arr = F.array(*[F.lit(float(v)) for v in bounds])
+    bucketed = df.withColumn("_bkt", F.size(F.filter(
+        arr, lambda b: b < F.col(order_col).cast("double"))))
+    sizes = {r["_bkt"]: r["c"] for r in
+             bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("c")).collect()}
+    offsets, acc = {}, 0
+    for b in sorted(sizes):
+        offsets[b] = acc
+        acc += sizes[b]
+    omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("_bkt").orderBy(order_col)
+    return (bucketed
+            .withColumn(id_col, F.row_number().over(w) - 1 + omap[F.col("_bkt")])
+            .drop("_bkt"))
+
+
 def compact_files(spark, path: str, target_files: int,
                   fmt: str = "parquet") -> int:
     """Small-file compaction: rewrite a table directory into

@@ -1117,6 +1117,39 @@ JOIN supplier ON l_suppkey = s_suppkey
 
 
 # =====================================================================
+# Scalable global row numbering
+# =====================================================================
+
+def scalable_row_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global dense row ids in key order WITHOUT the single-task global
+    window (operators/partition.assign_global_ids: range repartition ->
+    per-partition counts -> broadcast cumulative offsets -> parallel
+    per-partition windows). The oracle is the naive
+    row_number() OVER (ORDER BY key) — equality proves the distributed
+    form computes the identical numbering. Output thinned to every
+    500th id to keep the gate small."""
+    from .operators.partition import assign_global_ids
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ids = assign_global_ids(orders, "o_orderkey", "row_id")
+    return (ids.filter(F.col("row_id") % 500 == 0)
+            .select("row_id", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("o_totalprice"))
+            .orderBy("row_id"))
+
+
+ORACLE_ROW_NUMBERING = """
+WITH ids AS (
+  SELECT o_orderkey, o_totalprice,
+         row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id
+  FROM orders
+)
+SELECT row_id, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM ids WHERE row_id % 500 = 0 ORDER BY row_id
+"""
+
+
+# =====================================================================
 # Registry (merged into queries.QUERIES / queries.ORACLES)
 # =====================================================================
 
@@ -1147,6 +1180,7 @@ QUERIES2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ols_regression_suite": ols_regression_suite,
     "mad_outlier_events": mad_outlier_events,
     "wide_denormalize_checksum": wide_denormalize_checksum,
+    "scalable_row_numbering": scalable_row_numbering,
 }
 
 ORACLES2: dict[str, str] = {
@@ -1176,4 +1210,5 @@ ORACLES2: dict[str, str] = {
     "ols_regression_suite": ORACLE_OLS,
     "mad_outlier_events": ORACLE_MAD,
     "wide_denormalize_checksum": ORACLE_WIDE_DENORM,
+    "scalable_row_numbering": ORACLE_ROW_NUMBERING,
 }

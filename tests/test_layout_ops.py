@@ -1,0 +1,82 @@
+"""Tests for storage-layout / id-assignment operators (zorder_layout,
+assign_global_ids)."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from accelerator_spark.operators.partition import (
+    assign_global_ids, zorder_layout,
+)
+
+from conftest import load
+
+
+def _rowgroup_spans(path: str, col: str) -> float:
+    """Mean normalized (max-min) span of `col` across row groups over
+    all files — small means range predicates on `col` can skip most
+    row groups."""
+    import glob
+    spans, lo, hi = [], None, None
+    stats = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        ci = names[col]
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(ci).statistics
+            stats.append((s.min, s.max))
+    lo = min(s[0] for s in stats)
+    hi = max(s[1] for s in stats)
+    width = (hi - lo) or 1
+    spans = [(s[1] - s[0]) / width for s in stats]
+    return sum(spans) / len(spans)
+
+
+def test_zorder_tightens_both_dimensions(spark, sf_dir, tmp_path):
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_quantity")
+    plain, zpath = str(tmp_path / "plain"), str(tmp_path / "zord")
+    # small row groups so each file holds several (pruning granularity)
+    li.repartition(4).write.option("parquet.block.size", 64 * 1024) \
+        .parquet(plain)
+    zorder_layout(li, ["l_extendedprice", "l_partkey"], bits=6,
+                  num_partitions=4) \
+        .write.option("parquet.block.size", 64 * 1024).parquet(zpath)
+
+    # rows preserved exactly (int-valued aggregates; a raw double sum
+    # differs in the last ulps across row orders)
+    a = li.agg(F.count(F.lit(1)), F.sum("l_orderkey"),
+               F.sum("l_partkey")).collect()
+    b = spark.read.parquet(zpath).agg(
+        F.count(F.lit(1)), F.sum("l_orderkey"), F.sum("l_partkey")).collect()
+    assert a == b
+
+    for col in ("l_extendedprice", "l_partkey"):
+        before = _rowgroup_spans(plain, col)
+        after = _rowgroup_spans(zpath, col)
+        # unsorted row groups span ~the whole domain (~1.0); z-ordered
+        # ones must be substantially tighter on BOTH dimensions
+        assert after < before * 0.7, (col, before, after)
+
+
+def test_assign_global_ids_matches_naive_window(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders").select("o_orderkey")
+    ids = assign_global_ids(orders, "o_orderkey", "rid", num_partitions=7)
+    got = {r["o_orderkey"]: r["rid"] for r in ids.collect()}
+    want = {r["o_orderkey"]: r["rid"] for r in
+            orders.select(
+                "o_orderkey",
+                (F.row_number().over(
+                    __import__("pyspark.sql.window", fromlist=["Window"])
+                    .Window.orderBy("o_orderkey")) - 1).alias("rid"))
+            .collect()}
+    assert got == want
+
+
+def test_assign_global_ids_dense_and_complete(spark):
+    df = spark.range(0, 1000).withColumn("k", (F.col("id") * 37) % 1000)
+    ids = assign_global_ids(df, "k", "rid", num_partitions=5)
+    rows = ids.select("rid").collect()
+    assert sorted(r["rid"] for r in rows) == list(range(1000))
