@@ -137,6 +137,46 @@ def fold_order_changes(spark, datasets, options):
     return apply_changes(cur, changes, "o_orderkey")
 
 
+def quality_gate(spark, datasets, options):
+    """Round-2b: profile + declarative constraints as a pipeline stage.
+    The profile is the step's dataset output; violations ship as a JSON
+    artifact a build script can assert on (fail the build, not the
+    downstream consumer)."""
+    from accelerator_spark.operators.profile import check_constraints, profile
+
+    df = datasets["orders"].df(spark)
+    rep = check_constraints(
+        df, not_null=["o_orderkey"], unique=["o_orderkey"],
+        ranges={"o_totalprice": (0.0, 1e9)})
+    return {
+        "default": profile(df),
+        "violations": {r["rule"]: r["n_violations"] for r in rep.collect()},
+    }
+
+
+def reach_rollup(spark, datasets, options):
+    """Round-2b: mergeable distinct state — exact customer reach per
+    order status via OR-merged bitmaps (daily bitmaps at scale; here
+    merged from per-status partials in one expression pipeline)."""
+    from accelerator_spark.operators.sketches import bitmap_distinct
+
+    df = datasets["orders"].df(spark).withColumn(
+        "price_band", (F.col("o_totalprice") / 100000).cast("int"))
+    return bitmap_distinct(df, key_col="o_custkey",
+                           group_cols=["price_band"],
+                           out_col="distinct_customers")
+
+
+def export_zordered(spark, datasets, options):
+    """Round-2b: multi-dimensional layout for the serving copy — rows
+    clustered on a Morton curve over (o_custkey, o_totalprice) so range
+    scans on either column skip most row groups."""
+    from accelerator_spark.operators.partition import zorder_layout
+
+    df = datasets["orders"].df(spark)
+    return zorder_layout(df, ["o_custkey", "o_totalprice"], bits=6)
+
+
 def main(urd):
     prev = None
     for day in range(3):
@@ -163,3 +203,14 @@ def main(urd):
 
     folded = urd.build(fold_order_changes, datasets={"orders": prev})
     print("orders after CDC fold:", folded.dataset().lines)
+
+    gate = urd.build(quality_gate, datasets={"orders": prev})
+    viol = gate.load("violations")
+    assert all(v == 0 for v in viol.values()), f"quality gate failed: {viol}"
+    print("quality gate clean:", viol)
+
+    reach = urd.build(reach_rollup, datasets={"orders": prev})
+    print("reach rollup rows:", reach.dataset().lines)
+
+    z = urd.build(export_zordered, datasets={"orders": prev})
+    print("z-ordered export lines:", z.dataset().lines)

@@ -71,3 +71,23 @@ def test_cms_decode_bounds_and_merge_semantics(spark):
     for k, exact in truth.items():
         est = cms.estimate(k)
         assert exact <= est <= exact + eps_bound, (k, exact, est)
+
+
+def test_observed_metrics_free_pass(spark, tmp_path):
+    from accelerator_spark.operators.observe import (
+        observed, standard_write_metrics,
+    )
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(k=1, v=2.0), Row(k=None, v=3.0), Row(k=5, v=4.0)])
+    out, obs = observed(df, rows=F.count(F.lit(1)),
+                        nulls=F.count_if(F.col("k").isNull()))
+    out.write.mode("overwrite").parquet(str(tmp_path / "obs"))
+    assert obs.get == {"rows": 3, "nulls": 1}
+
+    out2, obs2 = standard_write_metrics(df, key_col="k")
+    assert out2.count() == 3
+    got = obs2.get
+    assert got["rows"] == 3 and got["null_keys"] == 1
+    assert got["key_min"] == "1" and got["key_max"] == "5"
