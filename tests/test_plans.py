@@ -192,3 +192,40 @@ def test_fuzzy_pairs_blocked_equi_join(spark, sf_dir):
     s = _plan(spark, "fuzzy_part_name_pairs", sf_dir)
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
+
+
+# ---------------------------------------------------------------- round-2b
+
+def test_wide_denormalize_no_cartesian_broadcast_dims(spark, sf_dir):
+    s = _plan(spark, "wide_denormalize_checksum", sf_dir)
+    assert "CartesianProduct" not in s
+    # all 6 dim joins are hash joins; at test scale every dim broadcasts
+    assert s.count("BroadcastHashJoin") >= 5
+
+
+def test_winsorize_broadcasts_cut_points(spark, sf_dir):
+    s = _plan(spark, "winsorized_event_values", sf_dir)
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+
+
+def test_bitmap_distinct_partial_aggregation(spark, sf_dir):
+    s = _plan(spark, "bitmap_distinct_users", sf_dir)
+    # map-side partial bitmap construction before the shuffle
+    assert "partial_bitmap_construct_agg" in s or "partial" in s.lower()
+    assert "bitmap_or_agg" in s
+
+
+def test_row_numbering_no_single_partition_global_window(spark, sf_dir):
+    s = _plan(spark, "scalable_row_numbering", sf_dir)
+    # the whole point: windows are partitioned by bucket, never a
+    # SinglePartition exchange feeding a Window
+    import re as _re
+    assert not _re.search(r"Exchange SinglePartition[^\n]*\n[^\n]*Window", s)
+    assert "Window" in s
+
+
+def test_mad_outliers_broadcast_and_map_flag(spark, sf_dir):
+    s = _plan(spark, "mad_outlier_events", sf_dir)
+    assert "SortMergeJoin" not in s
+    assert s.count("BroadcastHashJoin") >= 2  # med and mad cut points
