@@ -1150,6 +1150,134 @@ FROM ids WHERE row_id % 500 = 0 ORDER BY row_id
 
 
 # =====================================================================
+# Aggregate/SQL surface breadth: string_agg, arg_max/min, GROUP BY ALL
+# =====================================================================
+
+def string_agg_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/STRING_AGG — the SQL:2023
+    surface): per status, the distinct priorities concatenated in
+    order. Spark spells it WITHIN GROUP (ORDER BY), DuckDB takes the
+    ORDER BY inline; same semantics."""
+    from .sqlapi import sql
+    # DISTINCT is pre-applied in a subquery: Spark 4.1's
+    # string_agg(DISTINCT ...) WITHIN GROUP combination hits a
+    # ClassCastException (SortOrder cast) — the subquery form is also
+    # the better plan (distinct shrinks before the agg)
+    return sql(spark, sf_dir, """
+SELECT o_orderstatus,
+       string_agg(o_orderpriority, '|')
+         WITHIN GROUP (ORDER BY o_orderpriority) AS priorities,
+       count(*) AS n_priorities
+FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""")
+
+
+ORACLE_STRING_AGG = """
+SELECT o_orderstatus,
+       string_agg(o_orderpriority, '|' ORDER BY o_orderpriority)
+         AS priorities,
+       count(*) AS n_priorities
+FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def argmax_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (Spark) ≡ arg_max / arg_min (DuckDB): the
+    which-row-holds-the-extreme aggregate without a window. Tie-proof:
+    the ordering value folds the unique order key into sub-cent digits
+    (prices have 2 decimals; +key*1e-9 breaks ties without disturbing
+    the price ordering)."""
+    from .sqlapi import sql
+    expr = "o_totalprice + o_orderkey * 1e-9"
+    return sql(spark, sf_dir, f"""
+SELECT o_orderstatus,
+       max_by(o_orderkey, {expr}) AS priciest_order,
+       min_by(o_orderkey, {expr}) AS cheapest_order,
+       round(max(o_totalprice), 2) AS max_price,
+       round(min(o_totalprice), 2) AS min_price
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""")
+
+
+ORACLE_ARGMAX = """
+SELECT o_orderstatus,
+       arg_max(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS priciest_order,
+       arg_min(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS cheapest_order,
+       round(max(o_totalprice), 2) AS max_price,
+       round(min(o_totalprice), 2) AS min_price
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+_GROUP_BY_ALL_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+def group_by_all_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern SQL sugar parity: GROUP BY ALL / ORDER BY ALL — the
+    IDENTICAL text runs on both engines (Spark 4 and DuckDB both
+    implement the clause)."""
+    from .sqlapi import sql
+    return sql(spark, sf_dir, _GROUP_BY_ALL_SQL)
+
+
+# =====================================================================
+# EWMA (recursive time-series smoothing as a bounded array fold)
+# =====================================================================
+
+def ewma_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily revenue within
+    each month. EWMA is a recurrence (acc = a*x + (1-a)*acc) — not
+    window-expressible — but per bounded key group it is an ARRAY FOLD:
+    sort_array(collect_list(day, rev)) -> aggregate() lambda, all
+    JVM-side. DuckDB replays it with list_reduce (init emulated by
+    prepending the seed). The engine discipline: recurrences run as
+    bounded in-row folds, never as driver loops; daily revs are rounded
+    to 2 BEFORE the fold so both engines fold identical inputs."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.to_date("o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev")))
+    per_month = daily.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr("aggregate("
+               "  transform(array_sort(collect_list(struct(day, rev))),"
+               "            s -> s.rev),"
+               "  CAST(0.0 AS DOUBLE),"
+               "  (acc, x) -> 0.3 * x + 0.7 * acc)").alias("ewma_raw"))
+    return (per_month.select(
+        "month", "n_days", F.round("ewma_raw", 2).alias("ewma_end"))
+        .orderBy("month"))
+
+
+ORACLE_EWMA = """
+WITH daily AS (
+  SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
+         CAST(o_orderdate AS DATE) AS day,
+         round(sum(o_totalprice), 2) AS rev
+  FROM orders GROUP BY 1, 2
+), folded AS (
+  SELECT month, count(*) AS n_days,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(list_sort(list({'day': day, 'rev': rev})),
+                            s -> s.rev)),
+           (acc, x) -> 0.3 * x + 0.7 * acc) AS ewma_raw
+  FROM daily GROUP BY month
+)
+SELECT month, n_days, round(ewma_raw, 2) AS ewma_end
+FROM folded ORDER BY month
+"""
+
+
+# =====================================================================
 # Registry (merged into queries.QUERIES / queries.ORACLES)
 # =====================================================================
 
@@ -1181,6 +1309,10 @@ QUERIES2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mad_outlier_events": mad_outlier_events,
     "wide_denormalize_checksum": wide_denormalize_checksum,
     "scalable_row_numbering": scalable_row_numbering,
+    "string_agg_priorities": string_agg_priorities,
+    "argmax_suite": argmax_suite,
+    "group_by_all_sql": group_by_all_sql,
+    "ewma_monthly_revenue": ewma_monthly_revenue,
 }
 
 ORACLES2: dict[str, str] = {
@@ -1211,4 +1343,8 @@ ORACLES2: dict[str, str] = {
     "mad_outlier_events": ORACLE_MAD,
     "wide_denormalize_checksum": ORACLE_WIDE_DENORM,
     "scalable_row_numbering": ORACLE_ROW_NUMBERING,
+    "string_agg_priorities": ORACLE_STRING_AGG,
+    "argmax_suite": ORACLE_ARGMAX,
+    "group_by_all_sql": _GROUP_BY_ALL_SQL,
+    "ewma_monthly_revenue": ORACLE_EWMA,
 }
