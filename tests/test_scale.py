@@ -274,3 +274,70 @@ def test_multimodal_decode_at_16x(spark, docs16):
                .groupBy("base")
                .agg(F.countDistinct("fh").alias("variants")))
     assert per_doc.filter(F.col("variants") > 1).count() == 0
+
+
+# ---------------------------------------------------------------- round-2b
+
+def test_heavy_hitters_at_16x(spark, li16):
+    """9.6M-row key stream: the candidate pass must stay map-only and
+    the verified output must scale exactly 16x in counts."""
+    from accelerator_spark.operators.sketches import heavy_hitters
+
+    base = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    t = 8000  # ~16x the per-supplier mean at sf0.1 baseline scale
+    got16 = {r["l_suppkey"]: r["cnt"]
+             for r in heavy_hitters(li16, "l_suppkey", t).collect()}
+    want = {r["l_suppkey"]: r["c"] * 16 for r in
+            base.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") * 16 >= t).collect()}
+    assert got16 == want and len(want) > 0
+
+
+def test_skyline_at_16x_duplicates(spark):
+    """16x-replicated part table: skyline must return exactly 16 copies
+    of each frontier row (duplicates are mutually non-dominating) and
+    complete without quadratic blowup."""
+    from accelerator_spark.operators.analytics import skyline
+
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+        "p_partkey", "p_retailprice", "p_size")
+    p16 = part
+    for _ in range(4):
+        p16 = p16.unionByName(p16)
+    base_keys = {r["p_partkey"] for r in
+                 skyline(part, ["p_retailprice"], ["p_size"]).collect()}
+    rows16 = skyline(p16, ["p_retailprice"], ["p_size"]).collect()
+    assert {r["p_partkey"] for r in rows16} == base_keys
+    assert len(rows16) == 16 * len(base_keys)
+
+
+def test_bitmap_distinct_at_16x_invariant(spark):
+    """Replication must not change distinct counts (bitmaps OR away the
+    copies) — and the op must run on a 1.6M-row event stream."""
+    from accelerator_spark.operators.sketches import bitmap_distinct
+    from accelerator_spark.queries import _events
+
+    ev = _events(spark, SF_DIR).select("event_type", "user_id")
+    e16 = ev
+    for _ in range(4):
+        e16 = e16.unionByName(e16)
+    base = {r["event_type"]: r["d"] for r in bitmap_distinct(
+        ev, "user_id", ["event_type"], out_col="d").collect()}
+    big = {r["event_type"]: r["d"] for r in bitmap_distinct(
+        e16, "user_id", ["event_type"], out_col="d").collect()}
+    assert base == big
+
+
+def test_assign_global_ids_at_16x_dense(spark, li16):
+    """9.6M unique keys: ids must be a dense permutation of [0, n) —
+    checked via count/min/max/sum identities (no driver-side sort)."""
+    from accelerator_spark.operators.partition import assign_global_ids
+
+    keyed = li16.select(
+        F.monotonically_increasing_id().alias("k")).distinct()
+    n = keyed.count()
+    ids = assign_global_ids(keyed, "k", "rid")
+    row = ids.agg(F.count(F.lit(1)).alias("c"), F.min("rid").alias("lo"),
+                  F.max("rid").alias("hi"), F.sum("rid").alias("s")).collect()[0]
+    assert row["c"] == n and row["lo"] == 0 and row["hi"] == n - 1
+    assert row["s"] == n * (n - 1) // 2
