@@ -1278,6 +1278,55 @@ FROM folded ORDER BY month
 
 
 # =====================================================================
+# Higher-order MAP functions
+# =====================================================================
+
+def map_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType higher-order breadth: build a per-user event_type→count
+    map (map_from_entries), transform_values, map_filter, map_entries
+    render, and an aggregate fold over map_values — all JVM expressions.
+    DuckDB has no map lambdas, so the oracle replicates from the
+    flat (type, count) stream — same values, proving the map pipeline
+    computes the relational answer."""
+    ev = _events(spark, sf_dir)
+    ev.createOrReplaceTempView("events_mapfn")
+    return spark.sql("""
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events_mapfn WHERE user_id < 5 GROUP BY user_id, event_type
+), m AS (
+  SELECT user_id,
+         map_from_entries(sort_array(collect_list(struct(event_type, n)))) AS m
+  FROM c GROUP BY user_id
+)
+SELECT user_id,
+       size(m) AS n_types,
+       concat_ws(',',
+         transform(
+           sort_array(map_entries(
+             map_filter(transform_values(m, (k, v) -> v * 2),
+                        (k, v) -> v > 20))),
+           e -> concat(e.key, '=', e.value))) AS big_counts,
+       aggregate(map_values(m), 0L, (a, b) -> a + b) AS total
+FROM m ORDER BY user_id
+""")
+
+
+ORACLE_MAP_FUNCTIONS = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events WHERE user_id < 5 GROUP BY user_id, event_type
+)
+SELECT user_id, count(*) AS n_types,
+       coalesce(string_agg(
+         CASE WHEN n * 2 > 20 THEN event_type || '=' || (n * 2) END,
+         ',' ORDER BY event_type), '') AS big_counts,
+       sum(n) AS total
+FROM c GROUP BY user_id ORDER BY user_id
+"""
+
+
+# =====================================================================
 # Registry (merged into queries.QUERIES / queries.ORACLES)
 # =====================================================================
 
@@ -1313,6 +1362,7 @@ QUERIES2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "argmax_suite": argmax_suite,
     "group_by_all_sql": group_by_all_sql,
     "ewma_monthly_revenue": ewma_monthly_revenue,
+    "map_functions_suite": map_functions_suite,
 }
 
 ORACLES2: dict[str, str] = {
@@ -1347,4 +1397,5 @@ ORACLES2: dict[str, str] = {
     "argmax_suite": ORACLE_ARGMAX,
     "group_by_all_sql": _GROUP_BY_ALL_SQL,
     "ewma_monthly_revenue": ORACLE_EWMA,
+    "map_functions_suite": ORACLE_MAP_FUNCTIONS,
 }

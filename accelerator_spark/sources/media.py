@@ -1,0 +1,42 @@
+"""Binary media ingestion via Spark's built-in ``binaryFile`` source.
+
+The multimodal front door (SURVEY north-star: image/audio/video as
+opaque binary columns with typed metadata): raw asset files become rows
+of (media_id, ext, length, mod_time, content) ready for the
+operators/multimodal.py decode/feature pipeline. Distributed read — one
+task per file split, no driver involvement; the ``pathGlobFilter``
+option prunes by extension at listing time, and
+``spark.sql.files.maxPartitionBytes`` spreads many small assets across
+tasks.
+
+Parity note: this is ``csvimport_zip``'s role for media — enumerate a
+container of files into a dataset with provenance columns
+(/root/reference/standard_methods/a_csvimport_zip.py:62-80 does it for
+zipped CSVs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def binary_import(spark: SparkSession, path: str,
+                  glob: str | None = None) -> DataFrame:
+    """Read a directory of binary assets into
+    (media_id, ext, length, mod_time, content).
+
+    ``media_id`` is the file stem (provenance, joinable to sidecar
+    metadata); ``glob`` maps to pathGlobFilter (e.g. ``*.jpg``)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    base = F.element_at(F.split(F.col("path"), "/"), -1)
+    return df.select(
+        F.regexp_replace(base, r"\.[^.]*$", "").alias("media_id"),
+        F.lower(F.regexp_extract(base, r"\.([^.]*)$", 1)).alias("ext"),
+        F.col("length"),
+        F.col("modificationTime").alias("mod_time"),
+        F.col("content"),
+    )

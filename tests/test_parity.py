@@ -238,3 +238,41 @@ def test_typed_options_resolution(spark, tmp_path):
         ctx.build(step, options={"n": "3"})
     with _pytest.raises(TypeError, match="must be str"):
         ctx.build(step, options={"n": 1, "sep": 5})
+
+
+def test_binary_import_media_ingest(spark, tmp_path):
+    """binaryFile media ingestion (sources/media.binary_import): asset
+    files -> (media_id, ext, length, content) rows, glob-filtered at
+    listing time, content byte-exact."""
+    import os
+    from accelerator_spark.sources.media import binary_import
+
+    d = str(tmp_path / "assets")
+    os.makedirs(d)
+    payloads = {f"img_{i}": bytes([i]) * (100 + i) for i in range(4)}
+    for mid, data in payloads.items():
+        with open(f"{d}/{mid}.jpg", "wb") as f:
+            f.write(data)
+    with open(f"{d}/notes.txt", "w") as f:
+        f.write("not media")
+
+    rows = binary_import(spark, d, glob="*.jpg").collect()
+    assert len(rows) == 4
+    got = {r["media_id"]: (r["ext"], r["length"], bytes(r["content"]))
+           for r in rows}
+    for mid, data in payloads.items():
+        assert got[mid] == ("jpg", len(data), data)
+
+
+def test_parquet_codec_matrix_roundtrip(spark, sf_dir, tmp_path):
+    """Per-write codec choice (reference: pluggable compression registry,
+    SURVEY §1.2): gzip/snappy/zstd/uncompressed writes all round-trip
+    byte-identically."""
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    want = sorted(map(str, src.collect()))
+    for codec in ("gzip", "snappy", "zstd", "uncompressed"):
+        p = str(tmp_path / f"codec_{codec}")
+        src.write.option("compression", codec).parquet(p)
+        assert sorted(map(str, spark.read.parquet(p).collect())) == want
