@@ -67,9 +67,54 @@ def cmd_grep(args) -> int:
     hits = df.filter(joined.rlike(args.pattern))
     n = 0
     for r in hits.limit(args.n).collect():
-        print(",".join("" if v is None else str(v) for v in r))
+        if args.format == "json":
+            print(json.dumps(r.asDict(), default=str))
+        else:
+            print(",".join("" if v is None else str(v) for v in r))
         n += 1
     print(f"# {n} rows shown (limit {args.n})", file=sys.stderr)
+    return 0
+
+
+_INIT_BUILD_TEMPLATE = '''"""Build script scaffold (asx init). Define steps as plain functions
+(spark, datasets, options) -> DataFrame | {"default": df, ...}, then wire
+them in main(urd) with urd.build (memoized; re-runs are free on cache
+hits)."""
+
+from pyspark.sql import functions as F
+
+
+def import_data(spark, datasets, options):
+    return spark.range(0, 100).withColumn("v", F.col("id") * 2)
+
+
+def report(spark, datasets, options):
+    df = datasets["data"].df(spark)
+    return df.agg(F.count(F.lit(1)).alias("rows"), F.sum("v").alias("total"))
+
+
+def main(urd):
+    imp = urd.build(import_data)
+    rep = urd.build(report, datasets={"data": imp.dataset()})
+    print("report:", rep.dataset().df(urd.spark).collect())
+'''
+
+
+def cmd_init(args) -> int:
+    """Scaffold a project directory (the reference's ``ax init``:
+    sh/init.py creates a workdir + method package + build script)."""
+    import os
+    os.makedirs(args.dir, exist_ok=True)
+    os.makedirs(os.path.join(args.dir, "workdir"), exist_ok=True)
+    script = os.path.join(args.dir, "build.py")
+    if os.path.exists(script) and not args.force:
+        print(f"{script} exists (use --force to overwrite)", file=sys.stderr)
+        return 1
+    with open(script, "w") as f:
+        f.write(_INIT_BUILD_TEMPLATE)
+    print(f"initialized {args.dir}: build.py + workdir/")
+    print(f"run it:  python -m accelerator_spark.cli run "
+          f"{os.path.join(args.dir, 'workdir')} {script}")
     return 0
 
 
@@ -249,7 +294,12 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("-n", type=int, default=20); c.set_defaults(fn=cmd_cat)
     g = sub.add_parser("grep"); g.add_argument("pattern"); g.add_argument("path")
     g.add_argument("-c", "--columns", default=None)
-    g.add_argument("-n", type=int, default=100); g.set_defaults(fn=cmd_grep)
+    g.add_argument("-n", type=int, default=100)
+    g.add_argument("-o", "--format", choices=["csv", "json"], default="csv")
+    g.set_defaults(fn=cmd_grep)
+    ini = sub.add_parser("init"); ini.add_argument("dir")
+    ini.add_argument("--force", action="store_true")
+    ini.set_defaults(fn=cmd_init)
     j = sub.add_parser("job"); j.add_argument("workdir"); j.add_argument("jobid")
     j.set_defaults(fn=cmd_job)
     u = sub.add_parser("urd"); u.add_argument("workdir")

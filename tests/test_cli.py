@@ -126,3 +126,23 @@ def test_cli_profile(capsys):
     assert "n_nationkey" in out and "25" in out
     assert cli.main(["profile", "/root/testdata/sf0.001/nation.parquet",
                      "--approx"]) == 0
+
+
+def test_cli_init_scaffold_runs(tmp_path, capsys):
+    proj = str(tmp_path / "proj")
+    assert cli.main(["init", proj]) == 0
+    assert cli.main(["init", proj]) == 1          # refuses to overwrite
+    assert cli.main(["init", proj, "--force"]) == 0
+    assert cli.main(["run", f"{proj}/workdir", f"{proj}/build.py"]) == 0
+    out = capsys.readouterr().out
+    assert "report:" in out and "rows=100" in out
+
+
+def test_cli_grep_json_format(capsys):
+    assert cli.main(["grep", "NATION_11",
+                     "/root/testdata/sf0.001/nation.parquet",
+                     "-o", "json"]) == 0
+    out = capsys.readouterr().out
+    import json as _json
+    rec = _json.loads(out.strip().splitlines()[0])
+    assert rec["n_name"] == "NATION_11"
