@@ -1327,6 +1327,99 @@ FROM c GROUP BY user_id ORDER BY user_id
 
 
 # =====================================================================
+# Multimodal planning: audio analysis windows, image tile grids
+# =====================================================================
+
+def audio_window_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio analysis windowing *plan* (the distributed half of feature
+    extraction — the per-window FFT/mel decode is the stubbed
+    mapInPandas path in operators/multimodal.py): expand each asset's
+    (sample_rate, n_samples) metadata into overlapping analysis windows
+    (25 ms window / 10 ms hop at 16 kHz = 400/160 samples), pure JVM
+    sequence+explode, no shuffle — partitioning follows the input.
+    Output: per-asset window count + last window start (compact gate;
+    the full window table is the downstream input)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") * 16 + 400).alias("n_samples"))
+    win, hop = 400, 160
+    wins = media.select(
+        "media_id", "n_samples",
+        F.explode(F.sequence(
+            F.lit(0),
+            F.col("n_samples") - win,
+            F.lit(hop))).alias("start_sample"))
+    return (wins.groupBy("media_id", "n_samples")
+            .agg(F.count(F.lit(1)).alias("n_windows"),
+                 F.max("start_sample").alias("last_start"))
+            .orderBy("media_id"))
+
+
+ORACLE_AUDIO_WINDOWS = """
+WITH media AS (
+  SELECT doc_id AS media_id, n_chars * 16 + 400 AS n_samples
+  FROM documents WHERE doc_id < 50
+), wins AS (
+  SELECT media_id, n_samples,
+         unnest(generate_series(0, n_samples - 400, 160)) AS start_sample
+  FROM media
+)
+SELECT media_id, n_samples, count(*) AS n_windows,
+       max(start_sample) AS last_start
+FROM wins GROUP BY media_id, n_samples ORDER BY media_id
+"""
+
+
+def image_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image patch-grid *plan*: (width, height) metadata -> the 64x64
+    tile coordinate table (ceil-division edge tiles included) via a
+    JVM sequence cross — the ViT-style patching front half; the pixel
+    crop is the Arrow decode path. Returns the tile rows for a small
+    asset subset (the gate checks exact tile coordinates, not just
+    counts)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.filter(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") % 500 + 100).alias("width"),
+        (F.col("n_chars") % 300 + 80).alias("height"))
+    t = 64
+    tiles = (media
+             .withColumn("tile_x", F.explode(F.sequence(
+                 F.lit(0), F.ceil(F.col("width") / t) - 1)))
+             .withColumn("tile_y", F.explode(F.sequence(
+                 F.lit(0), F.ceil(F.col("height") / t) - 1))))
+    return tiles.select(
+        "media_id", "width", "height", "tile_x", "tile_y",
+        F.least(F.lit(t), F.col("width") - F.col("tile_x") * t).alias("tile_w"),
+        F.least(F.lit(t), F.col("height") - F.col("tile_y") * t).alias("tile_h"),
+    ).orderBy("media_id", "tile_x", "tile_y")
+
+
+ORACLE_IMAGE_TILES = """
+WITH media AS (
+  SELECT doc_id AS media_id, n_chars % 500 + 100 AS width,
+         n_chars % 300 + 80 AS height
+  FROM documents WHERE doc_id < 8
+), tx AS (
+  SELECT media_id, width, height,
+         unnest(generate_series(0, CAST(ceil(width / 64.0) AS BIGINT) - 1))
+           AS tile_x
+  FROM media
+), t AS (
+  SELECT media_id, width, height, tile_x,
+         unnest(generate_series(0, CAST(ceil(height / 64.0) AS BIGINT) - 1))
+           AS tile_y
+  FROM tx
+)
+SELECT media_id, width, height, tile_x, tile_y,
+       least(64, width - tile_x * 64) AS tile_w,
+       least(64, height - tile_y * 64) AS tile_h
+FROM t ORDER BY media_id, tile_x, tile_y
+"""
+
+
+# =====================================================================
 # Registry (merged into queries.QUERIES / queries.ORACLES)
 # =====================================================================
 
@@ -1363,6 +1456,8 @@ QUERIES2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_by_all_sql": group_by_all_sql,
     "ewma_monthly_revenue": ewma_monthly_revenue,
     "map_functions_suite": map_functions_suite,
+    "audio_window_plan": audio_window_plan,
+    "image_tile_plan": image_tile_plan,
 }
 
 ORACLES2: dict[str, str] = {
@@ -1398,4 +1493,6 @@ ORACLES2: dict[str, str] = {
     "group_by_all_sql": _GROUP_BY_ALL_SQL,
     "ewma_monthly_revenue": ORACLE_EWMA,
     "map_functions_suite": ORACLE_MAP_FUNCTIONS,
+    "audio_window_plan": ORACLE_AUDIO_WINDOWS,
+    "image_tile_plan": ORACLE_IMAGE_TILES,
 }
