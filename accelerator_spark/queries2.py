@@ -1420,6 +1420,109 @@ FROM t ORDER BY media_id, tile_x, tile_y
 
 
 # =====================================================================
+# Scalar-function sweeps: bitwise / array / regex (§2.8 superset)
+# =====================================================================
+
+def bitwise_function_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar breadth over order keys: and/or/xor, shifts,
+    popcount — aggregated so the gate covers every row's results."""
+    from .sqlapi import sql
+    return sql(spark, sf_dir, """
+SELECT o_orderstatus,
+       sum(o_orderkey & 255) AS sum_and,
+       sum(o_orderkey | 15) AS sum_or,
+       sum(o_orderkey ^ 60) AS sum_xor,
+       sum(shiftleft(o_orderkey & 7, 3)) AS sum_shl,
+       sum(shiftright(o_orderkey, 4)) AS sum_shr,
+       sum(bit_count(o_orderkey)) AS sum_popcount
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""")
+
+
+ORACLE_BITWISE = """
+SELECT o_orderstatus,
+       sum(o_orderkey & 255) AS sum_and,
+       sum(o_orderkey | 15) AS sum_or,
+       sum(xor(o_orderkey, 60)) AS sum_xor,
+       sum((o_orderkey & 7) * 8) AS sum_shl,
+       sum(o_orderkey // 16) AS sum_shr,
+       sum(bit_count(o_orderkey)) AS sum_popcount
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def array_function_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set-algebra breadth on token arrays: union / intersect /
+    except / overlap / distinct / position / flatten — the §2.8
+    "ArrayType is a superset of the reference's type system" evidence."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.split(F.trim("text"), r"\s+")
+    head = F.slice(toks, 1, 8)
+    tail = F.slice(toks, 9, 8)
+    return docs.select(
+        "doc_id",
+        F.size(F.array_distinct(head)).alias("n_head_distinct"),
+        F.size(F.array_union(head, tail)).alias("n_union"),
+        F.size(F.array_intersect(F.array_distinct(head),
+                                 F.array_distinct(tail))).alias("n_intersect"),
+        F.size(F.array_except(F.array_distinct(head),
+                              F.array_distinct(tail))).alias("n_except"),
+        F.arrays_overlap(head, tail).alias("overlaps"),
+        F.array_position(toks, "the").cast("long").alias("pos_the"),
+        F.size(F.flatten(F.array(head, tail))).alias("n_flat"),
+    ).orderBy("doc_id")
+
+
+ORACLE_ARRAY_SWEEP = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents WHERE doc_id < 100
+), ht AS (
+  SELECT doc_id, toks, toks[1:8] AS head, toks[9:16] AS tail FROM t
+)
+SELECT doc_id,
+       len(list_distinct(head)) AS n_head_distinct,
+       len(list_distinct(list_concat(head, tail))) AS n_union,
+       len(list_intersect(list_distinct(head), list_distinct(tail)))
+         AS n_intersect,
+       len(list_filter(list_distinct(head),
+                       x -> NOT list_contains(list_distinct(tail), x)))
+         AS n_except,
+       len(list_intersect(head, tail)) > 0 AS overlaps,
+       coalesce(list_position(toks, 'the'), 0) AS pos_the,
+       len(head) + len(tail) AS n_flat
+FROM ht ORDER BY doc_id
+"""
+
+
+def regex_function_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar breadth: count / extract / extract_all-size /
+    replace over part names — aggregated per brand."""
+    from .sqlapi import sql
+    return sql(spark, sf_dir, """
+SELECT p_brand,
+       sum(regexp_count(p_name, '[aeiou]')) AS n_vowels,
+       count(CASE WHEN regexp_like(p_name, '^[a-z]+_') THEN 1 END)
+         AS n_prefixed,
+       sum(size(regexp_extract_all(p_name, '[0-9]+', 0))) AS n_number_runs,
+       sum(length(regexp_replace(p_name, '[aeiou]', ''))) AS len_devoweled
+FROM part GROUP BY p_brand ORDER BY p_brand
+""")
+
+
+ORACLE_REGEX_SWEEP = """
+SELECT p_brand,
+       sum(len(regexp_extract_all(p_name, '[aeiou]'))) AS n_vowels,
+       count(CASE WHEN regexp_matches(p_name, '^[a-z]+_') THEN 1 END)
+         AS n_prefixed,
+       sum(len(regexp_extract_all(p_name, '[0-9]+'))) AS n_number_runs,
+       sum(length(regexp_replace(p_name, '[aeiou]', '', 'g')))
+         AS len_devoweled
+FROM part GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+# =====================================================================
 # Registry (merged into queries.QUERIES / queries.ORACLES)
 # =====================================================================
 
@@ -1458,6 +1561,9 @@ QUERIES2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "map_functions_suite": map_functions_suite,
     "audio_window_plan": audio_window_plan,
     "image_tile_plan": image_tile_plan,
+    "bitwise_function_sweep": bitwise_function_sweep,
+    "array_function_sweep": array_function_sweep,
+    "regex_function_sweep": regex_function_sweep,
 }
 
 ORACLES2: dict[str, str] = {
@@ -1495,4 +1601,7 @@ ORACLES2: dict[str, str] = {
     "map_functions_suite": ORACLE_MAP_FUNCTIONS,
     "audio_window_plan": ORACLE_AUDIO_WINDOWS,
     "image_tile_plan": ORACLE_IMAGE_TILES,
+    "bitwise_function_sweep": ORACLE_BITWISE,
+    "array_function_sweep": ORACLE_ARRAY_SWEEP,
+    "regex_function_sweep": ORACLE_REGEX_SWEEP,
 }
