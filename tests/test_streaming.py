@@ -207,3 +207,43 @@ def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
         "inner").count()
     got = spark.read.parquet(sink).count() if os.listdir(sink) else 0
     assert got == want and want > 0
+
+
+def test_incremental_hll_sketch_chain(spark, sf_dir, tmp_path):
+    """Continuous aggregate through the incremental layer: each daily
+    batch persists per-type HLL sketches (binary, parquet-stable);
+    answering total distinct users = union-merging the CHAIN of daily
+    sketch datasets — no raw-event rescan. The mergeable-state story
+    (operators/sketches) composed with reference-parity chains
+    (ChainRunner, memoized per batch)."""
+    from accelerator_spark.queries import _events
+
+    ctx = BuildContext(spark, str(tmp_path / "wd"))
+    urd = Urd(str(tmp_path / "wd"))
+    runner = ChainRunner(ctx, urd, "daily-sketches")
+
+    def sketch_day(spark, datasets, options):
+        ev = _events(spark, sf_dir)
+        day = ev.filter(F.dayofmonth("ts") % 3 == options["slot"])
+        return day.groupBy("event_type").agg(
+            F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+
+    head = runner.process(
+        {f"d{s}": {"slot": s} for s in range(3)}, sketch_day)
+    assert len(head.chain()) == 3
+
+    merged = (head.chain_df(spark)
+              .groupBy("event_type")
+              .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")))
+    got = {r["event_type"]: r["est"] for r in merged.collect()}
+    want = {r["event_type"]: r["d"] for r in
+            _events(spark, sf_dir).groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("d")).collect()}
+    assert set(got) == set(want)
+    for et, exact in want.items():
+        assert abs(got[et] - exact) <= max(1, 0.05 * exact), (et, got[et], exact)
+
+    # idempotence: reprocessing the same batches is a no-op (memo hits)
+    head2 = runner.process(
+        {f"d{s}": {"slot": s} for s in range(3)}, sketch_day)
+    assert [d.path for d in head2.chain()] == [d.path for d in head.chain()]
