@@ -83,6 +83,15 @@ HEADLINE = [
     "winsorized_event_values",
     "embedding_zscore_stats",
     "skyline_parts",
+    # round-2c: SQL/agg breadth + ML steps + layout
+    "moving_avg_revenue_7d",
+    "ols_regression_suite",
+    "ewma_monthly_revenue",
+    "kmeans_lloyd_step",
+    "map_functions_suite",
+    "null_semantics_suite",
+    "xml_roundtrip_checksum",
+    "wide_denormalize_checksum",
 ]
 
 
