@@ -538,7 +538,8 @@ FROM nation
 
 _RECURSIVE_REACH_SQL = """
 WITH RECURSIVE
-po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       WHERE l_partkey < 500),
 e AS (
   SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
   FROM po a JOIN po b
