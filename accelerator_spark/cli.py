@@ -257,6 +257,62 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_board(args) -> int:
+    """Static project report (the reference's ``ax board`` web UI,
+    accelerator/board.py, reduced to its useful core: browse jobs,
+    datasets, and registry entries — here a self-contained HTML file,
+    no server)."""
+    import html
+    import os
+
+    dbpath = os.path.join(args.workdir, "jobdb.jsonl")
+    jobs = []
+    if os.path.exists(dbpath):
+        with open(dbpath) as f:
+            jobs = [json.loads(line) for line in f]
+    u = Urd(args.workdir)
+    sections = ["<h1>accelerator_spark board</h1>",
+                f"<p>workdir: <code>{html.escape(args.workdir)}</code> — "
+                f"{len(jobs)} jobs</p>", "<h2>Jobs</h2><table border=1>"
+                "<tr><th>jobid</th><th>outputs</th><th>artifacts</th></tr>"]
+    for rec in jobs:
+        outs = ", ".join(rec.get("outputs", {}))
+        arts = ", ".join(rec.get("artifacts", {}))
+        sections.append(f"<tr><td>{html.escape(rec['jobid'])}</td>"
+                        f"<td>{html.escape(outs)}</td>"
+                        f"<td>{html.escape(arts)}</td></tr>")
+    sections.append("</table><h2>Datasets</h2><table border=1>"
+                    "<tr><th>job</th><th>dataset</th><th>lines</th>"
+                    "<th>hashlabel</th><th>columns</th></tr>")
+    for rec in jobs:
+        for name, path in rec.get("outputs", {}).items():
+            try:
+                m = Dataset.load(path).manifest
+                cols = ", ".join(m["columns"])
+                sections.append(
+                    f"<tr><td>{html.escape(rec['jobid'])}</td>"
+                    f"<td>{html.escape(name)}</td><td>{m['lines']}</td>"
+                    f"<td>{html.escape(str(m.get('hashlabel')))}</td>"
+                    f"<td>{html.escape(cols)}</td></tr>")
+            except Exception:  # noqa: BLE001 — partial workdirs are fine
+                continue
+    sections.append("</table><h2>Urd registry</h2>")
+    for lname in u.lists():
+        sections.append(f"<h3>{html.escape(lname)}</h3><ul>")
+        for e in u._entries(lname):
+            sections.append(f"<li><code>{html.escape(str(e['ts']))}</code> "
+                            f"{html.escape(json.dumps(e['payload']))}</li>")
+        sections.append("</ul>")
+    out = args.out or os.path.join(args.workdir, "board.html")
+    with open(out, "w") as f:
+        f.write("<!doctype html><meta charset='utf-8'>"
+                "<style>body{font-family:sans-serif;margin:2em}"
+                "table{border-collapse:collapse}td,th{padding:4px 8px}"
+                "</style>" + "\n".join(sections))
+    print(f"wrote {out}")
+    return 0
+
+
 def cmd_workdir(args) -> int:
     """List jobs in a workdir (the reference's ``ax workdir``)."""
     import os
@@ -315,6 +371,10 @@ def main(argv: list[str] | None = None) -> int:
     e = sub.add_parser("explain"); e.add_argument("query", nargs="?")
     e.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     e.set_defaults(fn=cmd_explain)
+
+    b = sub.add_parser("board"); b.add_argument("workdir")
+    b.add_argument("--out", default=None)
+    b.set_defaults(fn=cmd_board)
 
     pf = sub.add_parser("profile"); pf.add_argument("path")
     pf.add_argument("--approx", action="store_true",

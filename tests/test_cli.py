@@ -146,3 +146,12 @@ def test_cli_grep_json_format(capsys):
     import json as _json
     rec = _json.loads(out.strip().splitlines()[0])
     assert rec["n_name"] == "NATION_11"
+
+
+def test_cli_board_static_report(workdir, tmp_path, capsys):
+    wd, _job = workdir
+    out = str(tmp_path / "board.html")
+    assert cli.main(["board", wd, "--out", out]) == 0
+    html = open(out).read()
+    assert "accelerator_spark board" in html
+    assert "Jobs" in html and "Datasets" in html and "Urd registry" in html
