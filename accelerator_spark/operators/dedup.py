@@ -331,3 +331,58 @@ def decontaminate(train: DataFrame, heldout: DataFrame,
     ).distinct()
     bad = tg.join(hg, "g", "left_semi").select(id_col).distinct()
     return train.join(bad, id_col, "left_anti")
+
+
+def exact_substring_spans(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 8) -> DataFrame:
+    """Exact-substring duplication spans (the Lee et al. "Deduplicating
+    Training Data Makes Language Models Better" signal, span-level):
+    for every document, the maximal token spans whose every k-token
+    window also appears in ANOTHER document — the text a span-level
+    dedup pass would cut.
+
+    Distributed shape (no suffix array needed at this granularity):
+    1. positional k-gram explode — (doc, pos, gram) via a JVM
+       sequence+slice transform (one scan, no Python);
+    2. gram doc-frequency: grams kept only if seen in >=2 DISTINCT
+       docs (two-level agg, map-side combinable) — the inverted-index
+       membership filter, same discipline as decontaminate();
+    3. semi-join positions against shared grams (AQE broadcasts the
+       shared-gram set while it fits);
+    4. per-doc gaps-and-islands over surviving positions: windows
+       whose starts are within k of each other overlap, so islands of
+       positions merge into maximal spans (one window shuffle on doc).
+
+    Returns (doc_id, span_start, span_end, span_tokens) — 0-based
+    token offsets, end exclusive. Aggregate for rates; feed to a
+    slicing pass to actually cut the spans."""
+    from pyspark.sql import Window as W
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("t")).filter(
+        F.size("t") >= k)
+    grams = base.select(
+        id_col,
+        F.explode(F.expr(
+            f"transform(sequence(1, size(t) - {k} + 1),"
+            f" i -> struct(i AS pos, concat_ws(' ', slice(t, i, {k})) AS g))"
+        )).alias("pg"))
+    pos = grams.select(id_col, F.col("pg.pos").alias("pos"),
+                       F.col("pg.g").alias("g"))
+    shared = (pos.select("g", id_col).distinct()
+              .groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+              .filter(F.col("df") >= 2).select("g"))
+    hits = pos.join(shared, "g", "left_semi")
+    w = W.partitionBy(id_col).orderBy("pos")
+    islands = (hits
+               .withColumn("new", F.when(
+                   F.col("pos") - F.lag("pos", 1, -10**9).over(w) > k, 1)
+                   .otherwise(0))
+               .withColumn("island", F.sum("new").over(
+                   w.rowsBetween(W.unboundedPreceding, 0))))
+    return (islands.groupBy(id_col, "island")
+            .agg((F.min("pos") - 1).alias("span_start"),
+                 (F.max("pos") + k - 1).alias("span_end"))
+            .withColumn("span_tokens",
+                        F.col("span_end") - F.col("span_start"))
+            .select(id_col, "span_start", "span_end", "span_tokens"))

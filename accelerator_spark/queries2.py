@@ -1524,6 +1524,85 @@ FROM part GROUP BY p_brand ORDER BY p_brand
 
 
 # =====================================================================
+# Exact-substring duplication spans (Lee et al., span-level)
+# =====================================================================
+
+def exact_substring_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring duplication
+    (operators/dedup.exact_substring_spans, k=8 word windows): per doc,
+    the maximal shared spans and the fraction of tokens inside them —
+    what a span-cutting dedup pass would remove. Oracle replays the
+    positional-gram inverted index + gaps-and-islands merge in SQL."""
+    from .operators.dedup import exact_substring_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    spans = exact_substring_spans(docs, k=8)
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"))
+    rep = (spans.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_spans"),
+                F.sum("span_tokens").alias("shared_tokens"),
+                F.max("span_tokens").alias("longest_span")))
+    return (toks.join(rep, "doc_id", "left")
+            .select("doc_id", "n_tokens",
+                    F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+                    F.coalesce("shared_tokens", F.lit(0)).alias("shared_tokens"),
+                    F.coalesce("longest_span", F.lit(0)).alias("longest_span"),
+                    F.round(F.coalesce("shared_tokens", F.lit(0))
+                            / F.col("n_tokens"), 4).alias("dup_frac"))
+            .orderBy("doc_id"))
+
+
+ORACLE_EXACT_SUBSTRING = """
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, pg.pos AS pos, pg.g AS g FROM (
+    SELECT doc_id, unnest(list_transform(
+      generate_series(1, len(t) - 7),
+      i -> struct_pack(pos := i, g := array_to_string(t[i:i+7], ' ')))) AS pg
+    FROM base WHERE len(t) >= 8)
+), shared AS (
+  SELECT g FROM (SELECT DISTINCT g, doc_id FROM pos)
+  GROUP BY g HAVING count(*) >= 2
+), hits AS (
+  SELECT pos.doc_id, pos.pos FROM pos JOIN shared USING (g)
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos, 1, -1000000000)
+                    OVER (PARTITION BY doc_id ORDER BY pos) > 8
+              THEN 1 ELSE 0 END AS new_island
+  FROM hits
+), isl AS (
+  SELECT doc_id, pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM flagged
+), spans AS (
+  SELECT doc_id, island, min(pos) - 1 AS span_start,
+         max(pos) + 7 AS span_end
+  FROM isl GROUP BY doc_id, island
+), rep AS (
+  SELECT doc_id, count(*) AS n_spans,
+         sum(span_end - span_start) AS shared_tokens,
+         max(span_end - span_start) AS longest_span
+  FROM spans GROUP BY doc_id
+), toks AS (
+  SELECT doc_id, len(t) AS n_tokens FROM base
+)
+SELECT t.doc_id, t.n_tokens,
+       coalesce(r.n_spans, 0) AS n_spans,
+       coalesce(r.shared_tokens, 0) AS shared_tokens,
+       coalesce(r.longest_span, 0) AS longest_span,
+       round(coalesce(r.shared_tokens, 0) / CAST(t.n_tokens AS DOUBLE), 4)
+         AS dup_frac
+FROM toks t LEFT JOIN rep r USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+# =====================================================================
 # Registry (merged into queries.QUERIES / queries.ORACLES)
 # =====================================================================
 
@@ -1565,6 +1644,7 @@ QUERIES2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bitwise_function_sweep": bitwise_function_sweep,
     "array_function_sweep": array_function_sweep,
     "regex_function_sweep": regex_function_sweep,
+    "exact_substring_report": exact_substring_report,
 }
 
 ORACLES2: dict[str, str] = {
@@ -1605,4 +1685,5 @@ ORACLES2: dict[str, str] = {
     "bitwise_function_sweep": ORACLE_BITWISE,
     "array_function_sweep": ORACLE_ARRAY_SWEEP,
     "regex_function_sweep": ORACLE_REGEX_SWEEP,
+    "exact_substring_report": ORACLE_EXACT_SUBSTRING,
 }

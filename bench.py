@@ -92,6 +92,7 @@ HEADLINE = [
     "null_semantics_suite",
     "xml_roundtrip_checksum",
     "wide_denormalize_checksum",
+    "exact_substring_report",
 ]
 
 

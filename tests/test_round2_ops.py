@@ -127,3 +127,38 @@ def test_apply_changes_semantics(spark):
     got = {r.k: (r.s, r.v) for r in
            apply_changes(base, changes.select("k", "s", "v", "op"), "k").collect()}
     assert got == {1: ("a", 10.0), 2: ("b2", 21.0), 9: ("new", 90.0)}
+
+
+def test_exact_substring_spans_planted(spark):
+    """Two docs sharing one long verbatim run: the shared span (and
+    only it) must be found, with exact token offsets, in both docs."""
+    from accelerator_spark.operators.dedup import exact_substring_spans
+    from pyspark.sql import Row
+
+    shared = " ".join(f"S{i}" for i in range(12))        # 12 shared tokens
+    a = "a0 a1 a2 " + shared + " a3 a4"                  # span at [3, 15)
+    b = shared + " b0 b1 b2 b3 b4"                       # span at [0, 12)
+    c = "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9"                  # no shared run
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=a), Row(doc_id=2, text=b), Row(doc_id=3, text=c)])
+    got = {r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+           for r in exact_substring_spans(df, k=8).collect()}
+    assert got == {1: (3, 15, 12), 2: (0, 12, 12)}
+
+
+def test_exact_substring_spans_merges_adjacent_windows(spark):
+    """A 30-token shared run is ONE maximal span, not 23 window hits."""
+    from accelerator_spark.operators.dedup import exact_substring_spans
+    from pyspark.sql import Row
+
+    run = " ".join(f"T{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="x y z " + run),
+         Row(doc_id=2, text=run + " p q")])
+    rows = exact_substring_spans(df, k=8).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(per_doc[1]) == 1 and len(per_doc[2]) == 1
+    assert per_doc[1][0]["span_tokens"] == 30
+    assert per_doc[2][0]["span_start"] == 0
