@@ -161,3 +161,80 @@ def test_prop_apply_changes_matches_dict_model(spark, base, changes):
             model[k] = v
     got = {r.k: r.v for r in apply_changes(bdf, cdf, "k").collect()}
     assert got == model
+
+
+# ---------------------------------------------------------------- round-2b
+
+@given(rows=st.lists(
+    st.tuples(st.floats(min_value=0, max_value=100, allow_nan=False),
+              st.integers(min_value=0, max_value=50)),
+    min_size=1, max_size=40))
+@PROP
+def test_skyline_matches_bruteforce_model(spark, rows):
+    """skyline() == the O(n²) definition, on arbitrary (price, size)
+    sets including duplicates."""
+    from accelerator_spark.operators.analytics import skyline
+
+    df = spark.createDataFrame(
+        [(i, float(p), int(s)) for i, (p, s) in enumerate(rows)],
+        "pk long, price double, size long").repartition(3)
+    got = {r["pk"] for r in
+           skyline(df, minimize=["price"], maximize=["size"]).collect()}
+    want = set()
+    for i, (p, s) in enumerate(rows):
+        dominated = any(
+            (q <= p and t >= s and (q < p or t > s))
+            for j, (q, t) in enumerate(rows) if j != i)
+        if not dominated:
+            want.add(i)
+    assert got == want
+
+
+@given(keys=st.lists(st.integers(min_value=0, max_value=9),
+                     min_size=1, max_size=60),
+       threshold=st.integers(min_value=1, max_value=12))
+@PROP
+def test_heavy_hitters_matches_counter_model(spark, keys, threshold):
+    from collections import Counter
+
+    from accelerator_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long").repartition(4)
+    got = {r["k"]: r["cnt"] for r in
+           heavy_hitters(df, "k", threshold).collect()}
+    want = {k: c for k, c in Counter(keys).items() if c >= threshold}
+    assert got == want
+
+
+@given(vals=st.lists(st.integers(min_value=-1000, max_value=1000),
+                     min_size=1, max_size=50, unique=True))
+@PROP
+def test_assign_global_ids_matches_sorted_enumeration(spark, vals):
+    from accelerator_spark.operators.partition import assign_global_ids
+
+    df = spark.createDataFrame([(v,) for v in vals], "k long").repartition(3)
+    got = {r["k"]: r["rid"] for r in
+           assign_global_ids(df, "k", "rid", num_partitions=4).collect()}
+    want = {v: i for i, v in enumerate(sorted(vals))}
+    assert got == want
+
+
+@given(vals=st.lists(st.floats(min_value=-100, max_value=100,
+                               allow_nan=False),
+                     min_size=3, max_size=40))
+@PROP
+def test_winsorize_bounds_and_interior_identity(spark, vals):
+    """Winsorized values stay inside [p05, p95] and interior values are
+    untouched (clamp-only, never rescales)."""
+    from accelerator_spark.operators.analytics import winsorize
+
+    df = spark.createDataFrame([("g", float(v)) for v in vals],
+                               "g string, v double")
+    rows = winsorize(df, "v", ["g"], 0.05, 0.95).collect()
+    assert len(rows) == len(vals)
+    lo = min(r["v_winsor"] for r in rows)
+    hi = max(r["v_winsor"] for r in rows)
+    for r in rows:
+        assert lo <= r["v_winsor"] <= hi
+        if lo < r["v"] < hi:
+            assert r["v_winsor"] == r["v"]
