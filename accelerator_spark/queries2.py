@@ -1603,6 +1603,50 @@ ORDER BY t.doc_id
 
 
 # =====================================================================
+# ANSI-safe try_* arithmetic (Spark 4 runs ANSI mode by default)
+# =====================================================================
+
+def try_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ANSI-mode safety surface: plain arithmetic THROWS on
+    overflow/÷0, try_add/try_multiply/try_divide return NULL instead.
+    Exercises NULL-on-error division (o_orderkey % 7 hits zero), bigint
+    overflow via try_multiply at the int64 edge, and aggregation over
+    the resulting nulls. The oracle mirrors each null with explicit
+    CASE guards — proving the try_* semantics equal ANSI CASE-protected
+    arithmetic."""
+    from .sqlapi import sql
+    return sql(spark, sf_dir, """
+SELECT o_orderstatus,
+       count(*) AS n,
+       sum(try_divide(o_totalprice, CAST(o_orderkey % 7 AS DOUBLE)))
+         IS NOT NULL AS sum_skips_nulls,
+       count(CASE WHEN try_divide(o_totalprice,
+                                  CAST(o_orderkey % 7 AS DOUBLE)) IS NULL
+                  THEN 1 END) AS n_div_by_zero,
+       count(CASE WHEN try_multiply(o_orderkey,
+                                    CAST(9e17 AS BIGINT)) IS NULL
+                  THEN 1 END) AS n_overflow,
+       round(avg(try_divide(o_totalprice,
+                            CAST(o_orderkey % 7 AS DOUBLE))), 2) AS avg_ratio
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""")
+
+
+ORACLE_TRY_ARITH = """
+SELECT o_orderstatus,
+       count(*) AS n,
+       TRUE AS sum_skips_nulls,
+       count(CASE WHEN o_orderkey % 7 = 0 THEN 1 END) AS n_div_by_zero,
+       count(CASE WHEN o_orderkey > CAST(9223372036854775807 // 900000000000000000
+                                         AS BIGINT)
+                  THEN 1 END) AS n_overflow,
+       round(avg(CASE WHEN o_orderkey % 7 <> 0
+                      THEN o_totalprice / (o_orderkey % 7) END), 2) AS avg_ratio
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+# =====================================================================
 # Registry (merged into queries.QUERIES / queries.ORACLES)
 # =====================================================================
 
@@ -1645,6 +1689,7 @@ QUERIES2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "array_function_sweep": array_function_sweep,
     "regex_function_sweep": regex_function_sweep,
     "exact_substring_report": exact_substring_report,
+    "try_arithmetic_suite": try_arithmetic_suite,
 }
 
 ORACLES2: dict[str, str] = {
@@ -1686,4 +1731,5 @@ ORACLES2: dict[str, str] = {
     "array_function_sweep": ORACLE_ARRAY_SWEEP,
     "regex_function_sweep": ORACLE_REGEX_SWEEP,
     "exact_substring_report": ORACLE_EXACT_SUBSTRING,
+    "try_arithmetic_suite": ORACLE_TRY_ARITH,
 }
