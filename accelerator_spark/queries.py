@@ -2111,14 +2111,30 @@ SELECT node AS doc_id, min(component) AS component_id FROM cc GROUP BY node
 
 
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL). No oracle: HLL sketches are
-    engine-specific by nature — the driver records the rows-only check;
-    the EXACT countDistinct twin is oracle-gated in brand_part_stats."""
+    """approx_count_distinct (HLL++). Estimates are engine-specific, so
+    (since round 2) the gate follows the tolerance pattern: return the
+    EXACT distinct count plus a boolean asserting the estimate landed
+    within 5% relative error (HLL++ at default rsd=0.05 — deterministic
+    for fixed input) — the oracle hardcodes TRUE, so estimator drift
+    fails the hash match instead of going unobserved."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
         F.count(F.lit(1)).alias("n"),
-    ).orderBy("l_returnflag")
+    )
+    ok = (F.abs(F.col("approx_parts") - F.col("exact_parts"))
+          <= 0.05 * F.col("exact_parts"))
+    return (agg.select("l_returnflag", "exact_parts", "n",
+                       ok.alias("approx_within_5pct"))
+            .orderBy("l_returnflag"))
+
+
+ORACLE_APPROX_DISTINCT = """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+       count(*) AS n, TRUE AS approx_within_5pct
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
 
 
 # =====================================================================
@@ -4726,7 +4742,7 @@ ORACLES: dict[str, str] = {
     "quality_filter_report": ORACLE_QUALITY_REPORT,
     "predicted_langs": ORACLE_PRED_LANGS,
     "rolling_fingerprints": ORACLE_ROLLING_FP,
-    # approx_distinct_parts: intentionally no oracle (engine-specific HLL)
+    "approx_distinct_parts": ORACLE_APPROX_DISTINCT,
     "decontaminate_train_set": ORACLE_DECONTAMINATE,
     "cross_doc_duplication": ORACLE_CROSS_DOC_DUP,
     "sequence_packing": ORACLE_SEQUENCE_PACKING,
