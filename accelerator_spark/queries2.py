@@ -1647,6 +1647,107 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 
 
 # =====================================================================
+# Model evaluation: distributed AUC (Mann-Whitney) + calibration bins
+# =====================================================================
+
+def classifier_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ROC-AUC without pairwise comparison: rank statistics.
+    Scorer = cosine similarity to the class-0 centroid (deterministic,
+    JVM-only); positive = label 0. AUC via the Mann-Whitney identity
+    AUC = (Σ ranks⁺ - n⁺(n⁺+1)/2) / (n⁺ n⁻) with tie-averaged ranks
+    ((min_rank + max_rank)/2 per tied score via two windows) — one sort
+    shuffle at any corpus size, never an n² compare. Plus 5-bin score
+    calibration (positive rate per score quantile bucket — the
+    reliability-diagram data). The evaluation half every
+    model-based-filtering pipeline needs next to its scorer."""
+    from .operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = (emb.filter(F.col("label") == 0)
+            .select(F.posexplode("embedding").alias("d", "x"))
+            .groupBy("d").agg(F.avg("x").alias("c")))
+    cent_arr = F.array(*[F.lit(float(r["c"])) for r in
+                         sorted(cent.collect(), key=lambda r: r["d"])])
+    scored = emb.select(
+        "vec_id",
+        (F.col("label") == 0).cast("int").alias("pos"),
+        F.round(cosine(F.col("embedding").cast("array<double>"),
+                       cent_arr), 6).alias("score"))
+    w_rn = W.orderBy(F.col("score").asc(), F.col("vec_id").asc())
+    ranked = scored.withColumn("rn", F.row_number().over(w_rn))
+    tie = (ranked.groupBy("score")
+           .agg(((F.min("rn") + F.max("rn")) / 2.0).alias("avg_rank")))
+    r = ranked.join(tie, "score")
+    agg = r.agg(
+        F.sum(F.when(F.col("pos") == 1, F.col("avg_rank"))).alias("rsum"),
+        F.sum("pos").alias("np"),
+        F.sum(1 - F.col("pos")).alias("nn"))
+    auc = agg.select(
+        F.col("np").alias("n_pos"), F.col("nn").alias("n_neg"),
+        F.round((F.col("rsum") - F.col("np") * (F.col("np") + 1) / 2)
+                / (F.col("np") * F.col("nn")), 4).alias("auc"))
+    w_ntile = W.orderBy(F.col("score").asc(), F.col("vec_id").asc())
+    calib = (scored.withColumn("bin", F.ntile(5).over(w_ntile))
+             .groupBy("bin")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.avg("score"), 4).alias("mean_score"),
+                  F.round(F.avg("pos"), 4).alias("pos_rate")))
+    return (calib.crossJoin(F.broadcast(auc))
+            .select("bin", "n", "mean_score", "pos_rate",
+                    "n_pos", "n_neg", "auc")
+            .orderBy("bin"))
+
+
+def _auc_oracle() -> str:
+    cos = ("round(list_dot_product({a}, {b}) /"
+           " (sqrt(list_dot_product({a}, {a})) *"
+           "  sqrt(list_dot_product({b}, {b}))), 6)")
+    return f"""
+WITH flat AS (
+  SELECT generate_subscripts(embedding, 1) AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings WHERE label = 0
+), dims AS (
+  SELECT d, avg(x) AS c FROM flat GROUP BY d
+), cent AS (
+  SELECT list(c ORDER BY d) AS v FROM dims
+), scored AS (
+  SELECT vec_id, CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos,
+         {cos.format(a='list_transform(embedding, x -> CAST(x AS DOUBLE))',
+                     b='cent.v')} AS score
+  FROM embeddings, cent
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY score ASC, vec_id ASC) AS rn
+  FROM scored
+), tie AS (
+  SELECT score, (min(rn) + max(rn)) / 2.0 AS avg_rank
+  FROM ranked GROUP BY score
+), agg AS (
+  SELECT sum(CASE WHEN pos = 1 THEN avg_rank END) AS rsum,
+         sum(pos) AS np, sum(1 - pos) AS nn
+  FROM ranked JOIN tie USING (score)
+), auc AS (
+  SELECT np AS n_pos, nn AS n_neg,
+         round((rsum - np * (np + 1) / 2) / (np * nn), 4) AS auc
+  FROM agg
+), calib AS (
+  SELECT ntile(5) OVER (ORDER BY score ASC, vec_id ASC) AS bin,
+         score, pos
+  FROM scored
+), bins AS (
+  SELECT bin, count(*) AS n, round(avg(score), 4) AS mean_score,
+         round(avg(CAST(pos AS DOUBLE)), 4) AS pos_rate
+  FROM calib GROUP BY bin
+)
+SELECT bin, n, mean_score, pos_rate, n_pos, n_neg, auc
+FROM bins, auc ORDER BY bin
+"""
+
+
+ORACLE_AUC = _auc_oracle()
+
+
+# =====================================================================
 # Registry (merged into queries.QUERIES / queries.ORACLES)
 # =====================================================================
 
@@ -1690,6 +1791,7 @@ QUERIES2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "regex_function_sweep": regex_function_sweep,
     "exact_substring_report": exact_substring_report,
     "try_arithmetic_suite": try_arithmetic_suite,
+    "classifier_auc_report": classifier_auc_report,
 }
 
 ORACLES2: dict[str, str] = {
@@ -1732,4 +1834,5 @@ ORACLES2: dict[str, str] = {
     "regex_function_sweep": ORACLE_REGEX_SWEEP,
     "exact_substring_report": ORACLE_EXACT_SUBSTRING,
     "try_arithmetic_suite": ORACLE_TRY_ARITH,
+    "classifier_auc_report": ORACLE_AUC,
 }
