@@ -1748,6 +1748,54 @@ ORACLE_AUC = _auc_oracle()
 
 
 # =====================================================================
+# Sample-based approximate analytics (deterministic hash sample)
+# =====================================================================
+
+def sampled_mean_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate analytics from a 10% deterministic hash sample (md5
+    bucket on the key — engine/partitioning-invariant, the same
+    discipline as hash_sample_documents): per return flag, the sampled
+    mean price must land within 2% of the full-scan mean. At 100 TB
+    this is the exploratory-query pattern: answer from the sample shard,
+    gate against the full answer only when auditing. Both the sample
+    membership AND the tolerance check replay exactly in the oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.conv(F.substring(
+        F.md5(F.concat_ws("_", "l_orderkey", "l_linenumber")), 1, 4),
+        16, 10).cast("long") % 10
+    samp = (li.filter(bucket == 0)
+            .groupBy("l_returnflag")
+            .agg(F.avg("l_extendedprice").alias("s_mean"),
+                 F.count(F.lit(1)).alias("s_n")))
+    full = (li.groupBy("l_returnflag")
+            .agg(F.avg("l_extendedprice").alias("f_mean"),
+                 F.count(F.lit(1)).alias("f_n")))
+    j = full.join(samp, "l_returnflag")
+    ok = F.abs(F.col("s_mean") - F.col("f_mean")) <= 0.02 * F.col("f_mean")
+    return (j.select("l_returnflag",
+                     F.round("f_mean", 2).alias("full_mean"), "f_n", "s_n",
+                     ok.alias("sample_within_2pct"))
+            .orderBy("l_returnflag"))
+
+
+ORACLE_SAMPLED_MEAN = """
+WITH samp AS (
+  SELECT l_returnflag, avg(l_extendedprice) AS s_mean, count(*) AS s_n
+  FROM lineitem
+  WHERE CAST(('0x' || substring(md5(l_orderkey || '_' || l_linenumber),
+                                1, 4)) AS BIGINT) % 10 = 0
+  GROUP BY l_returnflag
+), full_t AS (
+  SELECT l_returnflag, avg(l_extendedprice) AS f_mean, count(*) AS f_n
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, round(f_mean, 2) AS full_mean, f_n, s_n,
+       TRUE AS sample_within_2pct
+FROM full_t JOIN samp USING (l_returnflag) ORDER BY l_returnflag
+"""
+
+
+# =====================================================================
 # Registry (merged into queries.QUERIES / queries.ORACLES)
 # =====================================================================
 
@@ -1792,6 +1840,7 @@ QUERIES2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_substring_report": exact_substring_report,
     "try_arithmetic_suite": try_arithmetic_suite,
     "classifier_auc_report": classifier_auc_report,
+    "sampled_mean_estimate": sampled_mean_estimate,
 }
 
 ORACLES2: dict[str, str] = {
@@ -1835,4 +1884,5 @@ ORACLES2: dict[str, str] = {
     "exact_substring_report": ORACLE_EXACT_SUBSTRING,
     "try_arithmetic_suite": ORACLE_TRY_ARITH,
     "classifier_auc_report": ORACLE_AUC,
+    "sampled_mean_estimate": ORACLE_SAMPLED_MEAN,
 }
