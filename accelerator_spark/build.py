@@ -361,3 +361,48 @@ class Urd:
 
     def lists(self) -> list[str]:
         return sorted({e["list"] for e in self._read()})
+
+
+def resolve_spec(workdir: str, spec: str) -> dict | None:
+    """Job-spec mini-language (the reference's ``sh/parser.py`` surface,
+    /root/reference/accelerator/shell/parser.py, exercised in
+    test_methods/build_tests.py:274-304):
+
+    - ``jobid``        exact job id ("step-3")
+    - ``step``         the LATEST job of that step
+    - ``step~`` / ``step~N``  the N-th-previous job of that step (~ = 1)
+    - ``:list``        the job recorded in the latest urd entry of list
+    - ``:list/ts``     the job recorded at an exact urd timestamp
+
+    Returns the job-database record dict, or None."""
+    import json as _json
+    import os as _os
+
+    def _records() -> list[dict]:
+        p = _os.path.join(workdir, "jobdb.jsonl")
+        if not _os.path.exists(p):
+            return []
+        with open(p) as f:
+            return [_json.loads(line) for line in f]
+
+    recs = _records()
+    by_id = {r["jobid"]: r for r in recs}
+
+    if spec.startswith(":"):
+        name, _, ts = spec[1:].partition("/")
+        u = Urd(workdir)
+        e = u.peek(name, ts) if ts else u.latest(name)
+        if not e:
+            return None
+        jid = e["payload"].get("job")
+        return by_id.get(jid)
+
+    base, tilde, n_s = spec.partition("~")
+    if not tilde and spec in by_id:
+        return by_id[spec]
+    back = int(n_s) if n_s else (1 if tilde else 0)
+    matches = [r for r in recs
+               if r["jobid"] == base or r["jobid"].startswith(base + "-")]
+    if not matches or back >= len(matches):
+        return None
+    return matches[len(matches) - 1 - back]

@@ -119,16 +119,16 @@ def cmd_init(args) -> int:
 
 
 def cmd_job(args) -> int:
-    import os
-    dbpath = os.path.join(args.workdir, "jobdb.jsonl")
-    with open(dbpath) as f:
-        for line in f:
-            rec = json.loads(line)
-            if rec["jobid"] == args.jobid:
-                print(json.dumps(rec, indent=2))
-                return 0
-    print(f"job {args.jobid} not found in {dbpath}", file=sys.stderr)
-    return 1
+    """Job lookup through the spec mini-language (reference sh/parser.py):
+    exact jobid, `step` (latest), `step~N` (N back), `:urdlist[/ts]`."""
+    from .build import resolve_spec
+    rec = resolve_spec(args.workdir, args.jobid)
+    if rec is None:
+        print(f"job spec {args.jobid!r} resolves to nothing in "
+              f"{args.workdir}", file=sys.stderr)
+        return 1
+    print(json.dumps(rec, indent=2))
+    return 0
 
 
 def cmd_run(args) -> int:

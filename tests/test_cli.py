@@ -155,3 +155,32 @@ def test_cli_board_static_report(workdir, tmp_path, capsys):
     html = open(out).read()
     assert "accelerator_spark board" in html
     assert "Jobs" in html and "Datasets" in html and "Urd registry" in html
+
+
+def test_job_spec_mini_language(workdir, spark, sf_dir, tmp_path, capsys):
+    """Reference sh/parser.py spec surface: step name -> latest job,
+    step~1 -> previous, :urdlist -> the registered job."""
+    from accelerator_spark.build import BuildContext, resolve_spec
+
+    wd, job = workdir
+    # exact id and step-name both resolve to the same record
+    assert resolve_spec(wd, job.jobid)["jobid"] == job.jobid
+    assert resolve_spec(wd, "import_nation")["jobid"] == job.jobid
+    # build a second job of the same step -> latest moves, ~1 is the old
+    ctx = BuildContext(spark, wd)
+
+    def import_nation(spark_, datasets, options):
+        return load(spark_, sf_dir, "nation").limit(options["n"])
+
+    j2 = ctx.build(import_nation, options={"n": 5})
+    assert resolve_spec(wd, "import_nation")["jobid"] == j2.jobid
+    assert resolve_spec(wd, "import_nation~")["jobid"] == job.jobid
+    assert resolve_spec(wd, "import_nation~1")["jobid"] == job.jobid
+    # urd specs
+    assert resolve_spec(wd, ":nations")["jobid"] == job.jobid
+    assert resolve_spec(wd, ":nations/2024-01-01")["jobid"] == job.jobid
+    assert resolve_spec(wd, ":nope") is None
+    assert resolve_spec(wd, "bogus~9") is None
+    # CLI path
+    assert cli.main(["job", wd, "import_nation~1"]) == 0
+    assert job.jobid in capsys.readouterr().out
