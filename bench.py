@@ -95,6 +95,32 @@ HEADLINE = [
     "exact_substring_report",
 ]
 
+# heavier, measured-but-not-headline queries (several-second graph
+# builds / Python counting passes at sf0.1 — see BASELINE.md); include
+# with SPARK_GRAFT_BENCH_FULL=1
+EXTENDED = [
+    "graph_pagerank_top20",
+    "graph_triangle_count",
+    "graph_degree_histogram",
+    "hll_distinct_rollup",
+    "heavy_hitter_users",
+    "knn_label_vote",
+    "classifier_auc_report",
+    "sampled_mean_estimate",
+    "string_agg_priorities",
+    "argmax_suite",
+    "group_by_all_sql",
+    "bitwise_function_sweep",
+    "array_function_sweep",
+    "regex_function_sweep",
+    "try_arithmetic_suite",
+    "scalable_row_numbering",
+    "audio_window_plan",
+    "image_tile_plan",
+    "mad_outlier_events",
+    "schema_evolution_union",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -107,9 +133,11 @@ def main() -> None:
     # best-of-N: first run pays one-time parquet footer reads + plan
     # compilation; steady-state throughput is what scales to a cluster.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    names = HEADLINE + (EXTENDED if os.environ.get("SPARK_GRAFT_BENCH_FULL")
+                        else [])
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in names:
         fn = Q.QUERIES[name]
         best, n = float("inf"), 0
         # a single failing query must not sink the whole benchmark (and
