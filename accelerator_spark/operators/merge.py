@@ -102,3 +102,25 @@ def apply_changes(base: DataFrame, changes: DataFrame, key: str,
         .select([F.col(f"__r.{x}").alias(x) for x in cols])
     )
     return merged
+
+
+def compact_latest(df: DataFrame, key_cols: list[str], order_col: str,
+                   tiebreak_cols: list[str] = ()) -> DataFrame:
+    """Chain compaction: collapse an append-only upsert stream (a chain
+    of daily imports, a CDC feed) to the LATEST row per key — the
+    periodic rewrite that keeps a long chain queryable at O(keys)
+    instead of O(history).
+
+    Reference parity: chains grow monotonically and the reference
+    compacts by rebuilding (hashpart over the chain,
+    standard_methods/a_dataset_hashpart.py chain concat); keyed
+    keep-latest is the upgrade CDC consumers need. One window shuffle
+    on the key; deterministic under ties via ``tiebreak_cols`` (always
+    pass one when ``order_col`` can repeat per key)."""
+    from pyspark.sql import Window
+
+    order = [F.col(order_col).desc()] + [F.col(c).desc()
+                                         for c in tiebreak_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))

@@ -194,3 +194,21 @@ def test_asof_join_semantics(spark):
     # t=10 matches the equal-ts right row (<= semantics); t=20 takes the
     # latest earlier (15); k=2 t=5 has no prior right row -> NULL
     assert out == {(1, 10): "r10", (1, 20): "r15", (2, 5): None}
+
+
+def test_compact_latest_chain(spark):
+    """Three chained batches of keyed upserts collapse to the newest row
+    per key, deterministically under order ties."""
+    from accelerator_spark.operators.merge import compact_latest
+    from pyspark.sql import Row
+
+    batches = [
+        [Row(k=1, v="a1", batch=1, seq=1), Row(k=2, v="b1", batch=1, seq=2)],
+        [Row(k=1, v="a2", batch=2, seq=3), Row(k=3, v="c1", batch=2, seq=4)],
+        [Row(k=2, v="b2", batch=3, seq=5), Row(k=2, v="b3", batch=3, seq=6)],
+    ]
+    chain = spark.createDataFrame([r for b in batches for r in b])
+    got = {r["k"]: r["v"] for r in
+           compact_latest(chain, ["k"], "batch",
+                          tiebreak_cols=["seq"]).collect()}
+    assert got == {1: "a2", 2: "b3", 3: "c1"}
