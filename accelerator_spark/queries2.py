@@ -1796,6 +1796,75 @@ FROM full_t JOIN samp USING (l_returnflag) ORDER BY l_returnflag
 
 
 # =====================================================================
+# BM25 ranked retrieval (inverted-index search over the corpus)
+# =====================================================================
+
+_BM25_TERMS = ["spark", "join", "window"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text ranked retrieval: BM25 (k1=1.2, b=0.75, robust IDF)
+    over the documents corpus for a fixed term query, top-20. The
+    search-engine workload as pure relational algebra: term postings
+    are filtered to the query terms BEFORE any aggregation (the
+    inverted-index access path — the full vocabulary never shuffles),
+    document lengths and avgdl are tiny broadcast aggregates, and the
+    score is one grouped sum. Scales as O(postings of query terms), not
+    O(corpus tokens)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.avg("dl").alias("avgdl"),
+                   F.count(F.lit(1)).alias("n_docs"))
+    tf = (toks.filter(F.col("term").isin(_BM25_TERMS))
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (tf.join(F.broadcast(df_t), "term")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats)))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1)
+    denom = (F.col("tf") + _BM25_K1
+             * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")))
+    part = idf * F.col("tf") * (_BM25_K1 + 1) / denom
+    return (scored.groupBy("doc_id")
+            .agg(F.round(F.sum(part), 4).alias("bm25"),
+                 F.count(F.lit(1)).alias("n_terms_hit"))
+            .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+            .limit(20))
+
+
+ORACLE_BM25 = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('spark', 'join', 'window')
+  GROUP BY doc_id, term
+), df_t AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+           * tf.tf * ({_BM25_K1} + 1)
+           / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                                    + {_BM25_B} * dl.dl / s.avgdl)) AS part
+  FROM tf JOIN df_t d USING (term) JOIN dl USING (doc_id), stats s
+)
+SELECT doc_id, round(sum(part), 4) AS bm25, count(*) AS n_terms_hit
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
+# =====================================================================
 # Registry (merged into queries.QUERIES / queries.ORACLES)
 # =====================================================================
 
@@ -1841,6 +1910,7 @@ QUERIES2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "try_arithmetic_suite": try_arithmetic_suite,
     "classifier_auc_report": classifier_auc_report,
     "sampled_mean_estimate": sampled_mean_estimate,
+    "bm25_search": bm25_search,
 }
 
 ORACLES2: dict[str, str] = {
@@ -1885,4 +1955,5 @@ ORACLES2: dict[str, str] = {
     "try_arithmetic_suite": ORACLE_TRY_ARITH,
     "classifier_auc_report": ORACLE_AUC,
     "sampled_mean_estimate": ORACLE_SAMPLED_MEAN,
+    "bm25_search": ORACLE_BM25,
 }
