@@ -1865,6 +1865,71 @@ ORDER BY bm25 DESC, doc_id LIMIT 20
 
 
 # =====================================================================
+# PMI collocations (word-pair association mining)
+# =====================================================================
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over document-level word
+    co-occurrence: PMI(x,y) = ln(N·c(xy) / (c(x)·c(y))) for pairs
+    co-occurring in ≥ 200 docs; top 20 by PMI. Same bounded pair
+    expansion as the co-purchase graph (sorted distinct-token array →
+    in-row combinations — the vocabulary per doc is small, so the
+    quadratic stays in-row); unigram doc-frequencies broadcast back.
+    The collocation-mining primitive under phrase detection
+    (word2phrase) and feature engineering."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    items = docs.select(
+        F.sort_array(F.array_distinct(
+            F.split(F.trim("text"), r"\s+"))).alias("w"))
+    pairs = items.select(F.explode(F.expr(
+        "flatten(transform(w, (x, i) ->"
+        " transform(slice(w, i + 2, size(w)),"
+        " y -> struct(x AS wa, y AS wb))))")).alias("p")) \
+        .select("p.wa", "p.wb")
+    cpair = (pairs.groupBy("wa", "wb")
+             .agg(F.count(F.lit(1)).alias("c_xy"))
+             .filter(F.col("c_xy") >= 200))
+    uni = (items.select(F.explode("w").alias("word"))
+           .groupBy("word").agg(F.count(F.lit(1)).alias("c")))
+    j = (cpair
+         .join(F.broadcast(uni.withColumnRenamed("word", "wa")
+                           .withColumnRenamed("c", "c_x")), "wa")
+         .join(F.broadcast(uni.withColumnRenamed("word", "wb")
+                           .withColumnRenamed("c", "c_y")), "wb"))
+    pmi = F.round(F.log(F.lit(float(n_docs)) * F.col("c_xy")
+                        / (F.col("c_x") * F.col("c_y"))), 4)
+    return (j.select("wa", "wb", "c_xy", pmi.alias("pmi"))
+            .orderBy(F.col("pmi").desc(), "wa", "wb")
+            .limit(20))
+
+
+ORACLE_PMI = """
+WITH items AS (
+  SELECT list_sort(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+    AS w
+  FROM documents
+), pairs AS (
+  SELECT p.wa AS wa, p.wb AS wb FROM (
+    SELECT unnest(flatten(list_transform(generate_series(1, len(w)),
+      i -> list_transform(w[i+1:len(w)],
+                          y -> struct_pack(wa := w[i], wb := y))))) AS p
+    FROM items)
+), cpair AS (
+  SELECT wa, wb, count(*) AS c_xy FROM pairs GROUP BY wa, wb
+  HAVING count(*) >= 200
+), uni AS (
+  SELECT word, count(*) AS c FROM (SELECT unnest(w) AS word FROM items)
+  GROUP BY word
+), n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT wa, wb, c_xy,
+       round(ln(CAST(n.n_docs AS DOUBLE) * c_xy / (ux.c * uy.c)), 4) AS pmi
+FROM cpair JOIN uni ux ON ux.word = wa JOIN uni uy ON uy.word = wb, n
+ORDER BY pmi DESC, wa, wb LIMIT 20
+"""
+
+
+# =====================================================================
 # Registry (merged into queries.QUERIES / queries.ORACLES)
 # =====================================================================
 
@@ -1911,6 +1976,7 @@ QUERIES2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classifier_auc_report": classifier_auc_report,
     "sampled_mean_estimate": sampled_mean_estimate,
     "bm25_search": bm25_search,
+    "pmi_collocations": pmi_collocations,
 }
 
 ORACLES2: dict[str, str] = {
@@ -1956,4 +2022,5 @@ ORACLES2: dict[str, str] = {
     "classifier_auc_report": ORACLE_AUC,
     "sampled_mean_estimate": ORACLE_SAMPLED_MEAN,
     "bm25_search": ORACLE_BM25,
+    "pmi_collocations": ORACLE_PMI,
 }

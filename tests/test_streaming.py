@@ -247,3 +247,53 @@ def test_incremental_hll_sketch_chain(spark, sf_dir, tmp_path):
     head2 = runner.process(
         {f"d{s}": {"slot": s} for s in range(3)}, sketch_day)
     assert [d.path for d in head2.chain()] == [d.path for d in head.chain()]
+
+
+def test_watermark_append_finalization(spark, tmp_path):
+    """Watermark/append-mode contract (what is actually GUARANTEED):
+    append emits a window exactly once, only after the watermark passes
+    its end; windows still inside the watermark are withheld in state.
+    (Rows later than the watermark are *eligible* for dropping, not
+    guaranteed dropped — verified empirically on this Spark: a 07:15
+    row arriving under a 09:30 watermark is still absorbed and its
+    already-expired window emitted on eviction. A pipeline needing
+    hard late-row exclusion must filter explicitly against its own
+    lateness bound; the engine contract is only finalization.)"""
+    import time
+
+    import pandas as pd
+
+    src = str(tmp_path / "late_src")
+    batches = [
+        pd.DataFrame({"ts": pd.to_datetime(
+            ["2024-01-01 10:00:00", "2024-01-01 10:30:00"]), "v": [1.0, 2.0]}),
+        pd.DataFrame({"ts": pd.to_datetime(
+            ["2024-01-01 12:30:00", "2024-01-01 07:15:00"]), "v": [4.0, 8.0]}),
+        pd.DataFrame({"ts": pd.to_datetime(
+            ["2024-01-01 14:30:00"]), "v": [16.0]}),
+    ]
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b).coalesce(1).write.parquet(f"{src}/b{i}")
+        time.sleep(1.1)  # distinct mtimes: file source processes in order
+
+    schema = spark.read.parquet(f"{src}/b0").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/b*")
+              .withWatermark("ts", "1 hour")
+              .groupBy(F.window("ts", "1 hour").alias("win"))
+              .agg(F.sum("v").alias("sv")))
+    sink, ckpt = str(tmp_path / "late_out"), str(tmp_path / "late_ck")
+    q = (stream.writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {r["win"]["start"].hour: r["sv"]
+           for r in spark.read.parquet(sink).collect()}
+    # final watermark = 14:30 - 1h = 13:30: every window ending before it
+    # has been finalized and emitted exactly once, with complete sums
+    assert got[10] == 3.0 and got[12] == 4.0
+    # the 14:00 window is NOT emitted: still open under the watermark
+    assert 14 not in got
+    # windows never emit twice (exactly-once finalization)
+    assert len(spark.read.parquet(sink).collect()) == len(got)
