@@ -1930,6 +1930,116 @@ ORDER BY pmi DESC, wa, wb LIMIT 20
 
 
 # =====================================================================
+# Statistics breadth: correlation matrix, Benford digits, null-aware
+# window navigation
+# =====================================================================
+
+def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem numeric columns in
+    ONE aggregation pass (the moment sums for every pair fold
+    map-side) — the EDA primitive; at 100 TB a correlation matrix must
+    not cost one scan per pair."""
+    from .sqlapi import sql
+    return sql(spark, sf_dir, """
+SELECT round(corr(l_quantity, l_extendedprice), 4) AS qty_price,
+       round(corr(l_quantity, l_discount), 4) AS qty_disc,
+       round(corr(l_quantity, l_tax), 4) AS qty_tax,
+       round(corr(l_extendedprice, l_discount), 4) AS price_disc,
+       round(corr(l_extendedprice, l_tax), 4) AS price_tax,
+       round(corr(l_discount, l_tax), 4) AS disc_tax,
+       count(*) AS n
+FROM lineitem
+""")
+
+
+ORACLE_CORR_MATRIX = """
+SELECT round(corr(l_quantity, l_extendedprice), 4) AS qty_price,
+       round(corr(l_quantity, l_discount), 4) AS qty_disc,
+       round(corr(l_quantity, l_tax), 4) AS qty_tax,
+       round(corr(l_extendedprice, l_discount), 4) AS price_disc,
+       round(corr(l_extendedprice, l_tax), 4) AS price_tax,
+       round(corr(l_discount, l_tax), 4) AS disc_tax,
+       count(*) AS n
+FROM lineitem
+"""
+
+
+def benford_digit_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs the
+    Benford expectation log10(1 + 1/d) — the classic anomaly/fraud
+    screen, as one scan + a 9-group aggregate."""
+    from .sqlapi import sql
+    return sql(spark, sf_dir, """
+SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1)
+            AS INT) AS digit,
+       count(*) AS n,
+       round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 4)
+         AS observed,
+       round(log10(1.0 + 1.0 / CAST(substring(
+         CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS INT)), 4)
+         AS benford
+FROM orders WHERE o_totalprice >= 1
+GROUP BY 1 ORDER BY 1
+""")
+
+
+ORACLE_BENFORD = """
+SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+            AS INT) AS digit,
+       count(*) AS n,
+       round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 4)
+         AS observed,
+       round(log10(1.0 + 1.0 / CAST(substring(
+         CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT)), 4)
+         AS benford
+FROM orders WHERE o_totalprice >= 1
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def window_ignore_nulls_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-aware window navigation: FIRST_VALUE / LAST_VALUE / LAG with
+    IGNORE NULLS over a derived column with real nulls (non-'O' status
+    masked) — gap-filling's building block (carry last non-null
+    observation forward)."""
+    from .sqlapi import sql
+    return sql(spark, sf_dir, """
+WITH t AS (
+  SELECT o_custkey, o_orderkey,
+         CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS open_price
+  FROM orders WHERE o_custkey < 30
+)
+SELECT o_custkey, o_orderkey,
+       round(first_value(open_price) IGNORE NULLS OVER w, 2) AS first_open,
+       round(last_value(open_price) IGNORE NULLS OVER
+             (PARTITION BY o_custkey ORDER BY o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS ffill,
+       round(lag(open_price) IGNORE NULLS OVER w, 2) AS prev_open
+FROM t
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""")
+
+
+ORACLE_IGNORE_NULLS = """
+WITH t AS (
+  SELECT o_custkey, o_orderkey,
+         CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS open_price
+  FROM orders WHERE o_custkey < 30
+)
+SELECT o_custkey, o_orderkey,
+       round(first_value(open_price IGNORE NULLS) OVER w, 2) AS first_open,
+       round(last_value(open_price IGNORE NULLS) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS ffill,
+       round(lag(open_price IGNORE NULLS) OVER w, 2) AS prev_open
+FROM t
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+# =====================================================================
 # Registry (merged into queries.QUERIES / queries.ORACLES)
 # =====================================================================
 
@@ -1977,6 +2087,9 @@ QUERIES2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sampled_mean_estimate": sampled_mean_estimate,
     "bm25_search": bm25_search,
     "pmi_collocations": pmi_collocations,
+    "correlation_matrix": correlation_matrix,
+    "benford_digit_distribution": benford_digit_distribution,
+    "window_ignore_nulls_suite": window_ignore_nulls_suite,
 }
 
 ORACLES2: dict[str, str] = {
@@ -2023,4 +2136,7 @@ ORACLES2: dict[str, str] = {
     "sampled_mean_estimate": ORACLE_SAMPLED_MEAN,
     "bm25_search": ORACLE_BM25,
     "pmi_collocations": ORACLE_PMI,
+    "correlation_matrix": ORACLE_CORR_MATRIX,
+    "benford_digit_distribution": ORACLE_BENFORD,
+    "window_ignore_nulls_suite": ORACLE_IGNORE_NULLS,
 }
