@@ -2040,6 +2040,64 @@ ORDER BY o_custkey, o_orderkey
 
 
 # =====================================================================
+# Point-in-time (SCD2) join — the feature-store primitive
+# =====================================================================
+
+def pit_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time correctness across grains: a customer's "priority
+    regime" dimension (validity intervals from consecutive orders:
+    [order date, next order date), attribute = that order's priority)
+    joined to lineitem SHIP events — each shipment priced under the
+    regime in force AT SHIP TIME, never a later one (the leakage a
+    feature store exists to prevent). Join shape: equi on custkey +
+    interval containment; per-customer interval counts are bounded
+    (~orders per customer), so the range filter after the key join
+    expands each fact row by a small constant."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    wd = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dim = orders.select(
+        "o_custkey", "o_orderpriority",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(wd).alias("valid_to"))
+    fact = (li.join(orders.select("o_orderkey", "o_custkey"),
+                    li.l_orderkey == orders.o_orderkey)
+            .select("o_custkey", "l_shipdate", "l_extendedprice"))
+    pit = fact.join(
+        dim,
+        (fact.o_custkey == dim.o_custkey)
+        & (F.col("l_shipdate") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull()
+           | (F.col("l_shipdate") < F.col("valid_to"))))
+    return (pit.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_shipments"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+            .orderBy("o_orderpriority"))
+
+
+ORACLE_PIT_JOIN = """
+WITH dim AS (
+  SELECT o_custkey, o_orderpriority,
+         o_orderdate AS valid_from,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey)
+           AS valid_to
+  FROM orders
+), fact AS (
+  SELECT o.o_custkey, l.l_shipdate, l.l_extendedprice
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT d.o_orderpriority, count(*) AS n_shipments,
+       round(sum(f.l_extendedprice), 2) AS revenue
+FROM fact f JOIN dim d
+  ON f.o_custkey = d.o_custkey
+ AND f.l_shipdate >= d.valid_from
+ AND (d.valid_to IS NULL OR f.l_shipdate < d.valid_to)
+GROUP BY d.o_orderpriority ORDER BY d.o_orderpriority
+"""
+
+
+# =====================================================================
 # Registry (merged into queries.QUERIES / queries.ORACLES)
 # =====================================================================
 
@@ -2090,6 +2148,7 @@ QUERIES2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "correlation_matrix": correlation_matrix,
     "benford_digit_distribution": benford_digit_distribution,
     "window_ignore_nulls_suite": window_ignore_nulls_suite,
+    "pit_join_revenue": pit_join_revenue,
 }
 
 ORACLES2: dict[str, str] = {
@@ -2139,4 +2198,5 @@ ORACLES2: dict[str, str] = {
     "correlation_matrix": ORACLE_CORR_MATRIX,
     "benford_digit_distribution": ORACLE_BENFORD,
     "window_ignore_nulls_suite": ORACLE_IGNORE_NULLS,
+    "pit_join_revenue": ORACLE_PIT_JOIN,
 }
