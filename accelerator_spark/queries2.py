@@ -2098,6 +2098,112 @@ GROUP BY d.o_orderpriority ORDER BY d.o_orderpriority
 
 
 # =====================================================================
+# Customer analytics: RFM segmentation, market-basket association rules
+# =====================================================================
+
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation: per customer recency (last order
+    date), frequency (orders), monetary (spend) → ntile(5) on each
+    (custkey tiebreaks make the quintile edges deterministic), rolled
+    up to segment cells. One agg + three windows sharing no exchange
+    with the rollup (windows are over the tiny per-customer table)."""
+    from .sqlapi import sql
+    return sql(spark, sf_dir, """
+WITH per_cust AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order,
+         count(*) AS freq, sum(o_totalprice) AS monetary
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT o_custkey,
+         ntile(5) OVER (ORDER BY last_order, o_custkey) AS r,
+         ntile(5) OVER (ORDER BY freq, o_custkey) AS f,
+         ntile(5) OVER (ORDER BY monetary, o_custkey) AS m,
+         monetary
+  FROM per_cust
+)
+SELECT r, f, m, count(*) AS n_customers,
+       round(sum(monetary), 2) AS segment_value
+FROM scored GROUP BY r, f, m
+HAVING count(*) >= 5
+ORDER BY r, f, m
+""")
+
+
+ORACLE_RFM = """
+WITH per_cust AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order,
+         count(*) AS freq, sum(o_totalprice) AS monetary
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT o_custkey,
+         ntile(5) OVER (ORDER BY last_order, o_custkey) AS r,
+         ntile(5) OVER (ORDER BY freq, o_custkey) AS f,
+         ntile(5) OVER (ORDER BY monetary, o_custkey) AS m,
+         monetary
+  FROM per_cust
+)
+SELECT r, f, m, count(*) AS n_customers,
+       round(sum(monetary), 2) AS segment_value
+FROM scored GROUP BY r, f, m
+HAVING count(*) >= 5
+ORDER BY r, f, m
+"""
+
+
+def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over co-purchased parts
+    (operators/graph.cooccurrence_edges supplies the bounded pair
+    expansion): support, directional confidences, and lift for pairs in
+    ≥ 3 baskets; top 20 by lift. Candidate pairs only ever come from
+    shared baskets — the a-priori pruning that keeps rule mining
+    linear-ish in basket volume."""
+    from .operators.graph import cooccurrence_edges
+
+    li = _t(spark, sf_dir, "lineitem")
+    n_baskets = li.select("l_orderkey").distinct().count()
+    pairs = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_weight=3)
+    item = (li.select("l_orderkey", "l_partkey").distinct()
+            .groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c")))
+    j = (pairs
+         .join(F.broadcast(item.withColumnRenamed("l_partkey", "src")
+                           .withColumnRenamed("c", "c_a")), "src")
+         .join(F.broadcast(item.withColumnRenamed("l_partkey", "dst")
+                           .withColumnRenamed("c", "c_b")), "dst"))
+    return (j.select(
+        F.col("src").alias("part_a"), F.col("dst").alias("part_b"),
+        F.col("weight").alias("n_baskets_both"),
+        F.round(F.col("weight") / F.lit(float(n_baskets)), 6).alias("support"),
+        F.round(F.col("weight") / F.col("c_a"), 4).alias("conf_a_to_b"),
+        F.round(F.col("weight") / F.col("c_b"), 4).alias("conf_b_to_a"),
+        F.round(F.lit(float(n_baskets)) * F.col("weight")
+                / (F.col("c_a") * F.col("c_b")), 4).alias("lift"))
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(20))
+
+
+ORACLE_ASSOC_RULES = """
+WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nb AS (SELECT count(DISTINCT l_orderkey) AS n FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS w
+  FROM po a JOIN po b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 3
+), item AS (
+  SELECT l_partkey, count(*) AS c FROM po GROUP BY l_partkey
+)
+SELECT part_a, part_b, w AS n_baskets_both,
+       round(w / CAST(nb.n AS DOUBLE), 6) AS support,
+       round(w / CAST(ia.c AS DOUBLE), 4) AS conf_a_to_b,
+       round(w / CAST(ib.c AS DOUBLE), 4) AS conf_b_to_a,
+       round(CAST(nb.n AS DOUBLE) * w / (ia.c * ib.c), 4) AS lift
+FROM pairs JOIN item ia ON ia.l_partkey = part_a
+           JOIN item ib ON ib.l_partkey = part_b, nb
+ORDER BY lift DESC, part_a, part_b LIMIT 20
+"""
+
+
+# =====================================================================
 # Registry (merged into queries.QUERIES / queries.ORACLES)
 # =====================================================================
 
@@ -2149,6 +2255,8 @@ QUERIES2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "benford_digit_distribution": benford_digit_distribution,
     "window_ignore_nulls_suite": window_ignore_nulls_suite,
     "pit_join_revenue": pit_join_revenue,
+    "rfm_segmentation": rfm_segmentation,
+    "association_rules_parts": association_rules_parts,
 }
 
 ORACLES2: dict[str, str] = {
@@ -2199,4 +2307,6 @@ ORACLES2: dict[str, str] = {
     "benford_digit_distribution": ORACLE_BENFORD,
     "window_ignore_nulls_suite": ORACLE_IGNORE_NULLS,
     "pit_join_revenue": ORACLE_PIT_JOIN,
+    "rfm_segmentation": ORACLE_RFM,
+    "association_rules_parts": ORACLE_ASSOC_RULES,
 }
