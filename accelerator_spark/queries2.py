@@ -2204,6 +2204,53 @@ ORDER BY lift DESC, part_a, part_b LIMIT 20
 
 
 # =====================================================================
+# Trend extrapolation (closed-form forecast from aggregates)
+# =====================================================================
+
+def revenue_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form trend forecast: OLS of daily revenue on day index
+    (one regr_* aggregation over the daily series), extrapolated 30/90
+    days past the last observed date — forecasting as plain relational
+    algebra (the baseline every fancier model must beat). Slope is
+    per-day drift; the oracle replays the identical arithmetic."""
+    from .sqlapi import sql
+    return sql(spark, sf_dir, """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+), idx AS (
+  SELECT datediff(day, DATE'1992-01-01') AS d, rev FROM daily
+), fit AS (
+  SELECT regr_slope(rev, d) AS slope, regr_intercept(rev, d) AS icept,
+         max(d) AS last_d, count(*) AS n_days
+  FROM idx
+)
+SELECT n_days, round(slope, 4) AS slope_per_day,
+       round(icept + slope * (last_d + 30), 2) AS forecast_30d,
+       round(icept + slope * (last_d + 90), 2) AS forecast_90d
+FROM fit
+""")
+
+
+ORACLE_TREND = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+), idx AS (
+  SELECT datediff('day', DATE '1992-01-01', day) AS d, rev FROM daily
+), fit AS (
+  SELECT regr_slope(rev, d) AS slope, regr_intercept(rev, d) AS icept,
+         max(d) AS last_d, count(*) AS n_days
+  FROM idx
+)
+SELECT n_days, round(slope, 4) AS slope_per_day,
+       round(icept + slope * (last_d + 30), 2) AS forecast_30d,
+       round(icept + slope * (last_d + 90), 2) AS forecast_90d
+FROM fit
+"""
+
+
+# =====================================================================
 # Registry (merged into queries.QUERIES / queries.ORACLES)
 # =====================================================================
 
@@ -2257,6 +2304,7 @@ QUERIES2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pit_join_revenue": pit_join_revenue,
     "rfm_segmentation": rfm_segmentation,
     "association_rules_parts": association_rules_parts,
+    "revenue_trend_forecast": revenue_trend_forecast,
 }
 
 ORACLES2: dict[str, str] = {
@@ -2309,4 +2357,5 @@ ORACLES2: dict[str, str] = {
     "pit_join_revenue": ORACLE_PIT_JOIN,
     "rfm_segmentation": ORACLE_RFM,
     "association_rules_parts": ORACLE_ASSOC_RULES,
+    "revenue_trend_forecast": ORACLE_TREND,
 }
