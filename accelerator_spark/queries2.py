@@ -2251,6 +2251,48 @@ FROM fit
 
 
 # =====================================================================
+# Inter-event latency distribution
+# =====================================================================
+
+def inter_event_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distribution of the gap between a user's consecutive
+    events (lag over the user timeline, exact p50/p90/max of the gap
+    seconds): the latency/engagement-cadence profile — one shuffle on
+    user_id for the lag, one tiny percentile agg per type."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (ev.select("user_id", "event_type", "ts", "event_id")
+            .withColumn("prev_ts", F.lag("ts").over(w))
+            .filter(F.col("prev_ts").isNotNull())
+            .withColumn("gap_s", (F.unix_micros("ts")
+                                  - F.unix_micros("prev_ts")) / 1e6))
+    return (gaps.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_gaps"),
+                 F.round(F.percentile("gap_s", F.lit(0.5)), 2).alias("p50_s"),
+                 F.round(F.percentile("gap_s", F.lit(0.9)), 2).alias("p90_s"),
+                 F.round(F.max("gap_s"), 2).alias("max_s"))
+            .orderBy("event_type"))
+
+
+ORACLE_INTER_EVENT = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch(CAST(ts AS TIMESTAMP)
+               - lag(CAST(ts AS TIMESTAMP))
+                 OVER (PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id)) AS gap_s
+  FROM events
+)
+SELECT event_type, count(*) AS n_gaps,
+       round(quantile_cont(gap_s, 0.5), 2) AS p50_s,
+       round(quantile_cont(gap_s, 0.9), 2) AS p90_s,
+       round(max(gap_s), 2) AS max_s
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+# =====================================================================
 # Registry (merged into queries.QUERIES / queries.ORACLES)
 # =====================================================================
 
@@ -2305,6 +2347,7 @@ QUERIES2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rfm_segmentation": rfm_segmentation,
     "association_rules_parts": association_rules_parts,
     "revenue_trend_forecast": revenue_trend_forecast,
+    "inter_event_latency": inter_event_latency,
 }
 
 ORACLES2: dict[str, str] = {
@@ -2358,4 +2401,5 @@ ORACLES2: dict[str, str] = {
     "rfm_segmentation": ORACLE_RFM,
     "association_rules_parts": ORACLE_ASSOC_RULES,
     "revenue_trend_forecast": ORACLE_TREND,
+    "inter_event_latency": ORACLE_INTER_EVENT,
 }
