@@ -18,10 +18,13 @@ Spark-first mapping (SURVEY §2.1):
 - original order: a ``lineno`` order column (row_number over the file
   read order) backs roundrobin-order recovery (SURVEY §7.4).
 
-Scale: both paths are distributed file scans; the lineno window is the
-only global op and is optional. At 100 TB you'd import with
-``lineno=False`` (or accept the one-pass zipWithIndex-style window) and
-carry provenance per-file via ``input_file_name``.
+Scale: both paths are distributed file scans. Line numbers are computed
+WITHOUT a global sort: ``monotonically_increasing_id`` encodes
+(partition_index << 33) + in-partition ordinal for a fresh file scan, so
+the dense file-order lineno is ``in-partition ordinal + cumulative count
+of earlier partitions``. The only global op is a window over the
+per-partition-counts frame (one row per input split — a few thousand rows
+at 100 TB), then a broadcast join back. No single-task sort of the data.
 """
 
 from __future__ import annotations
@@ -111,10 +114,32 @@ def csvimport(
     raw = spark.read.text(path).withColumn(
         "_mono", F.monotonically_increasing_id()
     )
-    # file order == _mono order for a text read; dense lineno via window
-    # (single global pass; skip with lineno_label=None at huge scale)
-    w = W.orderBy("_mono")
-    raw = raw.withColumn("_lineno", F.row_number().over(w) - 1)
+    # Dense file-order lineno, distributed (reference keeps line order:
+    # accelerator/dataset.py:657-676 roundrobin recovery). For a fresh
+    # scan, _mono = (split_index << 33) | in-split ordinal, so:
+    #   lineno = ordinal + sum(counts of earlier splits)
+    # The cumulative sum runs over ONE ROW PER SPLIT (tiny), broadcast-
+    # joined back — no single-partition pass over the data itself.
+    raw = raw.withColumn(
+        "_pid", F.shiftright(F.col("_mono"), 33)
+    ).withColumn(
+        "_idx", F.col("_mono").bitwiseAND(F.lit((1 << 33) - 1))
+    )
+    counts = raw.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = counts.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_n").over(
+                W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("_pid", "_off")
+    raw = (
+        raw.join(F.broadcast(offsets), "_pid")
+        .withColumn("_lineno", F.col("_idx") + F.col("_off"))
+        .drop("_pid", "_idx")
+    )
 
     if labels is None:
         labels, header_at = _read_header(
