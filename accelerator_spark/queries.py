@@ -1685,12 +1685,54 @@ FROM m ORDER BY month
 
 def ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile(4) over totalprice (unique tiebreak via orderkey makes the
-    bucketing deterministic); per-quartile stats."""
+    bucketing deterministic); per-quartile stats.
+
+    Scale-safe exact ntile (VERDICT r2 #5, assign_global_ids pattern —
+    operators/partition.py:237): a no-partition ntile window is a
+    one-task sort. Instead (1) percentile_approx boundaries define 64
+    value-range buckets (ties share a bucket via strict <, so tie
+    groups stay whole); (2) within-bucket row_number runs as a
+    PARTITIONED window; (3) per-bucket counts (64 rows) cumsum into
+    offsets, broadcast back: rn = offset + in-bucket rank, exactly the
+    global row_number; (4) the ntile(4) closed form maps rn to the
+    quartile: first n%4 bins hold ceil(n/4) rows. Hash-identical to
+    the oracle's ntile at any cluster size."""
     orders = _t(spark, sf_dir, "orders")
-    w = W.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    NB = 64
+    fracs = F.array(*[F.lit(i / NB) for i in range(1, NB)])
+    bounds = orders.agg(F.percentile_approx(
+        F.col("o_totalprice").cast("double"), fracs, F.lit(10000)
+    ).alias("_bounds"))
+    b = (orders.select("o_totalprice", "o_orderkey")
+         .crossJoin(F.broadcast(bounds))
+         .withColumn("_bkt", F.size(F.filter(
+             F.col("_bounds"),
+             lambda x: x < F.col("o_totalprice").cast("double"))))
+         .drop("_bounds"))
+    counts = b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))
+    w_cum = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (counts
+               .withColumn("_off", F.coalesce(F.sum("_n").over(w_cum),
+                                              F.lit(0)))
+               .withColumn("_tot", F.sum("_n").over(
+                   W.orderBy("_bkt").rowsBetween(W.unboundedPreceding,
+                                                 W.unboundedFollowing)))
+               .select("_bkt", "_off", "_tot"))
+    w_in = W.partitionBy("_bkt").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    ranked = (b.withColumn("_r", F.row_number().over(w_in))
+              .join(F.broadcast(offsets), "_bkt")
+              .withColumn("rn", F.col("_off") + F.col("_r")))
+    qsz = F.floor(F.col("_tot") / 4)
+    r_mod = F.col("_tot") % 4
+    big = r_mod * (qsz + 1)
+    ranked = ranked.withColumn(
+        "q",
+        F.when(qsz == 0, F.col("rn"))
+        .when(F.col("rn") <= big, F.ceil(F.col("rn") / (qsz + 1)))
+        .otherwise(r_mod + F.ceil((F.col("rn") - big) / qsz)))
     return (
-        orders.withColumn("q", F.ntile(4).over(w))
-        .groupBy("q")
+        ranked.groupBy("q")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.min("o_totalprice"), 2).alias("min_p"),

@@ -1654,11 +1654,17 @@ def classifier_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed ROC-AUC without pairwise comparison: rank statistics.
     Scorer = cosine similarity to the class-0 centroid (deterministic,
     JVM-only); positive = label 0. AUC via the Mann-Whitney identity
-    AUC = (Σ ranks⁺ - n⁺(n⁺+1)/2) / (n⁺ n⁻) with tie-averaged ranks
-    ((min_rank + max_rank)/2 per tied score via two windows) — one sort
-    shuffle at any corpus size, never an n² compare. Plus 5-bin score
-    calibration (positive rate per score quantile bucket — the
-    reliability-diagram data). The evaluation half every
+    AUC = (Σ ranks⁺ - n⁺(n⁺+1)/2) / (n⁺ n⁻) with tie-averaged ranks.
+    Scale-safe rank computation (VERDICT r2 #4): ranks depend only on
+    DISTINCT scores, so the corpus is partial-aggregated per score
+    (map-side combine), the cumulative count runs over the tiny
+    distinct-score stream, and avg_rank = cum_before + (cnt+1)/2 —
+    never a no-partition window over the full corpus. The calibration
+    half reconstructs exact ntile(5) bins arithmetically from
+    rn = cum_before + within-score row_number (a PARTITIONED window),
+    so ties split across bins exactly as the oracle's ntile does. Plus
+    5-bin score calibration (positive rate per score quantile bucket —
+    the reliability-diagram data). The evaluation half every
     model-based-filtering pipeline needs next to its scorer."""
     from .operators.similarity import cosine
 
@@ -1673,25 +1679,50 @@ def classifier_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("label") == 0).cast("int").alias("pos"),
         F.round(cosine(F.col("embedding").cast("array<double>"),
                        cent_arr), 6).alias("score"))
-    w_rn = W.orderBy(F.col("score").asc(), F.col("vec_id").asc())
-    ranked = scored.withColumn("rn", F.row_number().over(w_rn))
-    tie = (ranked.groupBy("score")
-           .agg(((F.min("rn") + F.max("rn")) / 2.0).alias("avg_rank")))
-    r = ranked.join(tie, "score")
-    agg = r.agg(
-        F.sum(F.when(F.col("pos") == 1, F.col("avg_rank"))).alias("rsum"),
-        F.sum("pos").alias("np"),
-        F.sum(1 - F.col("pos")).alias("nn"))
+    # per-score partial aggregate: ONE shuffle keyed on score, map-side
+    # combined — the only pass over the corpus the AUC needs
+    stats = (scored.groupBy("score")
+             .agg(F.count(F.lit(1)).alias("cnt"),
+                  F.sum("pos").alias("pos_cnt")))
+    # cumulative count over the distinct-score stream (tiny post-agg
+    # frame — one row per distinct rounded score, not per document)
+    w_cum = W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
+    stats = stats.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(w_cum), F.lit(0))
+    ).withColumn(
+        "avg_rank", F.col("cum_before") + (F.col("cnt") + 1) / 2.0)
+    agg = stats.agg(
+        F.sum(F.col("pos_cnt") * F.col("avg_rank")).alias("rsum"),
+        F.sum("pos_cnt").alias("np"),
+        F.sum(F.col("cnt") - F.col("pos_cnt")).alias("nn"),
+        F.sum("cnt").alias("ntot"))
     auc = agg.select(
         F.col("np").alias("n_pos"), F.col("nn").alias("n_neg"),
         F.round((F.col("rsum") - F.col("np") * (F.col("np") + 1) / 2)
-                / (F.col("np") * F.col("nn")), 4).alias("auc"))
-    w_ntile = W.orderBy(F.col("score").asc(), F.col("vec_id").asc())
-    calib = (scored.withColumn("bin", F.ntile(5).over(w_ntile))
-             .groupBy("bin")
+                / (F.col("np") * F.col("nn")), 4).alias("auc"),
+        F.col("ntot"))
+    # exact ntile(5) reconstruction: global rank rn = cum_before +
+    # within-score row_number (partitioned window — distributed), then
+    # the ntile closed form: first (n%5) bins hold ceil(n/5) rows.
+    w_in_score = W.partitionBy("score").orderBy(F.col("vec_id").asc())
+    per = (scored
+           .withColumn("psr", F.row_number().over(w_in_score))
+           .join(stats.select("score", "cum_before"), "score")
+           .crossJoin(F.broadcast(auc.select("ntot")))
+           .withColumn("rn", F.col("cum_before") + F.col("psr")))
+    q = F.floor(F.col("ntot") / 5)
+    r_mod = F.col("ntot") % 5
+    big = r_mod * (q + 1)
+    per = per.withColumn(
+        "bin",
+        F.when(q == 0, F.col("rn"))
+        .when(F.col("rn") <= big, F.ceil(F.col("rn") / (q + 1)))
+        .otherwise(r_mod + F.ceil((F.col("rn") - big) / q)))
+    calib = (per.groupBy("bin")
              .agg(F.count(F.lit(1)).alias("n"),
                   F.round(F.avg("score"), 4).alias("mean_score"),
                   F.round(F.avg("pos"), 4).alias("pos_rate")))
+    auc = auc.drop("ntot")
     return (calib.crossJoin(F.broadcast(auc))
             .select("bin", "n", "mean_score", "pos_rate",
                     "n_pos", "n_neg", "auc")

@@ -229,3 +229,31 @@ def test_mad_outliers_broadcast_and_map_flag(spark, sf_dir):
     s = _plan(spark, "mad_outlier_events", sf_dir)
     assert "SortMergeJoin" not in s
     assert s.count("BroadcastHashJoin") >= 2  # med and mad cut points
+
+
+def test_ntile_quartiles_no_global_window(spark, sf_dir):
+    """VERDICT r2 #5: the old ntile(4) no-partition window was a
+    one-task sort. The closed-form rewrite must keep ntile out of the
+    plan entirely and every row_number window partitioned (by _bkt)."""
+    s = _plan(spark, "ntile_price_quartiles", sf_dir)
+    assert "ntile(" not in s
+    for line in s.splitlines():
+        if "row_number() windowspecdefinition(" in line:
+            first_arg = line.split("windowspecdefinition(")[1].split(",")[0]
+            assert "ASC" not in first_arg and "DESC" not in first_arg, (
+                "unpartitioned row_number window: " + line.strip()[:160])
+
+
+def test_auc_report_no_global_row_window(spark, sf_dir):
+    """VERDICT r2 #4: AUC ranks come from per-score aggregates; the only
+    row-level window must be partitioned by score. No-partition sum
+    windows are allowed only over the tiny distinct-score aggregate."""
+    from accelerator_spark import queries2 as Q2
+    s = (Q2.QUERIES2["classifier_auc_report"](spark, sf_dir)
+         ._jdf.queryExecution().executedPlan().toString())
+    assert "ntile(" not in s
+    for line in s.splitlines():
+        if "row_number() windowspecdefinition(" in line:
+            first_arg = line.split("windowspecdefinition(")[1].split(",")[0]
+            assert "ASC" not in first_arg and "DESC" not in first_arg, (
+                "unpartitioned row_number window: " + line.strip()[:160])
