@@ -565,14 +565,52 @@ FROM walk GROUP BY node ORDER BY node
 
 
 def recursive_copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded-depth BFS over the strongest 200 co-purchase edges via
-    WITH RECURSIVE (Spark 4) — the IDENTICAL SQL text runs on DuckDB
-    (like sql_multi_supplier_orders): the recursive working-table
-    semantics of both engines must agree on min-distance AND bounded
-    walk counts. Depth cap 3 bounds work on cycles (UNION ALL
-    recursion); LIMIT is tie-broken deterministically."""
-    from .sqlapi import sql
-    return sql(spark, sf_dir, _RECURSIVE_REACH_SQL)
+    """Bounded-depth BFS over the strongest 200 co-purchase edges.
+
+    The oracle keeps the WITH RECURSIVE text (DuckDB) — but running the
+    same recursive CTE on Spark re-executed the edge build every
+    iteration (~17 s at sf0.1; VERDICT r2 #6). The Spark side is now an
+    iterative DataFrame BFS in the connected_components shape
+    (operators/dedup.py:218): the expensive co-purchase edge aggregate
+    runs ONCE, is localCheckpoint-truncated, and the 3 walk expansions
+    are broadcast joins over a ≤400-row symmetric edge list carrying a
+    walk-multiplicity counter (UNION ALL walk counts = sum of counts
+    along in-edges). min-distance and walk counts match the recursive
+    working-table semantics exactly."""
+    li = _t(spark, sf_dir, "lineitem")
+    po = (li.filter(F.col("l_partkey") < 500)
+          .select("l_orderkey", "l_partkey").distinct())
+    a, b = po.alias("a"), po.alias("b")
+    e = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+         .groupBy(F.col("a.l_partkey").alias("src"),
+                  F.col("b.l_partkey").alias("dst"))
+         .agg(F.count(F.lit(1)).alias("w"))
+         .filter(F.col("w") >= 2))
+    top = (e.orderBy(F.col("w").desc(), "src", "dst").limit(200)
+           .select("src", "dst"))
+    sym = top.union(
+        top.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()  # edge build materialized once, lineage cut
+    seed = (sym.agg(F.min("src").alias("node"))
+            .withColumn("cnt", F.lit(1).cast("long")))
+    frontier = seed
+    levels = [seed.withColumn("depth", F.lit(0))]
+    for d in (1, 2, 3):
+        frontier = (frontier.join(F.broadcast(sym),
+                                  F.col("node") == F.col("src"))
+                    .groupBy(F.col("dst"))
+                    .agg(F.sum("cnt").alias("cnt"))
+                    .withColumnRenamed("dst", "node")
+                    .localCheckpoint())
+        levels.append(frontier.withColumn("depth", F.lit(d)))
+    walk = levels[0]
+    for lv in levels[1:]:
+        walk = walk.unionByName(lv)
+    return (walk.groupBy("node")
+            .agg(F.min("depth").alias("dist"),
+                 F.sum("cnt").alias("n_walks"))
+            .orderBy("node"))
 
 
 # =====================================================================
