@@ -400,9 +400,14 @@ def resolve_spec(workdir: str, spec: str) -> dict | None:
     base, tilde, n_s = spec.partition("~")
     if not tilde and spec in by_id:
         return by_id[spec]
-    back = int(n_s) if n_s else (1 if tilde else 0)
+    # malformed counts ("step~x", "step~-1") resolve to nothing, never
+    # traceback out of the CLI
+    try:
+        back = int(n_s) if n_s else (1 if tilde else 0)
+    except ValueError:
+        return None
     matches = [r for r in recs
                if r["jobid"] == base or r["jobid"].startswith(base + "-")]
-    if not matches or back >= len(matches):
+    if not matches or back < 0 or back >= len(matches):
         return None
     return matches[len(matches) - 1 - back]

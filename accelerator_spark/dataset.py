@@ -206,6 +206,95 @@ class Dataset:
             json.dump(manifest, f, indent=1, default=_json_safe)
         return cls(path=path, manifest=manifest)
 
+    @classmethod
+    def write_overlay(
+        cls,
+        path: str,
+        parent: "Dataset | str",
+        new_cols: DataFrame | None = None,
+        key: str | None = None,
+        virtual: dict[str, str] | None = None,
+        exclude: list[str] | tuple = (),
+        caption: str = "",
+        previous: "Dataset | str | None" = None,
+    ) -> "Dataset":
+        """Zero-copy column overlay — the reference's ``parent=`` /
+        ``link_to_here`` (accelerator/dataset.py:864-941, 292-327,
+        1132-1148): create a dataset that adds, overrides, or drops
+        columns WITHOUT rewriting the parent's files.
+
+        - ``new_cols`` (requires ``key``): a DataFrame of ``key`` + the
+          added/overridden columns. ONLY these columns are written; at
+          read time they join back to the parent on ``key`` (write the
+          parent and the overlay with the same hashlabel/bucketing on
+          ``key`` and the join co-partitions). A column name that
+          already exists in the parent SHADOWS it, like link overrides.
+        - ``virtual``: {name: sql_expr} columns evaluated at scan time —
+          zero bytes written, the overlay is pure manifest.
+        - ``exclude``: parent columns hidden from the overlay dataset
+          (the reference's column discard without copy).
+
+        At 100 TB: adding one column to a wide fact table writes that
+        one column, not the table. The parent's files are byte-identical
+        afterwards (tested)."""
+        parent_ds = parent if isinstance(parent, Dataset) else Dataset.load(parent)
+        overlay_meta: dict[str, Any] = {}
+        new_col_types: dict[str, str] = {}
+        mm = {}
+        lines = parent_ds.lines
+        if new_cols is not None:
+            if not key:
+                raise ValueError("write_overlay with new_cols requires key=")
+            if key not in new_cols.columns:
+                raise ValueError(f"key {key!r} not in new_cols {new_cols.columns}")
+            from pyspark.sql import Observation
+
+            aggs = [F.count(F.lit(1)).alias("__lines__")]
+            mm_cols = []
+            for f_ in new_cols.schema.fields:
+                if f_.name != key and f_.dataType.simpleString() in _MINMAX_TYPES:
+                    mm_cols.append(f_.name)
+                    aggs.append(F.min(f_.name).alias(f"__min_{f_.name}"))
+                    aggs.append(F.max(f_.name).alias(f"__max_{f_.name}"))
+            obs = Observation()
+            observed = new_cols.observe(obs, *aggs)
+            data_dir = os.path.join(path, "data")
+            observed.write.mode("overwrite").parquet(data_dir)
+            row = obs.get
+            mm = {c: [_json_safe(row[f"__min_{c}"]), _json_safe(row[f"__max_{c}"])]
+                  for c in mm_cols}
+            new_col_types = {
+                f_.name: f_.dataType.simpleString()
+                for f_ in new_cols.schema.fields if f_.name != key}
+            overlay_meta = {"key": key, "cols": list(new_col_types)}
+        shadowed = set(new_col_types) | set(exclude)
+        resolved = {c: t for c, t in parent_ds.columns.items()
+                    if c not in shadowed}
+        resolved.update(new_col_types)
+        for name in (virtual or {}):
+            resolved[name] = "expr"
+        manifest = {
+            "version": 1,
+            "id": uuid.uuid4().hex,
+            "created": time.time(),
+            "caption": caption,
+            "filename": None,
+            "hashlabel": (parent_ds.hashlabel
+                          if parent_ds.hashlabel not in set(exclude) else None),
+            "parent": parent_ds.path,
+            "overlay": overlay_meta,
+            "virtual": virtual or {},
+            "exclude": list(exclude),
+            "previous": previous.path if isinstance(previous, Dataset) else previous,
+            "columns": resolved,
+            "lines": lines,
+            "minmax": mm,
+        }
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, MANIFEST_NAME), "w") as f:
+            json.dump(manifest, f, indent=1, default=_json_safe)
+        return cls(path=path, manifest=manifest)
+
     def register_bucketed(self, spark: SparkSession) -> DataFrame:
         """Re-create the bucketed table entry from the manifest (needed
         once per new session — bucket layout is in the files, but Spark
@@ -227,10 +316,36 @@ class Dataset:
 
     # -- reading ---------------------------------------------------------
     def df(self, spark: SparkSession) -> DataFrame:
+        parent = self.manifest.get("parent")
+        if parent:
+            return self._overlay_df(spark, parent)
         b = self.manifest.get("bucketing")
         if b:
             return self.register_bucketed(spark)
         return spark.read.parquet(os.path.join(self.path, "data"))
+
+    def _overlay_df(self, spark: SparkSession, parent: str) -> DataFrame:
+        """Resolve a write_overlay dataset: parent scan + (optional)
+        overlay-column join on the key + virtual expressions. Parent
+        columns stream from the PARENT's files — never copied."""
+        base = Dataset.load(parent).df(spark)
+        ov = self.manifest.get("overlay") or {}
+        exclude = set(self.manifest.get("exclude") or [])
+        cols = [c for c in base.columns if c not in exclude]
+        if ov.get("cols"):
+            key = ov["key"]
+            o = spark.read.parquet(os.path.join(self.path, "data"))
+            shadowed = set(ov["cols"])
+            cols = [c for c in cols if c not in shadowed]
+            if key not in cols:
+                raise ValueError(
+                    f"overlay key {key!r} missing from parent columns")
+            base = base.select(*cols).join(o, key, "left")
+        else:
+            base = base.select(*cols)
+        for name, expr in (self.manifest.get("virtual") or {}).items():
+            base = base.withColumn(name, F.expr(expr))
+        return base
 
     # -- metadata --------------------------------------------------------
     @property

@@ -98,10 +98,24 @@ def winsorize(df: DataFrame, value_col: str, group_cols: list[str],
 
     One agg pass computes the per-group cut points (tiny result,
     broadcast back); the clamp itself is a map-only expression — no
-    second shuffle of the data."""
+    second shuffle of the data.
+
+    The contract is add-a-column, never drop-rows: the cut-point join
+    is NULL-SAFE on every group column (a plain equi-join silently
+    drops rows whose group key is NULL) and a LEFT join — a row with
+    no cut points keeps its value unclamped."""
     cuts = df.groupBy(*group_cols).agg(
         F.percentile(F.col(value_col), F.lit(lower)).alias("_lo"),
         F.percentile(F.col(value_col), F.lit(upper)).alias("_hi"))
-    out = df.join(F.broadcast(cuts), on=group_cols)
-    clamped = F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi"))
-    return out.withColumn(f"{value_col}_winsor", clamped).drop("_lo", "_hi")
+    cuts = cuts.select(
+        *[F.col(c).alias(f"_g_{c}") for c in group_cols], "_lo", "_hi")
+    cond = None
+    for c in group_cols:
+        e = F.col(c).eqNullSafe(F.col(f"_g_{c}"))
+        cond = e if cond is None else cond & e
+    out = df.join(F.broadcast(cuts), cond, "left")
+    clamped = F.coalesce(
+        F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi")),
+        F.col(value_col))
+    return (out.withColumn(f"{value_col}_winsor", clamped)
+            .drop("_lo", "_hi", *[f"_g_{c}" for c in group_cols]))

@@ -218,9 +218,15 @@ def zorder_layout(df, cols: list[str], bits: int = 8,
     rank_cols = []
     for c in cols:
         rc = f"_r_{c}"
-        arr = F.array(*[F.lit(float(v)) for v in bounds_row[c]])
-        out = out.withColumn(rc, F.size(F.filter(
-            arr, lambda b: b <= F.col(c).cast("double"))).cast("long"))
+        # percentile_approx yields NULL boundaries on all-null/empty
+        # columns — such a dimension degenerates to one bucket (rank 0)
+        vals = [float(v) for v in (bounds_row[c] or []) if v is not None]
+        if vals:
+            arr = F.array(*[F.lit(v) for v in vals])
+            out = out.withColumn(rc, F.size(F.filter(
+                arr, lambda b: b <= F.col(c).cast("double"))).cast("long"))
+        else:
+            out = out.withColumn(rc, F.lit(0).cast("long"))
         rank_cols.append(rc)
     d_count = len(rank_cols)
     z = F.lit(0).cast("long")
@@ -259,19 +265,31 @@ def assign_global_ids(df, order_col: str, id_col: str = "row_id",
     from pyspark.sql import Window, functions as F
 
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    fracs = F.array(*[F.lit(i / n) for i in range(1, n)])
-    bounds = df.agg(F.percentile_approx(
-        F.col(order_col).cast("double"), fracs, F.lit(10000)).alias("b")
-    ).collect()[0]["b"]
-    arr = F.array(*[F.lit(float(v)) for v in bounds])
-    bucketed = df.withColumn("_bkt", F.size(F.filter(
-        arr, lambda b: b < F.col(order_col).cast("double"))))
+    if n > 1:
+        fracs = F.array(*[F.lit(i / n) for i in range(1, n)])
+        bounds = df.agg(F.percentile_approx(
+            F.col(order_col).cast("double"), fracs, F.lit(10000)).alias("b")
+        ).collect()[0]["b"]
+    else:
+        bounds = None
+    # NULL boundaries (all-null/empty column) or n<=1 degenerate to a
+    # single bucket — a plain row_number, correct for tiny/degenerate
+    # inputs
+    vals = [float(v) for v in (bounds or []) if v is not None]
+    if vals:
+        arr = F.array(*[F.lit(v) for v in vals])
+        bucketed = df.withColumn("_bkt", F.size(F.filter(
+            arr, lambda b: b < F.col(order_col).cast("double"))))
+    else:
+        bucketed = df.withColumn("_bkt", F.lit(0))
     sizes = {r["_bkt"]: r["c"] for r in
              bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("c")).collect()}
     offsets, acc = {}, 0
     for b in sorted(sizes):
         offsets[b] = acc
         acc += sizes[b]
+    if not offsets:  # empty input: create_map() would be untyped
+        offsets = {0: 0}
     omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     w = Window.partitionBy("_bkt").orderBy(order_col)
     return (bucketed

@@ -100,13 +100,21 @@ def check_constraints(df: DataFrame,
                .select(F.lit(f"unique:{c}").alias("rule"), "n_violations"))
         parts.append(dup)
     for c, dim_df, dim_c in foreign_keys:
+        # SQL "x NOT IN (SELECT ...)" semantics: a NULL key is never a
+        # violation — filter nulls before the anti-join (a bare
+        # left_anti keeps null-key rows, diverging from the oracle)
         miss = (df.select(F.col(c).alias("_k"))
+                .filter(F.col("_k").isNotNull())
                 .join(dim_df.select(F.col(dim_c).alias("_k")).distinct(),
                       "_k", "left_anti")
                 .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
                 .select(F.lit(f"foreign_key:{c}->{dim_c}").alias("rule"),
                         "n_violations"))
         parts.append(miss)
+    if not parts:
+        # no rules: empty report, not an IndexError
+        return df.sparkSession.createDataFrame(
+            [], "rule string, n_violations long")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -146,7 +146,9 @@ def heavy_hitters(df: DataFrame, key_col: str, threshold: int) -> DataFrame:
 
     Returns columns: ``key_col``, ``cnt`` — deterministic regardless of
     partition layout (the candidate superset varies, the verified answer
-    does not)."""
+    does not). NULL keys follow SQL GROUP BY semantics: nulls are
+    counted as one key (tracked explicitly — pandas value_counts drops
+    NaN) and the verification join is null-safe."""
     nparts = df.rdd.getNumPartitions()
     local_min = max(1, math.ceil(threshold / max(nparts, 1)))
     key_type = dict(df.dtypes)[key_col]
@@ -155,16 +157,27 @@ def heavy_hitters(df: DataFrame, key_col: str, threshold: int) -> DataFrame:
         import pandas as pd
         c: Counter = Counter()
         dtype = object
+        n_null = 0
         for pdf in batches:
-            dtype = pdf[key_col].dtype
-            c.update(Counter(dict(pdf[key_col].value_counts())))
+            col = pdf[key_col]
+            dtype = col.dtype
+            n_null += int(col.isna().sum())
+            c.update(Counter(dict(col.value_counts())))
         keys = [k for k, v in c.items() if v >= local_min]
-        yield pd.DataFrame({key_col: pd.Series(keys, dtype=dtype if keys else object)})
+        out = pd.Series(keys, dtype=dtype if keys else object)
+        if n_null >= local_min:
+            out = pd.concat(
+                [out.astype(object), pd.Series([None], dtype=object)],
+                ignore_index=True)
+        yield pd.DataFrame({key_col: out})
 
     cands = (df.select(key_col)
              .mapInPandas(_local, schema=f"{key_col} {key_type}")
-             .distinct())
-    return (df.join(F.broadcast(cands), on=key_col, how="left_semi")
+             .distinct()
+             .withColumnRenamed(key_col, "_hh_cand"))
+    return (df.join(F.broadcast(cands),
+                    F.col(key_col).eqNullSafe(F.col("_hh_cand")),
+                    "left_semi")
             .groupBy(key_col)
             .agg(F.count(F.lit(1)).alias("cnt"))
             .filter(F.col("cnt") >= threshold))

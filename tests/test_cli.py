@@ -184,3 +184,20 @@ def test_job_spec_mini_language(workdir, spark, sf_dir, tmp_path, capsys):
     # CLI path
     assert cli.main(["job", wd, "import_nation~1"]) == 0
     assert job.jobid in capsys.readouterr().out
+
+
+def test_resolve_spec_malformed_returns_none(spark, tmp_path):
+    """ADVICE r2: 'step~x' and 'step~-1' must resolve to nothing, not
+    traceback out of the CLI."""
+    from accelerator_spark.build import BuildContext, resolve_spec
+    wd = str(tmp_path / "wd")
+    ctx = BuildContext(spark, wd)
+
+    def stepx(spark_, datasets, options):
+        return None
+
+    ctx.build(stepx)
+    assert resolve_spec(wd, "stepx~x") is None
+    assert resolve_spec(wd, "stepx~-1") is None
+    assert resolve_spec(wd, "stepx~99") is None
+    assert resolve_spec(wd, "nope~") is None

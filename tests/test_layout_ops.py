@@ -80,3 +80,19 @@ def test_assign_global_ids_dense_and_complete(spark):
     ids = assign_global_ids(df, "k", "rid", num_partitions=5)
     rows = ids.select("rid").collect()
     assert sorted(r["rid"] for r in rows) == list(range(1000))
+
+
+def test_zorder_and_ids_degenerate_inputs(spark):
+    """ADVICE r2: all-null / empty columns and n<=1 must not crash
+    (percentile_approx returns NULL boundaries there)."""
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0), (None, 3.0)], "a double, b double")
+    out = zorder_layout(df, ["a", "b"], bits=2, num_partitions=2)
+    assert out.count() == 3  # all-null dim degenerates to one bucket
+
+    ids = assign_global_ids(df, "b", num_partitions=1)
+    assert sorted(r["row_id"] for r in ids.collect()) == [0, 1, 2]
+
+    empty = spark.createDataFrame([], "a double, b double")
+    assert zorder_layout(empty, ["a"], bits=2, num_partitions=2).count() == 0
+    assert assign_global_ids(empty, "b", num_partitions=4).count() == 0

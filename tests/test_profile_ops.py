@@ -44,7 +44,7 @@ def test_check_constraints_all_rule_classes(spark):
     assert rep["accepted_values:s"] == 1          # 'Z'
     assert rep["range:v"] == 2                    # -1.0 and NULL
     assert rep["unique:k"] == 1                   # k=1 twice -> 1 extra
-    assert rep["foreign_key:k->d"] == 1           # NULL key not in dim
+    assert rep["foreign_key:k->d"] == 0           # NULL key: NOT IN excludes
 
 
 def test_check_constraints_green_is_reported(spark):
@@ -91,3 +91,37 @@ def test_observed_metrics_free_pass(spark, tmp_path):
     got = obs2.get
     assert got["rows"] == 3 and got["null_keys"] == 1
     assert got["key_min"] == "1" and got["key_max"] == "5"
+
+
+def test_check_constraints_no_rules_empty_report(spark, sf_dir):
+    from conftest import load
+    out = check_constraints(load(spark, sf_dir, "nation"))
+    assert out.columns == ["rule", "n_violations"]
+    assert out.count() == 0
+
+
+def test_check_constraints_fk_null_keys_not_violations(spark):
+    """SQL NOT IN semantics: a NULL foreign key is never a violation
+    (ADVICE r2: bare left_anti kept null-key rows)."""
+    fact = spark.createDataFrame(
+        [(1,), (2,), (None,), (99,)], "k int")
+    dim = spark.createDataFrame([(1,), (2,)], "d int")
+    out = check_constraints(fact, foreign_keys=[("k", dim, "d")])
+    row = out.collect()[0]
+    assert row["rule"] == "foreign_key:k->d"
+    assert row["n_violations"] == 1  # only 99; the NULL is excluded
+
+
+def test_winsorize_keeps_null_group_rows(spark):
+    """Contract is add-a-column, never drop-rows: NULL group keys must
+    survive (null-safe join) and get their own group's cut points."""
+    from accelerator_spark.operators.analytics import winsorize
+    rows = ([("a", float(i)) for i in range(1, 101)]
+            + [(None, float(i)) for i in range(1, 101)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize(df, "v", ["g"], 0.05, 0.95)
+    assert out.count() == 200
+    nulls = out.filter(F.col("g").isNull())
+    assert nulls.count() == 100
+    mx = nulls.agg(F.max("v_winsor")).collect()[0][0]
+    assert mx < 100.0  # actually clamped, not passed through

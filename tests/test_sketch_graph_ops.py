@@ -131,3 +131,13 @@ def test_winsorize_clamps_to_exact_percentiles(spark):
     # PERCENTILE_CONT(0.05) over 1..100 = 5.95; 0.95 -> 95.05
     assert r[0] == pytest.approx(5.95)
     assert r[1] == pytest.approx(95.05)
+
+
+def test_heavy_hitters_counts_null_keys(spark):
+    """SQL GROUP BY semantics: a NULL key above threshold is reported
+    (ADVICE r2: value_counts dropped NaN and the semi-join dropped
+    nulls)."""
+    rows = [("x",)] * 20 + [(None,)] * 15 + [("y",)] * 3
+    df = spark.createDataFrame(rows, "k string").repartition(4)
+    got = {r["k"]: r["cnt"] for r in heavy_hitters(df, "k", 10).collect()}
+    assert got == {"x": 20, None: 15}
