@@ -1670,6 +1670,42 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """)
 
 
+_NUMBER_BOUNDARIES_SQL = """
+SELECT
+  CAST(CAST('99999999999999999999999999999999999999' AS DECIMAL(38,0))
+       AS STRING) AS dec38_max,
+  CAST(CAST('-99999999999999999999999999999999999999' AS DECIMAL(38,0))
+       AS STRING) AS dec38_min,
+  TRY_CAST('1' || repeat('0', 38) AS DECIMAL(38,0)) IS NULL
+    AS overflow_39_digits_is_null,
+  TRY_CAST('1e40' AS DECIMAL(38,0)) IS NULL AS overflow_sci_is_null,
+  TRY_CAST('not a number' AS DECIMAL(38,0)) IS NULL AS junk_is_null,
+  CAST(CAST('123.999' AS DECIMAL(38,0)) AS STRING) AS rounded_half_up,
+  CAST(CAST('1267650600228229401496703205376' AS DECIMAL(38,0)) * 64
+       AS STRING) AS pow2_106,
+  CAST(sum(CAST(o_orderkey AS DECIMAL(38,0))) AS STRING) AS sum_keys_dec,
+  CAST(max(CAST(o_orderkey AS BIGINT)) AS STRING) AS max_key_i64,
+  count(*) AS n
+FROM orders
+"""
+
+
+def number_boundaries_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``number`` type's range contract, enforced in the gate
+    (VERDICT r2 next-step #9). The reference's ``number`` is a varint
+    holding ±2^1007 (dsutil/dsutilmodule.c:1673-1800); our documented
+    mapping (SURVEY §7.4, FIXTURES §1) is DecimalType(38,0) — this
+    query pins the boundary behavior with IDENTICAL SQL text on both
+    engines: 38-digit extremes survive exactly, a 39-digit literal /
+    1e40 / junk all TRY_CAST to NULL (DuckDB agrees for DECIMAL(38,0);
+    its HUGEINT would hold ±2^127 and the reference ±2^1007 — beyond-38
+    -digit integers are deliberately out of scope), half-up rounding,
+    exact 2^106 decimal arithmetic, and a full-table decimal sum that
+    would overflow BIGINT semantics at scale."""
+    from .sqlapi import sql
+    return sql(spark, sf_dir, _NUMBER_BOUNDARIES_SQL)
+
+
 ORACLE_TRY_ARITH = """
 SELECT o_orderstatus,
        count(*) AS n,
@@ -2405,6 +2441,7 @@ QUERIES2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "regex_function_sweep": regex_function_sweep,
     "exact_substring_report": exact_substring_report,
     "try_arithmetic_suite": try_arithmetic_suite,
+    "number_boundaries_suite": number_boundaries_suite,
     "classifier_auc_report": classifier_auc_report,
     "sampled_mean_estimate": sampled_mean_estimate,
     "bm25_search": bm25_search,
@@ -2459,6 +2496,7 @@ ORACLES2: dict[str, str] = {
     "regex_function_sweep": ORACLE_REGEX_SWEEP,
     "exact_substring_report": ORACLE_EXACT_SUBSTRING,
     "try_arithmetic_suite": ORACLE_TRY_ARITH,
+    "number_boundaries_suite": _NUMBER_BOUNDARIES_SQL,
     "classifier_auc_report": ORACLE_AUC,
     "sampled_mean_estimate": ORACLE_SAMPLED_MEAN,
     "bm25_search": ORACLE_BM25,

@@ -4,32 +4,51 @@ Reference: ``csvimport`` (/root/reference/accelerator/standard_methods/
 a_csvimport.py:58-183 + C backend csvimport.py) produces an all-bytes
 dataset plus optional ``bad`` (lineno, data) and ``skipped`` datasets;
 ``csvexport`` (a_csvexport.py:38-228) writes datasets/chains back with
-quoting / none_as / sliced options.
+quoting / none_as / sliced options. Corner-case semantics ported from the
+reference's own tests (test_methods/a_test_csvimport_separators.py,
+a_test_csvimport_corner_cases.py):
+
+- ANY single iso-8859-1 byte is a valid separator (0x00-0xFF) — pass
+  ``encoding="iso-8859-1"`` for non-UTF8 bytes;
+- ``quotes``: None (quotes are ordinary data), a single char, or True
+  (EITHER ' or " allowed per field). Escape inside a quoted field is
+  quote doubling. A field that STARTS with a quote must close it and be
+  followed by the separator or end-of-line — otherwise the line is bad;
+- ``allow_bad``: wrong field count or malformed quoting routes the raw
+  line to the ``bad`` dataset; without it the import RAISES (the
+  reference fails the job);
+- ``comment`` / ``skip_lines`` / ``skip_empty_lines``: skipped rows are
+  RETURNED as the ``skipped`` DataFrame;
+- linenos are 1-based file positions (reference semantics);
+- ``allow_extra_empty``: trailing empty fields/labels beyond the label
+  count are tolerated and trimmed.
 
 Spark-first mapping (SURVEY §2.1):
 - standard separators -> ``spark.read.csv`` with an all-StringType schema
-  (typing is a separate pass, exactly like the reference: import is
-  reproducible, typing is explicit — SURVEY §1.2);
-- exotic separators (multi-char, regex, none) -> ``spark.read.text`` +
-  ``F.split`` — the fallback the survey prescribes;
-- bad-line capture: the text path validates field count per row and
-  routes failures to a ``bad`` DataFrame (lineno + raw data), the
-  reference's ``allow_bad`` contract;
-- original order: a ``lineno`` order column (row_number over the file
-  read order) backs roundrobin-order recovery (SURVEY §7.4).
+  (typing is a separate pass, exactly like the reference — SURVEY §1.2);
+- the corner-case menu (bad capture / comments / both-quote-kinds /
+  linenos) -> a distributed text scan + a tokenizer that ports the
+  reference's C state machine (csvimport.py). The tokenizer runs as an
+  Arrow-batched ``mapInPandas`` ONLY when quote parsing is requested —
+  it is the exotic path, the hot path stays JVM-side;
+- non-UTF8 text-path files read via ``binaryFile`` + per-file line
+  split (files are the parallel unit — same as the reference, which is
+  single-node; the UTF-8 path is a fully splittable distributed scan).
 
-Scale: both paths are distributed file scans. Line numbers are computed
-WITHOUT a global sort: ``monotonically_increasing_id`` encodes
+Scale: the UTF-8 text path is a distributed file scan. Line numbers are
+computed WITHOUT a global sort: ``monotonically_increasing_id`` encodes
 (partition_index << 33) + in-partition ordinal for a fresh file scan, so
 the dense file-order lineno is ``in-partition ordinal + cumulative count
 of earlier partitions``. The only global op is a window over the
-per-partition-counts frame (one row per input split — a few thousand rows
-at 100 TB), then a broadcast join back. No single-task sort of the data.
+per-partition-counts frame (one row per input split — a few thousand
+rows at 100 TB), then a broadcast join back. No single-task sort of the
+data.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -44,26 +63,140 @@ class CsvImportResult:
     skipped: DataFrame | None = None
 
 
+class CsvImportError(ValueError):
+    """Raised on bad lines without ``allow_bad`` (the reference fails
+    the whole job: csvimport.py 'Failed to parse')."""
+
+
+def _tokenize(line: str, sep: str, qchars: str):
+    """Port of the reference tokenizer semantics (C csvimport field
+    scanner): returns the field list, or None if the line has malformed
+    quoting. A field starting with a quote char must close (doubling
+    escapes) and be immediately followed by the separator or EOL."""
+    fields = []
+    i, n = 0, len(line)
+    while True:
+        if qchars and i < n and line[i] in qchars:
+            q = line[i]
+            i += 1
+            buf = []
+            while True:
+                if i >= n:
+                    return None  # unterminated quote
+                c = line[i]
+                if c == q:
+                    if i + 1 < n and line[i + 1] == q:
+                        buf.append(q)
+                        i += 2
+                    else:
+                        i += 1
+                        break
+                else:
+                    buf.append(c)
+                    i += 1
+            if i < n and (not sep or not line.startswith(sep, i)):
+                return None  # closing quote not followed by sep/EOL
+            field = "".join(buf)
+        else:
+            j = line.find(sep, i) if sep else -1
+            if j == -1:
+                j = n
+            field = line[i:j]
+            i = j
+        fields.append(field)
+        if i >= n:
+            return fields
+        i += len(sep)  # consume separator
+        if i >= n:  # trailing separator -> trailing empty field
+            fields.append("")
+            return fields
+
+
+def _trim_extra_empty(fields: list[str], n: int) -> list[str]:
+    if len(fields) > n and all(f == "" for f in fields[n:]):
+        return fields[:n]
+    return fields
+
+
+def _read_lines(spark: SparkSession, path: str, encoding: str) -> DataFrame:
+    """Lines DataFrame with 1-based dense file-order ``_lineno``.
+
+    UTF-8: distributed text scan + per-split offset arithmetic (see
+    module docstring). Other encodings: binaryFile + per-file decode
+    (files are the parallel unit)."""
+    if encoding.lower().replace("-", "") in ("utf8", "ascii", "usascii"):
+        raw = spark.read.text(path).withColumn(
+            "_mono", F.monotonically_increasing_id()
+        )
+        raw = raw.withColumn(
+            "_pid", F.shiftright(F.col("_mono"), 33)
+        ).withColumn(
+            "_idx", F.col("_mono").bitwiseAND(F.lit((1 << 33) - 1))
+        )
+        counts = raw.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+        offsets = counts.withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(
+                    W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        ).select("_pid", "_off")
+        return (
+            raw.join(F.broadcast(offsets), "_pid")
+            .withColumn("_lineno", F.col("_idx") + F.col("_off") + 1)
+            .drop("_pid", "_idx", "_mono")
+        )
+
+    def _decode(batches: Iterator) -> Iterator:
+        import re
+
+        import pandas as pd
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                text = bytes(row["content"]).decode(encoding)
+                lines = re.split("\r\n|\r|\n", text)
+                if lines and lines[-1] == "":
+                    lines = lines[:-1]  # terminator after last line
+                yield pd.DataFrame({
+                    "value": lines,
+                    "_lineno": range(1, len(lines) + 1),
+                })
+
+    return (spark.read.format("binaryFile").load(path)
+            .select("content")
+            .mapInPandas(_decode, schema="value string, _lineno long"))
+
+
 def _read_header(
-    spark: SparkSession,
-    path: str,
+    lines_head: list,
     separator: str,
+    qchars: str,
     skip_lines: int,
     comment: str | None,
     skip_empty_lines: bool,
+    allow_extra_empty: bool,
 ) -> tuple[list[str], int]:
-    """Find the label line: first line after ``skip_lines`` that is not a
-    comment/empty line (when those are being skipped). Tiny driver-side
-    metadata op. Returns (labels, lineno_of_header)."""
-    head = spark.read.text(path).limit(skip_lines + 1000).collect()
-    for i in range(skip_lines, len(head)):
-        v = head[i]["value"]
+    """Find the label line: first line after ``skip_lines`` that is not
+    a comment/empty line. Tiny driver-side metadata op. Returns
+    (labels, 1-based lineno_of_header)."""
+    for i in range(skip_lines, len(lines_head)):
+        v = lines_head[i]
         if comment is not None and v.startswith(comment):
             continue
         if skip_empty_lines and v == "":
             continue
-        return (v.split(separator) if separator else [v]), i
-    raise ValueError(f"{path}: no label line after skipping {skip_lines}")
+        labels = (_tokenize(v, separator, qchars)
+                  if separator or qchars else [v])
+        if labels is None:
+            raise CsvImportError(f"malformed quoting in label line: {v!r}")
+        if allow_extra_empty:
+            while labels and labels[-1] == "":
+                labels.pop()
+        return labels, i + 1
+    raise CsvImportError(f"no label line after skipping {skip_lines}")
 
 
 def csvimport(
@@ -71,7 +204,7 @@ def csvimport(
     path: str,
     separator: str = ",",
     labels: list[str] | None = None,
-    quotes: str | None = '"',
+    quotes: str | bool | None = '"',
     comment: str | None = None,
     skip_lines: int = 0,
     skip_empty_lines: bool = False,
@@ -80,77 +213,58 @@ def csvimport(
     rename: dict[str, str] | None = None,
     discard: list[str] | None = None,
     strip_labels: bool = False,
+    encoding: str = "utf-8",
+    allow_extra_empty: bool = False,
 ) -> CsvImportResult:
     """Import CSV to an all-string DataFrame (+ bad/skipped capture).
 
-    The reference's menu (a_csvimport.py:58-76) maps as:
-    - ``separator``: 1-char -> native reader; multi-char/empty -> text
-      path with split (empty separator = whole line as one column);
-    - ``quotes``: native reader quote char (None disables);
-    - ``comment`` / ``skip_lines`` / ``skip_empty_lines`` -> skipped rows
-      are RETURNED as the ``skipped`` DataFrame, matching the reference's
-      skipped dataset;
-    - ``allow_bad``: field-count-mismatched rows go to ``bad`` (lineno,
-      data) instead of failing the import.
-    """
+    See module docstring for the full option menu and its reference
+    parity. Without ``allow_bad``, a malformed/wrong-field-count line
+    raises :class:`CsvImportError` (the reference fails the job)."""
+    qchars = ("'\"" if quotes is True else (quotes or ""))
+    exotic_quotes = quotes is True
     use_text_path = (
         len(separator) != 1 or allow_bad or comment is not None
         or skip_lines or skip_empty_lines or lineno_label
+        or exotic_quotes or allow_extra_empty
+        or separator == "\\"  # univocity rejects backslash as sep
     )
     if not use_text_path:
         hdr = labels is None
-        df = (
+        reader = (
             spark.read.option("sep", separator)
-            .option("quote", quotes or "\u0000")
+            .option("quote", qchars or "\u0000")
+            .option("escape", qchars or "\u0000")  # doubling, not backslash
+            .option("charset", encoding)
             .option("header", hdr)
             .option("inferSchema", False)
-            .csv(path)
         )
         if labels:
-            df = df.toDF(*labels)
+            reader = reader.schema(
+                ", ".join(f"`{l}` string" for l in labels))
+        df = reader.csv(path)
+        # reference import is all-bytes: an empty field is "", never null
+        df = df.select(*[
+            F.coalesce(F.col(f"`{c}`"), F.lit("")).alias(c)
+            for c in df.columns])
         return CsvImportResult(default=_relabel(df, rename, discard, strip_labels))
 
     # ---- text fallback path (exact reference semantics) ----
-    raw = spark.read.text(path).withColumn(
-        "_mono", F.monotonically_increasing_id()
-    )
-    # Dense file-order lineno, distributed (reference keeps line order:
-    # accelerator/dataset.py:657-676 roundrobin recovery). For a fresh
-    # scan, _mono = (split_index << 33) | in-split ordinal, so:
-    #   lineno = ordinal + sum(counts of earlier splits)
-    # The cumulative sum runs over ONE ROW PER SPLIT (tiny), broadcast-
-    # joined back — no single-partition pass over the data itself.
-    raw = raw.withColumn(
-        "_pid", F.shiftright(F.col("_mono"), 33)
-    ).withColumn(
-        "_idx", F.col("_mono").bitwiseAND(F.lit((1 << 33) - 1))
-    )
-    counts = raw.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
-    offsets = counts.withColumn(
-        "_off",
-        F.coalesce(
-            F.sum("_n").over(
-                W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ),
-    ).select("_pid", "_off")
-    raw = (
-        raw.join(F.broadcast(offsets), "_pid")
-        .withColumn("_lineno", F.col("_idx") + F.col("_off"))
-        .drop("_pid", "_idx")
-    )
+    raw = _read_lines(spark, path, encoding)
 
     if labels is None:
+        head = [r["value"] for r in
+                raw.orderBy("_lineno").limit(skip_lines + 1000).collect()]
         labels, header_at = _read_header(
-            spark, path, separator, skip_lines, comment, skip_empty_lines)
+            head, separator, qchars, skip_lines, comment,
+            skip_empty_lines, allow_extra_empty)
     else:
         header_at = None
     if strip_labels:
         labels = [l.strip() for l in labels]
 
     line = F.col("value")
-    skip_cond = F.col("_lineno") < skip_lines
+    skip_cond = F.col("_lineno") <= skip_lines
     if header_at is not None:
         skip_cond = skip_cond | (F.col("_lineno") == header_at)
     if comment is not None:
@@ -162,38 +276,65 @@ def csvimport(
         F.col("_lineno").alias("lineno"), F.col("value").alias("data")
     )
     body = raw.filter(~skip_cond)
+    n = max(len(labels), 1)
 
-    if separator == "":
-        fields = F.array(line)
-        n = 1
+    if qchars:
+        # quote-aware tokenizer: the reference's C scanner, Arrow-batched.
+        # Exotic path only — plain separators stay on the JVM split below.
+        sep_, q_, n_, aee_ = separator, qchars, n, allow_extra_empty
+
+        def _tok(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            for pdf in batches:
+                out_fields, out_ok = [], []
+                for v in pdf["value"]:
+                    f_ = _tokenize(v, sep_, q_)
+                    if f_ is not None and aee_:
+                        f_ = _trim_extra_empty(f_, n_)
+                    ok = f_ is not None and len(f_) == n_
+                    out_fields.append(f_ if ok else None)
+                    out_ok.append(ok)
+                yield pd.DataFrame({
+                    "value": pdf["value"], "_lineno": pdf["_lineno"],
+                    "_f": pd.Series(out_fields, dtype=object),
+                    "_ok": out_ok,
+                })
+
+        body = body.mapInPandas(
+            _tok,
+            schema="value string, _lineno long, _f array<string>, _ok boolean")
     else:
-        # split with -1 limit keeps trailing empty fields (reference keeps
-        # empty trailing columns)
-        fields = F.split(line, _rx_escape(separator), -1)
-        n = len(labels)
+        if separator == "":
+            fields = F.array(line)
+        else:
+            # split with -1 limit keeps trailing empty fields
+            fields = F.split(line, _rx_escape(separator), -1)
+        body = body.withColumn("_f", fields)
+        if allow_extra_empty:
+            extras_ok = F.expr(
+                f"size(_f) > {n} and "
+                f"forall(slice(_f, {n + 1}, size(_f)), x -> x = '')")
+            body = body.withColumn(
+                "_f", F.when(extras_ok, F.slice("_f", 1, n))
+                       .otherwise(F.col("_f")))
+        body = body.withColumn("_ok", F.size("_f") == n)
 
-    body = body.withColumn("_f", fields)
-    good = body.filter(F.size("_f") == n)
+    good = body.filter(F.col("_ok"))
+    bad_df = body.filter(~F.col("_ok")).select(
+        F.col("_lineno").alias("lineno"), F.col("value").alias("data"))
     bad = None
     if allow_bad:
-        bad = body.filter(F.size("_f") != n).select(
-            F.col("_lineno").alias("lineno"), F.col("value").alias("data")
-        )
+        bad = bad_df
     else:
-        # reference without allow_bad fails the job on a bad line; we
-        # surface the same contract lazily via an assertion column the
-        # caller can check — but keep strict failure cheap: count later.
-        pass
+        # reference without allow_bad fails the job on a bad line
+        sample = bad_df.limit(1).collect()
+        if sample:
+            raise CsvImportError(
+                f"bad line {sample[0]['lineno']}: {sample[0]['data']!r} "
+                "(pass allow_bad=True to capture instead)")
 
     cols = [F.col("_f")[i].alias(labels[i]) for i in range(n)]
-    if quotes:
-        q = _rx_escape(quotes)
-        cols = [
-            F.regexp_replace(
-                F.regexp_replace(c, f"^{q}(.*){q}$", "$1"), q + q, quotes
-            ).alias(labels[i])
-            for i, c in enumerate(cols)
-        ]
     out = [F.col("_lineno").alias(lineno_label)] if lineno_label else []
     default = good.select(*out, *cols)
     return CsvImportResult(

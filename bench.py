@@ -95,9 +95,10 @@ HEADLINE = [
     "exact_substring_report",
 ]
 
-# heavier, measured-but-not-headline queries (several-second graph
-# builds / Python counting passes at sf0.1 — see BASELINE.md); include
-# with SPARK_GRAFT_BENCH_FULL=1
+# heavier queries (several-second graph builds / Python counting passes
+# at sf0.1 — see BASELINE.md). Measured BY DEFAULT since round 3 so
+# regressions in the expensive paths are catchable (VERDICT r2 #8);
+# SPARK_GRAFT_BENCH_QUICK=1 runs the headline set only.
 EXTENDED = [
     "graph_pagerank_top20",
     "graph_triangle_count",
@@ -119,6 +120,7 @@ EXTENDED = [
     "image_tile_plan",
     "mad_outlier_events",
     "schema_evolution_union",
+    "recursive_copurchase_reach",  # iterative BFS since round 3
 ]
 
 
@@ -133,8 +135,8 @@ def main() -> None:
     # best-of-N: first run pays one-time parquet footer reads + plan
     # compilation; steady-state throughput is what scales to a cluster.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    names = HEADLINE + (EXTENDED if os.environ.get("SPARK_GRAFT_BENCH_FULL")
-                        else [])
+    names = HEADLINE + ([] if os.environ.get("SPARK_GRAFT_BENCH_QUICK")
+                        else EXTENDED)
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:

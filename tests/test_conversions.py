@@ -132,3 +132,39 @@ def test_dataset_type_rename_discard(spark):
         df, {"y": "int64_10"}, rename={"x": "y", "drop_me": None})
     assert typed.columns == ["y"]
     assert typed.collect()[0]["y"] == 1
+
+
+# --- pickle columns (opt-in; reference dsutil.py:139-177) --------------
+
+def test_pickle_column_roundtrip(spark, tmp_path):
+    """Arbitrary Python objects survive a dataset write/read as
+    BinaryType pickles; typed projection + object iteration both work."""
+    from accelerator_spark.dataset import Dataset
+    from accelerator_spark.functions.pickles import (
+        iterate_objects, pickle_col, unpickle_col)
+    from pyspark.sql import functions as F
+
+    src = spark.createDataFrame(
+        [(1, {"x": 10, "tag": "a"}), (2, {"x": 20, "tag": "b"}),
+         (3, None)],
+        "id int, obj map<string,string>")
+    # map cells pickle as dicts; None stays None
+    blob = src.select(
+        "id",
+        pickle_col(F.when(F.col("obj").isNotNull(), F.col("obj"))).alias("p"))
+    ds = Dataset.write(blob, str(tmp_path / "pk"))
+    back = ds.df(spark)
+    assert dict(back.dtypes)["p"] == "binary"
+
+    typed = back.select(
+        "id", unpickle_col("p", "string",
+                           transform=lambda o: o["tag"]).alias("tag"))
+    got = {r["id"]: r["tag"] for r in typed.collect()}
+    assert got == {1: "a", 2: "b", 3: None}
+
+    def use(pdf):
+        pdf["x"] = pdf["p"].map(lambda o: int(o["x"]) if o else -1)
+        return pdf[["id", "x"]]
+
+    it = iterate_objects(back, ["p"], use, "id int, x int")
+    assert {r["id"]: r["x"] for r in it.collect()} == {1: 10, 2: 20, 3: -1}

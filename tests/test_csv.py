@@ -34,7 +34,7 @@ def test_bad_line_capture(spark, tmp_path):
     res = csvimport(spark, p, allow_bad=True)
     assert res.default.count() == 2
     bad = {(r["lineno"], r["data"]) for r in res.bad.collect()}
-    assert bad == {(2, "only_one_field"), (4, "x,y,z")}
+    assert bad == {(3, "only_one_field"), (5, "x,y,z")}  # 1-based file linenos
 
 
 def test_skip_comment_empty(spark, tmp_path):
@@ -42,7 +42,7 @@ def test_skip_comment_empty(spark, tmp_path):
     res = csvimport(spark, p, comment="#", skip_lines=1, skip_empty_lines=True,
                     allow_bad=True, lineno_label="lineno")
     rows = {(r["lineno"], r["a"], r["b"]) for r in res.default.collect()}
-    assert rows == {(3, "1", "2"), (5, "3", "4")}
+    assert rows == {(4, "1", "2"), (6, "3", "4")}  # 1-based file linenos
     assert res.skipped.count() == 4  # banner, header, #note, empty
 
 
@@ -140,12 +140,238 @@ def test_lineno_distributed_no_global_sort(spark, tmp_path):
         assert df.rdd.getNumPartitions() > 1
         rows = df.select("lineno", "a").collect()
         assert len(rows) == n
-        # header is lineno 0; data lines are 1..n in file order
+        # 1-based linenos: header is line 1; data lines are 2..n+1
         got = sorted((r["lineno"], r["a"]) for r in rows)
-        assert got == [(i + 1, f"v{i}") for i in range(n)]
+        assert got == [(i + 2, f"v{i}") for i in range(n)]
         # plan check: the only sort/window single-partition exchange is on
         # the counts aggregate, never on the full text scan
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "row_number" not in plan.lower()
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+# ---------------------------------------------------------------------------
+# Reference corner-case parity (ported from the reference's own tests:
+# test_methods/a_test_csvimport_separators.py and
+# a_test_csvimport_corner_cases.py — VERDICT r2 next-step #3).
+# ---------------------------------------------------------------------------
+
+import pytest
+
+from accelerator_spark.sources.csv import CsvImportError
+
+
+def _write_bytes(tmp_path, name, data: bytes):
+    p = str(tmp_path / name)
+    with open(p, "wb") as f:
+        f.write(data)
+    return p
+
+
+def _verify(spark, path, d, d_bad=None, d_skipped=None, **options):
+    """Port of the reference's verify_ds: data keyed by the ix column,
+    bad/skipped keyed by 1-based lineno."""
+    options.setdefault("labels", ["ix", "0", "1"])
+    options.setdefault("allow_bad", bool(d_bad))
+    res = csvimport(spark, path, **options)
+    got = {}
+    for r in res.default.collect():
+        ix = r["ix"]
+        try:
+            ix = int(ix)
+        except (TypeError, ValueError):
+            pass
+        assert r["0"] == r["1"], f"columns disagree for ix={ix!r}"
+        got[ix] = r["0"]
+    assert got == d, f"data mismatch: {got} != {d}"
+    if d_bad is not None:
+        got_bad = {r["lineno"]: r["data"] for r in res.bad.collect()}
+        assert got_bad == d_bad, f"bad mismatch: {got_bad} != {d_bad}"
+    if d_skipped is not None:
+        got_sk = {r["lineno"]: r["data"] for r in res.skipped.collect()}
+        assert got_sk == d_skipped, f"skipped mismatch: {got_sk} != {d_skipped}"
+    return res
+
+
+SEPARATOR_MATRIX = [0, 1, 9, 30, 32, 34, 39, 44, 92, 160, 255]
+
+
+@pytest.mark.parametrize("sep_i", SEPARATOR_MATRIX)
+@pytest.mark.parametrize("quotes", [None, '"', "'"])
+def test_separator_quote_matrix(spark, tmp_path, sep_i, quotes):
+    """Any iso-8859-1 byte as separator × unquoted/double/single quoting
+    (reference a_test_csvimport_separators.py synthesis loop)."""
+    if quotes is not None and ord(quotes) == sep_i:
+        pytest.skip("separator == quote char (reference skips too)")
+    sep = chr(sep_i)
+    data = [["a", "b", "c", "d"],
+            ["a b", "", "c,d", ""],
+            ['a"b"', "'cd", "e\tf", ""]]
+    if not quotes:
+        data = [[el.replace(sep, "") for el in row] for row in data]
+    enc = "iso-8859-1" if sep_i >= 128 else "utf-8"
+    out = []
+    for row in data:
+        if quotes:
+            row = [quotes + el.replace(quotes, quotes + quotes) + quotes
+                   for el in row]
+        out.append(sep.join(row))
+    p = _write_bytes(tmp_path, f"sep{sep_i}.csv",
+                     ("\n".join(out) + "\n").encode(enc))
+    res = csvimport(spark, p, separator=sep, quotes=quotes, encoding=enc)
+    assert res.default.columns == data[0]
+    got = sorted(tuple(r) for r in res.default.collect())
+    assert got == sorted(tuple(row) for row in data[1:])
+
+
+def test_cc_ignored_quotes(spark, tmp_path):
+    p = _write_bytes(tmp_path, "t.csv",
+                     b"ix,0,1\n1,'a,'a\n2,'b','b'\n3,\"c\",\"c\"\n4,d',d'\n")
+    _verify(spark, p, {1: "'a", 2: "'b'", 3: '"c"', 4: "d'"},
+            labels=None, quotes=None)
+
+
+def test_cc_spaces_and_quotes(spark, tmp_path):
+    p = _write_bytes(
+        tmp_path, "t.csv",
+        b"ix,0,1\none,a,a\ntwo, b, b\n three,c,c\n4,\"d\"\"\",d\"\n5, 'e',\" 'e'\"\n")
+    _verify(spark, p,
+            {"one": "a", "two": " b", " three": "c", 4: 'd"', 5: " 'e'"},
+            labels=None, quotes=True)
+
+
+def test_cc_empty_fields(spark, tmp_path):
+    p = _write_bytes(tmp_path, "t.csv", b"ix,0,1\n1,,''\n2,,\n3,'',\n4,\"\",")
+    _verify(spark, p, {1: "", 2: "", 3: "", 4: ""},
+            labels=None, quotes=True)
+
+
+def test_cc_bad_quotes(spark, tmp_path):
+    p = _write_bytes(
+        tmp_path, "t.csv",
+        b"ix,0,1\n1,a,a\n2,\"b,\"b\n\n3,'c'c','c'c'\n4,\"d\",'d'\n")
+    _verify(spark, p, {1: "a", 4: "d"},
+            d_bad={3: '2,"b,"b', 4: "", 5: "3,'c'c','c'c'"},
+            labels=None, quotes=True, allow_bad=True)
+
+
+def test_cc_comments(spark, tmp_path):
+    p = _write_bytes(tmp_path, "t.csv",
+                     b"# blah\nix,0,1\n1,a,a\n2,b,b\n#3,c,c\n4,#d,#d\n")
+    _verify(spark, p, {1: "a", 2: "b", 4: "#d"},
+            d_skipped={1: "# blah", 2: "ix,0,1", 5: "#3,c,c"},
+            labels=None, comment="#")
+
+
+def test_cc_not_comments(spark, tmp_path):
+    p = _write_bytes(tmp_path, "t.csv",
+                     b"ix,0,1\n1,a,a\n2,b,b\n#3,c,c\n4,#d,#d\n")
+    _verify(spark, p, {1: "a", 2: "b", "#3": "c", 4: "#d"}, labels=None)
+
+
+def test_cc_skipped_and_bad_lines(spark, tmp_path):
+    p = _write_bytes(tmp_path, "t.csv",
+                     b"not data here\nnor here\nix,0,1\n1,a,a\n2,b\n3,c,c")
+    _verify(spark, p, {1: "a", 3: "c"},
+            d_bad={5: "2,b"},
+            d_skipped={1: "not data here", 2: "nor here", 3: "ix,0,1"},
+            labels=None, skip_lines=2, allow_bad=True)
+
+
+def test_cc_only_labels_and_empty_file(spark, tmp_path):
+    p = _write_bytes(tmp_path, "only_labels.csv", b"ix,0,1")
+    _verify(spark, p, {}, labels=None)
+    p2 = _write_bytes(tmp_path, "empty.csv", b"")
+    _verify(spark, p2, {})
+
+
+def test_cc_lineno_with_bad_lines(spark, tmp_path):
+    p = _write_bytes(tmp_path, "t.csv",
+                     b"ix,0,1\n2,a,a\n3,b\nc\n5,d,d\n6,e,e\n7\n8,g,g\n\n")
+    res = _verify(spark, p, {2: "a", 5: "d", 6: "e", 8: "g"},
+                  d_bad={3: "3,b", 4: "c", 7: "7", 9: ""},
+                  labels=None, allow_bad=True, lineno_label="num")
+    # reference invariant: the planted ix equals the 1-based file lineno
+    for r in res.default.collect():
+        assert int(r["ix"]) == r["num"]
+
+
+def test_cc_strip_labels(spark, tmp_path):
+    p = _write_bytes(tmp_path, "t.csv", b" ix , 0 , 1 \n1,a,a\n2,b ,b ")
+    _verify(spark, p, {1: "a", 2: "b "}, labels=None, strip_labels=True)
+
+
+def test_cc_allow_extra_empty(spark, tmp_path):
+    p = _write_bytes(tmp_path, "t.csv",
+                     b"ix,0,1,,,,\n1,a,a\n2,b,b,,\n3,,,")
+    _verify(spark, p, {1: "a", 2: "b", 3: ""},
+            labels=None, allow_extra_empty=True)
+
+
+def test_cc_allow_extra_empty_quoted(spark, tmp_path):
+    p = _write_bytes(tmp_path, "t.csv",
+                     b"ix,_0_,1,,,__,\n1,a,a\n_2_,b,b,__,\n3,c,c,__")
+    _verify(spark, p, {1: "a", 2: "b", 3: "c"},
+            labels=None, allow_extra_empty=True, quotes="_")
+
+
+def test_cc_skip_empty_lines_and_comments(spark, tmp_path):
+    p = _write_bytes(tmp_path, "t.csv",
+                     b"\r\nix,0,1\n\n\n5,a,a\n#6,b,b\n7,c,c\n#")
+    _verify(spark, p, {5: "a", 7: "c"},
+            d_skipped={1: "", 2: "ix,0,1", 3: "", 4: "", 6: "#6,b,b", 8: "#"},
+            labels=None, skip_empty_lines=True, comment="#",
+            lineno_label="line")
+
+
+def test_cc_mixed_line_endings(spark, tmp_path):
+    p = _write_bytes(tmp_path, "t.csv", b"ix,0,1\r\n1,a,a\n2,b,b\r\n3,c,c")
+    _verify(spark, p, {1: "a", 2: "b", 3: "c"}, labels=None)
+
+
+def test_cc_strange_values(spark, tmp_path):
+    """The reference's 'strange values' array: quoting pathology both
+    good and bad, quotes=True (either kind)."""
+    bad_lines = ["bad,bad", ",", "bad,", ",bad", "',',",
+                 "'lo there broken line", "'nope\"", "'bad quotes''",
+                 '"bad quote " inside"', '"more ""bad"" quotes """ inside"']
+    good_lines = [
+        "\x00",
+        ("'good, good'", "good, good"),
+        ('"also good, yeah!"', "also good, yeah!"),
+        ("'single quote''s inside'", "single quote's inside"),
+        ("'single quote at end: '''", "single quote at end: '"),
+        ('"""double quotes around"""', '"double quotes around"'),
+        ('"double quote at end: """', 'double quote at end: "'),
+        ('" I\'m special "', " I'm special "),
+        "I'm not",
+        " unquoted but with spaces around ",
+        ("','", ","),
+        ("'lot''s of ''quotes'' around here: '''''''' '",
+         "lot's of 'quotes' around here: '''' "),
+    ]
+    d, d_bad, lines = {}, {}, []
+    for ix, data in enumerate(bad_lines, 1):
+        d_bad[ix] = f"{ix},{data},{data}"
+        lines.append(d_bad[ix])
+    for ix, data in enumerate(good_lines, len(bad_lines) + 1):
+        if isinstance(data, tuple):
+            data, d[ix] = data
+        else:
+            d[ix] = data
+        lines.append(f"{ix},{data},{data}")
+    p = _write_bytes(tmp_path, "strange.csv",
+                     ("\n".join(lines) + "\n").encode("utf-8"))
+    _verify(spark, p, d, d_bad=d_bad, quotes=True, allow_bad=True)
+
+
+def test_cc_strict_failures(spark, tmp_path):
+    """Without allow_bad the import fails (reference check_bad_file)."""
+    for name, data in [("extra", b"foo,bar\nwith,extra,field\nok,here\n"),
+                       ("missing", b"foo,bar\nmissing\nok,here\n"),
+                       ("novalid", b"foo\nc,\n")]:
+        p = _write_bytes(tmp_path, name + ".csv", data)
+        with pytest.raises(CsvImportError):
+            # comment forces the text path, like the reference's default
+            csvimport(spark, p, comment="\x01")
