@@ -257,22 +257,20 @@ def cmd_profile(args) -> int:
     return 0
 
 
-def cmd_board(args) -> int:
-    """Static project report (the reference's ``ax board`` web UI,
-    accelerator/board.py, reduced to its useful core: browse jobs,
-    datasets, and registry entries — here a self-contained HTML file,
-    no server)."""
+def _board_html(workdir: str) -> str:
+    """Board HTML for a workdir (shared by ``asx board`` static export
+    and ``asx serve``)."""
     import html
     import os
 
-    dbpath = os.path.join(args.workdir, "jobdb.jsonl")
+    dbpath = os.path.join(workdir, "jobdb.jsonl")
     jobs = []
     if os.path.exists(dbpath):
         with open(dbpath) as f:
             jobs = [json.loads(line) for line in f]
-    u = Urd(args.workdir)
+    u = Urd(workdir)
     sections = ["<h1>accelerator_spark board</h1>",
-                f"<p>workdir: <code>{html.escape(args.workdir)}</code> — "
+                f"<p>workdir: <code>{html.escape(workdir)}</code> — "
                 f"{len(jobs)} jobs</p>", "<h2>Jobs</h2><table border=1>"
                 "<tr><th>jobid</th><th>outputs</th><th>artifacts</th></tr>"]
     for rec in jobs:
@@ -303,13 +301,95 @@ def cmd_board(args) -> int:
             sections.append(f"<li><code>{html.escape(str(e['ts']))}</code> "
                             f"{html.escape(json.dumps(e['payload']))}</li>")
         sections.append("</ul>")
+    return ("<!doctype html><meta charset='utf-8'>"
+            "<style>body{font-family:sans-serif;margin:2em}"
+            "table{border-collapse:collapse}td,th{padding:4px 8px}"
+            "</style>" + "\n".join(sections))
+
+
+def cmd_board(args) -> int:
+    """Static project report (the reference's ``ax board`` web UI,
+    accelerator/board.py, reduced to its useful core: browse jobs,
+    datasets, and registry entries — a self-contained HTML file; see
+    ``asx serve`` for the live-server form)."""
+    import os
+
     out = args.out or os.path.join(args.workdir, "board.html")
     with open(out, "w") as f:
-        f.write("<!doctype html><meta charset='utf-8'>"
-                "<style>body{font-family:sans-serif;margin:2em}"
-                "table{border-collapse:collapse}td,th{padding:4px 8px}"
-                "</style>" + "\n".join(sections))
+        f.write(_board_html(args.workdir))
     print(f"wrote {out}")
+    return 0
+
+
+def make_board_server(workdir: str, port: int = 0):
+    """Live board server (the reference's board.py bottle app + the
+    ``ax curl`` JSON surface, accelerator/shell/curl.py, reduced to the
+    serverless design's useful core). Endpoints:
+
+    - ``/``            board HTML (same renderer as ``asx board``)
+    - ``/jobs``        JSON list of job records
+    - ``/job/<jobid>`` one JSON record (404 if unknown)
+    - ``/urd``         JSON list of registry list names
+    - ``/urd/<list>``  JSON entries of one registry list
+
+    Returns an ``http.server.ThreadingHTTPServer`` (caller runs
+    ``serve_forever``, tests drive it from a thread)."""
+    import os
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    def jobs():
+        dbpath = os.path.join(workdir, "jobdb.jsonl")
+        if not os.path.exists(dbpath):
+            return []
+        with open(dbpath) as f:
+            return [json.loads(line) for line in f]
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code, body, ctype="application/json"):
+            data = body.encode() if isinstance(body, str) else body
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):  # noqa: N802 — http.server API
+            parts = [x for x in self.path.split("?")[0].split("/") if x]
+            if not parts:
+                self._send(200, _board_html(workdir), "text/html")
+            elif parts == ["jobs"]:
+                self._send(200, json.dumps(jobs()))
+            elif parts[0] == "job" and len(parts) == 2:
+                rec = next((r for r in jobs() if r["jobid"] == parts[1]),
+                           None)
+                if rec is None:
+                    self._send(404, json.dumps({"error": "no such job"}))
+                else:
+                    self._send(200, json.dumps(rec))
+            elif parts[0] == "urd":
+                u = Urd(workdir)
+                if len(parts) == 1:
+                    self._send(200, json.dumps(u.lists()))
+                else:
+                    self._send(200, json.dumps(
+                        u._entries(parts[1]), default=str))
+            else:
+                self._send(404, json.dumps({"error": "unknown endpoint"}))
+
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
+
+
+def cmd_serve(args) -> int:
+    srv = make_board_server(args.workdir, args.port)
+    print(f"serving {args.workdir} on http://127.0.0.1:"
+          f"{srv.server_address[1]}/")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
     return 0
 
 
@@ -375,6 +455,10 @@ def main(argv: list[str] | None = None) -> int:
     b = sub.add_parser("board"); b.add_argument("workdir")
     b.add_argument("--out", default=None)
     b.set_defaults(fn=cmd_board)
+
+    sv = sub.add_parser("serve"); sv.add_argument("workdir")
+    sv.add_argument("--port", type=int, default=8520)
+    sv.set_defaults(fn=cmd_serve)
 
     pf = sub.add_parser("profile"); pf.add_argument("path")
     pf.add_argument("--approx", action="store_true",

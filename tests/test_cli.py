@@ -201,3 +201,36 @@ def test_resolve_spec_malformed_returns_none(spark, tmp_path):
     assert resolve_spec(wd, "stepx~-1") is None
     assert resolve_spec(wd, "stepx~99") is None
     assert resolve_spec(wd, "nope~") is None
+
+
+def test_board_server_endpoints(workdir):
+    """asx serve: live board + JSON surface (reference board.py /
+    shell/curl.py reduced core)."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from accelerator_spark.cli import make_board_server
+
+    wd, job = workdir
+    srv = make_board_server(wd, 0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        html = urllib.request.urlopen(base + "/").read().decode()
+        assert "accelerator_spark board" in html
+        jobs = _json.loads(urllib.request.urlopen(base + "/jobs").read())
+        assert any(r["jobid"] == job.jobid for r in jobs)
+        rec = _json.loads(
+            urllib.request.urlopen(base + f"/job/{job.jobid}").read())
+        assert rec["jobid"] == job.jobid
+        lists = _json.loads(urllib.request.urlopen(base + "/urd").read())
+        assert "nations" in lists
+        try:
+            urllib.request.urlopen(base + "/job/nope")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.shutdown()
