@@ -3756,6 +3756,58 @@ def orc_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def overlay_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy column overlay gate (Dataset.write_overlay — reference
+    ``parent=``/``link_to_here``, accelerator/dataset.py:864-941): nation
+    is written as a base dataset, a derived column (name length) plus a
+    VIRTUAL expression column are overlaid WITHOUT rewriting the base
+    (only key+new-column parquet is written; base files byte-identical,
+    unit-tested in test_core), and the overlay read — base scan + key
+    join + scan-time expression — is digested. The oracle computes the
+    same projection straight from the source table, proving the overlay
+    read path is semantically a join it never had to materialize."""
+    import tempfile
+
+    from .dataset import Dataset
+
+    nation = _t(spark, sf_dir, "nation")
+    root = tempfile.mkdtemp(prefix="overlay_rt_")
+    base = Dataset.write(nation, f"{root}/base")
+    new = nation.select("n_nationkey",
+                        F.length("n_name").alias("name_len"))
+    ov = Dataset.write_overlay(
+        f"{root}/ov", base, new_cols=new, key="n_nationkey",
+        virtual={"key_x2": "n_nationkey * 2"})
+    back = ov.df(spark)
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("<N>"))
+        for c in ["n_nationkey", "n_name", "n_regionkey",
+                  "name_len", "key_x2"]
+    ]
+    h = F.conv(F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 15),
+               16, 10).cast("long")
+    return back.select(h.alias("h"), "name_len").agg(
+        F.count(F.lit(1)).alias("nations"),
+        F.bit_xor("h").alias("checksum_xor"),
+        F.sum("name_len").alias("total_name_len"),
+    )
+
+
+ORACLE_OVERLAY_RT = """
+SELECT count(*) AS nations,
+       bit_xor(CAST(('0x' || substring(md5(
+         concat_ws(chr(31),
+           coalesce(CAST(n_nationkey AS VARCHAR), '<N>'),
+           coalesce(n_name, '<N>'),
+           coalesce(CAST(n_regionkey AS VARCHAR), '<N>'),
+           coalesce(CAST(length(n_name) AS VARCHAR), '<N>'),
+           coalesce(CAST(n_nationkey * 2 AS VARCHAR), '<N>'))), 1, 15))
+         AS BIGINT)) AS checksum_xor,
+       sum(length(n_name)) AS total_name_len
+FROM nation
+"""
+
+
 ORACLE_ORC_RT = """
 SELECT count(*) AS docs,
        bit_xor(CAST(('0x' || substring(md5(
@@ -4686,6 +4738,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anomaly_zscore_events": anomaly_zscore_events,
     "partitioned_pruning_revenue": partitioned_pruning_revenue,
     "orc_roundtrip_checksum": orc_roundtrip_checksum,
+    "overlay_roundtrip_checksum": overlay_roundtrip_checksum,
     "quality_classifier_score": quality_classifier_score,
     "domain_mixture_sample": domain_mixture_sample,
     "streaming_session_counts": streaming_session_counts,
@@ -4803,6 +4856,7 @@ ORACLES: dict[str, str] = {
     "anomaly_zscore_events": ORACLE_ZSCORE,
     "partitioned_pruning_revenue": ORACLE_PART_PRUNE,
     "orc_roundtrip_checksum": ORACLE_ORC_RT,
+    "overlay_roundtrip_checksum": ORACLE_OVERLAY_RT,
     "quality_classifier_score": ORACLE_QUALITY_CLF,
     "domain_mixture_sample": ORACLE_MIXTURE,
     "streaming_session_counts": ORACLE_STREAM_SESSIONS,

@@ -121,6 +121,9 @@ EXTENDED = [
     "mad_outlier_events",
     "schema_evolution_union",
     "recursive_copurchase_reach",  # iterative BFS since round 3
+    "overlay_roundtrip_checksum",
+    "number_boundaries_suite",
+    "bm25_search",
 ]
 
 
