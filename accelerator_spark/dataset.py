@@ -261,6 +261,21 @@ class Dataset:
             data_dir = os.path.join(path, "data")
             observed.write.mode("overwrite").parquet(data_dir)
             row = obs.get
+            # duplicate overlay keys would multiply rows at read time
+            # while the manifest claims the parent's line count — refuse
+            # (tiny agg over the just-written overlay columns only)
+            spark = new_cols.sparkSession
+            chk = spark.read.parquet(data_dir).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(F.col(key)).alias("nd"),
+                F.count(F.when(F.col(key).isNull(), 1)).alias("nnull"),
+            ).collect()[0]
+            if chk["nd"] + chk["nnull"] != chk["n"]:
+                raise ValueError(
+                    f"write_overlay: new_cols key {key!r} is not unique "
+                    f"({chk['n']} rows, {chk['nd']} distinct non-null + "
+                    f"{chk['nnull']} null) — a read-time join would "
+                    "multiply rows")
             mm = {c: [_json_safe(row[f"__min_{c}"]), _json_safe(row[f"__max_{c}"])]
                   for c in mm_cols}
             new_col_types = {
@@ -279,8 +294,11 @@ class Dataset:
             "created": time.time(),
             "caption": caption,
             "filename": None,
+            # an overlay that SHADOWS or excludes the hashlabel column
+            # invalidates the parent's co-partitioning claim (the values
+            # come from the join, not the parent's hash layout)
             "hashlabel": (parent_ds.hashlabel
-                          if parent_ds.hashlabel not in set(exclude) else None),
+                          if parent_ds.hashlabel not in shadowed else None),
             "parent": parent_ds.path,
             "overlay": overlay_meta,
             "virtual": virtual or {},

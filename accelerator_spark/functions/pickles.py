@@ -37,6 +37,17 @@ PROTOCOL = 4  # matches the reference (dsutil.py:146 pickle_dumps(o, 4))
 
 @pandas_udf("binary")
 def _dumps(s: pd.Series) -> pd.Series:
+    # the pd.Series hint satisfies the UDF type checker; at runtime a
+    # StructType input still arrives as a pd.DataFrame (verified) and
+    # takes the row-dict branch below
+    # StructType input arrives as a pandas DataFrame (one column per
+    # field) — pickle each row as a dict, like the reference pickles
+    # whatever object the method wrote
+    if isinstance(s, pd.DataFrame):
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        return s.apply(lambda r: pickle.dumps(r.to_dict(), PROTOCOL),
+                       axis=1)
     # na_action: a NULL cell stays NULL (not a pickled None)
     return s.map(lambda v: pickle.dumps(v, PROTOCOL), na_action="ignore")
 

@@ -114,8 +114,12 @@ def winsorize(df: DataFrame, value_col: str, group_cols: list[str],
         e = F.col(c).eqNullSafe(F.col(f"_g_{c}"))
         cond = e if cond is None else cond & e
     out = df.join(F.broadcast(cuts), cond, "left")
-    clamped = F.coalesce(
-        F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi")),
-        F.col(value_col))
+    # NULL values stay NULL (greatest/least skip NULLs, which would
+    # otherwise fabricate the lower cut point for a NULL input)
+    clamped = F.when(F.col(value_col).isNull(), F.lit(None)).otherwise(
+        F.coalesce(
+            F.least(F.greatest(F.col(value_col), F.col("_lo")),
+                    F.col("_hi")),
+            F.col(value_col)))
     return (out.withColumn(f"{value_col}_winsor", clamped)
             .drop("_lo", "_hi", *[f"_g_{c}" for c in group_cols]))

@@ -148,7 +148,13 @@ def heavy_hitters(df: DataFrame, key_col: str, threshold: int) -> DataFrame:
     partition layout (the candidate superset varies, the verified answer
     does not). NULL keys follow SQL GROUP BY semantics: nulls are
     counted as one key (tracked explicitly — pandas value_counts drops
-    NaN) and the verification join is null-safe."""
+    NaN) and the verification join is null-safe.
+
+    Caveat: for FLOAT/DOUBLE key columns, Arrow->pandas renders both
+    NULL and NaN as NaN, so a NaN key is conflated with NULL in the
+    candidate pass and dropped by the null-safe join (Spark's groupBy
+    counts NaN separately). Cast float keys to string/int first —
+    float equality keys are a modeling smell anyway."""
     nparts = df.rdd.getNumPartitions()
     local_min = max(1, math.ceil(threshold / max(nparts, 1)))
     key_type = dict(df.dtypes)[key_col]

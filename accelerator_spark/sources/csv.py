@@ -146,7 +146,7 @@ def _read_lines(spark: SparkSession, path: str, encoding: str) -> DataFrame:
         return (
             raw.join(F.broadcast(offsets), "_pid")
             .withColumn("_lineno", F.col("_idx") + F.col("_off") + 1)
-            .drop("_pid", "_idx", "_mono")
+            .drop("_pid", "_idx", "_mono", "_off")
         )
 
     def _decode(batches: Iterator) -> Iterator:
@@ -161,13 +161,29 @@ def _read_lines(spark: SparkSession, path: str, encoding: str) -> DataFrame:
                 if lines and lines[-1] == "":
                     lines = lines[:-1]  # terminator after last line
                 yield pd.DataFrame({
+                    "_path": row["path"],
                     "value": lines,
-                    "_lineno": range(1, len(lines) + 1),
+                    "_in_file": range(1, len(lines) + 1),
                 })
 
-    return (spark.read.format("binaryFile").load(path)
-            .select("content")
-            .mapInPandas(_decode, schema="value string, _lineno long"))
+    per_file = (spark.read.format("binaryFile").load(path)
+                .select("path", "content")
+                .mapInPandas(_decode,
+                             schema="_path string, value string, "
+                                    "_in_file long"))
+    # globally dense linenos across files (path order), same offset
+    # pattern as the UTF-8 branch — one row per FILE in the tiny frame
+    counts = per_file.groupBy("_path").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = counts.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_n").over(
+                W.orderBy("_path").rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0)),
+    ).select("_path", "_off")
+    return (per_file.join(F.broadcast(offsets), "_path")
+            .withColumn("_lineno", F.col("_in_file") + F.col("_off"))
+            .drop("_path", "_in_file", "_off"))
 
 
 def _read_header(
@@ -195,8 +211,31 @@ def _read_header(
         if allow_extra_empty:
             while labels and labels[-1] == "":
                 labels.pop()
+        if not labels:
+            raise CsvImportError(f"label line has no labels: {v!r}")
         return labels, i + 1
     raise CsvImportError(f"no label line after skipping {skip_lines}")
+
+
+def _jvm_split(body: DataFrame, separator: str, n: int,
+               allow_extra_empty: bool) -> DataFrame:
+    """JVM-side field split (+_ok field-count check) for lines that need
+    no quote parsing. Columns in: value, _lineno; out: +_f, +_ok."""
+    line = F.col("value")
+    if separator == "":
+        fields = F.array(line)
+    else:
+        # split with -1 limit keeps trailing empty fields
+        fields = F.split(line, _rx_escape(separator), -1)
+    body = body.withColumn("_f", fields)
+    if allow_extra_empty:
+        extras_ok = F.expr(
+            f"size(_f) > {n} and "
+            f"forall(slice(_f, {n + 1}, size(_f)), x -> x = '')")
+        body = body.withColumn(
+            "_f", F.when(extras_ok, F.slice("_f", 1, n))
+                   .otherwise(F.col("_f")))
+    return body.withColumn("_ok", F.size("_f") == n)
 
 
 def csvimport(
@@ -238,6 +277,10 @@ def csvimport(
             .option("charset", encoding)
             .option("header", hdr)
             .option("inferSchema", False)
+            # reference contract: a wrong-field-count line FAILS the
+            # import unless allow_bad (which routes to the text path) —
+            # never silently pad/truncate
+            .option("mode", "FAILFAST")
         )
         if labels:
             reader = reader.schema(
@@ -301,24 +344,22 @@ def csvimport(
                     "_ok": out_ok,
                 })
 
-        body = body.mapInPandas(
+        # HYBRID dispatch: a line with no quote char tokenizes exactly
+        # like a plain split, so only quote-BEARING lines pay the Python
+        # tokenizer; the common quote-free case stays JVM-side (whole-
+        # stage codegen), keeping the hot path off Python even though
+        # quotes default to '"'.
+        has_quote = F.col("value").contains(qchars[0])
+        for qc in qchars[1:]:
+            has_quote = has_quote | F.col("value").contains(qc)
+        quoted = body.filter(has_quote).mapInPandas(
             _tok,
             schema="value string, _lineno long, _f array<string>, _ok boolean")
+        plain = _jvm_split(body.filter(~has_quote), separator, n,
+                           allow_extra_empty)
+        body = plain.unionByName(quoted)
     else:
-        if separator == "":
-            fields = F.array(line)
-        else:
-            # split with -1 limit keeps trailing empty fields
-            fields = F.split(line, _rx_escape(separator), -1)
-        body = body.withColumn("_f", fields)
-        if allow_extra_empty:
-            extras_ok = F.expr(
-                f"size(_f) > {n} and "
-                f"forall(slice(_f, {n + 1}, size(_f)), x -> x = '')")
-            body = body.withColumn(
-                "_f", F.when(extras_ok, F.slice("_f", 1, n))
-                       .otherwise(F.col("_f")))
-        body = body.withColumn("_ok", F.size("_f") == n)
+        body = _jvm_split(body, separator, n, allow_extra_empty)
 
     good = body.filter(F.col("_ok"))
     bad_df = body.filter(~F.col("_ok")).select(

@@ -168,3 +168,14 @@ def test_pickle_column_roundtrip(spark, tmp_path):
 
     it = iterate_objects(back, ["p"], use, "id int, x int")
     assert {r["id"]: r["x"] for r in it.collect()} == {1: 10, 2: 20, 3: -1}
+
+
+def test_pickle_struct_column(spark):
+    from accelerator_spark.functions.pickles import pickle_col, unpickle_col
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "x int, y string")
+    blob = df.select(pickle_col(F.struct("x", "y")).alias("p"))
+    back = blob.select(
+        unpickle_col("p", "string", transform=lambda o: f"{o['x']}{o['y']}")
+        .alias("s"))
+    assert sorted(r["s"] for r in back.collect()) == ["1a", "2b"]

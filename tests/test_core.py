@@ -227,3 +227,31 @@ def test_overlay_pure_virtual_zero_bytes(spark, sf_dir, tmp_path):
     assert not os.path.exists(str(tmp_path / "ov" / "data"))
     got = ov.df(spark)
     assert got.filter(F.col("key2") != F.col("n_nationkey") * 2).count() == 0
+
+
+def test_overlay_duplicate_keys_refused(spark, sf_dir, tmp_path):
+    import pytest
+    nation = load(spark, sf_dir, "nation")
+    base = Dataset.write(nation, str(tmp_path / "base"))
+    dup = nation.select("n_nationkey").union(
+        nation.select("n_nationkey").limit(1)).withColumn(
+        "extra", F.lit(1))
+    with pytest.raises(ValueError, match="not unique"):
+        Dataset.write_overlay(str(tmp_path / "ov"), base,
+                              new_cols=dup, key="n_nationkey")
+
+
+def test_overlay_shadowed_hashlabel_cleared(spark, sf_dir, tmp_path):
+    nation = load(spark, sf_dir, "nation")
+    base = Dataset.write(nation, str(tmp_path / "base"),
+                         hashlabel="n_regionkey")
+    override = nation.select(
+        "n_nationkey", (F.col("n_regionkey") + 100).alias("n_regionkey"))
+    ov = Dataset.write_overlay(str(tmp_path / "ov"), base,
+                               new_cols=override, key="n_nationkey")
+    # overriding the hashlabel column invalidates the claim
+    assert ov.hashlabel is None
+    ov2 = Dataset.write_overlay(
+        str(tmp_path / "ov2"), base,
+        virtual={"z": "n_nationkey + 1"})
+    assert ov2.hashlabel == "n_regionkey"  # untouched -> inherited

@@ -375,3 +375,52 @@ def test_cc_strict_failures(spark, tmp_path):
         with pytest.raises(CsvImportError):
             # comment forces the text path, like the reference's default
             csvimport(spark, p, comment="\x01")
+
+
+def test_native_labels_failfast_on_wrong_count(spark, tmp_path):
+    """Native path with explicit labels must FAIL on wrong field count
+    (reference contract), not silently pad/truncate."""
+    p = _write(tmp_path, "t.csv", "1,2,3\n4,5\n")
+    res = csvimport(spark, p, labels=["a", "b", "c"])
+    with pytest.raises(Exception):
+        # collect, not count: Spark's CSV count() fast-path skips field
+        # parsing entirely and would never hit the malformed record
+        res.default.collect()
+
+
+def test_header_all_empty_labels_raises(spark, tmp_path):
+    p = _write(tmp_path, "t.csv", ",,,\n1,2,3,4\n")
+    with pytest.raises(CsvImportError):
+        csvimport(spark, p, allow_extra_empty=True, allow_bad=True)
+
+
+def test_multifile_latin1_dense_linenos(spark, tmp_path):
+    """Non-UTF8 multi-file import: linenos are globally dense across
+    files in path order, so skip/header/bad linenos stay unambiguous."""
+    d = tmp_path / "many"
+    d.mkdir()
+    for i, name in enumerate(["a.csv", "b.csv"]):
+        with open(d / name, "wb") as f:
+            body = "".join(f"f{i}r{j}\xff{j}\n" for j in range(3))
+            f.write(body.encode("iso-8859-1"))
+    res = csvimport(spark, str(d / "*.csv"), separator="\xff",
+                    labels=["x", "y"], encoding="iso-8859-1",
+                    lineno_label="ln", allow_bad=True)
+    rows = sorted((r["ln"], r["x"]) for r in res.default.collect())
+    assert [ln for ln, _ in rows] == [1, 2, 3, 4, 5, 6]
+    assert [x for _, x in rows] == [
+        "f0r0", "f0r1", "f0r2", "f1r0", "f1r1", "f1r2"]
+
+
+def test_quote_free_lines_stay_jvm(spark, tmp_path):
+    """Hybrid dispatch: with default quotes, a quote-free file's plan
+    has a Python stage only on the (empty) quote-bearing branch — the
+    split branch is JVM-side."""
+    p = _write(tmp_path, "t.csv", "a,b\n1,2\n3,4\n")
+    res = csvimport(spark, p, allow_bad=True)
+    plan = res.default._jdf.queryExecution().executedPlan().toString()
+    # the union has exactly one Arrow stage (the quoted branch);
+    # the plain branch shows the JVM split
+    assert plan.count("MapInPandas") == 1
+    assert "split(" in plan
+    assert res.default.count() == 2

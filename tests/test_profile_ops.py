@@ -125,3 +125,13 @@ def test_winsorize_keeps_null_group_rows(spark):
     assert nulls.count() == 100
     mx = nulls.agg(F.max("v_winsor")).collect()[0][0]
     assert mx < 100.0  # actually clamped, not passed through
+
+
+def test_winsorize_null_values_stay_null(spark):
+    from accelerator_spark.operators.analytics import winsorize
+    rows = [("g", float(i)) for i in range(1, 101)] + [("g", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize(df, "v", ["g"])
+    assert out.count() == 101
+    nulls = out.filter(F.col("v").isNull()).collect()
+    assert len(nulls) == 1 and nulls[0]["v_winsor"] is None
