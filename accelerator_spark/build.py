@@ -236,14 +236,21 @@ class BuildContext:
         os.makedirs(jobdir, exist_ok=True)
 
         result = fn(self.spark, datasets, options)
-        if isinstance(result, DataFrame):
+        if isinstance(result, DataFrame) or callable(result):
             result = {"default": result}
         elif result is None:
             result = {}
         outputs: dict[str, str] = {}
         artifacts: dict[str, Any] = {}
         for name, val in result.items():
-            if isinstance(val, DataFrame):
+            if callable(val) and not isinstance(val, DataFrame):
+                # writer callable: the step controls the write itself
+                # (overlay/bucketed/custom) — the reference's
+                # job.datasetwriter(parent=...) shape. Receives the
+                # output path, must return a Dataset.
+                ds = val(os.path.join(jobdir, name))
+                outputs[name] = ds.path
+            elif isinstance(val, DataFrame):
                 path = os.path.join(jobdir, name)
                 Dataset.write(
                     val, path,

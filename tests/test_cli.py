@@ -234,3 +234,20 @@ def test_board_server_endpoints(workdir):
             assert e.code == 404
     finally:
         srv.shutdown()
+
+
+def test_run_append_column_example(spark, tmp_path):
+    """examples/append_column.py (the reference's appendcolumn example
+    as a zero-copy overlay) runs end-to-end through asx run."""
+    import os
+    from accelerator_spark.cli import main as cli_main
+    from accelerator_spark.dataset import Dataset
+
+    wd = str(tmp_path / "wd")
+    rc = cli_main(["run", wd,
+                   os.path.join(os.path.dirname(__file__), "..",
+                                "examples", "append_column.py")])
+    assert rc == 0
+    ov = Dataset.load(os.path.join(wd, "append_price_band-0", "default"))
+    assert ov.manifest["parent"].endswith("import_parts-0/default")
+    assert "scaled_price" in ov.columns and "is_premium" in ov.columns
