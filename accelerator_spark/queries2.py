@@ -313,7 +313,11 @@ def hypertable_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (hourly.groupBy(F.to_date("hour").alias("day"))
             .agg(F.sum("cnt").alias("n_events"),
                  F.round(F.sum("sv"), 2).alias("sum_value"),
-                 F.round(F.sum("sv") / F.sum("cnt"), 4).alias("avg_value"),
+                 # avg derives from the ROUNDED sum so both engines round
+                 # identical inputs (a raw-sum avg is a 4dp knife edge
+                 # under differing summation order — seen at sf0.001)
+                 F.round(F.round(F.sum("sv"), 2) / F.sum("cnt"), 4)
+                 .alias("avg_value"),
                  F.round(F.min("mn"), 4).alias("min_value"),
                  F.round(F.max("mx"), 4).alias("max_value"))
             .withColumn("day", F.date_format("day", "yyyy-MM-dd"))
@@ -324,7 +328,7 @@ ORACLE_HYPERTABLE = """
 SELECT strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d') AS day,
        count(*) AS n_events,
        round(sum(value), 2) AS sum_value,
-       round(sum(value) / count(*), 4) AS avg_value,
+       round(round(sum(value), 2) / count(*), 4) AS avg_value,
        round(min(value), 4) AS min_value,
        round(max(value), 4) AS max_value
 FROM events GROUP BY 1 ORDER BY 1
@@ -1895,7 +1899,7 @@ WITH samp AS (
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, round(f_mean, 2) AS full_mean, f_n, s_n,
-       TRUE AS sample_within_2pct
+       abs(s_mean - f_mean) <= 0.02 * f_mean AS sample_within_2pct
 FROM full_t JOIN samp USING (l_returnflag) ORDER BY l_returnflag
 """
 

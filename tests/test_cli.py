@@ -251,3 +251,25 @@ def test_run_append_column_example(spark, tmp_path):
     ov = Dataset.load(os.path.join(wd, "append_price_band-0", "default"))
     assert ov.manifest["parent"].endswith("import_parts-0/default")
     assert "scaled_price" in ov.columns and "is_premium" in ov.columns
+
+
+def test_run_import_csv_example(spark, tmp_path):
+    """examples/import_csv.py (reference dsexample-import_csv /
+    tutorial02): import -> type -> sort -> hashpart, bad rows captured
+    at both stages."""
+    import os
+    from accelerator_spark.cli import main as cli_main
+    from accelerator_spark.dataset import Dataset
+
+    wd = str(tmp_path / "wd")
+    rc = cli_main(["run", wd,
+                   os.path.join(os.path.dirname(__file__), "..",
+                                "examples", "import_csv.py")])
+    assert rc == 0
+    typed = Dataset.load(os.path.join(wd, "type_it-0", "default"))
+    assert typed.lines == 4  # the not-a-date row went to bad
+    assert Dataset.load(os.path.join(wd, "type_it-0", "bad")).lines == 1
+    final = Dataset.load(os.path.join(wd, "hashpart_it-0", "default"))
+    assert final.hashlabel == "String"
+    assert final.columns["Date"] == "date"
+    assert final.columns["Int"] == "double"  # number -> double (FIXTURES §1)

@@ -238,3 +238,57 @@ def test_winsorize_bounds_and_interior_identity(spark, vals):
         assert lo <= r["v_winsor"] <= hi
         if lo < r["v"] < hi:
             assert r["v_winsor"] == r["v"]
+
+
+# --- csv tokenizer round-trip (pure Python, no Spark job per example) ---
+
+_field_chars = st.text(
+    alphabet=list("abc,;'\"| \t0\xff"), min_size=0, max_size=8)
+
+
+@settings(max_examples=300, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(fields=st.lists(_field_chars, min_size=1, max_size=5),
+       sep=st.sampled_from([",", ";", "|", "\t", "\x00", "\xff"]),
+       quote=st.sampled_from(["'", '"', True]))
+def test_tokenizer_quote_roundtrip(fields, sep, quote):
+    """Writing fields with reference quoting (wrap + double internal
+    quotes) then tokenizing must reproduce them exactly — for any
+    separator, either quote kind, and quotes=True (both kinds)."""
+    from accelerator_spark.sources.csv import _tokenize
+
+    q = "'" if quote is True else quote
+    qchars = "'\"" if quote is True else quote
+    line = sep.join(q + f.replace(q, q + q) + q for f in fields)
+    got = _tokenize(line, sep, qchars)
+    assert got == fields, (line, got, fields)
+
+
+@settings(max_examples=300, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(fields=st.lists(
+    st.text(alphabet=list("abc 0xyz.-"), min_size=0, max_size=8)
+    .filter(lambda s: not s.startswith(("'", '"'))),
+    min_size=1, max_size=5),
+    sep=st.sampled_from([",", ";", "|", "\x00"]))
+def test_tokenizer_unquoted_roundtrip(fields, sep):
+    """Unquoted fields (no leading quote char, no separator inside)
+    split exactly, matching the JVM split branch's semantics."""
+    from accelerator_spark.sources.csv import _tokenize
+
+    line = sep.join(fields)
+    got = _tokenize(line, sep, "'\"")
+    assert got == fields, (line, got, fields)
+
+
+@settings(max_examples=200, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(junk=st.text(alphabet=list("a'\",;x"), min_size=1, max_size=12),
+       sep=st.sampled_from([",", ";"]))
+def test_tokenizer_never_crashes_and_bad_is_none(junk, sep):
+    """Arbitrary quote soup either tokenizes or returns None (bad line)
+    — never raises, never returns a non-list."""
+    from accelerator_spark.sources.csv import _tokenize
+
+    got = _tokenize(junk, sep, "'\"")
+    assert got is None or isinstance(got, list)
