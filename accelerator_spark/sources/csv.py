@@ -254,6 +254,7 @@ def csvimport(
     strip_labels: bool = False,
     encoding: str = "utf-8",
     allow_extra_empty: bool = False,
+    multiline: bool = False,
 ) -> CsvImportResult:
     """Import CSV to an all-string DataFrame (+ bad/skipped capture).
 
@@ -262,6 +263,20 @@ def csvimport(
     raises :class:`CsvImportError` (the reference fails the job)."""
     qchars = ("'\"" if quotes is True else (quotes or ""))
     exotic_quotes = quotes is True
+    if multiline:
+        # quoted fields may embed line terminators: records are no
+        # longer line-delimited, so the text path cannot apply — the
+        # native reader parses whole records (multiLine scans are
+        # per-file parallel, not per-split; reference values cannot
+        # contain the record terminator at all, so this is new surface)
+        bad_opts = (allow_bad or comment is not None or skip_lines
+                    or skip_empty_lines or lineno_label or exotic_quotes
+                    or allow_extra_empty or len(separator) != 1)
+        if bad_opts:
+            raise ValueError(
+                "multiline=True supports only the native reader options "
+                "(single-char separator, single quote char, no bad/"
+                "comment/skip/lineno capture)")
     use_text_path = (
         len(separator) != 1 or allow_bad or comment is not None
         or skip_lines or skip_empty_lines or lineno_label
@@ -277,6 +292,7 @@ def csvimport(
             .option("charset", encoding)
             .option("header", hdr)
             .option("inferSchema", False)
+            .option("multiLine", multiline)
             # reference contract: a wrong-field-count line FAILS the
             # import unless allow_bad (which routes to the text path) —
             # never silently pad/truncate
@@ -436,6 +452,9 @@ def csvexport(
         .option("sep", separator)
         .option("header", header)
         .option("quoteAll", quote_all)
+        # standard CSV quote-doubling, not backslash escapes — matches
+        # csvimport's tokenizer and the reference's quoting
+        .option("escape", '"')
         .option("emptyValue", "")
     )
     if gzip:

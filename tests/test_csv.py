@@ -424,3 +424,39 @@ def test_quote_free_lines_stay_jvm(spark, tmp_path):
     assert plan.count("MapInPandas") == 1
     assert "split(" in plan
     assert res.default.count() == 2
+
+
+def test_export_roundtrip_pathological_values(spark, tmp_path):
+    """csvexport quoting parity (reference a_test_csvexport_quoting.py):
+    embedded separators, quotes, and newlines survive an export->import
+    round trip under lazy quoting."""
+    rows = [("a,b", 'he said "hi"', "line1\nline2"),
+            ("", "plain", "trailing,comma,"),
+            ("'single'", '""', ",")]
+    src = spark.createDataFrame(rows, "x string, y string, z string")
+    out = str(tmp_path / "rt")
+    csvexport(src, out)
+    # embedded newlines make records span lines: multiline import
+    back = csvimport(spark, out + "/*.csv", multiline=True).default
+    got = sorted(tuple(r) for r in back.collect())
+    assert got == sorted(rows)
+
+
+def test_export_chain_roundtrip(spark, sf_dir, tmp_path):
+    """Chain export (reference csvexport chains): a 3-batch chain unions
+    through chain_df and exports as one CSV whose re-import equals the
+    union."""
+    from accelerator_spark.dataset import Dataset
+
+    src = load(spark, sf_dir, "nation")
+    prev = None
+    for i in range(3):
+        part = src.filter(F.col("n_nationkey") % 3 == i)
+        prev = Dataset.write(part, str(tmp_path / f"b{i}"), previous=prev)
+    chain = prev.chain_df(spark)
+    out = str(tmp_path / "chain_csv")
+    csvexport(chain, out)
+    back = csvimport(spark, out + "/*.csv").default
+    typed = back.select(F.col("n_nationkey").cast("bigint"), "n_name",
+                        F.col("n_regionkey").cast("bigint"))
+    assert datasets_equal(src, typed)
