@@ -118,14 +118,20 @@ def _trim_extra_empty(fields: list[str], n: int) -> list[str]:
     return fields
 
 
-def _read_lines(spark: SparkSession, path: str, encoding: str) -> DataFrame:
+def _read_lines(spark: SparkSession, path: str, encoding: str,
+                newline: str = "") -> DataFrame:
     """Lines DataFrame with 1-based dense file-order ``_lineno``.
 
     UTF-8: distributed text scan + per-split offset arithmetic (see
     module docstring). Other encodings: binaryFile + per-file decode
-    (files are the parallel unit)."""
+    (files are the parallel unit). ``newline``: custom record
+    terminator (reference csvimport ``newline=`` — any byte); ""
+    means universal (\n, \r\n, \r)."""
     if encoding.lower().replace("-", "") in ("utf8", "ascii", "usascii"):
-        raw = spark.read.text(path).withColumn(
+        reader = spark.read
+        if newline:
+            reader = reader.option("lineSep", newline)
+        raw = reader.text(path).withColumn(
             "_mono", F.monotonically_increasing_id()
         )
         raw = raw.withColumn(
@@ -157,7 +163,11 @@ def _read_lines(spark: SparkSession, path: str, encoding: str) -> DataFrame:
         for pdf in batches:
             for _, row in pdf.iterrows():
                 text = bytes(row["content"]).decode(encoding)
-                lines = re.split("\r\n|\r|\n", text)
+                if newline:
+                    # custom terminator: \n etc. inside values is DATA
+                    lines = text.split(newline)
+                else:
+                    lines = re.split("\r\n|\r|\n", text)
                 if lines and lines[-1] == "":
                     lines = lines[:-1]  # terminator after last line
                 yield pd.DataFrame({
@@ -255,6 +265,7 @@ def csvimport(
     encoding: str = "utf-8",
     allow_extra_empty: bool = False,
     multiline: bool = False,
+    newline: str = "",
 ) -> CsvImportResult:
     """Import CSV to an all-string DataFrame (+ bad/skipped capture).
 
@@ -298,6 +309,8 @@ def csvimport(
             # never silently pad/truncate
             .option("mode", "FAILFAST")
         )
+        if newline:
+            reader = reader.option("lineSep", newline)
         if labels:
             reader = reader.schema(
                 ", ".join(f"`{l}` string" for l in labels))
@@ -309,7 +322,7 @@ def csvimport(
         return CsvImportResult(default=_relabel(df, rename, discard, strip_labels))
 
     # ---- text fallback path (exact reference semantics) ----
-    raw = _read_lines(spark, path, encoding)
+    raw = _read_lines(spark, path, encoding, newline)
 
     if labels is None:
         head = [r["value"] for r in

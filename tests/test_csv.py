@@ -460,3 +460,20 @@ def test_export_chain_roundtrip(spark, sf_dir, tmp_path):
     typed = back.select(F.col("n_nationkey").cast("bigint"), "n_name",
                         F.col("n_regionkey").cast("bigint"))
     assert datasets_equal(src, typed)
+
+
+@pytest.mark.parametrize("nl_i,sep_i", [(0xfe, 44), (0x00, 9), (0xff, 0)])
+def test_custom_newline_bytes(spark, tmp_path, nl_i, sep_i):
+    """Reference csvimport newline= option: ANY byte terminates records
+    (a_test_csvimport_separators.py sweeps \\n, \\r\\n, \\r, 0xfe);
+    real \\n inside values is then ordinary data."""
+    nl, sep = chr(nl_i), chr(sep_i)
+    data = [["a", "b"], ["1", "x\ny"], ["2", "z"]]
+    text = nl.join(sep.join(r) for r in data) + nl
+    p = _write_bytes(tmp_path, f"nl{nl_i}.csv", text.encode("iso-8859-1"))
+    res = csvimport(spark, p, separator=sep, newline=nl,
+                    encoding="iso-8859-1", allow_bad=True, quotes=None)
+    assert res.default.columns == ["a", "b"]
+    got = sorted(tuple(r) for r in res.default.collect())
+    assert got == [("1", "x\ny"), ("2", "z")]
+    assert res.bad.count() == 0
