@@ -115,11 +115,11 @@ def winsorize(df: DataFrame, value_col: str, group_cols: list[str],
         cond = e if cond is None else cond & e
     out = df.join(F.broadcast(cuts), cond, "left")
     # NULL values stay NULL (greatest/least skip NULLs, which would
-    # otherwise fabricate the lower cut point for a NULL input)
+    # otherwise fabricate the lower cut point for a NULL input). A row
+    # with no cut points (missed left join) keeps its value: greatest/
+    # least SKIP the NULL bounds rather than propagating them.
     clamped = F.when(F.col(value_col).isNull(), F.lit(None)).otherwise(
-        F.coalesce(
-            F.least(F.greatest(F.col(value_col), F.col("_lo")),
-                    F.col("_hi")),
-            F.col(value_col)))
+        F.least(F.greatest(F.col(value_col), F.col("_lo")),
+                F.col("_hi")))
     return (out.withColumn(f"{value_col}_winsor", clamped)
             .drop("_lo", "_hi", *[f"_g_{c}" for c in group_cols]))

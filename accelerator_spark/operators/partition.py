@@ -184,6 +184,42 @@ def per_key_sample(df: DataFrame, key: str, n: int, id_col: str) -> DataFrame:
     )
 
 
+_BUCKETABLE = {"tinyint", "smallint", "int", "bigint", "float", "double",
+               "date", "timestamp", "boolean"}
+
+
+def _require_bucketable(df, col: str, op: str) -> None:
+    """Value-range bucketing needs a numeric/temporal column: a string
+    column would cast('double') to NULL everywhere and SILENTLY collapse
+    the operator into one bucket (a single-task sort) — fail fast
+    instead (review r3: the None-guard must not mask misuse)."""
+    t = dict(df.dtypes).get(col)
+    base = (t or "").split("(")[0]
+    if base not in _BUCKETABLE and not base.startswith("decimal"):
+        raise TypeError(
+            f"{op}: column {col!r} has type {t!r} — value-range "
+            "bucketing needs a numeric/temporal column (cast or derive "
+            "a sortable numeric key first)")
+
+
+def _quantile_bucket_col(df, col: str, bounds, strict_less: bool):
+    """Bucket index column from percentile_approx boundaries; NULL/empty
+    boundaries (all-null or empty input) degenerate to one bucket.
+    Shared by zorder_layout and assign_global_ids so the degenerate-
+    input policy is single-sourced."""
+    from pyspark.sql import functions as F
+
+    vals = [float(v) for v in (bounds or []) if v is not None]
+    if not vals:
+        return F.lit(0).cast("long")
+    arr = F.array(*[F.lit(v) for v in vals])
+    if strict_less:
+        pred = lambda b: b < F.col(col).cast("double")  # noqa: E731
+    else:
+        pred = lambda b: b <= F.col(col).cast("double")  # noqa: E731
+    return F.size(F.filter(arr, pred)).cast("long")
+
+
 def zorder_layout(df, cols: list[str], bits: int = 8,
                   num_partitions: int | None = None):
     """Multi-dimensional data-skipping layout: cluster rows along a
@@ -207,6 +243,8 @@ def zorder_layout(df, cols: list[str], bits: int = 8,
     dimensions. Rewrite cost: one stats agg + one range shuffle."""
     from pyspark.sql import functions as F
 
+    for c in cols:
+        _require_bucketable(df, c, "zorder_layout")
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     bins = 1 << bits
     fracs = F.array(*[F.lit(i / bins) for i in range(1, bins)])
@@ -218,15 +256,9 @@ def zorder_layout(df, cols: list[str], bits: int = 8,
     rank_cols = []
     for c in cols:
         rc = f"_r_{c}"
-        # percentile_approx yields NULL boundaries on all-null/empty
-        # columns — such a dimension degenerates to one bucket (rank 0)
-        vals = [float(v) for v in (bounds_row[c] or []) if v is not None]
-        if vals:
-            arr = F.array(*[F.lit(v) for v in vals])
-            out = out.withColumn(rc, F.size(F.filter(
-                arr, lambda b: b <= F.col(c).cast("double"))).cast("long"))
-        else:
-            out = out.withColumn(rc, F.lit(0).cast("long"))
+        out = out.withColumn(
+            rc, _quantile_bucket_col(df, c, bounds_row[c],
+                                     strict_less=False))
         rank_cols.append(rc)
     d_count = len(rank_cols)
     z = F.lit(0).cast("long")
@@ -264,6 +296,7 @@ def assign_global_ids(df, order_col: str, id_col: str = "row_id",
     """
     from pyspark.sql import Window, functions as F
 
+    _require_bucketable(df, order_col, "assign_global_ids")
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     if n > 1:
         fracs = F.array(*[F.lit(i / n) for i in range(1, n)])
@@ -272,16 +305,11 @@ def assign_global_ids(df, order_col: str, id_col: str = "row_id",
         ).collect()[0]["b"]
     else:
         bounds = None
-    # NULL boundaries (all-null/empty column) or n<=1 degenerate to a
-    # single bucket — a plain row_number, correct for tiny/degenerate
-    # inputs
-    vals = [float(v) for v in (bounds or []) if v is not None]
-    if vals:
-        arr = F.array(*[F.lit(v) for v in vals])
-        bucketed = df.withColumn("_bkt", F.size(F.filter(
-            arr, lambda b: b < F.col(order_col).cast("double"))))
-    else:
-        bucketed = df.withColumn("_bkt", F.lit(0))
+    # NULL boundaries (all-null/empty input) or n<=1 degenerate to a
+    # single bucket — a plain row_number, correct for tiny inputs
+    bucketed = df.withColumn(
+        "_bkt", _quantile_bucket_col(df, order_col, bounds,
+                                     strict_less=True))
     sizes = {r["_bkt"]: r["c"] for r in
              bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("c")).collect()}
     offsets, acc = {}, 0

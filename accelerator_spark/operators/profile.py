@@ -66,7 +66,11 @@ def check_constraints(df: DataFrame,
     - unique: one groupBy per column list (rows beyond the first per
       key are violations).
     - foreign_keys: (col, dim_df, dim_col) left-anti against the dim
-      (broadcast when small — Catalyst decides).
+      (broadcast when small — Catalyst decides). Semantics: a violation
+      is a NON-NULL fact key with no matching NON-NULL dim key (NULLs
+      on either side are ignored). This deliberately differs from
+      literal SQL NOT IN, whose tri-state logic reports ZERO violations
+      the moment the dim side contains a single NULL.
     """
     def _viol_sum(cond):
         return F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
@@ -105,7 +109,8 @@ def check_constraints(df: DataFrame,
         # left_anti keeps null-key rows, diverging from the oracle)
         miss = (df.select(F.col(c).alias("_k"))
                 .filter(F.col("_k").isNotNull())
-                .join(dim_df.select(F.col(dim_c).alias("_k")).distinct(),
+                .join(dim_df.select(F.col(dim_c).alias("_k"))
+                      .filter(F.col("_k").isNotNull()).distinct(),
                       "_k", "left_anti")
                 .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
                 .select(F.lit(f"foreign_key:{c}->{dim_c}").alias("rule"),

@@ -147,42 +147,39 @@ def heavy_hitters(df: DataFrame, key_col: str, threshold: int) -> DataFrame:
     Returns columns: ``key_col``, ``cnt`` — deterministic regardless of
     partition layout (the candidate superset varies, the verified answer
     does not). NULL keys follow SQL GROUP BY semantics: nulls are
-    counted as one key (tracked explicitly — pandas value_counts drops
-    NaN) and the verification join is null-safe.
+    counted as one key and the verification join is null-safe.
 
-    Caveat: for FLOAT/DOUBLE key columns, Arrow->pandas renders both
-    NULL and NaN as NaN, so a NaN key is conflated with NULL in the
-    candidate pass and dropped by the null-safe join (Spark's groupBy
-    counts NaN separately). Cast float keys to string/int first —
-    float equality keys are a modeling smell anyway."""
+    The candidate pass counts a JVM-side STRING projection of the key,
+    never the native value: Arrow->pandas coerces int64-with-nulls to
+    float64 (silently rounding ids above 2^53) and conflates NULL with
+    NaN for float keys — a string projection is lossless for every
+    type, and the candidate values round-trip exactly because the
+    verification join compares the same cast("string") on both sides.
+    (Exception: for float keys, distinct doubles can format to distinct
+    strings 1:1, and NaN formats to "NaN" ≠ NULL — also correct.)"""
     nparts = df.rdd.getNumPartitions()
     local_min = max(1, math.ceil(threshold / max(nparts, 1)))
-    key_type = dict(df.dtypes)[key_col]
 
     def _local(batches: Iterator) -> Iterator:
         import pandas as pd
         c: Counter = Counter()
-        dtype = object
         n_null = 0
         for pdf in batches:
-            col = pdf[key_col]
-            dtype = col.dtype
+            col = pdf["_hh_key"]
             n_null += int(col.isna().sum())
             c.update(Counter(dict(col.value_counts())))
         keys = [k for k, v in c.items() if v >= local_min]
-        out = pd.Series(keys, dtype=dtype if keys else object)
         if n_null >= local_min:
-            out = pd.concat(
-                [out.astype(object), pd.Series([None], dtype=object)],
-                ignore_index=True)
-        yield pd.DataFrame({key_col: out})
+            keys.append(None)
+        yield pd.DataFrame({"_hh_key": pd.Series(keys, dtype=object)})
 
-    cands = (df.select(key_col)
-             .mapInPandas(_local, schema=f"{key_col} {key_type}")
+    key_str = F.col(key_col).cast("string")
+    cands = (df.select(key_str.alias("_hh_key"))
+             .mapInPandas(_local, schema="_hh_key string")
              .distinct()
-             .withColumnRenamed(key_col, "_hh_cand"))
+             .withColumnRenamed("_hh_key", "_hh_cand"))
     return (df.join(F.broadcast(cands),
-                    F.col(key_col).eqNullSafe(F.col("_hh_cand")),
+                    key_str.eqNullSafe(F.col("_hh_cand")),
                     "left_semi")
             .groupBy(key_col)
             .agg(F.count(F.lit(1)).alias("cnt"))

@@ -96,3 +96,15 @@ def test_zorder_and_ids_degenerate_inputs(spark):
     empty = spark.createDataFrame([], "a double, b double")
     assert zorder_layout(empty, ["a"], bits=2, num_partitions=2).count() == 0
     assert assign_global_ids(empty, "b", num_partitions=4).count() == 0
+
+
+def test_bucketing_rejects_non_numeric_columns(spark, sf_dir):
+    """Review r3: a string order column must FAIL FAST, not silently
+    collapse into a one-bucket single-task sort."""
+    import pytest
+    from conftest import load
+    nation = load(spark, sf_dir, "nation")
+    with pytest.raises(TypeError, match="value-range bucketing"):
+        assign_global_ids(nation, "n_name")
+    with pytest.raises(TypeError, match="value-range bucketing"):
+        zorder_layout(nation, ["n_name", "n_nationkey"], bits=2)

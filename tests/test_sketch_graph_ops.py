@@ -141,3 +141,14 @@ def test_heavy_hitters_counts_null_keys(spark):
     df = spark.createDataFrame(rows, "k string").repartition(4)
     got = {r["k"]: r["cnt"] for r in heavy_hitters(df, "k", 10).collect()}
     assert got == {"x": 20, None: 15}
+
+
+def test_heavy_hitters_large_int64_keys_with_nulls(spark):
+    """Review r3: Arrow->pandas coerces int64-with-nulls to float64,
+    rounding ids above 2^53. The string-projection candidate pass must
+    keep them exact."""
+    big_key = (1 << 53) + 1  # 9007199254740993: float64 rounds it
+    rows = [(big_key,)] * 20 + [(None,)] * 12 + [(7,)] * 3
+    df = spark.createDataFrame(rows, "k long").repartition(4)
+    got = {r["k"]: r["cnt"] for r in heavy_hitters(df, "k", 10).collect()}
+    assert got == {big_key: 20, None: 12}
