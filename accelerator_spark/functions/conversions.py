@@ -71,6 +71,9 @@ _INT_RX = {
     10: r"[+-]?[0-9]+",
     16: r"[+-]?(0[xX])?[0-9a-fA-F]+",
     8: r"[+-]?[0-7]+",
+    # strtol base-0 prefix: hex, octal (0 + octal digits), or decimal —
+    # ordered so '019' extracts '01' (octal prefix) like strtol does
+    0: r"[+-]?(?:0[xX][0-9a-fA-F]+|0[0-7]*|[1-9][0-9]*)",
 }
 
 
@@ -122,7 +125,7 @@ def _float(col: Column, bits: int, ignore_trailing: bool, numeric_comma: bool) -
         s = F.regexp_replace(s, ",", ".")
     if ignore_trailing:
         s = F.regexp_extract(
-            s, r"^([+-]?(?:[0-9]*\.?[0-9]+(?:[eE][+-]?[0-9]+)?|[iI][nN][fF]\w*|[nN][aA][nN]))", 1)
+            s, r"^([+-]?(?:[0-9]*\.?[0-9]+(?:[eE][+-]?[0-9]+)?|[iI][nN][fF](?:[iI][nN][iI][tT][yY])?|[nN][aA][nN]))", 1)
         s = F.when(s == "", None).otherwise(s)
     return s.try_cast("double" if bits == 64 else "float")
 
@@ -139,7 +142,7 @@ def _floatint(col: Column, bits: int, mode: str, ignore_trailing: bool,
     hi = F.lit(2 ** (bits - 1) - 1)
     clamped = F.least(F.greatest(F.floor(f).cast("decimal(38,0)"), lo.cast("decimal(38,0)")),
                       hi.cast("decimal(38,0)"))
-    return F.when(f.isNotNull(), clamped).try_cast(tgt)
+    return F.when(f.isNotNull() & ~F.isnan(f), clamped).try_cast(tgt)
 
 
 _FALSE_SET = ["false", "0", "no", "off", "nil", "null", ""]
@@ -157,13 +160,15 @@ def _floatbool(col: Column, ignore_trailing: bool) -> Column:
 
 def _datetime(col: Column, fmt: str, timezone: str | None) -> Column:
     if fmt == "%s" or fmt == "unixtime":
+        # epoch seconds are ABSOLUTE instants: timezone never applies
+        # (to_utc_timestamp here would shift every value by the offset)
         secs = _trimmed(col).try_cast("double")
-        ts = F.timestamp_micros((secs * 1_000_000).try_cast("long"))
-    elif fmt == "javadatetime":  # ms since epoch (dataset_type.py:812-820)
+        return F.timestamp_micros((secs * 1_000_000).try_cast("long"))
+    if fmt == "javadatetime":  # ms since epoch (dataset_type.py:812-820)
         ms = _trimmed(col).try_cast("long")
-        ts = F.timestamp_millis(ms)
-    else:
-        ts = F.try_to_timestamp(_trimmed(col), F.lit(strptime_to_spark(fmt)))
+        return F.timestamp_millis(ms)
+    # wall-clock formats: timezone= names the zone the TEXT is in
+    ts = F.try_to_timestamp(_trimmed(col), F.lit(strptime_to_spark(fmt)))
     if timezone:
         ts = F.to_utc_timestamp(ts, timezone)
     return ts
@@ -180,7 +185,7 @@ def _time_us(col: Column, fmt: str) -> Column:
         F.hour(ts).cast("long") * 3_600_000_000
         + F.minute(ts).cast("long") * 60_000_000
         + F.second(ts).cast("long") * 1_000_000
-        + (F.unix_micros(ts) % 1_000_000)
+        + F.pmod(F.unix_micros(ts), F.lit(1_000_000))
     )
 
 
@@ -245,10 +250,17 @@ def convert_expr(
     if base_t.startswith(("int32_", "int64_", "bits32_", "bits64_")):
         kind, base = base_t.split("_")
         bits = int(kind[-2:])
-        v = _int_base(c, bits, int(base), ignore)
-        if kind.startswith("bits"):  # unsigned: reject negatives
-            v = F.when(v >= 0, v)
-        return v
+        if kind.startswith("bits"):
+            # unsigned: parse at 64-bit then range-check, so bits32
+            # accepts its full uint32 range (a signed int target would
+            # NULL the upper half). bits64 values in [2^63, 2^64) have
+            # no Spark integral home — documented divergence.
+            v = _int_base(c, 64, int(base), ignore)
+            hi = F.lit(2 ** 32 - 1) if bits == 32 else None
+            v = F.when((v >= 0) & (v <= hi) if hi is not None else v >= 0,
+                       v)
+            return v
+        return _int_base(c, bits, int(base), ignore)
     if base_t in ("int32", "int64"):
         return _int_base(c, int(base_t[-2:]), 10, ignore)
     if base_t == "strbool":
@@ -339,8 +351,13 @@ def dataset_type(
         expr = convert_expr(name, typ, numeric_comma=numeric_comma, timezone=timezone)
         failed = expr.isNull() & F.col(name).isNotNull()
         if name in defaults:
+            # default substitutes on PARSE FAILURE only; a NULL input is
+            # not a failure and stays NULL (same rule as the bad-row
+            # predicate below — a defaulted and an un-defaulted column
+            # must agree on what "failed" means)
             dv = defaults[name]
-            expr = F.coalesce(expr, F.lit(dv)) if dv is not None else expr
+            if dv is not None:
+                expr = F.when(failed, F.lit(dv)).otherwise(expr)
         else:
             fail_flags.append(failed)
             fail_names.append(F.when(failed, F.lit(name)))

@@ -47,9 +47,21 @@ class ChainRunner:
         (BuildContext) — the double idempotency the reference gets from
         urd + the job database."""
         prev = self.head()
+        latest = self.urd.latest(self.listname)
+        head_ts = latest["ts"] if latest else None
+        seen = self.seen()  # one urd read, not one per batch
         for ts in sorted(batches):
-            if ts in self.seen():
+            if ts in seen:
                 continue
+            if head_ts is not None and ts <= head_ts:
+                # the reference urd REJECTS non-increasing timestamps
+                # (urd.py: new entries must advance the list) — linking
+                # an earlier batch after the head would make it
+                # invisible to every chain read from head()
+                raise ValueError(
+                    f"batch {ts!r} is older than the chain head "
+                    f"{head_ts!r}; backfills need a rebuilt chain, not "
+                    "an append")
             job = self.ctx.build(
                 step,
                 options={**batches[ts], "_chain_ts": ts},

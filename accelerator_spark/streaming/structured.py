@@ -36,6 +36,7 @@ def stream_from_directory(spark: SparkSession, path: str, schema: T.StructType,
 
 
 def windowed_counts(stream_df: DataFrame, ts_col: str = "ts",
+                    value_col: str = "value",
                     window: str = "1 hour", watermark: str = "2 hours",
                     group_cols: list[str] | None = None) -> DataFrame:
     """Watermarked tumbling-window counts; late rows beyond the watermark
@@ -46,7 +47,8 @@ def windowed_counts(stream_df: DataFrame, ts_col: str = "ts",
     return (
         stream_df.withWatermark(ts_col, watermark)
         .groupBy(*g)
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(value_col).alias("sum_value"))
     )
 
 

@@ -179,3 +179,60 @@ def test_pickle_struct_column(spark):
         unpickle_col("p", "string", transform=lambda o: f"{o['x']}{o['y']}")
         .alias("s"))
     assert sorted(r["s"] for r in back.collect()) == ["1a", "2b"]
+
+
+def test_review_r3_conversion_edge_cases(spark):
+    """Review r3 fixes: epoch types ignore timezone; base-0 ignore-
+    trailing; bits32 full uint32 range; inf prefix extraction; NaN not
+    saturated to 0; defaults only on parse failure; time pmod."""
+    from accelerator_spark.functions.conversions import convert_expr, dataset_type
+
+    df = spark.createDataFrame(
+        [("0", "0x1A rest", "3000000000", "infx", "NaN", None, "junk")],
+        "epoch string, b0 string, u32 string, inf string, nan string, "
+        "dflt string, dflt2 string")
+    row = df.select(
+        convert_expr("epoch", "unixtime", timezone="America/New_York")
+        .alias("ts"),
+        convert_expr("b0", "int64_0i").alias("b0"),
+        convert_expr("u32", "bits32_10").alias("u32"),
+        convert_expr("inf", "float64i").alias("inf"),
+        convert_expr("nan", "floatint64s").alias("nan"),
+    ).collect()[0]
+    assert row["ts"].isoformat() == "1970-01-01T00:00:00"  # no tz shift
+    assert row["b0"] == 26          # strtol base-0 hex prefix
+    assert row["u32"] == 3000000000  # full uint32 range
+    assert row["inf"] == float("inf")  # 'infx' -> inf prefix
+    assert row["nan"] is None       # NaN has no integer value
+
+    # '019' base-0: strtol parses octal prefix '01' = 1
+    df2 = spark.createDataFrame([("019",)], "v string")
+    assert df2.select(convert_expr("v", "int64_0i").alias("x")
+                      ).collect()[0]["x"] == 1
+
+    # defaults apply on parse failure only — NULL input stays NULL
+    src = spark.createDataFrame([(None,), ("junk",), ("5",)], "n string")
+    typed, _ = dataset_type(src, {"n": "int64_10"}, defaults={"n": 42})
+    got = sorted((r["n"] is None, r["n"]) for r in typed.collect())
+    assert got == [(False, 5), (False, 42), (True, None)]
+
+
+def test_chain_runner_rejects_backfill(spark, tmp_path):
+    """Review r3: a batch older than the chain head must be rejected
+    (reference urd refuses non-advancing timestamps), not silently
+    linked where head() can never see it."""
+    import pytest
+    from accelerator_spark.build import BuildContext, Urd
+    from accelerator_spark.streaming.incremental import ChainRunner
+    from conftest import load
+
+    wd = str(tmp_path / "wd")
+    ctx, urd = BuildContext(spark, wd), Urd(wd)
+    runner = ChainRunner(ctx, urd, "days")
+
+    def step(spark_, datasets, options):
+        return load(spark_, "/root/testdata/sf0.001", "region")
+
+    runner.process({"2024-01-02": {}}, step)
+    with pytest.raises(ValueError, match="older than the chain head"):
+        runner.process({"2024-01-01": {}, "2024-01-03": {}}, step)
