@@ -22,6 +22,8 @@ pipeline, not just a rows-only count.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -187,20 +189,24 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        bits: int = 16, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance, blocked on half-bands
-    (a pair within distance<=max_hamming shares at least one half when
-    max_hamming < 2): block-join then exact hamming filter via
-    bit_count(xor). Scale: the block key bounds the join fanout."""
+    """Near-dup pairs by simhash hamming distance, blocked on
+    ``max_hamming + 1`` bands: by pigeonhole, a pair within distance
+    <= max_hamming has at least one band with ZERO differing bits, so
+    banded blocking has 100% recall (two half-bands only guarantee
+    distance <= 1 — review r3). Block-join then exact hamming filter
+    via bit_count(xor). Scale: the block key bounds the join fanout."""
     sh = simhash(df, text_col, id_col, bits)
-    half = bits // 2
-    lo = F.col("simhash").bitwiseAND(F.lit((1 << half) - 1))
-    hi = F.shiftright(F.col("simhash"), half)
+    n_bands = max_hamming + 1
+    width = math.ceil(bits / n_bands)
+    band_keys = [
+        F.concat(F.lit(f"B{i}_"),
+                 F.shiftright(F.col("simhash"), i * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).cast("string"))
+        for i in range(n_bands)
+    ]
     blocks = sh.select(
         id_col, "simhash",
-        F.explode(F.array(
-            F.concat(F.lit("L"), lo.cast("string")),
-            F.concat(F.lit("H"), hi.cast("string")),
-        )).alias("blk"),
+        F.explode(F.array(*band_keys)).alias("blk"),
     )
     a, b = blocks.alias("a"), blocks.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
@@ -277,25 +283,21 @@ def duplicate_ngram_fraction(df: DataFrame, text_col: str = "text",
     `carry` columns ride along the explode so downstream roll-ups
     (per-source, per-lang) need no join back to the input.
 
-    Scale shape: two shuffles, zero joins. Grams are distinct per doc
-    at explode time (word_shingles dedups in the row), so the document
-    frequency of a gram is simply count(*) over a window partitioned by
-    the gram — no groupBy+join-back. The second shuffle folds the
-    per-gram flags to per-doc counts. Gram cardinality grows with the
-    corpus but each window partition is tiny (the df of one gram), so
-    there is no skewed-reducer risk at 100 TB; the shuffle volume is
-    the exploded gram stream itself, the unavoidable lower bound for
-    any exact cross-doc comparison.
+    Scale shape: gram document-frequency comes from a map-side-
+    combinable groupBy (one row per DISTINCT gram) joined back to the
+    gram stream — NOT a window partitioned by gram, which would
+    materialize a boilerplate gram's entire row set in one reducer
+    (review r3: "all rights reserved" x millions of docs = one skewed
+    window partition). The join key is the gram itself; AQE handles
+    residual skew. The shuffle volume is the exploded gram stream, the
+    unavoidable lower bound for exact cross-doc comparison.
     """
-    from pyspark.sql import Window
-
     grams = df.select(
         F.col(id_col), *[F.col(c) for c in carry],
         F.explode(word_shingles(F.col(text_col), n)).alias("g"),
     )
-    flagged = grams.withColumn(
-        "df_g", F.count(F.lit(1)).over(Window.partitionBy("g"))
-    )
+    gram_df = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
+    flagged = grams.join(gram_df, "g")
     return (
         flagged.groupBy(id_col, *carry)
         .agg(

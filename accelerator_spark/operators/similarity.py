@@ -31,7 +31,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero-norm vector (empty doc embedded to zeros) gives
+    # NULL similarity instead of killing the job — Spark 4 ANSI mode
+    # raises DIVIDE_BY_ZERO on a plain division
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -100,7 +103,10 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
         cb.join(qb, ["band", "bsig"])
         .filter(F.col("q_id") != F.col("c_id"))
         .select("q_id", "c_id", "q_emb", "c_emb")
-        .distinct()
+        # dedupe on ids only — a pair matching several bands would
+        # otherwise hash/compare its full embedding arrays in the
+        # distinct exchange (ids determine the vectors)
+        .dropDuplicates(["q_id", "c_id"])
     )
     scored = cand.select(
         "q_id", "c_id", F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4).alias("cosine"))
@@ -177,8 +183,13 @@ def semantic_dedup(corpus: DataFrame, centroids: DataFrame,
     """SemDeDup-style semantic deduplication: coarse-cluster the corpus
     with ivf_assign, compare embeddings ALL-PAIRS ONLY WITHIN a cell,
     and drop every vector that has a smaller-id neighbor above the
-    cosine threshold (one survivor per near-dup clique — the min id, so
-    the choice is deterministic). Returns the kept rows + centroid_id.
+    cosine threshold. The rule is GREEDY-BY-ID, not per-clique: along a
+    similarity chain a<b<c with sim(a,b) and sim(b,c) but not sim(a,c),
+    both b and c are dropped (c's only similar neighbor b was itself
+    dropped) — deterministic and conservative, matching the published
+    SemDeDup recipe's keep-one-of-each-pair behavior; exact one-
+    survivor-per-connected-component dedup is what
+    dedup.connected_components is for. Returns kept rows + centroid_id.
 
     Scale design: the quadratic comparison is confined to a cell — the
     self-join shuffles on centroid_id, so total work is

@@ -24,7 +24,10 @@ def tokens(col: Column) -> Column:
 
 
 def token_count(col: Column) -> Column:
-    return F.size(tokens(col))
+    # split('') yields [''] — empty/whitespace-only text has 0 tokens,
+    # not 1 (review r3: empty docs were charged a phantom token in
+    # packing, quality features, and shingle candidates)
+    return F.when(col.rlike(r"\S"), F.size(tokens(col))).otherwise(F.lit(0))
 
 
 BPE_TOKEN_RX = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
@@ -101,6 +104,9 @@ def quality_score(df: DataFrame, text_col: str = "text",
 
 
 def rolling_fingerprint(col: Column, window: int = 8) -> Column:
+    # NOTE: the md5 -> conv(substring, 16, 10) -> long recipe below must
+    # stay bit-identical to dedup._h and partition._md5_bucket — it is
+    # the documented DuckDB-replication contract the oracle gate rests on
     """Winnowing-style document fingerprint: min over rolling-window
     hashes of the token stream (deterministic, md5-derived)."""
     toks = tokens(norm_text(col))
@@ -244,6 +250,7 @@ __all__ = [
     "rolling_fingerprint", "fingerprint", "norm_text", "STOPWORDS",
     "pack_sequences", "pii_counts", "redact_pii", "clean_lines",
     "unigram_logprob", "PII_PATTERNS",
+    "hashed_bow_score", "chunk_tokens",  # defined below
 ]
 
 
@@ -283,6 +290,8 @@ def chunk_tokens(df: DataFrame, text_col: str = "text",
     for n > size, else 1 — every token lands in ≥1 chunk.
 
     Map-only sequence+explode+slice; chunk count is linear in tokens."""
+    assert stride <= size, (
+        f"stride {stride} > size {size} would skip tokens between chunks")
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(toks)
     n_chunks = F.when(n <= size, F.lit(1)).otherwise(

@@ -346,3 +346,46 @@ def test_jsonl_roundtrip_and_bad_capture(spark, tmp_path):
     assert res.default.count() == 1
     bad = res.bad.collect()
     assert len(bad) == 1 and "not json" in bad[0]["data"]
+
+
+def test_cosine_zero_vector_is_null_not_crash(spark):
+    """Review r3: ANSI mode raised DIVIDE_BY_ZERO on a zero-norm vector;
+    try_divide yields NULL similarity instead."""
+    from accelerator_spark.operators.similarity import cosine
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [0.0, 0.0]), (2, [1.0, 0.0], [0.0, 2.0])],
+        "id int, a array<double>, b array<double>")
+    got = {r["id"]: r["c"] for r in
+           df.select("id", cosine(F.col("a"), F.col("b")).alias("c"))
+           .collect()}
+    assert got[1] is None and got[2] == 0.0
+
+
+def test_simhash_banded_blocking_full_recall(spark):
+    """Review r3: 2-half blocking only guaranteed hamming<=1; the
+    banded form (max_hamming+1 bands) must find a pair whose 2
+    differing bits straddle the halves."""
+    from accelerator_spark.operators.dedup import simhash
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " iota kappa")], "doc_id long, text string")
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    d = bin(sh[1] ^ sh[2]).count("1")
+    pairs = simhash_near_pairs(df, max_hamming=max(d, 2)).collect()
+    if d > 0:
+        assert len(pairs) == 1 and pairs[0]["hamming"] == d
+
+
+def test_token_count_empty_text_is_zero(spark):
+    from accelerator_spark.operators.text import token_count
+    df = spark.createDataFrame([("",), ("   ",), ("a b",)], "t string")
+    got = [r["n"] for r in
+           df.select(token_count(F.col("t")).alias("n")).collect()]
+    assert got == [0, 0, 2]
+
+
+def test_chunk_tokens_rejects_gapping_stride(spark, sf_dir):
+    from accelerator_spark.operators.text import chunk_tokens
+    docs = load(spark, sf_dir, "documents").limit(1)
+    with pytest.raises(AssertionError, match="skip tokens"):
+        chunk_tokens(docs, size=10, stride=20)
