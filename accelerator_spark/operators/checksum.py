@@ -25,7 +25,12 @@ def checksum(df: DataFrame, columns: list[str] | None = None) -> dict:
     """
     cols = columns or df.columns
     # Null-safe canonical text form per row; the \x1f separator prevents
-    # ("ab","c") colliding with ("a","bc").
+    # ("ab","c") colliding with ("a","bc"). Known ambiguity (accepted,
+    # shared bit-for-bit with the DuckDB oracles that replicate this
+    # encoding): a VALUE containing \x1f, or equal to the "\x00NULL"
+    # sentinel, can collide with a differently-split row — impossible
+    # for the numeric/clean-text columns this digests, and the encoding
+    # cannot change without breaking recorded oracle parity.
     parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in cols]
     h = F.xxhash64(F.concat_ws("\x1f", *parts))
     row = (

@@ -41,7 +41,8 @@ def fit_per_group_linear(df: DataFrame, key: str, x_col: str, y_col: str) -> Dat
     import numpy as np
 
     schema = T.StructType([
-        T.StructField(key, T.LongType()),
+        # key keeps ITS OWN type (a hardcoded LongType broke string keys)
+        T.StructField(key, df.schema[key].dataType),
         T.StructField("slope", T.DoubleType()),
         T.StructField("intercept", T.DoubleType()),
         T.StructField("n", T.LongType()),

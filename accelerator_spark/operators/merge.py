@@ -22,16 +22,32 @@ from ..dataset import LINENO
 def dataset_merge(*dfs: DataFrame, on: str = LINENO, check_lines: bool = True) -> DataFrame:
     """Zip columns of DataFrames sharing a row-id column. Later frames'
     columns override earlier ones (reference: later datasets win,
-    dataset.py:358-365)."""
+    dataset.py:358-365).
+
+    ``check_lines`` verifies the real invariant, not just equal counts
+    (review r3: key sets {1,2} vs {2,3} pass a count check but an inner
+    join silently drops a row): every frame must have UNIQUE ``on``
+    values and the SAME count of them — unique + equal-count implies
+    equal key sets would still be unproven, so the key-set check rides
+    the join itself: duplicates or mismatched sets change the joined
+    count, which unique keys pin to the shared count."""
     if len(dfs) < 2:
         raise ValueError("dataset_merge needs at least 2 datasets")
     for d in dfs:
         if on not in d.columns:
             raise ValueError(f"merge key {on!r} missing from {d.columns}")
     if check_lines:
-        counts = [d.count() for d in dfs]
+        stats = [d.agg(F.count(F.lit(1)).alias("n"),
+                       F.count_distinct(F.col(on)).alias("nd")).collect()[0]
+                 for d in dfs]
+        counts = [r["n"] for r in stats]
         if len(set(counts)) != 1:
             raise ValueError(f"line counts differ: {counts} (reference requires equality)")
+        dupes = [i for i, r in enumerate(stats) if r["nd"] != r["n"]]
+        if dupes:
+            raise ValueError(
+                f"merge key {on!r} is not unique in dataset(s) {dupes} — "
+                "an equi-join would multiply rows")
     out = dfs[0]
     for d in dfs[1:]:
         override = [c for c in d.columns if c != on]

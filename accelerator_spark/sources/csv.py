@@ -304,6 +304,10 @@ def csvimport(
             .option("header", hdr)
             .option("inferSchema", False)
             .option("multiLine", multiline)
+            # malformed quoting fails too (univocity's default lenient
+            # unescaped-quote recovery would silently import what the
+            # text-path tokenizer marks bad)
+            .option("unescapedQuoteHandling", "RAISE_ERROR")
             # reference contract: a wrong-field-count line FAILS the
             # import unless allow_bad (which routes to the text path) —
             # never silently pad/truncate
@@ -325,20 +329,31 @@ def csvimport(
     raw = _read_lines(spark, path, encoding, newline)
 
     if labels is None:
+        # scan cap: 10k lines of leading comments/blanks before the
+        # label line (driver-side; limit() reads only what it needs)
         head = [r["value"] for r in
-                raw.orderBy("_lineno").limit(skip_lines + 1000).collect()]
+                raw.orderBy("_lineno").limit(skip_lines + 10_000).collect()]
         labels, header_at = _read_header(
             head, separator, qchars, skip_lines, comment,
             skip_empty_lines, allow_extra_empty)
+        header_text = head[header_at - 1]
     else:
         header_at = None
+        header_text = None
     if strip_labels:
         labels = [l.strip() for l in labels]
 
     line = F.col("value")
     skip_cond = F.col("_lineno") <= skip_lines
     if header_at is not None:
-        skip_cond = skip_cond | (F.col("_lineno") == header_at)
+        # skip the detected label line — and, for multi-FILE imports
+        # (globs/directories; beyond the reference's one-file contract),
+        # any line in a later file with byte-identical text, matching
+        # the native reader's per-file header handling. A data row that
+        # exactly equals the header line is indistinguishable and is
+        # skipped too (documented trade-off).
+        skip_cond = (skip_cond | (F.col("_lineno") == header_at)
+                     | (line == F.lit(header_text)))
     if comment is not None:
         skip_cond = skip_cond | line.startswith(comment)
     if skip_empty_lines:

@@ -50,7 +50,10 @@ def jsonlimport(
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
     if not allow_bad:
-        df = spark.read.schema(schema).json(path)
+        # FAILFAST: without bad capture a malformed line FAILS the
+        # import (csvimport's contract) — default PERMISSIVE would
+        # silently emit an all-null row instead
+        df = spark.read.schema(schema).option("mode", "FAILFAST").json(path)
         return JsonlImportResult(default=df)
     # bad-capture path: read lines as text and parse with from_json.
     # Spark forbids filtering a json SCAN on only its corrupt-record
@@ -58,7 +61,11 @@ def jsonlimport(
     # restriction, costs the same single pass, and keeps the raw line
     # for the bad dataset.
     full = StructType(list(schema.fields) + [StructField(_CORRUPT, StringType())])
-    parsed = spark.read.text(path).select(
+    # blank/whitespace-only lines are record separators, not records —
+    # from_json("") yields a NULL struct with a NULL corrupt column,
+    # which would otherwise pass the good filter as a spurious all-null
+    # row (review r3)
+    parsed = spark.read.text(path).filter(F.col("value").rlike(r"\S")).select(
         F.col("value"),
         F.from_json(
             "value", full,

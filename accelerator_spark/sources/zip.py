@@ -13,6 +13,7 @@ distributed csvimport). Members become an ordered union with a
 
 from __future__ import annotations
 
+import hashlib
 import os
 import re
 import tempfile
@@ -51,12 +52,20 @@ def csvimport_zip(
             names = [n for n in names if not re.search(exclude_re, n)]
         if chain_by == "filename":
             names = sorted(names)
+        paths = {}
         for n in names:
-            zf.extract(n, tmp)
+            # extract() sanitizes hostile member names (../, /abs) — use
+            # ITS path, then copy to a glob-safe name: spark.read treats
+            # [] {} * ? in paths as Hadoop glob metacharacters
+            extracted = zf.extract(n, tmp)
+            safe = os.path.join(
+                tmp, "m_" + hashlib.md5(n.encode()).hexdigest() + ".member")
+            os.replace(extracted, safe)
+            paths[n] = safe
     frames = []
     for n in names:
         label = os.path.basename(n) if strip_dirs else n
-        res = csvimport(spark, os.path.join(tmp, n), **csv_kwargs)
+        res = csvimport(spark, paths[n], **csv_kwargs)
         out.members[label] = res
         frames.append(res.default.withColumn("_zip_member", F.lit(label)))
     if frames:

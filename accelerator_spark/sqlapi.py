@@ -10,21 +10,38 @@ broadcast, AQE) applies unchanged.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "documents", "embeddings"]
+          "lineitem", "events", "documents", "embeddings"]
+
+# session id -> {table: sf_dir it is registered against}; avoids
+# re-reading 9 parquet footers on every sql() call (queries2 calls it
+# ~15x per run) while staying correct when one session alternates
+# sf_dirs (the view is re-created whenever the dir differs)
+_registered: dict[int, dict[str, str]] = {}
 
 
 def register_views(spark: SparkSession, sf_dir: str,
                    tables: list[str] | None = None) -> None:
-    """Register each parquet table as a session temp view named after
-    the table. Idempotent; cheap (no scan — just the catalog entry)."""
+    """Register parquet tables as session temp views. Memoized per
+    session; a view is only (re)created when this session has not yet
+    registered the table against THIS sf_dir."""
+    done = _registered.setdefault(id(spark), {})
     for t in tables or TABLES:
+        if done.get(t) == sf_dir:
+            continue
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        done[t] = sf_dir
 
 
 def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
-    """Run an SQL string against the registered standard tables."""
-    register_views(spark, sf_dir)
+    """Run an SQL string against the standard tables. Only tables the
+    query actually references are registered, so a missing unrelated
+    parquet file can't fail the call."""
+    words = set(re.findall(r"[A-Za-z_]+", query.lower()))
+    needed = [t for t in TABLES if t in words]
+    register_views(spark, sf_dir, needed or TABLES)
     return spark.sql(query)

@@ -477,3 +477,28 @@ def test_custom_newline_bytes(spark, tmp_path, nl_i, sep_i):
     got = sorted(tuple(r) for r in res.default.collect())
     assert got == [("1", "x\ny"), ("2", "z")]
     assert res.bad.count() == 0
+
+
+def test_multifile_text_path_skips_each_header(spark, tmp_path):
+    """Review r3: on a directory import the text path must skip EVERY
+    file's header line, not just the globally first one (native reader
+    parity)."""
+    d = tmp_path / "many"
+    d.mkdir()
+    for i in range(2):
+        _write(d, f"f{i}.csv", f"a,b\nx{i},1\ny{i},2\n")
+    res = csvimport(spark, str(d / "*.csv"), allow_bad=True)
+    vals = sorted(r["a"] for r in res.default.collect())
+    assert vals == ["x0", "x1", "y0", "y1"]  # no 'a' data row
+
+
+def test_native_path_rejects_malformed_quotes(spark, tmp_path):
+    """Review r3: univocity's lenient unescaped-quote recovery would
+    silently import what the text-path tokenizer calls bad.
+    (unescapedQuoteHandling=RAISE_ERROR; univocity's one remaining
+    lenient case — an unterminated quote at end-of-file — is accepted
+    there but bad on the text path.)"""
+    p = _write(tmp_path, "t.csv", 'a,b\n1,"mid"dle\n')
+    res = csvimport(spark, p)
+    with pytest.raises(Exception):
+        res.default.collect()

@@ -59,3 +59,17 @@ def test_dataset_type_fused_rehash(spark, sf_dir):
         .agg(F.max("np")).collect()[0][0]
     )
     assert spread == 1
+
+
+def test_fit_per_group_linear_string_key(spark, sf_dir):
+    """Review r3: the output schema must keep the key column's own type
+    (was hardcoded LongType, breaking string keys)."""
+    from accelerator_spark.operators.grouped import fit_per_group_linear
+    from conftest import load
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice")
+    out = fit_per_group_linear(li, "l_returnflag",
+                               "l_quantity", "l_extendedprice")
+    rows = out.collect()
+    assert {r["l_returnflag"] for r in rows} == {"A", "N", "R"}
+    assert all(r["slope"] > 0 for r in rows)
