@@ -36,9 +36,9 @@ def stream_from_directory(spark: SparkSession, path: str, schema: T.StructType,
 
 
 def windowed_counts(stream_df: DataFrame, ts_col: str = "ts",
-                    value_col: str = "value",
                     window: str = "1 hour", watermark: str = "2 hours",
-                    group_cols: list[str] | None = None) -> DataFrame:
+                    group_cols: list[str] | None = None,
+                    *, value_col: str = "value") -> DataFrame:
     """Watermarked tumbling-window counts; late rows beyond the watermark
     are dropped, state is bounded — the scale-safe streaming agg."""
     g = [F.window(F.col(ts_col), window).alias("win")] + [
