@@ -389,8 +389,16 @@ def resolve_spec(workdir: str, spec: str) -> dict | None:
         p = _os.path.join(workdir, "jobdb.jsonl")
         if not _os.path.exists(p):
             return []
+        out = []
         with open(p) as f:
-            return [_json.loads(line) for line in f]
+            for line in f:
+                if not line.strip():
+                    continue
+                try:
+                    out.append(_json.loads(line))
+                except ValueError:
+                    continue  # partial trailing line from a crashed writer
+        return out
 
     recs = _records()
     by_id = {r["jobid"]: r for r in recs}

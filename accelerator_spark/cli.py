@@ -27,6 +27,43 @@ def _spark():
     return get_spark(app_name="asx_cli")
 
 
+def _load_df(spark, path: str):
+    """Resolve a path to a DataFrame: a dataset dir (manifest) or a
+    plain parquet path. Single-sourced for cat/grep/profile."""
+    if Dataset.exists(path):
+        return Dataset.load(path).df(spark)
+    return spark.read.parquet(path)
+
+
+def _read_jobdb(workdir: str) -> list[dict]:
+    """Job records from jobdb.jsonl; tolerates blank/partial trailing
+    lines (a crashed writer must not take down the board/CLI)."""
+    import os
+    dbpath = os.path.join(workdir, "jobdb.jsonl")
+    if not os.path.exists(dbpath):
+        return []
+    out = []
+    with open(dbpath) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            try:
+                out.append(json.loads(line))
+            except ValueError:
+                continue  # partial trailing line
+    return out
+
+
+def _emit_csv(columns, rows) -> None:
+    """Proper CSV to stdout (quoting/escaping — a plain ','.join
+    corrupts values containing commas/quotes/newlines)."""
+    import csv as _csv
+    w = _csv.writer(sys.stdout)
+    w.writerow(columns)
+    for r in rows:
+        w.writerow(["" if v is None else v for v in r])
+
+
 def cmd_ds(args) -> int:
     ds = Dataset.load(args.path)
     m = ds.manifest
@@ -48,31 +85,32 @@ def cmd_ds(args) -> int:
 
 def cmd_cat(args) -> int:
     spark = _spark()
-    df = Dataset.load(args.path).df(spark) if Dataset.exists(args.path) \
-        else spark.read.parquet(args.path)
-    rows = df.limit(args.n).collect()
-    print(",".join(df.columns))
-    for r in rows:
-        print(",".join("" if v is None else str(v) for v in r))
+    df = _load_df(spark, args.path)
+    _emit_csv(df.columns, df.limit(args.n).collect())
     return 0
 
 
 def cmd_grep(args) -> int:
+    from functools import reduce
+    from operator import or_
+
     from pyspark.sql import functions as F
     spark = _spark()
-    df = Dataset.load(args.path).df(spark) if Dataset.exists(args.path) \
-        else spark.read.parquet(args.path)
+    df = _load_df(spark, args.path)
     cols = args.columns.split(",") if args.columns else df.columns
-    joined = F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols])
-    hits = df.filter(joined.rlike(args.pattern))
-    n = 0
-    for r in hits.limit(args.n).collect():
-        if args.format == "json":
+    # per-column match (reference semantics): an OR of rlike per column
+    # — a concat would let patterns match across column boundaries and
+    # break ^...$ anchors
+    hit = reduce(or_, [F.coalesce(F.col(c).cast("string"), F.lit(""))
+                       .rlike(args.pattern) for c in cols])
+    hits = df.filter(hit)
+    rows = hits.limit(args.n).collect()
+    if args.format == "json":
+        for r in rows:
             print(json.dumps(r.asDict(), default=str))
-        else:
-            print(",".join("" if v is None else str(v) for v in r))
-        n += 1
-    print(f"# {n} rows shown (limit {args.n})", file=sys.stderr)
+    else:
+        _emit_csv(df.columns, rows)
+    print(f"# {len(rows)} rows shown (limit {args.n})", file=sys.stderr)
     return 0
 
 
@@ -245,8 +283,7 @@ def cmd_profile(args) -> int:
     The deep version of ``asx ds`` — ds reads manifest metadata,
     profile scans (one agg pass)."""
     spark = _spark()
-    df = Dataset.load(args.path).df(spark) if Dataset.exists(args.path) \
-        else spark.read.parquet(args.path)
+    df = _load_df(spark, args.path)
     from .operators.profile import profile
     rows = profile(df, exact_distinct=not args.approx).orderBy("column").collect()
     widths = (max(len(r["column"]) for r in rows) + 2) if rows else 10
@@ -263,11 +300,7 @@ def _board_html(workdir: str) -> str:
     import html
     import os
 
-    dbpath = os.path.join(workdir, "jobdb.jsonl")
-    jobs = []
-    if os.path.exists(dbpath):
-        with open(dbpath) as f:
-            jobs = [json.loads(line) for line in f]
+    jobs = _read_jobdb(workdir)
     u = Urd(workdir)
     sections = ["<h1>accelerator_spark board</h1>",
                 f"<p>workdir: <code>{html.escape(workdir)}</code> — "
@@ -338,11 +371,7 @@ def make_board_server(workdir: str, port: int = 0):
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     def jobs():
-        dbpath = os.path.join(workdir, "jobdb.jsonl")
-        if not os.path.exists(dbpath):
-            return []
-        with open(dbpath) as f:
-            return [json.loads(line) for line in f]
+        return _read_jobdb(workdir)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -395,18 +424,15 @@ def cmd_serve(args) -> int:
 
 def cmd_workdir(args) -> int:
     """List jobs in a workdir (the reference's ``ax workdir``)."""
-    import os
-    dbpath = os.path.join(args.workdir, "jobdb.jsonl")
-    if not os.path.exists(dbpath):
-        print(f"no job database at {dbpath}", file=sys.stderr)
+    recs = _read_jobdb(args.workdir)
+    if not recs:
+        print(f"no job database in {args.workdir}", file=sys.stderr)
         return 1
-    with open(dbpath) as f:
-        for line in f:
-            rec = json.loads(line)
-            outs = ", ".join(rec.get("outputs", {}))
-            arts = ", ".join(rec.get("artifacts", {}))
-            extra = f"  artifacts: {arts}" if arts else ""
-            print(f"{rec['jobid']:<28} outputs: {outs or '-'}{extra}")
+    for rec in recs:
+        outs = ", ".join(rec.get("outputs", {}))
+        arts = ", ".join(rec.get("artifacts", {}))
+        extra = f"  artifacts: {arts}" if arts else ""
+        print(f"{rec['jobid']:<28} outputs: {outs or '-'}{extra}")
     return 0
 
 

@@ -40,6 +40,9 @@ def cooccurrence_edges(df: DataFrame, group_col: str, item_col: str,
     pair expansion is quadratic; at 100 TB a handful of mega-groups
     would dominate the job while carrying no signal)."""
     items = (df.select(group_col, item_col)
+             # a NULL group key is no group: without this filter every
+             # unrelated item with a NULL key co-occurs (review r3)
+             .filter(F.col(group_col).isNotNull())
              .groupBy(group_col)
              .agg(F.sort_array(F.collect_set(item_col)).alias("_items"))
              .filter(F.size("_items").between(2, group_cap)))
@@ -105,6 +108,9 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     sym = symmetrize(edges).localCheckpoint(eager=True)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n = deg.count()  # node count: one tiny agg job, scalar to driver
+    if n == 0:  # empty graph: empty result, not ZeroDivisionError
+        return deg.sparkSession.createDataFrame(
+            [], "node long, rank double")
     ranks = deg.select(F.col("src").alias("node"),
                        F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n

@@ -42,8 +42,10 @@ FEATURE_SCHEMA = T.StructType([
 def attach_payload_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """JVM-side metadata for a binary column (no decode needed)."""
     p = F.col(payload_col)
+    # hex only the 4 magic bytes — F.hex over the whole blob would
+    # materialize a 2x-payload string per row before truncating
     return df.withColumn("n_bytes", F.octet_length(p).cast("long")) \
-             .withColumn("magic", F.substring(F.hex(p), 1, 8))
+             .withColumn("magic", F.hex(F.substring(p, 1, 4)))
 
 
 def real_decoder(payload: bytes, mime: str):  # pragma: no cover - stub
@@ -79,6 +81,12 @@ def decode_features(
     matters 100x more when a column is megabytes per row)."""
     cols = [id_col, payload_col, mime_col]
     slim = df.select(*cols)
+    # the id rides through as 'media_id' but keeps ITS OWN type — a
+    # hardcoded LongType failed mid-job on string ids (review r3)
+    id_type = df.schema[id_col].dataType
+    schema = T.StructType(
+        [T.StructField("media_id", id_type, False)]
+        + [f for f in FEATURE_SCHEMA.fields if f.name != "media_id"])
     if batch_partitions:
         slim = slim.repartition(batch_partitions)
 
@@ -95,17 +103,19 @@ def decode_features(
             yield pd.DataFrame(out, columns=[
                 "media_id", "mime", "n_bytes", "feature", "width", "height"])
 
-    return slim.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return slim.mapInPandas(run, schema=schema)
 
 
 def frame_sample_plan(df: DataFrame, every_n: int = 30,
                       duration_col: str = "n_frames") -> DataFrame:
     """Video frame-sampling *plan*: expand (media_id, n_frames) into the
     frame indices to decode — the distributed part of frame sampling;
-    the per-frame decode goes through decode_features. JVM-side."""
-    return df.withColumn(
+    the per-frame decode goes through decode_features. JVM-side.
+    Media with zero or NULL frames emit NO rows (the old greatest()
+    clamp fabricated a phantom frame 0 for them — review r3)."""
+    return df.filter(F.col(duration_col) >= 1).withColumn(
         "frame_idx",
-        F.explode(F.sequence(F.lit(0), F.greatest(F.col(duration_col) - 1, F.lit(0)),
+        F.explode(F.sequence(F.lit(0), F.col(duration_col) - 1,
                              F.lit(every_n))),
     )
 
@@ -145,6 +155,10 @@ def resize_media(
     directions. Swap ``resizer`` for a real PIL/ffmpeg hook outside this
     container."""
     slim = df.select(id_col, payload_col, mime_col)
+    id_type = df.schema[id_col].dataType  # id keeps its own type
+    schema = T.StructType(
+        [T.StructField("media_id", id_type, False)]
+        + [f for f in RESIZED_SCHEMA.fields if f.name != "media_id"])
     if batch_partitions:
         slim = slim.repartition(batch_partitions)
 
@@ -160,4 +174,4 @@ def resize_media(
             yield pd.DataFrame(out, columns=[
                 "media_id", "mime", "payload", "width", "height"])
 
-    return slim.mapInPandas(run, schema=RESIZED_SCHEMA)
+    return slim.mapInPandas(run, schema=schema)

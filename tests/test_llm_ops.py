@@ -389,3 +389,24 @@ def test_chunk_tokens_rejects_gapping_stride(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").limit(1)
     with pytest.raises(AssertionError, match="skip tokens"):
         chunk_tokens(docs, size=10, stride=20)
+
+
+def test_frame_sample_zero_and_null_frames_emit_nothing(spark):
+    from accelerator_spark.operators.multimodal import frame_sample_plan
+    df = spark.createDataFrame(
+        [(1, 0), (2, None), (3, 61)], "media_id long, n_frames int")
+    got = frame_sample_plan(df, every_n=30).collect()
+    assert {(r["media_id"], r["frame_idx"]) for r in got} == \
+        {(3, 0), (3, 30), (3, 60)}
+
+
+def test_cooccurrence_null_group_excluded_and_empty_pagerank(spark):
+    from accelerator_spark.operators.graph import cooccurrence_edges, pagerank
+    df = spark.createDataFrame(
+        [(None, "x"), (None, "y"), (1, "a"), (1, "b")],
+        "g int, item string")
+    edges = cooccurrence_edges(df, "g", "item")
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    assert got == {("a", "b")}  # NULL group fabricates nothing
+    empty = edges.filter("weight > 99")
+    assert pagerank(empty).count() == 0  # no ZeroDivisionError
