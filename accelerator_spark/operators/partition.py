@@ -325,6 +325,67 @@ def assign_global_ids(df, order_col: str, id_col: str = "row_id",
             .drop("_bkt"))
 
 
+def exact_ntile(df, order_col: str, n_tiles: int, tiebreak_col: str,
+                out_col: str, n_buckets: int = 64):
+    """Exact ``ntile(n) OVER (ORDER BY order_col, tiebreak_col)``
+    WITHOUT a single-task global sort (the assign_global_ids /
+    ntile_price_quartiles pattern, reusable):
+
+    1. percentile_approx boundaries -> ``n_buckets`` value-range buckets
+       (ties share a bucket via strict <, so tie groups stay whole);
+    2. within-bucket row_number (PARTITIONED window, fully parallel);
+    3. per-bucket counts (tiny frame) -> cumulative offsets broadcast
+       back: rn = offset + in-bucket rank == the global row_number;
+    4. the ntile closed form maps rn to its tile (first n%k tiles hold
+       ceil(n/k) rows).
+
+    Hash-identical to the window form whenever ``tiebreak_col`` breaks
+    ties totally. ``order_col`` must be numeric/temporal-as-number
+    (cast dates to unix_date first)."""
+    from pyspark.sql import Window, functions as F
+
+    _require_bucketable(df, order_col, "exact_ntile")
+    sid = f"_{out_col}"
+    fracs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    bounds = df.agg(F.percentile_approx(
+        F.col(order_col).cast("double"), fracs, F.lit(10000)
+    ).alias(f"{sid}_bounds"))
+    b = (df.crossJoin(F.broadcast(bounds))
+         .withColumn(f"{sid}_bkt", F.size(F.filter(
+             F.col(f"{sid}_bounds"),
+             lambda x: x < F.col(order_col).cast("double"))))
+         .drop(f"{sid}_bounds"))
+    counts = b.groupBy(f"{sid}_bkt").agg(F.count(F.lit(1)).alias(f"{sid}_n"))
+    w_cum = (Window.orderBy(f"{sid}_bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    w_tot = (Window.orderBy(f"{sid}_bkt")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    offsets = (counts
+               .withColumn(f"{sid}_off",
+                           F.coalesce(F.sum(f"{sid}_n").over(w_cum),
+                                      F.lit(0)))
+               .withColumn(f"{sid}_tot", F.sum(f"{sid}_n").over(w_tot))
+               .select(f"{sid}_bkt", f"{sid}_off", f"{sid}_tot"))
+    w_in = Window.partitionBy(f"{sid}_bkt").orderBy(
+        F.col(order_col).asc(), F.col(tiebreak_col).asc())
+    ranked = (b.withColumn(f"{sid}_r", F.row_number().over(w_in))
+              .join(F.broadcast(offsets), f"{sid}_bkt")
+              .withColumn(f"{sid}_rn",
+                          F.col(f"{sid}_off") + F.col(f"{sid}_r")))
+    q = F.floor(F.col(f"{sid}_tot") / n_tiles)
+    r_mod = F.col(f"{sid}_tot") % n_tiles
+    big = r_mod * (q + 1)
+    rn = F.col(f"{sid}_rn")
+    out = ranked.withColumn(
+        out_col,
+        F.when(q == 0, rn)
+        .when(rn <= big, F.ceil(rn / (q + 1)))
+        .otherwise(r_mod + F.ceil((rn - big) / q)).cast("int"))
+    return out.drop(f"{sid}_bkt", f"{sid}_r", f"{sid}_off",
+                    f"{sid}_tot", f"{sid}_rn")
+
+
 def compact_files(spark, path: str, target_files: int,
                   fmt: str = "parquet") -> int:
     """Small-file compaction: rewrite a table directory into

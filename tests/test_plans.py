@@ -257,3 +257,18 @@ def test_auc_report_no_global_row_window(spark, sf_dir):
             first_arg = line.split("windowspecdefinition(")[1].split(",")[0]
             assert "ASC" not in first_arg and "DESC" not in first_arg, (
                 "unpartitioned row_number window: " + line.strip()[:160])
+
+
+def test_rfm_no_global_ntile(spark, sf_dir):
+    """Full-plan audit r3: the per-customer frame grows with the data;
+    its quintiles must come from exact_ntile, never a no-partition
+    ntile window."""
+    from accelerator_spark import queries2 as Q2
+    s = (Q2.QUERIES2["rfm_segmentation"](spark, sf_dir)
+         ._jdf.queryExecution().executedPlan().toString())
+    assert "ntile(" not in s
+    for line in s.splitlines():
+        if "row_number() windowspecdefinition(" in line:
+            first_arg = line.split("windowspecdefinition(")[1].split(",")[0]
+            assert "ASC" not in first_arg and "DESC" not in first_arg, (
+                "unpartitioned row_number window: " + line.strip()[:160])
