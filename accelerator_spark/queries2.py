@@ -2231,6 +2231,10 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.sum("o_totalprice").alias("monetary"))
                 .withColumn("_rec_day", F.unix_micros(
                     F.col("last_order").cast("timestamp"))))
+    # one materialization: each exact_ntile pass reads the per-customer
+    # frame several times (bounds agg + counts + rank); without the
+    # checkpoint the orders groupBy would re-execute ~7x
+    per_cust = per_cust.localCheckpoint(eager=True)
     scored = exact_ntile(per_cust, "_rec_day", 5, "o_custkey", "r")
     scored = exact_ntile(scored, "freq", 5, "o_custkey", "f")
     scored = exact_ntile(scored, "monetary", 5, "o_custkey", "m")

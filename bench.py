@@ -140,6 +140,11 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     names = HEADLINE + ([] if os.environ.get("SPARK_GRAFT_BENCH_QUICK")
                         else EXTENDED)
+    if not os.environ.get("SPARK_GRAFT_BENCH_QUICK"):
+        # round 3: the FULL gated registry is measured per round, so a
+        # perf regression in any of the 167 queries is catchable — not
+        # just the curated headline subset
+        names = names + sorted(set(Q.QUERIES) - set(names))
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
