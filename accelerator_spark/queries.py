@@ -1305,6 +1305,34 @@ SELECT doc_id, {total} AS simhash FROM v
 ORACLE_SIMHASH = _simhash_oracle()
 
 
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS through the banded blocking path
+    (operators/dedup.simhash_near_pairs, max_hamming=2 -> 3 bands).
+    The ORACLE computes the same answer by brute-force ALL-PAIRS over
+    the replayed fingerprints — so a hash match proves the pigeonhole
+    blocking has 100% recall, not just that the hamming filter agrees
+    (the round-3 fix this query gates: 2-half blocking silently missed
+    pairs whose differing bits straddled the halves)."""
+    from .operators.dedup import simhash_near_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return (simhash_near_pairs(docs, max_hamming=2)
+            .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+            .orderBy("doc_a", "doc_b"))
+
+
+ORACLE_SIMHASH_PAIRS = f"""
+WITH sh AS ({_simhash_oracle()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+ORDER BY doc_a, doc_b
+"""
+
+
+
 def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (operators/similarity.
     cosine_near_pairs) on a bounded id range; exact all-pairs is the
@@ -4698,6 +4726,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_split_counts": dataset_split_counts,
     "per_source_sample": per_source_sample,
     "simhash_fingerprints": simhash_fingerprints,
+    "simhash_near_dup_pairs": simhash_near_dup_pairs,
     "embedding_near_pairs": embedding_near_pairs,
     "cosine_topk": cosine_topk,
     "ivf_topk_search": ivf_topk_search,
@@ -4816,6 +4845,7 @@ ORACLES: dict[str, str] = {
     "dataset_split_counts": ORACLE_SPLIT,
     "per_source_sample": ORACLE_PER_SOURCE,
     "simhash_fingerprints": ORACLE_SIMHASH,
+    "simhash_near_dup_pairs": ORACLE_SIMHASH_PAIRS,
     "embedding_near_pairs": ORACLE_EMB_PAIRS,
     "cosine_topk": ORACLE_COSINE,
     "ivf_topk_search": ORACLE_IVF_TOPK,
