@@ -54,9 +54,12 @@ def _md5_window(digest: Column, j: int) -> Column:
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep min-id per normalized-text group. One shuffle on the
-    fingerprint."""
+    fingerprint. NULL-text rows are excluded: md5(NULL) is NULL and a
+    groupBy would merge every failed-extraction row into one bogus
+    "duplicate" group (the signature tiers drop them the same way)."""
     return (
-        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
         .groupBy("fp")
         .agg(F.min(id_col).alias("keep_" + id_col), F.count(F.lit(1)).alias("n_copies"))
     )
@@ -64,6 +67,12 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def word_shingles(text_col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (JVM-side).
+
+    Tokenization is whitespace-split of the RAW text (case- and
+    punctuation-sensitive) — deliberately, because every recorded
+    DuckDB oracle replays exactly this form. Case-insensitive shingling
+    is the caller's one-liner: pass ``norm_text(col)`` (the form
+    simhash/fingerprint use) instead of the raw column.
 
     Built from n shifted-array copies zipped together (arrays_zip pads
     the short tails with NULL, concat_ws drops them — so docs shorter
@@ -133,7 +142,9 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = 
     bands -> groupBy (band, key) (shuffle 2) -> in-bucket pair expansion
     capped at ``bucket_cap`` (skew guard) -> distinct pairs (shuffle 3).
     """
-    assert num_hashes % bands == 0
+    if num_hashes % bands != 0:  # not assert: survives python -O
+        raise ValueError(
+            f"num_hashes {num_hashes} must divide into bands {bands}")
     r = num_hashes // bands
     sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n,
                             hash_family=hash_family)
@@ -188,7 +199,8 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                       bits: int = 16, max_hamming: int = 3) -> DataFrame:
+                       bits: int = 16, max_hamming: int = 3,
+                       bucket_cap: int | None = None) -> DataFrame:
     """Near-dup pairs by simhash hamming distance, blocked on
     ``max_hamming + 1`` bands: by pigeonhole, a pair within distance
     <= max_hamming has at least one band with ZERO differing bits, so
@@ -196,18 +208,31 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
     distance <= 1 — review r3). Block-join then exact hamming filter
     via bit_count(xor). Scale: the block key bounds the join fanout."""
     sh = simhash(df, text_col, id_col, bits)
-    n_bands = max_hamming + 1
-    width = math.ceil(bits / n_bands)
-    band_keys = [
-        F.concat(F.lit(f"B{i}_"),
-                 F.shiftright(F.col("simhash"), i * width)
-                 .bitwiseAND(F.lit((1 << width) - 1)).cast("string"))
-        for i in range(n_bands)
-    ]
+    n_bands = min(max_hamming + 1, bits)
+    # distribute the bits EVENLY over the bands (ceil-width slicing
+    # left the last band empty when (n_bands-1)*width >= bits — an
+    # all-constant block key putting the whole corpus in one bucket)
+    base_w, extra = divmod(bits, n_bands)
+    band_keys, off = [], 0
+    for i in range(n_bands):
+        w = base_w + (1 if i < extra else 0)
+        band_keys.append(
+            F.concat(F.lit(f"B{i}_"),
+                     F.shiftright(F.col("simhash"), off)
+                     .bitwiseAND(F.lit((1 << w) - 1)).cast("string")))
+        off += w
     blocks = sh.select(
         id_col, "simhash",
         F.explode(F.array(*band_keys)).alias("blk"),
     )
+    if bucket_cap is not None:
+        # skew guard (same contract as minhash bucket_cap): drop blocks
+        # whose membership exceeds the cap — at 16 bits the fingerprint
+        # space is only 65536 values, so a web-scale corpus MUST use
+        # bits=64 (+ a cap) or accept quadratic in-block expansion
+        sizes = blocks.groupBy("blk").agg(F.count(F.lit(1)).alias("_bn"))
+        blocks = (blocks.join(sizes, "blk")
+                  .filter(F.col("_bn") <= bucket_cap).drop("_bn"))
     a, b = blocks.alias("a"), blocks.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
@@ -263,9 +288,16 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
             .filter(F.col("n.component") < F.col("o.component"))
             .count()
         )
+        labels.unpersist()  # drop the previous checkpoint generation
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent non-convergence would report one duplicate cluster as
+        # several components — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations (graph diameter exceeds it); raise max_iter")
     return labels
 
 
@@ -324,6 +356,14 @@ def decontaminate(train: DataFrame, heldout: DataFrame,
     while it fits and a shuffled semi-join beyond. Contaminated ids are
     distinct'd BEFORE the anti-join so the final probe is id-vs-id,
     not id-vs-gram-explosion.
+
+    Held-out items SHORTER than ``n`` tokens emit only a whole-doc
+    partial gram, which can never equal a full train n-gram — those are
+    matched by an explicit substring ``contains`` probe instead (the
+    short-item set is distinct'd and tiny relative to the eval corpus;
+    the probe is a broadcast filter over the train scan). Without it a
+    7-token eval answer quoted verbatim inside a long train doc
+    silently survived decontamination (review r3).
     """
     tg = train.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g")
@@ -332,6 +372,19 @@ def decontaminate(train: DataFrame, heldout: DataFrame,
         F.explode(word_shingles(F.col(text_col), n)).alias("g")
     ).distinct()
     bad = tg.join(hg, "g", "left_semi").select(id_col).distinct()
+
+    # short held-out items: substring containment against train text
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    shorts = (heldout
+              .filter(F.size(toks) < n)
+              .select(F.trim(F.col(text_col)).alias("_short"))
+              .filter(F.col("_short") != "")
+              .distinct())
+    bad_short = (train
+                 .join(F.broadcast(shorts),
+                       F.col(text_col).contains(F.col("_short")))
+                 .select(id_col).distinct())
+    bad = bad.unionByName(bad_short).distinct()
     return train.join(bad, id_col, "left_anti")
 
 

@@ -2860,10 +2860,19 @@ WITH toks AS (
   FROM toks
 ), hg AS (
   SELECT DISTINCT unnest(gs) AS g FROM grams WHERE b < 500
+), shorts AS (
+  -- held-out items shorter than n tokens: substring containment probe
+  -- (mirrors operators/dedup.decontaminate's short-item branch)
+  SELECT DISTINCT trim(text) AS st FROM toks JOIN documents USING (doc_id)
+  WHERE b < 500 AND len(t) < 8 AND trim(text) <> ''
 ), bad AS (
   SELECT DISTINCT doc_id
   FROM (SELECT doc_id, unnest(gs) AS g FROM grams WHERE b >= 500) tg
   JOIN hg USING (g)
+  UNION
+  SELECT DISTINCT d.doc_id
+  FROM documents d JOIN toks tk USING (doc_id), shorts s
+  WHERE tk.b >= 500 AND contains(d.text, s.st)
 )
 SELECT source,
        count(*) AS n_train,

@@ -26,15 +26,22 @@ def binary_import(spark: SparkSession, path: str,
     """Read a directory of binary assets into
     (media_id, ext, length, mod_time, content).
 
-    ``media_id`` is the file stem (provenance, joinable to sidecar
-    metadata); ``glob`` maps to pathGlobFilter (e.g. ``*.jpg``)."""
+    ``media_id`` is the URL-DECODED file stem (binaryFile's path column
+    is a percent-encoded URI — 'my asset.jpg' arrives as
+    'my%20asset.jpg'); ``media_path`` keeps the full decoded path so
+    same-stem files in different subdirectories ('train/001.jpg' vs
+    'val/001.jpg') stay distinguishable — join sidecar metadata on the
+    stem only when stems are unique, else on the path. ``glob`` maps to
+    pathGlobFilter (e.g. ``*.jpg``)."""
     reader = spark.read.format("binaryFile")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     df = reader.load(path)
-    base = F.element_at(F.split(F.col("path"), "/"), -1)
+    decoded = F.url_decode(F.col("path"))
+    base = F.element_at(F.split(decoded, "/"), -1)
     return df.select(
         F.regexp_replace(base, r"\.[^.]*$", "").alias("media_id"),
+        decoded.alias("media_path"),
         F.lower(F.regexp_extract(base, r"\.([^.]*)$", 1)).alias("ext"),
         F.col("length"),
         F.col("modificationTime").alias("mod_time"),

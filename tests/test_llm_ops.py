@@ -410,3 +410,44 @@ def test_cooccurrence_null_group_excluded_and_empty_pagerank(spark):
     assert got == {("a", "b")}  # NULL group fabricates nothing
     empty = edges.filter("weight > 99")
     assert pagerank(empty).count() == 0  # no ZeroDivisionError
+
+
+def test_decontaminate_short_heldout_items(spark):
+    """Review r3: a held-out item shorter than n tokens quoted verbatim
+    inside a train doc must still contaminate it."""
+    from accelerator_spark.operators.dedup import decontaminate
+    train = spark.createDataFrame(
+        [(1, "alpha beta the capital of france is paris gamma delta "
+             "epsilon zeta eta"),
+         (2, "totally unrelated text about spark shuffles and joins "
+             "with many words here")],
+        "doc_id long, text string")
+    heldout = spark.createDataFrame(
+        [(100, "the capital of france is paris")],  # 6 tokens < n=8
+        "doc_id long, text string")
+    kept = decontaminate(train, heldout, n=8)
+    assert [r["doc_id"] for r in kept.collect()] == [2]
+
+
+def test_simhash_bands_cover_all_bits(spark):
+    """Review r3: band slicing must never leave an empty (all-constant)
+    band — max_hamming=4 at 16 bits previously produced one."""
+    from accelerator_spark.operators.dedup import simhash_near_pairs
+    base = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " eleven")], "doc_id long, text string")
+    # runs without a degenerate full-corpus block; result well-formed
+    pairs = simhash_near_pairs(df, max_hamming=4)
+    for r in pairs.collect():
+        assert r["hamming"] <= 4
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    import pytest
+    from accelerator_spark.operators.dedup import connected_components
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, src="doc_a", dst="doc_b", max_iter=1)
+    ok = connected_components(edges, src="doc_a", dst="doc_b")
+    assert ok.agg({"component": "max"}).collect()[0][0] == 0
