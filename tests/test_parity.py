@@ -276,3 +276,20 @@ def test_parquet_codec_matrix_roundtrip(spark, sf_dir, tmp_path):
         p = str(tmp_path / f"codec_{codec}")
         src.write.option("compression", codec).parquet(p)
         assert sorted(map(str, spark.read.parquet(p).collect())) == want
+
+
+def test_csvimport_zip_hostile_member_names(spark, tmp_path):
+    """Review r3: members with glob metacharacters (and absolute-ish
+    names) must import — the read path is the sanitized, renamed file,
+    never the raw member name."""
+    import zipfile
+    zp = str(tmp_path / "weird.zip")
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("data[1].csv", "a,b\n1,2\n")
+        zf.writestr("sub/dir/esc.csv", "a,b\n3,4\n")
+    from accelerator_spark.sources.zip import csvimport_zip
+    res = csvimport_zip(spark, zp, strip_dirs=True)
+    assert set(res.members) == {"data[1].csv", "esc.csv"}
+    rows = sorted(tuple(r) for r in
+                  res.chain.select("a", "b").collect())
+    assert rows == [("1", "2"), ("3", "4")]
