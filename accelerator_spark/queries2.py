@@ -525,6 +525,12 @@ def xml_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_XML_RT = """
+-- BIGINT-cast wrapper: DuckDB widens integer sums to HUGEINT, which the
+-- driver's Arrow fetch path renders differently than Spark's long (VERDICT r3 #1).
+SELECT "nations",
+       "checksum_xor",
+       CAST("sum_region" AS BIGINT) AS "sum_region"
+FROM (
 SELECT count(*) AS nations,
        bit_xor(CAST(('0x' || substring(md5(
          concat_ws(chr(31),
@@ -533,6 +539,7 @@ SELECT count(*) AS nations,
            coalesce(CAST(n_regionkey AS VARCHAR), '<N>'))), 1, 15)) AS BIGINT)) AS checksum_xor,
        sum(n_regionkey) AS sum_region
 FROM nation
+) _bigint_cast
 """
 
 
@@ -736,6 +743,11 @@ def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_QUALITY_CHECKS = """
+-- BIGINT-cast wrapper: DuckDB widens integer sums to HUGEINT, which the
+-- driver's Arrow fetch path renders differently than Spark's long (VERDICT r3 #1).
+SELECT "rule",
+       CAST("n_violations" AS BIGINT) AS "n_violations"
+FROM (
 WITH bad(o_orderkey, o_custkey, o_orderstatus, o_totalprice) AS (
   VALUES (-1, 1, 'X', 100.0), (-2, 1, 'O', -5.0),
          (1, 1, 'O', 50.0), (-3, -999999, 'F', 60.0)
@@ -761,6 +773,7 @@ UNION ALL
 SELECT 'unique:o_orderkey', coalesce(sum(c - 1), 0) FROM (
   SELECT count(*) AS c FROM full_t GROUP BY o_orderkey HAVING count(*) > 1)
 ORDER BY rule
+) _bigint_cast
 """
 
 
@@ -832,6 +845,17 @@ FROM t
 
 
 ORACLE_NULL_SEMANTICS = """
+-- BIGINT-cast wrapper: DuckDB widens integer sums to HUGEINT, which the
+-- driver's Arrow fetch path renders differently than Spark's long (VERDICT r3 #1).
+SELECT "n_rows",
+       "n_nonnull",
+       "n_distinct_nonnull",
+       CAST("n_null" AS BIGINT) AS "n_null",
+       "n_nullsafe_eq_null",
+       "sum_null_group_k",
+       "min_coalesced",
+       "n_nvl2"
+FROM (
 WITH t AS (
   SELECT o_orderkey, nullif(o_orderstatus, 'O') AS st, o_totalprice
   FROM orders
@@ -847,6 +871,7 @@ SELECT count(*) AS n_rows,
        min(coalesce(st, 'zz')) AS min_coalesced,
        count(CASE WHEN st IS NOT NULL THEN 1 END) AS n_nvl2
 FROM t
+) _bigint_cast
 """
 
 
@@ -919,7 +944,9 @@ WITH q AS (
     FROM votes) WHERE rn = 1
 )
 SELECT true_label, count(*) AS n_queries,
-       sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS n_correct,
+       -- BIGINT cast: DuckDB widens integer sum() to HUGEINT (VERDICT r3 #1)
+       CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
        round(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
              / CAST(count(*) AS DOUBLE), 3) AS accuracy
 FROM pred GROUP BY true_label ORDER BY true_label
@@ -1084,6 +1111,14 @@ def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_MAD = """
+-- BIGINT-cast wrapper: DuckDB widens integer sums to HUGEINT, which the
+-- driver's Arrow fetch path renders differently than Spark's long (VERDICT r3 #1).
+SELECT "event_type",
+       "med",
+       "mad",
+       CAST("n_outliers" AS BIGINT) AS "n_outliers",
+       "n"
+FROM (
 WITH med AS (
   SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med
   FROM events GROUP BY event_type
@@ -1100,6 +1135,7 @@ SELECT d.event_type, min(d.med) AS med, min(x.mad) AS mad,
        count(*) AS n
 FROM dev d JOIN mad x USING (event_type)
 GROUP BY d.event_type ORDER BY d.event_type
+) _bigint_cast
 """
 
 
@@ -1356,6 +1392,13 @@ FROM m ORDER BY user_id
 
 
 ORACLE_MAP_FUNCTIONS = """
+-- BIGINT-cast wrapper: DuckDB widens integer sums to HUGEINT, which the
+-- driver's Arrow fetch path renders differently than Spark's long (VERDICT r3 #1).
+SELECT "user_id",
+       "n_types",
+       "big_counts",
+       CAST("total" AS BIGINT) AS "total"
+FROM (
 WITH c AS (
   SELECT user_id, event_type, count(*) AS n
   FROM events WHERE user_id < 5 GROUP BY user_id, event_type
@@ -1366,6 +1409,7 @@ SELECT user_id, count(*) AS n_types,
          ',' ORDER BY event_type), '') AS big_counts,
        sum(n) AS total
 FROM c GROUP BY user_id ORDER BY user_id
+) _bigint_cast
 """
 
 
@@ -1483,6 +1527,16 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 
 
 ORACLE_BITWISE = """
+-- BIGINT-cast wrapper: DuckDB widens integer sums to HUGEINT, which the
+-- driver's Arrow fetch path renders differently than Spark's long (VERDICT r3 #1).
+SELECT "o_orderstatus",
+       CAST("sum_and" AS BIGINT) AS "sum_and",
+       CAST("sum_or" AS BIGINT) AS "sum_or",
+       CAST("sum_xor" AS BIGINT) AS "sum_xor",
+       CAST("sum_shl" AS BIGINT) AS "sum_shl",
+       CAST("sum_shr" AS BIGINT) AS "sum_shr",
+       CAST("sum_popcount" AS BIGINT) AS "sum_popcount"
+FROM (
 SELECT o_orderstatus,
        sum(o_orderkey & 255) AS sum_and,
        sum(o_orderkey | 15) AS sum_or,
@@ -1491,6 +1545,7 @@ SELECT o_orderstatus,
        sum(o_orderkey // 16) AS sum_shr,
        sum(bit_count(o_orderkey)) AS sum_popcount
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+) _bigint_cast
 """
 
 
@@ -1554,6 +1609,14 @@ FROM part GROUP BY p_brand ORDER BY p_brand
 
 
 ORACLE_REGEX_SWEEP = """
+-- BIGINT-cast wrapper: DuckDB widens integer sums to HUGEINT, which the
+-- driver's Arrow fetch path renders differently than Spark's long (VERDICT r3 #1).
+SELECT "p_brand",
+       CAST("n_vowels" AS BIGINT) AS "n_vowels",
+       "n_prefixed",
+       CAST("n_number_runs" AS BIGINT) AS "n_number_runs",
+       CAST("len_devoweled" AS BIGINT) AS "len_devoweled"
+FROM (
 SELECT p_brand,
        sum(len(regexp_extract_all(p_name, '[aeiou]'))) AS n_vowels,
        count(CASE WHEN regexp_matches(p_name, '^[a-z]+_') THEN 1 END)
@@ -1562,6 +1625,7 @@ SELECT p_brand,
        sum(length(regexp_replace(p_name, '[aeiou]', '', 'g')))
          AS len_devoweled
 FROM part GROUP BY p_brand ORDER BY p_brand
+) _bigint_cast
 """
 
 
@@ -1597,6 +1661,15 @@ def exact_substring_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_EXACT_SUBSTRING = """
+-- BIGINT-cast wrapper: DuckDB widens integer sums to HUGEINT, which the
+-- driver's Arrow fetch path renders differently than Spark's long (VERDICT r3 #1).
+SELECT "doc_id",
+       "n_tokens",
+       "n_spans",
+       CAST("shared_tokens" AS BIGINT) AS "shared_tokens",
+       "longest_span",
+       "dup_frac"
+FROM (
 WITH base AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
   FROM documents
@@ -1641,6 +1714,7 @@ SELECT t.doc_id, t.n_tokens,
          AS dup_frac
 FROM toks t LEFT JOIN rep r USING (doc_id)
 ORDER BY t.doc_id
+) _bigint_cast
 """
 
 
@@ -1836,7 +1910,8 @@ WITH flat AS (
          sum(pos) AS np, sum(1 - pos) AS nn
   FROM ranked JOIN tie USING (score)
 ), auc AS (
-  SELECT np AS n_pos, nn AS n_neg,
+  -- BIGINT casts: DuckDB widens integer sum() to HUGEINT (VERDICT r3 #1)
+  SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
          round((rsum - np * (np + 1) / 2) / (np * nn), 4) AS auc
   FROM agg
 ), calib AS (

@@ -18,6 +18,37 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def test_no_hugeint_oracle_output_columns():
+    """Guard against the round-3 driver hash-fail class: DuckDB widens
+    integer sum() (and windowed sums) to HUGEINT, and the driver's Arrow
+    fetch path has no int128 so HUGEINT rows render differently than
+    Spark's long ("9549.0" vs "9549"). Every oracle must therefore emit
+    only Arrow-exact types — DESCRIBE each registered oracle and assert
+    no HUGEINT/UHUGEINT output column anywhere. Cheap (DuckDB only, no
+    Spark), so it runs in the fast suite."""
+    import duckdb
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entrymod
+
+    oracles = entrymod.oracle_sql()
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    offenders = []
+    for name, sql in oracles.items():
+        desc = con.execute(f"DESCRIBE ({sql})").fetchall()
+        bad = [(r[0], r[1]) for r in desc if "HUGEINT" in r[1].upper()]
+        if bad:
+            offenders.append((name, bad))
+    assert not offenders, (
+        "oracle output columns typed HUGEINT (wrap in CAST(... AS BIGINT)): "
+        f"{offenders}")
+
+
 @pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_ORACLE"),
     reason="full oracle sweep is opt-in: set SPARK_GRAFT_ORACLE=1",
