@@ -325,14 +325,108 @@ def assign_global_ids(df, order_col: str, id_col: str = "row_id",
             .drop("_bkt"))
 
 
+def _ntile_bucket_frame(df, order_col: str, tiebreak_col: str,
+                        n_buckets: int, sid: str):
+    """Assign every row a bucket key ``(sid_bkt, sid_sub)`` such that
+
+    - buckets are contiguous ranges of the ``(order_col, tiebreak_col)``
+      total order (so per-bucket row_number + cumulative offsets
+      reconstruct the exact global row_number), and
+    - no bucket holds much more than ``2/n_buckets`` of the rows even
+      when one order value dominates (the round-3 tie-skew hazard: with
+      value-range cuts alone, a 90%-tied column funnels 90% of the rows
+      into ONE bucket whose window is a single task).
+
+    Tie de-skew: per-bucket counts (<= n_buckets rows, collected) find
+    heavy buckets; a count inside just those buckets finds the dominant
+    order values; each heavy value gets before+after cuts (isolating its
+    tie group in its own bucket) and is then sub-split by quantile cuts
+    on ``tiebreak_col`` — within a tie group the ordering IS the
+    tiebreak, so tiebreak value-range sub-buckets stay contiguous.
+    Sub-splitting needs a numeric tiebreak and a collision-free
+    double cast (guarded by countDistinct); otherwise that value keeps
+    one bucket (correct, merely skewed). All driver pulls are bounded
+    by O(n_buckets) rows."""
+    from pyspark.sql import functions as F
+
+    order_d = F.col(order_col).cast("double")
+
+    def n_cuts_below(cuts, cmp):
+        # flat sum of per-cut booleans (not an array+filter HOF: a
+        # lambda capturing an outer column trips Catalyst's reference
+        # binding once the expression flows through groupBy+window)
+        if not cuts:
+            return F.lit(0)
+        e = F.lit(0)
+        for c in cuts:
+            e = e + F.when(cmp(F.lit(float(c))), 1).otherwise(0)
+        return e
+
+    fracs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    head = df.agg(
+        F.percentile_approx(order_d, fracs, F.lit(10000)).alias("b"),
+        F.count(F.lit(1)).alias("n")).collect()[0]
+    total = head["n"]
+    after = sorted({x for x in (head["b"] or []) if x is not None})
+    plain = (df.withColumn(f"{sid}_bkt",
+                           n_cuts_below(after, lambda x: x < order_d))
+             .withColumn(f"{sid}_sub", F.lit(0)))
+    if total == 0 or not after:
+        return plain
+    cap = max(1, (2 * total) // n_buckets)
+    counts = {r[f"{sid}_bkt"]: r["c"] for r in
+              plain.groupBy(f"{sid}_bkt")
+                   .agg(F.count(F.lit(1)).alias("c")).collect()}
+    heavy_buckets = [k for k, c in counts.items() if c > cap]
+    tie_base = (dict(df.dtypes).get(tiebreak_col) or "").split("(")[0]
+    tie_numeric = tie_base in _BUCKETABLE or tie_base.startswith("decimal")
+    if not heavy_buckets or not tie_numeric:
+        return plain
+    hv = (plain.filter(F.col(f"{sid}_bkt").isin(heavy_buckets))
+          .groupBy(order_d.alias("v"))
+          .agg(F.count(F.lit(1)).alias("c"),
+               F.countDistinct(order_col).alias("nd"))
+          .filter(F.col("c") > cap).collect())
+    # nd > 1: two real values collide in double space — sub-splitting by
+    # tiebreak would misorder them, so leave that group un-split
+    heavy = {r["v"]: r["c"] for r in hv
+             if r["v"] is not None and r["nd"] == 1}
+    tie_d = F.col(tiebreak_col).cast("double")
+    n_sub = max((min(n_buckets, -(-c * n_buckets // total))
+                 for c in heavy.values()), default=0)
+    if not heavy or n_sub < 2:
+        return plain
+    tfracs = F.array(*[F.lit(i / n_sub) for i in range(1, n_sub)])
+    tie_cuts = {r["v"]: sorted({x for x in (r["tb"] or [])
+                                if x is not None})
+                for r in df.filter(order_d.isin(list(heavy)))
+                           .groupBy(order_d.alias("v"))
+                           .agg(F.percentile_approx(
+                               tie_d, tfracs, F.lit(10000)).alias("tb"))
+                           .collect()}
+    after2 = sorted(set(after) | set(heavy))
+    before = sorted(heavy)
+    bkt = (n_cuts_below(after2, lambda x: x < order_d)
+           + n_cuts_below(before, lambda x: x <= order_d))
+    sub = F.lit(0)
+    for v, cuts in tie_cuts.items():
+        if cuts:
+            sub = F.when(order_d == F.lit(float(v)),
+                         n_cuts_below(cuts, lambda x: x < tie_d)
+                         ).otherwise(sub)
+    return (df.withColumn(f"{sid}_bkt", bkt)
+            .withColumn(f"{sid}_sub", sub))
+
+
 def exact_ntile(df, order_col: str, n_tiles: int, tiebreak_col: str,
                 out_col: str, n_buckets: int = 64):
     """Exact ``ntile(n) OVER (ORDER BY order_col, tiebreak_col)``
     WITHOUT a single-task global sort (the assign_global_ids /
     ntile_price_quartiles pattern, reusable):
 
-    1. percentile_approx boundaries -> ``n_buckets`` value-range buckets
-       (ties share a bucket via strict <, so tie groups stay whole);
+    1. ``_ntile_bucket_frame`` cuts the rows into contiguous value-range
+       buckets — heavy tied values isolated and sub-split by tiebreak
+       ranges so a dominant value can't collapse into one task;
     2. within-bucket row_number (PARTITIONED window, fully parallel);
     3. per-bucket counts (tiny frame) -> cumulative offsets broadcast
        back: rn = offset + in-bucket rank == the global row_number;
@@ -346,19 +440,12 @@ def exact_ntile(df, order_col: str, n_tiles: int, tiebreak_col: str,
 
     _require_bucketable(df, order_col, "exact_ntile")
     sid = f"_{out_col}"
-    fracs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
-    bounds = df.agg(F.percentile_approx(
-        F.col(order_col).cast("double"), fracs, F.lit(10000)
-    ).alias(f"{sid}_bounds"))
-    b = (df.crossJoin(F.broadcast(bounds))
-         .withColumn(f"{sid}_bkt", F.size(F.filter(
-             F.col(f"{sid}_bounds"),
-             lambda x: x < F.col(order_col).cast("double"))))
-         .drop(f"{sid}_bounds"))
-    counts = b.groupBy(f"{sid}_bkt").agg(F.count(F.lit(1)).alias(f"{sid}_n"))
-    w_cum = (Window.orderBy(f"{sid}_bkt")
+    b = _ntile_bucket_frame(df, order_col, tiebreak_col, n_buckets, sid)
+    key = [f"{sid}_bkt", f"{sid}_sub"]
+    counts = b.groupBy(*key).agg(F.count(F.lit(1)).alias(f"{sid}_n"))
+    w_cum = (Window.orderBy(*key)
              .rowsBetween(Window.unboundedPreceding, -1))
-    w_tot = (Window.orderBy(f"{sid}_bkt")
+    w_tot = (Window.orderBy(*key)
              .rowsBetween(Window.unboundedPreceding,
                           Window.unboundedFollowing))
     offsets = (counts
@@ -366,11 +453,11 @@ def exact_ntile(df, order_col: str, n_tiles: int, tiebreak_col: str,
                            F.coalesce(F.sum(f"{sid}_n").over(w_cum),
                                       F.lit(0)))
                .withColumn(f"{sid}_tot", F.sum(f"{sid}_n").over(w_tot))
-               .select(f"{sid}_bkt", f"{sid}_off", f"{sid}_tot"))
-    w_in = Window.partitionBy(f"{sid}_bkt").orderBy(
+               .select(*key, f"{sid}_off", f"{sid}_tot"))
+    w_in = Window.partitionBy(*key).orderBy(
         F.col(order_col).asc(), F.col(tiebreak_col).asc())
     ranked = (b.withColumn(f"{sid}_r", F.row_number().over(w_in))
-              .join(F.broadcast(offsets), f"{sid}_bkt")
+              .join(F.broadcast(offsets), key)
               .withColumn(f"{sid}_rn",
                           F.col(f"{sid}_off") + F.col(f"{sid}_r")))
     q = F.floor(F.col(f"{sid}_tot") / n_tiles)
@@ -382,7 +469,7 @@ def exact_ntile(df, order_col: str, n_tiles: int, tiebreak_col: str,
         F.when(q == 0, rn)
         .when(rn <= big, F.ceil(rn / (q + 1)))
         .otherwise(r_mod + F.ceil((rn - big) / q)).cast("int"))
-    return out.drop(f"{sid}_bkt", f"{sid}_r", f"{sid}_off",
+    return out.drop(f"{sid}_bkt", f"{sid}_sub", f"{sid}_r", f"{sid}_off",
                     f"{sid}_tot", f"{sid}_rn")
 
 
