@@ -177,7 +177,17 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 16) -> DataFrame:
     """SimHash fingerprint: per-token md5-hash bit votes -> sign -> bits.
-    (id, simhash long). Hamming-close fingerprints = near-dups."""
+    (id, simhash long). Hamming-close fingerprints = near-dups.
+
+    Up to ``bits=64``: the md5-derived token hash (_h) is 60 bits, so
+    bits 60..63 vote from a SECOND salted hash stream (_h seed 1), and
+    bit 63 contributes the two's-complement value -(2^63) — ``1 << 63``
+    would overflow the signed long; the encoding stays bijective and
+    xor/bit_count hamming is unaffected. Both conventions replay exactly
+    in the DuckDB oracle (queries._simhash_oracle)."""
+    if bits > 64:
+        raise ValueError(f"simhash: bits={bits} exceeds the 64-bit "
+                         "fingerprint word")
     toks = F.split(norm_text(F.col(text_col)), " ")
     # Explode + groupBy, NOT per-row F.aggregate lambdas: the token
     # stream collapses map-side (partial agg) so the exchange carries
@@ -185,16 +195,24 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # measured 25% faster at sf0.1 than the interpreted higher-order
     # formulation. One md5 per token, shared by all bit votes via CSE.
     t = df.select(F.col(id_col), F.explode(toks).alias("tok"))
-    t = t.select(id_col, _h(F.col("tok"), 0).alias("hv"))
-    h = F.col("hv")
+    cols = [id_col, _h(F.col("tok"), 0).alias("hv")]
+    if bits > 60:
+        cols.append(_h(F.col("tok"), 1).alias("hv1"))
+    t = t.select(*cols)
+
+    def bit(j):
+        src, off = (F.col("hv"), j) if j < 60 else (F.col("hv1"), j - 60)
+        return F.shiftright(src, off).bitwiseAND(F.lit(1))
+
     votes = [
-        F.sum(F.when(((F.shiftright(h, j)).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)).alias(f"b{j}")
+        F.sum(F.when(bit(j) == 1, 1).otherwise(-1)).alias(f"b{j}")
         for j in range(bits)
     ]
     agg = t.groupBy(id_col).agg(*votes)
     out = F.lit(0).cast("long")
     for j in range(bits):
-        out = out + F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(0).cast("long")
+        val = (1 << j) if j < 63 else -(1 << 63)
+        out = out + F.when(F.col(f"b{j}") > 0, F.lit(val)).otherwise(0).cast("long")
     return agg.select(id_col, out.alias("simhash"))
 
 
