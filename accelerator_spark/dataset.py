@@ -60,6 +60,59 @@ def _json_safe(v: Any) -> Any:
     return v
 
 
+# Chain-resolution cache (reference checkpoints chain metadata every 64
+# links — accelerator/dataset.py:955-961 — so resolving a years-long
+# chain is O(1)-ish). Here every manifest written with a ``previous``
+# carries the ancestor entry list (path + the metadata chain_df needs:
+# lines, minmax zone maps, and whether df() is a plain parquet read).
+# Appending is O(1) at write time (the previous manifest is in hand);
+# when a chain outgrows the cap, each manifest keeps its most recent
+# _CHAIN_CACHE_MAX ancestors and resolution hops caches — O(depth/cap)
+# manifest reads instead of one per link.
+_CHAIN_CACHE_MAX = 4096
+
+
+def _chain_entry(path: str, manifest: dict) -> dict:
+    return {
+        "path": path,
+        "lines": manifest.get("lines", 0),
+        "minmax": manifest.get("minmax", {}),
+        "plain": not (manifest.get("parent") or manifest.get("bucketing")),
+    }
+
+
+def _chain_meta(previous: "Dataset | str | None") -> dict:
+    """chain_depth + chain_cache fields for a manifest being written."""
+    if not previous:
+        return {"chain_depth": 0}
+    prev = previous if isinstance(previous, Dataset) else Dataset.load(previous)
+    cache = list(prev.manifest.get("chain_cache") or [])
+    cache.append(_chain_entry(prev.path, prev.manifest))
+    if len(cache) > _CHAIN_CACHE_MAX:
+        cache = cache[-_CHAIN_CACHE_MAX:]
+    return {
+        "chain_depth": prev.manifest.get("chain_depth", 0) + 1,
+        "chain_cache": cache,
+    }
+
+
+def _entry_range_skips(minmax: dict,
+                       range_filter: dict[str, tuple[Any, Any]]) -> bool:
+    """True if cached [min,max] proves no row of the dataset matches."""
+    for c, (lo, hi) in range_filter.items():
+        mn, mx = (minmax.get(c) or [None, None])[:2]
+        if mn is None and mx is None:
+            continue
+        try:
+            if hi is not None and mn is not None and mn >= hi:
+                return True
+            if lo is not None and mx is not None and mx < lo:
+                return True
+        except TypeError:
+            continue
+    return False
+
+
 @dataclass
 class Dataset:
     """Handle to a written dataset. Cheap; holds no data."""
@@ -145,6 +198,7 @@ class Dataset:
                 for c in mm_cols
             },
         }
+        manifest.update(_chain_meta(previous))
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, MANIFEST_NAME), "w") as f:
             json.dump(manifest, f, indent=1, default=_json_safe)
@@ -201,6 +255,7 @@ class Dataset:
             "lines": obs.get["__lines__"],
             "minmax": {},
         }
+        manifest.update(_chain_meta(previous))
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, MANIFEST_NAME), "w") as f:
             json.dump(manifest, f, indent=1, default=_json_safe)
@@ -308,6 +363,7 @@ class Dataset:
             "lines": lines,
             "minmax": mm,
         }
+        manifest.update(_chain_meta(previous))
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, MANIFEST_NAME), "w") as f:
             json.dump(manifest, f, indent=1, default=_json_safe)
@@ -390,19 +446,57 @@ class Dataset:
         p = self.manifest.get("previous")
         return Dataset.load(p) if p else None
 
-    def chain(self, length: int = -1, stop_ds: "Dataset | str | None" = None) -> list["Dataset"]:
-        """Resolve the ``previous`` chain, newest last (matching the
-        reference's iteration order: oldest dataset first)."""
+    def chain_entries(self, length: int = -1,
+                      stop_ds: "Dataset | str | None" = None) -> list[dict]:
+        """Resolve the ``previous`` chain as lightweight cached entries
+        (path, lines, minmax, plain), oldest first, using the manifest
+        chain cache: O(depth / _CHAIN_CACHE_MAX) manifest reads instead
+        of one per link (reference checkpoints the same metadata every
+        64 links — accelerator/dataset.py:955-961). Manifests written
+        before the cache existed fall back to the link-by-link walk for
+        the uncached stretch."""
         stop = stop_ds.path if isinstance(stop_ds, Dataset) else stop_ds
-        out: list[Dataset] = []
+        rev: list[dict] = []  # newest first while building
         cur: Dataset | None = self
-        while cur is not None and (length < 0 or len(out) < length):
+        while cur is not None and (length < 0 or len(rev) < length):
             if stop and cur.path == stop:
                 break
-            out.append(cur)
-            cur = cur.previous
-        out.reverse()
-        return out
+            rev.append(_chain_entry(cur.path, cur.manifest))
+            if not cur.manifest.get("previous"):
+                break
+            cache = cur.manifest.get("chain_cache")
+            if not cache:
+                cur = cur.previous  # pre-cache manifest: walk one link
+                continue
+            done = False
+            for e in reversed(cache):
+                if (length >= 0 and len(rev) >= length) or \
+                        (stop and e["path"] == stop):
+                    done = True
+                    break
+                rev.append(dict(e))
+            if done:
+                break
+            if cur.manifest.get("chain_depth") == len(cache):
+                break  # cache covers the whole ancestry — no hop probe
+            # the cap truncated older ancestry: hop to the oldest cached
+            # entry and continue from ITS cache
+            oldest = Dataset.load(cache[0]["path"])
+            if not oldest.manifest.get("previous"):
+                break
+            cur = oldest.previous
+        rev.reverse()
+        return rev
+
+    def chain(self, length: int = -1, stop_ds: "Dataset | str | None" = None) -> list["Dataset"]:
+        """Resolve the ``previous`` chain, newest last (matching the
+        reference's iteration order: oldest dataset first). Returns full
+        ``Dataset`` handles — one manifest read each; use
+        ``chain_entries`` / ``chain_df`` when only chain metadata or the
+        unioned frame is needed (those stay O(1)-ish in reads)."""
+        entries = self.chain_entries(length=length, stop_ds=stop_ds)
+        return [self if e["path"] == self.path else Dataset.load(e["path"])
+                for e in entries]
 
     def chain_df(
         self,
@@ -425,12 +519,22 @@ class Dataset:
         which read NULL for it (the reference requires identical columns;
         this is new surface for long-lived ingest chains whose feed grows
         fields)."""
-        dss = self.chain(length=length, stop_ds=stop_ds)
+        entries = self.chain_entries(length=length, stop_ds=stop_ds)
         if range_filter:
-            dss = [ds for ds in dss if not ds._range_skips(range_filter)]
-        if not dss:
+            entries = [e for e in entries
+                       if not _entry_range_skips(e["minmax"], range_filter)]
+        if not entries:
             return self.df(spark).limit(0)
-        dfs = [ds.df(spark) for ds in dss]
+        # plain datasets (no overlay/bucketing) read straight from their
+        # data dir — no manifest load; only non-plain survivors and self
+        # cost a manifest read
+        dfs = [
+            self.df(spark) if e["path"] == self.path
+            else spark.read.parquet(os.path.join(e["path"], "data"))
+            if e["plain"]
+            else Dataset.load(e["path"]).df(spark)
+            for e in entries
+        ]
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d, allowMissingColumns=allow_missing_columns)
