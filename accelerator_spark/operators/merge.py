@@ -38,11 +38,21 @@ def dataset_merge(*dfs: DataFrame, on: str = LINENO, check_lines: bool = True) -
             raise ValueError(f"merge key {on!r} missing from {d.columns}")
     if check_lines:
         stats = [d.agg(F.count(F.lit(1)).alias("n"),
-                       F.count_distinct(F.col(on)).alias("nd")).collect()[0]
+                       F.count_distinct(F.col(on)).alias("nd"),
+                       F.count(F.when(F.col(on).isNull(), 1)).alias("nn"))
+                 .collect()[0]
                  for d in dfs]
         counts = [r["n"] for r in stats]
         if len(set(counts)) != 1:
             raise ValueError(f"line counts differ: {counts} (reference requires equality)")
+        # NULL keys are a distinct failure from duplicates: the key may
+        # well be unique, but the equi-join silently DROPS those rows —
+        # say so instead of the misleading 'not unique' (ADVICE r3)
+        nulls = [i for i, r in enumerate(stats) if r["nn"] > 0]
+        if nulls:
+            raise ValueError(
+                f"merge key {on!r} contains NULLs in dataset(s) {nulls} — "
+                "those rows would be silently dropped by the join")
         dupes = [i for i, r in enumerate(stats) if r["nd"] != r["n"]]
         if dupes:
             raise ValueError(

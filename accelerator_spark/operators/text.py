@@ -290,8 +290,9 @@ def chunk_tokens(df: DataFrame, text_col: str = "text",
     for n > size, else 1 — every token lands in ≥1 chunk.
 
     Map-only sequence+explode+slice; chunk count is linear in tokens."""
-    assert stride <= size, (
-        f"stride {stride} > size {size} would skip tokens between chunks")
+    if stride > size:  # not assert: survives python -O (ADVICE r3)
+        raise ValueError(
+            f"stride {stride} > size {size} would skip tokens between chunks")
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(toks)
     n_chunks = F.when(n <= size, F.lit(1)).otherwise(

@@ -131,28 +131,43 @@ def _read_lines(spark: SparkSession, path: str, encoding: str,
         reader = spark.read
         if newline:
             reader = reader.option("lineSep", newline)
-        raw = reader.text(path).withColumn(
-            "_mono", F.monotonically_increasing_id()
+        # per-(file, split) offset arithmetic: Spark packs splits into
+        # partitions by SIZE DESCENDING, so with multiple input files
+        # partition order is not path order (ADVICE r3) — and one
+        # partition can hold splits of several files, so the in-
+        # partition row index needs rebasing per (file, partition).
+        # Linenos come out dense in (path, in-file) order, matching the
+        # non-UTF8 binaryFile branch. The split-count frames below hold
+        # one row per split / per file — broadcast-tiny at any scale.
+        raw = reader.text(path).select(
+            "value",
+            F.input_file_name().alias("_path"),
+            F.monotonically_increasing_id().alias("_mono"),
         )
         raw = raw.withColumn(
             "_pid", F.shiftright(F.col("_mono"), 33)
         ).withColumn(
             "_idx", F.col("_mono").bitwiseAND(F.lit((1 << 33) - 1))
         )
-        counts = raw.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
-        offsets = counts.withColumn(
-            "_off",
-            F.coalesce(
-                F.sum("_n").over(
-                    W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        ).select("_pid", "_off")
+        counts = raw.groupBy("_path", "_pid").agg(
+            F.count(F.lit(1)).alias("_n"), F.min("_idx").alias("_base"))
+        w_in_file = (W.partitionBy("_path").orderBy("_pid")
+                     .rowsBetween(W.unboundedPreceding, -1))
+        counts = counts.withColumn(
+            "_off_in", F.coalesce(F.sum("_n").over(w_in_file), F.lit(0)))
+        file_tot = counts.groupBy("_path").agg(F.sum("_n").alias("_fn"))
+        w_files = W.orderBy("_path").rowsBetween(W.unboundedPreceding, -1)
+        file_off = file_tot.withColumn(
+            "_foff", F.coalesce(F.sum("_fn").over(w_files), F.lit(0))
+        ).select("_path", "_foff")
+        offsets = (counts.join(file_off, "_path")
+                   .select("_path", "_pid", "_base",
+                           (F.col("_off_in") + F.col("_foff")).alias("_off")))
         return (
-            raw.join(F.broadcast(offsets), "_pid")
-            .withColumn("_lineno", F.col("_idx") + F.col("_off") + 1)
-            .drop("_pid", "_idx", "_mono", "_off")
+            raw.join(F.broadcast(offsets), ["_path", "_pid"])
+            .withColumn("_lineno",
+                        F.col("_idx") - F.col("_base") + F.col("_off") + 1)
+            .drop("_path", "_pid", "_idx", "_mono", "_off", "_base")
         )
 
     def _decode(batches: Iterator) -> Iterator:
@@ -346,14 +361,18 @@ def csvimport(
     line = F.col("value")
     skip_cond = F.col("_lineno") <= skip_lines
     if header_at is not None:
-        # skip the detected label line — and, for multi-FILE imports
-        # (globs/directories; beyond the reference's one-file contract),
-        # any line in a later file with byte-identical text, matching
-        # the native reader's per-file header handling. A data row that
-        # exactly equals the header line is indistinguishable and is
-        # skipped too (documented trade-off).
-        skip_cond = (skip_cond | (F.col("_lineno") == header_at)
-                     | (line == F.lit(header_text)))
+        skip_cond = skip_cond | (F.col("_lineno") == header_at)
+        # Only for multi-FILE imports (globs/directories; beyond the
+        # reference's one-file contract): ALSO skip any later line with
+        # byte-identical text, matching the native reader's per-file
+        # header handling — there a data row equal to the header line is
+        # indistinguishable and is skipped (documented trade-off). In
+        # the single-file case the lineno alone identifies the header,
+        # so an identical DATA row imports as data, exactly like the
+        # reference (ADVICE r3: the text-equality skip was applied
+        # unconditionally). inputFiles() is a driver-side listing.
+        if len(spark.read.text(path).inputFiles()) > 1:
+            skip_cond = skip_cond | (line == F.lit(header_text))
     if comment is not None:
         skip_cond = skip_cond | line.startswith(comment)
     if skip_empty_lines:

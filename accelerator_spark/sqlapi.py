@@ -11,27 +11,35 @@ broadcast, AQE) applies unchanged.
 from __future__ import annotations
 
 import re
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-# session id -> {table: sf_dir it is registered against}; avoids
-# re-reading 9 parquet footers on every sql() call (queries2 calls it
-# ~15x per run) while staying correct when one session alternates
-# sf_dirs (the view is re-created whenever the dir differs)
-_registered: dict[int, dict[str, str]] = {}
+# session -> {table: sf_dir it is registered against}; avoids re-reading
+# 9 parquet footers on every sql() call (queries2 calls it ~15x per run)
+# while staying correct when one session alternates sf_dirs (the view is
+# re-created whenever the dir differs). Keyed by WEAK reference, not
+# id(): a dead session's id can be recycled by a new session, which
+# would then inherit stale 'already registered' state (ADVICE r3).
+_registered: "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
+    weakref.WeakKeyDictionary())
 
 
 def register_views(spark: SparkSession, sf_dir: str,
                    tables: list[str] | None = None) -> None:
     """Register parquet tables as session temp views. Memoized per
     session; a view is only (re)created when this session has not yet
-    registered the table against THIS sf_dir."""
-    done = _registered.setdefault(id(spark), {})
+    registered the table against THIS sf_dir (and still HAS it — an
+    externally dropped temp view is re-created, not trusted)."""
+    try:
+        done = _registered.setdefault(spark, {})
+    except TypeError:  # session type not weakref-able: no memo, stay correct
+        done = {}
     for t in tables or TABLES:
-        if done.get(t) == sf_dir:
+        if done.get(t) == sf_dir and spark.catalog.tableExists(t):
             continue
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
         done[t] = sf_dir

@@ -179,6 +179,15 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # the driver only tail-captures stdout (BENCH_r03's record lost the
+    # headline total to truncation) — persist the full per-query JSON
+    # beside the repo so every round has a complete committed artifact
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_latest.json"), "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError as e:
+        print(f"# bench_latest.json not written: {e}", file=sys.stderr)
     print(json.dumps(out))
 
 

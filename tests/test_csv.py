@@ -502,3 +502,41 @@ def test_native_path_rejects_malformed_quotes(spark, tmp_path):
     res = csvimport(spark, p)
     with pytest.raises(Exception):
         res.default.collect()
+
+
+def test_header_identical_data_row_imports_single_file(spark, tmp_path):
+    """ADVICE r3 (medium): in a SINGLE-file import, a data row
+    byte-identical to the header line is data — the reference imports
+    it; only the header's own lineno is skipped."""
+    p = _write(tmp_path, "t.csv", "a,b\n1,2\na,b\n3,4\n")
+    res = csvimport(spark, p, allow_bad=True, lineno_label="ln")
+    rows = {(int(r["ln"]), r["a"], r["b"]) for r in res.default.collect()}
+    assert rows == {(2, "1", "2"), (3, "a", "b"), (4, "3", "4")}
+    assert {r["lineno"] for r in res.skipped.collect()} == {1}
+
+
+def test_multifile_linenos_path_ordered(spark, tmp_path):
+    """ADVICE r3 (low): multi-file UTF-8 linenos must follow PATH order
+    with per-file density, even though Spark packs input splits by size
+    descending (sizes here are chosen so size order != path order).
+    Later files' byte-identical header lines are skipped (multi-file
+    semantics), and their linenos still count."""
+    d = tmp_path / "many"
+    d.mkdir()
+    sizes = {"f0.csv": 2, "f1.csv": 500, "f2.csv": 50}
+    for name, n in sizes.items():
+        body = "".join(f"{name}_{i},{i}\n" for i in range(1, n + 1))
+        _write(d, name, "a,b\n" + body)
+    res = csvimport(spark, str(d) + "/*.csv", allow_bad=True,
+                    lineno_label="ln")
+    got = {r["a"]: int(r["ln"]) for r in res.default.collect()}
+    expected, lineno = {}, 0
+    for name in sorted(sizes):  # path order
+        lineno += 1  # that file's header line
+        for i in range(1, sizes[name] + 1):
+            lineno += 1
+            expected[f"{name}_{i}"] = lineno
+    assert got == expected
+    # the three headers: f0's by position, f1/f2's by text equality
+    assert sorted(r["lineno"] for r in res.skipped.collect()) == \
+        [1, sizes["f0.csv"] + 2, sizes["f0.csv"] + sizes["f1.csv"] + 3]

@@ -387,7 +387,8 @@ def test_token_count_empty_text_is_zero(spark):
 def test_chunk_tokens_rejects_gapping_stride(spark, sf_dir):
     from accelerator_spark.operators.text import chunk_tokens
     docs = load(spark, sf_dir, "documents").limit(1)
-    with pytest.raises(AssertionError, match="skip tokens"):
+    # ValueError, not assert: the guard must survive python -O (ADVICE r3)
+    with pytest.raises(ValueError, match="skip tokens"):
         chunk_tokens(docs, size=10, stride=20)
 
 

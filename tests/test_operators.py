@@ -212,3 +212,15 @@ def test_compact_latest_chain(spark):
            compact_latest(chain, ["k"], "batch",
                           tiebreak_cols=["seq"]).collect()}
     assert got == {1: "a2", 2: "b3", 3: "c1"}
+
+
+def test_dataset_merge_null_keys_distinct_error(spark):
+    """ADVICE r3: a unique-but-NULL-bearing merge key must be reported
+    as a NULL-key problem (the join would DROP those rows), not as the
+    misleading 'key is not unique'."""
+    import pytest
+
+    a = spark.createDataFrame([(1, "x"), (None, "y")], "k int, v string")
+    b = spark.createDataFrame([(1, "p"), (None, "q")], "k int, w string")
+    with pytest.raises(ValueError, match="contains NULLs"):
+        dataset_merge(a, b, on="k")

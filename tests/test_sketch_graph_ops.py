@@ -152,3 +152,24 @@ def test_heavy_hitters_large_int64_keys_with_nulls(spark):
     df = spark.createDataFrame(rows, "k long").repartition(4)
     got = {r["k"]: r["cnt"] for r in heavy_hitters(df, "k", 10).collect()}
     assert got == {big_key: 20, None: 12}
+
+
+def test_winsorize_preserves_rows_with_null_group_key(spark):
+    """ADVICE r3 / VERDICT r4 item 6: a NULL group key must neither
+    drop rows (the old equi-join bug) nor escape clamping — NULL keys
+    form their own group via the null-safe join."""
+    rows = ([("a", float(v)) for v in range(100)]
+            + [(None, float(v)) for v in range(1000, 1100)]
+            + [("a", None), (None, None)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize(df, "v", ["g"], 0.10, 0.90)
+    assert out.count() == df.count()  # add-a-column, never drop-rows
+    got = {(r["g"], r["v"]): r["v_winsor"] for r in out.collect()}
+    # NULL-keyed group clamped against ITS OWN percentiles (1000..1099)
+    assert got[(None, 1000.0)] == 1009.9
+    assert got[(None, 1099.0)] == 1089.1
+    # 'a' group untouched by the NULL group's range
+    assert got[("a", 0.0)] == 9.9
+    # NULL values stay NULL in every group
+    assert got[("a", None)] is None
+    assert got[(None, None)] is None

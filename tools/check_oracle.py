@@ -59,29 +59,42 @@ def main():
 
     todo = names or list(QUERIES)
     failures = []
+    results = {}
     for name in todo:
         fn = QUERIES[name]
+        rec = {"rows_match": False, "schema_match": False,
+               "hash_match": False, "spark_rows": None,
+               "oracle_rows": None, "err": None}
+        results[name] = rec
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
+            rec["spark_rows"] = len(s_rows)
         except Exception as e:
             failures.append(name)
-            print(f"FAIL {name}: spark error: {str(e)[:300]}")
+            rec["err"] = f"spark error: {str(e)[:300]}"
+            print(f"FAIL {name}: {rec['err']}")
             continue
         if name not in ORACLES:
+            rec["rows_match"] = rec["schema_match"] = rec["hash_match"] = None
+            rec["err"] = "rows-only (no oracle registered)"
             print(f"SKIP {name}: rows-only ({len(s_rows)} rows)")
             continue
         try:
             cur = con.execute(ORACLES[name])
             o_cols = [d[0] for d in cur.description]
             o_rows = cur.fetchall()
+            rec["oracle_rows"] = len(o_rows)
         except Exception as e:
             failures.append(name)
-            print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+            rec["err"] = f"duckdb error: {str(e)[:300]}"
+            print(f"FAIL {name}: {rec['err']}")
             continue
         sc, sd = frame_sig(s_cols, s_rows)
         oc, od = frame_sig(o_cols, o_rows)
+        rec["rows_match"] = len(sd) == len(od)
+        rec["schema_match"] = sc == oc
         if sc != oc:
             failures.append(name)
             print(f"FAIL {name}: columns spark={sc} duckdb={oc}")
@@ -95,7 +108,19 @@ def main():
             diffs = [(a, b) for a, b in zip(sd, od) if a != b][:3]
             print(f"FAIL {name}: value mismatch ({sum(1 for a, b in zip(sd, od) if a != b)}/{len(sd)} rows); first: {diffs}")
             continue
+        rec["hash_match"] = True
         print(f"OK   {name}: {len(sd)} rows")
+    if not names:
+        # full sweep: record the at-HEAD correctness artifact next to the
+        # driver's CORRECTNESS_r{N}.json (same per-query record shape),
+        # so every round ships a committed 168-query result
+        import json
+        out = {"_meta": {"sf_dir": sf_dir, "queries": len(todo),
+                         "matched": len(todo) - len(failures)}}
+        out.update(results)
+        with open("/root/repo/CORRECTNESS_HEAD.json", "w") as f:
+            json.dump(out, f, indent=1)
+        print("wrote CORRECTNESS_HEAD.json")
     print(f"\n{len(todo) - len(failures)}/{len(todo)} matched")
     sys.exit(1 if failures else 0)
 
