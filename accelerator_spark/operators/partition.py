@@ -337,85 +337,84 @@ def _ntile_bucket_frame(df, order_col: str, tiebreak_col: str,
       value-range cuts alone, a 90%-tied column funnels 90% of the rows
       into ONE bucket whose window is a single task).
 
-    Tie de-skew: per-bucket counts (<= n_buckets rows, collected) find
-    heavy buckets; a count inside just those buckets finds the dominant
-    order values; each heavy value gets before+after cuts (isolating its
-    tie group in its own bucket) and is then sub-split by quantile cuts
-    on ``tiebreak_col`` — within a tie group the ordering IS the
+    Tie de-skew at ~zero extra cost: a value REPEATED in the
+    percentile_approx bounds array holds >= 1/n_buckets of the rows, so
+    the dominant tied values fall straight out of the bounds collect —
+    no separate counting pass. Each heavy value gets before+after cuts
+    (isolating its tie group in its own bucket) and is sub-split by
+    quantile cuts on ``tiebreak_col`` (one extra grouped agg, only when
+    heavy values exist) — within a tie group the ordering IS the
     tiebreak, so tiebreak value-range sub-buckets stay contiguous.
-    Sub-splitting needs a numeric tiebreak and a collision-free
-    double cast (guarded by countDistinct); otherwise that value keeps
-    one bucket (correct, merely skewed). All driver pulls are bounded
-    by O(n_buckets) rows."""
+    Sub-splitting needs a numeric tiebreak and a collision-free double
+    cast (guarded by countDistinct); otherwise that value keeps one
+    bucket (correct, merely skewed).
+
+    Driver pulls are bounded (one 1-row bounds agg; one <=n_buckets/2-
+    row tie-cut agg when skewed), and bucket assignment compiles to
+    flat when-sums — no joins in the plan. NOTE for callers chaining
+    several exact_ntile passes: the collects re-execute the input
+    lineage, so materialize (localCheckpoint) between passes — see
+    rfm_segmentation."""
+    from collections import Counter
+
     from pyspark.sql import functions as F
 
     order_d = F.col(order_col).cast("double")
+    tie_base = (dict(df.dtypes).get(tiebreak_col) or "").split("(")[0]
+    tie_numeric = tie_base in _BUCKETABLE or tie_base.startswith("decimal")
 
     def n_cuts_below(cuts, cmp):
         # flat sum of per-cut booleans (not an array+filter HOF: a
         # lambda capturing an outer column trips Catalyst's reference
         # binding once the expression flows through groupBy+window)
-        if not cuts:
-            return F.lit(0)
         e = F.lit(0)
         for c in cuts:
             e = e + F.when(cmp(F.lit(float(c))), 1).otherwise(0)
         return e
 
     fracs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
-    head = df.agg(
-        F.percentile_approx(order_d, fracs, F.lit(10000)).alias("b"),
-        F.count(F.lit(1)).alias("n")).collect()[0]
-    total = head["n"]
-    after = sorted({x for x in (head["b"] or []) if x is not None})
-    plain = (df.withColumn(f"{sid}_bkt",
-                           n_cuts_below(after, lambda x: x < order_d))
-             .withColumn(f"{sid}_sub", F.lit(0)))
-    if total == 0 or not after:
-        return plain
-    cap = max(1, (2 * total) // n_buckets)
-    counts = {r[f"{sid}_bkt"]: r["c"] for r in
-              plain.groupBy(f"{sid}_bkt")
-                   .agg(F.count(F.lit(1)).alias("c")).collect()}
-    heavy_buckets = [k for k, c in counts.items() if c > cap]
-    tie_base = (dict(df.dtypes).get(tiebreak_col) or "").split("(")[0]
-    tie_numeric = tie_base in _BUCKETABLE or tie_base.startswith("decimal")
-    if not heavy_buckets or not tie_numeric:
-        return plain
-    hv = (plain.filter(F.col(f"{sid}_bkt").isin(heavy_buckets))
-          .groupBy(order_d.alias("v"))
-          .agg(F.count(F.lit(1)).alias("c"),
-               F.countDistinct(order_col).alias("nd"))
-          .filter(F.col("c") > cap).collect())
-    # nd > 1: two real values collide in double space — sub-splitting by
-    # tiebreak would misorder them, so leave that group un-split
-    heavy = {r["v"]: r["c"] for r in hv
-             if r["v"] is not None and r["nd"] == 1}
+    row = df.agg(F.percentile_approx(
+        order_d, fracs, F.lit(10000)).alias("b")).collect()[0]
+    raw = [x for x in (row["b"] or []) if x is not None]
+    cuts = sorted(set(raw))
+    repeats = {v: c for v, c in Counter(raw).items() if c >= 2}
+    heavy = sorted(repeats)
+    # after-cuts at every distinct bound + before-cuts at heavy values:
+    # g(o) = |cuts < o| + |heavy <= o| isolates each heavy tie group in
+    # its own bucket while staying monotone in o
+    bkt = (n_cuts_below(cuts, lambda x: x < order_d)
+           + n_cuts_below(heavy, lambda x: x <= order_d))
+    b = df.withColumn(f"{sid}_bkt", bkt)
+    if not heavy or not tie_numeric:
+        return b.withColumn(f"{sid}_sub", F.lit(0))
     tie_d = F.col(tiebreak_col).cast("double")
-    n_sub = max((min(n_buckets, -(-c * n_buckets // total))
-                 for c in heavy.values()), default=0)
-    if not heavy or n_sub < 2:
-        return plain
-    tfracs = F.array(*[F.lit(i / n_sub) for i in range(1, n_sub)])
-    tie_cuts = {r["v"]: sorted({x for x in (r["tb"] or [])
-                                if x is not None})
-                for r in df.filter(order_d.isin(list(heavy)))
-                           .groupBy(order_d.alias("v"))
-                           .agg(F.percentile_approx(
-                               tie_d, tfracs, F.lit(10000)).alias("tb"))
-                           .collect()}
-    after2 = sorted(set(after) | set(heavy))
-    before = sorted(heavy)
-    bkt = (n_cuts_below(after2, lambda x: x < order_d)
-           + n_cuts_below(before, lambda x: x <= order_d))
+    tc_rows = (df.filter(order_d.isin([float(v) for v in heavy]))
+               .groupBy(order_d.alias("_hv"))
+               .agg(F.percentile_approx(
+                   tie_d, fracs, F.lit(10000)).alias("_tc"),
+                    F.count_distinct(F.col(order_col)).alias("_nd"))
+               .collect())
+    # nd > 1: two real values collide in double space — sub-splitting
+    # by tiebreak would misorder them; leave that group un-split
+    tie_cuts = {r["_hv"]: sorted({x for x in (r["_tc"] or [])
+                                  if x is not None})
+                for r in tc_rows if r["_nd"] == 1}
     sub = F.lit(0)
-    for v, cuts in tie_cuts.items():
-        if cuts:
+    for v, cs in tie_cuts.items():
+        # a value repeated r times spans ~r/n_buckets of the rows, so r
+        # sub-cuts suffice to keep each sub-bucket at ~1/n_buckets —
+        # trimming keeps the TOTAL when-sum terms across all heavy
+        # values at ~n_buckets (a full 63-cut chain per value made
+        # Catalyst analysis the bottleneck, not the data)
+        r = repeats.get(v, 2)
+        if len(cs) > r:
+            step = len(cs) / (r + 1)
+            cs = sorted({cs[int((i + 1) * step) - 1] for i in range(r)})
+        if cs:
             sub = F.when(order_d == F.lit(float(v)),
-                         n_cuts_below(cuts, lambda x: x < tie_d)
+                         n_cuts_below(cs, lambda x: x < tie_d)
                          ).otherwise(sub)
-    return (df.withColumn(f"{sid}_bkt", bkt)
-            .withColumn(f"{sid}_sub", sub))
+    return b.withColumn(f"{sid}_sub", sub)
 
 
 def exact_ntile(df, order_col: str, n_tiles: int, tiebreak_col: str,

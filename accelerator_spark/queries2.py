@@ -2306,12 +2306,17 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.sum("o_totalprice").alias("monetary"))
                 .withColumn("_rec_day", F.unix_micros(
                     F.col("last_order").cast("timestamp"))))
-    # one materialization: each exact_ntile pass reads the per-customer
-    # frame several times (bounds agg + counts + rank); without the
-    # checkpoint the orders groupBy would re-execute ~7x
+    # materialize between passes: each exact_ntile pass reads its input
+    # several times (bounds agg + tie-cut agg + counts + rank), so
+    # chaining three lazily would re-execute subplans multiplicatively
+    # (~5^3 leaf scans — measured 5x slower). The checkpointed frame is
+    # per-CUSTOMER (orders-of-magnitude smaller than the fact table), so
+    # the three materializations are the right trade at any scale.
     per_cust = per_cust.localCheckpoint(eager=True)
     scored = exact_ntile(per_cust, "_rec_day", 5, "o_custkey", "r")
+    scored = scored.localCheckpoint(eager=True)
     scored = exact_ntile(scored, "freq", 5, "o_custkey", "f")
+    scored = scored.localCheckpoint(eager=True)
     scored = exact_ntile(scored, "monetary", 5, "o_custkey", "m")
     return (scored.groupBy("r", "f", "m")
             .agg(F.count(F.lit(1)).alias("n_customers"),

@@ -62,3 +62,12 @@ def test_all_queries_match_duckdb_oracle():
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
     assert "FAIL" not in proc.stdout, proc.stdout[-2000:]
     assert "matched" in tail
+    # the sweep refreshes the committed at-HEAD artifact; every graded
+    # record in it must be fully green
+    import json
+    with open(os.path.join(REPO, "CORRECTNESS_HEAD.json")) as f:
+        head = json.load(f)
+    assert head["_meta"]["matched"] == head["_meta"]["queries"]
+    bad = [k for k, v in head.items() if k != "_meta"
+           and v.get("hash_match") is False]
+    assert not bad, bad
