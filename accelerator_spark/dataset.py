@@ -62,19 +62,33 @@ def _json_safe(v: Any) -> Any:
 
 # Chain-resolution cache (reference checkpoints chain metadata every 64
 # links — accelerator/dataset.py:955-961 — so resolving a years-long
-# chain is O(1)-ish). Here every manifest written with a ``previous``
-# carries the ancestor entry list (path + the metadata chain_df needs:
-# lines, minmax zone maps, and whether df() is a plain parquet read).
-# Appending is O(1) at write time (the previous manifest is in hand);
-# when a chain outgrows the cap, each manifest keeps its most recent
-# _CHAIN_CACHE_MAX ancestors and resolution hops caches — O(depth/cap)
-# manifest reads instead of one per link.
+# chain is O(1)-ish). ``chain_cache`` holds entries for the most recent
+# len(cache) ancestors (path + the metadata chain_df needs: lines,
+# minmax zone maps, and whether df() is a plain parquet read). Every
+# _CHAIN_CHECKPOINT_EVERY-th link is a CHECKPOINT holding its full
+# ancestry (capped at _CHAIN_CACHE_MAX); links in between hold only the
+# suffix back to the last checkpoint, so total metadata stays O(N) per
+# chain (a full list in every manifest would be O(N^2) — review r4).
+# Resolution consumes the tip's suffix, then hops checkpoint to
+# checkpoint: O(1 + depth/_CHAIN_CACHE_MAX) manifest reads. Appending
+# is O(1) at write time except at checkpoints and at the legacy
+# boundary (a previous written before the cache existed), which resolve
+# the full ancestry once so depth and cache stay exact.
+#
+# IMMUTABILITY: cached entries snapshot the ancestor's manifest at
+# write time (the reference's datasets are immutable job outputs).
+# Rewriting an ancestor dataset IN PLACE leaves descendants' cached
+# lines/minmax/plain stale; ``chain()`` re-reads manifests and verifies
+# linkage (self-healing), while ``chain_entries``/``chain_df`` trust
+# the snapshot for speed.
 _CHAIN_CACHE_MAX = 4096
+_CHAIN_CHECKPOINT_EVERY = 64
 
 
 def _chain_entry(path: str, manifest: dict) -> dict:
     return {
         "path": path,
+        "id": manifest.get("id"),
         "lines": manifest.get("lines", 0),
         "minmax": manifest.get("minmax", {}),
         "plain": not (manifest.get("parent") or manifest.get("bucketing")),
@@ -86,14 +100,28 @@ def _chain_meta(previous: "Dataset | str | None") -> dict:
     if not previous:
         return {"chain_depth": 0}
     prev = previous if isinstance(previous, Dataset) else Dataset.load(previous)
-    cache = list(prev.manifest.get("chain_cache") or [])
-    cache.append(_chain_entry(prev.path, prev.manifest))
-    if len(cache) > _CHAIN_CACHE_MAX:
-        cache = cache[-_CHAIN_CACHE_MAX:]
-    return {
-        "chain_depth": prev.manifest.get("chain_depth", 0) + 1,
-        "chain_cache": cache,
-    }
+    pm = prev.manifest
+    if "chain_depth" in pm:
+        depth = pm["chain_depth"] + 1
+        # suffix of the NEW dataset's ancestry we have in hand for free
+        known = list(pm.get("chain_cache") or [])
+        known.append(_chain_entry(prev.path, pm))
+    else:
+        # legacy boundary: a pre-cache previous may have arbitrary
+        # ancestry — resolve it fully ONCE (walks uncached links) so
+        # depth is exact; a wrong depth here silently truncated chains
+        # at the old/new boundary (review r4)
+        known = prev.chain_entries()
+        depth = len(known)
+    if depth % _CHAIN_CHECKPOINT_EVERY == 0:
+        need = min(depth, _CHAIN_CACHE_MAX)
+        if len(known) < need:
+            known = prev.chain_entries()  # full list incl. prev
+        cache = known[-need:]
+    else:
+        keep = min(depth % _CHAIN_CHECKPOINT_EVERY, _CHAIN_CACHE_MAX)
+        cache = known[-keep:]
+    return {"chain_depth": depth, "chain_cache": cache}
 
 
 def _entry_range_skips(minmax: dict,
@@ -449,24 +477,32 @@ class Dataset:
     def chain_entries(self, length: int = -1,
                       stop_ds: "Dataset | str | None" = None) -> list[dict]:
         """Resolve the ``previous`` chain as lightweight cached entries
-        (path, lines, minmax, plain), oldest first, using the manifest
-        chain cache: O(depth / _CHAIN_CACHE_MAX) manifest reads instead
-        of one per link (reference checkpoints the same metadata every
-        64 links — accelerator/dataset.py:955-961). Manifests written
-        before the cache existed fall back to the link-by-link walk for
-        the uncached stretch."""
+        (path, id, lines, minmax, plain), oldest first, using the
+        manifest chain cache: consume the tip's suffix, then hop
+        checkpoint to checkpoint — O(1 + depth/_CHAIN_CACHE_MAX)
+        manifest reads instead of one per link (reference checkpoints
+        the same metadata every 64 links —
+        accelerator/dataset.py:955-961). Manifests written before the
+        cache existed fall back to the link-by-link walk for the
+        uncached stretch. Entries snapshot each ancestor's manifest at
+        write time — see the immutability note on the cache constants;
+        ``chain()`` re-verifies against live manifests."""
         stop = stop_ds.path if isinstance(stop_ds, Dataset) else stop_ds
-        rev: list[dict] = []  # newest first while building
+        if (stop and self.path == stop) or length == 0:
+            return []
+        rev: list[dict] = [_chain_entry(self.path, self.manifest)]
         cur: Dataset | None = self
         while cur is not None and (length < 0 or len(rev) < length):
-            if stop and cur.path == stop:
-                break
-            rev.append(_chain_entry(cur.path, cur.manifest))
             if not cur.manifest.get("previous"):
                 break
             cache = cur.manifest.get("chain_cache")
             if not cache:
-                cur = cur.previous  # pre-cache manifest: walk one link
+                # pre-cache manifest: walk one link
+                cur = cur.previous
+                if (stop and cur.path == stop) or \
+                        (length >= 0 and len(rev) >= length):
+                    break
+                rev.append(_chain_entry(cur.path, cur.manifest))
                 continue
             done = False
             for e in reversed(cache):
@@ -475,16 +511,12 @@ class Dataset:
                     done = True
                     break
                 rev.append(dict(e))
-            if done:
-                break
-            if cur.manifest.get("chain_depth") == len(cache):
-                break  # cache covers the whole ancestry — no hop probe
-            # the cap truncated older ancestry: hop to the oldest cached
-            # entry and continue from ITS cache
-            oldest = Dataset.load(cache[0]["path"])
-            if not oldest.manifest.get("previous"):
-                break
-            cur = oldest.previous
+            if done or cur.manifest.get("chain_depth") == len(cache):
+                break  # limit hit, or cache covered the whole ancestry
+            # ancestry extends beyond cache[0] (suffix segment or capped
+            # checkpoint): hop to the oldest cached dataset — its entry
+            # is already in rev — and continue consuming ITS cache
+            cur = Dataset.load(cache[0]["path"])
         rev.reverse()
         return rev
 
@@ -493,10 +525,34 @@ class Dataset:
         reference's iteration order: oldest dataset first). Returns full
         ``Dataset`` handles — one manifest read each; use
         ``chain_entries`` / ``chain_df`` when only chain metadata or the
-        unioned frame is needed (those stay O(1)-ish in reads)."""
+        unioned frame is needed (those stay O(1)-ish in reads).
+
+        Self-healing: because the handles re-read live manifests, the
+        cached resolution is verified against actual ``previous``
+        linkage — if an ancestor was rewritten in place (cache entries
+        are write-time snapshots), the eager walk re-resolves."""
         entries = self.chain_entries(length=length, stop_ds=stop_ds)
-        return [self if e["path"] == self.path else Dataset.load(e["path"])
-                for e in entries]
+        out = [self if e["path"] == self.path else Dataset.load(e["path"])
+               for e in entries]
+        ok = all(
+            out[i + 1].manifest.get("previous") == out[i].path
+            and (entries[i].get("id") is None
+                 or entries[i]["id"] == out[i].manifest.get("id"))
+            for i in range(len(out) - 1))
+        if ok:
+            return out
+        # snapshot/live mismatch: eager link-by-link walk (the pre-cache
+        # behavior), correct for any live chain shape
+        stop = stop_ds.path if isinstance(stop_ds, Dataset) else stop_ds
+        walk: list[Dataset] = []
+        cur: Dataset | None = self
+        while cur is not None and (length < 0 or len(walk) < length):
+            if stop and cur.path == stop:
+                break
+            walk.append(cur)
+            cur = cur.previous
+        walk.reverse()
+        return walk
 
     def chain_df(
         self,
@@ -547,19 +603,11 @@ class Dataset:
         return out
 
     def _range_skips(self, range_filter: dict[str, tuple[Any, Any]]) -> bool:
-        """True if manifest min/max proves no row can match."""
-        for c, (lo, hi) in range_filter.items():
-            mn, mx = self.min(c), self.max(c)
-            if mn is None and mx is None:
-                continue
-            try:
-                if hi is not None and mn is not None and mn >= hi:
-                    return True
-                if lo is not None and mx is not None and mx < lo:
-                    return True
-            except TypeError:
-                continue
-        return False
+        """True if manifest min/max proves no row can match (one
+        predicate, shared with the cached-entry path so the skip
+        semantics can't diverge)."""
+        return _entry_range_skips(self.manifest.get("minmax", {}),
+                                  range_filter)
 
     def iterate(
         self,

@@ -307,9 +307,23 @@ def test_chain_cache_resolves_long_chain_in_few_reads(tmp_path, monkeypatch):
     entries = tip.chain_entries()
     assert [e["path"].rsplit("link", 1)[1] for e in entries] == \
         [f"{i:04d}" for i in range(200)]
-    assert loads["n"] == 0  # whole ancestry came from the tip's cache
+    # tip suffix + checkpoint hops: depth 199 -> consume 199%64=7 cached
+    # entries, hop once to the depth-192 checkpoint (full list) — a
+    # handful of reads, never one per link
+    assert loads["n"] <= 4, loads["n"]
     # cached metadata matches what the naive walk would see
     assert [e["minmax"]["k"] for e in entries] == [[i, i] for i in range(200)]
+    # O(N) metadata: non-checkpoint manifests hold only the suffix since
+    # the last checkpoint (a full list in every manifest was O(N^2))
+    import json as _json
+    from accelerator_spark import dataset as _ds
+    lens = []
+    for i in range(200):
+        with open(os.path.join(str(tmp_path), f"link{i:04d}",
+                               _ds.MANIFEST_NAME)) as f:
+            lens.append(len(_json.load(f).get("chain_cache") or []))
+    assert max(lens) <= 192  # deepest checkpoint's full list
+    assert sum(lens) < 8000  # vs ~19900 if every manifest kept it all
 
     # capped cache: every manifest holds <=16 entries, resolution hops
     # checkpoint to checkpoint — a handful of reads, not 200
@@ -359,3 +373,56 @@ def test_chain_df_uses_cache_without_manifest_walk(spark, sf_dir, tmp_path,
     assert full.count() == src.count()
     assert (full.agg(F.sum("o_orderkey")).collect()[0][0]
             == src.agg(F.sum("o_orderkey")).collect()[0][0])
+
+
+def test_chain_cache_legacy_boundary_not_truncated(tmp_path):
+    """Review r4 (confirmed bug): datasets written BEFORE the chain
+    cache existed have no chain_depth; a new write on top of them must
+    resolve the legacy ancestry fully — the first implementation
+    trusted prev depth 0 and silently dropped the old links from every
+    descendant's chain."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from accelerator_spark import dataset as dsmod
+    from accelerator_spark.dataset import Dataset
+
+    def legacy_link(i, prev_path):
+        path = os.path.join(str(tmp_path), f"old{i}")
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        pq.write_table(pa.table({"k": [i]}),
+                       os.path.join(path, "data", "p.parquet"))
+        with open(os.path.join(path, dsmod.MANIFEST_NAME), "w") as f:
+            json.dump({"version": 1, "id": f"old{i}", "lines": 1,
+                       "minmax": {"k": [i, i]}, "previous": prev_path,
+                       "columns": {"k": "bigint"}}, f)
+        return path
+
+    prev = None
+    for i in range(3):  # pre-cache manifests: no chain_depth/chain_cache
+        prev = legacy_link(i, prev)
+    new = _fake_link(str(tmp_path), 3, prev, dsmod._chain_meta)
+    tip = Dataset.load(new)
+    got = [e["path"].rsplit("/", 1)[1] for e in tip.chain_entries()]
+    assert got == ["old0", "old1", "old2", "link0003"]
+    # and a further descendant inherits the exact depth
+    newer = _fake_link(str(tmp_path), 4, new, dsmod._chain_meta)
+    tip2 = Dataset.load(newer)
+    assert tip2.manifest["chain_depth"] == 4
+    assert len(tip2.chain_entries()) == 5
+
+
+def test_chain_self_heals_after_ancestor_rewrite(spark, sf_dir, tmp_path):
+    """Review r4: cache entries are write-time snapshots; rewriting an
+    ancestor in place makes them stale. chain() re-reads live manifests
+    and must fall back to the eager walk when the snapshot id no longer
+    matches."""
+    src = load(spark, sf_dir, "region")
+    a = Dataset.write(src.limit(2), str(tmp_path / "a"))
+    b = Dataset.write(src.limit(3), str(tmp_path / "b"), previous=a)
+    # rewrite A in place with different content (new manifest id)
+    Dataset.write(src.limit(5), str(tmp_path / "a"))
+    chain = b.chain()
+    assert [len(ds.df(spark).collect()) for ds in chain] == [5, 3]

@@ -292,3 +292,35 @@ def test_tokenizer_never_crashes_and_bad_is_none(junk, sep):
 
     got = _tokenize(junk, sep, "'\"")
     assert got is None or isinstance(got, list)
+
+
+@PROP
+@given(
+    st.lists(st.integers(min_value=0, max_value=4), min_size=1,
+             max_size=60),
+    st.integers(min_value=1, max_value=7),
+    st.integers(min_value=2, max_value=9),
+)
+def test_prop_exact_ntile_matches_python_model(spark, vals, n_tiles,
+                                               n_buckets):
+    """exact_ntile == the textbook ntile over (v, k) for arbitrary tie
+    patterns, tile counts, and bucket counts (incl. n_buckets > rows
+    and heavily-tied domains that trigger the de-skew sub-bucketing)."""
+    from accelerator_spark.operators.partition import exact_ntile
+
+    rows = [(float(v), i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "v double, k long")
+    got = {(r["v"], r["k"]): r["tile"]
+           for r in exact_ntile(df, "v", n_tiles, "k", "tile",
+                                n_buckets=n_buckets).collect()}
+    order = sorted(rows)
+    n, q, rmod = len(order), len(order) // n_tiles, len(order) % n_tiles
+    want = {}
+    for rank, (v, k) in enumerate(order, start=1):
+        if q == 0:
+            want[(v, k)] = rank
+        elif rank <= rmod * (q + 1):
+            want[(v, k)] = -(-rank // (q + 1))
+        else:
+            want[(v, k)] = rmod + -(-(rank - rmod * (q + 1)) // q)
+    assert got == want

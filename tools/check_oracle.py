@@ -115,12 +115,21 @@ def main():
         # driver's CORRECTNESS_r{N}.json (same per-query record shape),
         # so every round ships a committed 168-query result
         import json
+        import os
         out = {"_meta": {"sf_dir": sf_dir, "queries": len(todo),
                          "matched": len(todo) - len(failures)}}
         out.update(results)
-        with open("/root/repo/CORRECTNESS_HEAD.json", "w") as f:
-            json.dump(out, f, indent=1)
-        print("wrote CORRECTNESS_HEAD.json")
+        # repo root derived from this script's location (matches where
+        # tests/test_oracle.py reads it back); never let an unwritable
+        # checkout eat the summary line or the exit code
+        dest = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "CORRECTNESS_HEAD.json")
+        try:
+            with open(dest, "w") as f:
+                json.dump(out, f, indent=1)
+            print(f"wrote {dest}")
+        except OSError as e:
+            print(f"CORRECTNESS_HEAD.json not written: {e}")
     print(f"\n{len(todo) - len(failures)}/{len(todo)} matched")
     sys.exit(1 if failures else 0)
 
