@@ -44,6 +44,25 @@ from pyspark.sql import DataFrame, SparkSession
 from .dataset import Dataset
 
 
+def read_jsonl(path: str) -> list[dict]:
+    """Tolerant JSONL reader shared by the job db, urd, and CLI: blank
+    and partial/corrupt lines (a crashed writer's truncated append) are
+    skipped — one reader so the tolerance can't diverge between the
+    board (which had it) and BuildContext (which crashed — review r4)."""
+    if not os.path.exists(path):
+        return []
+    out = []
+    with open(path) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            try:
+                out.append(json.loads(line))
+            except ValueError:
+                continue
+    return out
+
+
 def _stable_json(obj: Any) -> str:
     return json.dumps(obj, sort_keys=True, default=str)
 
@@ -157,20 +176,17 @@ class BuildContext:
         self._load()
 
     def _load(self) -> None:
-        if not os.path.exists(self._dbpath):
-            return
-        with open(self._dbpath) as f:
-            for line in f:
-                if not line.strip():
-                    continue
-                d = json.loads(line)
+        for d in read_jsonl(self._dbpath):
+            try:
                 rec = JobRecord(**d)
-                self._db[rec.key] = rec
-                method, _, n = rec.jobid.rpartition("-")
-                try:
-                    self._seq[method] = max(self._seq.get(method, -1), int(n))
-                except ValueError:
-                    pass
+            except TypeError:
+                continue  # foreign/partial record must not brick builds
+            self._db[rec.key] = rec
+            method, _, n = rec.jobid.rpartition("-")
+            try:
+                self._seq[method] = max(self._seq.get(method, -1), int(n))
+            except ValueError:
+                pass
 
     def _append(self, rec: JobRecord) -> None:
         with open(self._dbpath, "a") as f:
@@ -183,22 +199,37 @@ class BuildContext:
         options: dict[str, Any],
         datasets: dict[str, Dataset],
         src_hash: str | None = None,
+        hashlabel: str | None = None,
+        previous: Dataset | None = None,
     ) -> str:
+        # hashlabel and previous CHANGE the written output (partition
+        # layout / chain link), so they are part of the job identity —
+        # omitting them returned cached datasets with the wrong chain
+        # link or partitioning (review r4). Dataset identity falls back
+        # to path for legacy manifests without an id (two distinct
+        # legacy inputs must not share a key).
         parts = {
             "method": fn.__name__,
             "source": src_hash or source_hash(fn),
             "options": options,
-            "datasets": {k: ds.manifest.get("id") for k, ds in datasets.items()},
+            "datasets": {k: ds.manifest.get("id") or ds.path
+                         for k, ds in datasets.items()},
+            "hashlabel": hashlabel,
+            "previous": (previous.manifest.get("id") or previous.path)
+            if previous is not None else None,
         }
         return hashlib.sha1(_stable_json(parts).encode()).hexdigest()
 
-    def _match(self, fn, options, datasets) -> JobRecord | None:
-        key = self._job_key(fn, options, datasets)
+    def _match(self, fn, options, datasets, hashlabel=None,
+               previous=None) -> JobRecord | None:
+        key = self._job_key(fn, options, datasets,
+                            hashlabel=hashlabel, previous=previous)
         if key in self._db:
             return self._db[key]
         # equivalent_hashes escape hatch (reference: runner.py:270-295)
         for old in getattr(fn, "equivalent", ()):
-            k2 = self._job_key(fn, options, datasets, src_hash=old)
+            k2 = self._job_key(fn, options, datasets, src_hash=old,
+                               hashlabel=hashlabel, previous=previous)
             if k2 in self._db:
                 return self._db[k2]
         return None
@@ -216,17 +247,24 @@ class BuildContext:
     ) -> "Job":
         options = resolve_options(fn, options or {})
         datasets = datasets or {}
-        rec = self._match(fn, options, datasets)
+        rec = self._match(fn, options, datasets,
+                          hashlabel=hashlabel, previous=previous)
+        # "cached" means a real build would skip: record found AND its
+        # outputs still on disk — why_build must apply the same disk
+        # check or it answers wrong after outputs were GC'd (review r4)
+        on_disk = rec is not None and all(
+            Dataset.exists(p) for p in rec.outputs.values())
         if why_build:
             reason = (
-                "cached" if rec and not force_build
-                else ("forced" if force_build else "no matching job (new source/options/inputs)")
+                "cached" if on_disk and not force_build
+                else ("forced" if force_build
+                      else "no matching job (new source/options/inputs)"
+                      if rec is None else "outputs missing on disk")
             )
-            return Job(self, None, would_build=rec is None or force_build, reason=reason)
-        if rec is not None and not force_build:
-            # verify outputs still exist on disk
-            if all(Dataset.exists(p) for p in rec.outputs.values()):
-                return Job(self, rec, cached=True)
+            return Job(self, None, would_build=not on_disk or force_build,
+                       reason=reason)
+        if on_disk and not force_build:
+            return Job(self, rec, cached=True)
 
         # run it
         seq = self._seq.get(fn.__name__, -1) + 1
@@ -268,7 +306,8 @@ class BuildContext:
                     json.dump(val, f, default=str)
                 artifacts[name] = apath
 
-        key = self._job_key(fn, options, datasets)
+        key = self._job_key(fn, options, datasets,
+                            hashlabel=hashlabel, previous=previous)
         rec = JobRecord(jobid=jobid, method=fn.__name__, key=key,
                         outputs=outputs, artifacts=artifacts,
                         time_built=time.time())
@@ -326,21 +365,40 @@ class Urd:
     def __init__(self, workdir: str):
         self.path = os.path.join(workdir, "urd.jsonl")
         os.makedirs(workdir, exist_ok=True)
+        self._cache: tuple[tuple[int, int], list[dict]] | None = None
 
     def _read(self) -> list[dict]:
+        """Parsed entries; tolerant of a crashed writer's partial line
+        and memoized on (mtime_ns, size) — incremental runners call
+        latest/peek/seen per batch, which used to re-parse the whole
+        log each time (O(batches x history), review r4)."""
         if not os.path.exists(self.path):
             return []
-        with open(self.path) as f:
-            return [json.loads(x) for x in f if x.strip()]
+        st = os.stat(self.path)
+        key = (st.st_mtime_ns, st.st_size)
+        if self._cache is not None and self._cache[0] == key:
+            return self._cache[1]
+        entries = [e for e in read_jsonl(self.path)
+                   if isinstance(e, dict) and "list" in e and "ts" in e]
+        self._cache = (key, entries)
+        return entries
 
     def add(self, listname: str, timestamp: str, payload: dict) -> None:
         """Append an entry. Idempotent: re-adding the same (list, ts,
         payload) is a no-op, so re-running a build script doesn't
-        duplicate the log (the reference's urd rejects duplicate
-        timestamps; we accept-and-dedupe the identical case)."""
+        duplicate the log. A CONFLICTING re-add (same timestamp,
+        different payload) raises — the reference's urd rejects
+        duplicate timestamps, and silently appending made latest() and
+        peek() disagree about which job a timestamp names (review r4)."""
         prior = self.peek(listname, timestamp)
-        if prior is not None and prior["payload"] == payload:
-            return
+        if prior is not None:
+            if prior["payload"] == payload:
+                return
+            raise ValueError(
+                f"urd list {listname!r} already has {timestamp!r} with a "
+                "different payload — timestamps are immutable history; "
+                "record the rebuild under a new timestamp (or start a "
+                "new list)")
         with open(self.path, "a") as f:
             f.write(_stable_json({"list": listname, "ts": timestamp,
                                   "payload": payload, "added": time.time()}) + "\n")
@@ -382,25 +440,9 @@ def resolve_spec(workdir: str, spec: str) -> dict | None:
     - ``:list/ts``     the job recorded at an exact urd timestamp
 
     Returns the job-database record dict, or None."""
-    import json as _json
     import os as _os
 
-    def _records() -> list[dict]:
-        p = _os.path.join(workdir, "jobdb.jsonl")
-        if not _os.path.exists(p):
-            return []
-        out = []
-        with open(p) as f:
-            for line in f:
-                if not line.strip():
-                    continue
-                try:
-                    out.append(_json.loads(line))
-                except ValueError:
-                    continue  # partial trailing line from a crashed writer
-        return out
-
-    recs = _records()
+    recs = read_jsonl(_os.path.join(workdir, "jobdb.jsonl"))
     by_id = {r["jobid"]: r for r in recs}
 
     if spec.startswith(":"):

@@ -37,21 +37,12 @@ def _load_df(spark, path: str):
 
 def _read_jobdb(workdir: str) -> list[dict]:
     """Job records from jobdb.jsonl; tolerates blank/partial trailing
-    lines (a crashed writer must not take down the board/CLI)."""
+    lines (a crashed writer must not take down the board/CLI). One
+    shared reader with the build layer so the tolerance can't diverge."""
     import os
-    dbpath = os.path.join(workdir, "jobdb.jsonl")
-    if not os.path.exists(dbpath):
-        return []
-    out = []
-    with open(dbpath) as f:
-        for line in f:
-            if not line.strip():
-                continue
-            try:
-                out.append(json.loads(line))
-            except ValueError:
-                continue  # partial trailing line
-    return out
+
+    from .build import read_jsonl
+    return read_jsonl(os.path.join(workdir, "jobdb.jsonl"))
 
 
 def _emit_csv(columns, rows) -> None:

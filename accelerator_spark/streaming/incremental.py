@@ -62,11 +62,11 @@ class ChainRunner:
                     f"batch {ts!r} is older than the chain head "
                     f"{head_ts!r}; backfills need a rebuilt chain, not "
                     "an append")
-            job = self.ctx.build(
-                step,
-                options={**batches[ts], "_chain_ts": ts},
-                previous=prev,
-            )
+            # batch identity rides the memo key through `previous` (the
+            # chain link is part of the job key) — no synthetic option
+            # needed; injecting one broke steps with declared typed
+            # options (resolve_options rejects unknown keys, review r4)
+            job = self.ctx.build(step, options=batches[ts], previous=prev)
             prev = job.dataset()
             self.urd.add(self.listname, ts, {
                 "job": job.jobid, "dataset": prev.path, "cached": job.cached,

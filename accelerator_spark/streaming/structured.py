@@ -38,17 +38,22 @@ def stream_from_directory(spark: SparkSession, path: str, schema: T.StructType,
 def windowed_counts(stream_df: DataFrame, ts_col: str = "ts",
                     window: str = "1 hour", watermark: str = "2 hours",
                     group_cols: list[str] | None = None,
-                    *, value_col: str = "value") -> DataFrame:
+                    *, value_col: str | None = "value") -> DataFrame:
     """Watermarked tumbling-window counts; late rows beyond the watermark
-    are dropped, state is bounded — the scale-safe streaming agg."""
+    are dropped, state is bounded — the scale-safe streaming agg.
+    ``value_col=None`` (or a stream without the default 'value' column)
+    yields counts only — a counts function must not require a summable
+    column (review r4)."""
     g = [F.window(F.col(ts_col), window).alias("win")] + [
         F.col(c) for c in (group_cols or [])
     ]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col is not None and value_col in stream_df.columns:
+        aggs.append(F.sum(value_col).alias("sum_value"))
     return (
         stream_df.withWatermark(ts_col, watermark)
         .groupBy(*g)
-        .agg(F.count(F.lit(1)).alias("n"),
-             F.sum(value_col).alias("sum_value"))
+        .agg(*aggs)
     )
 
 

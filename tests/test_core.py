@@ -426,3 +426,94 @@ def test_chain_self_heals_after_ancestor_rewrite(spark, sf_dir, tmp_path):
     Dataset.write(src.limit(5), str(tmp_path / "a"))
     chain = b.chain()
     assert [len(ds.df(spark).collect()) for ds in chain] == [5, 3]
+
+
+def test_build_memo_key_includes_previous_and_hashlabel(spark, sf_dir,
+                                                        tmp_path):
+    """Review r4 (confirmed): hashlabel/previous change the written
+    output, so they must fork the memo key — the old key returned a
+    cached dataset with the wrong chain link or partitioning."""
+    ctx = BuildContext(spark, str(tmp_path / "wd"))
+    src = Dataset.write(load(spark, sf_dir, "nation"), str(tmp_path / "s"))
+
+    def step(spark, datasets, options):
+        return datasets["source"].df(spark)
+
+    j1 = ctx.build(step, datasets={"source": src})
+    j2 = ctx.build(step, datasets={"source": src},
+                   hashlabel="n_regionkey")
+    assert not j2.cached and j2.jobid != j1.jobid
+    assert j2.dataset().hashlabel == "n_regionkey"
+    j3 = ctx.build(step, datasets={"source": src},
+                   previous=j1.dataset())
+    assert not j3.cached and j3.jobid not in (j1.jobid, j2.jobid)
+    assert j3.dataset().manifest["previous"] == j1.dataset().path
+    # and each variant still memo-hits itself
+    assert ctx.build(step, datasets={"source": src}).cached
+    assert ctx.build(step, datasets={"source": src},
+                     hashlabel="n_regionkey").cached
+    assert ctx.build(step, datasets={"source": src},
+                     previous=j1.dataset()).cached
+
+
+def test_jobdb_and_urd_tolerate_truncated_lines(spark, sf_dir, tmp_path):
+    """Review r4: a crashed writer's partial trailing line must not
+    brick builds (BuildContext) or the urd — same tolerance the board
+    already had."""
+    wd = str(tmp_path / "wd")
+    ctx = BuildContext(spark, wd)
+    src = Dataset.write(load(spark, sf_dir, "region"), str(tmp_path / "s"))
+
+    def step(spark, datasets, options):
+        return datasets["source"].df(spark)
+
+    j1 = ctx.build(step, datasets={"source": src})
+    with open(os.path.join(wd, "jobdb.jsonl"), "a") as f:
+        f.write('{"jobid": "trunca')  # crashed mid-append
+    ctx2 = BuildContext(spark, wd)  # must not raise
+    assert ctx2.build(step, datasets={"source": src}).cached
+
+    u = Urd(wd)
+    u.add("daily", "2024-01-01", {"job": j1.jobid})
+    with open(u.path, "a") as f:
+        f.write('{"list": "daily", "ts": "2024-0')
+    u2 = Urd(wd)
+    assert u2.latest("daily")["ts"] == "2024-01-01"
+
+
+def test_urd_rejects_conflicting_timestamp(tmp_path):
+    """Review r4: same (list, ts) with a DIFFERENT payload must raise
+    (timestamps are immutable history) — silently appending made
+    latest() and peek() disagree. Identical re-add stays a no-op."""
+    import pytest
+
+    u = Urd(str(tmp_path))
+    u.add("daily", "2024-01-01", {"job": "a-0"})
+    u.add("daily", "2024-01-01", {"job": "a-0"})  # idempotent no-op
+    assert len(u._entries("daily")) == 1
+    with pytest.raises(ValueError, match="immutable"):
+        u.add("daily", "2024-01-01", {"job": "a-1"})
+
+
+def test_chain_runner_with_typed_options(spark, sf_dir, tmp_path):
+    """Review r4: ChainRunner used to inject a synthetic '_chain_ts'
+    option, which resolve_options rejects for steps with declared typed
+    options — the combination must work."""
+    from accelerator_spark.build import RequiredOption
+    from accelerator_spark.streaming.incremental import ChainRunner
+
+    ctx = BuildContext(spark, str(tmp_path / "wd"))
+    urd = Urd(str(tmp_path / "wd"))
+    src = load(spark, sf_dir, "region")
+
+    def step(spark, datasets, options):
+        return src.filter(F.col("r_regionkey") == options["region"])
+
+    step.options = {"region": RequiredOption(int)}
+    runner = ChainRunner(ctx, urd, "typed")
+    head = runner.process({"t1": {"region": 0}, "t2": {"region": 1}}, step)
+    assert head is not None
+    assert len(head.chain()) == 2
+    # idempotent re-run: both batches seen, nothing rebuilt
+    assert runner.process({"t1": {"region": 0}, "t2": {"region": 1}},
+                          step).path == head.path

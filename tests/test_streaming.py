@@ -297,3 +297,27 @@ def test_watermark_append_finalization(spark, tmp_path):
     assert 14 not in got
     # windows never emit twice (exactly-once finalization)
     assert len(spark.read.parquet(sink).collect()) == len(got)
+
+
+def test_windowed_counts_without_value_column(spark, tmp_path):
+    """Review r4: a counts function must not require a summable 'value'
+    column — a stream with only ts/key columns aggregates counts."""
+    import datetime
+
+    from accelerator_spark.streaming.structured import (
+        stream_from_directory, windowed_counts,
+    )
+
+    src = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1, h), "c") for h in range(3)],
+        "ts timestamp, event_type string")
+    d = str(tmp_path / "in")
+    src.write.parquet(d)
+    ev = stream_from_directory(spark, d, "ts timestamp, event_type string")
+    agg = windowed_counts(ev, "ts", "1 hour", "2 hours", ["event_type"])
+    assert "sum_value" not in agg.schema.fieldNames()
+    q = (agg.writeStream.format("memory").queryName("wc_noval")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM wc_noval").collect()
+    assert len(rows) == 3 and all(r["n"] == 1 for r in rows)
