@@ -31,6 +31,11 @@ def skyline(df: DataFrame, minimize: list[str], maximize: list[str]) -> DataFram
     exact skyline, independent of partitioning."""
     cols = df.columns
     mins, maxs = list(minimize), list(maximize)
+    if not mins and not maxs:
+        # fail clearly at call time, not as an IndexError inside the
+        # domination-predicate build (review r4)
+        raise ValueError("skyline: at least one minimize/maximize "
+                         "column is required")
 
     def _local(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -42,7 +47,10 @@ def skyline(df: DataFrame, minimize: list[str], maximize: list[str]) -> DataFram
         yield pdf[keep]
 
     schema = df.schema
-    cands = df.mapInPandas(_local, schema=schema)
+    # candidates are referenced on BOTH sides of the phase-2 self-join;
+    # truncate lineage so the full-input local-skyline scan runs once,
+    # not twice (review r4 — the candidate set is ~thousands of rows)
+    cands = df.mapInPandas(_local, schema=schema).localCheckpoint(eager=True)
 
     # phase 2: candidates are small — broadcast self anti-join on the
     # domination predicate removes the cross-partition dominated rows

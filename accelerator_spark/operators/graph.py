@@ -109,8 +109,14 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n = deg.count()  # node count: one tiny agg job, scalar to driver
     if n == 0:  # empty graph: empty result, not ZeroDivisionError
-        return deg.sparkSession.createDataFrame(
-            [], "node long, rank double")
+        # node type mirrors the edge schema — a hardcoded long made the
+        # output schema depend on whether the graph was empty (review
+        # r4: per-slice unions broke exactly on the empty slice)
+        from pyspark.sql.types import DoubleType, StructField, StructType
+        return deg.sparkSession.createDataFrame([], StructType([
+            StructField("node", sym.schema["src"].dataType),
+            StructField("rank", DoubleType()),
+        ]))
     ranks = deg.select(F.col("src").alias("node"),
                        F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n

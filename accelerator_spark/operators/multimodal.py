@@ -113,6 +113,10 @@ def frame_sample_plan(df: DataFrame, every_n: int = 30,
     the per-frame decode goes through decode_features. JVM-side.
     Media with zero or NULL frames emit NO rows (the old greatest()
     clamp fabricated a phantom frame 0 for them — review r3)."""
+    if every_n <= 0:
+        # F.sequence with step<=0 throws per-row mid-stage; fail at call
+        # time instead (review r4)
+        raise ValueError(f"frame_sample_plan: every_n {every_n} must be >= 1")
     return df.filter(F.col(duration_col) >= 1).withColumn(
         "frame_idx",
         F.explode(F.sequence(F.lit(0), F.col(duration_col) - 1,

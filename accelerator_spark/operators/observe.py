@@ -22,11 +22,19 @@ def observed(df: DataFrame, name: str = "metrics",
     Returns (df, observation); read ``observation.get`` AFTER the first
     action on the returned frame.
 
+    The Observation name gets a unique suffix: Spark requires metric
+    names to be unique per query, so two instrumented frames meeting in
+    one join/union used to fail the action with DUPLICATED_METRICS_NAME
+    (review r4). Callers read metrics through the returned object, never
+    by name.
+
     >>> df, obs = observed(df, rows=F.count(F.lit(1)),
     ...                    null_keys=F.count_if(F.col("k").isNull()))
     >>> df.write.parquet(path); obs.get["rows"]
     """
-    obs = Observation(name)
+    import uuid
+
+    obs = Observation(f"{name}_{uuid.uuid4().hex[:8]}")
     cols = [c.alias(n) for n, c in metrics.items()]
     return df.observe(obs, *cols), obs
 

@@ -157,8 +157,16 @@ def heavy_hitters(df: DataFrame, key_col: str, threshold: int) -> DataFrame:
     verification join compares the same cast("string") on both sides.
     (Exception: for float keys, distinct doubles can format to distinct
     strings 1:1, and NaN formats to "NaN" ≠ NULL — also correct.)"""
-    nparts = df.rdd.getNumPartitions()
-    local_min = max(1, math.ceil(threshold / max(nparts, 1)))
+    # partition-count BOUND, not the actual count: df.rdd
+    # .getNumPartitions() executes the upstream plan just to read a
+    # number (a shuffle-derived input ran three times — review r4), and
+    # the count it reports can differ from the one the pass below runs
+    # with. coalesce() is narrow (no shuffle, no job) and guarantees the
+    # pass runs with AT MOST `bound` partitions, which keeps the
+    # pigeonhole superset valid: ceil(T/bound) <= ceil(T/P_actual).
+    sc = df.sparkSession.sparkContext
+    bound = max(sc.defaultParallelism * 4, 64)
+    local_min = max(1, math.ceil(threshold / bound))
 
     def _local(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -175,6 +183,7 @@ def heavy_hitters(df: DataFrame, key_col: str, threshold: int) -> DataFrame:
 
     key_str = F.col(key_col).cast("string")
     cands = (df.select(key_str.alias("_hh_key"))
+             .coalesce(bound)
              .mapInPandas(_local, schema="_hh_key string")
              .distinct()
              .withColumnRenamed("_hh_key", "_hh_cand"))

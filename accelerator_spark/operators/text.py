@@ -68,7 +68,10 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append standard quality-scoring features."""
     t = F.col(text_col)
     toks = tokens(t)
-    n_tok = F.size(toks)
+    # token_count, not size(tokens): split('') is [''] so empty/
+    # whitespace-only docs counted a phantom token and quality_score
+    # KEPT them (review r4 — this function missed the r3 sweep)
+    n_tok = token_count(t)
     n_chars = F.length(t)
     return (
         df.withColumn("q_n_tokens", n_tok)
@@ -202,8 +205,13 @@ def clean_lines(df: DataFrame, text_col: str = "text",
     shuffle, no UDF; the whole stage pipelines inside the scan."""
     t = F.col(text_col)
     lines = F.split(t, r"\n")
+    # per-line word count with the empty-line guard (split('') is ['']):
+    # a blank line has 0 words, so min_words=1 drops it (review r4)
     kept = F.filter(
-        lines, lambda ln: F.size(F.split(F.trim(ln), r"\s+")) >= min_words)
+        lines,
+        lambda ln: F.when(ln.rlike(r"\S"),
+                          F.size(F.split(F.trim(ln), r"\s+")))
+                    .otherwise(F.lit(0)) >= min_words)
     return (
         df.withColumn("lines_in", F.size(lines))
         .withColumn("lines_kept", F.size(kept))
@@ -228,6 +236,11 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
     a collect()."""
     toks = (
         df.select(id_col, F.explode(tokens(F.col(text_col))).alias("tok"))
+        # split('') is ['']: without this, every empty doc injects a ''
+        # pseudo-token that inflates the vocabulary and corpus_n and
+        # scores the empty doc as a real one (review r4). Empty docs
+        # have no tokens and are absent from the output.
+        .filter(F.col("tok") != "")
     )
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
     total = vocab.agg(F.sum("tf").cast("double").alias("corpus_n"))
@@ -264,7 +277,10 @@ def hashed_bow_score(df: DataFrame, text_col: str = "text"):
 
     Map-only: no shuffle; a trained model swaps the weight expression
     for a broadcast weight-vector lookup with the same plan."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # tokens() + a ''-filter: split('') is [''], which scored empty docs
+    # with the weight of the empty string and n_toks=1 (review r4)
+    toks = F.filter(tokens(F.lower(F.col(text_col))),
+                    lambda t: t != F.lit(""))
     wsum = F.aggregate(
         F.transform(
             toks,
@@ -274,10 +290,13 @@ def hashed_bow_score(df: DataFrame, text_col: str = "text"):
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
+    n_toks = F.size(toks)
     return (
         df.withColumn("wsum", wsum)
-        .withColumn("n_toks", F.size(toks))
-        .withColumn("score", F.col("wsum") / (6.0 * F.col("n_toks")))
+        .withColumn("n_toks", n_toks)
+        .withColumn("score",
+                    F.when(n_toks > 0,
+                           F.col("wsum") / (6.0 * F.col("n_toks"))))
     )
 
 
@@ -293,7 +312,11 @@ def chunk_tokens(df: DataFrame, text_col: str = "text",
     if stride > size:  # not assert: survives python -O (ADVICE r3)
         raise ValueError(
             f"stride {stride} > size {size} would skip tokens between chunks")
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    if stride <= 0 or size <= 0:
+        # fail at call time, not as a DIVIDE_BY_ZERO mid-stage (review r4)
+        raise ValueError(
+            f"chunk_tokens: size {size} and stride {stride} must be >= 1")
+    toks = tokens(F.col(text_col))
     n = F.size(toks)
     n_chunks = F.when(n <= size, F.lit(1)).otherwise(
         F.ceil((n - size) / F.lit(float(stride))).cast("long") + 1)

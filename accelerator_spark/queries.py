@@ -1960,8 +1960,12 @@ def quality_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_QUALITY_REPORT = """
 WITH feat AS (
+  -- empty-doc guard mirrors operators/text.token_count: split('') is
+  -- [''] in both engines, but an empty doc has 0 tokens, not 1
   SELECT doc_id,
-         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         CASE WHEN NOT regexp_matches(text, '\\S') THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+           AS n_tokens,
          length(regexp_replace(text, '[^[:punct:]]', '', 'g')) /
            CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
          len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) /
@@ -3538,8 +3542,12 @@ WITH ml AS (
 ), f AS (
   SELECT source,
          len(string_split(txt, chr(10))) AS lines_in,
+         -- empty-line guard mirrors operators/text.clean_lines: a
+         -- blank line has 0 words, not 1 (split('') is [''])
          list_filter(string_split(txt, chr(10)),
-                     ln -> len(regexp_split_to_array(trim(ln), '\\s+')) >= 50)
+                     ln -> CASE WHEN NOT regexp_matches(ln, '\\S') THEN 0
+                                ELSE len(regexp_split_to_array(trim(ln), '\\s+'))
+                           END >= 50)
            AS kept
   FROM ml
 )
@@ -3576,9 +3584,13 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_UNIGRAM_LP = """
-WITH toks AS (
+WITH toks0 AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
   FROM documents
+), toks AS (
+  -- '' pseudo-token guard mirrors operators/text.unigram_logprob:
+  -- split('') is [''] in both engines, an empty doc has no tokens
+  SELECT doc_id, tok FROM toks0 WHERE tok <> ''
 ), vocab AS (
   SELECT tok, count(*) AS tf FROM toks GROUP BY tok
 ), total AS (
@@ -4023,16 +4035,20 @@ SELECT "lang",
        "avg_score"
 FROM (
 WITH s AS (
+  -- ''-token filter mirrors operators/text.hashed_bow_score: split('')
+  -- is [''], which must not hash into the weight sum
   SELECT lang,
          list_sum(list_transform(
-           regexp_split_to_array(trim(lower(text)), '\\s+'),
+           list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       w -> w <> ''),
            w -> (CAST(('0x' || substring(md5(w), 1, 7)) AS BIGINT) % 64) % 13 - 6
          )) AS wsum,
-         len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_toks
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         w -> w <> '')) AS n_toks
   FROM documents
 )
 SELECT lang, count(*) AS n_docs,
-       sum(CASE WHEN wsum > 0 THEN 1 ELSE 0 END) AS n_good,
+       sum(CASE WHEN coalesce(wsum, 0) > 0 THEN 1 ELSE 0 END) AS n_good,
        round(avg(wsum / (6.0 * n_toks)), 4) AS avg_score
 FROM s GROUP BY lang ORDER BY lang
 ) _bigint_cast

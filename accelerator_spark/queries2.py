@@ -771,7 +771,10 @@ SELECT 'range:o_totalprice',
                         OR o_totalprice IS NULL) FROM full_t
 UNION ALL
 SELECT 'unique:o_orderkey', coalesce(sum(c - 1), 0) FROM (
-  SELECT count(*) AS c FROM full_t GROUP BY o_orderkey HAVING count(*) > 1)
+  -- NULL keys are not uniqueness violations (dbt/SQL UNIQUE semantics,
+  -- mirrored in operators/profile.check_constraints)
+  SELECT count(*) AS c FROM full_t WHERE o_orderkey IS NOT NULL
+  GROUP BY o_orderkey HAVING count(*) > 1)
 ORDER BY rule
 ) _bigint_cast
 """

@@ -23,21 +23,24 @@ from pyspark.sql import functions as F
 
 def binary_import(spark: SparkSession, path: str,
                   glob: str | None = None) -> DataFrame:
-    """Read a directory of binary assets into
+    """Read a directory of binary assets (recursively) into
     (media_id, ext, length, mod_time, content).
 
-    ``media_id`` is the URL-DECODED file stem (binaryFile's path column
-    is a percent-encoded URI — 'my asset.jpg' arrives as
-    'my%20asset.jpg'); ``media_path`` keeps the full decoded path so
-    same-stem files in different subdirectories ('train/001.jpg' vs
-    'val/001.jpg') stay distinguishable — join sidecar metadata on the
-    stem only when stems are unique, else on the path. ``glob`` maps to
-    pathGlobFilter (e.g. ``*.jpg``)."""
-    reader = spark.read.format("binaryFile")
+    ``media_id`` is the file stem taken from binaryFile's path column
+    AS-IS — that column is NOT percent-encoded (verified live: '+' and
+    '%' arrive literally), so url-decoding it crashed on '%' filenames
+    and corrupted '+' to space (review r4). ``media_path`` keeps the
+    full path so same-stem files in different subdirectories
+    ('train/001.jpg' vs 'val/001.jpg') stay distinguishable — join
+    sidecar metadata on the stem only when stems are unique, else on
+    the path. ``glob`` maps to pathGlobFilter (e.g. ``*.jpg``)."""
+    reader = (spark.read.format("binaryFile")
+              # the subdirectory contract the docstring promises
+              .option("recursiveFileLookup", "true"))
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     df = reader.load(path)
-    decoded = F.url_decode(F.col("path"))
+    decoded = F.col("path")
     base = F.element_at(F.split(decoded, "/"), -1)
     return df.select(
         F.regexp_replace(base, r"\.[^.]*$", "").alias("media_id"),

@@ -56,15 +56,28 @@ def csvimport_zip(
         for n in names:
             # extract() sanitizes hostile member names (../, /abs) — use
             # ITS path, then copy to a glob-safe name: spark.read treats
-            # [] {} * ? in paths as Hadoop glob metacharacters
+            # [] {} * ? in paths as Hadoop glob metacharacters. The
+            # original extension chain is preserved (sanitized) so
+            # extension-driven transparent decompression (.gz members)
+            # keeps working (review r4).
             extracted = zf.extract(n, tmp)
+            suffix = re.sub(r"[^A-Za-z0-9.]", "",
+                            "".join(re.findall(r"\.[^./]+", os.path.basename(n))))
             safe = os.path.join(
-                tmp, "m_" + hashlib.md5(n.encode()).hexdigest() + ".member")
+                tmp, "m_" + hashlib.md5(n.encode()).hexdigest() + suffix)
             os.replace(extracted, safe)
             paths[n] = safe
     frames = []
+    labels = {}
     for n in names:
         label = os.path.basename(n) if strip_dirs else n
+        # strip_dirs basename collisions must stay distinct members, not
+        # silently overwrite (reference dedupes colliding names the same
+        # way — accelerator/standard_methods/a_csvimport_zip.py); the
+        # trailing-underscore rename keeps archive order stable
+        while label in labels:
+            label += "_"
+        labels[label] = n
         res = csvimport(spark, paths[n], **csv_kwargs)
         out.members[label] = res
         frames.append(res.default.withColumn("_zip_member", F.lit(label)))

@@ -540,3 +540,57 @@ def test_multifile_linenos_path_ordered(spark, tmp_path):
     # the three headers: f0's by position, f1/f2's by text equality
     assert sorted(r["lineno"] for r in res.skipped.collect()) == \
         [1, sizes["f0.csv"] + 2, sizes["f0.csv"] + sizes["f1.csv"] + 3]
+
+
+def test_zip_strip_dirs_basename_collision_keeps_both(spark, tmp_path):
+    """Review r4: colliding basenames under strip_dirs must stay
+    distinct members (reference dedupes with trailing underscores,
+    a_csvimport_zip.py), not silently overwrite."""
+    import zipfile
+
+    from accelerator_spark.sources.zip import csvimport_zip
+
+    zp = str(tmp_path / "t.zip")
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("a/x.csv", "k,v\n1,a\n")
+        zf.writestr("b/x.csv", "k,v\n2,b\n")
+    res = csvimport_zip(spark, zp, strip_dirs=True)
+    assert set(res.members) == {"x.csv", "x.csv_"}
+    got = {(r["_zip_member"], r["k"]) for r in res.chain.collect()}
+    assert got == {("x.csv", "1"), ("x.csv_", "2")}
+
+
+def test_zip_gzipped_member_transparent_decompression(spark, tmp_path):
+    """Review r4: the glob-safe rename must keep the member's extension
+    chain so Spark's extension-driven .gz decompression still fires."""
+    import gzip
+    import zipfile
+
+    from accelerator_spark.sources.zip import csvimport_zip
+
+    zp = str(tmp_path / "g.zip")
+    payload = gzip.compress(b"k,v\n7,z\n")
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("shard.csv.gz", payload)
+    res = csvimport_zip(spark, zp)
+    rows = res.chain.collect()
+    assert [(r["k"], r["v"]) for r in rows] == [("7", "z")]
+
+
+def test_binary_import_recursive_and_literal_names(spark, tmp_path):
+    """Review r4: binaryFile paths are NOT percent-encoded — '%'/'+'
+    names import literally — and subdirectories are included."""
+    from accelerator_spark.sources.media import binary_import
+
+    (tmp_path / "train").mkdir()
+    (tmp_path / "val").mkdir()
+    (tmp_path / "train" / "001.jpg").write_bytes(b"a")
+    (tmp_path / "val" / "001.jpg").write_bytes(b"b")
+    (tmp_path / "100%.jpg").write_bytes(b"c")
+    (tmp_path / "a+b.jpg").write_bytes(b"d")
+    rows = binary_import(spark, str(tmp_path)).collect()
+    ids = sorted(r["media_id"] for r in rows)
+    assert ids == ["001", "001", "100%", "a+b"]
+    paths = {r["media_path"].rsplit("/", 2)[-2] for r in rows
+             if r["media_id"] == "001"}
+    assert paths == {"train", "val"}

@@ -14,19 +14,22 @@ from conftest import load
 
 
 def _rowgroup_spans(path: str, col: str) -> float:
-    """Mean normalized (max-min) span of `col` across row groups over
-    all files — small means range predicates on `col` can skip most
-    row groups."""
+    """Mean normalized (max-min) span of `col` per FILE — small means
+    range predicates on `col` can skip most files (and their row
+    groups, whose stats are bounded by the file's). File granularity is
+    deterministic for a given partitioning; row-group flush points are
+    not (writer memory state)."""
     import glob
-    spans, lo, hi = [], None, None
     stats = []
     for f in glob.glob(f"{path}/*.parquet"):
         md = pq.ParquetFile(f).metadata
         names = {md.schema.column(i).name: i for i in range(md.num_columns)}
         ci = names[col]
-        for rg in range(md.num_row_groups):
-            s = md.row_group(rg).column(ci).statistics
-            stats.append((s.min, s.max))
+        rg_stats = [md.row_group(rg).column(ci).statistics
+                    for rg in range(md.num_row_groups)]
+        if rg_stats:
+            stats.append((min(s.min for s in rg_stats),
+                          max(s.max for s in rg_stats)))
     lo = min(s[0] for s in stats)
     hi = max(s[1] for s in stats)
     width = (hi - lo) or 1
@@ -38,12 +41,12 @@ def test_zorder_tightens_both_dimensions(spark, sf_dir, tmp_path):
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_extendedprice", "l_quantity")
     plain, zpath = str(tmp_path / "plain"), str(tmp_path / "zord")
-    # small row groups so each file holds several (pruning granularity)
-    li.repartition(4).write.option("parquet.block.size", 64 * 1024) \
-        .parquet(plain)
+    # spans are measured per FILE (one per partition): parquet's
+    # row-group flush points depend on writer memory state, which made
+    # a row-group-level span assertion flaky across full-suite runs
+    li.repartition(8).write.parquet(plain)
     zorder_layout(li, ["l_extendedprice", "l_partkey"], bits=6,
-                  num_partitions=4) \
-        .write.option("parquet.block.size", 64 * 1024).parquet(zpath)
+                  num_partitions=8).write.parquet(zpath)
 
     # rows preserved exactly (int-valued aggregates; a raw double sum
     # differs in the last ulps across row orders)

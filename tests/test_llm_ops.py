@@ -452,3 +452,73 @@ def test_connected_components_nonconvergence_raises(spark):
         connected_components(edges, src="doc_a", dst="doc_b", max_iter=1)
     ok = connected_components(edges, src="doc_a", dst="doc_b")
     assert ok.agg({"component": "max"}).collect()[0][0] == 0
+
+
+def test_empty_doc_semantics_across_text_operators(spark):
+    """Review r4: split('') is [''] — empty/whitespace-only docs must
+    not be charged a phantom token anywhere in the text family."""
+    from accelerator_spark.operators.text import (
+        clean_lines, hashed_bow_score, quality_score, unigram_logprob,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "real tokens here"), (2, ""), (3, "   ")],
+        "doc_id long, text string")
+
+    q = {r["doc_id"]: r for r in quality_score(df, min_tokens=1).collect()}
+    assert q[1]["q_keep"] and q[1]["q_n_tokens"] == 3
+    assert q[2]["q_n_tokens"] == 0 and q[2]["q_drop_reason"] == "too_short"
+    assert q[3]["q_n_tokens"] == 0 and not q[3]["q_keep"]
+
+    lp = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert set(lp) == {1}  # empty docs have no tokens, hence no score
+    assert lp[1]["n_tokens"] == 3
+
+    bow = {r["doc_id"]: r for r in hashed_bow_score(df).collect()}
+    assert bow[2]["n_toks"] == 0 and bow[2]["score"] is None
+    assert bow[2]["wsum"] == 0
+    assert bow[1]["n_toks"] == 3
+
+    cl = {r["doc_id"]: r for r in clean_lines(
+        spark.createDataFrame(
+            [(1, "one two\n\nthree four\n  ")], "doc_id long, text string"),
+        min_words=1).collect()}
+    assert cl[1]["lines_in"] == 4
+    assert cl[1]["lines_kept"] == 2  # blank + whitespace lines dropped
+    assert cl[1]["text_clean"] == "one two\nthree four"
+
+
+def test_operator_parameter_validation(spark, sf_dir):
+    """Review r4: bad parameters fail at call time with ValueError, not
+    mid-stage (DIVIDE_BY_ZERO / sequence-step errors / silent bit
+    truncation under python -O)."""
+    from accelerator_spark.operators.multimodal import frame_sample_plan
+    from accelerator_spark.operators.similarity import (
+        lsh_topk, sign_lsh_signature,
+    )
+    from accelerator_spark.operators.text import chunk_tokens
+
+    docs = load(spark, sf_dir, "documents").limit(1)
+    emb = load(spark, sf_dir, "embeddings").limit(1)
+    with pytest.raises(ValueError, match="must be >= 1"):
+        chunk_tokens(docs, size=10, stride=0)
+    with pytest.raises(ValueError, match="every_n"):
+        frame_sample_plan(docs.withColumn("n_frames", F.lit(10)), every_n=0)
+    with pytest.raises(ValueError, match="1..63"):
+        sign_lsh_signature(emb, dim=8, bits=64)
+    with pytest.raises(ValueError, match="divide into bands"):
+        lsh_topk(emb, emb, dim=8, bits=16, bands=3)
+
+
+def test_pagerank_empty_graph_keeps_node_type(spark):
+    """Review r4: the empty-graph early return must carry the edge
+    schema's node type, not a hardcoded long."""
+    from accelerator_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(edges)
+    assert out.count() == 0
+    assert dict(out.dtypes)["node"] == "string"
+    full = pagerank(spark.createDataFrame(
+        [("a", "b")], "src string, dst string"))
+    assert out.schema == full.schema  # unions across slices stay legal

@@ -135,3 +135,49 @@ def test_winsorize_null_values_stay_null(spark):
     assert out.count() == 101
     nulls = out.filter(F.col("v").isNull()).collect()
     assert len(nulls) == 1 and nulls[0]["v_winsor"] is None
+
+
+def test_profile_handles_dotted_column_names(spark):
+    """Review r4: dotted names must be backtick-escaped, not parsed as
+    struct access."""
+    from accelerator_spark.operators.profile import profile
+
+    df = spark.createDataFrame([(1, "x"), (2, None)],
+                               "`a.b` int, `c d` string")
+    rows = {r["column"]: r for r in profile(df).collect()}
+    assert rows["a.b"]["n_nulls"] == 0 and rows["a.b"]["n_distinct"] == 2
+    assert rows["c d"]["n_nulls"] == 1
+
+
+def test_unique_rule_ignores_null_keys(spark):
+    """Review r4: dbt/SQL UNIQUE semantics — duplicate NULLs are not
+    violations; real duplicates still are."""
+    from accelerator_spark.operators.profile import check_constraints
+
+    df = spark.createDataFrame(
+        [(None,), (None,), (1,), (1,), (2,)], "k int")
+    rep = {r["rule"]: r["n_violations"]
+           for r in check_constraints(df, unique=["k"]).collect()}
+    assert rep["unique:k"] == 1  # only the duplicated 1, not the NULLs
+
+
+def test_skyline_rejects_empty_dimensions(spark, sf_dir):
+    import pytest
+    from accelerator_spark.operators.analytics import skyline
+    from conftest import load
+
+    with pytest.raises(ValueError, match="at least one"):
+        skyline(load(spark, sf_dir, "part"), [], [])
+
+
+def test_observed_frames_compose_in_one_query(spark):
+    """Review r4: two instrumented frames meeting in a join must not
+    collide on the Observation name."""
+    from accelerator_spark.operators.observe import standard_write_metrics
+
+    a = spark.range(10).withColumnRenamed("id", "k")
+    b = spark.range(5).withColumnRenamed("id", "k")
+    da, oa = standard_write_metrics(a, "k")
+    db, ob = standard_write_metrics(b, "k")
+    assert da.join(db, "k").count() == 5
+    assert oa.get["rows"] == 10 and ob.get["rows"] == 5
