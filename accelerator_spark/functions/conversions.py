@@ -15,10 +15,13 @@ Semantics preserved:
 - ``i``-suffixed types ignore trailing garbage (strtol-style prefix
   parse);
 - int bases 0/8/10/16; base 0 auto-detects 0x/0/decimal prefixes;
-- ``strbool``: false/0/no/off/nil/null/"" (case-insens) => False, all
-  else True (dataset_type.py _c_conv_strbool);
-- ``floatint{e,s}``: float text to int, e(xact) fails on fractional or
-  > 2^53 magnitude, s(aturating) clamps to int64 range;
+  empty/whitespace-only cells are 0, not bad (strtol("") consumes no
+  digits and leaves *endptr at NUL — same for strtod and float types);
+- ``strbool``: false/0/f/no/off/nil/null/"" (case-insens) => False,
+  all else True (dataset_type.py _c_conv_strbool);
+- ``floatint{e,s}``: float text to int, truncating toward zero like the
+  C assignment; e(xact) fails beyond ±2^53 (64-bit) / ±INT32_MAX,
+  s(aturating) clamps at ±INT_MAX (not INT_MIN);
 - strptime-style datetime/date/time formats incl. %f; ``javadatetime`` =
   ms-since-epoch; ``unixtime`` = s-since-epoch;
 - ``number``: int-if-integral-else-float (reference's ±2^1007 varint is
@@ -81,35 +84,69 @@ def _trimmed(col: Column) -> Column:
     return F.trim(col)
 
 
+def _signed_conv(mag: Column, base: int, neg: Column) -> Column:
+    """Magnitude string in ``base`` -> signed bigint, overflow-safe.
+
+    Two hazards (review r4): under ANSI (Spark 4 default) ``conv``
+    THROWS on inputs beyond uint64 — one garbage cell killed the whole
+    job — and a plain bigint cast of the unsigned decimal string lost
+    -2^63 (its magnitude exceeds int64 until the sign applies). Guard
+    the digit count so conv never sees > uint64, then apply the sign in
+    decimal(20,0) space (holds uint64) before the final integral cast;
+    out-of-range values become NULL — the reference's ERANGE -> bad."""
+    stripped = F.regexp_replace(mag, r"^0+", "")
+    max_digits = {16: 16, 8: 22, 10: 20}[base]
+    ok_len = F.length(stripped) <= max_digits
+    if base == 8:
+        # 22 octal digits span past uint64 (8^22 = 2^66): lexical
+        # compare is valid at equal length
+        ok_len = ok_len & ((F.length(stripped) < 22)
+                           | (stripped <= "1777777777777777777777"))
+    if base == 10:
+        ok_len = ok_len & ((F.length(stripped) < 20)
+                           | (stripped <= "18446744073709551615"))
+    val = F.when(stripped == "", F.lit(0).cast("decimal(20,0)")).otherwise(
+        F.when(ok_len, F.conv(stripped, base, 10)).try_cast("decimal(20,0)"))
+    return F.when(neg, -val).otherwise(val).try_cast("bigint")
+
+
 def _int_base(col: Column, bits: int, base: int, ignore_trailing: bool) -> Column:
     s = _trimmed(col)
+    empty = s == ""
     if ignore_trailing:
         s = F.regexp_extract(s, f"^({_INT_RX.get(base, _INT_RX[10])})", 1)
         s = F.when(s == "", None).otherwise(s)
     tgt = "bigint" if bits == 64 else "int"
+
+    def with_empty_zero(expr: Column) -> Column:
+        # reference strtol(""): no digits consumed, *endptr == NUL, so
+        # empty/whitespace-only cells convert to 0, not bad (review r4)
+        return F.when(empty, F.lit(0).cast(tgt)).otherwise(expr)
+
     if base == 10:
         ok = s.rlike(r"^[+-]?[0-9]+$")
-        return F.when(ok, s.try_cast(tgt))
+        return with_empty_zero(F.when(ok, s.try_cast(tgt)))
     if base == 16:
         body = F.regexp_replace(s, r"^([+-]?)0[xX]", r"$1")
         ok = body.rlike(r"^[+-]?[0-9a-fA-F]+$")
         neg = body.startswith("-")
         mag = F.regexp_replace(body, r"^[+-]", "")
-        val = F.conv(mag, 16, 10).try_cast("bigint")
-        return F.when(ok, F.when(neg, -val).otherwise(val)).try_cast(tgt)
+        return with_empty_zero(
+            F.when(ok, _signed_conv(F.upper(mag), 16, neg)).try_cast(tgt))
     if base == 8:
         ok = s.rlike(r"^[+-]?[0-7]+$")
         neg = s.startswith("-")
         mag = F.regexp_replace(s, r"^[+-]", "")
-        val = F.conv(mag, 8, 10).try_cast("bigint")
-        return F.when(ok, F.when(neg, -val).otherwise(val)).try_cast(tgt)
+        return with_empty_zero(
+            F.when(ok, _signed_conv(mag, 8, neg)).try_cast(tgt))
     if base == 0:
         # strtol base-0: 0x... hex, 0... octal, else decimal
         hexish = s.rlike(r"^[+-]?0[xX][0-9a-fA-F]+$")
         octish = s.rlike(r"^[+-]?0[0-7]*$")
         decish = s.rlike(r"^[+-]?[1-9][0-9]*$|^[+-]?0$")
         return (
-            F.when(s.rlike(r"^[+-]?0$"), F.lit(0))
+            F.when(empty, F.lit(0))
+            .when(s.rlike(r"^[+-]?0$"), F.lit(0))
             .when(hexish, _int_base(s, 64, 16, False))
             .when(octish, _int_base(F.regexp_replace(s, r"^([+-]?)0", r"$1"),
                                     64, 8, False))
@@ -123,29 +160,50 @@ def _float(col: Column, bits: int, ignore_trailing: bool, numeric_comma: bool) -
     s = _trimmed(col)
     if numeric_comma:
         s = F.regexp_replace(s, ",", ".")
+    # reference strtod(""): no digits consumed, *endptr == NUL — empty/
+    # whitespace-only cells convert to 0.0, not bad (review r4)
+    empty = s == ""
     if ignore_trailing:
         s = F.regexp_extract(
             s, r"^([+-]?(?:[0-9]*\.?[0-9]+(?:[eE][+-]?[0-9]+)?|[iI][nN][fF](?:[iI][nN][iI][tT][yY])?|[nN][aA][nN]))", 1)
         s = F.when(s == "", None).otherwise(s)
-    return s.try_cast("double" if bits == 64 else "float")
+    tgt = "double" if bits == 64 else "float"
+    return F.when(empty, F.lit(0.0).cast(tgt)).otherwise(s.try_cast(tgt))
 
 
 def _floatint(col: Column, bits: int, mode: str, ignore_trailing: bool,
               numeric_comma: bool) -> Column:
+    """Reference floatint semantics (dataset_type.py
+    _c_conv_floatint_{exact,saturate}_template, review r4):
+
+    - fractional values TRUNCATE toward zero (C ``*p = value``), they
+      are not bad;
+    - exact mode bounds: ±2^53 for 64-bit (beyond that a double no
+      longer holds integers exactly), ±INT32_MAX for 32-bit;
+    - saturating mode clamps at ±INT_MAX (note: -INT_MAX, not INT_MIN),
+      comparing against INT_MAX-as-double exactly like the C code."""
     f = _float(col, 64, ignore_trailing, numeric_comma)
     tgt = "bigint" if bits == 64 else "int"
-    if mode == "e":  # exact: fail on fractional part or beyond 2^53
-        ok = (f == F.floor(f)) & (F.abs(f) <= F.lit(2.0 ** 53))
-        return F.when(ok, f).try_cast(tgt)
-    # saturating: clamp to target range
-    lo = F.lit(-(2 ** (bits - 1)))
-    hi = F.lit(2 ** (bits - 1) - 1)
-    clamped = F.least(F.greatest(F.floor(f).cast("decimal(38,0)"), lo.cast("decimal(38,0)")),
-                      hi.cast("decimal(38,0)"))
-    return F.when(f.isNotNull() & ~F.isnan(f), clamped).try_cast(tgt)
+    if mode == "e":
+        big = 2.0 ** 53 if bits == 64 else 2147483647.0
+        ok = (f >= -big) & (f <= big)  # NaN compares false -> bad
+        return F.when(ok, f.cast(tgt))  # double->int cast truncates
+    # saturating: C compares value >=/<= ±INT_MAX after double
+    # promotion (INT64_MAX rounds up to 2^63 as a double)
+    hi_cmp = 2.0 ** 63 if bits == 64 else 2147483647.0
+    hi_val = 2 ** (bits - 1) - 1
+    return (
+        F.when(F.isnan(f) | f.isNull(), F.lit(None))
+        .when(f >= hi_cmp, F.lit(hi_val))
+        .when(f <= -hi_cmp, F.lit(-hi_val))
+        .otherwise(f.cast(tgt))
+        .try_cast(tgt)
+    )
 
 
-_FALSE_SET = ["false", "0", "no", "off", "nil", "null", ""]
+# reference _c_conv_strbool (dataset_type.py:506-513): 'f' IS false
+# (review r4 — it was missing here and in the module docstring)
+_FALSE_SET = ["false", "0", "f", "no", "off", "nil", "null", ""]
 
 
 def _strbool(col: Column) -> Column:
@@ -156,6 +214,41 @@ def _strbool(col: Column) -> Column:
 def _floatbool(col: Column, ignore_trailing: bool) -> Column:
     f = _float(col, 64, ignore_trailing, False)
     return F.when(f.isNotNull(), f != 0.0)
+
+
+_STRPTIME_PREFIX_RX = {
+    "Y": r"\d{4}", "y": r"\d{2}", "m": r"\d{1,2}", "d": r"\d{1,2}",
+    "H": r"\d{1,2}", "M": r"\d{1,2}", "S": r"\d{1,2}", "j": r"\d{1,3}",
+    "f": r"\d{1,6}", "s": r"[+-]?\d+", "b": r"[A-Za-z]{3}",
+    "B": r"[A-Za-z]+", "a": r"[A-Za-z]{3}", "A": r"[A-Za-z]+",
+    "p": r"[AaPp][Mm]", "%": "%",
+}
+
+
+def _strptime_prefix(col: Column, fmt: str) -> Column:
+    """Extract the leading substring of ``col`` that a strptime parse of
+    ``fmt`` would consume, for the reference's ignore-trailing temporal
+    types (datetimei:/datei:/timei:) — strptime stops at the format's
+    end and ignores the rest of the line. Built as a regex from the
+    format's directives; no match -> NULL (bad)."""
+    import re as _re
+
+    parts, i = [], 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%" and i + 1 < len(fmt):
+            rx = _STRPTIME_PREFIX_RX.get(fmt[i + 1])
+            if rx is None:
+                raise ValueError(
+                    f"ignore-trailing parse unsupported for directive "
+                    f"%{fmt[i + 1]} in format {fmt!r}")
+            parts.append(rx)
+            i += 2
+        else:
+            parts.append(_re.escape(ch))
+            i += 1
+    extracted = F.regexp_extract(F.trim(col), "^(" + "".join(parts) + ")", 1)
+    return F.when(extracted == "", None).otherwise(extracted)
 
 
 def _datetime(col: Column, fmt: str, timezone: str | None) -> Column:
@@ -215,12 +308,17 @@ def _number(col: Column, numeric_comma: bool) -> Column:
 
 
 def _number_int(col: Column, numeric_comma: bool) -> Column:
+    # "Never float, but accepts int.0 (or int.00 and so on)"
+    # (reference dataset_type.py:805) — fractional values are BAD here,
+    # unlike floatint which truncates; '' -> 0 like the reference's
+    # convert_number_do zero-length path
     s = _trimmed(col)
     if numeric_comma:
         s = F.regexp_replace(s, ",", ".")
     as_int = s.try_cast("bigint")
-    via_float = _floatint(col, 64, "e", False, numeric_comma)
-    return F.coalesce(as_int, via_float)
+    f = _float(col, 64, False, numeric_comma)
+    integral = F.when((f == F.floor(f)) & (F.abs(f) <= F.lit(2.0 ** 53)), f)
+    return F.coalesce(as_int, integral.try_cast("bigint"))
 
 
 # ---------------------------------------------------------------------
@@ -275,6 +373,17 @@ def convert_expr(
         return _date(c, t.split(":", 1)[1])
     if t.startswith("time:"):
         return _time_us(c, t.split(":", 1)[1])
+    # ignore-trailing temporal variants: the reference names put the
+    # i-suffix BEFORE the colon ('datetimei:*', dataset_type.py:784-786)
+    # — strptime parses the format's prefix and ignores the rest
+    if t.startswith(("datetimei:", "datei:", "timei:")):
+        kind, fmt = t.split(":", 1)
+        prefix = _strptime_prefix(c, fmt)
+        if kind == "datetimei":
+            return _datetime(prefix, fmt, timezone)
+        if kind == "datei":
+            return _date(prefix, fmt)
+        return _time_us(prefix, fmt)
     if t == "number":
         return _number(c, numeric_comma)
     if t == "number:int":
@@ -303,7 +412,9 @@ CONVERSION_MENU = [
     "bits64_0", "bits64_8", "bits64_10", "bits64_16",
     "bits32_0", "bits32_8", "bits32_10", "bits32_16",
     "strbool", "floatbool",
-    "datetime:<fmt>", "date:<fmt>", "time:<fmt>", "javadatetime", "unixtime",
+    "datetime:<fmt>", "date:<fmt>", "time:<fmt>",
+    "datetimei:<fmt>", "datei:<fmt>", "timei:<fmt>",
+    "javadatetime", "unixtime",
     "number", "number:int", "json",
     "ascii", "ascii:strict", "ascii:replace", "asciistrip",
     "unicode", "unicodestrip", "bytes", "bytesstrip",
@@ -369,11 +480,11 @@ def dataset_type(
         for f_ in fail_flags[1:]:
             any_bad = any_bad | f_
 
-    untyped = [c for c in df.columns if c not in column_types]
-    out_cols = [converted[c].alias(c) if c in converted else F.col(c)
-                for c in df.columns if not (discard_untyped and c in untyped and c in untyped)]
     if discard_untyped:
         out_cols = [converted[c].alias(c) for c in df.columns if c in converted]
+    else:
+        out_cols = [converted[c].alias(c) if c in converted else F.col(c)
+                    for c in df.columns]
 
     bad_df = None
     typed = df

@@ -35,28 +35,37 @@ from pyspark.sql.functions import pandas_udf
 PROTOCOL = 4  # matches the reference (dsutil.py:146 pickle_dumps(o, 4))
 
 
-@pandas_udf("binary")
-def _dumps(s: pd.Series) -> pd.Series:
-    # the pd.Series hint satisfies the UDF type checker; at runtime a
-    # StructType input still arrives as a pd.DataFrame (verified) and
-    # takes the row-dict branch below
-    # StructType input arrives as a pandas DataFrame (one column per
-    # field) — pickle each row as a dict, like the reference pickles
-    # whatever object the method wrote
-    if isinstance(s, pd.DataFrame):
-        if len(s) == 0:
-            return pd.Series([], dtype=object)
-        return s.apply(lambda r: pickle.dumps(r.to_dict(), PROTOCOL),
-                       axis=1)
-    # na_action: a NULL cell stays NULL (not a pickled None)
-    return s.map(lambda v: pickle.dumps(v, PROTOCOL), na_action="ignore")
-
-
 def pickle_col(col: Column | str) -> Column:
     """Pickle each cell into a BinaryType column (WritePickle analog).
     The input column can be any Arrow-representable type (struct, map,
-    array, scalar); the cell value is pickled as its Python form."""
-    return _dumps(F.col(col) if isinstance(col, str) else col)
+    array, scalar); the cell value is pickled as its Python form.
+
+    The UDF is built here, not at module level: pandas_udf eagerly
+    resolves its return type against the ACTIVE SparkSession, so a
+    module-level decorator crashed any import that ran before
+    get_spark() (review r4). A second NULL-flag argument rides along
+    because a NULL struct reaches the UDF as a row of NaNs with no
+    other indicator — without it NULL structs pickled as NaN dicts."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    @pandas_udf("binary")
+    def _dumps(s: pd.Series, isnull: pd.Series) -> pd.Series:
+        # the pd.Series hint satisfies the UDF type checker; at runtime
+        # a StructType input still arrives as a pd.DataFrame (verified)
+        # StructType input arrives as a pandas DataFrame (one column per
+        # field) — pickle each row as a dict, like the reference pickles
+        # whatever object the method wrote
+        if isinstance(s, pd.DataFrame):
+            if len(s) == 0:
+                return pd.Series([], dtype=object)
+            out = s.apply(lambda r: pickle.dumps(r.to_dict(), PROTOCOL),
+                          axis=1).astype(object)
+            out[isnull.to_numpy(dtype=bool)] = None
+            return out
+        # na_action: a NULL cell stays NULL (not a pickled None)
+        return s.map(lambda v: pickle.dumps(v, PROTOCOL), na_action="ignore")
+
+    return _dumps(c, c.isNull())
 
 
 def unpickle_col(col: Column | str, return_type: str,

@@ -48,7 +48,17 @@ def dataset_sort(
 ) -> DataFrame:
     """Sort with reference semantics. ``across_slices=False`` maps to
     sortWithinPartitions (the reference's default per-slice sort — no
-    shuffle at all); True is a global sort."""
+    shuffle at all); True is a global sort.
+
+    Known divergence (review r4, documented): the reference substitutes
+    None with a sentinel that can TIE with real values (-inf for
+    numerics, '' for strings, datetime.max for datetimes) and its
+    stable sort then interleaves NULLs with those ties in input order;
+    Spark's null ordering groups all NULLs strictly before/after the
+    tied real values instead. Ordering differs only on rows whose key
+    is exactly the sentinel value — the NULL side (first vs last, incl.
+    the datetime None=max rule) matches the reference everywhere
+    else."""
     cols = [sort_columns] if isinstance(sort_columns, str) else list(sort_columns)
     keys = [_key(df, c, descending) for c in cols]
     if stable_col and stable_col in df.columns:

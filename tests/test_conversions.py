@@ -17,8 +17,10 @@ def conv(spark, values, typ, **kw):
 
 
 def test_int_base10(spark):
+    # "" -> 0: strtol("") consumes no digits and endptr sits at NUL, so
+    # the reference accepts empty cells as 0 (review r4)
     assert conv(spark, ["42", " -7 ", "0x1f", "", "NaN", "9223372036854775807"],
-                "int64_10") == [42, -7, None, None, None, 9223372036854775807]
+                "int64_10") == [42, -7, None, 0, None, 9223372036854775807]
 
 
 def test_int_base16(spark):
@@ -43,7 +45,8 @@ def test_bits_reject_negative(spark):
 def test_float(spark):
     out = conv(spark, ["3.14", "1e100", "-inf", "x", ""], "float64")
     assert out[0] == 3.14 and out[1] == 1e100
-    assert out[2] == float("-inf") and out[3] is None and out[4] is None
+    # "" -> 0.0 per the reference's strtod semantics (review r4)
+    assert out[2] == float("-inf") and out[3] is None and out[4] == 0.0
 
 
 def test_float_numeric_comma(spark):
@@ -51,15 +54,21 @@ def test_float_numeric_comma(spark):
 
 
 def test_floatint_exact_vs_saturating(spark):
-    assert conv(spark, ["3.0", "2.5", "1e300"], "floatint64e") == [3, None, None]
-    sat = conv(spark, ["1e300", "-1e300", "3.9"], "floatint64s")
-    assert sat == [9223372036854775807, -9223372036854775808, 3]
+    # fractional values truncate toward zero (C *p = value), they are
+    # not bad; saturation clamps at +/-INT64_MAX (review r4, reference
+    # _c_conv_floatint_* templates)
+    assert conv(spark, ["3.0", "2.5", "-2.5", "1e300"], "floatint64e") == \
+        [3, 2, -2, None]
+    sat = conv(spark, ["1e300", "-1e300", "3.9", "-1.5"], "floatint64s")
+    assert sat == [9223372036854775807, -9223372036854775807, 3, -1]
 
 
 def test_strbool(spark):
-    vals = ["true", "FALSE", "0", "no", "off", "nil", "null", "", "1", "yes", "banana"]
+    vals = ["true", "FALSE", "0", "f", "F", "no", "off", "nil", "null", "",
+            "1", "yes", "banana"]
     assert conv(spark, vals, "strbool") == \
-        [True, False, False, False, False, False, False, False, True, True, True]
+        [True, False, False, False, False, False, False, False, False, False,
+         True, True, True]
 
 
 def test_floatbool(spark):
@@ -236,3 +245,65 @@ def test_chain_runner_rejects_backfill(spark, tmp_path):
     runner.process({"2024-01-02": {}}, step)
     with pytest.raises(ValueError, match="older than the chain head"):
         runner.process({"2024-01-01": {}, "2024-01-03": {}}, step)
+
+
+def test_int_hex_overflow_is_bad_not_crash(spark):
+    """Review r4: under ANSI, conv() on >uint64 input THREW and killed
+    the job; garbage magnitudes must be bad (NULL). The signed int64
+    boundary itself round-trips, including -2^63."""
+    vals = ["123456789ABCDEF01",       # 17 hex digits: > uint64 -> bad
+            "FFFFFFFFFFFFFFFF",        # uint64 max: > int64 -> bad
+            "7fffffffffffffff",        # int64 max
+            "-8000000000000000",       # int64 min (magnitude 2^63)
+            "0000000000000000001f"]    # leading zeros don't overflow
+    assert conv(spark, vals, "int64_16") == \
+        [None, None, 9223372036854775807, -9223372036854775808, 31]
+    assert conv(spark, ["1000000000000000000000", "-1000000000000000000000",
+                        "7777777777777777777777777"], "int64_8") == \
+        [None, -9223372036854775808, None]
+
+
+def test_datetimei_ignores_trailing_garbage(spark):
+    """Review r4: the reference's ignore-trailing temporal names put the
+    i BEFORE the colon (datetimei:/datei:/timei:, dataset_type.py:
+    784-786) — strptime parses the prefix and ignores the rest."""
+    import datetime
+
+    got = conv(spark, ["2024-03-05 extra garbage", "2024-03-05", "nope"],
+               "datei:%Y-%m-%d")
+    assert got == [datetime.date(2024, 3, 5), datetime.date(2024, 3, 5), None]
+    got = conv(spark, ["12:30:05.junk"], "timei:%H:%M:%S")
+    assert got == [12 * 3_600_000_000 + 30 * 60_000_000 + 5_000_000]
+    got = conv(spark, ["2024-03-05 12:30:05 UTC blah"],
+               "datetimei:%Y-%m-%d %H:%M:%S")
+    assert got == [datetime.datetime(2024, 3, 5, 12, 30, 5)]
+
+
+def test_pickle_null_struct_stays_null(spark):
+    """Review r4: a NULL struct row reaches the pandas UDF as a row of
+    NaNs — it must pickle to SQL NULL, not to a dict of NaNs."""
+    import pickle as _p
+
+    from accelerator_spark.functions.pickles import pickle_col
+
+    df = spark.createDataFrame(
+        [(1, (7, "a")), (2, None)], "id long, s struct<x:long,y:string>")
+    rows = {r["id"]: r["b"] for r in
+            df.select("id", pickle_col("s").alias("b")).collect()}
+    assert _p.loads(bytes(rows[1])) == {"x": 7, "y": "a"}
+    assert rows[2] is None
+
+
+def test_pickles_module_imports_without_session():
+    """Review r4: a module-level pandas_udf resolved its type against
+    the active session at import, crashing imports that ran before
+    get_spark(); the UDF must be built lazily."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, '/root/repo'); "
+         "import accelerator_spark.functions.pickles; print('ok')"],
+        capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0 and "ok" in proc.stdout, proc.stderr[-500:]

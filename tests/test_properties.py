@@ -35,6 +35,8 @@ int_strings = st.one_of(
 
 def _model_int64_10(s: str):
     t = s.strip()
+    if t == "":
+        return 0  # strtol(""): no digits, endptr at NUL -> accepted as 0
     if not re.fullmatch(r"[+-]?[0-9]+", t):
         return None
     v = int(t)
