@@ -225,8 +225,17 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
     banded blocking has 100% recall (two half-bands only guarantee
     distance <= 1 — review r3). Block-join then exact hamming filter
     via bit_count(xor). Scale: the block key bounds the join fanout."""
+    if max_hamming >= bits:
+        # pigeonhole needs max_hamming+1 bands over `bits` bits; at
+        # max_hamming >= bits a pair differing in EVERY bit is still
+        # within distance yet shares no band — silently under-recalling
+        # instead of honoring the documented 100% guarantee (review r4)
+        raise ValueError(
+            f"simhash_near_pairs: max_hamming {max_hamming} >= bits "
+            f"{bits} voids the pigeonhole recall guarantee — raise bits "
+            "or lower max_hamming")
     sh = simhash(df, text_col, id_col, bits)
-    n_bands = min(max_hamming + 1, bits)
+    n_bands = max_hamming + 1
     # distribute the bits EVENLY over the bands (ceil-width slicing
     # left the last band empty when (n_bands-1)*width >= bits — an
     # all-constant block key putting the whole corpus in one bucket)
@@ -391,16 +400,29 @@ def decontaminate(train: DataFrame, heldout: DataFrame,
     ).distinct()
     bad = tg.join(hg, "g", "left_semi").select(id_col).distinct()
 
-    # short held-out items: substring containment against train text
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # short held-out items: token-sequence containment against train
+    # text. Both sides are whitespace-COLLAPSED (case-preserving, like
+    # the case-sensitive n-gram path above) and the probe is anchored
+    # on token boundaries by padding with spaces — a raw substring
+    # contains() matched mid-token ('ice' hit 'service', dropping most
+    # of the corpus for a 1-token eval answer) and missed real leakage
+    # across differing whitespace (review r4)
+    def ws_norm(c):
+        return F.regexp_replace(F.trim(c), r"\s+", " ")
+
+    toks = F.split(ws_norm(F.col(text_col)), " ")
     shorts = (heldout
               .filter(F.size(toks) < n)
-              .select(F.trim(F.col(text_col)).alias("_short"))
+              .select(ws_norm(F.col(text_col)).alias("_short"))
               .filter(F.col("_short") != "")
               .distinct())
+    padded_train = F.concat(F.lit(" "), ws_norm(F.col(text_col)),
+                            F.lit(" "))
     bad_short = (train
                  .join(F.broadcast(shorts),
-                       F.col(text_col).contains(F.col("_short")))
+                       padded_train.contains(
+                           F.concat(F.lit(" "), F.col("_short"),
+                                    F.lit(" "))))
                  .select(id_col).distinct())
     bad = bad.unionByName(bad_short).distinct()
     return train.join(bad, id_col, "left_anti")

@@ -119,8 +119,19 @@ def salted_join(big: DataFrame, small: DataFrame, on: str,
     The salt derives from xxhash64 over ALL big-side columns (stable row
     content hash, no rand() — keeps the plan deterministic and
     re-executable, which retries and speculative tasks require).
+    pmod, not abs(...)%: abs(Long.MIN_VALUE) is still negative in JVM
+    two's complement, which silently dropped that row from an inner
+    join (review r4). Only big-side-preserving join types are valid —
+    the small side is REPLICATED per salt, so right/full outer joins
+    would emit one null-extended row per unmatched salt replica.
     """
-    salt_b = F.abs(F.xxhash64(*big.columns)) % salts
+    if how not in ("inner", "left", "left_semi", "left_anti", "leftsemi",
+                   "leftanti", "left_outer"):
+        raise ValueError(
+            f"salted_join: how={how!r} is not big-side-preserving — the "
+            "replicated small side would duplicate right/full outer "
+            "results; salt the other side or broadcast instead")
+    salt_b = F.pmod(F.xxhash64(*big.columns), F.lit(salts))
     big_s = big.withColumn("__salt", salt_b.cast("int"))
     small_s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
@@ -143,7 +154,9 @@ def hash_sample(df: DataFrame, col: str, rate: float) -> DataFrame:
     engines, partitionings and cluster sizes — the property a training-
     data pipeline needs so a 1% dev-corpus is THE SAME 1% every rebuild.
     Pure narrow filter: no shuffle, pushes down around it."""
-    return df.filter(_md5_bucket(col) < int(rate * 10_000))
+    # round, not int(): binary-float artifacts (0.57*10000 = 5699.99..)
+    # truncated a bucket off the requested fraction (review r4)
+    return df.filter(_md5_bucket(col) < round(rate * 10_000))
 
 
 def hash_split(df: DataFrame, col: str, weights: dict[str, float],
@@ -157,7 +170,7 @@ def hash_split(df: DataFrame, col: str, weights: dict[str, float],
     lo = 0
     names = list(weights)
     for name in names[:-1]:
-        hi = lo + int(weights[name] * 10_000)
+        hi = lo + round(weights[name] * 10_000)
         cond = (b >= lo) & (b < hi)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo = hi
@@ -245,6 +258,14 @@ def zorder_layout(df, cols: list[str], bits: int = 8,
 
     for c in cols:
         _require_bucketable(df, c, "zorder_layout")
+    if bits * len(cols) > 63:
+        # bit j of dim d lands at position j*len(cols)+d in the Morton
+        # word; past 63 the 1<<shift literal no longer fits a long and
+        # failed deep in Py4J with no hint (review r4)
+        raise ValueError(
+            f"zorder_layout: bits({bits}) * len(cols)({len(cols)}) must "
+            "be <= 63 to fit the interleaved Morton key in a long — "
+            "lower bits or cluster fewer columns")
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     bins = 1 << bits
     fracs = F.array(*[F.lit(i / bins) for i in range(1, bins)])
@@ -483,17 +504,32 @@ def compact_files(spark, path: str, target_files: int,
 
     Uses coalesce (no shuffle) when shrinking file count — each output
     task concatenates whole input splits. The rewrite lands in a temp
-    sibling directory first, then atomically replaces the original, so a
-    crash mid-compact never loses the table.
+    sibling directory first; data is never deleted until the swap
+    completes, and a crash between the two renames is rolled back
+    automatically on the next invocation (the original sits intact at
+    the .__compact_old__ sibling until then). Local filesystem paths
+    only (os.rename) — object stores need their own atomic-swap
+    primitive.
 
     Returns the number of data files after compaction."""
     import os
     import shutil
 
-    df = spark.read.format(fmt).load(path)
-    tmp = path.rstrip("/") + ".__compact_tmp__"
-    df.coalesce(target_files).write.mode("overwrite").format(fmt).save(tmp)
     back = path.rstrip("/") + ".__compact_old__"
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    # recover from a prior crash (review r4): data is never deleted
+    # until the swap completes, so either the original still sits at
+    # `back` (crash between the renames — finish the rollback) or the
+    # compacted table reached `path` and `back` is a stale backup
+    if os.path.exists(back):
+        if os.path.exists(path):
+            shutil.rmtree(back)
+        else:
+            os.rename(back, path)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # incomplete previous attempt
+    df = spark.read.format(fmt).load(path)
+    df.coalesce(target_files).write.mode("overwrite").format(fmt).save(tmp)
     os.rename(path, back)
     os.rename(tmp, path)
     shutil.rmtree(back)
@@ -526,9 +562,14 @@ def mixture_sample(df: DataFrame, source_col: str, id_col: str,
         F.floor(frac * F.col("total") * F.col("wt") / F.col("wsum")).alias("quota"),
     )
     h28 = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10).cast("long")
+    # decimal(38,0) arithmetic: h28 (up to 2^28) times a >2^35-row
+    # source count overflows int64 and the keep test inverts pseudo-
+    # randomly (review r4) — exactly the corpus sizes this module
+    # claims; DuckDB mirrors in int128 natively
     kept = (
         df.join(F.broadcast(quotas.select(source_col, "n_docs", "quota")), source_col)
-        .filter(h28 * F.col("n_docs") < F.col("quota") * F.lit(1 << 28))
+        .filter(h28.cast("decimal(38,0)") * F.col("n_docs")
+                < F.col("quota").cast("decimal(38,0)") * F.lit(1 << 28))
         .drop("n_docs", "quota")
     )
     return kept, quotas

@@ -2937,10 +2937,14 @@ WITH toks AS (
 ), hg AS (
   SELECT DISTINCT unnest(gs) AS g FROM grams WHERE b < 500
 ), shorts AS (
-  -- held-out items shorter than n tokens: substring containment probe
-  -- (mirrors operators/dedup.decontaminate's short-item branch)
-  SELECT DISTINCT trim(text) AS st FROM toks JOIN documents USING (doc_id)
-  WHERE b < 500 AND len(t) < 8 AND trim(text) <> ''
+  -- held-out items shorter than n tokens: whitespace-collapsed,
+  -- token-boundary-anchored containment probe (mirrors operators/
+  -- dedup.decontaminate's short-item branch — review r4: a raw
+  -- substring probe matched mid-token)
+  SELECT DISTINCT regexp_replace(trim(text), '\\s+', ' ', 'g') AS st
+  FROM toks JOIN documents USING (doc_id)
+  WHERE b < 500 AND len(t) < 8
+    AND regexp_replace(trim(text), '\\s+', ' ', 'g') <> ''
 ), bad AS (
   SELECT DISTINCT doc_id
   FROM (SELECT doc_id, unnest(gs) AS g FROM grams WHERE b >= 500) tg
@@ -2948,7 +2952,9 @@ WITH toks AS (
   UNION
   SELECT DISTINCT d.doc_id
   FROM documents d JOIN toks tk USING (doc_id), shorts s
-  WHERE tk.b >= 500 AND contains(d.text, s.st)
+  WHERE tk.b >= 500
+    AND contains(' ' || regexp_replace(trim(d.text), '\\s+', ' ', 'g')
+                 || ' ', ' ' || s.st || ' ')
 )
 SELECT source,
        count(*) AS n_train,

@@ -119,14 +119,17 @@ def _trim_extra_empty(fields: list[str], n: int) -> list[str]:
 
 
 def _read_lines(spark: SparkSession, path: str, encoding: str,
-                newline: str = "") -> DataFrame:
+                newline: str = "",
+                keep_file_info: bool = False) -> DataFrame:
     """Lines DataFrame with 1-based dense file-order ``_lineno``.
 
     UTF-8: distributed text scan + per-split offset arithmetic (see
     module docstring). Other encodings: binaryFile + per-file decode
     (files are the parallel unit). ``newline``: custom record
     terminator (reference csvimport ``newline=`` — any byte); ""
-    means universal (\n, \r\n, \r)."""
+    means universal (\n, \r\n, \r). ``keep_file_info`` also returns
+    ``_path`` and the 1-based in-file ``_fline`` (multi-file header
+    handling needs per-file positions)."""
     if encoding.lower().replace("-", "") in ("utf8", "ascii", "usascii"):
         reader = spark.read
         if newline:
@@ -161,14 +164,15 @@ def _read_lines(spark: SparkSession, path: str, encoding: str,
             "_foff", F.coalesce(F.sum("_fn").over(w_files), F.lit(0))
         ).select("_path", "_foff")
         offsets = (counts.join(file_off, "_path")
-                   .select("_path", "_pid", "_base",
-                           (F.col("_off_in") + F.col("_foff")).alias("_off")))
-        return (
+                   .select("_path", "_pid", "_base", "_off_in", "_foff"))
+        out = (
             raw.join(F.broadcast(offsets), ["_path", "_pid"])
-            .withColumn("_lineno",
-                        F.col("_idx") - F.col("_base") + F.col("_off") + 1)
-            .drop("_path", "_pid", "_idx", "_mono", "_off", "_base")
+            .withColumn("_fline",
+                        F.col("_idx") - F.col("_base") + F.col("_off_in") + 1)
+            .withColumn("_lineno", F.col("_fline") + F.col("_foff"))
+            .drop("_pid", "_idx", "_mono", "_off_in", "_foff", "_base")
         )
+        return out if keep_file_info else out.drop("_path", "_fline")
 
     def _decode(batches: Iterator) -> Iterator:
         import re
@@ -206,9 +210,11 @@ def _read_lines(spark: SparkSession, path: str, encoding: str,
                 W.orderBy("_path").rowsBetween(W.unboundedPreceding, -1)),
             F.lit(0)),
     ).select("_path", "_off")
-    return (per_file.join(F.broadcast(offsets), "_path")
-            .withColumn("_lineno", F.col("_in_file") + F.col("_off"))
-            .drop("_path", "_in_file", "_off"))
+    out = (per_file.join(F.broadcast(offsets), "_path")
+           .withColumn("_lineno", F.col("_in_file") + F.col("_off"))
+           .withColumnRenamed("_in_file", "_fline")
+           .drop("_off"))
+    return out if keep_file_info else out.drop("_path", "_fline")
 
 
 def _read_header(
@@ -286,7 +292,12 @@ def csvimport(
 
     See module docstring for the full option menu and its reference
     parity. Without ``allow_bad``, a malformed/wrong-field-count line
-    raises :class:`CsvImportError` (the reference fails the job)."""
+    raises :class:`CsvImportError` on the text path; the NATIVE-reader
+    fast path (plain separators, no bad/comment/skip options) surfaces
+    Spark's own FAILFAST exception at action time instead — same
+    fail-the-job contract, different exception type (documented
+    divergence; wrap with allow_bad or an exotic option to get the
+    text path's typed error)."""
     qchars = ("'\"" if quotes is True else (quotes or ""))
     exotic_quotes = quotes is True
     if multiline:
@@ -341,7 +352,12 @@ def csvimport(
         return CsvImportResult(default=_relabel(df, rename, discard, strip_labels))
 
     # ---- text fallback path (exact reference semantics) ----
-    raw = _read_lines(spark, path, encoding, newline)
+    # multi-file auto-header imports need per-file line positions;
+    # inputFiles() is a driver-side listing
+    multi_file = (labels is None
+                  and len(spark.read.text(path).inputFiles()) > 1)
+    raw = _read_lines(spark, path, encoding, newline,
+                      keep_file_info=multi_file)
 
     if labels is None:
         # scan cap: 10k lines of leading comments/blanks before the
@@ -351,10 +367,8 @@ def csvimport(
         labels, header_at = _read_header(
             head, separator, qchars, skip_lines, comment,
             skip_empty_lines, allow_extra_empty)
-        header_text = head[header_at - 1]
     else:
         header_at = None
-        header_text = None
     if strip_labels:
         labels = [l.strip() for l in labels]
 
@@ -362,17 +376,33 @@ def csvimport(
     skip_cond = F.col("_lineno") <= skip_lines
     if header_at is not None:
         skip_cond = skip_cond | (F.col("_lineno") == header_at)
-        # Only for multi-FILE imports (globs/directories; beyond the
-        # reference's one-file contract): ALSO skip any later line with
-        # byte-identical text, matching the native reader's per-file
-        # header handling — there a data row equal to the header line is
-        # indistinguishable and is skipped (documented trade-off). In
-        # the single-file case the lineno alone identifies the header,
-        # so an identical DATA row imports as data, exactly like the
-        # reference (ADVICE r3: the text-equality skip was applied
-        # unconditionally). inputFiles() is a driver-side listing.
-        if len(spark.read.text(path).inputFiles()) > 1:
-            skip_cond = skip_cond | (line == F.lit(header_text))
+        # Multi-FILE auto-header imports (globs/directories; beyond the
+        # reference's one-file contract): EVERY file's header line is
+        # skipped, identified by POSITION — the first non-comment/
+        # non-empty line of each file — matching the native reader's
+        # per-file header handling. (ADVICE r3 removed an unconditional
+        # text-equality skip that ate identical data rows; review r4
+        # showed equality also MISSED headers with different quoting or
+        # label order — position, not text, is the right key. A later
+        # file whose labels disagree with file 1's still lands its data
+        # rows under file 1's labels, like the native reader.) The
+        # per-file agg below is map-side combinable to one row per file.
+        if multi_file:
+            # skip_lines is a global (file-1) head skip: file 1 — where
+            # _lineno == _fline — looks for its header after it, later
+            # files from their first line
+            cand = F.col("_fline") > F.when(
+                F.col("_lineno") == F.col("_fline"),
+                F.lit(skip_lines)).otherwise(F.lit(0))
+            if comment is not None:
+                cand = cand & ~line.startswith(comment)
+            if skip_empty_lines:
+                cand = cand & (line != "")
+            hdrs = (raw.filter(cand)
+                    .groupBy("_path")
+                    .agg(F.min("_fline").alias("_hdr_line")))
+            raw = raw.join(F.broadcast(hdrs), "_path", "left")
+            skip_cond = skip_cond | (F.col("_fline") == F.col("_hdr_line"))
     if comment is not None:
         skip_cond = skip_cond | line.startswith(comment)
     if skip_empty_lines:
@@ -381,7 +411,7 @@ def csvimport(
     skipped = raw.filter(skip_cond).select(
         F.col("_lineno").alias("lineno"), F.col("value").alias("data")
     )
-    body = raw.filter(~skip_cond)
+    body = raw.filter(~skip_cond).select("value", "_lineno")
     n = max(len(labels), 1)
 
     if qchars:

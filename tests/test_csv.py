@@ -594,3 +594,30 @@ def test_binary_import_recursive_and_literal_names(spark, tmp_path):
     paths = {r["media_path"].rsplit("/", 2)[-2] for r in rows
              if r["media_id"] == "001"}
     assert paths == {"train", "val"}
+
+
+def test_multifile_differing_header_formats_skipped(spark, tmp_path):
+    """Review r4: later files' headers are identified by POSITION (first
+    non-comment/non-empty line per file), so a header with different
+    quoting than file 1's is still skipped, not imported as data."""
+    d = tmp_path / "hdrs"
+    d.mkdir()
+    _write(d, "f0.csv", "a,b\n1,x\n")
+    _write(d, "f1.csv", '"a","b"\n2,y\n')
+    res = csvimport(spark, str(d) + "/*.csv", allow_bad=True)
+    rows = sorted((r["a"], r["b"]) for r in res.default.collect())
+    assert rows == [("1", "x"), ("2", "y")]
+    assert sorted(r["data"] for r in res.skipped.collect()) == \
+        ['"a","b"', "a,b"]
+
+
+def test_multifile_comment_before_header(spark, tmp_path):
+    """Per-file header detection honors the comment rule: a later file
+    starting with comment lines skips its real header, not the comment."""
+    d = tmp_path / "cmt"
+    d.mkdir()
+    _write(d, "f0.csv", "a,b\n1,x\n")
+    _write(d, "f1.csv", "#note\na,b\n2,y\n")
+    res = csvimport(spark, str(d) + "/*.csv", allow_bad=True, comment="#")
+    rows = sorted((r["a"], r["b"]) for r in res.default.collect())
+    assert rows == [("1", "x"), ("2", "y")]

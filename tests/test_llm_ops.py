@@ -522,3 +522,49 @@ def test_pagerank_empty_graph_keeps_node_type(spark):
     full = pagerank(spark.createDataFrame(
         [("a", "b")], "src string, dst string"))
     assert out.schema == full.schema  # unions across slices stay legal
+
+
+def test_decontaminate_short_probe_token_anchored(spark):
+    """Review r4: the short held-out probe must match whole token
+    sequences — 'ice' must not hit 'service', and differing whitespace
+    must not hide real leakage."""
+    from accelerator_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "we offer great service and support here today now"),
+         (2, "the answer is ice cold water from the well yes"),
+         (3, "foo bar baz qux quux corge grault garply waldo")],
+        "doc_id long, text string")
+    heldout = spark.createDataFrame(
+        [(100, "ice"), (101, "foo  bar")],  # short items, <8 tokens
+        "doc_id long, text string")
+    kept = {r["doc_id"] for r in decontaminate(train, heldout, n=8)
+            .select("doc_id").collect()}
+    # doc 1: 'service' contains 'ice' mid-token -> must SURVIVE
+    # doc 2: token 'ice' present -> dropped
+    # doc 3: 'foo bar' present (probe whitespace-collapsed) -> dropped
+    assert kept == {1}
+
+
+def test_simhash_near_pairs_rejects_degenerate_bands(spark):
+    import pytest
+    from accelerator_spark.operators.dedup import simhash_near_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_pairs(df, bits=8, max_hamming=8)
+
+
+def test_salted_join_rejects_outer_and_handles_all_keys(spark, sf_dir):
+    import pytest
+    from accelerator_spark.operators.partition import salted_join
+    from conftest import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    with pytest.raises(ValueError, match="big-side-preserving"):
+        salted_join(li, orders, on="l_orderkey", how="full")
+    j = salted_join(li, orders, on="l_orderkey", how="inner")
+    plain = li.join(orders, "l_orderkey")
+    assert j.count() == plain.count()
