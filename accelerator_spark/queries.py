@@ -28,6 +28,24 @@ from pyspark.sql import functions as F
 _TUNED: set[int] = set()
 
 
+def _scratch(name: str) -> str:
+    """Per-process reusable scratch dir for queries that materialize
+    intermediate files (round-trip/export/streaming gates): wiped and
+    recreated per call, so repeated bench/gate runs reuse ONE location
+    instead of leaking a mkdtemp per invocation (review r4). The pid
+    suffix keeps concurrent sessions apart; streaming checkpoints stay
+    fresh because the wipe happens every call."""
+    import os
+    import shutil
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "axspark_scratch",
+                     f"{name}_{os.getpid()}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # apply engine confs once per session — the driver may hand us a
     # session without AQE/UTC set
@@ -3048,7 +3066,7 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the file stream source wants a DIRECTORY; the test fixture is a
     # single parquet file — expose it through a symlink dir (a real
     # deployment streams an ingest directory, so this shim is test-only)
-    stream_dir = tempfile.mkdtemp(prefix="stream_src_")
+    stream_dir = _scratch("stream_src")
     os.symlink(
         os.path.abspath(f"{sf_dir}/events.parquet"),
         os.path.join(stream_dir, "events.parquet"),
@@ -3064,7 +3082,7 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         agg.writeStream.format("memory").queryName("stream_hourly")
         .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ck_"))
+        .option("checkpointLocation", _scratch("stream_ck"))
         .trigger(availableNow=True)
         .start()
     )
@@ -3185,7 +3203,12 @@ def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") < 8)
-    assigned = ivf_assign(emb, cents).select("vec_id", "embedding", "centroid_id")
+    # checkpoint: referenced by both self-join arms AND the anti-join
+    # base — without it the corpus x centroids assignment runs 3x
+    # (same fix as operators/similarity.semantic_dedup, review r4)
+    assigned = (ivf_assign(emb, cents)
+                .select("vec_id", "embedding", "centroid_id")
+                .localCheckpoint(eager=True))
     a = assigned.select(
         "centroid_id", F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a")
     )
@@ -3630,7 +3653,7 @@ def jsonl_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.jsonl import jsonlexport, jsonlimport
 
     docs = _t(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="jsonl_rt_")
+    path = _scratch("jsonl_rt")
     jsonlexport(docs, path)
     back = jsonlimport(
         spark, path,
@@ -3878,7 +3901,7 @@ def partitioned_pruning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     orders = _t(spark, sf_dir, "orders")
-    path = tempfile.mkdtemp(prefix="part_orders_")
+    path = _scratch("part_orders")
     (
         orders.withColumn("o_year", F.year("o_orderdate"))
         .write.mode("overwrite").partitionBy("o_year").parquet(path)
@@ -3911,7 +3934,7 @@ def orc_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     docs = _t(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="orc_rt_")
+    path = _scratch("orc_rt")
     docs.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     parts = [
@@ -3941,7 +3964,7 @@ def overlay_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dataset import Dataset
 
     nation = _t(spark, sf_dir, "nation")
-    root = tempfile.mkdtemp(prefix="overlay_rt_")
+    root = _scratch("overlay_rt")
     base = Dataset.write(nation, f"{root}/base")
     new = nation.select("n_nationkey",
                         F.length("n_name").alias("name_len"))
@@ -4134,7 +4157,7 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream_dir = tempfile.mkdtemp(prefix="stream_sess_")
+    stream_dir = _scratch("stream_sess")
     os.symlink(
         os.path.abspath(f"{sf_dir}/events.parquet"),
         os.path.join(stream_dir, "events.parquet"),
@@ -4154,7 +4177,7 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         sess.writeStream.format("memory").queryName(name)
         .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_sck_"))
+        .option("checkpointLocation", _scratch("stream_sck"))
         .trigger(availableNow=True)
         .start()
     )

@@ -350,10 +350,14 @@ def udtf_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="word string, cnt int")
     class TopWords:
         def eval(self, text: str):
+            import re
             from collections import Counter
             if not text:
                 return
-            c = Counter(text.split())
+            # \s+ split, matching every sibling tokenizer AND the
+            # oracle (str.split() treated tabs/newlines differently
+            # from the oracle's single-space split — review r4)
+            c = Counter(re.split(r"\s+", text.strip()))
             top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
             for w, n in top:
                 yield w, n
@@ -370,7 +374,8 @@ def udtf_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_UDTF_WORDS = """
 WITH words AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  -- \s+ split, mirroring the UDTF's tokenizer (review r4)
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
   FROM documents WHERE doc_id < 20
 ), cnts AS (
   SELECT doc_id, word, count(*) AS cnt,
@@ -506,10 +511,10 @@ def xml_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, re-read with the explicit schema (no inference drift), then
     digested with the order-independent md5-xor checksum the oracle
     computes over the parquet directly."""
-    import tempfile
+    from .queries import _scratch
 
     nation = _t(spark, sf_dir, "nation")
-    path = tempfile.mkdtemp(prefix="xml_rt_") + "/x"
+    path = _scratch("xml_rt") + "/x"
     (nation.write.mode("overwrite").format("xml")
      .option("rootTag", "nations").option("rowTag", "nation").save(path))
     back = (spark.read.format("xml").option("rowTag", "nation")
@@ -1030,10 +1035,10 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     nulls the missing column — how a long-lived 100 TB table absorbs
     schema change without rewriting history. The oracle replays the
     generation split from the flat table."""
-    import tempfile
+    from .queries import _scratch
 
     orders = _t(spark, sf_dir, "orders")
-    path = tempfile.mkdtemp(prefix="schevo_")
+    path = _scratch("schevo")
     (orders.filter(F.col("o_orderkey") % 2 == 0)
      .select("o_orderkey", "o_totalprice")
      .write.mode("overwrite").parquet(path + "/g=1"))
