@@ -28,21 +28,33 @@ from pyspark.sql import functions as F
 _TUNED: set[int] = set()
 
 
+_SCRATCH_ROOT: str | None = None
+_SCRATCH_SEQ = None
+
+
 def _scratch(name: str) -> str:
-    """Per-process reusable scratch dir for queries that materialize
-    intermediate files (round-trip/export/streaming gates): wiped and
-    recreated per call, so repeated bench/gate runs reuse ONE location
-    instead of leaking a mkdtemp per invocation (review r4). The pid
-    suffix keeps concurrent sessions apart; streaming checkpoints stay
-    fresh because the wipe happens every call."""
+    """Fresh scratch dir for queries that materialize intermediate
+    files (round-trip/export/streaming gates). One mkdtemp ROOT per
+    process (unique, 0700 — multi-user and symlink safe), removed at
+    interpreter exit, with a fresh numbered subdir per call: no
+    deletion work lands inside bench's timed region, every call's
+    lazy DataFrame stays readable until process exit, and nothing
+    accumulates across processes (review r4 — twice: mkdtemp-per-call
+    leaked forever; a fixed shared path was wipe-in-timed-region,
+    call-aliasing, and squat-prone)."""
+    global _SCRATCH_ROOT, _SCRATCH_SEQ
+    import atexit
+    import itertools
     import os
     import shutil
     import tempfile
 
-    d = os.path.join(tempfile.gettempdir(), "axspark_scratch",
-                     f"{name}_{os.getpid()}")
-    shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(d, exist_ok=True)
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="axspark_scratch_")
+        _SCRATCH_SEQ = itertools.count()
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, True)
+    d = os.path.join(_SCRATCH_ROOT, f"{name}_{next(_SCRATCH_SEQ)}")
+    os.makedirs(d)
     return d
 
 
@@ -3057,7 +3069,6 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     static directory, but the plan is the production plan); the window
     agg is a standard partial/final hash agg per microbatch."""
     import os
-    import tempfile
 
     from .streaming.structured import stream_from_directory, windowed_counts
 
@@ -3203,12 +3214,14 @@ def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") < 8)
-    # checkpoint: referenced by both self-join arms AND the anti-join
-    # base — without it the corpus x centroids assignment runs 3x
-    # (same fix as operators/similarity.semantic_dedup, review r4)
-    assigned = (ivf_assign(emb, cents)
-                .select("vec_id", "embedding", "centroid_id")
-                .localCheckpoint(eager=True))
+    # NO checkpoint here, unlike operators/similarity.semantic_dedup:
+    # an eager localCheckpoint truncates the lineage plan_report.py
+    # audits, hiding the assignment stage's joins from PLANS.md — the
+    # GATE keeps the full declarative plan (the 3x assignment recompute
+    # is visible, bounded, and the audited shape is the point); users
+    # get the checkpointed operator (review r4)
+    assigned = ivf_assign(emb, cents).select(
+        "vec_id", "embedding", "centroid_id")
     a = assigned.select(
         "centroid_id", F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a")
     )
@@ -3648,8 +3661,6 @@ def jsonl_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: export+import are distributed file ops (one shard per
     partition); the digest is a distributed agg."""
-    import tempfile
-
     from .sources.jsonl import jsonlexport, jsonlimport
 
     docs = _t(spark, sf_dir, "documents")
@@ -3898,7 +3909,6 @@ def partitioned_pruning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate then touches only matching directories (PartitionFilters
     in the scan, zero data read outside them). The rewrite itself is one
     shuffle-free pass (each task writes its rows into per-year files)."""
-    import tempfile
 
     orders = _t(spark, sf_dir, "orders")
     path = _scratch("part_orders")
@@ -3931,7 +3941,6 @@ def orc_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents written to ORC, re-read, digested with the order-independent
     md5-xor checksum; the oracle digests the parquet directly. Both
     directions are distributed file ops — one shard per partition."""
-    import tempfile
 
     docs = _t(spark, sf_dir, "documents")
     path = _scratch("orc_rt")
@@ -3959,8 +3968,6 @@ def overlay_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     join + scan-time expression — is digested. The oracle computes the
     same projection straight from the source table, proving the overlay
     read path is semantically a join it never had to materialize."""
-    import tempfile
-
     from .dataset import Dataset
 
     nation = _t(spark, sf_dir, "nation")
@@ -4153,7 +4160,6 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     `gap` after the last event under the watermark — bounded state on an
     unbounded stream; one shuffle on user_id per microbatch."""
     import os
-    import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
