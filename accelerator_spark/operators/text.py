@@ -264,6 +264,7 @@ __all__ = [
     "pack_sequences", "pii_counts", "redact_pii", "clean_lines",
     "unigram_logprob", "PII_PATTERNS",
     "hashed_bow_score", "chunk_tokens",  # defined below
+    "canonicalize_url", "dedup_lines_corpus",
 ]
 
 
@@ -332,3 +333,75 @@ def chunk_tokens(df: DataFrame, text_col: str = "text",
                     F.slice("__toks", F.col("chunk_index") * stride + 1, size))
         .drop("__toks")
     )
+
+
+def canonicalize_url(col: Column) -> Column:
+    """Canonical URL form for URL-level dedup (the first dedup pass of
+    a web-crawl curation pipeline — the same page arrives under many
+    textual URLs): lowercase scheme+authority, strip default ports
+    (:80 http, :443 https), drop the #fragment, remove tracking query
+    params (utm_*, ref, fbclid, gclid), SORT the surviving params,
+    drop an empty query and a trailing path slash. Path case is
+    preserved (paths are case-sensitive; only the authority is not).
+
+    JVM regexp/array expressions end to end — map-only, no UDF; every
+    step replays in DuckDB (regexp_replace / list_filter / list_sort),
+    so url-dedup results are oracle-gated like the text operators."""
+    u = F.regexp_replace(F.trim(col), r"#.*$", "")  # fragment first
+    head = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)", 1)
+    rest = u.substr(F.length(head) + 1, F.length(u))
+    h = F.lower(head)
+    h = F.when(h.startswith("http://"),
+               F.regexp_replace(h, r":80$", "")).otherwise(h)
+    h = F.when(h.startswith("https://"),
+               F.regexp_replace(h, r":443$", "")).otherwise(h)
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.when(F.length(rest) > F.length(path),
+                   rest.substr(F.length(path) + 2, F.length(rest))
+                   ).otherwise(F.lit(""))
+    params = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: ~(p.rlike(r"^(utm_[^=]*|ref|fbclid|gclid)=") | (p == ""))))
+    path2 = F.when(F.length(path) > 1,
+                   F.regexp_replace(path, r"/$", "")).otherwise(path)
+    newq = F.array_join(params, "&")
+    return F.concat(
+        h, path2,
+        F.when(newq != "", F.concat(F.lit("?"), newq)).otherwise(F.lit("")))
+
+
+def dedup_lines_corpus(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Corpus-wide line deduplication (the C4 rule clean_lines does NOT
+    cover: any line occurring verbatim in more than one place is kept
+    only at its FIRST occurrence — ordered by (id, line position) — and
+    removed everywhere else; boilerplate headers/footers repeated across
+    a crawl disappear).
+
+    Distributed shape: explode lines with their in-doc position, one
+    shuffle on the line's md5 fingerprint to find each line's global
+    first occurrence (min struct — partial-aggregable), keep rows that
+    ARE their line's first occurrence, then one shuffle back on the doc
+    id to reassemble text in position order. No windows over the whole
+    corpus; both aggs combine map-side.
+
+    Returns (id_col, lines_in, lines_kept, text_dedup)."""
+    lines = (df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n"))
+         .alias("_pos", "_line")))
+    keyed = lines.withColumn("_fp", F.md5(F.col("_line")))
+    first = (keyed.groupBy("_fp")
+             .agg(F.min(F.struct(F.col(id_col).alias("i"),
+                                 F.col("_pos").alias("p"))).alias("_first")))
+    kept = (keyed.join(first, "_fp")
+            .filter((F.col(id_col) == F.col("_first.i"))
+                    & (F.col("_pos") == F.col("_first.p"))))
+    return (kept.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("lines_kept"),
+                 F.concat_ws("\n", F.array_sort(F.collect_list(
+                     F.struct("_pos", "_line"))).getField("_line"))
+                 .alias("text_dedup"))
+            .join(lines.groupBy(id_col)
+                  .agg(F.count(F.lit(1)).alias("lines_in")), id_col)
+            .select(id_col, "lines_in", "lines_kept", "text_dedup"))

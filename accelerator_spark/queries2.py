@@ -2500,7 +2500,196 @@ GROUP BY event_type ORDER BY event_type
 # Registry (merged into queries.QUERIES / queries.ORACLES)
 # =====================================================================
 
+def url_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (operators/text.canonicalize_url): the first
+    dedup pass of a web-crawl curation pipeline. The corpus has no URL
+    column, so URLs are SYNTHESIZED deterministically per doc (mixed-
+    case authority, default :443 port, trailing slash, utm_*/ref
+    tracking params, #fragment — each keyed off doc_id residues, so
+    both engines build byte-identical inputs, the pii_redaction
+    pattern). Canonicalization collapses the textual variants; the
+    report gates per-source doc/canonical counts AND an md5-xor
+    checksum over the DISTINCT canonical strings — the exact canonical
+    forms are checked, not just their count.
+
+    Scale: synthesis + canonicalization are map-only expressions; one
+    partial-agg shuffle on source."""
+    from .operators.text import canonicalize_url
+    from .queries import _t
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://WWW."), F.upper(F.col("source")),
+        F.lit(".Example.COM"),
+        F.when(k % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Items/"), (k % 40).cast("string"),
+        F.when(k % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&id="), (k % 20).cast("string"),
+        F.when(k % 5 == 0, F.lit("&ref=abc&b=2")).otherwise(F.lit("&b=2")),
+        F.when(k % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    canon = canonicalize_url(url)
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return (
+        d.select("source", canon.alias("canon"), h.alias("_h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.col("canon")).alias("n_canonical"),
+            (F.count(F.lit(1))
+             - F.count_distinct(F.col("canon"))).alias("n_dupes"),
+            F.expr("bit_xor(DISTINCT _h)").alias("canon_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_URL_DEDUP = """
+WITH u AS (
+  SELECT doc_id, source,
+         'HTTPS://WWW.' || upper(source) || '.Example.COM'
+         || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+         || '/Items/' || CAST(doc_id % 40 AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+         || '?utm_source=feed&id=' || CAST(doc_id % 20 AS VARCHAR)
+         || CASE WHEN doc_id % 5 = 0 THEN '&ref=abc&b=2' ELSE '&b=2' END
+         || CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END AS url
+  FROM documents
+), parts AS (
+  -- mirrors operators/text.canonicalize_url step for step
+  SELECT doc_id, source,
+         regexp_replace(url, '#.*$', '') AS nofrag
+  FROM u
+), split1 AS (
+  SELECT doc_id, source, nofrag,
+         regexp_extract(nofrag, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1)
+           AS head
+  FROM parts
+), split2 AS (
+  SELECT doc_id, source,
+         CASE WHEN starts_with(lower(head), 'https://')
+              THEN regexp_replace(lower(head), ':443$', '')
+              WHEN starts_with(lower(head), 'http://')
+              THEN regexp_replace(lower(head), ':80$', '')
+              ELSE lower(head) END AS h,
+         substring(nofrag, length(head) + 1) AS rest
+  FROM split1
+), split3 AS (
+  SELECT doc_id, source, h,
+         regexp_extract(rest, '^([^?]*)', 1) AS path,
+         CASE WHEN length(rest) > length(regexp_extract(rest, '^([^?]*)', 1))
+              THEN substring(rest,
+                             length(regexp_extract(rest, '^([^?]*)', 1)) + 2)
+              ELSE '' END AS query
+  FROM split2
+), canon AS (
+  SELECT doc_id, source,
+         h
+         || CASE WHEN length(path) > 1
+                 THEN regexp_replace(path, '/$', '') ELSE path END
+         || CASE WHEN array_to_string(list_sort(list_filter(
+                    string_split(query, '&'),
+                    p -> NOT (regexp_matches(p, '^(utm_[^=]*|ref|fbclid|gclid)=')
+                              OR p = ''))), '&') <> ''
+                 THEN '?' || array_to_string(list_sort(list_filter(
+                        string_split(query, '&'),
+                        p -> NOT (regexp_matches(p, '^(utm_[^=]*|ref|fbclid|gclid)=')
+                                  OR p = ''))), '&')
+                 ELSE '' END AS c
+  FROM split3
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT c) AS BIGINT) AS n_canonical,
+       CAST(count(*) - count(DISTINCT c) AS BIGINT) AS n_dupes,
+       bit_xor(DISTINCT CAST(('0x' || substring(md5(c), 1, 15)) AS BIGINT))
+         AS canon_checksum
+FROM canon GROUP BY source ORDER BY source
+"""
+
+
+def corpus_line_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line dedup (operators/text.dedup_lines_corpus — the
+    C4 rule: a line occurring verbatim anywhere else in the corpus
+    survives only at its first occurrence). The single-line corpus is
+    expanded to 3 lines per doc: full text, first-8-words (duplicated
+    wherever prefixes collide), and a constant boilerplate footer that
+    appears in EVERY doc — so exactly one footer survives corpus-wide.
+    Gates per-source line counts and an md5-xor checksum over the
+    reassembled deduped texts (exact content, not just counts).
+
+    Scale: one fingerprint shuffle + one doc reassembly shuffle, both
+    map-side combinable; the oracle replays first-occurrence with a
+    window (single-node DuckDB can afford it — the Spark side must
+    not)."""
+    from .operators.text import dedup_lines_corpus
+    from .queries import _t
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    multiline = F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.concat_ws(" ", F.slice(words, 1, 8)),
+        F.lit("shared boilerplate footer"),
+    )
+    out = dedup_lines_corpus(d.withColumn("text", multiline))
+    j = out.join(d.select("doc_id", "source"), "doc_id")
+    h = F.conv(F.substring(F.md5(F.concat_ws(
+        "\u001f", F.col("doc_id").cast("string"),
+        F.col("text_dedup"))), 1, 15), 16, 10).cast("long")
+    return (j.withColumn("_h", h)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("lines_in").cast("long").alias("lines_in"),
+                 F.sum("lines_kept").cast("long").alias("lines_kept"),
+                 F.expr("bit_xor(_h)").alias("dedup_checksum"))
+            .orderBy("source"))
+
+
+ORACLE_LINE_DEDUP = """
+WITH ml AS (
+  SELECT doc_id, source,
+         text || chr(10)
+              || array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')
+              || chr(10) || 'shared boilerplate footer' AS txt
+  FROM documents
+), lines AS (
+  SELECT doc_id, source,
+         generate_subscripts(string_split(txt, chr(10)), 1) AS pos,
+         unnest(string_split(txt, chr(10))) AS line
+  FROM ml
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(line)
+                               ORDER BY doc_id, pos) AS rn
+  FROM lines
+), kept AS (
+  SELECT doc_id, source, pos, line FROM ranked WHERE rn = 1
+), re AS (
+  SELECT doc_id, source, count(*) AS lines_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS text_dedup
+  FROM kept GROUP BY doc_id, source
+), li AS (
+  SELECT doc_id, count(*) AS lines_in FROM lines GROUP BY doc_id
+)
+SELECT re.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(li.lines_in) AS BIGINT) AS lines_in,
+       CAST(sum(re.lines_kept) AS BIGINT) AS lines_kept,
+       bit_xor(CAST(('0x' || substring(md5(
+         CAST(re.doc_id AS VARCHAR) || chr(31) || re.text_dedup), 1, 15))
+         AS BIGINT)) AS dedup_checksum
+FROM re JOIN li USING (doc_id)
+GROUP BY re.source ORDER BY re.source
+"""
+
+
+
+
 QUERIES2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "url_dedup_report": url_dedup_report,
+    "corpus_line_dedup_report": corpus_line_dedup_report,
     "hll_distinct_rollup": hll_distinct_rollup,
     "bitmap_distinct_users": bitmap_distinct_users,
     "heavy_hitter_users": heavy_hitter_users,
@@ -2556,6 +2745,8 @@ QUERIES2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES2: dict[str, str] = {
+    "url_dedup_report": ORACLE_URL_DEDUP,
+    "corpus_line_dedup_report": ORACLE_LINE_DEDUP,
     "hll_distinct_rollup": ORACLE_HLL_ROLLUP,
     "bitmap_distinct_users": ORACLE_BITMAP_DISTINCT,
     "heavy_hitter_users": ORACLE_HEAVY_HITTERS,

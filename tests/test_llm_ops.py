@@ -568,3 +568,48 @@ def test_salted_join_rejects_outer_and_handles_all_keys(spark, sf_dir):
     j = salted_join(li, orders, on="l_orderkey", how="inner")
     plain = li.join(orders, "l_orderkey")
     assert j.count() == plain.count()
+
+
+def test_canonicalize_url_variants_collapse(spark):
+    """URL canonicalization: textual variants of one page collapse to a
+    single form; distinct pages stay distinct."""
+    from accelerator_spark.operators.text import canonicalize_url
+
+    urls = [
+        ("HTTPS://WWW.Site.COM:443/Items/5/?utm_source=x&b=2&id=9#frag", 1),
+        ("https://www.site.com/Items/5?id=9&b=2&ref=abc", 1),
+        ("https://www.site.com/Items/5?b=2&id=9", 1),
+        ("http://www.site.com:80/Items/5?b=2&id=9", 2),   # other scheme
+        ("https://www.site.com/items/5?b=2&id=9", 3),     # path case matters
+        ("https://www.site.com/Items/5?b=2&id=10", 4),    # different params
+        ("https://www.site.com/", 5),                     # root slash kept
+    ]
+    df = spark.createDataFrame(urls, "u string, grp int")
+    rows = df.select("u", "grp",
+                     canonicalize_url(F.col("u")).alias("c")).collect()
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r["grp"], set()).add(r["c"])
+    assert by_grp[1] == {"https://www.site.com/Items/5?b=2&id=9"}
+    assert by_grp[2] == {"http://www.site.com/Items/5?b=2&id=9"}
+    assert len(by_grp[3]) == 1 and by_grp[3] != by_grp[1]
+    assert by_grp[4] != by_grp[1]
+    assert by_grp[5] == {"https://www.site.com/"}
+
+
+def test_dedup_lines_corpus_keeps_first_occurrence(spark):
+    """C4 corpus-wide line dedup: a line duplicated anywhere survives
+    only at its first (doc_id, position) occurrence."""
+    from accelerator_spark.operators.text import dedup_lines_corpus
+
+    df = spark.createDataFrame(
+        [(1, "header\nunique one\nfooter"),
+         (2, "header\nunique two\nfooter"),
+         (3, "only here\nheader")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in dedup_lines_corpus(df).collect()}
+    assert rows[1]["text_dedup"] == "header\nunique one\nfooter"
+    assert rows[2]["text_dedup"] == "unique two"
+    assert rows[3]["text_dedup"] == "only here"
+    assert [rows[k]["lines_in"] for k in (1, 2, 3)] == [3, 3, 2]
+    assert [rows[k]["lines_kept"] for k in (1, 2, 3)] == [3, 1, 1]
