@@ -86,11 +86,24 @@ _CHAIN_CHECKPOINT_EVERY = 64
 
 
 def _chain_entry(path: str, manifest: dict) -> dict:
+    # string min/max can be arbitrarily long (document text columns) and
+    # each entry is replicated into descendants' caches — bound them
+    # CONSERVATIVELY (review r4): a prefix of min is <= min, so the
+    # "min >= hi" skip stays sound; a truncated max cannot bound above,
+    # so that side is dropped (no skip — correct, just less pruning).
+    mm = {}
+    for c, pair in (manifest.get("minmax") or {}).items():
+        mn, mx = (pair or [None, None])[:2]
+        if isinstance(mn, str) and len(mn) > 64:
+            mn = mn[:64]
+        if isinstance(mx, str) and len(mx) > 64:
+            mx = None
+        mm[c] = [mn, mx]
     return {
         "path": path,
         "id": manifest.get("id"),
         "lines": manifest.get("lines", 0),
-        "minmax": manifest.get("minmax", {}),
+        "minmax": mm,
         "plain": not (manifest.get("parent") or manifest.get("bucketing")),
     }
 
@@ -116,12 +129,40 @@ def _chain_meta(previous: "Dataset | str | None") -> dict:
     if depth % _CHAIN_CHECKPOINT_EVERY == 0:
         need = min(depth, _CHAIN_CACHE_MAX)
         if len(known) < need:
-            known = prev.chain_entries()  # full list incl. prev
+            # only the newest `need` entries are kept: bounded resolve,
+            # not the whole ancestry (review r4 — O(depth) per
+            # checkpoint write past the cap)
+            known = prev.chain_entries(length=need)
         cache = known[-need:]
     else:
         keep = min(depth % _CHAIN_CHECKPOINT_EVERY, _CHAIN_CACHE_MAX)
         cache = known[-keep:]
     return {"chain_depth": depth, "chain_cache": cache}
+
+
+def _dump_manifest(path: str, manifest: dict) -> None:
+    """Write dataset.json atomically: tmp file + os.rename, so a crash
+    mid-dump never leaves a half-written manifest for a concurrent
+    reader, and a reader always sees either the old or the new complete
+    manifest (review r4). One writer shared by all three write paths so
+    the durability behavior can't diverge."""
+    os.makedirs(path, exist_ok=True)
+    dest = os.path.join(path, MANIFEST_NAME)
+    tmp = dest + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, default=_json_safe)
+    os.rename(tmp, dest)
+
+
+def _same_path(a: str | None, b: str | None) -> bool:
+    """Path equality for chain links / stop_ds: manifests store paths
+    verbatim (datasets stay relocatable), so compare normalized
+    absolute forms — './ds1' vs 'ds1' vs a trailing slash must not
+    silently defeat stop_ds or chain verification (review r4)."""
+    if a is None or b is None:
+        return a == b
+    return (os.path.normpath(os.path.abspath(a))
+            == os.path.normpath(os.path.abspath(b)))
 
 
 def _entry_range_skips(minmax: dict,
@@ -204,6 +245,14 @@ class Dataset:
         df = df.observe(obs, *aggs)
 
         data_dir = os.path.join(path, "data")
+        # invalidate a pre-existing manifest BEFORE replacing the data:
+        # a crash between the data overwrite and the manifest dump used
+        # to leave the OLD manifest describing the NEW files, whose
+        # stale minmax zone-maps silently skipped matching rows (review
+        # r4). A missing manifest is a loud, recoverable state.
+        old_manifest = os.path.join(path, MANIFEST_NAME)
+        if os.path.exists(old_manifest):
+            os.remove(old_manifest)
         df.write.mode("overwrite").parquet(data_dir)
 
         spark = df.sparkSession
@@ -227,9 +276,7 @@ class Dataset:
             },
         }
         manifest.update(_chain_meta(previous))
-        os.makedirs(path, exist_ok=True)
-        with open(os.path.join(path, MANIFEST_NAME), "w") as f:
-            json.dump(manifest, f, indent=1, default=_json_safe)
+        _dump_manifest(path, manifest)
         return cls(path=path, manifest=manifest)
 
     @classmethod
@@ -284,9 +331,7 @@ class Dataset:
             "minmax": {},
         }
         manifest.update(_chain_meta(previous))
-        os.makedirs(path, exist_ok=True)
-        with open(os.path.join(path, MANIFEST_NAME), "w") as f:
-            json.dump(manifest, f, indent=1, default=_json_safe)
+        _dump_manifest(path, manifest)
         return cls(path=path, manifest=manifest)
 
     @classmethod
@@ -330,6 +375,18 @@ class Dataset:
                 raise ValueError("write_overlay with new_cols requires key=")
             if key not in new_cols.columns:
                 raise ValueError(f"key {key!r} not in new_cols {new_cols.columns}")
+            # fail BEFORE the write, not at first read (review r4): the
+            # read path joins back to the parent on the key, so a key
+            # absent from the parent (or hidden by exclude) makes every
+            # later df() raise after the write cost was already paid
+            if key not in parent_ds.columns:
+                raise ValueError(
+                    f"overlay key {key!r} not in parent columns "
+                    f"{sorted(parent_ds.columns)}")
+            if key in exclude:
+                raise ValueError(
+                    f"overlay key {key!r} cannot be in exclude= — the "
+                    "read-time join needs it")
             from pyspark.sql import Observation
 
             aggs = [F.count(F.lit(1)).alias("__lines__")]
@@ -392,19 +449,37 @@ class Dataset:
             "minmax": mm,
         }
         manifest.update(_chain_meta(previous))
-        os.makedirs(path, exist_ok=True)
-        with open(os.path.join(path, MANIFEST_NAME), "w") as f:
-            json.dump(manifest, f, indent=1, default=_json_safe)
+        _dump_manifest(path, manifest)
         return cls(path=path, manifest=manifest)
 
     def register_bucketed(self, spark: SparkSession) -> DataFrame:
         """Re-create the bucketed table entry from the manifest (needed
         once per new session — bucket layout is in the files, but Spark
-        only TRUSTS it via a catalog entry). Idempotent."""
+        only TRUSTS it via a catalog entry). Idempotent — but NOT
+        trusting: an existing entry with this name must actually point
+        at THIS dataset's files. tableExists also matches temp views,
+        so a same-named view (or another bucketed dataset reusing the
+        name) used to be returned silently instead of this dataset's
+        data (review r4)."""
         b = self.manifest.get("bucketing")
         if not b:
             raise ValueError(f"dataset at {self.path} was not written bucketed")
-        if not spark.catalog.tableExists(b["table"]):
+        data_dir = os.path.join(self.path, "data")
+        if spark.catalog.tableExists(b["table"]):
+            rows = spark.sql(
+                f"DESCRIBE FORMATTED `{b['table']}`").collect()
+            loc = next((r["data_type"] for r in rows
+                        if (r["col_name"] or "").strip() == "Location"), None)
+            same = loc is not None and (
+                os.path.normpath(loc.replace("file:", ""))
+                == os.path.normpath(os.path.abspath(data_dir)))
+            if not same:
+                raise ValueError(
+                    f"catalog name {b['table']!r} is already bound to "
+                    f"{loc or 'a temp view'} — not this dataset's "
+                    f"{data_dir}; drop it or rewrite with a distinct "
+                    "table name")
+        else:
             cols = ", ".join(
                 f"`{c}` {t}" for c, t in self.manifest["columns"].items()
             )
@@ -412,7 +487,7 @@ class Dataset:
                 f"CREATE TABLE `{b['table']}` ({cols}) USING parquet "
                 f"CLUSTERED BY (`{b['col']}`) SORTED BY (`{b['col']}`) "
                 f"INTO {b['n']} BUCKETS "
-                f"LOCATION '{os.path.join(self.path, 'data')}'"
+                f"LOCATION '{data_dir}'"
             )
         return spark.table(b["table"])
 
@@ -488,7 +563,7 @@ class Dataset:
         write time — see the immutability note on the cache constants;
         ``chain()`` re-verifies against live manifests."""
         stop = stop_ds.path if isinstance(stop_ds, Dataset) else stop_ds
-        if (stop and self.path == stop) or length == 0:
+        if (stop and _same_path(self.path, stop)) or length == 0:
             return []
         rev: list[dict] = [_chain_entry(self.path, self.manifest)]
         cur: Dataset | None = self
@@ -499,7 +574,7 @@ class Dataset:
             if not cache:
                 # pre-cache manifest: walk one link
                 cur = cur.previous
-                if (stop and cur.path == stop) or \
+                if (stop and _same_path(cur.path, stop)) or \
                         (length >= 0 and len(rev) >= length):
                     break
                 rev.append(_chain_entry(cur.path, cur.manifest))
@@ -507,7 +582,7 @@ class Dataset:
             done = False
             for e in reversed(cache):
                 if (length >= 0 and len(rev) >= length) or \
-                        (stop and e["path"] == stop):
+                        (stop and _same_path(e["path"], stop)):
                     done = True
                     break
                 rev.append(dict(e))
@@ -535,7 +610,7 @@ class Dataset:
         out = [self if e["path"] == self.path else Dataset.load(e["path"])
                for e in entries]
         ok = all(
-            out[i + 1].manifest.get("previous") == out[i].path
+            _same_path(out[i + 1].manifest.get("previous"), out[i].path)
             and (entries[i].get("id") is None
                  or entries[i]["id"] == out[i].manifest.get("id"))
             for i in range(len(out) - 1))
@@ -547,7 +622,7 @@ class Dataset:
         walk: list[Dataset] = []
         cur: Dataset | None = self
         while cur is not None and (length < 0 or len(walk) < length):
-            if stop and cur.path == stop:
+            if stop and _same_path(cur.path, stop):
                 break
             walk.append(cur)
             cur = cur.previous

@@ -29,11 +29,16 @@ _registered: "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
 
 
 def register_views(spark: SparkSession, sf_dir: str,
-                   tables: list[str] | None = None) -> None:
+                   tables: list[str] | None = None,
+                   skip_missing: bool = False) -> None:
     """Register parquet tables as session temp views. Memoized per
     session; a view is only (re)created when this session has not yet
     registered the table against THIS sf_dir (and still HAS it — an
-    externally dropped temp view is re-created, not trusted)."""
+    externally dropped temp view is re-created, not trusted).
+    ``skip_missing`` tolerates absent parquet files (sql()'s word-scan
+    over-approximates the referenced tables — see sql())."""
+    import os
+
     try:
         done = _registered.setdefault(spark, {})
     except TypeError:  # session type not weakref-able: no memo, stay correct
@@ -41,15 +46,22 @@ def register_views(spark: SparkSession, sf_dir: str,
     for t in tables or TABLES:
         if done.get(t) == sf_dir and spark.catalog.tableExists(t):
             continue
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        p = f"{sf_dir}/{t}.parquet"
+        if skip_missing and not os.path.exists(p):
+            continue
+        spark.read.parquet(p).createOrReplaceTempView(t)
         done[t] = sf_dir
 
 
 def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
-    """Run an SQL string against the standard tables. Only tables the
-    query actually references are registered, so a missing unrelated
-    parquet file can't fail the call."""
+    """Run an SQL string against the standard tables. The word-scan
+    below OVER-approximates the referenced tables (a table name inside
+    a string literal or comment matches too — review r4), so
+    registration skips missing parquet files: a table the query never
+    actually reads cannot fail the call, and a genuinely missing
+    referenced table still fails — inside spark.sql, with Spark's own
+    TABLE_OR_VIEW_NOT_FOUND."""
     words = set(re.findall(r"[A-Za-z_]+", query.lower()))
     needed = [t for t in TABLES if t in words]
-    register_views(spark, sf_dir, needed or TABLES)
+    register_views(spark, sf_dir, needed or TABLES, skip_missing=True)
     return spark.sql(query)

@@ -517,3 +517,108 @@ def test_chain_runner_with_typed_options(spark, sf_dir, tmp_path):
     # idempotent re-run: both batches seen, nothing rebuilt
     assert runner.process({"t1": {"region": 0}, "t2": {"region": 1}},
                           step).path == head.path
+
+
+def test_register_bucketed_rejects_foreign_catalog_entry(spark, sf_dir,
+                                                         tmp_path):
+    """Review r4: an existing catalog entry (or temp view) with the
+    same table name must not be silently returned as this dataset's
+    data — the location has to match."""
+    import pytest
+
+    nation = load(spark, sf_dir, "nation")
+    a = Dataset.write_bucketed(nation, str(tmp_path / "a"), "t_rb_a",
+                               "n_nationkey", 4)
+    # same table name, different dataset path
+    manifest_b = dict(a.manifest)
+    b = Dataset(path=str(tmp_path / "elsewhere"), manifest=manifest_b)
+    try:
+        a.register_bucketed(spark)  # legitimate owner: fine, idempotent
+        a.register_bucketed(spark)
+        with pytest.raises(ValueError, match="already bound"):
+            b.register_bucketed(spark)
+        # temp view shadowing a bucketed table name
+        nation.createOrReplaceTempView("t_rb_view")
+        c = Dataset.write_bucketed(nation, str(tmp_path / "c"), "t_rb_c",
+                                   "n_nationkey", 4)
+        c.manifest["bucketing"]["table"] = "t_rb_view"
+        with pytest.raises(ValueError, match="already bound"):
+            c.register_bucketed(spark)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_rb_a")
+        spark.sql("DROP TABLE IF EXISTS t_rb_c")
+        spark.catalog.dropTempView("t_rb_view")
+
+
+def test_write_invalidates_stale_manifest_first(spark, sf_dir, tmp_path,
+                                                monkeypatch):
+    """Review r4: rewriting a dataset in place removes the old manifest
+    BEFORE replacing the data, so a crash window cannot leave stale
+    zone-maps describing the new files."""
+    import pyspark.sql.readwriter as rw
+
+    region = load(spark, sf_dir, "region")
+    p = str(tmp_path / "d")
+    Dataset.write(region, p)
+    real_parquet = rw.DataFrameWriter.parquet
+
+    def crashing_parquet(self, *a, **k):
+        raise RuntimeError("simulated crash during data write")
+
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet", crashing_parquet)
+    import pytest
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        Dataset.write(region, p)
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet", real_parquet)
+    # the stale manifest is GONE — a loud recoverable state, not a
+    # silently-wrong zone map
+    assert not Dataset.exists(p)
+
+
+def test_chain_stop_ds_path_spellings(spark, sf_dir, tmp_path):
+    """Review r4: './x', 'x' and 'x/' must all match the recorded path
+    — an equivalent spelling used to silently disable stop_ds."""
+    import os
+
+    region = load(spark, sf_dir, "region")
+    a = Dataset.write(region, str(tmp_path / "a"))
+    b = Dataset.write(region, str(tmp_path / "b"), previous=a)
+    c = Dataset.write(region, str(tmp_path / "c"), previous=b)
+    rel = os.path.relpath(str(tmp_path / "a"))
+    for spelling in (str(tmp_path / "a") + "/", rel, "./" + rel):
+        got = [e["path"] for e in c.chain_entries(stop_ds=spelling)]
+        assert got == [b.path, c.path], spelling
+
+
+def test_overlay_key_validated_at_write_time(spark, sf_dir, tmp_path):
+    import pytest
+
+    nation = load(spark, sf_dir, "nation")
+    parent = Dataset.write(nation, str(tmp_path / "p"))
+    extra = nation.select(F.col("n_nationkey"),
+                          F.lit(1).alias("flag"))
+    with pytest.raises(ValueError, match="not in parent columns"):
+        Dataset.write_overlay(str(tmp_path / "o1"), parent,
+                              new_cols=extra.withColumnRenamed(
+                                  "n_nationkey", "missing_key"),
+                              key="missing_key")
+    with pytest.raises(ValueError, match="cannot be in exclude"):
+        Dataset.write_overlay(str(tmp_path / "o2"), parent,
+                              new_cols=extra, key="n_nationkey",
+                              exclude=["n_nationkey"])
+
+
+def test_sql_string_literal_table_name_does_not_require_file(spark, sf_dir,
+                                                             tmp_path):
+    """Review r4: a table name inside a string literal must not force
+    that parquet file to exist."""
+    import shutil
+
+    from accelerator_spark.sqlapi import sql
+
+    partial = tmp_path / "partial"
+    partial.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", partial / "events.parquet")
+    out = sql(spark, str(partial),
+              "SELECT count(*) AS n FROM events WHERE event_type <> 'orders'")
+    assert out.collect()[0]["n"] > 0
