@@ -58,6 +58,17 @@ def _scratch(name: str) -> str:
     return d
 
 
+def _md5_xor_long(*parts):
+    """The cross-engine checksum recipe, pinned in ONE place (review
+    r4 — five copies risked silent drift): fields joined with \\x1f,
+    md5, first 15 hex chars to a signed long. DuckDB replays it as
+    CAST(('0x'||substring(md5(concat_ws(chr(31), ...)),1,15)) AS
+    BIGINT); aggregate with bit_xor for the order-independent digest.
+    Must stay bit-identical to dedup._h / partition._md5_bucket."""
+    return F.conv(F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 15),
+                  16, 10).cast("long")
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # apply engine confs once per session — the driver may hand us a
     # session without AQE/UTC set
@@ -567,7 +578,7 @@ def hashpart_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = hashpart(_t(spark, sf_dir, "orders"), "o_custkey", partitions=16)
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
     parts = [F.coalesce(F.col(c).cast("string"), F.lit("<N>")) for c in cols]
-    h = F.conv(F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 15), 16, 10).cast("long")
+    h = _md5_xor_long(*parts)
     return orders.select(h.alias("h")).agg(
         F.count(F.lit(1)).alias("lines"), F.bit_xor("h").alias("checksum_xor"))
 
@@ -729,7 +740,12 @@ FROM (
 WITH messy AS (
   SELECT o_orderkey,
          lower(to_hex(o_orderkey)) AS s_hex,
-         strftime(to_timestamp(o_orderkey % 86400), '%H:%M:%S') AS s_time,
+         -- built arithmetically, NOT via strftime(to_timestamp(..)):
+         -- that pair renders in the DuckDB SESSION timezone, silently
+         -- binding the gate to a UTC host (review r4)
+         lpad(CAST((o_orderkey % 86400) // 3600 AS VARCHAR), 2, '0')
+           || ':' || lpad(CAST(((o_orderkey % 86400) // 60) % 60 AS VARCHAR), 2, '0')
+           || ':' || lpad(CAST((o_orderkey % 86400) % 60 AS VARCHAR), 2, '0') AS s_time,
          CASE WHEN o_orderkey % 2 = 0 THEN CAST(o_totalprice AS VARCHAR)
               ELSE CAST(o_custkey AS VARCHAR) END AS s_number,
          CAST(o_orderkey + 1700000000 AS VARCHAR) AS s_epoch
@@ -950,7 +966,7 @@ def checksum_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     cols = ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate"]
     parts = [F.coalesce(F.col(c).cast("string"), F.lit("<N>")) for c in cols]
-    h = F.conv(F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 15), 16, 10).cast("long")
+    h = _md5_xor_long(*parts)
     return li.select(h.alias("h")).agg(
         F.count(F.lit(1)).alias("lines"),
         F.bit_xor("h").alias("checksum_xor"),
@@ -3097,9 +3113,11 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
-    if q.isActive:
+    if not q.awaitTermination(180):
         q.stop()
+        raise TimeoutError(
+            "stream_hourly drain exceeded 180s — refusing to return a "
+            "partial memory sink (review r4)")
     return (
         spark.table("stream_hourly")
         .select(
@@ -3311,7 +3329,11 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = F.sort_array(
         F.transform(z, lambda s: F.concat_ws(" ", s["a"], s["b"]))
     )
+    # explicit started flag, NOT a sentinel prev value: the old ''-init
+    # collided with the legitimate ''-gram of an empty doc, counting its
+    # first gram as a continuation (distinct=0 -> dup2=1.0, review r4)
     init = F.struct(
+        F.lit(False).alias("started"),
         F.lit("").alias("prev"),
         F.lit(0).cast("long").alias("run"),
         F.lit(0).cast("long").alias("maxrun"),
@@ -3319,14 +3341,16 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _step(acc, x):
-        new_run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+        cont = acc["started"] & (x == acc["prev"])
+        new_run = F.when(cont, acc["run"] + 1).otherwise(
             F.lit(1).cast("long")
         )
         return F.struct(
+            F.lit(True).alias("started"),
             x.alias("prev"),
             new_run.alias("run"),
             F.greatest(acc["maxrun"], new_run).alias("maxrun"),
-            (acc["distinct"] + F.when(x == acc["prev"], 0).otherwise(1)).alias("distinct"),
+            (acc["distinct"] + F.when(cont, 0).otherwise(1)).alias("distinct"),
         )
 
     st = F.aggregate(grams, init, _step)
@@ -3417,7 +3441,9 @@ WITH d AS (
   SELECT doc_id,
          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
            % 32 AS bucket,
-         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+         CASE WHEN NOT regexp_matches(text, '\\S') THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+           AS n_tokens
   FROM documents
 ), placed AS (
   SELECT doc_id, bucket, n_tokens,
@@ -3674,7 +3700,7 @@ def jsonl_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col(c).cast("string"), F.lit("<N>"))
         for c in ["doc_id", "text", "lang", "source", "n_chars"]
     ]
-    h = F.conv(F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 15), 16, 10).cast("long")
+    h = _md5_xor_long(*parts)
     return back.select(h.alias("h"), F.col("n_chars")).agg(
         F.count(F.lit(1)).alias("docs"),
         F.bit_xor("h").alias("checksum_xor"),
@@ -3950,7 +3976,7 @@ def orc_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col(c).cast("string"), F.lit("<N>"))
         for c in ["doc_id", "text", "lang", "source", "n_chars"]
     ]
-    h = F.conv(F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 15), 16, 10).cast("long")
+    h = _md5_xor_long(*parts)
     return back.select(h.alias("h"), F.col("n_chars")).agg(
         F.count(F.lit(1)).alias("docs"),
         F.bit_xor("h").alias("checksum_xor"),
@@ -3984,8 +4010,7 @@ def overlay_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in ["n_nationkey", "n_name", "n_regionkey",
                   "name_len", "key_x2"]
     ]
-    h = F.conv(F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 15),
-               16, 10).cast("long")
+    h = _md5_xor_long(*parts)
     return back.select(h.alias("h"), "name_len").agg(
         F.count(F.lit(1)).alias("nations"),
         F.bit_xor("h").alias("checksum_xor"),
@@ -4187,9 +4212,11 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
-    if q.isActive:
+    if not q.awaitTermination(180):
         q.stop()
+        raise TimeoutError(
+            "session stream drain exceeded 180s — refusing to return a "
+            "partial memory sink (review r4)")
     return spark.table(name).agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("n_events").alias("n_events"),
@@ -4209,7 +4236,7 @@ FROM (
 WITH ev AS (
   SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
 ), flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    >= INTERVAL 30 MINUTE
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -4217,7 +4244,10 @@ WITH ev AS (
   FROM ev
 ), sess AS (
   SELECT user_id,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         -- (ts, event_id) tiebreak matching the flag window: ordering
+         -- the cumsum by ts alone assigned tied-timestamp rows to the
+         -- wrong session when the tie straddled a boundary (review r4)
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 ), per AS (
@@ -4505,7 +4535,12 @@ def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inserts = (
         orders.filter(F.col("o_orderkey") % 97 == 0)
-        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+        # -(k+1), not +10M: orderkeys grow with SF (~1.5M x SF), so a
+        # fixed offset collides with real keys at SF >~ 7 and the
+        # "insert" silently became an update, diverging from the oracle
+        # and violating apply_changes' one-change-per-key contract
+        # (review r4). Keys are >= 0, so -(k+1) <= -1 never collides.
+        .withColumn("o_orderkey", -(F.col("o_orderkey") + 1))
         .withColumn("o_orderstatus", F.lit("N"))
         .withColumn("o_totalprice", F.lit(42.0))
         .withColumn("op", F.lit("U"))
@@ -4529,7 +4564,7 @@ WITH merged AS (
          o_totalprice + (CASE WHEN o_orderkey % 10 = 3 THEN 1000.0 ELSE 0 END) AS p
   FROM orders WHERE o_orderkey % 10 <> 7
   UNION ALL
-  SELECT o_orderkey + 10000000, 'N', 42.0
+  SELECT -(o_orderkey + 1), 'N', 42.0
   FROM orders WHERE o_orderkey % 97 = 0
 )
 SELECT o_orderstatus, count(*) AS n, round(sum(p), 2) AS sum_price,
@@ -4591,14 +4626,15 @@ FROM (
 WITH ev AS (
   SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
 ), flagged AS (
-  SELECT user_id, ts, event_type,
+  SELECT user_id, ts, event_id, event_type,
          CASE WHEN lag(event_type) OVER w IS NULL
                    OR lag(event_type) OVER w <> event_type
               THEN 1 ELSE 0 END AS new_run
   FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), runs AS (
   SELECT user_id, ts, event_type,
-         sum(new_run) OVER (PARTITION BY user_id ORDER BY ts
+         -- (ts, event_id) tiebreak matching the flag window (review r4)
+         sum(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS UNBOUNDED PRECEDING) AS run_id
   FROM flagged
 ), iv AS (

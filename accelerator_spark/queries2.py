@@ -521,8 +521,8 @@ def xml_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             .schema(nation.schema).load(path))
     parts = [F.coalesce(F.col(c).cast("string"), F.lit("<N>"))
              for c in ["n_nationkey", "n_name", "n_regionkey"]]
-    h = F.conv(F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 15),
-               16, 10).cast("long")
+    from .queries import _md5_xor_long
+    h = _md5_xor_long(*parts)
     return back.select(h.alias("h"), "n_regionkey").agg(
         F.count(F.lit(1)).alias("nations"),
         F.bit_xor("h").alias("checksum_xor"),
@@ -1173,8 +1173,8 @@ def wide_denormalize_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
              for c in ["l_orderkey", "l_linenumber", "o_orderstatus",
                        "c_mktsegment", "n_name", "r_name", "p_brand",
                        "s_name"]]
-    h = F.conv(F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 15),
-               16, 10).cast("long")
+    from .queries import _md5_xor_long
+    h = _md5_xor_long(*parts)
     return wide.select(h.alias("h"), "l_extendedprice").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.bit_xor("h").alias("checksum_xor"),

@@ -34,6 +34,7 @@ def test_no_hugeint_oracle_output_columns():
     oracles = entrymod.oracle_sql()
     sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
     con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")  # match the pinned Spark session TZ
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(

@@ -54,6 +54,10 @@ def main():
 
     spark = get_spark(app_name="oracle_check")
     con = duckdb.connect()
+    # pin the session TZ: Spark's session is pinned UTC, and any oracle
+    # that touches a timestamptz render would otherwise follow the HOST
+    # timezone (review r4 — the gate must not depend on the box's TZ)
+    con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
