@@ -220,18 +220,49 @@ class BuildContext:
         }
         return hashlib.sha1(_stable_json(parts).encode()).hexdigest()
 
+    def _legacy_job_key(self, fn, options, datasets,
+                        src_hash=None) -> str:
+        # pre-r4 key format: no hashlabel/previous fields and id-only
+        # dataset identity. Looked up (read-only) so jobdb records
+        # written before the key upgrade still match instead of every
+        # cached job silently rebuilding once (ADVICE r4).
+        parts = {
+            "method": fn.__name__,
+            "source": src_hash or source_hash(fn),
+            "options": options,
+            "datasets": {k: ds.manifest.get("id")
+                         for k, ds in datasets.items()},
+        }
+        return hashlib.sha1(_stable_json(parts).encode()).hexdigest()
+
     def _match(self, fn, options, datasets, hashlabel=None,
                previous=None) -> JobRecord | None:
         key = self._job_key(fn, options, datasets,
                             hashlabel=hashlabel, previous=previous)
         if key in self._db:
             return self._db[key]
+        # legacy-key fallback: only valid when the new fields carry their
+        # pre-upgrade implicit values (hashlabel=None, previous=None) and
+        # every input dataset HAS an id (the legacy key conflated id-less
+        # datasets, which is the bug the upgrade fixed — never match
+        # those).
+        legacy_ok = (hashlabel is None and previous is None and all(
+            ds.manifest.get("id") for ds in datasets.values()))
+        if legacy_ok:
+            k_old = self._legacy_job_key(fn, options, datasets)
+            if k_old in self._db:
+                return self._db[k_old]
         # equivalent_hashes escape hatch (reference: runner.py:270-295)
         for old in getattr(fn, "equivalent", ()):
             k2 = self._job_key(fn, options, datasets, src_hash=old,
                                hashlabel=hashlabel, previous=previous)
             if k2 in self._db:
                 return self._db[k2]
+            if legacy_ok:
+                k2_old = self._legacy_job_key(fn, options, datasets,
+                                              src_hash=old)
+                if k2_old in self._db:
+                    return self._db[k2_old]
         return None
 
     # -- the public build() ---------------------------------------------

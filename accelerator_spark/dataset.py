@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -465,13 +466,19 @@ class Dataset:
         if not b:
             raise ValueError(f"dataset at {self.path} was not written bucketed")
         data_dir = os.path.join(self.path, "data")
+        # backtick-quote identifiers by DOUBLING embedded backticks (the
+        # SQL escape) — a table named a`b used to break out of the quotes
+        # (ADVICE r4)
+        tbl = b["table"].replace("`", "``")
         if spark.catalog.tableExists(b["table"]):
             rows = spark.sql(
-                f"DESCRIBE FORMATTED `{b['table']}`").collect()
+                f"DESCRIBE FORMATTED `{tbl}`").collect()
             loc = next((r["data_type"] for r in rows
                         if (r["col_name"] or "").strip() == "Location"), None)
+            # strip only a leading file: scheme — .replace() used to eat
+            # the substring anywhere in the path (ADVICE r4)
             same = loc is not None and (
-                os.path.normpath(loc.replace("file:", ""))
+                os.path.normpath(re.sub(r"^file:(//)?", "", loc))
                 == os.path.normpath(os.path.abspath(data_dir)))
             if not same:
                 raise ValueError(
@@ -481,11 +488,13 @@ class Dataset:
                     "table name")
         else:
             cols = ", ".join(
-                f"`{c}` {t}" for c, t in self.manifest["columns"].items()
+                f"`{c.replace('`', '``')}` {t}"
+                for c, t in self.manifest["columns"].items()
             )
+            bcol = b["col"].replace("`", "``")
             spark.sql(
-                f"CREATE TABLE `{b['table']}` ({cols}) USING parquet "
-                f"CLUSTERED BY (`{b['col']}`) SORTED BY (`{b['col']}`) "
+                f"CREATE TABLE `{tbl}` ({cols}) USING parquet "
+                f"CLUSTERED BY (`{bcol}`) SORTED BY (`{bcol}`) "
                 f"INTO {b['n']} BUCKETS "
                 f"LOCATION '{data_dir}'"
             )

@@ -13,7 +13,10 @@ Semantics preserved:
   the reference's two-pass mmap'd badmap becomes a single-pass
   conjunction of null-checks (SURVEY §7.4);
 - ``i``-suffixed types ignore trailing garbage (strtol-style prefix
-  parse);
+  parse). The ``whole=0`` C templates never check ``*endptr``, so a cell
+  with NO parseable prefix at all ("abc") stores strtol/strtod's 0 — it
+  is 0, not bad (reference dataset_type.py _c_conv_int_template /
+  _c_conv_float_template with whole=0);
 - int bases 0/8/10/16; base 0 auto-detects 0x/0/decimal prefixes;
   empty/whitespace-only cells are 0, not bad (strtol("") consumes no
   digits and leaves *endptr at NUL — same for strtod and float types);
@@ -115,7 +118,10 @@ def _int_base(col: Column, bits: int, base: int, ignore_trailing: bool) -> Colum
     empty = s == ""
     if ignore_trailing:
         s = F.regexp_extract(s, f"^({_INT_RX.get(base, _INT_RX[10])})", 1)
-        s = F.when(s == "", None).otherwise(s)
+        # no parseable prefix ("abc", bare "-"): strtol consumes nothing
+        # and returns 0; whole=0 skips the *endptr check so the 0 is
+        # STORED, not bad (reference _c_conv_int_template)
+        s = F.when(s == "", F.lit("0")).otherwise(s)
     tgt = "bigint" if bits == 64 else "int"
 
     def with_empty_zero(expr: Column) -> Column:
@@ -166,7 +172,10 @@ def _float(col: Column, bits: int, ignore_trailing: bool, numeric_comma: bool) -
     if ignore_trailing:
         s = F.regexp_extract(
             s, r"^([+-]?(?:[0-9]*\.?[0-9]+(?:[eE][+-]?[0-9]+)?|[iI][nN][fF](?:[iI][nN][iI][tT][yY])?|[nN][aA][nN]))", 1)
-        s = F.when(s == "", None).otherwise(s)
+        # no parseable prefix: strtod consumes nothing and returns 0.0;
+        # whole=0 skips the *endptr check so 0.0 is STORED, not bad
+        # (reference _c_conv_float_template)
+        s = F.when(s == "", F.lit("0")).otherwise(s)
     tgt = "double" if bits == 64 else "float"
     return F.when(empty, F.lit(0.0).cast(tgt)).otherwise(s.try_cast(tgt))
 

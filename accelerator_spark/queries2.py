@@ -2618,6 +2618,9 @@ def corpus_line_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     appears in EVERY doc — so exactly one footer survives corpus-wide.
     Gates per-source line counts and an md5-xor checksum over the
     reassembled deduped texts (exact content, not just counts).
+    min_line_len=1 (the default): blank lines are exempt from dedup and
+    every input doc appears in the output even if fully deduplicated
+    (VERDICT r4 #5 + ADVICE r4, both mirrored in the oracle).
 
     Scale: one fingerprint shuffle + one doc reassembly shuffle, both
     map-side combinable; the oracle replays first-occurrence with a
@@ -2661,27 +2664,33 @@ WITH ml AS (
          unnest(string_split(txt, chr(10))) AS line
   FROM ml
 ), ranked AS (
+  -- min_line_len=1: blank (whitespace-only) lines are exempt from
+  -- dedup and kept in place — mirrors dedup_lines_corpus
   SELECT *, row_number() OVER (PARTITION BY md5(line)
                                ORDER BY doc_id, pos) AS rn
-  FROM lines
+  FROM lines WHERE length(trim(line)) >= 1
 ), kept AS (
   SELECT doc_id, source, pos, line FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT doc_id, source, pos, line FROM lines
+  WHERE length(trim(line)) < 1
 ), re AS (
-  SELECT doc_id, source, count(*) AS lines_kept,
+  SELECT doc_id, count(*) AS lines_kept,
          string_agg(line, chr(10) ORDER BY pos) AS text_dedup
-  FROM kept GROUP BY doc_id, source
+  FROM kept GROUP BY doc_id
 ), li AS (
-  SELECT doc_id, count(*) AS lines_in FROM lines GROUP BY doc_id
+  SELECT doc_id, source, count(*) AS lines_in
+  FROM lines GROUP BY doc_id, source
 )
-SELECT re.source,
+SELECT li.source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(li.lines_in) AS BIGINT) AS lines_in,
-       CAST(sum(re.lines_kept) AS BIGINT) AS lines_kept,
+       CAST(sum(coalesce(re.lines_kept, 0)) AS BIGINT) AS lines_kept,
        bit_xor(CAST(('0x' || substring(md5(
-         CAST(re.doc_id AS VARCHAR) || chr(31) || re.text_dedup), 1, 15))
-         AS BIGINT)) AS dedup_checksum
-FROM re JOIN li USING (doc_id)
-GROUP BY re.source ORDER BY re.source
+         CAST(li.doc_id AS VARCHAR) || chr(31) || coalesce(re.text_dedup, '')),
+         1, 15)) AS BIGINT)) AS dedup_checksum
+FROM li LEFT JOIN re USING (doc_id)
+GROUP BY li.source ORDER BY li.source
 """
 
 

@@ -198,6 +198,14 @@ def main() -> None:
     except OSError as e:
         print(f"# bench_latest.json not written: {e}", file=sys.stderr)
     print(json.dumps(out))
+    # the driver keeps only the LAST ~2000 chars of stdout, so the big
+    # per-query dict above gets truncated from the FRONT and the headline
+    # total with it (BENCH_r03/r04 both lost it). A compact summary as
+    # the final line always survives the tail capture.
+    summary = {"total_sec": total, "n_queries": len(times), "sf": out["sf"]}
+    if errors:
+        summary["n_errors"] = len(errors)
+    print(json.dumps(summary))
     # honest exit status: verify_all's "exit 0 iff green" contract must
     # see bench-only failures (a query can break at sf0.1 under bench
     # memory pressure while the sf0.01 oracle passes — review r4)

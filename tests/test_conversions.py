@@ -35,7 +35,26 @@ def test_int_base8_and_0(spark):
 
 
 def test_int_ignore_trailing(spark):
-    assert conv(spark, ["42abc", "-7.5", "abc"], "int64_10i") == [42, -7, None]
+    # "abc" -> 0, not bad: the whole=0 C template skips the *endptr
+    # check, so strtol's no-digits-consumed 0 is stored (ADVICE r4)
+    assert conv(spark, ["42abc", "-7.5", "abc", "-", "0xzz"],
+                "int64_10i") == [42, -7, 0, 0, 0]
+    assert conv(spark, ["zz", "0xzz", "abcx"], "int64_16i") == [0, 0, 2748]
+    assert conv(spark, ["junk", "0xzz", "019x"], "int64_0i") == [0, 0, 1]
+
+
+def test_float_ignore_trailing(spark):
+    # strtod("abc") consumes nothing -> 0.0 stored under whole=0
+    assert conv(spark, ["3.5x", "abc", ".", "infx"], "float64i") == \
+        [3.5, 0.0, 0.0, float("inf")]
+    assert conv(spark, ["abc"], "floatint64ei") == [0]
+    assert conv(spark, ["abc"], "floatbooli") == [False]
+
+
+def test_bits_ignore_trailing(spark):
+    # unsigned template rejects '-' BEFORE strtoul regardless of whole;
+    # garbage stores strtoul's 0
+    assert conv(spark, ["5x", "abc", "-5x"], "bits64_10i") == [5, 0, None]
 
 
 def test_bits_reject_negative(spark):

@@ -456,6 +456,35 @@ def test_build_memo_key_includes_previous_and_hashlabel(spark, sf_dir,
                      previous=j1.dataset()).cached
 
 
+def test_build_legacy_job_key_still_matches(spark, sf_dir, tmp_path):
+    """ADVICE r4: the hashlabel/previous key upgrade must not strand
+    pre-upgrade jobdb records — a legacy-format record (no
+    hashlabel/previous fields, id-only dataset identity) still memo-hits
+    when the new fields carry their implicit pre-upgrade values."""
+    wd = str(tmp_path / "wd")
+    ctx = BuildContext(spark, wd)
+    src = Dataset.write(load(spark, sf_dir, "region"), str(tmp_path / "s"))
+
+    def step(spark, datasets, options):
+        return datasets["source"].df(spark)
+
+    j1 = ctx.build(step, datasets={"source": src})
+    # rewrite the record under the legacy key, as a pre-upgrade jobdb
+    # would have stored it
+    rec = ctx._db[ctx._job_key(step, {}, {"source": src})]
+    old_key = ctx._legacy_job_key(step, {}, {"source": src})
+    import json as _json
+    with open(os.path.join(wd, "jobdb.jsonl"), "w") as f:
+        f.write(_json.dumps({**rec.__dict__, "key": old_key}) + "\n")
+    ctx2 = BuildContext(spark, wd)
+    j2 = ctx2.build(step, datasets={"source": src})
+    assert j2.cached and j2.jobid == j1.jobid
+    # but a build with hashlabel/previous set must NOT match the legacy
+    # record (those change the output)
+    j3 = ctx2.build(step, datasets={"source": src}, hashlabel="r_regionkey")
+    assert not j3.cached
+
+
 def test_jobdb_and_urd_tolerate_truncated_lines(spark, sf_dir, tmp_path):
     """Review r4: a crashed writer's partial trailing line must not
     brick builds (BuildContext) or the urd — same tolerance the board

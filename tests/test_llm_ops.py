@@ -613,3 +613,34 @@ def test_dedup_lines_corpus_keeps_first_occurrence(spark):
     assert rows[3]["text_dedup"] == "only here"
     assert [rows[k]["lines_in"] for k in (1, 2, 3)] == [3, 3, 2]
     assert [rows[k]["lines_kept"] for k in (1, 2, 3)] == [3, 1, 1]
+
+
+def test_dedup_lines_corpus_min_line_len_and_empty_docs(spark):
+    """VERDICT r4 #5 + ADVICE r4: short lines below min_line_len are
+    exempt from dedup (default keeps blank lines everywhere), and a doc
+    whose every line was deduplicated elsewhere still appears with
+    lines_kept=0 / text_dedup=''."""
+    from accelerator_spark.operators.text import dedup_lines_corpus
+
+    df = spark.createDataFrame(
+        [(1, "dup line\n\nok"),
+         (2, "dup line\n\nok"),          # fully deduplicated except blank
+         (3, "dup line")],               # fully deduplicated, no blanks
+        "doc_id long, text string")
+    # default min_line_len=1: blank lines kept in BOTH docs
+    rows = {r["doc_id"]: r for r in dedup_lines_corpus(df).collect()}
+    assert rows[1]["text_dedup"] == "dup line\n\nok"
+    assert rows[2]["text_dedup"] == ""  # only the blank line survives
+    assert rows[2]["lines_kept"] == 1
+    # doc 3 lost its only line but still appears (left-join fix)
+    assert rows[3]["lines_kept"] == 0 and rows[3]["text_dedup"] == ""
+    assert rows[3]["lines_in"] == 1
+    # min_line_len=3: "ok" (len 2) now exempt too -> kept in every doc
+    rows3 = {r["doc_id"]: r
+             for r in dedup_lines_corpus(df, min_line_len=3).collect()}
+    assert rows3[2]["text_dedup"] == "\nok"
+    assert rows3[2]["lines_kept"] == 2
+    # min_line_len=0 restores the strict rule: blanks dedup corpus-wide
+    rows0 = {r["doc_id"]: r
+             for r in dedup_lines_corpus(df, min_line_len=0).collect()}
+    assert rows0[2]["lines_kept"] == 0 and rows0[2]["text_dedup"] == ""
