@@ -383,6 +383,7 @@ def _ntile_bucket_frame(df, order_col: str, tiebreak_col: str,
     order_d = F.col(order_col).cast("double")
     tie_base = (dict(df.dtypes).get(tiebreak_col) or "").split("(")[0]
     tie_numeric = tie_base in _BUCKETABLE or tie_base.startswith("decimal")
+    tie_string = tie_base == "string"
 
     def n_cuts_below(cuts, cmp):
         # flat sum of per-cut booleans (not an array+filter HOF: a
@@ -406,20 +407,74 @@ def _ntile_bucket_frame(df, order_col: str, tiebreak_col: str,
     bkt = (n_cuts_below(cuts, lambda x: x < order_d)
            + n_cuts_below(heavy, lambda x: x <= order_d))
     b = df.withColumn(f"{sid}_bkt", bkt)
-    if not heavy or not tie_numeric:
+    if not heavy or not (tie_numeric or tie_string):
         return b.withColumn(f"{sid}_sub", F.lit(0))
-    tie_d = F.col(tiebreak_col).cast("double")
-    tc_rows = (df.filter(order_d.isin([float(v) for v in heavy]))
-               .groupBy(order_d.alias("_hv"))
-               .agg(F.percentile_approx(
-                   tie_d, fracs, F.lit(10000)).alias("_tc"),
-                    F.count_distinct(F.col(order_col)).alias("_nd"))
-               .collect())
-    # nd > 1: two real values collide in double space — sub-splitting
-    # by tiebreak would misorder them; leave that group un-split
-    tie_cuts = {r["_hv"]: sorted({x for x in (r["_tc"] or [])
-                                  if x is not None})
-                for r in tc_rows if r["_nd"] == 1}
+    if tie_numeric:
+        tie_exprs = {float(v): F.col(tiebreak_col).cast("double")
+                     for v in heavy}
+        tc_rows = (df.filter(order_d.isin([float(v) for v in heavy]))
+                   .groupBy(order_d.alias("_hv"))
+                   .agg(F.percentile_approx(
+                       F.col(tiebreak_col).cast("double"), fracs,
+                       F.lit(10000)).alias("_tc"),
+                        F.count_distinct(F.col(order_col)).alias("_nd"))
+                   .collect())
+        # nd > 1: two real values collide in double space — sub-splitting
+        # by tiebreak would misorder them; leave that group un-split
+        tie_cuts = {r["_hv"]: sorted({x for x in (r["_tc"] or [])
+                                      if x is not None})
+                    for r in tc_rows if r["_nd"] == 1}
+    else:
+        # string tiebreak (VERDICT r4 #3): sub-split by an ORDER-
+        # PRESERVING numeric proxy — strip the heavy group's common
+        # prefix (real-world ids share long prefixes: 'doc-000...'),
+        # then take the first 8 bytes of the remaining UTF-8 as a
+        # zero-padded big-endian integer. Spark compares strings
+        # byte-wise (UTF8String), so proxy order is a monotone
+        # coarsening of string order within the group: cutting on proxy
+        # quantiles yields CONTIGUOUS tiebreak ranges, which is all
+        # exactness needs (proxy collisions only merge adjacent
+        # sub-buckets; the within-bucket sort still uses the true
+        # tiebreak column). The double cast is monotone too.
+        # Pass 1: per-group min/max (their common CHAR prefix is shared
+        # by every string lexicographically between them) + nd guard.
+        from os.path import commonprefix
+
+        mm_rows = (df.filter(order_d.isin([float(v) for v in heavy]))
+                   .groupBy(order_d.alias("_hv"))
+                   .agg(F.min(F.col(tiebreak_col)).alias("_lo"),
+                        F.max(F.col(tiebreak_col)).alias("_hi"),
+                        F.count_distinct(F.col(order_col)).alias("_nd"))
+                   .collect())
+
+        def _proxy(skip_chars):
+            tail = F.substring(F.col(tiebreak_col), skip_chars + 1,
+                               2147483647)
+            hx = F.hex(F.encode(tail, "utf-8"))
+            return F.conv(
+                F.substring(F.concat(hx, F.lit("0" * 16)), 1, 16),
+                16, 10).cast("double")
+
+        tie_exprs = {}
+        for r in mm_rows:
+            if r["_nd"] != 1 or r["_lo"] is None or r["_lo"] == r["_hi"]:
+                continue  # un-splittable (or double-collided) group
+            tie_exprs[r["_hv"]] = _proxy(
+                len(commonprefix([r["_lo"], r["_hi"]])))
+        tie_cuts = {}
+        if tie_exprs:
+            # Pass 2: quantile cuts over each group's own proxy
+            pe = F.lit(None).cast("double")
+            for v, p in tie_exprs.items():
+                pe = F.when(order_d == F.lit(float(v)), p).otherwise(pe)
+            tc_rows = (df.filter(order_d.isin(list(tie_exprs)))
+                       .groupBy(order_d.alias("_hv"))
+                       .agg(F.percentile_approx(
+                           pe, fracs, F.lit(10000)).alias("_tc"))
+                       .collect())
+            tie_cuts = {r["_hv"]: sorted({x for x in (r["_tc"] or [])
+                                          if x is not None})
+                        for r in tc_rows}
     sub = F.lit(0)
     for v, cs in tie_cuts.items():
         # a value repeated r times spans ~r/n_buckets of the rows, so r
@@ -432,8 +487,9 @@ def _ntile_bucket_frame(df, order_col: str, tiebreak_col: str,
             step = len(cs) / (r + 1)
             cs = sorted({cs[int((i + 1) * step) - 1] for i in range(r)})
         if cs:
+            tie_d = tie_exprs[v]
             sub = F.when(order_d == F.lit(float(v)),
-                         n_cuts_below(cs, lambda x: x < tie_d)
+                         n_cuts_below(cs, lambda x, t=tie_d: x < t)
                          ).otherwise(sub)
     return b.withColumn(f"{sid}_sub", sub)
 

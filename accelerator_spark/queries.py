@@ -3297,6 +3297,81 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def semantic_dedup_report_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-safe semantic-dedup configuration (VERDICT r4 #1,
+    mirroring the simhash64 precedent): the SAME clustering as
+    semantic_dedup_report but with ``cell_cap=25`` — each cell's
+    comparison left arm truncated to its 25 smallest ids, so per-cell
+    work is size × 25, not size². At this corpus (500 vectors / 8
+    cells, ~62 per cell) the cap BITES in every cell, and the oracle
+    replays the identical capped selection, so the gate checks capped
+    MEMBERSHIP exactly: per-cell kept counts plus an md5-xor checksum
+    over the kept vec_ids.
+
+    This entry drives operators/similarity.semantic_dedup itself (the
+    code users run, checkpoint included) rather than an inline mirror —
+    the uncapped semantic_dedup_report keeps the fully-declarative plan
+    for the plan audit."""
+    from .operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8)
+    kept = semantic_dedup(emb, cents, threshold=0.35, cell_cap=25)
+    h = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15),
+               16, 10).cast("long")
+    return (kept.withColumn("_h", h)
+            .groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.min("vec_id").alias("min_kept"),
+                 F.max("vec_id").alias("max_kept"),
+                 F.expr("bit_xor(_h)").alias("kept_checksum"))
+            .orderBy("centroid_id"))
+
+
+ORACLE_SEMANTIC_DEDUP_CAPPED = """
+WITH c AS (
+  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT e.vec_id, e.embedding, c.c_id,
+         round(list_dot_product(e.embedding, c.c_emb) /
+               (sqrt(list_dot_product(e.embedding, e.embedding)) *
+                sqrt(list_dot_product(c.c_emb, c.c_emb))), 4) AS cos
+  FROM embeddings e, c
+), best AS (
+  SELECT vec_id, embedding, c_id AS centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, c_id ASC) AS rn
+  FROM scored
+), assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM best WHERE rn = 1
+), reps AS (
+  -- cell_cap=25: the comparison left arm is each cell's 25 smallest ids
+  SELECT * FROM (
+    SELECT vec_id, embedding, centroid_id,
+           row_number() OVER (PARTITION BY centroid_id
+                              ORDER BY vec_id ASC) AS cr
+    FROM assigned) WHERE cr <= 25
+), dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM reps a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.embedding, b.embedding) /
+              (sqrt(list_dot_product(a.embedding, a.embedding)) *
+               sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= 0.35
+), kept AS (
+  SELECT assigned.* FROM assigned
+  LEFT JOIN dropped USING (vec_id) WHERE dropped.vec_id IS NULL
+)
+SELECT centroid_id,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(min(vec_id) AS BIGINT) AS min_kept,
+       CAST(max(vec_id) AS BIGINT) AS max_kept,
+       bit_xor(CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+         AS BIGINT)) AS kept_checksum
+FROM kept GROUP BY 1 ORDER BY 1
+"""
+
+
 def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per doc: fraction of
     2-gram occurrences taken by the most frequent 2-gram (r_top2) and
@@ -5062,6 +5137,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_packing": sequence_packing,
     "repetition_signals": repetition_signals,
     "semantic_dedup_report": semantic_dedup_report,
+    "semantic_dedup_report_capped": semantic_dedup_report_capped,
     "funnel_conversion": funnel_conversion,
     "streaming_hourly_counts": streaming_hourly_counts,
     "pii_redaction_report": pii_redaction_report,
@@ -5182,6 +5258,7 @@ ORACLES: dict[str, str] = {
     "sequence_packing": ORACLE_SEQUENCE_PACKING,
     "repetition_signals": ORACLE_REPETITION,
     "semantic_dedup_report": ORACLE_SEMANTIC_DEDUP,
+    "semantic_dedup_report_capped": ORACLE_SEMANTIC_DEDUP_CAPPED,
     "funnel_conversion": ORACLE_FUNNEL,
     "streaming_hourly_counts": ORACLE_STREAM_HOURLY,
     "pii_redaction_report": ORACLE_PII,

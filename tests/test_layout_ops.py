@@ -146,8 +146,8 @@ def test_exact_ntile_matches_window_under_extreme_ties(spark):
 
 
 def test_exact_ntile_nonnumeric_tiebreak_still_exact(spark):
-    """A string tiebreak can't be sub-bucketed (no value ranges) — the
-    operator must fall back to whole-value buckets and stay exact."""
+    """String tiebreaks sub-split heavy groups too (VERDICT r4 #3) via
+    an order-preserving byte-prefix proxy — results stay exact."""
     from pyspark.sql import Window
     from accelerator_spark.operators.partition import exact_ntile
 
@@ -159,3 +159,34 @@ def test_exact_ntile_nonnumeric_tiebreak_still_exact(spark):
     want = df.withColumn("tile", F.ntile(5).over(w))
     assert (sorted(map(tuple, got.collect()))
             == sorted(map(tuple, want.collect())))
+
+
+def test_exact_ntile_string_tiebreak_desskews_extreme_ties(spark):
+    """VERDICT r4 #3: with a LOW-cardinality order column and a STRING
+    tiebreak, the heavy tie group used to stay un-split (one window
+    task). The byte-prefix proxy must sub-split it: hash-identical to
+    the global window AND no (bucket, sub) group much over 2/n_buckets
+    of the rows."""
+    from pyspark.sql import Window
+    from accelerator_spark.operators.partition import (
+        _ntile_bucket_frame, exact_ntile,
+    )
+
+    n = 20_000
+    # 90% of rows tied on order value 7, string ids as tiebreak
+    df = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7.0))
+         .otherwise((F.col("id") % 97).cast("double")).alias("v"),
+        F.format_string("doc-%07d", F.col("id")).alias("k"))
+
+    got = exact_ntile(df, "v", 4, "k", "tile", n_buckets=16)
+    w = Window.orderBy(F.col("v").asc(), F.col("k").asc())
+    want = df.withColumn("tile", F.ntile(4).over(w))
+    assert (sorted(map(tuple, got.collect()))
+            == sorted(map(tuple, want.collect())))
+
+    b = _ntile_bucket_frame(df, "v", "k", 16, "_t")
+    sizes = [r["c"] for r in
+             b.groupBy("_t_bkt", "_t_sub")
+              .agg(F.count(F.lit(1)).alias("c")).collect()]
+    assert max(sizes) <= int(2.5 * n / 16), sizes

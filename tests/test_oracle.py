@@ -50,6 +50,28 @@ def test_no_hugeint_oracle_output_columns():
         f"{offenders}")
 
 
+def test_correctness_head_artifact_not_stale():
+    """VERDICT r4 #7: the committed CORRECTNESS_HEAD.json must track the
+    registry — if queries() grows or shrinks without re-running the full
+    sweep (tools/check_oracle.py with no names), this FAST test fails,
+    so the artifact can never silently go stale. Older artifacts without
+    the registry_size stamp fall back to the graded-query count."""
+    import json
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entrymod
+
+    with open(os.path.join(REPO, "CORRECTNESS_HEAD.json")) as f:
+        head = json.load(f)
+    meta = head["_meta"]
+    recorded = meta.get("registry_size", meta["queries"])
+    assert recorded == len(entrymod.queries()), (
+        f"CORRECTNESS_HEAD.json covers {recorded} queries but the "
+        f"registry has {len(entrymod.queries())} — re-run "
+        "tools/check_oracle.py (full sweep) to refresh the artifact")
+    assert meta["matched"] == meta["queries"]
+
+
 @pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_ORACLE"),
     reason="full oracle sweep is opt-in: set SPARK_GRAFT_ORACLE=1",

@@ -326,3 +326,84 @@ def test_prop_exact_ntile_matches_python_model(spark, vals, n_tiles,
         else:
             want[(v, k)] = rmod + -(-(rank - rmod * (q + 1)) // q)
     assert got == want
+
+
+# --- canonicalize_url vs an independent Python model (VERDICT r4 #4) ---
+
+def _model_canon_url(s: str) -> str:
+    """Straight-Python re-implementation of the canonicalize_url spec
+    (operators/text.py): trim spaces, drop #fragment, lowercase
+    scheme+authority with default-port strip, remove tracking params,
+    sort survivors, drop empty query and trailing path slash. Kept
+    deliberately structure-free (plain string surgery) so it cannot
+    share bugs with the Spark expression chain."""
+    u = s.strip(" ")  # F.trim strips ASCII spaces only
+    u = re.sub(r"#.*$", "", u)
+    m = re.match(r"([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)", u)
+    head = m.group(1) if m else ""
+    rest = u[len(head):]
+    h = head.lower()
+    if h.startswith("http://"):
+        h = re.sub(r":80$", "", h)
+    if h.startswith("https://"):
+        h = re.sub(r":443$", "", h)
+    path = re.match(r"([^?]*)", rest).group(1)
+    query = rest[len(path) + 1:] if len(rest) > len(path) else ""
+    params = sorted(
+        p for p in query.split("&")
+        if p and not re.match(r"(utm_[^=]*|ref|fbclid|gclid)=", p))
+    if len(path) > 1:
+        path = re.sub(r"/$", "", path)
+    q = "&".join(params)
+    return h + path + (("?" + q) if q else "")
+
+
+_EDGE_URLS = [
+    # repeated params / sort stability
+    "http://a.com/p?b=2&a=1&b=1",
+    # %-encoded separators stay opaque (no decode before filtering)
+    "https://A.COM/x?a=%26b%3D2&utm_source=x",
+    # a param NAMED exactly utm_ / ref — filtered only with '='
+    "http://h/?utm_=1&utm_&ref=r&ref&refx=1",
+    # empty query / bare '?'
+    "http://host/path?",
+    "http://host/?&&",
+    # userinfo@ is part of the authority (lowercased!)
+    "http://User:Pw@Host.Com:80/Keep/Case/",
+    # IPv6 authorities with default and non-default ports
+    "http://[2001:DB8::1]:80/a",
+    "https://[::1]:443/",
+    "https://[::1]:8443/x?z=1&y=2",
+    # uppercase %-escapes preserved verbatim
+    "HTTP://EX.COM/%2F%2f?A=%2B",
+    # trailing slash rules: '/' alone stays, '/x/' loses it
+    "http://e.com/",
+    "http://e.com/x/",
+    # fragment before query, fragment only
+    "http://e.com/p#frag?notaquery=1",
+    "#onlyfrag",
+    # scheme-less and garbage inputs still canonicalize structurally
+    "no scheme here?utm_a=1&keep=2",
+    "",
+    "   ",
+    "ftp://Mixed.Case:21/f/",
+]
+
+url_strings = st.one_of(
+    st.sampled_from(_EDGE_URLS),
+    # random soup over URL-significant chars (no raw newlines — out of
+    # spec for URLs and Java/Python $ semantics differ there)
+    st.text(alphabet=list("abXZ09:/?#&=%[]@._-~+ "), max_size=40),
+)
+
+
+@PROP
+@given(st.lists(url_strings, min_size=1, max_size=18))
+def test_prop_canonicalize_url_matches_python_model(spark, vals):
+    from accelerator_spark.operators.text import canonicalize_url
+
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = [r["o"] for r in
+           df.select(canonicalize_url(F.col("s")).alias("o")).collect()]
+    want = [_model_canon_url(v) for v in vals]
+    assert sorted(got) == sorted(want), list(zip(vals, want))

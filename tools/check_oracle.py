@@ -120,8 +120,16 @@ def main():
         # so every round ships a committed 168-query result
         import json
         import os
+        import time
         out = {"_meta": {"sf_dir": sf_dir, "queries": len(todo),
-                         "matched": len(todo) - len(failures)}}
+                         "matched": len(todo) - len(failures),
+                         # staleness stamp: tests/test_oracle.py asserts
+                         # registry_size == len(queries()) at HEAD, so a
+                         # registry change without a fresh sweep fails
+                         # the fast suite (VERDICT r4 #7)
+                         "registry_size": len(QUERIES),
+                         "generated_at": time.strftime(
+                             "%Y-%m-%dT%H:%M:%SZ", time.gmtime())}}
         out.update(results)
         # repo root derived from this script's location (matches where
         # tests/test_oracle.py reads it back); never let an unwritable
