@@ -250,8 +250,9 @@ class BuildContext:
             ds.manifest.get("id") for ds in datasets.values()))
         if legacy_ok:
             k_old = self._legacy_job_key(fn, options, datasets)
-            if k_old in self._db:
-                return self._db[k_old]
+            rec_old = self._db.get(k_old)
+            if rec_old is not None and self._legacy_outputs_default(rec_old):
+                return rec_old
         # equivalent_hashes escape hatch (reference: runner.py:270-295)
         for old in getattr(fn, "equivalent", ()):
             k2 = self._job_key(fn, options, datasets, src_hash=old,
@@ -261,9 +262,28 @@ class BuildContext:
             if legacy_ok:
                 k2_old = self._legacy_job_key(fn, options, datasets,
                                               src_hash=old)
-                if k2_old in self._db:
-                    return self._db[k2_old]
+                rec2_old = self._db.get(k2_old)
+                if rec2_old is not None and self._legacy_outputs_default(
+                        rec2_old):
+                    return rec2_old
         return None
+
+    def _legacy_outputs_default(self, rec: JobRecord) -> bool:
+        # the pre-upgrade key conflated records whose REQUEST carried a
+        # hashlabel/previous (build() accepted them; _job_key ignored
+        # them), so matching the request side alone could hand back a
+        # hash-partitioned or chained dataset for a default build. The
+        # written outputs prove which kind the record is: only trust it
+        # when every output manifest shows no hashlabel and no chain
+        # link. A method that sets those internally loses the memo once
+        # (safe direction: rebuild).
+        for p in rec.outputs.values():
+            if not Dataset.exists(p):
+                return False
+            m = Dataset.load(p).manifest
+            if m.get("hashlabel") or m.get("previous"):
+                return False
+        return True
 
     # -- the public build() ---------------------------------------------
     def build(

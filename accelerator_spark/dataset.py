@@ -155,6 +155,19 @@ def _dump_manifest(path: str, manifest: dict) -> None:
     os.rename(tmp, dest)
 
 
+def _valid_table_name(table: str) -> None:
+    """Spark's catalog only accepts [A-Za-z0-9_] table names: a
+    backtick fails identifier analysis even correctly escaped
+    (INVALID_ATTRIBUTE_NAME_SYNTAX) and anything else — dots included —
+    fails INVALID_SCHEMA_OR_RELATION_NAME even inside a quoted
+    single-part name. One clear error at the boundary instead of a
+    deep analyzer failure (ADVICE r4 + review r5)."""
+    if not re.fullmatch(r"\w+", table, re.ASCII):
+        raise ValueError(
+            f"bucketed table name {table!r} is not a valid Spark "
+            "catalog name (only letters, digits and _ are accepted)")
+
+
 def _same_path(a: str | None, b: str | None) -> bool:
     """Path equality for chain links / stop_ds: manifests store paths
     verbatim (datasets stay relocatable), so compare normalized
@@ -313,10 +326,18 @@ class Dataset:
         obs = Observation()
         df = df.observe(obs, F.count(F.lit(1)).alias("__lines__"))
         data_dir = os.path.join(path, "data")
+        # Spark's catalog only accepts [A-Za-z0-9_] table names — a
+        # backtick fails identifier analysis even correctly escaped and
+        # a dot fails INVALID_SCHEMA_OR_RELATION_NAME even inside a
+        # quoted single-part name. Fail clearly up front. The quoted
+        # form is still used below so the name is always parsed as ONE
+        # identifier, never database.table.
+        _valid_table_name(table)
+        quoted = f"`{table}`"
         (df.write.mode("overwrite").format("parquet")
          .bucketBy(n_buckets, bucket_col).sortBy(bucket_col)
-         .option("path", data_dir).saveAsTable(table))
-        written = spark.table(table)
+         .option("path", data_dir).saveAsTable(quoted))
+        written = spark.table(quoted)
         manifest = {
             "version": 1,
             "id": uuid.uuid4().hex,
@@ -466,13 +487,18 @@ class Dataset:
         if not b:
             raise ValueError(f"dataset at {self.path} was not written bucketed")
         data_dir = os.path.join(self.path, "data")
-        # backtick-quote identifiers by DOUBLING embedded backticks (the
-        # SQL escape) — a table named a`b used to break out of the quotes
-        # (ADVICE r4)
-        tbl = b["table"].replace("`", "``")
-        if spark.catalog.tableExists(b["table"]):
+        # a table named a`b used to break out of the CREATE TABLE quotes
+        # (ADVICE r4); the catalog itself rejects non-\w names (see
+        # write_bucketed), so a hand-edited manifest gets a clear error
+        # here instead of an injection or a deep analyzer failure.
+        _valid_table_name(b["table"])
+        # tableExists/spark.table PARSE their argument as a (possibly
+        # multipart) identifier — quoting keeps the name one identifier,
+        # never database.table
+        quoted = f"`{b['table']}`"
+        if spark.catalog.tableExists(quoted):
             rows = spark.sql(
-                f"DESCRIBE FORMATTED `{tbl}`").collect()
+                f"DESCRIBE FORMATTED {quoted}").collect()
             loc = next((r["data_type"] for r in rows
                         if (r["col_name"] or "").strip() == "Location"), None)
             # strip only a leading file: scheme — .replace() used to eat
@@ -493,12 +519,12 @@ class Dataset:
             )
             bcol = b["col"].replace("`", "``")
             spark.sql(
-                f"CREATE TABLE `{tbl}` ({cols}) USING parquet "
+                f"CREATE TABLE {quoted} ({cols}) USING parquet "
                 f"CLUSTERED BY (`{bcol}`) SORTED BY (`{bcol}`) "
                 f"INTO {b['n']} BUCKETS "
                 f"LOCATION '{data_dir}'"
             )
-        return spark.table(b["table"])
+        return spark.table(quoted)
 
     # -- reading ---------------------------------------------------------
     def df(self, spark: SparkSession) -> DataFrame:

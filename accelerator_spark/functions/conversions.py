@@ -366,7 +366,11 @@ def convert_expr(
             hi = F.lit(2 ** 32 - 1) if bits == 32 else None
             v = F.when((v >= 0) & (v <= hi) if hi is not None else v >= 0,
                        v)
-            return v
+            # the unsigned template rejects any minus-led cell BEFORE
+            # strtoul (reference dataset_type.py:477-480), so '-0',
+            # '-abc' and bare '-' are all bad — even where the signed
+            # parse yields >=0 or the no-prefix fallback would store 0
+            return F.when(~_trimmed(c).startswith("-"), v)
         return _int_base(c, bits, int(base), ignore)
     if base_t in ("int32", "int64"):
         return _int_base(c, int(base_t[-2:]), 10, ignore)

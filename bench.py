@@ -202,7 +202,11 @@ def main() -> None:
     # per-query dict above gets truncated from the FRONT and the headline
     # total with it (BENCH_r03/r04 both lost it). A compact summary as
     # the final line always survives the tail capture.
-    summary = {"total_sec": total, "n_queries": len(times), "sf": out["sf"]}
+    # metric/value/unit mirror the full line's keys so a parser that
+    # reads the LAST line still sees a valid bench record
+    summary = {"metric": out.get("metric", "total_runtime"), "value": total,
+               "unit": "sec", "total_sec": total, "n_queries": len(times),
+               "sf": out["sf"]}
     if errors:
         summary["n_errors"] = len(errors)
     print(json.dumps(summary))

@@ -52,13 +52,21 @@ def test_float_ignore_trailing(spark):
 
 
 def test_bits_ignore_trailing(spark):
-    # unsigned template rejects '-' BEFORE strtoul regardless of whole;
-    # garbage stores strtoul's 0
-    assert conv(spark, ["5x", "abc", "-5x"], "bits64_10i") == [5, 0, None]
+    # unsigned template rejects ANY minus-led cell BEFORE strtoul
+    # regardless of whole (reference dataset_type.py:477-480): '-abc',
+    # bare '-' and even '-0' are bad, while non-minus garbage stores
+    # strtoul's 0 (review r5 — the no-prefix '0' fallback must not
+    # apply to minus-led cells)
+    assert conv(spark, ["5x", "abc", "-5x", "-abc", "-", "-0"],
+                "bits64_10i") == [5, 0, None, None, None, None]
+    # signed bare '-': strtol consumes nothing, whole=0 stores the 0
+    assert conv(spark, ["-", "-abc"], "int64_10i") == [0, 0]
 
 
 def test_bits_reject_negative(spark):
-    assert conv(spark, ["5", "-5"], "bits64_10") == [5, None]
+    # '-0' parses to 0 which passes a >=0 range check — only the
+    # minus-led guard catches it (review r5)
+    assert conv(spark, ["5", "-5", "-0"], "bits64_10") == [5, None, None]
 
 
 def test_float(spark):

@@ -579,6 +579,60 @@ def test_register_bucketed_rejects_foreign_catalog_entry(spark, sf_dir,
         spark.catalog.dropTempView("t_rb_view")
 
 
+def test_bucketed_table_name_edge_cases(spark, sf_dir, tmp_path):
+    """ADVICE r4 + review r5: Spark's catalog only accepts \\w+ table
+    names — a backtick fails even correctly escaped, a dot fails even
+    quoted single-part — so write_bucketed and register_bucketed raise
+    a clear ValueError at the boundary instead of a deep analyzer
+    error (which for a`b would otherwise mean quote-breakout SQL)."""
+    import pytest
+
+    nation = load(spark, sf_dir, "nation")
+    for bad in ("t_rb`tick", "t_rb.dot", "t rb", ""):
+        with pytest.raises(ValueError, match="not a valid"):
+            Dataset.write_bucketed(nation, str(tmp_path / "bt"), bad,
+                                   "n_nationkey", 4)
+    # a hand-edited manifest with a bad name: same clear error
+    d = Dataset.write_bucketed(nation, str(tmp_path / "bd"), "t_rb_ok",
+                               "n_nationkey", 4)
+    try:
+        assert d.register_bucketed(spark).count() == nation.count()
+        d.manifest["bucketing"]["table"] = "x`y"
+        with pytest.raises(ValueError, match="not a valid"):
+            d.register_bucketed(spark)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_rb_ok")
+
+
+def test_build_legacy_fallback_rejects_nondefault_outputs(spark, sf_dir,
+                                                          tmp_path):
+    """Review r5: the pre-upgrade key conflated records whose REQUEST
+    carried a hashlabel/previous (build() accepted both; the old
+    _job_key ignored them), so the legacy fallback must inspect the
+    record's written outputs and reject any with a hashlabel or chain
+    link — otherwise a default build gets a hash-partitioned cached
+    dataset."""
+    wd = str(tmp_path / "wd")
+    ctx = BuildContext(spark, wd)
+    src = Dataset.write(load(spark, sf_dir, "region"), str(tmp_path / "s"))
+
+    def step(spark, datasets, options):
+        return datasets["source"].df(spark)
+
+    ctx.build(step, datasets={"source": src}, hashlabel="r_regionkey")
+    rec = ctx._db[ctx._job_key(step, {}, {"source": src},
+                               hashlabel="r_regionkey")]
+    # store it under the legacy key, as a pre-upgrade jobdb would have
+    # for the SAME hashlabel-carrying request
+    old_key = ctx._legacy_job_key(step, {}, {"source": src})
+    import json as _json
+    with open(os.path.join(wd, "jobdb.jsonl"), "w") as f:
+        f.write(_json.dumps({**rec.__dict__, "key": old_key}) + "\n")
+    ctx2 = BuildContext(spark, wd)
+    j2 = ctx2.build(step, datasets={"source": src})
+    assert not j2.cached
+
+
 def test_write_invalidates_stale_manifest_first(spark, sf_dir, tmp_path,
                                                 monkeypatch):
     """Review r4: rewriting a dataset in place removes the old manifest

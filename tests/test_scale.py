@@ -371,14 +371,13 @@ def test_semantic_dedup_cell_cap_at_16x_bounded(spark):
     """VERDICT r4 #1: the capped semantic_dedup configuration at 16x
     (32k vectors, 8 cells — every cell ~4000 members, grossly over the
     cap). The cell_cap contract bounds in-cell comparison work at
-    size × cap per cell; here the COMPARISON COUNT itself is asserted:
-    sum over cells of reps×(size-1) ≤ n_vectors × cell_cap. Also checks
-    the conservative-semantics invariant — every vector the capped rule
+    size × cap per cell; enforcement is proven BEHAVIORALLY — a
+    constructed victim whose only similar neighbor lies beyond the cap
+    survives capped dedup but not uncapped dedup. Also checks the
+    conservative-semantics invariant — every vector the capped rule
     drops is also dropped by the uncapped rule (on the unreplicated
     base corpus where uncapped is affordable)."""
-    from accelerator_spark.operators.similarity import (
-        ivf_assign, semantic_dedup,
-    )
+    from accelerator_spark.operators.similarity import semantic_dedup
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     cents = emb.filter(F.col("vec_id") < 8)
@@ -390,14 +389,31 @@ def test_semantic_dedup_cell_cap_at_16x_bounded(spark):
                            F.col("vec_id") + F.lit(10 ** 6 * 2 ** i)))
     cap = 25
     n = e16.count()
-    # comparison-work bound: reps per cell ≤ cap, each rep pairs with at
-    # most (cell_size - 1) others
-    cells = (ivf_assign(e16, cents).groupBy("centroid_id")
-             .agg(F.count(F.lit(1)).alias("sz")).collect())
-    work = sum(min(cap, r["sz"]) * (r["sz"] - 1) for r in cells)
-    assert work <= n * cap
     kept16 = semantic_dedup(e16, cents, threshold=0.35, cell_cap=cap)
     assert 0 < kept16.count() < n
+    # cap-ENFORCEMENT proof (review r5: asserting the arithmetic bound
+    # sum(min(cap,sz)*(sz-1)) <= n*cap is a tautology that holds for any
+    # partitioning — it never touches what the operator executes).
+    # Construct one cell where capped and uncapped MUST differ: ids
+    # 0..cap-1 are pairwise-orthogonal basis vectors, witness id=cap and
+    # victim id=cap+1 share a vector orthogonal to all of them. The
+    # victim's only similar neighbor is the witness — which min-id
+    # truncation removes from the left arm. If cell_cap were silently
+    # ignored, the victim would be dropped and this fails.
+    dim = cap + 2
+    rows = [(i, [1.0 if j == i else 0.0 for j in range(dim)])
+            for i in range(cap)]
+    u = [1.0 if j == cap else 0.0 for j in range(dim)]
+    rows += [(cap, u), (cap + 1, u)]
+    cell = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent1 = spark.createDataFrame([(0, [1.0] * dim)],
+                                  "vec_id long, embedding array<double>")
+    kept_ids = lambda df: {r["vec_id"] for r in df.select("vec_id").collect()}
+    capped = kept_ids(semantic_dedup(cell, cent1, threshold=0.9, cell_cap=cap))
+    uncapped = kept_ids(semantic_dedup(cell, cent1, threshold=0.9))
+    assert cap + 1 in capped and cap + 1 not in uncapped
+    assert uncapped == set(range(cap + 1))
+    assert capped == set(range(cap + 2))
     # conservative semantics on the base corpus: capped keeps a superset
     kept_capped = {r["vec_id"] for r in semantic_dedup(
         emb, cents, threshold=0.35, cell_cap=cap).select("vec_id").collect()}
