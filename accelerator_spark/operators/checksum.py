@@ -18,12 +18,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _cols(df: DataFrame, columns: list[str] | None) -> list[str]:
+    # `columns or df.columns` read an EMPTY list as "all columns" —
+    # which let datasets_equal() compare full-table digests of two
+    # frames sharing no columns at all (review r5). None means all;
+    # an empty selection is an error, never a silent widening.
+    cols = df.columns if columns is None else list(columns)
+    if not cols:
+        raise ValueError("checksum needs at least one column")
+    return cols
+
+
 def checksum(df: DataFrame, columns: list[str] | None = None) -> dict:
     """Order/partitioning-insensitive digest of selected columns.
 
     Returns {"lines": n, "xor": int, "sum": int}.
     """
-    cols = columns or df.columns
+    cols = _cols(df, columns)
     # Null-safe canonical text form per row; the \x1f separator prevents
     # ("ab","c") colliding with ("a","bc"). Known ambiguity (accepted,
     # shared bit-for-bit with the DuckDB oracles that replicate this
@@ -47,14 +58,16 @@ def checksum(df: DataFrame, columns: list[str] | None = None) -> dict:
 
 
 def checksum_df(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
-    """Same digest but returned as a 1-row DataFrame (for the query/oracle
-    harness)."""
-    cols = columns or df.columns
+    """Same digest but returned as a 1-row DataFrame. Carries BOTH folds
+    like checksum() — xor alone is blind to rows duplicated an even
+    number of times (review r5: two such datasets looked equal)."""
+    cols = _cols(df, columns)
     parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in cols]
     h = F.xxhash64(F.concat_ws("\x1f", *parts))
     return df.select(h.alias("h")).agg(
         F.count(F.lit(1)).alias("lines"),
         F.bit_xor("h").alias("checksum_xor"),
+        F.sum(F.col("h").cast("decimal(38,0)")).alias("checksum_sum"),
     )
 
 
@@ -69,6 +82,9 @@ def checksum_chain(dataset, spark, columns: list[str] | None = None,
 
 def datasets_equal(a: DataFrame, b: DataFrame, columns: list[str] | None = None) -> bool:
     """Order-insensitive equality of two DataFrames on shared columns —
-    the reference's test_compare_datasets idiom (SURVEY §5)."""
-    cols = columns or sorted(set(a.columns) & set(b.columns))
+    the reference's test_compare_datasets idiom (SURVEY §5). Raises when
+    the frames share no columns (via checksum's empty-selection check)
+    instead of vacuously digesting everything."""
+    cols = sorted(set(a.columns) & set(b.columns)) if columns is None \
+        else columns
     return checksum(a, cols) == checksum(b, cols)

@@ -78,7 +78,10 @@ def grouped_agg_udaf(y_col: str):
 
     @F.pandas_udf("double")
     def median_udaf(v: pd.Series) -> float:
-        return float(v.median())
+        m = v.median()
+        # all-null group: Series.median() yields NaN — return NULL like
+        # native F.median / SQL median, not a NaN double (review r5)
+        return None if pd.isna(m) else float(m)
 
     return median_udaf(y_col)
 

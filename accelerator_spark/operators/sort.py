@@ -43,12 +43,14 @@ def dataset_sort(
     df: DataFrame,
     sort_columns: str | list[str],
     descending: bool = False,
-    across_slices: bool = True,
+    across_slices: bool = False,
     stable_col: str | None = LINENO,
 ) -> DataFrame:
-    """Sort with reference semantics. ``across_slices=False`` maps to
-    sortWithinPartitions (the reference's default per-slice sort — no
-    shuffle at all); True is a global sort.
+    """Sort with reference semantics. ``across_slices=False`` (the
+    default, matching the reference's sort_across_slices=False —
+    a_dataset_sort.py:53; review r5 flipped this back) maps to
+    sortWithinPartitions — per-slice order, no shuffle at all; True is
+    a global range-partitioned sort.
 
     Known divergence (review r4, documented): the reference substitutes
     None with a sentinel that can TIE with real values (-inf for

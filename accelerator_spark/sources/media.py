@@ -33,19 +33,35 @@ def binary_import(spark: SparkSession, path: str,
     full path so same-stem files in different subdirectories
     ('train/001.jpg' vs 'val/001.jpg') stay distinguishable — join
     sidecar metadata on the stem only when stems are unique, else on
-    the path. ``glob`` maps to pathGlobFilter (e.g. ``*.jpg``)."""
+    the path. ``glob`` maps to pathGlobFilter (e.g. ``*.jpg``).
+
+    Hidden files (names starting with ``.`` or ``_``) never reach this
+    reader — Spark's file index drops them at listing time as metadata
+    candidates. The dotfile-aware stem/ext split below still matters
+    for names like ``archive.tar.gz`` and is kept splitext-exact so a
+    future listing path that DOES surface dotfiles can't mint empty
+    media_ids (review r5)."""
     reader = (spark.read.format("binaryFile")
               # the subdirectory contract the docstring promises
               .option("recursiveFileLookup", "true"))
     if glob:
         reader = reader.option("pathGlobFilter", glob)
-    df = reader.load(path)
+    return media_columns(reader.load(path))
+
+
+def media_columns(df: DataFrame) -> DataFrame:
+    """Project binaryFile-shaped rows (path, length, modificationTime,
+    content) to the media schema. Split out so the stem/ext expressions
+    are testable without a filesystem listing."""
     decoded = F.col("path")
     base = F.element_at(F.split(decoded, "/"), -1)
     return df.select(
-        F.regexp_replace(base, r"\.[^.]*$", "").alias("media_id"),
+        # the lookbehind keeps os.path.splitext semantics for dotfiles:
+        # '.DS_Store' is a stem with NO extension, not an empty stem —
+        # empty media_ids collided in sidecar joins (review r5)
+        F.regexp_replace(base, r"(?<=.)\.[^.]*$", "").alias("media_id"),
         decoded.alias("media_path"),
-        F.lower(F.regexp_extract(base, r"\.([^.]*)$", 1)).alias("ext"),
+        F.lower(F.regexp_extract(base, r"(?<=.)\.([^.]*)$", 1)).alias("ext"),
         F.col("length"),
         F.col("modificationTime").alias("mod_time"),
         F.col("content"),

@@ -16,6 +16,7 @@ from __future__ import annotations
 import hashlib
 import os
 import re
+import shutil
 import tempfile
 import zipfile
 from dataclasses import dataclass, field
@@ -38,47 +39,76 @@ def csvimport_zip(
     include_re: str | None = None,
     exclude_re: str | None = None,
     strip_dirs: bool = False,
-    chain_by: str = "zip",  # "zip" (archive order) or "filename"
+    chain_by: str = "zip",  # zip/on (archive order), filename/by_filename,
+    # dsname/by_dsname (reference chaining OptionEnum minus 'off')
     extract_to: str | None = None,
     **csv_kwargs,
 ) -> ZipImportResult:
+    if chain_by not in ("zip", "on", "filename", "by_filename",
+                        "dsname", "by_dsname"):
+        # the reference's OptionEnum rejects unknown chaining values —
+        # silently falling back to archive order would be a wrong chain
+        # order with no diagnostic (review r5)
+        raise ValueError(
+            f"chain_by {chain_by!r} not one of zip/on, filename/"
+            "by_filename, dsname/by_dsname")
     out = ZipImportResult()
     tmp = extract_to or tempfile.mkdtemp(prefix="csvimport_zip_")
+    entries = []  # (label, sort_name, extracted_path) in archive order
     with zipfile.ZipFile(zip_path) as zf:
-        names = [n for n in zf.namelist() if not n.endswith("/")]
+        # per-ZipInfo, not per-name: a zip may legally contain several
+        # members with the SAME name (e.g. appended update) and each must
+        # import its OWN bytes — name-based extract reads the last
+        # occurrence for all of them (review r5; reference extracts via
+        # z.open(info), a_csvimport_zip.py analysis()). Directories are
+        # marked by trailing '/' OR the MS-DOS directory attribute bit
+        # (reference: info.external_attr & 0x40000000).
+        infos = [i for i in zf.infolist()
+                 if not (i.filename.endswith("/")
+                         or i.external_attr & 0x40000000)]
+        # regexes match the FULL member name even under strip_dirs
+        # (reference matches ffn, sorts/names by the stripped fn)
         if include_re:
-            names = [n for n in names if re.search(include_re, n)]
+            infos = [i for i in infos if re.search(include_re, i.filename)]
         if exclude_re:
-            names = [n for n in names if not re.search(exclude_re, n)]
-        if chain_by == "filename":
-            names = sorted(names)
-        paths = {}
-        for n in names:
-            # extract() sanitizes hostile member names (../, /abs) — use
-            # ITS path, then copy to a glob-safe name: spark.read treats
-            # [] {} * ? in paths as Hadoop glob metacharacters. The
-            # original extension chain is preserved (sanitized) so
+            infos = [i for i in infos
+                     if not re.search(exclude_re, i.filename)]
+        seen = set()
+        for idx, info in enumerate(infos):
+            n = info.filename
+            fn = n.rsplit("/", 1)[-1] if strip_dirs else n
+            # strip_dirs basename collisions (and duplicate names) must
+            # stay distinct members, not silently overwrite; the
+            # trailing-underscore rename keeps archive order stable
+            # (reference namefix)
+            label = fn
+            while label in seen:
+                label += "_"
+            seen.add(label)
+            # members land under our OWN hash names (glob-safe:
+            # spark.read treats []{}*? as Hadoop glob metacharacters;
+            # traversal-safe: the member name is never used as a path).
+            # The original extension chain is preserved (sanitized) so
             # extension-driven transparent decompression (.gz members)
             # keeps working (review r4).
-            extracted = zf.extract(n, tmp)
             suffix = re.sub(r"[^A-Za-z0-9.]", "",
-                            "".join(re.findall(r"\.[^./]+", os.path.basename(n))))
+                            "".join(re.findall(r"\.[^./]+",
+                                               os.path.basename(n))))
             safe = os.path.join(
-                tmp, "m_" + hashlib.md5(n.encode()).hexdigest() + suffix)
-            os.replace(extracted, safe)
-            paths[n] = safe
+                tmp, f"m_{idx}_" + hashlib.md5(n.encode()).hexdigest()
+                + suffix)
+            with zf.open(info) as rfh, open(safe, "wb") as wfh:
+                shutil.copyfileobj(rfh, wfh)
+            entries.append((label, fn, safe))
+    if chain_by in ("filename", "by_filename"):
+        # sort by the name used for naming — the STRIPPED one under
+        # strip_dirs (reference sorts res by fn, already stripped)
+        entries.sort(key=lambda e: e[1])
+    elif chain_by in ("dsname", "by_dsname"):
+        entries.sort(key=lambda e: e[0])
     frames = []
-    labels = {}
-    for n in names:
-        label = os.path.basename(n) if strip_dirs else n
-        # strip_dirs basename collisions must stay distinct members, not
-        # silently overwrite (reference dedupes colliding names the same
-        # way — accelerator/standard_methods/a_csvimport_zip.py); the
-        # trailing-underscore rename keeps archive order stable
-        while label in labels:
-            label += "_"
-        labels[label] = n
-        res = csvimport(spark, paths[n], **csv_kwargs)
+    for label, _fn, path in entries:
+        res = csvimport(spark, path, **csv_kwargs)
         out.members[label] = res
         frames.append(res.default.withColumn("_zip_member", F.lit(label)))
     if frames:

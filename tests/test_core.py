@@ -579,6 +579,32 @@ def test_register_bucketed_rejects_foreign_catalog_entry(spark, sf_dir,
         spark.catalog.dropTempView("t_rb_view")
 
 
+def test_checksum_empty_selection_and_both_folds(spark, sf_dir):
+    """Review r5: columns=[] read as 'all columns' via the falsy-list
+    fallback, letting datasets_equal() compare full-table digests of
+    frames sharing NO columns; and checksum_df carried only the xor
+    fold, which is blind to rows duplicated an even number of times."""
+    import pytest
+
+    from accelerator_spark.operators.checksum import checksum_df
+
+    src = load(spark, sf_dir, "region")
+    with pytest.raises(ValueError, match="at least one column"):
+        checksum(src, [])
+    a = src.select(F.col("r_regionkey").alias("x"))
+    b = src.select(F.col("r_regionkey").alias("y"))
+    with pytest.raises(ValueError, match="at least one column"):
+        datasets_equal(a, b)
+    # two different even-duplicated datasets: xor folds tie at 0, the
+    # sum fold tells them apart
+    d1 = spark.createDataFrame([(1,), (1,)], "k int")
+    d2 = spark.createDataFrame([(2,), (2,)], "k int")
+    r1, = checksum_df(d1).collect()
+    r2, = checksum_df(d2).collect()
+    assert r1["checksum_xor"] == r2["checksum_xor"] == 0
+    assert r1["checksum_sum"] != r2["checksum_sum"]
+
+
 def test_bucketed_table_name_edge_cases(spark, sf_dir, tmp_path):
     """ADVICE r4 + review r5: Spark's catalog only accepts \\w+ table
     names — a backtick fails even correctly escaped, a dot fails even

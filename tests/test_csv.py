@@ -560,6 +560,53 @@ def test_zip_strip_dirs_basename_collision_keeps_both(spark, tmp_path):
     assert got == {("x.csv", "1"), ("x.csv_", "2")}
 
 
+def test_zip_duplicate_member_names_keep_own_data(spark, tmp_path):
+    """Review r5: a zip may legally contain several members with the
+    SAME name (appended update). Name-based extraction read the LAST
+    occurrence's bytes for all of them — each member must import its
+    own data (reference extracts per ZipInfo)."""
+    import zipfile
+
+    from accelerator_spark.sources.zip import csvimport_zip
+
+    zp = str(tmp_path / "dup.zip")
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("data.csv", "k,v\n1,first\n")
+        zf.writestr("data.csv", "k,v\n2,second\n")
+    res = csvimport_zip(spark, zp)
+    assert set(res.members) == {"data.csv", "data.csv_"}
+    got = {(r["_zip_member"], r["k"], r["v"]) for r in res.chain.collect()}
+    assert got == {("data.csv", "1", "first"), ("data.csv_", "2", "second")}
+
+
+def test_zip_chain_order_and_option_validation(spark, tmp_path):
+    """Review r5: by_filename under strip_dirs sorts by the STRIPPED
+    name (reference sorts the already-stripped fn); attr-marked
+    directory entries (external_attr bit, no trailing slash) are
+    skipped; unknown chain_by raises instead of silently using archive
+    order."""
+    import zipfile
+
+    import pytest
+
+    from accelerator_spark.sources.zip import csvimport_zip
+
+    zp = str(tmp_path / "ord.zip")
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("b/a.csv", "k\n1\n")
+        zf.writestr("a/z.csv", "k\n2\n")
+        info = zipfile.ZipInfo("phantomdir")  # no trailing slash
+        info.external_attr = 0x40000000
+        zf.writestr(info, b"")
+    res = csvimport_zip(spark, zp, strip_dirs=True,
+                        chain_by="by_filename")
+    # stripped-name order: a.csv (from b/) before z.csv (from a/)
+    assert list(res.members) == ["a.csv", "z.csv"]
+    assert [r["k"] for r in res.chain.collect()] == ["1", "2"]
+    with pytest.raises(ValueError, match="chain_by"):
+        csvimport_zip(spark, zp, chain_by="by_fliename")
+
+
 def test_zip_gzipped_member_transparent_decompression(spark, tmp_path):
     """Review r4: the glob-safe rename must keep the member's extension
     chain so Spark's extension-driven .gz decompression still fires."""
@@ -588,12 +635,28 @@ def test_binary_import_recursive_and_literal_names(spark, tmp_path):
     (tmp_path / "val" / "001.jpg").write_bytes(b"b")
     (tmp_path / "100%.jpg").write_bytes(b"c")
     (tmp_path / "a+b.jpg").write_bytes(b"d")
+    (tmp_path / ".DS_Store").write_bytes(b"e")
+    (tmp_path / ".hidden.jpg").write_bytes(b"f")
     rows = binary_import(spark, str(tmp_path)).collect()
     ids = sorted(r["media_id"] for r in rows)
+    # Spark's file index drops dot-prefixed names at listing time —
+    # hidden files never become rows (documented in binary_import)
     assert ids == ["001", "001", "100%", "a+b"]
     paths = {r["media_path"].rsplit("/", 2)[-2] for r in rows
              if r["media_id"] == "001"}
     assert paths == {"train", "val"}
+    # the stem/ext expressions themselves keep os.path.splitext
+    # semantics for dotfile-ish names (review r5 — an empty media_id
+    # would collide in sidecar joins if a listing path surfaced them):
+    # exercise the same select on a synthetic path column
+    probe = spark.createDataFrame(
+        [("x/.DS_Store",), ("x/.hidden.jpg",), ("x/archive.tar.gz",)],
+        "path string").withColumn("length", F.lit(0)) \
+        .withColumn("modificationTime", F.current_timestamp()) \
+        .withColumn("content", F.lit(b""))
+    from accelerator_spark.sources.media import media_columns
+    got = {r["media_id"]: r["ext"] for r in media_columns(probe).collect()}
+    assert got == {".DS_Store": "", ".hidden": "jpg", "archive.tar": "gz"}
 
 
 def test_multifile_differing_header_formats_skipped(spark, tmp_path):

@@ -74,3 +74,18 @@ def test_fit_per_group_linear_string_key(spark, sf_dir):
     assert {r["l_returnflag"] for r in rows} == {"A", "N", "R"}
     # the point is the key survives with its own type; fits are finite
     assert all(r["n"] > 0 and r["slope"] == r["slope"] for r in rows)
+
+
+def test_median_udaf_all_null_group_returns_null(spark):
+    """Review r5: pandas Series.median() on an all-null group yields
+    NaN; the UDAF must return NULL like native F.median / SQL median,
+    or the oracle comparison breaks the moment such a group appears."""
+    from accelerator_spark.operators.grouped import grouped_agg_udaf
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", None), ("b", None)],
+        "k string, y double")
+    got = {r["k"]: r["m"] for r in
+           df.groupBy("k").agg(grouped_agg_udaf("y").alias("m")).collect()}
+    assert got["a"] == 2.0
+    assert got["b"] is None  # not NaN

@@ -62,7 +62,7 @@ def test_sort_stability(spark):
     """Equal keys keep input order (reference a_test_sort_stability.py)."""
     rows = [(1, i) for i in range(100)] + [(0, i) for i in range(100, 200)]
     df = spark.createDataFrame(rows, "k int, lineno bigint")
-    out = dataset_sort(df, "k").collect()
+    out = dataset_sort(df, "k", across_slices=True).collect()
     assert [r["lineno"] for r in out[:100]] == list(range(100, 200))
     assert [r["lineno"] for r in out[100:]] == list(range(100))
 
@@ -71,9 +71,9 @@ def test_sort_null_and_nan_order(spark):
     """None first for numerics, NaN last (a_dataset_sort.py:60-80)."""
     df = spark.createDataFrame(
         [(None, 0), (float("nan"), 1), (1.5, 2), (-3.0, 3)], "v double, lineno bigint")
-    got = [r["lineno"] for r in dataset_sort(df, "v").collect()]
+    got = [r["lineno"] for r in dataset_sort(df, "v", across_slices=True).collect()]
     assert got == [0, 3, 2, 1]  # None, -3.0, 1.5, NaN
-    got_desc = [r["lineno"] for r in dataset_sort(df, "v", descending=True).collect()]
+    got_desc = [r["lineno"] for r in dataset_sort(df, "v", descending=True, across_slices=True).collect()]
     assert got_desc == [1, 2, 3, 0]
 
 
@@ -82,7 +82,7 @@ def test_sort_datetime_none_last(spark):
     d = datetime.date
     df = spark.createDataFrame(
         [(None, 0), (d(2020, 1, 1), 1), (d(1999, 1, 1), 2)], "v date, lineno bigint")
-    got = [r["lineno"] for r in dataset_sort(df, "v").collect()]
+    got = [r["lineno"] for r in dataset_sort(df, "v", across_slices=True).collect()]
     assert got == [2, 1, 0]
 
 

@@ -81,7 +81,7 @@ def test_alltypes_roundtrip(spark, alltypes, tmp_path):
 
 def test_alltypes_sort_and_checksum_stability(spark, alltypes, tmp_path):
     from accelerator_spark.operators.sort import dataset_sort
-    out = dataset_sort(alltypes, "c_float64").collect()
+    out = dataset_sort(alltypes, "c_float64", across_slices=True).collect()
     # -0.0, 1/3, 1e100, NaN last (a_dataset_sort.py NaN==+inf rule)
     assert [r["lineno"] for r in out] == [1, 2, 0, 3]
     assert checksum(alltypes) == checksum(alltypes.orderBy(F.rand(seed=5)))

@@ -83,7 +83,7 @@ def test_prop_sort_is_stable(spark, data, descending):
     data = [(k, i) for i, (k, _) in enumerate(data)]  # lineno = input order
     df = spark.createDataFrame(data or [], "k int, lineno long")
     got = [(r["k"], r["lineno"]) for r in
-           dataset_sort(df, "k", descending=descending,
+           dataset_sort(df, "k", descending=descending, across_slices=True,
                         stable_col="lineno").collect()]
     want = sorted(data, key=lambda t: t[0], reverse=descending)
     assert got == want  # equal keys keep input order on both sides
