@@ -109,6 +109,14 @@ def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     hash_family='xxhash64' swaps in seeded xxhash64 (measured ~25%
     faster end-to-end) for production runs where DuckDB replay of the
     exact signature bits is not needed."""
+    if hash_family not in ("md5", "xxhash64"):
+        # a typo ('xxhash', 'xxHash64') must not silently fall back to
+        # the md5 family — the signature bits and therefore the LSH
+        # candidate set would differ from what the caller asked for
+        # (review r5)
+        raise ValueError(
+            f"minhash_signature: hash_family {hash_family!r} not one of "
+            "'md5', 'xxhash64'")
     grams = word_shingles(F.col(text_col), shingle_n)
     sh = df.select(F.col(id_col), F.explode(grams).alias("g"))
     if hash_family == "xxhash64":
@@ -162,14 +170,9 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = 
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter((F.size("ids") > 1) & (F.size("ids") <= bucket_cap))
     )
+    from .pairs import sorted_array_pairs
     pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ids, (x, i) ->"
-                " transform(slice(ids, i + 2, size(ids)),"
-                " y -> struct(x AS doc_a, y AS doc_b))))"
-            )
-        ).alias("p")
+        sorted_array_pairs("ids", "doc_a", "doc_b").alias("p")
     ).select("p.doc_a", "p.doc_b").distinct()
     return pairs
 
@@ -243,10 +246,14 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
     band_keys, off = [], 0
     for i in range(n_bands):
         w = base_w + (1 if i < extra else 0)
+        # w == 64 (bits=64, max_hamming=0): (1<<64)-1 does not fit a
+        # long and F.lit throws at plan build — an all-ones mask is -1
+        # in two's complement (review r5)
+        mask = -1 if w >= 64 else (1 << w) - 1
         band_keys.append(
             F.concat(F.lit(f"B{i}_"),
                      F.shiftright(F.col("simhash"), off)
-                     .bitwiseAND(F.lit((1 << w) - 1)).cast("string")))
+                     .bitwiseAND(F.lit(mask)).cast("string")))
         off += w
     blocks = sh.select(
         id_col, "simhash",

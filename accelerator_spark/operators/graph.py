@@ -46,14 +46,9 @@ def cooccurrence_edges(df: DataFrame, group_col: str, item_col: str,
              .groupBy(group_col)
              .agg(F.sort_array(F.collect_set(item_col)).alias("_items"))
              .filter(F.size("_items").between(2, group_cap)))
+    from .pairs import sorted_array_pairs
     pairs = items.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(_items, (x, i) ->"
-                " transform(slice(_items, i + 2, size(_items)),"
-                " y -> struct(x AS src, y AS dst))))"
-            )
-        ).alias("p")
+        sorted_array_pairs("_items", "src", "dst").alias("p")
     ).select("p.src", "p.dst")
     return (pairs.groupBy("src", "dst")
             .agg(F.count(F.lit(1)).alias("weight"))

@@ -103,7 +103,8 @@ def slice_rows(df: DataFrame, start: int = 0, stop: int | None = None,
 
 
 def salted_join(big: DataFrame, small: DataFrame, on: str,
-                how: str = "inner", salts: int = 8) -> DataFrame:
+                how: str = "inner", salts: int = 8,
+                salt_cols: list[str] | None = None) -> DataFrame:
     """Shuffle join with manual key salting for skewed join keys.
 
     The big side gets a deterministic pseudo-random salt in [0, salts);
@@ -116,14 +117,20 @@ def salted_join(big: DataFrame, small: DataFrame, on: str,
     ×salts — only use when `small` really is small, but too big or too
     row-multiplying to broadcast outright.
 
-    The salt derives from xxhash64 over ALL big-side columns (stable row
-    content hash, no rand() — keeps the plan deterministic and
-    re-executable, which retries and speculative tasks require).
-    pmod, not abs(...)%: abs(Long.MIN_VALUE) is still negative in JVM
-    two's complement, which silently dropped that row from an inner
-    join (review r4). Only big-side-preserving join types are valid —
-    the small side is REPLICATED per salt, so right/full outer joins
-    would emit one null-extended row per unmatched salt replica.
+    The salt derives from xxhash64 over ``salt_cols`` (default: ALL
+    big-side columns) — a stable row content hash, no rand(): a
+    nondeterministic salt re-buckets rows when a map task is retried
+    after some reducers already fetched, which can drop or duplicate
+    rows. CAVEAT (review r5): byte-identical duplicate rows — the
+    classic hot-key shape when the hot key's payload repeats — all
+    hash to ONE salt and still land in one reducer. When the big side
+    has a unique id column, pass it (alone) as ``salt_cols``; unique
+    values spread uniformly over every salt. pmod, not abs(...)%:
+    abs(Long.MIN_VALUE) is still negative in JVM two's complement,
+    which silently dropped that row from an inner join (review r4).
+    Only big-side-preserving join types are valid — the small side is
+    REPLICATED per salt, so right/full outer joins would emit one
+    null-extended row per unmatched salt replica.
     """
     if how not in ("inner", "left", "left_semi", "left_anti", "leftsemi",
                    "leftanti", "left_outer"):
@@ -131,7 +138,13 @@ def salted_join(big: DataFrame, small: DataFrame, on: str,
             f"salted_join: how={how!r} is not big-side-preserving — the "
             "replicated small side would duplicate right/full outer "
             "results; salt the other side or broadcast instead")
-    salt_b = F.pmod(F.xxhash64(*big.columns), F.lit(salts))
+    if salt_cols is not None:
+        missing = [c for c in salt_cols if c not in big.columns]
+        if not salt_cols or missing:
+            raise ValueError(
+                f"salted_join: salt_cols must name big-side columns "
+                f"(missing: {missing or 'empty list'})")
+    salt_b = F.pmod(F.xxhash64(*(salt_cols or big.columns)), F.lit(salts))
     big_s = big.withColumn("__salt", salt_b.cast("int"))
     small_s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
@@ -215,21 +228,33 @@ def _require_bucketable(df, col: str, op: str) -> None:
             "a sortable numeric key first)")
 
 
+def _as_double(df, col: str):
+    """Order-preserving DOUBLE view of a bucketable column. DATE is in
+    _BUCKETABLE but Spark 4 (ANSI) refuses CAST(date AS DOUBLE) — the
+    guard admitted it and percentile_approx then crashed with a raw
+    DATATYPE_MISMATCH (review r5). unix_date (days since epoch) is
+    monotone, which is all value-range bucketing needs."""
+    base = (dict(df.dtypes).get(col) or "").split("(")[0]
+    if base == "date":
+        return F.unix_date(F.col(col)).cast("double")
+    return F.col(col).cast("double")
+
+
 def _quantile_bucket_col(df, col: str, bounds, strict_less: bool):
     """Bucket index column from percentile_approx boundaries; NULL/empty
     boundaries (all-null or empty input) degenerate to one bucket.
     Shared by zorder_layout and assign_global_ids so the degenerate-
-    input policy is single-sourced."""
-    from pyspark.sql import functions as F
-
+    input policy is single-sourced. ``df`` supplies the column's dtype
+    (dates bucket via unix_date, see _as_double)."""
     vals = [float(v) for v in (bounds or []) if v is not None]
     if not vals:
         return F.lit(0).cast("long")
+    d = _as_double(df, col)
     arr = F.array(*[F.lit(v) for v in vals])
     if strict_less:
-        pred = lambda b: b < F.col(col).cast("double")  # noqa: E731
+        pred = lambda b: b < d  # noqa: E731
     else:
-        pred = lambda b: b <= F.col(col).cast("double")  # noqa: E731
+        pred = lambda b: b <= d  # noqa: E731
     return F.size(F.filter(arr, pred)).cast("long")
 
 
@@ -254,8 +279,6 @@ def zorder_layout(df, cols: list[str], bits: int = 8,
     locality per dimension for usable locality on all of them — the
     standard lakehouse answer for 100 TB tables queried on several
     dimensions. Rewrite cost: one stats agg + one range shuffle."""
-    from pyspark.sql import functions as F
-
     for c in cols:
         _require_bucketable(df, c, "zorder_layout")
     if bits * len(cols) > 63:
@@ -270,7 +293,7 @@ def zorder_layout(df, cols: list[str], bits: int = 8,
     bins = 1 << bits
     fracs = F.array(*[F.lit(i / bins) for i in range(1, bins)])
     bounds_row = df.agg(*[
-        F.percentile_approx(F.col(c).cast("double"), fracs, F.lit(10000))
+        F.percentile_approx(_as_double(df, c), fracs, F.lit(10000))
         .alias(c) for c in cols]).collect()[0]
 
     out = df
@@ -315,14 +338,14 @@ def assign_global_ids(df, order_col: str, id_col: str = "row_id",
     unique. Reference parity: ``lineno`` assignment generalized from
     insertion order to any sort order (SURVEY §2.2 roundrobin/lineno).
     """
-    from pyspark.sql import Window, functions as F
+    from pyspark.sql import Window
 
     _require_bucketable(df, order_col, "assign_global_ids")
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     if n > 1:
         fracs = F.array(*[F.lit(i / n) for i in range(1, n)])
         bounds = df.agg(F.percentile_approx(
-            F.col(order_col).cast("double"), fracs, F.lit(10000)).alias("b")
+            _as_double(df, order_col), fracs, F.lit(10000)).alias("b")
         ).collect()[0]["b"]
     else:
         bounds = None
@@ -378,9 +401,7 @@ def _ntile_bucket_frame(df, order_col: str, tiebreak_col: str,
     rfm_segmentation."""
     from collections import Counter
 
-    from pyspark.sql import functions as F
-
-    order_d = F.col(order_col).cast("double")
+    order_d = _as_double(df, order_col)
     tie_base = (dict(df.dtypes).get(tiebreak_col) or "").split("(")[0]
     tie_numeric = tie_base in _BUCKETABLE or tie_base.startswith("decimal")
     tie_string = tie_base == "string"
@@ -410,12 +431,12 @@ def _ntile_bucket_frame(df, order_col: str, tiebreak_col: str,
     if not heavy or not (tie_numeric or tie_string):
         return b.withColumn(f"{sid}_sub", F.lit(0))
     if tie_numeric:
-        tie_exprs = {float(v): F.col(tiebreak_col).cast("double")
+        tie_exprs = {float(v): _as_double(df, tiebreak_col)
                      for v in heavy}
         tc_rows = (df.filter(order_d.isin([float(v) for v in heavy]))
                    .groupBy(order_d.alias("_hv"))
                    .agg(F.percentile_approx(
-                       F.col(tiebreak_col).cast("double"), fracs,
+                       _as_double(df, tiebreak_col), fracs,
                        F.lit(10000)).alias("_tc"),
                         F.count_distinct(F.col(order_col)).alias("_nd"))
                    .collect())
@@ -510,9 +531,9 @@ def exact_ntile(df, order_col: str, n_tiles: int, tiebreak_col: str,
        ceil(n/k) rows).
 
     Hash-identical to the window form whenever ``tiebreak_col`` breaks
-    ties totally. ``order_col`` must be numeric/temporal-as-number
-    (cast dates to unix_date first)."""
-    from pyspark.sql import Window, functions as F
+    ties totally. ``order_col`` must be numeric/temporal (dates bucket
+    via unix_date internally)."""
+    from pyspark.sql import Window
 
     _require_bucketable(df, order_col, "exact_ntile")
     sid = f"_{out_col}"
@@ -589,10 +610,11 @@ def compact_files(spark, path: str, target_files: int,
     os.rename(path, back)
     os.rename(tmp, path)
     shutil.rmtree(back)
-    return sum(
-        1 for f in os.listdir(path)
-        if not f.startswith(("_", ".")) and f.endswith((".parquet", ".orc", ".csv", ".json", ".gz"))
-    )
+    # count by excluding Spark's metadata names, not by whitelisting
+    # data extensions — 'avro'/'text'/zstd-compressed outputs matched
+    # nothing and a successful compaction reported 0 files (review r5)
+    return sum(1 for f in os.listdir(path)
+               if not f.startswith(("_", ".")) and not f.endswith(".crc"))
 
 
 def mixture_sample(df: DataFrame, source_col: str, id_col: str,

@@ -39,14 +39,22 @@ def cosine(a: Column, b: Column) -> Column:
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     round_digits: int = 4) -> DataFrame:
+                     round_digits: int = 4,
+                     exclude_self: bool = True) -> DataFrame:
     """Exact top-k neighbors per query vector. Queries broadcast; corpus
-    scanned once; rank on rounded cosine + id tiebreak (deterministic)."""
+    scanned once; rank on rounded cosine + id tiebreak (deterministic).
+
+    ``exclude_self`` drops candidates whose id EQUALS the query id — a
+    bare id comparison, only correct when queries are drawn FROM the
+    corpus (same id namespace). Pass False when queries live in their
+    own id space, or corpus vector 7 vanishes from query 7's neighbors
+    for no reason (review r5). Same knob on lsh_topk/ivf_topk so
+    recall comparisons stay consistent."""
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb"))
     c = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_emb"))
     scored = (
         c.crossJoin(F.broadcast(q))
-        .filter(F.col("q_id") != F.col("c_id"))
+        .filter(F.col("q_id") != F.col("c_id") if exclude_self else F.lit(True))
         .select("q_id", "c_id",
                 F.round(cosine(F.col("q_emb"), F.col("c_emb")), round_digits).alias("cosine"))
     )
@@ -81,7 +89,8 @@ def sign_lsh_signature(df: DataFrame, dim: int, bits: int = 16,
 def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
              bits: int = 16, bands: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             seed: int = 42) -> DataFrame:
+             seed: int = 42, round_digits: int = 4,
+             exclude_self: bool = True) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors sharing any
     signature band with the query; exact cosine rerank inside candidates.
 
@@ -113,7 +122,8 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     qb = banded(queries, "q")
     cand = (
         cb.join(qb, ["band", "bsig"])
-        .filter(F.col("q_id") != F.col("c_id"))
+        .filter(F.col("q_id") != F.col("c_id") if exclude_self
+                else F.lit(True))
         .select("q_id", "c_id", "q_emb", "c_emb")
         # dedupe on ids only — a pair matching several bands would
         # otherwise hash/compare its full embedding arrays in the
@@ -121,20 +131,24 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
         .dropDuplicates(["q_id", "c_id"])
     )
     scored = cand.select(
-        "q_id", "c_id", F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4).alias("cosine"))
+        "q_id", "c_id",
+        F.round(cosine(F.col("q_emb"), F.col("c_emb")),
+                round_digits).alias("cosine"))
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def ivf_assign(corpus: DataFrame, centroids: DataFrame,
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               round_digits: int = 4) -> DataFrame:
     """IVF coarse quantization: nearest centroid per vector (by cosine,
     rounded + centroid-id tiebreak for cross-engine determinism).
     Centroids broadcast; corpus scanned once — the build step of an IVF
     index. Returns corpus columns + centroid_id + centroid_cos."""
     c = centroids.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_emb"))
     scored = corpus.crossJoin(F.broadcast(c)).withColumn(
-        "centroid_cos", F.round(cosine(F.col(vec_col), F.col("c_emb")), 4))
+        "centroid_cos",
+        F.round(cosine(F.col(vec_col), F.col("c_emb")), round_digits))
     w = W.partitionBy(id_col).orderBy(F.col("centroid_cos").desc(), F.col("c_id").asc())
     return (
         scored.withColumn("_rn", F.row_number().over(w))
@@ -146,7 +160,9 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
              k: int = 5, n_probe: int = 2,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             round_digits: int = 4,
+             exclude_self: bool = True) -> DataFrame:
     """IVF ANN search: probe the query's ``n_probe`` nearest cells, exact
     cosine rerank within them. Recall < 1 (vectors in unprobed cells are
     missed) — the IVF scale path complementing sign-LSH (lsh_topk).
@@ -155,28 +171,33 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
     = cells the query probes — join on centroid_id, so work is
     n_queries * (corpus / n_cells) * n_probe instead of n_queries *
     corpus."""
-    cor = ivf_assign(corpus, centroids, id_col, vec_col).select(
+    cor = ivf_assign(corpus, centroids, id_col, vec_col,
+                     round_digits).select(
         F.col(id_col).alias("c_id2"), F.col(vec_col).alias("c_emb2"), "centroid_id")
     c = centroids.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_emb"))
     qscored = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")) \
         .crossJoin(F.broadcast(c)) \
-        .withColumn("qc_cos", F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4))
+        .withColumn("qc_cos", F.round(cosine(F.col("q_emb"), F.col("c_emb")),
+                                       round_digits))
     wq = W.partitionBy("q_id").orderBy(F.col("qc_cos").desc(), F.col("c_id").asc())
     probes = (
         qscored.withColumn("_rn", F.row_number().over(wq))
         .filter(F.col("_rn") <= n_probe)
         .select("q_id", "q_emb", F.col("c_id").alias("centroid_id"))
     )
-    cand = probes.join(cor, "centroid_id").filter(F.col("q_id") != F.col("c_id2"))
+    cand = probes.join(cor, "centroid_id").filter(
+        F.col("q_id") != F.col("c_id2") if exclude_self else F.lit(True))
     scored = cand.select(
         "q_id", F.col("c_id2").alias("c_id"),
-        F.round(cosine(F.col("q_emb"), F.col("c_emb2")), 4).alias("cosine"))
+        F.round(cosine(F.col("q_emb"), F.col("c_emb2")),
+                round_digits).alias("cosine"))
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def cosine_near_pairs(df: DataFrame, threshold: float = 0.95,
-                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      round_digits: int = 4) -> DataFrame:
     """Embedding near-dup pairs (exact all-pairs; use sign-LSH blocking
     for big corpora — see lsh_topk's banding)."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("e_a"))
@@ -184,7 +205,9 @@ def cosine_near_pairs(df: DataFrame, threshold: float = 0.95,
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cosine(F.col("e_a"), F.col("e_b")), 4).alias("cosine"))
+        .select("id_a", "id_b",
+                F.round(cosine(F.col("e_a"), F.col("e_b")),
+                        round_digits).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 

@@ -190,3 +190,44 @@ def test_exact_ntile_string_tiebreak_desskews_extreme_ties(spark):
              b.groupBy("_t_bkt", "_t_sub")
               .agg(F.count(F.lit(1)).alias("c")).collect()]
     assert max(sizes) <= int(2.5 * n / 16), sizes
+
+
+def test_date_columns_bucket_via_unix_date(spark):
+    """Review r5: 'date' sits in _BUCKETABLE but Spark 4 (ANSI) refuses
+    CAST(date AS DOUBLE) — the guard admitted dates and
+    percentile_approx then crashed with a raw DATATYPE_MISMATCH. Dates
+    must bucket via unix_date and produce the same ids as the naive
+    global window."""
+    import datetime
+
+    from pyspark.sql import Window
+
+    d0 = datetime.date(2020, 1, 1)
+    rows = [(d0 + datetime.timedelta(days=(i * 37) % 365), i)
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "d date, payload int").repartition(8)
+    got = assign_global_ids(df, "d", num_partitions=4)
+    naive = df.withColumn(
+        "want", F.row_number().over(Window.orderBy("d", "payload")) - 1)
+    # d repeats (365-day wrap), so compare the id SET per date value —
+    # ids within a tie group are arbitrary but the ranges must match
+    g = {(r["d"], r["row_id"]) for r in got.collect()}
+    w = {(r["d"], r["want"]) for r in naive.collect()}
+    by_date_g, by_date_w = {}, {}
+    for d, i in g:
+        by_date_g.setdefault(d, set()).add(i)
+    for d, i in w:
+        by_date_w.setdefault(d, set()).add(i)
+    assert by_date_g == by_date_w
+    # exact_ntile over a date order column with extreme ties
+    from accelerator_spark.operators.partition import exact_ntile
+    tied = [(d0, f"id{i:04d}") for i in range(200)] + \
+           [(d0 + datetime.timedelta(days=9), f"x{i:04d}")
+            for i in range(20)]
+    tdf = spark.createDataFrame(tied, "d date, k string")
+    out = exact_ntile(tdf, "d", 4, "k", "tile")
+    naive_t = tdf.withColumn(
+        "want", F.ntile(4).over(Window.orderBy("d", "k")))
+    gm = {(r["d"], r["k"], r["tile"]) for r in out.collect()}
+    wm = {(r["d"], r["k"], r["want"]) for r in naive_t.collect()}
+    assert gm == wm

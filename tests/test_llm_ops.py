@@ -644,3 +644,66 @@ def test_dedup_lines_corpus_min_line_len_and_empty_docs(spark):
     rows0 = {r["doc_id"]: r
              for r in dedup_lines_corpus(df, min_line_len=0).collect()}
     assert rows0[2]["lines_kept"] == 0 and rows0[2]["text_dedup"] == ""
+
+
+def test_simhash64_single_band_and_minhash_family_validation(spark):
+    """Review r5: bits=64 with max_hamming=0 means ONE 64-bit band —
+    the (1<<64)-1 mask literal overflowed a long and the plan build
+    threw; an all-ones mask is -1. And minhash_signature must reject a
+    typo'd hash_family instead of silently using md5 bits."""
+    import pytest
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "completely different words about spark dataframes and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_near_pairs(df, bits=64, max_hamming=0).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 2)}
+    with pytest.raises(ValueError, match="hash_family"):
+        minhash_signature(df, hash_family="xxhash")
+
+
+def test_topk_cross_namespace_queries_keep_id_twins(spark, emb):
+    """Review r5: the self-exclusion filter compares bare ids, which
+    silently drops a TRUE neighbor when queries live in their own id
+    namespace. exclude_self=False must keep id-equal candidates, and
+    rank identically across exact/LSH/IVF (shared round_digits)."""
+    queries = (emb.filter(F.col("vec_id") < 3)
+               .withColumn("embedding", F.reverse("embedding")))
+    n_corpus = emb.count()
+    out = brute_force_topk(emb, queries, k=n_corpus, exclude_self=False)
+    per_q = out.groupBy("q_id").count().collect()
+    # every corpus vector (including c_id == q_id) is a candidate
+    assert all(r["count"] == n_corpus for r in per_q)
+    # and the id twin actually appears
+    assert out.filter(F.col("q_id") == F.col("c_id")).count() == 3
+    # default keeps the old from-the-corpus contract
+    out_d = brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=4)
+    assert out_d.filter(F.col("q_id") == F.col("c_id")).count() == 0
+
+
+def test_salted_join_salt_cols_spread_identical_rows(spark):
+    """Review r5: a content-hash salt gives identical duplicate rows —
+    the classic hot-key shape — ONE salt value (zero spread). Naming a
+    unique id column via salt_cols spreads them; results unchanged."""
+    import pytest
+
+    from accelerator_spark.operators.partition import salted_join
+
+    big = spark.createDataFrame(
+        [(i, "hot", "same-payload") for i in range(400)],
+        "uid int, k string, payload string")
+    small = spark.createDataFrame([("hot", 1)], "k string, v int")
+    dup = big.drop("uid")  # byte-identical rows
+    salt_expr = F.pmod(F.xxhash64("k", "payload"), F.lit(8))
+    n_salts_content = dup.select(salt_expr.alias("s")).distinct().count()
+    assert n_salts_content == 1  # the hazard is real
+    out = salted_join(big, small, on="k", salts=8, salt_cols=["uid"])
+    assert out.count() == 400
+    spread = big.select(
+        F.pmod(F.xxhash64("uid"), F.lit(8)).alias("s")).distinct().count()
+    assert spread >= 6  # unique ids cover (nearly) all salts
+    with pytest.raises(ValueError, match="salt_cols"):
+        salted_join(big, small, on="k", salt_cols=["nope"])

@@ -162,3 +162,16 @@ def test_exact_substring_spans_merges_adjacent_windows(spark):
     assert len(per_doc[1]) == 1 and len(per_doc[2]) == 1
     assert per_doc[1][0]["span_tokens"] == 30
     assert per_doc[2][0]["span_start"] == 0
+
+
+def test_compact_files_counts_extensionless_formats(spark, sf_dir):
+    """Review r5: the post-compaction file count used a data-extension
+    whitelist that missed 'text' (and avro/zstd) outputs, returning 0
+    after a successful compaction."""
+    docs = load(spark, sf_dir, "documents").limit(50)
+    path = tempfile.mkdtemp(prefix="compact_txt_")
+    (docs.select(F.regexp_replace("text", r"[\r\n]", " ").alias("value"))
+     .repartition(8).write.mode("overwrite").format("text").save(path))
+    n = compact_files(spark, path, 1, fmt="text")
+    assert n == 1
+    assert spark.read.format("text").load(path).count() == 50
