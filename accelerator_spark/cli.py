@@ -229,7 +229,10 @@ def cmd_method(args) -> int:
     with open(args.script) as f:
         tree = ast.parse(f.read())
     found = False
-    for node in ast.walk(tree):
+    # tree.body, not ast.walk: walk descends into nested scopes and
+    # listed helpers defined INSIDE a step as if they were buildable
+    # script-level methods (review r5)
+    for node in tree.body:
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
             doc = ast.get_docstring(node) or ""
             first = doc.splitlines()[0] if doc else ""

@@ -76,8 +76,14 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (
         df.withColumn("q_n_tokens", n_tok)
         .withColumn("q_n_chars", n_chars)
+        # true mean token length: non-whitespace chars / tokens. The old
+        # (n_chars - n_tok + 1)/n_tok closed form assumed exactly one
+        # separating space and no leading/trailing whitespace — ' a '
+        # scored 3.0 instead of 1.0 and empty docs scored 1.0 instead of
+        # 0.0 (review r5)
         .withColumn("q_avg_token_len",
-                    F.round((n_chars - n_tok + 1) / F.greatest(n_tok, F.lit(1)), 4))
+                    F.round(F.length(F.regexp_replace(t, r"\s", "")) /
+                            F.greatest(n_tok, F.lit(1)), 4))
         .withColumn("q_punct_ratio",
                     F.round(F.length(F.regexp_replace(t, r"[^\p{Punct}]", "")) /
                             F.greatest(n_chars, F.lit(1)), 4))
@@ -148,6 +154,13 @@ def pack_sequences(df: DataFrame, id_col: str = "doc_id",
     from pyspark.sql import Window
     from .partition import _md5_bucket
 
+    if budget <= 0 or buckets <= 0:
+        # fail at call time, not as a NULL seq_id / % 0 mid-stage —
+        # the same rule chunk_tokens and frame_sample_plan follow
+        # (review r5)
+        raise ValueError(
+            f"pack_sequences: budget {budget} and buckets {buckets} "
+            "must be >= 1")
     nt = token_count(F.col(text_col))
     w = (Window.partitionBy("bucket").orderBy(id_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -205,13 +218,11 @@ def clean_lines(df: DataFrame, text_col: str = "text",
     shuffle, no UDF; the whole stage pipelines inside the scan."""
     t = F.col(text_col)
     lines = F.split(t, r"\n")
-    # per-line word count with the empty-line guard (split('') is ['']):
-    # a blank line has 0 words, so min_words=1 drops it (review r4)
-    kept = F.filter(
-        lines,
-        lambda ln: F.when(ln.rlike(r"\S"),
-                          F.size(F.split(F.trim(ln), r"\s+")))
-                    .otherwise(F.lit(0)) >= min_words)
+    # token_count carries the empty-line guard (split('') is ['']): a
+    # blank line has 0 words, so min_words=1 drops it (review r4; r5
+    # deduplicated the inline copy of the recipe so tokenization fixes
+    # can't drift apart)
+    kept = F.filter(lines, lambda ln: token_count(ln) >= min_words)
     return (
         df.withColumn("lines_in", F.size(lines))
         .withColumn("lines_kept", F.size(kept))
@@ -309,7 +320,10 @@ def chunk_tokens(df: DataFrame, text_col: str = "text",
     ``chunk_toks`` token array. n_chunks = 1 + ceil((n-size)/stride)
     for n > size, else 1 — every token lands in ≥1 chunk.
 
-    Map-only sequence+explode+slice; chunk count is linear in tokens."""
+    Map-only sequence+explode+slice; chunk count is linear in tokens.
+    Empty / whitespace-only / NULL documents emit ZERO chunks — split('')
+    is [''], which charged them a phantom one-empty-token chunk
+    (review r5: the r3/r4 empty-doc sweep missed this operator)."""
     if stride > size:  # not assert: survives python -O (ADVICE r3)
         raise ValueError(
             f"stride {stride} > size {size} would skip tokens between chunks")
@@ -318,15 +332,22 @@ def chunk_tokens(df: DataFrame, text_col: str = "text",
         raise ValueError(
             f"chunk_tokens: size {size} and stride {stride} must be >= 1")
     toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    n_chunks = F.when(n <= size, F.lit(1)).otherwise(
-        F.ceil((n - size) / F.lit(float(stride))).cast("long") + 1)
+    n = token_count(F.col(text_col))
+    n_chunks = (F.when(n == 0, F.lit(0))
+                .when(n <= size, F.lit(1))
+                .otherwise(F.ceil((n - size) / F.lit(float(stride)))
+                           .cast("long") + 1))
     keep = carry if carry is not None else [c for c in df.columns if c != text_col]
     d = df.select(*keep, toks.alias("__toks"), n_chunks.alias("__nc"))
     return (
         d.select(
             *keep,
-            F.explode(F.sequence(F.lit(0), (F.col("__nc") - 1).cast("int"))).alias("chunk_index"),
+            # sequence(0, -1) DESCENDS in Spark — an empty-doc row must
+            # explode an empty array, not [0, -1]
+            F.explode(F.when(
+                F.col("__nc") > 0,
+                F.sequence(F.lit(0), (F.col("__nc") - 1).cast("int")))
+                .otherwise(F.array().cast("array<int>"))).alias("chunk_index"),
             "__toks",
         )
         .withColumn("chunk_toks",
@@ -341,7 +362,8 @@ def canonicalize_url(col: Column) -> Column:
     textual URLs): lowercase scheme+authority, strip default ports
     (:80 http, :443 https), drop the #fragment, remove tracking query
     params (utm_*, ref, fbclid, gclid), SORT the surviving params,
-    drop an empty query and a trailing path slash. Path case is
+    drop an empty query and a trailing path slash (including the lone
+    root slash, so 'http://x.com' == 'http://x.com/'). Path case is
     preserved (paths are case-sensitive; only the authority is not).
 
     JVM regexp/array expressions end to end — map-only, no UDF; every
@@ -362,8 +384,10 @@ def canonicalize_url(col: Column) -> Column:
     params = F.array_sort(F.filter(
         F.split(query, "&"),
         lambda p: ~(p.rlike(r"^(utm_[^=]*|ref|fbclid|gclid)=") | (p == ""))))
-    path2 = F.when(F.length(path) > 1,
-                   F.regexp_replace(path, r"/$", "")).otherwise(path)
+    # UNCONDITIONAL trailing-slash strip: the old len(path)>1 guard kept
+    # a lone '/' so 'http://x.com' and 'http://x.com/' — the single most
+    # common duplicate pair — canonicalized differently (review r5)
+    path2 = F.regexp_replace(path, r"/$", "")
     newq = F.array_join(params, "&")
     return F.concat(
         h, path2,
@@ -401,7 +425,12 @@ def dedup_lines_corpus(df: DataFrame, id_col: str = "doc_id",
     ADVICE r4)."""
     lines = (df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), r"\n"))
+        # NULL text ≡ '' (one empty line): split(NULL) is NULL and
+        # posexplode(NULL) emits NOTHING, which silently deleted
+        # NULL-text documents from the one-row-per-input-doc contract
+        # (review r5)
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                             r"\n"))
          .alias("_pos", "_line")))
     exempt = F.length(F.trim(F.col("_line"))) < min_line_len
     dedupable = lines.filter(~exempt)

@@ -4816,11 +4816,15 @@ SELECT "source",
 FROM (
 WITH d AS (
   SELECT source, regexp_split_to_array(trim(text), '\\s+') AS toks,
-         len(regexp_split_to_array(trim(text), '\\s+')) AS n
+         -- empty/whitespace-only docs have 0 tokens hence 0 chunks
+         -- (mirrors operators/text.chunk_tokens, review r5)
+         CASE WHEN NOT regexp_matches(text, '\\S') THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n
   FROM documents
 ), sized AS (
   SELECT source, toks, n,
-         CASE WHEN n <= 50 THEN 1
+         CASE WHEN n = 0 THEN 0
+              WHEN n <= 50 THEN 1
               ELSE CAST(ceil((n - 50) / 40.0) AS BIGINT) + 1 END AS n_chunks
   FROM d
 ), chunks AS (

@@ -2586,8 +2586,7 @@ WITH u AS (
 ), canon AS (
   SELECT doc_id, source,
          h
-         || CASE WHEN length(path) > 1
-                 THEN regexp_replace(path, '/$', '') ELSE path END
+         || regexp_replace(path, '/$', '')
          || CASE WHEN array_to_string(list_sort(list_filter(
                     string_split(query, '&'),
                     p -> NOT (regexp_matches(p, '^(utm_[^=]*|ref|fbclid|gclid)=')

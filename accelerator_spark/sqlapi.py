@@ -48,6 +48,12 @@ def register_views(spark: SparkSession, sf_dir: str,
             continue
         p = f"{sf_dir}/{t}.parquet"
         if skip_missing and not os.path.exists(p):
+            # a view left over from a DIFFERENT sf_dir must not survive
+            # the skip — sql() would silently read the old directory's
+            # data where its docstring promises TABLE_OR_VIEW_NOT_FOUND
+            # (review r5)
+            if done.pop(t, None) is not None or spark.catalog.tableExists(t):
+                spark.catalog.dropTempView(t)
             continue
         spark.read.parquet(p).createOrReplaceTempView(t)
         done[t] = sf_dir

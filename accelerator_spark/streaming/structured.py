@@ -43,11 +43,18 @@ def windowed_counts(stream_df: DataFrame, ts_col: str = "ts",
     are dropped, state is bounded — the scale-safe streaming agg.
     ``value_col=None`` (or a stream without the default 'value' column)
     yields counts only — a counts function must not require a summable
-    column (review r4)."""
+    column (review r4). The absent-column leniency applies ONLY to the
+    default: an EXPLICITLY passed value_col that is missing is a typo
+    and raises instead of silently omitting sum_value (review r5)."""
     g = [F.window(F.col(ts_col), window).alias("win")] + [
         F.col(c) for c in (group_cols or [])
     ]
     aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col is not None and value_col not in stream_df.columns \
+            and value_col != "value":
+        raise ValueError(
+            f"windowed_counts: value_col {value_col!r} not in stream "
+            f"columns {stream_df.columns}")
     if value_col is not None and value_col in stream_df.columns:
         aggs.append(F.sum(value_col).alias("sum_value"))
     return (
@@ -133,12 +140,22 @@ def sessionize_stateful(stream_df: DataFrame, gap_minutes: int = 30,
             return
         ts_list: list[int] = []
         for pdf in pdfs:
-            ts_list.extend(int(v.value // 1000) for v in pd.to_datetime(pdf[ts_col]))
+            # NaT.value is INT64_MIN — one NULL timestamp would sort
+            # first and poison session_start (year 1677), gapping every
+            # later event out (review r5); skip NULLs like the batch
+            # sessionizer does
+            ts_list.extend(int(v.value // 1000)
+                           for v in pd.to_datetime(pdf[ts_col])
+                           if v is not pd.NaT)
         if not ts_list:
             return
         ts_list.sort()
         if state.exists:
             start_us, last_us, n = state.get
+            # a cross-batch late event older than the open session's
+            # last activity must not regress last_us / session_end;
+            # fold it into the open session instead (review r5)
+            ts_list = [max(t, last_us) for t in ts_list]
         else:
             start_us, last_us, n = ts_list[0], ts_list[0], 0
         out = []

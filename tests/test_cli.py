@@ -273,3 +273,18 @@ def test_run_import_csv_example(spark, tmp_path):
     assert final.hashlabel == "String"
     assert final.columns["Date"] == "date"
     assert final.columns["Int"] == "double"  # number -> double (FIXTURES §1)
+
+
+def test_cli_method_ignores_nested_functions(tmp_path, capsys):
+    """Review r5: ast.walk listed helpers defined INSIDE a step as if
+    they were script-level methods."""
+    (tmp_path / "build_x.py").write_text(
+        'def step_a(spark, datasets, options):\n'
+        '    """outer"""\n'
+        '    def inner_helper(batches):\n'
+        '        """not a method"""\n'
+        '    return inner_helper\n'
+    )
+    assert cli.main(["method", str(tmp_path / "build_x.py")]) == 0
+    out = capsys.readouterr().out
+    assert "step_a" in out and "inner_helper" not in out

@@ -731,3 +731,25 @@ def test_sql_string_literal_table_name_does_not_require_file(spark, sf_dir,
     out = sql(spark, str(partial),
               "SELECT count(*) AS n FROM events WHERE event_type <> 'orders'")
     assert out.collect()[0]["n"] > 0
+
+
+def test_sql_missing_table_drops_stale_view_from_other_dir(spark, sf_dir,
+                                                           tmp_path):
+    """Review r5: after sql() ran against dirA, querying a table that
+    dirB does NOT have must raise TABLE_OR_VIEW_NOT_FOUND — not
+    silently serve dirA's rows through the leftover temp view."""
+    import shutil
+
+    import pytest
+
+    from accelerator_spark.sqlapi import sql
+
+    dir_a = tmp_path / "a"
+    dir_a.mkdir()
+    shutil.copy(f"{sf_dir}/region.parquet", dir_a / "region.parquet")
+    assert sql(spark, str(dir_a),
+               "SELECT count(*) AS n FROM region").collect()[0]["n"] == 5
+    dir_b = tmp_path / "b"
+    dir_b.mkdir()  # no region.parquet
+    with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|region"):
+        sql(spark, str(dir_b), "SELECT count(*) AS n FROM region").collect()

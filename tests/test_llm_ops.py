@@ -582,7 +582,7 @@ def test_canonicalize_url_variants_collapse(spark):
         ("http://www.site.com:80/Items/5?b=2&id=9", 2),   # other scheme
         ("https://www.site.com/items/5?b=2&id=9", 3),     # path case matters
         ("https://www.site.com/Items/5?b=2&id=10", 4),    # different params
-        ("https://www.site.com/", 5),                     # root slash kept
+        ("https://www.site.com/", 5),  # root slash stripped (review r5)
     ]
     df = spark.createDataFrame(urls, "u string, grp int")
     rows = df.select("u", "grp",
@@ -594,7 +594,7 @@ def test_canonicalize_url_variants_collapse(spark):
     assert by_grp[2] == {"http://www.site.com/Items/5?b=2&id=9"}
     assert len(by_grp[3]) == 1 and by_grp[3] != by_grp[1]
     assert by_grp[4] != by_grp[1]
-    assert by_grp[5] == {"https://www.site.com/"}
+    assert by_grp[5] == {"https://www.site.com"}
 
 
 def test_dedup_lines_corpus_keeps_first_occurrence(spark):
@@ -707,3 +707,54 @@ def test_salted_join_salt_cols_spread_identical_rows(spark):
     assert spread >= 6  # unique ids cover (nearly) all salts
     with pytest.raises(ValueError, match="salt_cols"):
         salted_join(big, small, on="k", salt_cols=["nope"])
+
+
+def test_text_op_empty_and_null_doc_edges(spark):
+    """Review r5 sweep: chunk_tokens must emit ZERO chunks for empty/
+    whitespace-only docs (split('') is ['']); dedup_lines_corpus must
+    keep NULL-text docs in its one-row-per-input contract;
+    pack_sequences validates budget/buckets at call time; and
+    q_avg_token_len measures true token length (non-ws chars / tokens),
+    not the one-space closed form."""
+    import pytest
+
+    from accelerator_spark.operators.text import (
+        chunk_tokens, dedup_lines_corpus, pack_sequences,
+        quality_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "one two three"), (2, ""), (3, "   "), (4, None)],
+        "doc_id long, text string")
+    chunks = chunk_tokens(df, size=2, stride=2).collect()
+    assert {r["doc_id"] for r in chunks} == {1}
+    assert len(chunks) == 2  # three tokens, size 2, stride 2
+
+    out = {r["doc_id"]: r for r in dedup_lines_corpus(df).collect()}
+    assert set(out) == {1, 2, 3, 4}  # NULL-text doc 4 still present
+    assert out[4]["text_dedup"] == "" and out[4]["lines_in"] == 1
+
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, "doc_id", "text", budget=0)
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, "doc_id", "text", budget=512, buckets=0)
+
+    q = {r["doc_id"]: r["q_avg_token_len"]
+         for r in quality_features(df).collect()}
+    assert q[1] == 3.6667  # (3+3+5)/3 non-ws chars per token
+    assert q[2] == 0.0 and q[3] == 0.0
+    padded = spark.createDataFrame([(9, " a ")], "doc_id long, text string")
+    assert quality_features(padded).collect()[0]["q_avg_token_len"] == 1.0
+
+
+def test_canonicalize_url_unifies_bare_domain_and_root_slash(spark):
+    """Review r5: 'http://x.com' vs 'http://x.com/' is the most common
+    duplicate-URL pair; both must share one canonical form."""
+    from accelerator_spark.operators.text import canonicalize_url
+
+    df = spark.createDataFrame(
+        [("http://example.com",), ("http://example.com/",),
+         ("HTTP://EXAMPLE.COM:80/#top",)], "u string")
+    got = {r["c"] for r in
+           df.select(canonicalize_url(F.col("u")).alias("c")).collect()}
+    assert got == {"http://example.com"}

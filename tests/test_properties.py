@@ -352,8 +352,9 @@ def _model_canon_url(s: str) -> str:
     params = sorted(
         p for p in query.split("&")
         if p and not re.match(r"(utm_[^=]*|ref|fbclid|gclid)=", p))
-    if len(path) > 1:
-        path = re.sub(r"/$", "", path)
+    # unconditional (review r5): 'http://x.com' and 'http://x.com/'
+    # must share one canonical form
+    path = re.sub(r"/$", "", path)
     q = "&".join(params)
     return h + path + (("?" + q) if q else "")
 
@@ -376,8 +377,10 @@ _EDGE_URLS = [
     "https://[::1]:8443/x?z=1&y=2",
     # uppercase %-escapes preserved verbatim
     "HTTP://EX.COM/%2F%2f?A=%2B",
-    # trailing slash rules: '/' alone stays, '/x/' loses it
+    # trailing slash rules: '/' alone AND '/x/' lose it (review r5:
+    # bare-domain vs root-slash is the most common duplicate pair)
     "http://e.com/",
+    "http://e.com",
     "http://e.com/x/",
     # fragment before query, fragment only
     "http://e.com/p#frag?notaquery=1",

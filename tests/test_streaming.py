@@ -321,3 +321,22 @@ def test_windowed_counts_without_value_column(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT * FROM wc_noval").collect()
     assert len(rows) == 3 and all(r["n"] == 1 for r in rows)
+
+
+def test_windowed_counts_explicit_missing_value_col_raises(spark, sf_dir,
+                                                            tmp_path):
+    """Review r5: the absent-column leniency is for the DEFAULT 'value'
+    only — an explicitly passed value_col that is missing is a typo and
+    must raise, not silently omit sum_value."""
+    import pytest
+
+    from accelerator_spark.streaming.structured import (
+        stream_from_directory, windowed_counts,
+    )
+
+    src = load(spark, sf_dir, "events").limit(10)
+    p = str(tmp_path / "ev")
+    src.write.mode("overwrite").parquet(p)
+    ev = stream_from_directory(spark, p, src.schema)
+    with pytest.raises(ValueError, match="revenu"):
+        windowed_counts(ev, "ts", "1 hour", "2 hours", value_col="revenu")
