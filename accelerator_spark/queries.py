@@ -89,13 +89,18 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor, exact); NTZ -> cast to TIMESTAMP (identity under the UTC
     session TZ we always set). Oracles CAST ts to TIMESTAMP the same way."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    t = dict(ev.dtypes).get("ts", "")
+    return _normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """The ts-normalization branch shared by the batch (_events) and
+    streaming (_stream_events) readers — one definition (review r5)."""
+    t = dict(df.dtypes).get("ts", "")
     if t in ("bigint", "long"):
-        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    elif t != "timestamp":
-        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
-    return ev
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if t != "timestamp":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 # =====================================================================
@@ -2675,8 +2680,12 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
     li_b = li.join(part, li.l_partkey == part.p_partkey)
+    # the cut is ROUNDED on both sides: Spark and DuckDB sum doubles in
+    # different orders, so an unrounded avg differs in the last ulps and
+    # a quantity within that epsilon of the cut flips engines (review
+    # r5 — the module rule is round every cross-engine float seam)
     avg_q = li_b.groupBy(F.col("l_partkey").alias("ap")).agg(
-        (F.avg("l_quantity") * 0.2).alias("qty_cut"))
+        F.round(F.avg("l_quantity") * 0.2, 6).alias("qty_cut"))
     return (
         li_b.join(avg_q, li_b.l_partkey == avg_q.ap)
         .filter(F.col("l_quantity") < F.col("qty_cut"))
@@ -2688,7 +2697,7 @@ ORACLE_Q17 = """
 SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE p_brand = 'Brand#2'
-  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+  AND l_quantity < (SELECT round(0.2 * avg(l2.l_quantity), 6)
                     FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
 """
 
@@ -2741,27 +2750,31 @@ def q11_nation_stock_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = (
         li.join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy("l_partkey")
-        .agg(F.sum(val).alias("value"))
+        # value rounded BEFORE the stats/filter so the engines compare
+        # identical numbers; the unrounded sum is order-dependent in
+        # the last ulps and a value within epsilon of the 2x-average
+        # cut flips engines (review r5)
+        .agg(F.round(F.sum(val), 2).alias("value"))
     )
-    stats = per_part.agg(F.avg("value").alias("avg_value"))
+    stats = per_part.agg(F.round(F.avg("value") * 2, 2).alias("cut"))
     return (
         per_part.join(F.broadcast(stats))
-        .filter(F.col("value") > F.col("avg_value") * 2)
-        .select("l_partkey", F.round("value", 2).alias("value"))
+        .filter(F.col("value") > F.col("cut"))
+        .select("l_partkey", "value")
         .orderBy(F.col("value").desc(), F.col("l_partkey"))
     )
 
 
 ORACLE_Q11 = """
 WITH per_part AS (
-  SELECT l_partkey, sum(l_extendedprice * l_quantity) AS value
+  SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS value
   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
   WHERE s_nationkey = 5
   GROUP BY 1
 )
-SELECT l_partkey, round(value, 2) AS value
+SELECT l_partkey, value
 FROM per_part
-WHERE value > (SELECT avg(value) FROM per_part) * 2
+WHERE value > (SELECT round(avg(value) * 2, 2) FROM per_part)
 ORDER BY 2 DESC, 1
 """
 
@@ -2842,8 +2855,10 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
     nat = _t(spark, sf_dir, "nation")
+    # rounded cut: the unrounded avg is summation-order-dependent in
+    # the last ulps and a balance within epsilon flips engines (review r5)
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal"))
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal"))
     rich = cust.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
     dormant = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
     return (
@@ -2862,7 +2877,8 @@ SELECT n_name AS nation, count(*) AS numcust,
        round(sum(c_acctbal), 2) AS totacctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2)
+                   FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
 GROUP BY 1 ORDER BY 1
@@ -2949,11 +2965,32 @@ def decontaminate_train_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     hg = held.select(
         F.explode(word_shingles(F.col("text"), 8)).alias("g")
     ).distinct()
-    bad = (
-        tg.join(hg, "g", "left_semi")
-        .select("doc_id").distinct()
-        .withColumn("contaminated", F.lit(1))
-    )
+    bad_gram = tg.join(hg, "g", "left_semi").select("doc_id").distinct()
+
+    # short held-out items (< 8 tokens shingle to a PARTIAL gram that
+    # can never equal a full train 8-gram): whitespace-collapsed,
+    # token-boundary-anchored containment probe — mirrors operators/
+    # dedup.decontaminate's short branch. This existed in the ORACLE
+    # (review r4) but not here: a 7-token eval answer quoted verbatim
+    # in a train doc was flagged by DuckDB and missed by Spark
+    # (review r5)
+    def ws_norm(c):
+        return F.regexp_replace(F.trim(c), r"\s+", " ")
+
+    shorts = (held
+              .filter(F.size(F.split(ws_norm(F.col("text")), " ")) < 8)
+              .select(ws_norm(F.col("text")).alias("_short"))
+              .filter(F.col("_short") != "")
+              .distinct())
+    padded = F.concat(F.lit(" "), ws_norm(F.col("text")), F.lit(" "))
+    bad_short = (train
+                 .join(F.broadcast(shorts),
+                       padded.contains(F.concat(F.lit(" "),
+                                                F.col("_short"),
+                                                F.lit(" "))))
+                 .select("doc_id").distinct())
+    bad = (bad_gram.unionByName(bad_short).distinct()
+           .withColumn("contaminated", F.lit(1)))
     return (
         train.join(bad, "doc_id", "left")
         .groupBy("source")
@@ -3069,6 +3106,29 @@ FROM per_doc GROUP BY 1 ORDER BY 1
 """
 
 
+def _stream_events(spark: SparkSession, sf_dir: str,
+                   scratch_name: str) -> DataFrame:
+    """Shared streaming-gate prologue: expose the single-file events
+    fixture through a symlink DIRECTORY (the file stream source wants a
+    directory; production streams an ingest dir, so the shim is
+    test-only), readStream it, and apply the SAME ts normalization as
+    _events (nanos-as-long or NTZ -> TIMESTAMP). One definition
+    (review r5): the normalization branch was maintained in three
+    places and a fix to one would silently miss the streaming gates."""
+    import os
+
+    from .streaming.structured import stream_from_directory
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = _scratch(scratch_name)
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(stream_dir, "events.parquet"),
+    )
+    return _normalize_ts(stream_from_directory(spark, stream_dir, schema))
+
+
 def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING path through the full correctness gate: events read
     with readStream, watermarked tumbling-window aggregation
@@ -3084,27 +3144,9 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the watermark passes — irrelevant here because AvailableNow drains a
     static directory, but the plan is the production plan); the window
     agg is a standard partial/final hash agg per microbatch."""
-    import os
+    from .streaming.structured import windowed_counts
 
-    from .streaming.structured import stream_from_directory, windowed_counts
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # the file stream source wants a DIRECTORY; the test fixture is a
-    # single parquet file — expose it through a symlink dir (a real
-    # deployment streams an ingest directory, so this shim is test-only)
-    stream_dir = _scratch("stream_src")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/events.parquet"),
-        os.path.join(stream_dir, "events.parquet"),
-    )
-    raw = stream_from_directory(spark, stream_dir, schema)
-    # same ts normalization as _events: nanos-as-long or NTZ -> TIMESTAMP
-    t = dict(raw.dtypes).get("ts", "")
-    if t in ("bigint", "long"):
-        ev = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    else:
-        ev = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    ev = _stream_events(spark, sf_dir, "stream_src")
     agg = windowed_counts(ev, "ts", "1 hour", "2 hours", ["event_type"])
     q = (
         agg.writeStream.format("memory").queryName("stream_hourly")
@@ -3963,7 +4005,10 @@ def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("value").alias("m"), F.stddev_pop("value").alias("s"))
     flagged = ev.join(F.broadcast(stats), "event_type").select(
         "event_type", "value",
-        ((F.col("value") - F.col("m")) / F.col("s")).alias("z"),
+        # z rounded to 6dp on both sides: mean/stddev are summation-
+        # order-dependent in the last ulps, and an |z| within epsilon
+        # of the 2.5 cut flips engines (review r5)
+        F.round((F.col("value") - F.col("m")) / F.col("s"), 6).alias("z"),
     )
     return (
         flagged.groupBy("event_type")
@@ -3988,7 +4033,7 @@ WITH stats AS (
   SELECT event_type, avg(value) AS m, stddev_pop(value) AS s
   FROM events GROUP BY event_type
 ), flagged AS (
-  SELECT e.event_type, e.value, (e.value - st.m) / st.s AS z
+  SELECT e.event_type, e.value, round((e.value - st.m) / st.s, 6) AS z
   FROM events e JOIN stats st USING (event_type)
 )
 SELECT event_type, count(*) AS n,
@@ -4207,7 +4252,12 @@ def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.partition import mixture_sample
 
     docs = _t(spark, sf_dir, "documents")
-    wt = F.substring("source", 4, 10).cast("long") % 4 + 1
+    # unbounded suffix + try_cast, matching the oracle's
+    # TRY_CAST(substring(source, 4)) exactly: the old substring(4, 10)
+    # truncated digits past position 13 and ANSI cast would THROW on a
+    # non-numeric suffix where DuckDB's plain CAST also errors — now
+    # both engines yield NULL weights for garbage names (review r5)
+    wt = (F.substring("source", 4, 2147483647).try_cast("long") % 4 + 1)
     kept_df, quotas = mixture_sample(
         docs, "source", "doc_id", frac=0.5, weights=wt)
     kept = kept_df.groupBy("source").agg(F.count(F.lit(1)).alias("kept"))
@@ -4224,7 +4274,7 @@ def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MIXTURE = """
 WITH w AS (
   SELECT doc_id, source,
-         (CAST(substring(source, 4) AS BIGINT) % 4) + 1 AS wt
+         (TRY_CAST(substring(source, 4) AS BIGINT) % 4) + 1 AS wt
   FROM documents
 ), c AS (
   SELECT source, wt, count(*) AS n_docs FROM w GROUP BY source, wt
@@ -4259,21 +4309,7 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: session_window state is per (user, open session) and closes
     `gap` after the last event under the watermark — bounded state on an
     unbounded stream; one shuffle on user_id per microbatch."""
-    import os
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream_dir = _scratch("stream_sess")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/events.parquet"),
-        os.path.join(stream_dir, "events.parquet"),
-    )
-    raw = spark.readStream.schema(schema).parquet(stream_dir)
-    t = dict(raw.dtypes).get("ts", "")
-    if t in ("bigint", "long"):
-        ev = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    else:
-        ev = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    ev = _stream_events(spark, sf_dir, "stream_sess")
     sess = (
         ev.withWatermark("ts", "10 days")
         .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))

@@ -352,7 +352,10 @@ def udtf_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, text: str):
             import re
             from collections import Counter
-            if not text:
+            # whitespace-ONLY text strips to '' and re.split('', ...)
+            # yields [''] — a phantom ('', 1) row the oracle's
+            # word <> '' filter drops (review r5)
+            if not text or not text.strip():
                 return
             # \s+ split, matching every sibling tokenizer AND the
             # oracle (str.split() treated tabs/newlines differently
@@ -1272,12 +1275,15 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 
 def argmax_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """max_by / min_by (Spark) ≡ arg_max / arg_min (DuckDB): the
-    which-row-holds-the-extreme aggregate without a window. Tie-proof:
-    the ordering value folds the unique order key into sub-cent digits
-    (prices have 2 decimals; +key*1e-9 breaks ties without disturbing
-    the price ordering)."""
+    which-row-holds-the-extreme aggregate without a window. Tie-proof
+    via EXACT integer arithmetic: cents * 1e10 + key (review r5 — the
+    old float fold price + key*1e-9 collapses once keys reach ~1e7,
+    the same double-granularity collision class as the cdc_merge
+    offset bug). Cents are exact to price < $9.2M and keys to 1e10,
+    far past any realistic SF."""
     from .sqlapi import sql
-    expr = "o_totalprice + o_orderkey * 1e-9"
+    expr = ("cast(round(o_totalprice * 100) AS BIGINT) * 10000000000 "
+            "+ o_orderkey")
     return sql(spark, sf_dir, f"""
 SELECT o_orderstatus,
        max_by(o_orderkey, {expr}) AS priciest_order,
@@ -1290,8 +1296,10 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 
 ORACLE_ARGMAX = """
 SELECT o_orderstatus,
-       arg_max(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS priciest_order,
-       arg_min(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS cheapest_order,
+       arg_max(o_orderkey, cast(round(o_totalprice * 100) AS BIGINT)
+                           * 10000000000 + o_orderkey) AS priciest_order,
+       arg_min(o_orderkey, cast(round(o_totalprice * 100) AS BIGINT)
+                           * 10000000000 + o_orderkey) AS cheapest_order,
        round(max(o_totalprice), 2) AS max_price,
        round(min(o_totalprice), 2) AS min_price
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus

@@ -94,3 +94,52 @@ def test_all_queries_match_duckdb_oracle():
     bad = [k for k, v in head.items() if k != "_meta"
            and v.get("hash_match") is False]
     assert not bad, bad
+
+
+def test_decontaminate_short_heldout_branch_matches_oracle(spark, tmp_path):
+    """Review r5: the short-held-out containment branch existed in the
+    ORACLE and the operator but not in the inlined Spark query — a
+    <8-token eval answer quoted verbatim in a train doc was flagged by
+    DuckDB only. Plant exactly that case in a synthetic documents table
+    and require both engines to agree."""
+    import hashlib
+
+    import duckdb
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entrymod
+
+    def bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15],
+                   16) % 10000
+
+    held_id = next(i for i in range(10000) if bucket(i) < 500)
+    train_ids = [i for i in range(10000) if bucket(i) >= 500][:3]
+    rows = [
+        # short held-out doc (4 tokens)
+        (held_id, "src1", "the secret eval answer"),
+        # train doc quoting it verbatim (with differing whitespace)
+        (train_ids[0], "src1",
+         "preamble text the  secret eval　answer".replace("　", " ")
+         + " postamble words here to make this longer than eight tokens"),
+        # clean train docs
+        (train_ids[1], "src1", "completely unrelated training text one"),
+        (train_ids[2], "src2", "more unrelated training text two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    d = tmp_path / "sf"
+    d.mkdir()
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    got = entrymod.queries()["decontaminate_train_set"](spark, str(d))
+    spark_rows = {r["source"]: (r["n_train"], r["n_contaminated"])
+                  for r in got.collect()}
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{d}/documents.parquet/*.parquet'")
+    ora = {r[0]: (r[1], r[2]) for r in con.execute(
+        entrymod.oracle_sql()["decontaminate_train_set"]).fetchall()}
+    assert spark_rows == ora
+    # and the planted quote IS caught
+    assert spark_rows["src1"] == (2, 1)
