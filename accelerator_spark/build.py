@@ -312,7 +312,12 @@ class BuildContext:
                       else "no matching job (new source/options/inputs)"
                       if rec is None else "outputs missing on disk")
             )
-            return Job(self, None, would_build=not on_disk or force_build,
+            # pass the cached record through (review r5): a why_build
+            # handle for a cached job could not serve dataset()/df()
+            # even though the record was in hand — and _rec=None made
+            # those raise a bare AttributeError
+            return Job(self, rec if on_disk else None,
+                       would_build=not on_disk or force_build,
                        reason=reason)
         if on_disk and not force_build:
             return Job(self, rec, cached=True)
@@ -385,6 +390,11 @@ class Job:
         return self._rec.jobid if self._rec else None
 
     def dataset(self, name: str = "default") -> Dataset:
+        if self._rec is None:
+            raise ValueError(
+                f"this Job handle has no build record (why_build "
+                f"answer: {self.reason or 'would build'}) — run the "
+                "build to get datasets")
         return Dataset.load(self._rec.outputs[name])
 
     def df(self, name: str = "default") -> DataFrame:
@@ -397,6 +407,10 @@ class Job:
     def load(self, name: str) -> Any:
         """Load a JSON artifact saved by the step (reference job.load /
         json_load, accelerator/job.py:229-236)."""
+        if self._rec is None:
+            raise ValueError(
+                f"this Job handle has no build record (why_build "
+                f"answer: {self.reason or 'would build'})")
         with open(self._rec.artifacts[name]) as f:
             return json.load(f)
 

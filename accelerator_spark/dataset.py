@@ -141,6 +141,13 @@ def _chain_meta(previous: "Dataset | str | None") -> dict:
     return {"chain_depth": depth, "chain_cache": cache}
 
 
+def _qcol(name: str):
+    """F.col with the name forced to a SINGLE identifier: a dotted CSV
+    header ('price.usd') otherwise parses as a struct path and fails
+    resolution (review r5); embedded backticks escape by doubling."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def _dump_manifest(path: str, manifest: dict) -> None:
     """Write dataset.json atomically: tmp file + os.rename, so a crash
     mid-dump never leaves a half-written manifest for a concurrent
@@ -253,8 +260,8 @@ class Dataset:
             for f_ in df.schema.fields:
                 if f_.dataType.simpleString() in _MINMAX_TYPES:
                     mm_cols.append(f_.name)
-                    aggs.append(F.min(f_.name).alias(f"__min_{f_.name}"))
-                    aggs.append(F.max(f_.name).alias(f"__max_{f_.name}"))
+                    aggs.append(F.min(_qcol(f_.name)).alias(f"__min_{f_.name}"))
+                    aggs.append(F.max(_qcol(f_.name)).alias(f"__max_{f_.name}"))
         obs = Observation()
         df = df.observe(obs, *aggs)
 
@@ -334,6 +341,13 @@ class Dataset:
         # identifier, never database.table.
         _valid_table_name(table)
         quoted = f"`{table}`"
+        # same crash-window rule as write() (review r5: this path and
+        # write_overlay missed the r4 fix): invalidate the old manifest
+        # BEFORE replacing the data so a crash can't leave stale
+        # lines/bucketing metadata describing the new files
+        old_manifest = os.path.join(path, MANIFEST_NAME)
+        if os.path.exists(old_manifest):
+            os.remove(old_manifest)
         (df.write.mode("overwrite").format("parquet")
          .bucketBy(n_buckets, bucket_col).sortBy(bucket_col)
          .option("path", data_dir).saveAsTable(quoted))
@@ -416,11 +430,15 @@ class Dataset:
             for f_ in new_cols.schema.fields:
                 if f_.name != key and f_.dataType.simpleString() in _MINMAX_TYPES:
                     mm_cols.append(f_.name)
-                    aggs.append(F.min(f_.name).alias(f"__min_{f_.name}"))
-                    aggs.append(F.max(f_.name).alias(f"__max_{f_.name}"))
+                    aggs.append(F.min(_qcol(f_.name)).alias(f"__min_{f_.name}"))
+                    aggs.append(F.max(_qcol(f_.name)).alias(f"__max_{f_.name}"))
             obs = Observation()
             observed = new_cols.observe(obs, *aggs)
             data_dir = os.path.join(path, "data")
+            # see write()/write_bucketed: stale-manifest crash window
+            old_manifest = os.path.join(path, MANIFEST_NAME)
+            if os.path.exists(old_manifest):
+                os.remove(old_manifest)
             observed.write.mode("overwrite").parquet(data_dir)
             row = obs.get
             # duplicate overlay keys would multiply rows at read time
@@ -522,7 +540,7 @@ class Dataset:
                 f"CREATE TABLE {quoted} ({cols}) USING parquet "
                 f"CLUSTERED BY (`{bcol}`) SORTED BY (`{bcol}`) "
                 f"INTO {b['n']} BUCKETS "
-                f"LOCATION '{data_dir}'"
+                f"LOCATION '{data_dir.replace(chr(39), chr(39) * 2)}'"
             )
         return spark.table(quoted)
 

@@ -40,6 +40,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+
+def _qcol(name: str) -> Column:
+    """F.col with the name forced to a SINGLE identifier — dotted CSV
+    headers ('price.usd') otherwise parse as struct paths (review r5)."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
 # ---------------------------------------------------------------------
 # strptime -> Spark datetime pattern translation
 # ---------------------------------------------------------------------
@@ -53,19 +59,36 @@ _STRPTIME = {
 
 
 def strptime_to_spark(fmt: str) -> str:
-    out, i = [], 0
+    # literal alpha chars are quoted as ONE '...' block per run: quoting
+    # each char separately emitted '' between letters ("'a''t'"), which
+    # Java's DateTimeFormatter reads as an ESCAPED QUOTE — "at" became
+    # the literal a't and every multi-letter literal word silently
+    # failed to match (review r5). A literal ' itself escapes as ''.
+    out, lit = [], []
+    i = 0
+
+    def _flush():
+        if lit:
+            out.append("'" + "".join(lit) + "'")
+            del lit[:]
+
     while i < len(fmt):
         if fmt[i] == "%" and i + 1 < len(fmt):
             tok = fmt[i:i + 2]
             if tok in _STRPTIME:
+                _flush()
                 out.append(_STRPTIME[tok])
                 i += 2
                 continue
             raise ValueError(f"unsupported strptime token {tok!r} in {fmt!r}")
-        # literal chars that collide with Spark pattern letters get quoted
         c = fmt[i]
-        out.append(f"'{c}'" if c.isalpha() else c)
+        if c.isalpha():
+            lit.append(c)
+        else:
+            _flush()
+            out.append("''" if c == "'" else c)
         i += 1
+    _flush()
     return "".join(out)
 
 
@@ -342,7 +365,7 @@ def convert_expr(
 ) -> Column:
     """Return the typed expression for one reference conversion name.
     NULL where the reference would mark the value bad."""
-    c = F.col(col) if isinstance(col, str) else col
+    c = _qcol(col) if isinstance(col, str) else col
     t = typename
     ignore = t.endswith("i") and not t.startswith(("ascii", "unicode")) and ":" not in t
     base_t = t[:-1] if ignore else t
@@ -473,7 +496,7 @@ def dataset_type(
     fail_names: list[Column] = []
     for name, typ in column_types.items():
         expr = convert_expr(name, typ, numeric_comma=numeric_comma, timezone=timezone)
-        failed = expr.isNull() & F.col(name).isNotNull()
+        failed = expr.isNull() & _qcol(name).isNotNull()
         if name in defaults:
             # default substitutes on PARSE FAILURE only; a NULL input is
             # not a failure and stays NULL (same rule as the bad-row
@@ -496,7 +519,7 @@ def dataset_type(
     if discard_untyped:
         out_cols = [converted[c].alias(c) for c in df.columns if c in converted]
     else:
-        out_cols = [converted[c].alias(c) if c in converted else F.col(c)
+        out_cols = [converted[c].alias(c) if c in converted else _qcol(c)
                     for c in df.columns]
 
     bad_df = None

@@ -118,6 +118,108 @@ def _trim_extra_empty(fields: list[str], n: int) -> list[str]:
     return fields
 
 
+def _reject_dup_labels(labels: list[str]) -> None:
+    """The reference rejects duplicate labels at import time; silently
+    continuing gives either ambiguous duplicate columns (text path) or
+    Spark's silent a0/a1 renames (native reader) — both wrong
+    (review r5)."""
+    seen, dups = set(), []
+    for l in labels:
+        if l in seen:
+            dups.append(l)
+        else:
+            seen.add(l)
+    if dups:
+        raise CsvImportError(f"duplicate labels {sorted(set(dups))!r} "
+                             f"in label line {labels!r}")
+
+
+def _driver_head_lines(spark: SparkSession, path: str, encoding: str,
+                       newline: str, n: int) -> "list[str] | None":
+    """Driver-side read of the first ``n`` lines in _read_lines' global
+    order (files sorted by path; lines in file order) WITHOUT running a
+    distributed job. The auto-header scan previously forced a full
+    lineno pipeline over the entire input just to find the label line
+    in the head (review r5). Returns None when the input is not plain
+    local files (non-file scheme, unsupported codec) — callers fall
+    back to the distributed scan, which stays the correctness path."""
+    import bz2 as _bz2
+    import gzip as _gzip
+    import re as _re
+    from urllib.parse import unquote as _unquote, urlparse as _urlparse
+
+    try:
+        files = sorted(spark.read.text(path).inputFiles())
+    except Exception:
+        return None
+    if not files:
+        return None
+    enc = encoding or "utf-8"
+    # Spark's UTF-8 text reader substitutes invalid bytes rather than
+    # failing; mirror that so the head probe can't diverge on them
+    errors = ("replace"
+              if enc.lower().replace("-", "") in ("utf8", "ascii", "usascii")
+              else "strict")
+    out: list[str] = []
+    for uri in files:
+        if not uri.startswith("file:"):
+            return None
+        fp = _unquote(_urlparse(uri).path)
+        if fp.endswith(".gz"):
+            opener = _gzip.open
+        elif fp.endswith(".bz2"):
+            opener = _bz2.open
+        elif _re.search(r"\.(zst|zstd|lz4|snappy|deflate|xz|br)$", fp):
+            return None  # codec the driver can't stream — fall back
+        else:
+            opener = open
+        sep = newline.encode(enc) if newline else None
+        try:
+            with opener(fp, "rb") as fh:
+                buf = b""
+                eof = False
+                while len(out) < n:
+                    if not eof:
+                        chunk = fh.read(1 << 20)
+                        if chunk:
+                            buf += chunk
+                        else:
+                            eof = True
+                    progressed = False
+                    while len(out) < n:
+                        if sep is not None:
+                            i = buf.find(sep)
+                            if i < 0:
+                                break
+                            out.append(buf[:i].decode(enc, errors))
+                            buf = buf[i + len(sep):]
+                        else:
+                            m = _re.search(rb"\r\n|\n|\r", buf)
+                            if not m:
+                                break
+                            # a lone \r at buffer end may be half of a
+                            # \r\n spanning the chunk boundary
+                            if (not eof and m.group() == b"\r"
+                                    and m.end() == len(buf)):
+                                break
+                            out.append(buf[:m.start()].decode(enc, errors))
+                            buf = buf[m.end():]
+                        progressed = True
+                    if eof:
+                        if buf and len(out) < n:
+                            out.append(buf.decode(enc, errors))
+                        break
+                    if not progressed and eof:
+                        break
+        except (OSError, EOFError, UnicodeDecodeError, ValueError):
+            # unreadable/corrupt/undecodable head: let the distributed
+            # scan produce the real (possibly failing) answer
+            return None
+        if len(out) >= n:
+            break
+    return out[:n]
+
+
 def _read_lines(spark: SparkSession, path: str, encoding: str,
                 newline: str = "",
                 keep_file_info: bool = False) -> DataFrame:
@@ -322,6 +424,20 @@ def csvimport(
     )
     if not use_text_path:
         hdr = labels is None
+        if labels is not None:
+            _reject_dup_labels(labels)
+        else:
+            # best-effort duplicate-header rejection on the native
+            # reader path, which otherwise SILENTLY renames dups to
+            # a0/a1 (review r5): probe the first line of the first
+            # file driver-side; non-local inputs skip the probe (the
+            # text path and explicit labels stay fully checked)
+            probe = _driver_head_lines(spark, path, encoding, newline, 1)
+            if probe:
+                hdr_labels = _tokenize(probe[0], separator, qchars) \
+                    if separator or qchars else [probe[0]]
+                if hdr_labels:
+                    _reject_dup_labels(hdr_labels)
         reader = (
             spark.read.option("sep", separator)
             .option("quote", qchars or "\u0000")
@@ -342,12 +458,16 @@ def csvimport(
         if newline:
             reader = reader.option("lineSep", newline)
         if labels:
+            # embedded backticks escape by doubling, or the DDL breaks
+            # (review r5; the text path handles these via alias())
             reader = reader.schema(
-                ", ".join(f"`{l}` string" for l in labels))
+                ", ".join("`" + l.replace("`", "``") + "` string"
+                          for l in labels))
         df = reader.csv(path)
         # reference import is all-bytes: an empty field is "", never null
         df = df.select(*[
-            F.coalesce(F.col(f"`{c}`"), F.lit("")).alias(c)
+            F.coalesce(F.col("`" + c.replace("`", "``") + "`"),
+                       F.lit("")).alias(c)
             for c in df.columns])
         return CsvImportResult(default=_relabel(df, rename, discard, strip_labels))
 
@@ -361,9 +481,16 @@ def csvimport(
 
     if labels is None:
         # scan cap: 10k lines of leading comments/blanks before the
-        # label line (driver-side; limit() reads only what it needs)
-        head = [r["value"] for r in
-                raw.orderBy("_lineno").limit(skip_lines + 10_000).collect()]
+        # label line. Head read driver-side when the input is plain
+        # local files — the distributed fallback forced a FULL lineno
+        # pipeline over the entire input just to find the header
+        # (review r5); the fallback remains for remote/exotic inputs.
+        head = _driver_head_lines(spark, path, encoding, newline,
+                                  skip_lines + 10_000)
+        if head is None:
+            head = [r["value"] for r in
+                    raw.orderBy("_lineno")
+                    .limit(skip_lines + 10_000).collect()]
         labels, header_at = _read_header(
             head, separator, qchars, skip_lines, comment,
             skip_empty_lines, allow_extra_empty)
@@ -371,6 +498,7 @@ def csvimport(
         header_at = None
     if strip_labels:
         labels = [l.strip() for l in labels]
+    _reject_dup_labels(labels)
 
     line = F.col("value")
     skip_cond = F.col("_lineno") <= skip_lines

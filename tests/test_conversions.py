@@ -334,3 +334,37 @@ def test_pickles_module_imports_without_session():
          "import accelerator_spark.functions.pickles; print('ok')"],
         capture_output=True, text=True, timeout=120)
     assert proc.returncode == 0 and "ok" in proc.stdout, proc.stderr[-500:]
+
+
+def test_strptime_literal_words_and_dotted_columns(spark):
+    """Review r5: consecutive literal letters were quoted per-char, so
+    'at' became 'a''t' (an ESCAPED QUOTE to Java's formatter) and every
+    multi-letter literal word silently failed to parse; dotted column
+    names parsed as struct paths in dataset_type."""
+    assert strptime_to_spark("%d %B %Y at %H:%M") == "dd MMMM yyyy 'at' HH:mm"
+    # 'o' (literal o) + '' (escaped quote) + 'clock' — o'clock
+    assert strptime_to_spark("%H o'clock") == "HH 'o''''clock'"
+    df = spark.createDataFrame(
+        [("12 March 2024 at 10:30",)], ["when.raw"])
+    typed, _ = dataset_type(df, {"when.raw": "datetime:%d %B %Y at %H:%M"})
+    row = typed.collect()[0]
+    v = row["when.raw"]
+    assert (v.year, v.month, v.day, v.hour, v.minute) == (2024, 3, 12, 10, 30)
+
+
+def test_csv_duplicate_labels_rejected(spark, tmp_path):
+    """Review r5: duplicate header labels silently produced either
+    Spark's a0/a1 renames (native path) or ambiguous duplicate columns
+    (text path); the reference rejects them at import."""
+    import pytest
+
+    from accelerator_spark.sources.csv import CsvImportError, csvimport
+
+    p = tmp_path / "dup.csv"
+    p.write_text("a,a,b\n1,2,3\n")
+    with pytest.raises(CsvImportError, match="duplicate labels"):
+        csvimport(spark, str(p))
+    with pytest.raises(CsvImportError, match="duplicate labels"):
+        csvimport(spark, str(p), allow_bad=True)
+    with pytest.raises(CsvImportError, match="duplicate labels"):
+        csvimport(spark, str(p), labels=["x", "x", "y"], skip_lines=1)

@@ -753,3 +753,43 @@ def test_sql_missing_table_drops_stale_view_from_other_dir(spark, sf_dir,
     dir_b.mkdir()  # no region.parquet
     with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|region"):
         sql(spark, str(dir_b), "SELECT count(*) AS n FROM region").collect()
+
+
+def test_why_build_cached_handle_serves_datasets(spark, sf_dir, tmp_path):
+    """Review r5: why_build=True on a CACHED job returned a handle with
+    no record, so dataset()/df() raised a bare AttributeError even
+    though the record was in hand; a would-build handle now raises a
+    clear ValueError instead."""
+    import pytest
+
+    from accelerator_spark.build import BuildContext
+
+    def step_w(spark_, datasets, options):
+        return load(spark_, sf_dir, "region").filter(
+            F.col("r_regionkey") < options["k"])
+
+    ctx = BuildContext(spark, str(tmp_path / "wd"))
+    j1 = ctx.build(step_w, options={"k": 3})
+    jw = ctx.build(step_w, options={"k": 3}, why_build=True)
+    assert not jw.would_build and jw.reason == "cached"
+    assert jw.df().count() == j1.df().count()  # record passed through
+    jmiss = ctx.build(step_w, options={"k": 4}, why_build=True)
+    assert jmiss.would_build
+    with pytest.raises(ValueError, match="no build record"):
+        jmiss.dataset()
+
+
+def test_dataset_write_dotted_and_backtick_columns(spark, tmp_path):
+    """Review r5: minmax observation aggs passed bare name strings to
+    F.min/F.max, so a dotted CSV header ('price.usd') parsed as a
+    struct path and crashed the write."""
+    from accelerator_spark.dataset import Dataset
+
+    df = spark.createDataFrame(
+        [(1, 2.5), (9, 0.5)], ["price.usd", "q`ty"])
+    ds = Dataset.write(df, str(tmp_path / "dotted"))
+    assert ds.manifest["lines"] == 2
+    assert ds.manifest["minmax"]["price.usd"] == [1, 9]
+    assert ds.manifest["minmax"]["q`ty"] == [0.5, 2.5]
+    back = ds.df(spark)
+    assert back.count() == 2 and set(back.columns) == {"price.usd", "q`ty"}
