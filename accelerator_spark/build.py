@@ -472,6 +472,13 @@ class Urd:
         return sorted((e for e in self._read() if e["list"] == listname),
                       key=lambda e: e["ts"])
 
+    def entries(self, listname: str) -> list[dict]:
+        """All entries of a list in timestamp order — the public form
+        (reference `urd peek-all` idiom). ChainRunner and other
+        consumers use THIS, not _entries (review r5: private-API
+        coupling)."""
+        return self._entries(listname)
+
     def latest(self, listname: str) -> dict | None:
         es = self._entries(listname)
         return es[-1] if es else None

@@ -27,7 +27,7 @@ class ChainRunner:
         self.listname = listname
 
     def seen(self) -> set[str]:
-        return {e["ts"] for e in self.urd._entries(self.listname)}
+        return {e["ts"] for e in self.urd.entries(self.listname)}
 
     def head(self) -> Dataset | None:
         latest = self.urd.latest(self.listname)

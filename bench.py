@@ -148,7 +148,13 @@ def main() -> None:
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
-        fn = Q.QUERIES[name]
+        # a stale name in the hand-maintained lists must record an
+        # error, not crash the whole benchmark before any JSON is
+        # written (review r5)
+        fn = Q.QUERIES.get(name)
+        if fn is None:
+            errors[name] = "not in registry"
+            continue
         best = float("inf")
         # a single failing query must not sink the whole benchmark (and
         # with it the round's perf record) — record the error, move on.
@@ -179,12 +185,23 @@ def main() -> None:
             print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
+
+    def _parse_sf(v):
+        # sf0.1 -> 0.1; anything unparseable stays a string — a weird
+        # sf_dir suffix must not crash bench AFTER all timing work
+        # (review r5: '1.2.3'.replace('.','').isdigit() passed the old
+        # guard and float() then raised)
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return v
+
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": times,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": _parse_sf(sf),
     }
     if errors:
         out["errors"] = errors

@@ -272,3 +272,25 @@ def test_rfm_no_global_ntile(spark, sf_dir):
             first_arg = line.split("windowspecdefinition(")[1].split(",")[0]
             assert "ASC" not in first_arg and "DESC" not in first_arg, (
                 "unpartitioned row_number window: " + line.strip()[:160])
+
+
+def test_bench_lists_are_registry_members():
+    """Review r5: nothing guarded bench.py's hand-maintained HEADLINE/
+    EXTENDED lists against registry renames — a stale name used to
+    crash the whole benchmark (now recorded as an error, but it should
+    never get that far)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    from accelerator_spark import queries as Q
+
+    stale = [n for n in bench.HEADLINE + bench.EXTENDED
+             if n not in Q.QUERIES]
+    assert stale == []
+    dups = [n for n in set(bench.HEADLINE) & set(bench.EXTENDED)]
+    assert dups == []

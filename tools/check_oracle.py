@@ -21,17 +21,30 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}" if v == v else v
+        if v == 0.0:
+            return "0"  # -0.0 formats as '-0' and false-FAILed vs 0.0
+        return f"{v:.6g}"
     if hasattr(v, "isoformat"):
         return v.isoformat()
     try:
         import numpy as np
         if isinstance(v, np.generic):
             return norm_cell(v.item())
+        if isinstance(v, np.ndarray):
+            return norm_cell(list(v))
     except ImportError:
         pass
-    if isinstance(v, int):
-        return str(v)
+    # floats NESTED in arrays/maps/structs got exact str() comparison
+    # (no 6-sig-fig tolerance, '-0' vs '0') — normalize recursively
+    # with sorted map keys (review r5)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            f"{norm_cell(k)}:{norm_cell(x)}"
+            for k, x in sorted(v.items(), key=lambda kv: str(kv[0]))) + "}"
+    if hasattr(v, "asDict"):  # pyspark Row (struct cell)
+        return norm_cell(v.asDict())
     return str(v)
 
 
@@ -83,7 +96,14 @@ def main():
         if name not in ORACLES:
             rec["rows_match"] = rec["schema_match"] = rec["hash_match"] = None
             rec["err"] = "rows-only (no oracle registered)"
-            print(f"SKIP {name}: rows-only ({len(s_rows)} rows)")
+            if len(s_rows) == 0:
+                # the documented 'weaker rows-only check' must actually
+                # check something: an oracle-less query regressing to
+                # EMPTY output is a failure, not a SKIP (review r5)
+                failures.append(name)
+                print(f"FAIL {name}: rows-only returned 0 rows")
+            else:
+                print(f"SKIP {name}: rows-only ({len(s_rows)} rows)")
             continue
         try:
             cur = con.execute(ORACLES[name])
