@@ -684,3 +684,38 @@ def test_multifile_comment_before_header(spark, tmp_path):
     res = csvimport(spark, str(d) + "/*.csv", allow_bad=True, comment="#")
     rows = sorted((r["a"], r["b"]) for r in res.default.collect())
     assert rows == [("1", "x"), ("2", "y")]
+
+
+def test_driver_head_lines_matches_distributed_scan(spark, tmp_path):
+    """Review r5: the auto-header head read moved driver-side; its line
+    splitting (universal \\n/\\r\\n/\\r, custom terminators, gzip, final
+    line without terminator, chunk-boundary \\r\\n) must agree exactly
+    with the distributed _read_lines order it replaced."""
+    import gzip
+
+    from accelerator_spark.sources.csv import (
+        _driver_head_lines, _read_lines,
+    )
+
+    d = tmp_path / "multi"
+    d.mkdir()
+    # file order is path-sorted; mix terminators and a gz member
+    (d / "a.txt").write_bytes(b"h1,h2\r\nr1,x\rr2,y\nlast-no-term")
+    with gzip.open(d / "b.txt.gz", "wb") as f:
+        f.write(b"g1\ng2\n\ng4")
+    (d / "c.txt").write_bytes(b"")
+    got = _driver_head_lines(spark, str(d), "utf-8", "", 50)
+    want = [r["value"] for r in
+            _read_lines(spark, str(d), "utf-8")
+            .orderBy("_lineno").collect()]
+    assert got == want
+    # custom single-byte terminator
+    (d2 := tmp_path / "custom").mkdir()
+    (d2 / "x.txt").write_bytes(b"a|b|c|")
+    got2 = _driver_head_lines(spark, str(d2), "utf-8", "|", 50)
+    want2 = [r["value"] for r in
+             _read_lines(spark, str(d2), "utf-8", newline="|")
+             .orderBy("_lineno").collect()]
+    assert got2 == want2
+    # n truncates
+    assert _driver_head_lines(spark, str(d), "utf-8", "", 2) == want[:2]
