@@ -294,3 +294,21 @@ def test_bench_lists_are_registry_members():
     assert stale == []
     dups = [n for n in set(bench.HEADLINE) & set(bench.EXTENDED)]
     assert dups == []
+
+
+def test_entry_graded_subset_is_representative_and_valid():
+    """The driver grades queries()[:50]; that prefix must stay exactly
+    the curated cross-section and every name must resolve (a rename in
+    queries.py would otherwise KeyError at driver time)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    qs = e.queries()
+    names = list(qs)
+    assert names[:50] == e._GRADED_FIRST
+    assert len(names) == len(set(names)) == len(e.oracle_sql())
+    cats = {"q1_pricing_summary", "minhash_lsh_pairs", "cosine_topk",
+            "streaming_hourly_counts", "chunk_documents",
+            "hll_distinct_rollup", "dataset_type_menu2"}
+    assert cats <= set(names[:50])
