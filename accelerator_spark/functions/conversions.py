@@ -59,6 +59,10 @@ _STRPTIME = {
 
 
 def strptime_to_spark(fmt: str) -> str:
+    # Known engine seam (property-tested, tests/test_properties.py):
+    # for DATE-LESS formats ('%H:%M') Spark's to_timestamp defaults the
+    # missing date to 1970-01-01 where Python strptime uses 1900-01-01.
+    # Full-date formats agree exactly.
     # literal alpha chars are quoted as ONE '...' block per run: quoting
     # each char separately emitted '' between letters ("'a''t'"), which
     # Java's DateTimeFormatter reads as an ESCAPED QUOTE — "at" became

@@ -410,3 +410,57 @@ def test_prop_canonicalize_url_matches_python_model(spark, vals):
            df.select(canonicalize_url(F.col("s")).alias("o")).collect()]
     want = [_model_canon_url(v) for v in vals]
     assert sorted(got) == sorted(want), list(zip(vals, want))
+
+
+# --- datetime conversion vs Python's own strptime (review r5) ---
+
+_DT_FORMATS = [
+    # literal words were the round-5 bug ('at' quoted as a't); sweep
+    # multi-letter literals, month names, 12h clock, day-of-year.
+    # Only FULL-DATE formats: for date-less inputs Python strptime
+    # defaults to 1900-01-01 while Spark defaults to 1970-01-01 — a
+    # documented engine seam, not a parse bug (found by this test).
+    "%Y-%m-%d %H:%M:%S",
+    "%d %B %Y at %H:%M",
+    "%d/%b/%Y",
+    "%Y.%j",
+    "%d %B %Y %I %p",
+    "%Y-%m-%d %H hours %M minutes",
+    "%Y%m%dT%H%M%S",
+]
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(_DT_FORMATS),
+            st.datetimes(
+                min_value=__import__("datetime").datetime(1905, 1, 2),
+                max_value=__import__("datetime").datetime(2261, 12, 30)),
+        ),
+        min_size=1, max_size=6,
+    )
+)
+def test_prop_datetime_parse_matches_python_strptime(spark, cases):
+    """Format a random datetime with Python strftime, parse the string
+    back through convert_expr('datetime:<fmt>'), and require Python's
+    own strptime answer. Formats that drop fields (e.g. date-only)
+    round-trip to strptime's result, not the original value."""
+    import datetime as dt
+
+    rows = []
+    for i, (fmt, d) in enumerate(cases):
+        d = d.replace(microsecond=0)
+        s = d.strftime(fmt)
+        want = dt.datetime.strptime(s, fmt)
+        rows.append((i, fmt, s, want))
+    df = spark.createDataFrame(
+        [(i, s) for i, _, s, _ in rows], "i long, raw string")
+    got = {}
+    for i, fmt, s, want in rows:
+        one = df.filter(F.col("i") == i).select(
+            convert_expr("raw", f"datetime:{fmt}").alias("v")).collect()
+        got[i] = one[0]["v"]
+    for i, fmt, s, want in rows:
+        assert got[i] == want, (fmt, s, got[i], want)
