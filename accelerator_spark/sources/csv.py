@@ -661,6 +661,12 @@ def csvexport(
         # csvimport's tokenizer and the reference's quoting
         .option("escape", '"')
         .option("emptyValue", "")
+        # Spark's CSV WRITER trims leading/trailing whitespace by
+        # default (unlike its reader) — a space-only cell exported as
+        # empty, breaking the reference's all-bytes round-trip
+        # (review r5, found by the csv round-trip property test)
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
     )
     if gzip:
         w = w.option("compression", "gzip")

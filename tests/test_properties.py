@@ -464,3 +464,52 @@ def test_prop_datetime_parse_matches_python_strptime(spark, cases):
         got[i] = one[0]["v"]
     for i, fmt, s, want in rows:
         assert got[i] == want, (fmt, s, got[i], want)
+
+
+# --- csvexport -> csvimport round trip on hostile cell content ---
+
+_cell = st.text(
+    alphabet=list("ab,;\"'|\t %&=\\") + ["é"], max_size=8)
+
+
+@PROP
+@given(cells=st.lists(st.tuples(_cell, _cell), min_size=1, max_size=10))
+def test_prop_csv_roundtrip_preserves_cells(spark, tmp_path_factory, cells):
+    """Arbitrary cell content — embedded separators, both quote kinds,
+    backslashes, unicode — must survive csvexport -> csvimport exactly
+    (quote-doubling escape; all-string schema)."""
+    from accelerator_spark.operators.checksum import datasets_equal
+    from accelerator_spark.sources.csv import csvexport, csvimport
+
+    out = str(tmp_path_factory.mktemp("csv_prop"))
+    df = spark.createDataFrame(cells, "x string, y string")
+    csvexport(df, out)
+    back = csvimport(spark, out + "/*.csv").default
+    assert datasets_equal(df, back, ["x", "y"])
+
+
+# --- exact_ntile vs the single-task window form on arbitrary data ---
+
+@PROP
+@given(
+    st.lists(st.integers(min_value=0, max_value=4), min_size=2,
+             max_size=60),
+    st.integers(min_value=1, max_value=7),
+)
+def test_prop_exact_ntile_matches_window(spark, order_vals, n_tiles):
+    """exact_ntile (bucketed, no global window) must be row-identical
+    to ntile() OVER (ORDER BY v, id) for arbitrary tie patterns and
+    tile counts."""
+    from pyspark.sql import Window
+
+    from accelerator_spark.operators.partition import exact_ntile
+
+    rows = [(i, v) for i, v in enumerate(order_vals)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(4)
+    got = {(r["id"], r["tile"]) for r in
+           exact_ntile(df, "v", n_tiles, "id", "tile",
+                       n_buckets=8).collect()}
+    want = {(r["id"], r["t"]) for r in
+            df.withColumn("t", F.ntile(n_tiles).over(
+                Window.orderBy("v", "id"))).collect()}
+    assert got == want
