@@ -513,3 +513,43 @@ def test_prop_exact_ntile_matches_window(spark, order_vals, n_tiles):
             df.withColumn("t", F.ntile(n_tiles).over(
                 Window.orderBy("v", "id"))).collect()}
     assert got == want
+
+
+# --- corpus line dedup vs a pure-Python first-occurrence model ---
+
+_line_txt = st.text(alphabet=list("ab é"), max_size=6)
+
+
+@PROP
+@given(
+    docs=st.lists(
+        st.one_of(st.none(),
+                  st.lists(_line_txt, max_size=5).map("\n".join)),
+        min_size=1, max_size=8),
+    min_len=st.integers(min_value=1, max_value=4),
+)
+def test_prop_dedup_lines_corpus_matches_model(spark, docs, min_len):
+    """dedup_lines_corpus ≡ the obvious model: every line whose TRIMMED
+    length >= min_len survives only at its first (doc_id, position)
+    occurrence corpus-wide; shorter lines always survive; NULL text is
+    one empty line; every input doc appears exactly once."""
+    from accelerator_spark.operators.text import dedup_lines_corpus
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string")
+    got = {r["doc_id"]: (r["lines_in"], r["lines_kept"], r["text_dedup"])
+           for r in dedup_lines_corpus(df, min_line_len=min_len).collect()}
+
+    seen = set()
+    want = {}
+    for i, t in enumerate(docs):
+        lines = (t if t is not None else "").split("\n")
+        kept = []
+        for ln in lines:
+            if len(ln.strip()) < min_len:
+                kept.append(ln)
+            elif ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        want[i] = (len(lines), len(kept), "\n".join(kept))
+    assert got == want
