@@ -553,3 +553,60 @@ def test_prop_dedup_lines_corpus_matches_model(spark, docs, min_len):
                 kept.append(ln)
         want[i] = (len(lines), len(kept), "\n".join(kept))
     assert got == want
+
+
+# --- chunk_tokens vs the published chunking formula ---
+
+_doc_txt = st.one_of(
+    st.none(), st.just(""), st.just("   "),
+    st.lists(st.text(alphabet="abc", min_size=1, max_size=3),
+             max_size=30).map(" ".join))
+
+
+@PROP
+@given(docs=st.lists(_doc_txt, min_size=1, max_size=6),
+       size=st.integers(min_value=1, max_value=7),
+       stride_off=st.integers(min_value=0, max_value=6))
+def test_prop_chunk_tokens_matches_model(spark, docs, size, stride_off):
+    """chunk_tokens ≡ the model: n_chunks = 0 for empty docs, else
+    1 + ceil((n-size)/stride) for n > size else 1; chunk i holds tokens
+    [i*stride, i*stride+size); every token lands in >= 1 chunk."""
+    import math
+
+    from accelerator_spark.operators.text import chunk_tokens
+
+    stride = max(1, size - stride_off)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string")
+    got = {}
+    for r in chunk_tokens(df, size=size, stride=stride).collect():
+        got.setdefault(r["doc_id"], {})[r["chunk_index"]] = list(r["chunk_toks"])
+    want = {}
+    for i, t in enumerate(docs):
+        toks = (t or "").split() or None
+        if not toks:
+            continue
+        n = len(toks)
+        nc = 1 if n <= size else 1 + math.ceil((n - size) / stride)
+        want[i] = {c: toks[c * stride:c * stride + size] for c in range(nc)}
+    assert got == want
+
+
+@PROP
+@given(st.lists(st.integers(min_value=0, max_value=10**6),
+                min_size=1, max_size=25, unique=True),
+       st.integers(min_value=1, max_value=20))
+def test_prop_pack_sequences_partition_invariant(spark, ids, budget):
+    """Sequence packing must assign the SAME (bucket, seq_id) to every
+    doc regardless of physical partitioning — the reproducibility
+    contract that makes rebuilt corpora byte-identical."""
+    from accelerator_spark.operators.text import pack_sequences
+
+    rows = [(i, "tok " * (i % 5 + 1)) for i in ids]
+    a = spark.createDataFrame(rows, "doc_id long, text string").repartition(2)
+    b = spark.createDataFrame(rows, "doc_id long, text string").repartition(9)
+    pa = {(r["doc_id"], r["bucket"], r["seq_id"]) for r in
+          pack_sequences(a, "doc_id", "text", budget=budget, buckets=4).collect()}
+    pb = {(r["doc_id"], r["bucket"], r["seq_id"]) for r in
+          pack_sequences(b, "doc_id", "text", budget=budget, buckets=4).collect()}
+    assert pa == pb
