@@ -610,3 +610,57 @@ def test_prop_pack_sequences_partition_invariant(spark, ids, budget):
     pb = {(r["doc_id"], r["bucket"], r["seq_id"]) for r in
           pack_sequences(b, "doc_id", "text", budget=budget, buckets=4).collect()}
     assert pa == pb
+
+
+# --- as-of join vs the obvious per-row model ---
+
+@PROP
+@given(
+    left=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 20)),
+                  min_size=1, max_size=12),
+    right=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 20),
+                             st.integers(-50, 50)),
+                   max_size=12),
+)
+def test_prop_asof_join_matches_model(spark, left, right):
+    """asof_join ≡ per left row, the value of the LATEST right row with
+    right.on <= left.on in the same group (ties on `on` broken by the
+    tiebreak column, highest wins via last-in-order)."""
+    from accelerator_spark.operators.merge import asof_join
+
+    ldf = spark.createDataFrame(
+        [(i, g, t) for i, (g, t) in enumerate(left)],
+        "lid long, g int, ts long")
+    rdf = spark.createDataFrame(
+        [(g, t, v, j) for j, (g, t, v) in enumerate(right)],
+        "g int, ts long, v long, rid long")
+    got = {r["lid"]: r["val"] for r in
+           asof_join(ldf, rdf, by="g", on="ts",
+                     carry={"v": "val"}, tiebreak="rid").collect()}
+    want = {}
+    for i, (g, t) in enumerate(left):
+        cands = [(rt, j, v) for j, (rg, rt, v) in enumerate(right)
+                 if rg == g and rt <= t]
+        want[i] = max(cands)[2] if cands else None
+    assert got == want
+
+
+@PROP
+@given(st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 5), st.integers(-99, 99)),
+    min_size=1, max_size=15))
+def test_prop_compact_latest_matches_model(spark, rows):
+    """compact_latest ≡ keep the row with max (order, tiebreak) per
+    key."""
+    from accelerator_spark.operators.merge import compact_latest
+
+    df = spark.createDataFrame(
+        [(k, o, v, i) for i, (k, o, v) in enumerate(rows)],
+        "k int, ord int, v long, tb long")
+    got = {(r["k"], r["ord"], r["v"], r["tb"]) for r in
+           compact_latest(df, ["k"], "ord", ["tb"]).collect()}
+    best = {}
+    for i, (k, o, v) in enumerate(rows):
+        if k not in best or (o, i) > (best[k][1], best[k][3]):
+            best[k] = (k, o, v, i)
+    assert got == set(best.values())
