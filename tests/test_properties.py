@@ -664,3 +664,76 @@ def test_prop_compact_latest_matches_model(spark, rows):
         if k not in best or (o, i) > (best[k][1], best[k][3]):
             best[k] = (k, o, v, i)
     assert got == set(best.values())
+
+
+# --- graph / sketch invariants on random inputs ---
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(
+        lambda t: t[0] != t[1]).map(lambda t: (min(t), max(t))),
+    min_size=1, max_size=20)
+
+
+@PROP
+@given(_edges)
+def test_prop_triangle_count_matches_bruteforce(spark, pairs):
+    """triangle_count ≡ counting {a<b<c} with all three edges present,
+    on arbitrary small graphs (duplicate edges deduped)."""
+    from itertools import combinations
+
+    from accelerator_spark.operators.graph import triangle_count
+
+    uniq = sorted(set(pairs))
+    df = spark.createDataFrame(uniq, "src int, dst int")
+    row = triangle_count(df).collect()[0]
+    es = set(uniq)
+    nodes = sorted({n for e in uniq for n in e})
+    want = sum(1 for a, b, c in combinations(nodes, 3)
+               if (a, b) in es and (b, c) in es and (a, c) in es)
+    assert row["n_triangles"] == want
+    assert row["n_nodes"] == len(nodes) and row["n_edges"] == len(es)
+
+
+@PROP
+@given(_edges)
+def test_prop_connected_components_matches_union_find(spark, pairs):
+    """connected_components ≡ union-find with min-id labels."""
+    from accelerator_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(pairs, "doc_a int, doc_b int")
+    got = {(r["node"], r["component"]) for r in
+           connected_components(df).collect()}
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(n, find(n)) for n in parent}
+    assert got == want
+
+
+@PROP
+@given(st.lists(st.tuples(st.integers(0, 1), st.integers(0, 10**6)),
+                min_size=1, max_size=40))
+def test_prop_bitmap_distinct_is_exact(spark, rows):
+    """bitmap_distinct ≡ len(set) per group, merged or not."""
+    from accelerator_spark.operators.sketches import bitmap_distinct
+
+    df = spark.createDataFrame(
+        [(g, k, k % 3) for g, k in rows], "g int, k long, day int")
+    want = {}
+    for g, k in rows:
+        want.setdefault(g, set()).add(k)
+    got1 = {r["g"]: r["distinct_count"] for r in
+            bitmap_distinct(df, "k", ["g"]).collect()}
+    got2 = {r["g"]: r["distinct_count"] for r in
+            bitmap_distinct(df, "k", ["g"], merge_cols=["day"]).collect()}
+    assert got1 == got2 == {g: len(s) for g, s in want.items()}
