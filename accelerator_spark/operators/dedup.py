@@ -402,9 +402,12 @@ def decontaminate(train: DataFrame, heldout: DataFrame,
     tg = train.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g")
     )
+    # word_shingles('') is [''] — an EMPTY held-out doc would otherwise
+    # put the empty gram in the index and "contaminate" every empty
+    # train doc (review r5, found by the decontaminate property test)
     hg = heldout.select(
         F.explode(word_shingles(F.col(text_col), n)).alias("g")
-    ).distinct()
+    ).filter(F.col("g") != "").distinct()
     bad = tg.join(hg, "g", "left_semi").select(id_col).distinct()
 
     # short held-out items: token-sequence containment against train

@@ -2962,9 +2962,11 @@ def decontaminate_train_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     tg = train.select(
         "doc_id", F.explode(word_shingles(F.col("text"), 8)).alias("g")
     )
+    # empty-gram guard mirrors operators/dedup.decontaminate (an empty
+    # held-out doc must not contaminate empty train docs — review r5)
     hg = held.select(
         F.explode(word_shingles(F.col("text"), 8)).alias("g")
-    ).distinct()
+    ).filter(F.col("g") != "").distinct()
     bad_gram = tg.join(hg, "g", "left_semi").select("doc_id").distinct()
 
     # short held-out items (< 8 tokens shingle to a PARTIAL gram that
@@ -3018,7 +3020,10 @@ WITH toks AS (
                           t[i+4], t[i+5], t[i+6], t[i+7])) AS gs
   FROM toks
 ), hg AS (
-  SELECT DISTINCT unnest(gs) AS g FROM grams WHERE b < 500
+  -- empty-gram guard mirrors the Spark side (review r5)
+  SELECT g FROM (
+    SELECT DISTINCT unnest(gs) AS g FROM grams WHERE b < 500
+  ) WHERE g <> ''
 ), shorts AS (
   -- held-out items shorter than n tokens: whitespace-collapsed,
   -- token-boundary-anchored containment probe (mirrors operators/

@@ -737,3 +737,96 @@ def test_prop_bitmap_distinct_is_exact(spark, rows):
     got2 = {r["g"]: r["distinct_count"] for r in
             bitmap_distinct(df, "k", ["g"], merge_cols=["day"]).collect()}
     assert got1 == got2 == {g: len(s) for g, s in want.items()}
+
+
+# --- curation operators vs Python models ---
+
+_word = st.text(alphabet="abA.@0-", min_size=1, max_size=4)
+_short_doc = st.lists(_word, min_size=0, max_size=10).map(" ".join)
+
+
+@PROP
+@given(train=st.lists(_short_doc, min_size=1, max_size=8),
+       held=st.lists(_short_doc, min_size=1, max_size=4),
+       n=st.integers(min_value=2, max_value=4))
+def test_prop_decontaminate_matches_model(spark, train, held, n):
+    """decontaminate ≡ the model: drop a train doc iff it shares any
+    word n-gram with the held-out set, OR (short held-out item) the
+    whitespace-collapsed item appears token-aligned inside it."""
+    from accelerator_spark.operators.dedup import decontaminate
+
+    tdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train)], "doc_id long, text string")
+    hdf = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(held)],
+        "doc_id long, text string")
+    got = {r["doc_id"] for r in
+           decontaminate(tdf, hdf, n=n).select("doc_id").collect()}
+
+    def grams(t):
+        toks = t.split()
+        return {" ".join(toks[i:i + n])
+                for i in range(len(toks) - n + 1)} if len(toks) >= n else set()
+
+    def norm(t):
+        return " ".join(t.split())
+
+    hg = set().union(*(grams(t) for t in held)) if held else set()
+    shorts = {norm(t) for t in held
+              if len(t.split()) < n and norm(t) != ""}
+    want = set()
+    for i, t in enumerate(train):
+        contaminated = bool(grams(t) & hg)
+        padded = f" {norm(t)} "
+        if not contaminated:
+            contaminated = any(f" {s} " in padded for s in shorts)
+        if not contaminated:
+            want.add(i)
+    assert got == want
+
+
+@PROP
+@given(st.lists(st.one_of(st.none(), _short_doc), min_size=1, max_size=12))
+def test_prop_exact_dedup_matches_model(spark, docs):
+    """exact_dedup ≡ min-id + count per normalized text; NULL rows
+    excluded."""
+    from accelerator_spark.operators.dedup import exact_dedup, norm_text
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string")
+    # the operator groups on fingerprint(norm_text); model groups on the
+    # Spark-computed normalized form so only the dedup LOGIC is at test
+    normed = {r["doc_id"]: r["nt"] for r in df.filter(F.col("text").isNotNull())
+              .select("doc_id", norm_text(F.col("text")).alias("nt")).collect()}
+    groups = {}
+    for i, t in sorted(normed.items()):
+        groups.setdefault(t, []).append(i)
+    want = {(min(ids), len(ids)) for ids in groups.values()}
+    got = {(r["keep_doc_id"], r["n_copies"]) for r in exact_dedup(df).collect()}
+    assert got == want
+
+
+_pii_tok = st.sampled_from(
+    ["a@ex.co", "1.2.3.4", "555-123-4567", "a.b", "x@y", "999.999.999.999",
+     "a", "..", "@", "-", "0"])
+
+
+@PROP
+@given(st.lists(st.lists(_pii_tok, max_size=5).map(" ".join), max_size=8))
+def test_prop_redact_pii_matches_python_re(spark, texts):
+    """redact_pii ≡ applying the SAME RE2-safe patterns with Python re
+    in PII_ORDER."""
+    import re as _re
+
+    from accelerator_spark.operators.text import (
+        PII_ORDER, PII_PATTERNS, redact_pii,
+    )
+
+    df = spark.createDataFrame([(t,) for t in texts] or [("",)], "t string")
+    got = [r["o"] for r in df.select(redact_pii(F.col("t")).alias("o")).collect()]
+    def model(t):
+        for k in PII_ORDER:
+            t = _re.sub(PII_PATTERNS[k], f"<{k.upper()}>", t)
+        return t
+    want = [model(t) for t in (texts or [""])]
+    assert sorted(got) == sorted(want)
