@@ -830,3 +830,55 @@ def test_prop_redact_pii_matches_python_re(spark, texts):
         return t
     want = [model(t) for t in (texts or [""])]
     assert sorted(got) == sorted(want)
+
+
+# --- planted-duplicate guarantees for the signature dedup tiers ---
+
+@PROP
+@given(st.lists(st.lists(st.sampled_from("abcdef"), min_size=4,
+                          max_size=12).map(" ".join),
+                min_size=2, max_size=6),
+       st.integers(min_value=0, max_value=2))
+def test_prop_identical_docs_always_pair(spark, texts, dup_idx):
+    """Soundness floor for minhash LSH and simhash blocking: two docs
+    with IDENTICAL text must always surface as a candidate pair, for
+    any corpus around them."""
+    from accelerator_spark.operators.dedup import (
+        minhash_lsh_candidates, simhash_near_pairs,
+    )
+
+    dup_idx = dup_idx % len(texts)
+    rows = [(i, t) for i, t in enumerate(texts)]
+    rows.append((900, texts[dup_idx]))  # the planted twin
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mh = {(r["doc_a"], r["doc_b"]) for r in
+          minhash_lsh_candidates(df, num_hashes=8, bands=4).collect()}
+    assert (dup_idx, 900) in mh
+    sh = {(r["doc_a"], r["doc_b"]) for r in
+          simhash_near_pairs(df, bits=16, max_hamming=1).collect()}
+    assert (dup_idx, 900) in sh
+
+
+@PROP
+@given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=1,
+                max_size=30, unique=True),
+       st.integers(min_value=1, max_value=3))
+def test_prop_hash_split_total_and_invariant(spark, ids, seed_shift):
+    """hash_split: every row lands in exactly one split, placement
+    depends only on the id value (same id -> same split across
+    partitionings and corpus compositions)."""
+    from accelerator_spark.operators.partition import hash_split
+
+    w = {"train": 0.7, "val": 0.2, "test": 0.1}
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    a = {r["id"]: r["split"] for r in
+         hash_split(df.repartition(2), "id", w).collect()}
+    assert set(a) == set(ids)  # exactly one split per row
+    # same ids inside a DIFFERENT corpus + partitioning: placement fixed
+    extra = spark.createDataFrame(
+        [(i + 2_000_000,) for i in range(seed_shift * 5)], "id long")
+    b = {r["id"]: r["split"] for r in
+         hash_split(df.unionByName(extra).repartition(7), "id", w).collect()
+         if r["id"] in a}
+    assert b == a
+    assert set(a.values()) <= set(w)
