@@ -882,3 +882,62 @@ def test_prop_hash_split_total_and_invariant(spark, ids, seed_shift):
          if r["id"] in a}
     assert b == a
     assert set(a.values()) <= set(w)
+
+
+# --- sampling / layout invariants ---
+
+@PROP
+@given(st.lists(st.tuples(st.integers(0, 2),
+                          st.integers(0, 10**6)),
+                min_size=1, max_size=30,
+                unique_by=lambda t: t[1]),
+       st.integers(min_value=1, max_value=4))
+def test_prop_per_key_sample_cap_and_determinism(spark, rows, n):
+    """per_key_sample: at most n rows per key, kept ⊆ input, and the
+    kept set depends only on the ids present — identical across
+    partitionings."""
+    from accelerator_spark.operators.partition import per_key_sample
+
+    df = spark.createDataFrame(rows, "k int, id long")
+    a = {(r["k"], r["id"]) for r in
+         per_key_sample(df.repartition(2), "k", n, "id").collect()}
+    b = {(r["k"], r["id"]) for r in
+         per_key_sample(df.repartition(9), "k", n, "id").collect()}
+    assert a == b
+    assert a <= set(rows)
+    from collections import Counter
+    per_k = Counter(k for k, _ in a)
+    want_k = Counter(k for k, _ in rows)
+    for k, c in want_k.items():
+        assert per_k[k] == min(n, c)
+
+
+@PROP
+@given(st.lists(st.tuples(st.integers(-50, 50), st.integers(-50, 50)),
+                min_size=1, max_size=40))
+def test_prop_zorder_preserves_content(spark, rows):
+    """zorder_layout is a pure REORDERING: content (multiset of rows)
+    is untouched for arbitrary value distributions incl. all-equal."""
+    from accelerator_spark.operators.checksum import checksum
+    from accelerator_spark.operators.partition import zorder_layout
+
+    df = spark.createDataFrame(rows, "x int, y int").repartition(3)
+    out = zorder_layout(df, ["x", "y"], bits=3, num_partitions=2)
+    assert checksum(out) == checksum(df)
+
+
+@PROP
+@given(st.lists(st.lists(st.sampled_from("abc"), max_size=4).map(" ".join),
+                max_size=5).map("\n".join),
+       st.integers(min_value=1, max_value=3))
+def test_prop_clean_lines_matches_model(spark, text, min_words):
+    """clean_lines ≡ keep lines with >= min_words whitespace words."""
+    from accelerator_spark.operators.text import clean_lines
+
+    df = spark.createDataFrame([(text,)], "text string")
+    r = clean_lines(df, min_words=min_words).collect()[0]
+    lines = text.split("\n")
+    kept = [ln for ln in lines if len(ln.split()) >= min_words]
+    assert r["lines_in"] == len(lines)
+    assert r["lines_kept"] == len(kept)
+    assert r["text_clean"] == "\n".join(kept)
