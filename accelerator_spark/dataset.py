@@ -40,6 +40,8 @@ from typing import Any, Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .identifiers import qcol as _qcol
+
 MANIFEST_NAME = "dataset.json"
 LINENO = "lineno"  # conventional ingest-order column (SURVEY §7.4)
 
@@ -139,13 +141,6 @@ def _chain_meta(previous: "Dataset | str | None") -> dict:
         keep = min(depth % _CHAIN_CHECKPOINT_EVERY, _CHAIN_CACHE_MAX)
         cache = known[-keep:]
     return {"chain_depth": depth, "chain_cache": cache}
-
-
-def _qcol(name: str):
-    """F.col with the name forced to a SINGLE identifier: a dotted CSV
-    header ('price.usd') otherwise parses as a struct path and fails
-    resolution (review r5); embedded backticks escape by doubling."""
-    return F.col("`" + name.replace("`", "``") + "`")
 
 
 def _dump_manifest(path: str, manifest: dict) -> None:

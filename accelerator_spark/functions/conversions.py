@@ -40,11 +40,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-
-def _qcol(name: str) -> Column:
-    """F.col with the name forced to a SINGLE identifier — dotted CSV
-    headers ('price.usd') otherwise parse as struct paths (review r5)."""
-    return F.col("`" + name.replace("`", "``") + "`")
+from ..identifiers import qcol as _qcol
 
 # ---------------------------------------------------------------------
 # strptime -> Spark datetime pattern translation

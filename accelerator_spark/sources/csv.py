@@ -53,6 +53,8 @@ from typing import Iterator
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..identifiers import qcol, quote_ident
+
 
 @dataclass
 class CsvImportResult:
@@ -155,11 +157,21 @@ def _driver_head_lines(spark: SparkSession, path: str, encoding: str,
     if not files:
         return None
     enc = encoding or "utf-8"
+    norm_enc = enc.lower().replace("-", "").replace("_", "")
+    # single-byte-safe encodings ONLY (review r5b): for BOM/multi-byte
+    # codecs (utf-16/32, utf-8-sig) newline.encode() embeds the BOM in
+    # the separator (never matches -> whole file becomes one "line",
+    # strict decode can still SUCCEED, and the fallback never fires)
+    # and byte-wise \n search would split mid-character. Those inputs
+    # take the distributed binaryFile path, which decodes first.
+    if not (norm_enc in ("utf8", "ascii", "usascii", "latin1", "latin")
+            or norm_enc.startswith("iso8859")
+            or norm_enc.startswith("cp12")):
+        return None
     # Spark's UTF-8 text reader substitutes invalid bytes rather than
     # failing; mirror that so the head probe can't diverge on them
-    errors = ("replace"
-              if enc.lower().replace("-", "") in ("utf8", "ascii", "usascii")
-              else "strict")
+    errors = "replace" if norm_enc in ("utf8", "ascii", "usascii") \
+        else "strict"
     out: list[str] = []
     for uri in files:
         if not uri.startswith("file:"):
@@ -185,7 +197,6 @@ def _driver_head_lines(spark: SparkSession, path: str, encoding: str,
                             buf += chunk
                         else:
                             eof = True
-                    progressed = False
                     while len(out) < n:
                         if sep is not None:
                             i = buf.find(sep)
@@ -204,12 +215,9 @@ def _driver_head_lines(spark: SparkSession, path: str, encoding: str,
                                 break
                             out.append(buf[:m.start()].decode(enc, errors))
                             buf = buf[m.end():]
-                        progressed = True
                     if eof:
                         if buf and len(out) < n:
                             out.append(buf.decode(enc, errors))
-                        break
-                    if not progressed and eof:
                         break
         except (OSError, EOFError, UnicodeDecodeError, ValueError):
             # unreadable/corrupt/undecodable head: let the distributed
@@ -425,7 +433,11 @@ def csvimport(
     if not use_text_path:
         hdr = labels is None
         if labels is not None:
-            _reject_dup_labels(labels)
+            # check the POST-STRIP form: ['a ', 'a'] strips to a
+            # duplicate pair the raw check missed (review r5b; the text
+            # path already checks after stripping)
+            _reject_dup_labels([l.strip() for l in labels]
+                               if strip_labels else labels)
         else:
             # best-effort duplicate-header rejection on the native
             # reader path, which otherwise SILENTLY renames dups to
@@ -437,7 +449,8 @@ def csvimport(
                 hdr_labels = _tokenize(probe[0], separator, qchars) \
                     if separator or qchars else [probe[0]]
                 if hdr_labels:
-                    _reject_dup_labels(hdr_labels)
+                    _reject_dup_labels([l.strip() for l in hdr_labels]
+                                       if strip_labels else hdr_labels)
         reader = (
             spark.read.option("sep", separator)
             .option("quote", qchars or "\u0000")
@@ -461,13 +474,11 @@ def csvimport(
             # embedded backticks escape by doubling, or the DDL breaks
             # (review r5; the text path handles these via alias())
             reader = reader.schema(
-                ", ".join("`" + l.replace("`", "``") + "` string"
-                          for l in labels))
+                ", ".join(f"{quote_ident(l)} string" for l in labels))
         df = reader.csv(path)
         # reference import is all-bytes: an empty field is "", never null
         df = df.select(*[
-            F.coalesce(F.col("`" + c.replace("`", "``") + "`"),
-                       F.lit("")).alias(c)
+            F.coalesce(qcol(c), F.lit("")).alias(c)
             for c in df.columns])
         return CsvImportResult(default=_relabel(df, rename, discard, strip_labels))
 

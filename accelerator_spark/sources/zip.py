@@ -54,6 +54,9 @@ def csvimport_zip(
             "by_filename, dsname/by_dsname")
     out = ZipImportResult()
     tmp = extract_to or tempfile.mkdtemp(prefix="csvimport_zip_")
+    # zf.extract() used to create the target tree; the per-ZipInfo
+    # open(safe, 'wb') does not (review r5b)
+    os.makedirs(tmp, exist_ok=True)
     entries = []  # (label, sort_name, extracted_path) in archive order
     with zipfile.ZipFile(zip_path) as zf:
         # per-ZipInfo, not per-name: a zip may legally contain several

@@ -48,11 +48,15 @@ def register_views(spark: SparkSession, sf_dir: str,
             continue
         p = f"{sf_dir}/{t}.parquet"
         if skip_missing and not os.path.exists(p):
-            # a view left over from a DIFFERENT sf_dir must not survive
-            # the skip — sql() would silently read the old directory's
-            # data where its docstring promises TABLE_OR_VIEW_NOT_FOUND
-            # (review r5)
-            if done.pop(t, None) is not None or spark.catalog.tableExists(t):
+            # a view WE registered from a DIFFERENT sf_dir must not
+            # survive the skip — sql() would silently read the old
+            # directory's data where its docstring promises
+            # TABLE_OR_VIEW_NOT_FOUND (review r5). Only tracked views
+            # are dropped: a user-created temp view of the same name is
+            # theirs to serve the query (review r5b — the word-scan
+            # over-approximates, so an untracked drop could destroy a
+            # view the query never even reads)
+            if done.pop(t, None) is not None:
                 spark.catalog.dropTempView(t)
             continue
         spark.read.parquet(p).createOrReplaceTempView(t)

@@ -719,3 +719,52 @@ def test_driver_head_lines_matches_distributed_scan(spark, tmp_path):
     assert got2 == want2
     # n truncates
     assert _driver_head_lines(spark, str(d), "utf-8", "", 2) == want[:2]
+
+
+def test_review_r5b_edges(spark, tmp_path):
+    """Second-pass review fixes: (a) non-single-byte encodings skip the
+    driver head probe (BOM'd separators silently mis-split); (b)
+    strip_labels duplicate pairs rejected on the native path; (c)
+    csvimport_zip creates a not-yet-existing extract_to; (d) a
+    user-created temp view is NOT destroyed by sql()'s skip-missing
+    registration."""
+    import zipfile
+
+    import pytest
+
+    from accelerator_spark.sources.csv import (
+        CsvImportError, _driver_head_lines, csvimport,
+    )
+    from accelerator_spark.sources.zip import csvimport_zip
+
+    # (a) utf-16 input: probe declines, distributed path parses fine
+    p16 = tmp_path / "u16.csv"
+    p16.write_bytes("a;b\n1;2\n".encode("utf-16"))
+    assert _driver_head_lines(spark, str(p16), "utf-16", "", 5) is None
+    res = csvimport(spark, str(p16), separator=";", encoding="utf-16",
+                    allow_bad=True)
+    assert [tuple(r) for r in res.default.collect()] == [("1", "2")]
+
+    # (b) post-strip duplicates rejected on the native path
+    pd = tmp_path / "d.csv"
+    pd.write_text("1,2\n")
+    with pytest.raises(CsvImportError, match="duplicate labels"):
+        csvimport(spark, str(pd), labels=["a ", "a"], strip_labels=True)
+
+    # (c) extract_to that does not exist yet
+    zp = tmp_path / "z.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("m.csv", "k\n7\n")
+    dest = tmp_path / "extract" / "deep"
+    r = csvimport_zip(spark, str(zp), extract_to=str(dest))
+    assert [row["k"] for row in r.chain.collect()] == ["7"]
+
+    # (d) user-created view survives a skip-missing registration
+    from accelerator_spark.sqlapi import sql
+
+    spark.createDataFrame([(1,)], "n int").createOrReplaceTempView("part")
+    empty = tmp_path / "nodata"
+    empty.mkdir()
+    out = sql(spark, str(empty), "SELECT n FROM part")
+    assert out.collect()[0]["n"] == 1
+    spark.catalog.dropTempView("part")

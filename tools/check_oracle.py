@@ -36,15 +36,17 @@ def norm_cell(v):
         pass
     # floats NESTED in arrays/maps/structs got exact str() comparison
     # (no 6-sig-fig tolerance, '-0' vs '0') — normalize recursively
-    # with sorted map keys (review r5)
+    # with sorted map keys (review r5). Row is a TUPLE SUBCLASS, so the
+    # asDict check must come first or Spark struct cells render as
+    # '[..]' while DuckDB's dicts render as '{..}' (review r5b)
+    if hasattr(v, "asDict"):  # pyspark Row (struct cell)
+        return norm_cell(v.asDict())
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     if isinstance(v, dict):
         return "{" + ",".join(
             f"{norm_cell(k)}:{norm_cell(x)}"
             for k, x in sorted(v.items(), key=lambda kv: str(kv[0]))) + "}"
-    if hasattr(v, "asDict"):  # pyspark Row (struct cell)
-        return norm_cell(v.asDict())
     return str(v)
 
 
