@@ -60,7 +60,8 @@ _GRADED_FIRST = [
     "semantic_dedup_report_capped", "exact_substring_report",
     # ANN / similarity
     "cosine_topk", "ivf_topk_search", "ann_recall_report",
-    "ivf_centroid_assign",
+    # multimodal (real stdlib PNG decode, r6)
+    "png_decode_stats",
     # text
     "token_counts", "text_quality", "lang_id", "chunk_documents",
     "sequence_packing",
@@ -72,6 +73,11 @@ _GRADED_FIRST = [
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, the
     representative graded subset first (see _GRADED_FIRST)."""
+    missing = [n for n in _GRADED_FIRST if n not in _q.QUERIES]
+    if missing:
+        raise KeyError(
+            f"_GRADED_FIRST names not in the query registry (renamed or "
+            f"removed without updating the graded prefix?): {missing}")
     out = {n: _q.QUERIES[n] for n in _GRADED_FIRST}
     out.update(_q.QUERIES)
     return out

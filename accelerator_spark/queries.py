@@ -1703,6 +1703,79 @@ FROM h
 """
 
 
+def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end (VERDICT r5 #1): per document, a
+    genuine PNG is encoded (grayscale, md5-derived pixels, per-row
+    filter type cycling through all five PNG filters), then decoded by
+    ``decode_features`` with the production ``real_decoder`` — the
+    pure-stdlib zlib+unfilter codec in functions/png.py. The oracle
+    replays the md5-derived pixel bytes in SQL and checks the decoded
+    width, height, and EXACT integer pixel sum, so a single wrong
+    unfiltered byte anywhere fails the gate. The pixel sum is recovered
+    from the decoder's mean-pixel feature (sum = mean * n_px * 255),
+    exact here because the true sum is an integer far below float32
+    precision loss at this magnitude.
+
+    Scale: two Arrow-batched mapInPandas stages (encode is the test
+    harness; decode is the operator under test), no shuffle at all —
+    partition-parallel over documents."""
+    import hashlib as _hashlib
+
+    from .operators.multimodal import decode_features, real_decoder
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def make_png(batches):
+        import pandas as pd
+
+        from .functions.png import png_encode
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                text = row["text"] or ""
+                d1 = _hashlib.md5(text.encode("utf-8")).digest()
+                d2 = _hashlib.md5((text + ":p2").encode("utf-8")).digest()
+                w, h = d1[0] % 4 + 2, d1[1] % 4 + 2
+                pixels = (d1 + d2)[: w * h]
+                filters = [(d1[2] + y) % 5 for y in range(h)]
+                out.append((row["doc_id"],
+                            png_encode(pixels, w, h, filters=filters),
+                            "image/png"))
+            yield pd.DataFrame(out, columns=["media_id", "payload", "mime"])
+
+    media = docs.mapInPandas(make_png, schema=(
+        "media_id long, payload binary, mime string"))
+    feats = decode_features(
+        media, decoder=real_decoder,
+        batch_partitions=spark.sparkContext.defaultParallelism)
+    return feats.select(
+        "media_id", "width", "height",
+        F.round(F.element_at("feature", 1) * F.col("width")
+                * F.col("height") * 255).cast("long").alias("pixel_sum"),
+    )
+
+
+ORACLE_PNG_DECODE = """
+WITH h AS (
+  SELECT doc_id AS media_id,
+         md5(coalesce(text, '')) AS d1,
+         md5(coalesce(text, '') || ':p2') AS d2
+  FROM documents
+), dims AS (
+  SELECT media_id, d1 || d2 AS dd,
+         CAST(('0x' || substr(d1, 1, 2)) AS INT) % 4 + 2 AS width,
+         CAST(('0x' || substr(d1, 3, 2)) AS INT) % 4 + 2 AS height
+  FROM h
+)
+SELECT media_id, width, height,
+       CAST(list_sum(list_transform(range(CAST(width * height AS BIGINT)),
+            i -> CAST(('0x' || substr(dd, CAST(1 + 2 * i AS INT), 2)) AS INT)
+       )) AS BIGINT) AS pixel_sum
+FROM dims
+"""
+
+
 # =====================================================================
 # Windows / pivot / cube / set-ops / subquery shapes (native new surface
 # beyond the reference — SURVEY §2.5/§2.6 'absent' rows)
@@ -5162,6 +5235,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": multimodal_meta,
     "frame_sample_media": frame_sample_media,
     "media_decode_features": media_decode_features,
+    "png_decode_stats": png_decode_stats,
     "pivot_status_priority": pivot_status_priority,
     "cube_lineitem": cube_lineitem,
     "grouping_sets_orders": grouping_sets_orders,
@@ -5283,6 +5357,7 @@ ORACLES: dict[str, str] = {
     "multimodal_meta": ORACLE_MULTIMODAL,
     "frame_sample_media": ORACLE_FRAME_SAMPLE,
     "media_decode_features": ORACLE_DECODE,
+    "png_decode_stats": ORACLE_PNG_DECODE,
     "pivot_status_priority": ORACLE_PIVOT,
     "cube_lineitem": ORACLE_CUBE,
     "grouping_sets_orders": ORACLE_GROUPING_SETS,
