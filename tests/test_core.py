@@ -793,3 +793,96 @@ def test_dataset_write_dotted_and_backtick_columns(spark, tmp_path):
     assert ds.manifest["minmax"]["q`ty"] == [0.5, 2.5]
     back = ds.df(spark)
     assert back.count() == 2 and set(back.columns) == {"price.usd", "q`ty"}
+
+
+def test_concurrent_builds_single_execution(tmp_path):
+    """VERDICT r5 #2: two processes building the same step must run the
+    work exactly once — the loser waits on the O_EXCL claim and returns
+    the winner's memoized record."""
+    import subprocess
+    import sys
+
+    wd = str(tmp_path / "wd")
+    runs = str(tmp_path / "runs.log")
+    script = tmp_path / "build_once.py"
+    script.write_text(f"""
+import os, sys, time
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+from accelerator_spark.build import BuildContext
+
+def slow_step(spark, datasets, options):
+    with open({runs!r}, "a") as f:
+        f.write(str(os.getpid()) + chr(10))
+    time.sleep(1.0)
+    return {{"n": 42}}
+
+ctx = BuildContext(None, {wd!r})
+j = ctx.build(slow_step)
+print("RESULT", j.load("n"), j.jobid)
+""")
+    procs = [subprocess.Popen([sys.executable, str(script)],
+                              stdout=subprocess.PIPE, text=True)
+             for _ in range(2)]
+    outs = [p.communicate(timeout=60)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs)
+    # exactly one execution...
+    with open(runs) as f:
+        assert len(f.read().splitlines()) == 1
+    # ...and both callers got the same memoized result
+    results = sorted(line for out in outs for line in out.splitlines()
+                     if line.startswith("RESULT"))
+    assert len(results) == 2 and results[0] == results[1]
+    assert "RESULT 42 slow_step-0" in results[0]
+
+
+def test_crashed_claim_takeover(tmp_path):
+    """A claim whose owner died (dead pid, or an unparseable claim file
+    past its grace period) is taken over instead of wedging the key."""
+    import subprocess
+    import sys
+
+    def step_t(spark_, datasets, options):
+        return {"v": 7}
+
+    ctx = BuildContext(None, str(tmp_path / "wd"))
+    key = ctx._job_key(step_t, {}, {})
+    # dead-pid claim: a real pid that has exited
+    dead = subprocess.Popen([sys.executable, "-c", "pass"])
+    dead.wait()
+    path = ctx._claim_path(key)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import json as _json
+    import socket as _socket
+    with open(path, "w") as f:
+        _json.dump({"pid": dead.pid, "host": _socket.gethostname(),
+                    "time": 0}, f)
+    j = ctx.build(step_t)
+    assert j.load("v") == 7 and not j.cached
+    assert not os.path.exists(path)  # claim released after the build
+    # unparseable claim: stale after the 5s grace, honored before it
+    def step_u(spark_, datasets, options):
+        return {"v": 8}
+    key2 = ctx._job_key(step_u, {}, {})
+    path2 = ctx._claim_path(key2)
+    with open(path2, "w") as f:
+        f.write("{half a json")
+    old = __import__("time").time() - 30
+    os.utime(path2, (old, old))
+    assert ctx.build(step_u).load("v") == 8
+
+
+def test_why_build_forced_withholds_stale_record(spark, sf_dir, tmp_path):
+    """ADVICE r5: why_build + force_build on a cached job must NOT hand
+    back the old record — dataset()/df() would silently serve the
+    pre-rebuild outputs the forced build would replace."""
+    import pytest
+
+    def step_f(spark_, datasets, options):
+        return load(spark_, sf_dir, "region")
+
+    ctx = BuildContext(spark, str(tmp_path / "wd"))
+    ctx.build(step_f)
+    jf = ctx.build(step_f, why_build=True, force_build=True)
+    assert jf.would_build and jf.reason == "forced"
+    with pytest.raises(ValueError, match="no build record"):
+        jf.dataset()
