@@ -758,3 +758,29 @@ def test_canonicalize_url_unifies_bare_domain_and_root_slash(spark):
     got = {r["c"] for r in
            df.select(canonicalize_url(F.col("u")).alias("c")).collect()}
     assert got == {"http://example.com"}
+
+
+def test_semantic_dedup_auto_cap_default(spark, emb):
+    """VERDICT r5 #3: the default is a DERIVED cell_cap (4x average
+    cell size, floored at 256), so a naive caller is bounded by default;
+    small corpora keep exact (= unbounded) semantics."""
+    import pytest
+
+    from accelerator_spark.operators.similarity import (
+        _auto_cell_cap, semantic_dedup)
+
+    # formula: floor kicks in for small corpora, 4x average above it
+    assert _auto_cell_cap(0, 8) == 256
+    assert _auto_cell_cap(100, 8) == 256
+    assert _auto_cell_cap(1_000_000, 1000) == 4000
+    assert _auto_cell_cap(1_000_001, 1000) == 4001  # ceil, not floor
+    assert _auto_cell_cap(5, 0) == 256  # empty centroid set: no div0
+
+    base = emb.filter(F.col("vec_id") < 100)
+    cents = base.filter(F.col("vec_id") < 8)
+    auto = semantic_dedup(base, cents, threshold=0.35)
+    exact = semantic_dedup(base, cents, threshold=0.35, cell_cap=None)
+    assert (sorted(r["vec_id"] for r in auto.select("vec_id").collect())
+            == sorted(r["vec_id"] for r in exact.select("vec_id").collect()))
+    with pytest.raises(ValueError, match="auto"):
+        semantic_dedup(base, cents, cell_cap="bogus")
