@@ -1,16 +1,25 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Timing excludes SparkSession startup (cold JVM) and uses a foreach-noop
-action so results are computed but never collected to the driver.
+STDOUT CONTRACT (ADVICE r5): stdout is JSONL — two JSON lines, the
+full per-query record first and a compact summary LAST. Parse the last
+line (the driver tail-captures ~2k chars of stdout, which front-
+truncates the big per-query line; the short summary always survives).
+Both lines carry metric/value/unit. The full record is also persisted
+to bench_latest.json beside this file.
+
+Timing (VERDICT r5 #4): per query, the MEDIAN of N runs (default 3)
+plus the [min, max] spread — single-sample records absorbed up to 2x
+box drift on this machine and polluted every cross-round comparison.
+Timing excludes SparkSession startup (cold JVM) and uses a noop write
+so results are computed but never collected to the driver.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -135,9 +144,10 @@ def main() -> None:
     # warm the JVM + parquet footers once with a trivial action
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
-    # best-of-N: first run pays one-time parquet footer reads + plan
-    # compilation; steady-state throughput is what scales to a cluster.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # median-of-N (VERDICT r5 #4): the first run pays one-time parquet
+    # footer reads + plan compilation, outlier runs absorb box noise —
+    # the median is robust to both; the spread makes drift visible.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     names = HEADLINE + ([] if os.environ.get("SPARK_GRAFT_BENCH_QUICK")
                         else EXTENDED)
     if not os.environ.get("SPARK_GRAFT_BENCH_QUICK"):
@@ -146,6 +156,7 @@ def main() -> None:
         # just the curated headline subset
         names = names + sorted(set(Q.QUERIES) - set(names))
     times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in names:
         # a stale name in the hand-maintained lists must record an
@@ -155,14 +166,14 @@ def main() -> None:
         if fn is None:
             errors[name] = "not in registry"
             continue
-        best = float("inf")
+        samples: list[float] = []
         # a single failing query must not sink the whole benchmark (and
         # with it the round's perf record) — record the error, move on.
-        # Per-RUN try: a surviving run's timing is kept even if a later
-        # run fails (dropping it made a failure read as a speedup in the
-        # headline total — review r4), and clearCache always runs so a
-        # failed query's persisted intermediates can't distort the next
-        # query's memory budget.
+        # Per-RUN try: surviving runs' timings are kept even if a later
+        # run fails (dropping them made a failure read as a speedup in
+        # the headline total — review r4), and clearCache always runs so
+        # a failed query's persisted intermediates can't distort the
+        # next query's memory budget.
         for _ in range(runs):
             try:
                 t0 = time.perf_counter()
@@ -174,15 +185,18 @@ def main() -> None:
                 # review r4). The noop sink executes the full plan,
                 # result stays distributed.
                 df.write.mode("overwrite").format("noop").save()
-                best = min(best, time.perf_counter() - t0)
+                samples.append(time.perf_counter() - t0)
             except Exception as e:  # noqa: BLE001 — deliberate catch-all
                 errors[name] = str(e).split("\n")[0][:200]
                 print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             finally:
                 spark.catalog.clearCache()
-        if best < float("inf"):
-            times[name] = round(best, 3)
-            print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
+        if samples:
+            times[name] = round(statistics.median(samples), 3)
+            spread[name] = [round(min(samples), 3), round(max(samples), 3)]
+            print(f"# {name}: {times[name]:.3f}s "
+                  f"[{spread[name][0]:.3f}-{spread[name][1]:.3f}]",
+                  file=sys.stderr)
 
     total = round(sum(times.values()), 3)
 
@@ -200,7 +214,9 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        "basis": f"median_of_{runs}",
         "queries": times,
+        "spread": spread,
         "sf": _parse_sf(sf),
     }
     if errors:
@@ -223,7 +239,7 @@ def main() -> None:
     # reads the LAST line still sees a valid bench record
     summary = {"metric": out.get("metric", "total_runtime"), "value": total,
                "unit": "sec", "total_sec": total, "n_queries": len(times),
-               "sf": out["sf"]}
+               "basis": out["basis"], "sf": out["sf"]}
     if errors:
         summary["n_errors"] = len(errors)
     print(json.dumps(summary))
