@@ -941,3 +941,96 @@ def test_prop_clean_lines_matches_model(spark, text, min_words):
     assert r["lines_in"] == len(lines)
     assert r["lines_kept"] == len(kept)
     assert r["text_clean"] == "\n".join(kept)
+
+
+# -- CSV tokenizer vs Python's csv module (VERDICT r5 #6) ---------------
+
+_CSV_SEPS = [",", ";", "\t", "|", ":", "~"]
+_CSV_QUOTES = ['"', "'", "`"]
+_field_text = st.text(
+    alphabet=st.sampled_from(list("ab,;|:~'\"` \t\r")), max_size=8)
+
+
+def _encode_line(row, sep, quote, quoting):
+    import csv
+    import io
+
+    buf = io.StringIO()
+    csv.writer(buf, delimiter=sep, quotechar=quote, doublequote=True,
+               quoting=quoting, lineterminator="\n").writerow(row)
+    return buf.getvalue().rstrip("\n")
+
+
+@PROP
+@given(st.data())
+def test_prop_csv_tokenizer_matches_csv_module(data):
+    """_tokenize ≡ csv.reader on properly-encoded single-line records:
+    random sep x quote x payloads containing separators, quotes (so
+    quote-doubling), and whitespace, encoded by csv.writer under both
+    QUOTE_ALL and QUOTE_MINIMAL. Locks the last hand-written parser in
+    the repo to an independent implementation."""
+    import csv
+
+    from accelerator_spark.sources.csv import _tokenize
+
+    sep = data.draw(st.sampled_from(_CSV_SEPS))
+    quote = data.draw(st.sampled_from(_CSV_QUOTES))
+    row = data.draw(st.lists(_field_text, min_size=1, max_size=6))
+    # \r\n inside a field would need the multiline reassembly layer
+    # (covered by the csvimport matrix); the tokenizer itself is
+    # line-scoped, so strip record terminators from the payload
+    row = [f.replace("\n", " ").replace("\r", " ") for f in row]
+    for quoting in (csv.QUOTE_ALL, csv.QUOTE_MINIMAL):
+        if quoting == csv.QUOTE_MINIMAL and row == [""]:
+            # Python's own writer/reader disagree here: writerow([""])
+            # minimal-quotes to an empty line, which reader returns as
+            # []. The reference tokenizer (like the reference engine)
+            # reads an empty line as one empty field.
+            continue
+        line = _encode_line(row, sep, quote, quoting)
+        mine = _tokenize(line, sep, quote)
+        theirs = next(csv.reader([line], delimiter=sep, quotechar=quote,
+                                 doublequote=True))
+        assert mine == theirs == row, (sep, quote, quoting, line)
+
+
+@PROP
+@given(st.data())
+def test_prop_csv_tokenizer_unquoted_is_split(data):
+    """Without quote chars in play, the tokenizer is exactly str.split
+    on the separator (including empty fields and trailing separators)."""
+    from accelerator_spark.sources.csv import _tokenize
+
+    sep = data.draw(st.sampled_from(_CSV_SEPS))
+    parts = data.draw(st.lists(
+        st.text(alphabet=st.sampled_from("abc \t"), max_size=5),
+        min_size=1, max_size=6))
+    line = sep.join(parts)
+    assert _tokenize(line, sep, "") == line.split(sep)
+    # with quoting enabled but no quote char present, same answer
+    assert _tokenize(line, sep, '"') == line.split(sep)
+
+
+@PROP
+@given(st.data())
+def test_prop_csv_tokenizer_rejects_malformed_quoting(data):
+    """Lines the reference calls malformed (unterminated quote; closing
+    quote not followed by sep/EOL) return None — and csv.reader in
+    strict mode also refuses the closing-quote case."""
+    import csv
+
+    from accelerator_spark.sources.csv import _tokenize
+
+    sep = data.draw(st.sampled_from(_CSV_SEPS))
+    mid = data.draw(st.text(alphabet=st.sampled_from("ab"), max_size=4))
+    # unterminated: opening quote never closed
+    assert _tokenize(f'"{mid}', sep, '"') is None
+    # closing quote followed by junk (not sep/EOL)
+    bad = f'"{mid}"x'
+    assert _tokenize(bad, sep, '"') is None
+    try:
+        next(csv.reader([bad], delimiter=sep, quotechar='"', strict=True))
+        raised = False
+    except csv.Error:
+        raised = True
+    assert raised
