@@ -35,27 +35,44 @@ def stream_from_directory(spark: SparkSession, path: str, schema: T.StructType,
     return r.format(fmt).load(path)
 
 
+class _DefaultValueCol:
+    """Private sentinel for windowed_counts' value_col default. A plain
+    interned string ("value") would compare `is`-identical to an
+    explicitly passed "value" literal, defeating the explicit-typo
+    check (ADVICE r5)."""
+
+    def __repr__(self):  # shows sanely in signatures/tracebacks
+        return "<default: 'value'>"
+
+
+_DEFAULT_VALUE_COL = _DefaultValueCol()
+
+
 def windowed_counts(stream_df: DataFrame, ts_col: str = "ts",
                     window: str = "1 hour", watermark: str = "2 hours",
                     group_cols: list[str] | None = None,
-                    *, value_col: str | None = "value") -> DataFrame:
+                    *, value_col=_DEFAULT_VALUE_COL) -> DataFrame:
     """Watermarked tumbling-window counts; late rows beyond the watermark
     are dropped, state is bounded — the scale-safe streaming agg.
     ``value_col=None`` (or a stream without the default 'value' column)
     yields counts only — a counts function must not require a summable
     column (review r4). The absent-column leniency applies ONLY to the
     default: an EXPLICITLY passed value_col that is missing is a typo
-    and raises instead of silently omitting sum_value (review r5)."""
+    and raises instead of silently omitting sum_value (review r5).
+    The default is an identity sentinel (ADVICE r5), so an explicit
+    value_col="value" on a stream without that column raises like any
+    other explicit name instead of slipping through the leniency."""
     g = [F.window(F.col(ts_col), window).alias("win")] + [
         F.col(c) for c in (group_cols or [])
     ]
     aggs = [F.count(F.lit(1)).alias("n")]
-    if value_col is not None and value_col not in stream_df.columns \
-            and value_col != "value":
+    if value_col is _DEFAULT_VALUE_COL:
+        value_col = "value" if "value" in stream_df.columns else None
+    elif value_col is not None and value_col not in stream_df.columns:
         raise ValueError(
             f"windowed_counts: value_col {value_col!r} not in stream "
             f"columns {stream_df.columns}")
-    if value_col is not None and value_col in stream_df.columns:
+    if value_col is not None:
         aggs.append(F.sum(value_col).alias("sum_value"))
     return (
         stream_df.withWatermark(ts_col, watermark)
@@ -119,11 +136,15 @@ def sessionize_stateful(stream_df: DataFrame, gap_minutes: int = 30,
     state is per-key and bounded, so it distributes.
 
     EXPERIMENTAL: in this container's Spark 4.1.2 local build, Python
-    stateful streaming operators (both applyInPandasWithState and
-    transformWithStateInPandas) hang in the first microbatch — verified
-    empirically; JVM-side stateful aggregation (windowed_counts) works.
-    Use the batch sessionizer (queries.sessionize_events, oracle-gated)
-    or windowed_counts until the environment supports Python state."""
+    stateful streaming hangs — re-probed r6 (VERDICT r5 #7, repro at
+    tools/probe_stateful_streaming.py): under Trigger.AvailableNow the
+    DATA microbatch completes, then the follow-up state-cleanup batch
+    ("No new data but cleaning up state") never terminates (>420 s for
+    4 rows). JVM-side stateful aggregation (windowed_counts,
+    stream_dedup) works. Use the batch sessionizer
+    (queries.sessionize_events, oracle-gated) or windowed_counts until
+    the environment supports Python state. The per-key fold itself is
+    the pure, unit-tested _fold_sessions below."""
     gap_us = gap_minutes * 60 * 1_000_000
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
@@ -150,27 +171,19 @@ def sessionize_stateful(stream_df: DataFrame, gap_minutes: int = 30,
         if not ts_list:
             return
         ts_list.sort()
-        if state.exists:
-            start_us, last_us, n = state.get
-            # a cross-batch late event older than the open session's
-            # last activity must not regress last_us / session_end;
-            # fold it into the open session instead (review r5)
-            ts_list = [max(t, last_us) for t in ts_list]
-        else:
-            start_us, last_us, n = ts_list[0], ts_list[0], 0
-        out = []
-        for t in ts_list:
-            if last_us is not None and t - last_us > gap_us:
-                out.append({
-                    "user_id": user_id,
-                    "session_start": _us_ts(start_us),
-                    "session_end": _us_ts(last_us),
-                    "n_events": n,
-                })
-                start_us, n = t, 0
-            last_us = t
-            n += 1
-        state.update((start_us, last_us, n))
+        prior = state.get if state.exists else None
+        closed, new_state = _fold_sessions(ts_list, prior, gap_us)
+        if new_state is None or (not closed and new_state == prior):
+            # nothing happened (all events dropped as stale) — don't
+            # refresh the open session's timeout
+            return
+        out = [{
+            "user_id": user_id,
+            "session_start": _us_ts(s),
+            "session_end": _us_ts(e),
+            "n_events": n_ev,
+        } for s, e, n_ev in closed]
+        state.update(new_state)
         state.setTimeoutDuration(gap_minutes * 60 * 1000)
         if out:
             yield pd.DataFrame(out)
@@ -183,3 +196,35 @@ def sessionize_stateful(stream_df: DataFrame, gap_minutes: int = 30,
 
 def _us_ts(us: int) -> _dt.datetime:
     return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)
+
+
+def _fold_sessions(ts_list: list, prior: "tuple | None", gap_us: int):
+    """Pure per-key session fold (unit-testable without GroupState):
+    given SORTED event micros and the open session state
+    (start_us, last_us, n) or None, returns (closed_sessions,
+    new_state) where closed_sessions is a list of (start, end, n).
+
+    Cross-batch late-event policy (ADVICE r5): an event OLDER than the
+    open session's start may belong to an already-emitted prior
+    session — emitted history is immutable, so it is DROPPED
+    (watermark-style). An event inside the open span [start, last] is a
+    late arrival of the CURRENT session: it is clamped to last_us so it
+    counts without regressing session_end. Returns (_, None) when every
+    event was dropped and no state existed."""
+    if prior is not None:
+        start_us, last_us, n = prior
+        ts_list = [max(t, last_us) for t in ts_list if t >= start_us]
+        if not ts_list:
+            return [], (start_us, last_us, n)
+    else:
+        if not ts_list:
+            return [], None
+        start_us, last_us, n = ts_list[0], ts_list[0], 0
+    closed = []
+    for t in ts_list:
+        if t - last_us > gap_us:
+            closed.append((start_us, last_us, n))
+            start_us, n = t, 0
+        last_us = t
+        n += 1
+    return closed, (start_us, last_us, n)

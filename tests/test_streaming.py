@@ -340,3 +340,57 @@ def test_windowed_counts_explicit_missing_value_col_raises(spark, sf_dir,
     ev = stream_from_directory(spark, p, src.schema)
     with pytest.raises(ValueError, match="revenu"):
         windowed_counts(ev, "ts", "1 hour", "2 hours", value_col="revenu")
+    # ADVICE r5: an EXPLICIT value_col="value" on a stream without that
+    # column is also a typo — the identity sentinel keeps the leniency
+    # for the default only, so this raises too
+    # (cast ts explicitly: events.parquet reads back TIMESTAMP_NTZ,
+    # which watermarks reject)
+    noval = src.drop("value").selectExpr(
+        "cast(ts as timestamp) as ts", "event_type")
+    p2 = str(tmp_path / "ev_noval")
+    noval.write.mode("overwrite").parquet(p2)
+    ev2 = stream_from_directory(spark, p2, "ts timestamp, event_type string")
+    with pytest.raises(ValueError, match="'value'"):
+        windowed_counts(ev2, "ts", "1 hour", "2 hours", value_col="value")
+    # while the DEFAULT still degrades to counts-only on the same stream
+    assert "sum_value" not in windowed_counts(
+        ev2, "ts", "1 hour", "2 hours").columns
+
+
+def test_fold_sessions_model():
+    """Unit tests for the pure per-key session fold behind
+    sessionize_stateful, including the ADVICE r5 late-event policy:
+    events older than the open session's start are DROPPED (emitted
+    history is immutable); events inside the open span clamp to
+    last_us; fresh events extend or close sessions."""
+    from accelerator_spark.streaming.structured import _fold_sessions
+
+    GAP = 30 * 60 * 1_000_000  # 30 min in us
+    M = 60 * 1_000_000
+
+    # no state, one batch, one gap -> first session closed, second open
+    closed, st = _fold_sessions([0, 5 * M, 60 * M, 62 * M], None, GAP)
+    assert closed == [(0, 5 * M, 2)]
+    assert st == (60 * M, 62 * M, 2)
+
+    # empty batch without state: nothing
+    assert _fold_sessions([], None, GAP) == ([], None)
+
+    # continuation: new events within gap extend the open session
+    closed, st = _fold_sessions([70 * M], (60 * M, 62 * M, 2), GAP)
+    assert closed == [] and st == (60 * M, 70 * M, 3)
+
+    # late event BEFORE the open session's start: dropped, state kept
+    closed, st = _fold_sessions([10 * M], (60 * M, 70 * M, 3), GAP)
+    assert closed == [] and st == (60 * M, 70 * M, 3)
+
+    # late event inside the open span: clamps to last_us, counts, no
+    # session_end regression
+    closed, st = _fold_sessions([65 * M], (60 * M, 70 * M, 3), GAP)
+    assert closed == [] and st == (60 * M, 70 * M, 4)
+
+    # mixed batch: stale dropped, in-span clamped, fresh closes after gap
+    closed, st = _fold_sessions(
+        [10 * M, 65 * M, 120 * M], (60 * M, 70 * M, 3), GAP)
+    assert closed == [(60 * M, 70 * M, 4)]
+    assert st == (120 * M, 120 * M, 1)
