@@ -292,11 +292,14 @@ class BuildContext:
     # no daemon, so two processes building the same step raced on the
     # job dir and could both run the work. An O_EXCL claim file per memo
     # key makes exactly one process the builder; the others wait and
-    # return the winner's memoized record. A claim whose owner died
-    # (same-host pid probe; mtime staleness for foreign hosts) is taken
-    # over, so a crashed builder never wedges the key.
+    # return the winner's memoized record. The builder HEARTBEATS its
+    # claim (mtime touch) while the step runs, so staleness is a pure
+    # mtime check that works across hosts and survives pid reuse; a
+    # stale claim is taken over via an atomic rename-to-tombstone, so
+    # two waiters can never both win the takeover (review r6).
 
-    _FOREIGN_CLAIM_STALE_S = 3600.0
+    _CLAIM_HEARTBEAT_S = 15.0
+    _CLAIM_STALE_S = 120.0  # ~8 missed heartbeats
     _CLAIM_POLL_S = 0.05
 
     def _claim_path(self, key: str) -> str:
@@ -325,36 +328,70 @@ class BuildContext:
         except FileNotFoundError:
             pass
 
-    def _claim_is_stale(self, key: str) -> bool:
-        """True iff the claim's owner can be shown dead. Unparseable or
-        empty claim files (a crashed writer mid-json) count as stale
-        once older than a short grace period."""
+    def _claim_heartbeat(self, key: str):
+        """Touch the claim's mtime every _CLAIM_HEARTBEAT_S while the
+        step runs (daemon thread). Returns a stop callable."""
+        import threading
+
         path = self._claim_path(key)
+        stop = threading.Event()
+
+        def beat():
+            while not stop.wait(self._CLAIM_HEARTBEAT_S):
+                try:
+                    os.utime(path)
+                except OSError:
+                    return  # claim gone (released/taken) — stop quietly
+
+        t = threading.Thread(target=beat, daemon=True,
+                             name=f"claim-heartbeat-{key[:8]}")
+        t.start()
+        return stop.set
+
+    def _claim_is_stale(self, key: str) -> bool:
+        """True iff the claim stopped heartbeating: mtime older than
+        _CLAIM_STALE_S. Host/pid-independent (pid probes lie under pid
+        reuse and cross-host; the heartbeat doesn't). Also covers a
+        crashed writer's unparseable half-written claim."""
         try:
-            st = os.stat(path)
-            with open(path) as f:
-                info = json.load(f)
-            pid, host = int(info["pid"]), info["host"]
+            st = os.stat(self._claim_path(key))
         except FileNotFoundError:
             return False  # released — not stale, just gone
-        except (ValueError, KeyError, TypeError, OSError):
-            try:
-                return time.time() - os.stat(path).st_mtime > 5.0
-            except FileNotFoundError:
-                return False
-        if host != socket.gethostname():
-            return time.time() - st.st_mtime > self._FOREIGN_CLAIM_STALE_S
+        return time.time() - st.st_mtime > self._CLAIM_STALE_S
+
+    def _take_over_claim(self, key: str) -> bool:
+        """Atomically remove a stale claim: rename to a per-taker
+        tombstone first — rename is atomic, so of N waiters that judged
+        the same claim stale, exactly ONE succeeds and may proceed to
+        re-claim; the rest see FileNotFoundError and re-enter the poll
+        (review r6: a bare unlink here could delete the claim a faster
+        taker had already re-created, double-running the step)."""
+        path = self._claim_path(key)
+        tomb = f"{path}.tomb.{os.getpid()}.{time.time_ns()}"
         try:
-            os.kill(pid, 0)
+            os.rename(path, tomb)
+        except FileNotFoundError:
             return False
-        except ProcessLookupError:
-            return True
-        except PermissionError:
-            return False  # alive, owned by someone else
+        try:
+            os.remove(tomb)
+        except FileNotFoundError:
+            pass
+        return True
 
     def _refresh(self) -> None:
         """Fold records appended by OTHER processes into the in-memory
-        index (the claim waiter's read path)."""
+        index (the claim waiter's read path). Stat-gated: the waiter
+        polls at 50 ms — re-parsing the whole jobdb each tick is
+        O(poll x dbsize) for nothing when the file hasn't changed
+        (review r6)."""
+        try:
+            st = os.stat(self._dbpath)
+            sig = (st.st_mtime_ns, st.st_size)
+        except FileNotFoundError:
+            sig = None
+        if sig == getattr(self, "_db_sig", ()):
+            return
+        self._db_sig = sig
         self._load()
 
     # -- the public build() ---------------------------------------------
@@ -413,8 +450,12 @@ class BuildContext:
                     if (not force_build and rec is not None and all(
                             Dataset.exists(p) for p in rec.outputs.values())):
                         return Job(self, rec, cached=True)
-                    return self._run_step(fn, options, datasets,
-                                          hashlabel, previous, key)
+                    stop_beat = self._claim_heartbeat(key)
+                    try:
+                        return self._run_step(fn, options, datasets,
+                                              hashlabel, previous, key)
+                    finally:
+                        stop_beat()
                 finally:
                     self._release_claim(key)
             # waiter: poll for the winner's record; a released claim with
@@ -428,8 +469,7 @@ class BuildContext:
                     return Job(self, rec2, cached=True)
                 if not os.path.exists(self._claim_path(key)):
                     break
-                if self._claim_is_stale(key):
-                    self._release_claim(key)
+                if self._claim_is_stale(key) and self._take_over_claim(key):
                     break
                 time.sleep(self._CLAIM_POLL_S)
 

@@ -272,9 +272,7 @@ def semantic_dedup(corpus: DataFrame, centroids: DataFrame,
     ``cell_cap=None`` to opt into the exact unbounded quadratic
     (sensible only when k is sized so cells fit a task).
     """
-    if cell_cap == "auto":
-        cell_cap = _auto_cell_cap(corpus.count(), centroids.count())
-    elif isinstance(cell_cap, str):
+    if isinstance(cell_cap, str) and cell_cap != "auto":
         raise ValueError(f"cell_cap must be an int, None, or 'auto'; "
                          f"got {cell_cap!r}")
     # the assignment (corpus x centroids + window) is referenced three
@@ -283,6 +281,12 @@ def semantic_dedup(corpus: DataFrame, centroids: DataFrame,
     # re-reference fix measured 5.8s->0.3s in graph.triangle_count
     assigned = ivf_assign(corpus, centroids, id_col, vec_col).drop(
         "centroid_cos").localCheckpoint(eager=True)
+    if cell_cap == "auto":
+        # count AFTER the checkpoint (review r6): counting the raw
+        # corpus plan would execute an expensive derived corpus a whole
+        # extra time; the checkpointed assignment makes this count
+        # nearly free (and |assigned| == |corpus|)
+        cell_cap = _auto_cell_cap(assigned.count(), centroids.count())
     left = assigned
     if cell_cap is not None:
         wcell = W.partitionBy("centroid_id").orderBy(F.col(id_col).asc())

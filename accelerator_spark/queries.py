@@ -1717,8 +1717,11 @@ def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision loss at this magnitude.
 
     Scale: two Arrow-batched mapInPandas stages (encode is the test
-    harness; decode is the operator under test), no shuffle at all —
-    partition-parallel over documents."""
+    harness; decode is the operator under test) over the source
+    partitioning — the payloads are generated partition-locally, so
+    repartitioning between the stages would be a pure-waste shuffle of
+    the blobs (review r6: batch_partitions dropped for exactly that
+    reason); no shuffle in the plan."""
     import hashlib as _hashlib
 
     from .operators.multimodal import decode_features, real_decoder
@@ -1746,9 +1749,7 @@ def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(make_png, schema=(
         "media_id long, payload binary, mime string"))
-    feats = decode_features(
-        media, decoder=real_decoder,
-        batch_partitions=spark.sparkContext.defaultParallelism)
+    feats = decode_features(media, decoder=real_decoder)
     return feats.select(
         "media_id", "width", "height",
         F.round(F.element_at("feature", 1) * F.col("width")

@@ -168,15 +168,11 @@ def sessionize_stateful(stream_df: DataFrame, gap_minutes: int = 30,
             ts_list.extend(int(v.value // 1000)
                            for v in pd.to_datetime(pdf[ts_col])
                            if v is not pd.NaT)
-        if not ts_list:
-            return
         ts_list.sort()
         prior = state.get if state.exists else None
         closed, new_state = _fold_sessions(ts_list, prior, gap_us)
-        if new_state is None or (not closed and new_state == prior):
-            # nothing happened (all events dropped as stale) — don't
-            # refresh the open session's timeout
-            return
+        if new_state is None:
+            return  # no open session and no usable events
         out = [{
             "user_id": user_id,
             "session_start": _us_ts(s),
@@ -184,6 +180,10 @@ def sessionize_stateful(stream_df: DataFrame, gap_minutes: int = 30,
             "n_events": n_ev,
         } for s, e, n_ev in closed]
         state.update(new_state)
+        # MUST re-arm on EVERY invocation that keeps state — Spark
+        # clears a ProcessingTimeTimeout that isn't re-set, so an early
+        # return on a stale-only (or NULL-only) batch would cancel the
+        # open session's flush and it would never be emitted (review r6)
         state.setTimeoutDuration(gap_minutes * 60 * 1000)
         if out:
             yield pd.DataFrame(out)

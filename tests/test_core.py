@@ -836,38 +836,44 @@ print("RESULT", j.load("n"), j.jobid)
 
 
 def test_crashed_claim_takeover(tmp_path):
-    """A claim whose owner died (dead pid, or an unparseable claim file
-    past its grace period) is taken over instead of wedging the key."""
-    import subprocess
-    import sys
+    """A claim that stopped heartbeating (mtime past _CLAIM_STALE_S —
+    the builder crashed; heartbeats touch the mtime while a step runs)
+    is taken over instead of wedging the key; a fresh claim is honored.
+    Takeover is an atomic rename-to-tombstone, so concurrent judges of
+    the same stale claim cannot both win."""
+    import json as _json
+    import socket as _socket
+    import time as _time
 
     def step_t(spark_, datasets, options):
         return {"v": 7}
 
     ctx = BuildContext(None, str(tmp_path / "wd"))
     key = ctx._job_key(step_t, {}, {})
-    # dead-pid claim: a real pid that has exited
-    dead = subprocess.Popen([sys.executable, "-c", "pass"])
-    dead.wait()
     path = ctx._claim_path(key)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    import json as _json
-    import socket as _socket
     with open(path, "w") as f:
-        _json.dump({"pid": dead.pid, "host": _socket.gethostname(),
+        _json.dump({"pid": 999999, "host": _socket.gethostname(),
                     "time": 0}, f)
+    # fresh mtime: claim is honored (owner presumed alive & heartbeating)
+    assert not ctx._claim_is_stale(key)
+    # stale mtime: taken over; the build runs and releases the claim
+    old = _time.time() - ctx._CLAIM_STALE_S - 60
+    os.utime(path, (old, old))
+    assert ctx._claim_is_stale(key)
     j = ctx.build(step_t)
     assert j.load("v") == 7 and not j.cached
     assert not os.path.exists(path)  # claim released after the build
-    # unparseable claim: stale after the 5s grace, honored before it
+    # only one of two concurrent takers of the same stale claim can win
     def step_u(spark_, datasets, options):
         return {"v": 8}
     key2 = ctx._job_key(step_u, {}, {})
     path2 = ctx._claim_path(key2)
     with open(path2, "w") as f:
         f.write("{half a json")
-    old = __import__("time").time() - 30
     os.utime(path2, (old, old))
+    assert ctx._take_over_claim(key2) is True
+    assert ctx._take_over_claim(key2) is False  # already gone
     assert ctx.build(step_u).load("v") == 8
 
 
