@@ -173,10 +173,24 @@ def png_decode(data: bytes, *, expand_palette: bool = True,
     channels = _CHANNELS[color]
     stride = (width * channels * depth + 7) // 8
     bpp = max(1, (channels * depth) // 8)
+    # bounded inflate (review r6): the expected size is known from
+    # IHDR, so cap decompression there — a tiny crafted PNG whose IDAT
+    # inflates to hundreds of MB must raise, not OOM an executor task.
+    expect = height * (stride + 1)
+    d = zlib.decompressobj()
     try:
-        raw = zlib.decompress(b"".join(idat))
+        raw = d.decompress(b"".join(idat), expect)
     except zlib.error as e:
         raise PngError(f"IDAT inflate failed: {e}") from None
+    # leftover input (tail) or an unfinished stream at full output
+    # means the data inflates past `expect` — do NOT flush() it (that
+    # would inflate the bomb); a valid stream ends exactly here, eof set
+    if d.unconsumed_tail or (not d.eof and len(raw) >= expect):
+        raise PngError(
+            f"IDAT inflates past the {expect} bytes IHDR implies "
+            "(decompression bomb or corrupt dimensions)")
+    if not d.eof:
+        raise PngError(f"IDAT truncated: inflated {len(raw)} < {expect} bytes")
     flat = _unfilter(raw, height, stride, bpp)
 
     samples = []
@@ -255,16 +269,29 @@ def png_encode(pixels, width: int, height: int, *, color_type: int = 0,
     use to force coverage of all five filters)."""
     if color_type not in _CHANNELS or bit_depth not in _VALID_DEPTHS[color_type]:
         raise PngError(f"invalid color type {color_type} / depth {bit_depth}")
+    if width <= 0 or height <= 0:
+        # the decoder rejects zero-dimension images; don't emit them
+        raise PngError(f"invalid dimensions {width}x{height}")
     if color_type == 3 and (palette is None or len(palette) % 3 or not palette):
         raise PngError("palette encode needs PLTE bytes (len % 3 == 0)")
+    if (filters is not None and not isinstance(filters, int)
+            and len(filters) != height):
+        raise PngError(
+            f"filters sequence has {len(filters)} entries for {height} rows")
     channels = _CHANNELS[color_type]
     pixels = list(pixels)
     if len(pixels) != width * height * channels:
         raise PngError(
             f"expected {width * height * channels} samples, got {len(pixels)}")
-    maxval = (1 << bit_depth) - 1
+    # range-check against the palette's real entry count for indexed
+    # images (an index < maxval can still be past the PLTE end — it
+    # would encode fine and fail only on decode)
+    maxval = (min(len(palette) // 3, 1 << bit_depth) - 1
+              if color_type == 3 else (1 << bit_depth) - 1)
     if pixels and (min(pixels) < 0 or max(pixels) > maxval):
-        raise PngError(f"sample out of range for depth {bit_depth}")
+        what = "palette index" if color_type == 3 else "sample"
+        raise PngError(f"{what} out of range "
+                       f"(max {maxval} for this {'PLTE' if color_type == 3 else f'depth {bit_depth}'})")
 
     bpp = max(1, (channels * bit_depth) // 8)
     n_row = width * channels

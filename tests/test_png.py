@@ -199,3 +199,97 @@ def test_decode_features_routes_real_png(spark):
     # DETERMINISTIC_FAKE remains the plumbing stub for non-PNG formats
     feat, w, h = DETERMINISTIC_FAKE(b"anything", "video/mp4")
     assert len(feat) == 4 and 0 <= w < 4096 and 0 <= h < 4096
+
+
+def test_png_decode_bounded_inflate_rejects_bomb():
+    """Review r6: a crafted PNG declaring 1x1 whose IDAT inflates to
+    many MB must raise PngError, not OOM the task — inflation is capped
+    at the size IHDR implies."""
+    import struct
+
+    def chunk(t, b):
+        return (struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)  # claims 1x1 gray
+    bomb = zlib.compress(b"\x00" * 50_000_000, 9)  # ~48KB compressed
+    blob = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", bomb) + chunk(b"IEND", b"")
+    with pytest.raises(PngError, match="inflates past"):
+        png_decode(blob)
+    # and an honest truncated stream still reads as truncated
+    ok = zlib.compressobj()
+    partial = ok.compress(b"\x00\x01")  # stream never flush()ed: incomplete
+    with pytest.raises(PngError, match="truncated"):
+        png_decode(sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", partial)
+                   + chunk(b"IEND", b""))
+
+
+def test_png_encode_validation():
+    with pytest.raises(PngError, match="dimensions"):
+        png_encode([], 0, 0)
+    with pytest.raises(PngError, match="filters sequence"):
+        png_encode([0, 0, 0, 0], 2, 2, filters=[0])
+    # palette index past the PLTE end is an encode-time error now
+    with pytest.raises(PngError, match="palette index"):
+        png_encode([5], 1, 1, color_type=3, bit_depth=8,
+                   palette=b"\x00\x00\x00\xff\xff\xff")
+
+
+def test_png_resizer_nearest_neighbor():
+    """Real PNG resize: exact block sampling on an integer downscale,
+    aspect preserved, no upscale, other formats raise."""
+    from accelerator_spark.operators.multimodal import png_resizer
+
+    # 4x2 gray, downscale to max_side=2 -> 2x1; nearest picks (0,0),(2,0)
+    px = [10, 20, 30, 40,
+          50, 60, 70, 80]
+    blob, nw, nh = png_resizer(png_encode(px, 4, 2), "image/png", 2)
+    assert (nw, nh) == (2, 1)
+    img = png_decode(blob)
+    assert img.pixels == (10, 30)
+    # no upscale: already small stays identical
+    small = png_encode([1, 2, 3, 4], 2, 2)
+    blob2, w2, h2 = png_resizer(small, "image/png", 512)
+    assert (w2, h2) == (2, 2) and png_decode(blob2).pixels == (1, 2, 3, 4)
+    # RGB survives with channels intact
+    rgb = png_encode(list(range(4 * 2 * 3)), 4, 2, color_type=2)
+    blob3, w3, h3 = png_resizer(rgb, "image/png", 2)
+    assert (w3, h3) == (2, 1) and png_decode(blob3).channels == 3
+    with pytest.raises(NotImplementedError):
+        png_resizer(b"RIFF....", "video/avi", 64)
+
+
+def test_decode_features_on_error_null(spark):
+    """on_error='null' contains corrupt payloads per-row: the bad row
+    emits NULL outputs, good rows decode — one corrupt blob must not
+    abort a corpus-scale decode job."""
+    good = png_encode([100, 200], 2, 1)
+    df = spark.createDataFrame(
+        [(1, good, "image/png"), (2, b"corrupt", "image/png"),
+         (3, None, "image/png")],
+        "media_id long, payload binary, mime string")
+    out = {r["media_id"]: r for r in decode_features(
+        df, decoder=real_decoder, on_error="null").collect()}
+    assert out[1]["width"] == 2 and out[1]["feature"] is not None
+    assert out[2]["width"] is None and out[2]["feature"] is None
+    assert out[3]["width"] is None
+    # default stays raise
+    with pytest.raises(Exception, match="PngError|not a PNG"):
+        decode_features(df, decoder=real_decoder).collect()
+    with pytest.raises(ValueError, match="on_error"):
+        decode_features(df, decoder=real_decoder, on_error="skip")
+
+
+def test_resize_media_real_png_path(spark):
+    from accelerator_spark.operators.multimodal import png_resizer, resize_media
+
+    df = spark.createDataFrame(
+        [(1, png_encode(list(range(8)), 4, 2), "image/png"),
+         (2, b"not a png", "video/mp4")],
+        "media_id long, payload binary, mime string")
+    out = {r["media_id"]: r for r in resize_media(
+        df, max_side=2, resizer=png_resizer, on_error="null").collect()}
+    assert (out[1]["width"], out[1]["height"]) == (2, 1)
+    assert png_decode(bytes(out[1]["payload"])).pixels == (0, 2)
+    assert out[2]["payload"] is None  # contained, not aborted
