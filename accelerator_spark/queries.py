@@ -1777,6 +1777,83 @@ FROM dims
 """
 
 
+def png_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end-to-end: the same per-document PNGs as
+    png_decode_stats, pushed through resize_media with the genuine
+    ``png_resizer`` (stdlib decode -> nearest-neighbor downsample ->
+    re-encode, max_side=3), then re-decoded with ``real_decoder``. The
+    oracle replays the nearest-neighbor index arithmetic in SQL
+    (sy = y*h//nh, sx = x*w//nw over the md5-derived source bytes), so
+    the resized width/height AND the exact resampled pixel sum are both
+    value-checked. Three Arrow stages (encode harness, resize under
+    test, decode under test), all partition-local — no shuffle."""
+    import hashlib as _hashlib
+
+    from .operators.multimodal import (
+        decode_features, png_resizer, real_decoder, resize_media)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def make_png(batches):
+        import pandas as pd
+
+        from .functions.png import png_encode
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                text = row["text"] or ""
+                d1 = _hashlib.md5(text.encode("utf-8")).digest()
+                d2 = _hashlib.md5((text + ":p2").encode("utf-8")).digest()
+                w, h = d1[0] % 4 + 2, d1[1] % 4 + 2
+                pixels = (d1 + d2)[: w * h]
+                filters = [(d1[2] + y) % 5 for y in range(h)]
+                out.append((row["doc_id"],
+                            png_encode(pixels, w, h, filters=filters),
+                            "image/png"))
+            yield pd.DataFrame(out, columns=["media_id", "payload", "mime"])
+
+    media = docs.mapInPandas(make_png, schema=(
+        "media_id long, payload binary, mime string"))
+    resized = resize_media(media, max_side=3, resizer=png_resizer)
+    feats = decode_features(resized, decoder=real_decoder)
+    return feats.select(
+        "media_id", "width", "height",
+        F.round(F.element_at("feature", 1) * F.col("width")
+                * F.col("height") * 255).cast("long").alias("pixel_sum"),
+    )
+
+
+ORACLE_PNG_RESIZE = """
+WITH h AS (
+  SELECT doc_id AS media_id,
+         md5(coalesce(text, '')) AS d1,
+         md5(coalesce(text, '') || ':p2') AS d2
+  FROM documents
+), dims AS (
+  SELECT media_id, d1 || d2 AS dd,
+         CAST(('0x' || substr(d1, 1, 2)) AS INT) % 4 + 2 AS w,
+         CAST(('0x' || substr(d1, 3, 2)) AS INT) % 4 + 2 AS h
+  FROM h
+), rs AS (
+  -- nearest-neighbor target dims: scale = min(1, 3/max(w,h)),
+  -- n = max(int(dim*scale), 1) with trunc-toward-zero like Python int()
+  SELECT media_id, dd, w, h,
+         greatest(CAST(trunc(w * least(1.0, 3.0 / greatest(w, h))) AS INT), 1) AS width,
+         greatest(CAST(trunc(h * least(1.0, 3.0 / greatest(w, h))) AS INT), 1) AS height
+  FROM dims
+)
+SELECT media_id, width, height,
+       CAST(list_sum(list_transform(range(CAST(width * height AS BIGINT)),
+            i -> CAST(('0x' || substr(dd,
+                 CAST(1 + 2 * ((((i // width) * h // height) * w)
+                              + ((i % width) * w // width)) AS INT),
+                 2)) AS INT)
+       )) AS BIGINT) AS pixel_sum
+FROM rs
+"""
+
+
 # =====================================================================
 # Windows / pivot / cube / set-ops / subquery shapes (native new surface
 # beyond the reference — SURVEY §2.5/§2.6 'absent' rows)
@@ -5237,6 +5314,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frame_sample_media": frame_sample_media,
     "media_decode_features": media_decode_features,
     "png_decode_stats": png_decode_stats,
+    "png_resize_stats": png_resize_stats,
     "pivot_status_priority": pivot_status_priority,
     "cube_lineitem": cube_lineitem,
     "grouping_sets_orders": grouping_sets_orders,
@@ -5359,6 +5437,7 @@ ORACLES: dict[str, str] = {
     "frame_sample_media": ORACLE_FRAME_SAMPLE,
     "media_decode_features": ORACLE_DECODE,
     "png_decode_stats": ORACLE_PNG_DECODE,
+    "png_resize_stats": ORACLE_PNG_RESIZE,
     "pivot_status_priority": ORACLE_PIVOT,
     "cube_lineitem": ORACLE_CUBE,
     "grouping_sets_orders": ORACLE_GROUPING_SETS,

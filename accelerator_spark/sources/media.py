@@ -66,3 +66,40 @@ def media_columns(df: DataFrame) -> DataFrame:
         F.col("modificationTime").alias("mod_time"),
         F.col("content"),
     )
+
+
+def image_import(spark: SparkSession, path: str,
+                 glob: str | None = None,
+                 drop_invalid: bool = False) -> DataFrame:
+    """Read a directory of images through Spark's built-in ``image``
+    source (JVM ImageIO decode — no Python in the scan) into
+    (media_id, media_path, width, height, n_channels, mode, data).
+
+    Complements binary_import: use THIS when the JVM should decode at
+    scan time (jpeg/png/gif/bmp via ImageIO, one task per file, pixel
+    data lands as an OpenCV-style BGR(A)/gray byte column); use
+    binary_import + decode_features when decode policy lives in Python
+    (custom codecs, on_error containment, formats ImageIO lacks).
+    Undecodable files surface as width -1 rows unless
+    ``drop_invalid=True`` (the source's dropInvalid option prunes them
+    at scan time).
+
+    The stdlib PNG codec (functions/png.py) is cross-checked against
+    exactly this source in tests/test_png.py, so the two decode paths
+    agree byte-for-byte on PNG."""
+    reader = spark.read.format("image").option("recursiveFileLookup", "true")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if drop_invalid:
+        reader = reader.option("dropInvalid", "true")
+    img = F.col("image")
+    base = F.element_at(F.split(img["origin"], "/"), -1)
+    return reader.load(path).select(
+        F.regexp_replace(base, r"(?<=.)\.[^.]*$", "").alias("media_id"),
+        img["origin"].alias("media_path"),
+        img["width"].alias("width"),
+        img["height"].alias("height"),
+        img["nChannels"].alias("n_channels"),
+        img["mode"].alias("mode"),
+        img["data"].alias("data"),
+    )

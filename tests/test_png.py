@@ -293,3 +293,30 @@ def test_resize_media_real_png_path(spark):
     assert (out[1]["width"], out[1]["height"]) == (2, 1)
     assert png_decode(bytes(out[1]["payload"])).pixels == (0, 2)
     assert out[2]["payload"] is None  # contained, not aborted
+
+
+def test_image_import_source(spark, tmp_path):
+    """sources/media.image_import: the JVM image source decodes the
+    committed PNG fixture corpus into media rows whose dims match the
+    stdlib codec; dropInvalid prunes non-images at scan time."""
+    import shutil
+
+    from accelerator_spark.sources.media import image_import
+
+    d = str(tmp_path / "imgs")
+    os.makedirs(d)
+    for f in glob.glob(os.path.join(FIXTURE_DIR, "*.png")):
+        shutil.copy(f, d)
+    with open(os.path.join(d, "junk.png"), "wb") as fh:
+        fh.write(b"not an image at all")
+    out = {r["media_id"]: r for r in image_import(spark, d).collect()}
+    assert len(out) == len(glob.glob(os.path.join(FIXTURE_DIR, "*.png"))) + 1
+    assert out["junk"]["width"] == -1  # surfaced, not hidden
+    ours = png_decode(open(os.path.join(FIXTURE_DIR, "gray_filters.png"), "rb").read())
+    got = out["gray_filters"]
+    assert (got["width"], got["height"], got["n_channels"]) == (
+        ours.width, ours.height, 1)
+    # dropInvalid prunes the junk row at scan time
+    dropped = image_import(spark, d, drop_invalid=True).collect()
+    assert all(r["width"] > 0 for r in dropped)
+    assert len(dropped) == len(out) - 1
