@@ -1824,6 +1824,68 @@ def png_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: per document, a genuine WAV (mono
+    8-bit PCM, md5-derived samples and sample rate) is encoded, then
+    decoded by ``decode_audio_features`` with the production
+    ``real_audio_decoder`` — the pure-stdlib RIFF/PCM codec in
+    functions/wav.py. The oracle replays the md5-derived bytes in SQL
+    and checks the decoded frame count, sample rate, channel count and
+    EXACT integer sample sum. Two Arrow stages, no shuffle."""
+    import hashlib as _hashlib
+
+    from .operators.multimodal import decode_audio_features, real_audio_decoder
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def make_wav(batches):
+        import pandas as pd
+
+        from .functions.wav import wav_encode
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                text = row["text"] or ""
+                d1 = _hashlib.md5(text.encode("utf-8")).digest()
+                d2 = _hashlib.md5((text + ":p2").encode("utf-8")).digest()
+                n = d1[0] % 24 + 8
+                rate = 8000 + d1[1] * 16
+                out.append((row["doc_id"],
+                            wav_encode((d1 + d2)[:n], rate),
+                            "audio/wav"))
+            yield pd.DataFrame(out, columns=["media_id", "payload", "mime"])
+
+    media = docs.mapInPandas(make_wav, schema=(
+        "media_id long, payload binary, mime string"))
+    feats = decode_audio_features(media, decoder=real_audio_decoder)
+    return feats.select(
+        "media_id", "n_frames", "sample_rate", "n_channels",
+        F.round(F.element_at("feature", 1) * F.col("n_frames") * 255)
+        .cast("long").alias("sample_sum"),
+    )
+
+
+ORACLE_WAV_DECODE = """
+WITH h AS (
+  SELECT doc_id AS media_id,
+         md5(coalesce(text, '')) AS d1,
+         md5(coalesce(text, '') || ':p2') AS d2
+  FROM documents
+), dims AS (
+  SELECT media_id, d1 || d2 AS dd,
+         CAST(('0x' || substr(d1, 1, 2)) AS INT) % 24 + 8 AS n_frames,
+         8000 + CAST(('0x' || substr(d1, 3, 2)) AS INT) * 16 AS sample_rate
+  FROM h
+)
+SELECT media_id, n_frames, sample_rate, 1 AS n_channels,
+       CAST(list_sum(list_transform(range(CAST(n_frames AS BIGINT)),
+            i -> CAST(('0x' || substr(dd, CAST(1 + 2 * i AS INT), 2)) AS INT)
+       )) AS BIGINT) AS sample_sum
+FROM dims
+"""
+
+
 ORACLE_PNG_RESIZE = """
 WITH h AS (
   SELECT doc_id AS media_id,
@@ -5315,6 +5377,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_decode_features": media_decode_features,
     "png_decode_stats": png_decode_stats,
     "png_resize_stats": png_resize_stats,
+    "wav_decode_stats": wav_decode_stats,
     "pivot_status_priority": pivot_status_priority,
     "cube_lineitem": cube_lineitem,
     "grouping_sets_orders": grouping_sets_orders,
@@ -5438,6 +5501,7 @@ ORACLES: dict[str, str] = {
     "media_decode_features": ORACLE_DECODE,
     "png_decode_stats": ORACLE_PNG_DECODE,
     "png_resize_stats": ORACLE_PNG_RESIZE,
+    "wav_decode_stats": ORACLE_WAV_DECODE,
     "pivot_status_priority": ORACLE_PIVOT,
     "cube_lineitem": ORACLE_CUBE,
     "grouping_sets_orders": ORACLE_GROUPING_SETS,

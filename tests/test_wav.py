@@ -1,0 +1,89 @@
+"""Pure-stdlib WAV codec tests — the audio twin of tests/test_png.py.
+
+functions/wav.py round-trips against the stdlib wave module's own
+reader (encode path) and random payloads (decode path);
+real_audio_decoder routes WAV to real features and keeps the
+NotImplementedError hook for compressed formats;
+decode_audio_features runs the distributed path with containment.
+"""
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from accelerator_spark.functions.wav import WavError, wav_decode, wav_encode
+from accelerator_spark.operators.multimodal import (
+    decode_audio_features, real_audio_decoder)
+
+PROP = settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+
+
+@PROP
+@given(st.data())
+def test_prop_wav_roundtrip(data):
+    width = data.draw(st.sampled_from([1, 2]))
+    nch = data.draw(st.integers(1, 3))
+    n_frames = data.draw(st.integers(0, 20))
+    rate = data.draw(st.sampled_from([8000, 16000, 44100, 48000]))
+    lo, hi = (0, 255) if width == 1 else (-32768, 32767)
+    samples = data.draw(st.lists(st.integers(lo, hi),
+                                 min_size=n_frames * nch,
+                                 max_size=n_frames * nch))
+    blob = wav_encode(samples, rate, n_channels=nch, sample_width=width)
+    a = wav_decode(blob)
+    assert (a.n_channels, a.sample_rate, a.sample_width, a.n_frames) == (
+        nch, rate, width, n_frames)
+    assert a.samples == tuple(samples)
+
+
+def test_wav_errors():
+    with pytest.raises(WavError, match="not a valid WAV"):
+        wav_decode(b"RIFF but not really")
+    with pytest.raises(WavError, match="not a valid WAV"):
+        wav_decode(b"")
+    with pytest.raises(WavError, match="tile"):
+        wav_encode([0, 1, 2], 8000, n_channels=2)
+    with pytest.raises(WavError, match="range"):
+        wav_encode([256], 8000)
+    with pytest.raises(WavError, match="range"):
+        wav_encode([40000], 8000, sample_width=2)
+    with pytest.raises(WavError, match="width"):
+        wav_encode([0], 8000, sample_width=3)
+    with pytest.raises(WavError, match="channel"):
+        wav_encode([], 8000, n_channels=0)
+
+
+def test_real_audio_decoder_routing():
+    feat, n, rate, nch = real_audio_decoder(
+        wav_encode([0, 255], 16000), "audio/wav")
+    assert (n, rate, nch) == (2, 16000, 1)
+    assert feat == [pytest.approx(0.5)]
+    # RIFF magic sniff without the mime; s16 normalization
+    feat2, n2, _, nch2 = real_audio_decoder(
+        wav_encode([-32768, 32767], 8000, sample_width=2),
+        "application/octet-stream")
+    assert (n2, nch2) == (2, 1) and feat2 == [pytest.approx(0.5)]
+    # stereo: one mean per channel
+    feat3, _, _, nch3 = real_audio_decoder(
+        wav_encode([0, 255, 0, 255], 8000, n_channels=2), "audio/wav")
+    assert nch3 == 2 and feat3 == [pytest.approx(0.0), pytest.approx(1.0)]
+    with pytest.raises(NotImplementedError, match="WAV PCM"):
+        real_audio_decoder(b"ID3\x03 mp3 frames", "audio/mpeg")
+
+
+def test_decode_audio_features_distributed(spark):
+    good = wav_encode([10, 20, 30], 8000)
+    df = spark.createDataFrame(
+        [(1, good, "audio/wav"), (2, b"static noise", "audio/wav")],
+        "media_id long, payload binary, mime string")
+    out = {r["media_id"]: r for r in decode_audio_features(
+        df, on_error="null").collect()}
+    assert out[1]["n_frames"] == 3 and out[1]["sample_rate"] == 8000
+    assert out[1]["feature"][0] == pytest.approx(20 / 255, rel=1e-6)
+    assert out[2]["n_frames"] is None  # contained
+    with pytest.raises(Exception, match="WavError|not a valid"):
+        decode_audio_features(df).collect()
