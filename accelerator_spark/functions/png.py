@@ -11,10 +11,9 @@ cross-check in tests/test_png.py.
 
 Scope (documented, checked, raised-on): bit depths 1/2/4/8/16,
 color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
-6 (RGBA); non-interlaced only (Adam7 raises NotImplementedError —
-progressive rendering is a display concern, and every pipeline-writer
-emits interlace 0). Ancillary chunks are skipped; tRNS is exposed but
-not applied (callers doing compositing can consume it).
+6 (RGBA); BOTH interlace methods (0 and Adam7 — round-tripped and
+ImageIO-cross-checked). Ancillary chunks are skipped; tRNS is exposed
+but not applied (callers doing compositing can consume it).
 
 Reference parity: the reference engine has no image path at all — this
 module is part of the north-star multimodal extension the build brief
@@ -123,6 +122,22 @@ def _unpack_samples(row: bytes, width: int, channels: int, depth: int) -> list:
     return out
 
 
+# Adam7 interlace pass grid: (x0, y0, dx, dy) per pass (spec §8.2)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _adam7_passes(width: int, height: int):
+    """Non-empty Adam7 passes as (pass_w, pass_h, x0, y0, dx, dy)."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            out.append((pw, ph, x0, y0, dx, dy))
+    return out
+
+
 def png_decode(data: bytes, *, expand_palette: bool = True,
                verify_crc: bool = True) -> PngImage:
     """Decode a PNG byte string. See module docstring for scope."""
@@ -165,9 +180,7 @@ def png_decode(data: bytes, *, expand_palette: bool = True,
         raise PngError(f"invalid color type {color} / bit depth {depth}")
     if comp != 0 or filt != 0:
         raise PngError(f"unknown compression {comp} / filter method {filt}")
-    if interlace == 1:
-        raise NotImplementedError("Adam7 interlaced PNG not supported")
-    if interlace != 0:
+    if interlace not in (0, 1):
         raise PngError(f"unknown interlace method {interlace}")
 
     channels = _CHANNELS[color]
@@ -176,7 +189,11 @@ def png_decode(data: bytes, *, expand_palette: bool = True,
     # bounded inflate (review r6): the expected size is known from
     # IHDR, so cap decompression there — a tiny crafted PNG whose IDAT
     # inflates to hundreds of MB must raise, not OOM an executor task.
-    expect = height * (stride + 1)
+    if interlace:
+        expect = sum(ph * ((pw * channels * depth + 7) // 8 + 1)
+                     for pw, ph, _, _, _, _ in _adam7_passes(width, height))
+    else:
+        expect = height * (stride + 1)
     d = zlib.decompressobj()
     try:
         raw = d.decompress(b"".join(idat), expect)
@@ -191,12 +208,31 @@ def png_decode(data: bytes, *, expand_palette: bool = True,
             "(decompression bomb or corrupt dimensions)")
     if not d.eof:
         raise PngError(f"IDAT truncated: inflated {len(raw)} < {expect} bytes")
-    flat = _unfilter(raw, height, stride, bpp)
 
     samples = []
-    for y in range(height):
-        samples.extend(_unpack_samples(
-            bytes(flat[y * stride:(y + 1) * stride]), width, channels, depth))
+    if interlace:
+        samples = [0] * (width * height * channels)
+        off = 0
+        for pw, ph, x0, y0, dx, dy in _adam7_passes(width, height):
+            pstride = (pw * channels * depth + 7) // 8
+            size = ph * (pstride + 1)
+            flat = _unfilter(raw[off:off + size], ph, pstride, bpp)
+            off += size
+            for py in range(ph):
+                row = _unpack_samples(
+                    bytes(flat[py * pstride:(py + 1) * pstride]),
+                    pw, channels, depth)
+                y = y0 + py * dy
+                for px in range(pw):
+                    x = x0 + px * dx
+                    base = (y * width + x) * channels
+                    samples[base:base + channels] = row[
+                        px * channels:(px + 1) * channels]
+    else:
+        flat = _unfilter(raw, height, stride, bpp)
+        for y in range(height):
+            samples.extend(_unpack_samples(
+                bytes(flat[y * stride:(y + 1) * stride]), width, channels, depth))
 
     if color == 3 and expand_palette:
         if plte is None or len(plte) % 3:
@@ -258,15 +294,41 @@ def _chunk(ctype: bytes, body: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
 
 
+def _serialize_rows(rows: list, bpp: int, filters, raw: bytearray,
+                    y_base: int) -> None:
+    """Filter + append a run of packed scanlines (one whole image, or
+    one Adam7 pass — prev resets across passes per spec). ``y_base``
+    offsets into a per-row ``filters`` sequence."""
+    prev = None
+    for y, row in enumerate(rows):
+        if filters is None:
+            best, best_f = None, 0
+            for f in range(5):
+                cand = _filter_row(f, row, prev, bpp)
+                score = sum(c if c < 128 else 256 - c for c in cand)
+                if best is None or score < best[0]:
+                    best, best_f = (score, cand), f
+            raw.append(best_f)
+            raw.extend(best[1])
+        else:
+            f = filters if isinstance(filters, int) else filters[y_base + y]
+            raw.append(f)
+            raw.extend(_filter_row(f, row, prev, bpp))
+        prev = row
+
+
 def png_encode(pixels, width: int, height: int, *, color_type: int = 0,
                bit_depth: int = 8, palette: bytes | None = None,
-               filters=None, level: int = 6) -> bytes:
+               filters=None, level: int = 6,
+               interlace: bool = False) -> bytes:
     """Encode flat row-major samples into a PNG byte string.
 
     ``filters``: None = heuristic per-row choice (min sum of absolute
     deltas, the libpng default strategy); an int = that filter for every
     row; a sequence = explicit per-row types (what the property tests
-    use to force coverage of all five filters)."""
+    use to force coverage of all five filters). ``interlace=True``
+    writes Adam7 passes (filters sequence then indexes serialized pass
+    rows in order)."""
     if color_type not in _CHANNELS or bit_depth not in _VALID_DEPTHS[color_type]:
         raise PngError(f"invalid color type {color_type} / depth {bit_depth}")
     if width <= 0 or height <= 0:
@@ -274,10 +336,13 @@ def png_encode(pixels, width: int, height: int, *, color_type: int = 0,
         raise PngError(f"invalid dimensions {width}x{height}")
     if color_type == 3 and (palette is None or len(palette) % 3 or not palette):
         raise PngError("palette encode needs PLTE bytes (len % 3 == 0)")
+    n_filter_rows = (sum(ph for _, ph, *_ in _adam7_passes(width, height))
+                     if interlace else height)
     if (filters is not None and not isinstance(filters, int)
-            and len(filters) != height):
+            and len(filters) != n_filter_rows):
         raise PngError(
-            f"filters sequence has {len(filters)} entries for {height} rows")
+            f"filters sequence has {len(filters)} entries for "
+            f"{n_filter_rows} serialized rows")
     channels = _CHANNELS[color_type]
     pixels = list(pixels)
     if len(pixels) != width * height * channels:
@@ -296,26 +361,28 @@ def png_encode(pixels, width: int, height: int, *, color_type: int = 0,
     bpp = max(1, (channels * bit_depth) // 8)
     n_row = width * channels
     raw = bytearray()
-    prev = None
-    for y in range(height):
-        row = _pack_samples(pixels[y * n_row:(y + 1) * n_row],
-                            width, channels, bit_depth)
-        if filters is None:
-            best, best_f = None, 0
-            for f in range(5):
-                cand = _filter_row(f, row, prev, bpp)
-                score = sum(c if c < 128 else 256 - c for c in cand)
-                if best is None or score < best[0]:
-                    best, best_f = (score, cand), f
-            raw.append(best_f)
-            raw.extend(best[1])
-        else:
-            f = filters if isinstance(filters, int) else filters[y]
-            raw.append(f)
-            raw.extend(_filter_row(f, row, prev, bpp))
-        prev = row
+    if interlace:
+        y_base = 0
+        for pw, ph, x0, y0, dx, dy in _adam7_passes(width, height):
+            rows = []
+            for py in range(ph):
+                y = y0 + py * dy
+                sub = []
+                for px in range(pw):
+                    base = (y * width + (x0 + px * dx)) * channels
+                    sub.extend(pixels[base:base + channels])
+                rows.append(_pack_samples(sub, pw, channels, bit_depth))
+            _serialize_rows(rows, bpp, filters, raw, y_base)
+            y_base += ph
+    else:
+        _serialize_rows(
+            [_pack_samples(pixels[y * n_row:(y + 1) * n_row],
+                           width, channels, bit_depth)
+             for y in range(height)],
+            bpp, filters, raw, 0)
 
-    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0,
+                       1 if interlace else 0)
     out = [_SIGNATURE, _chunk(b"IHDR", ihdr)]
     if color_type == 3:
         out.append(_chunk(b"PLTE", palette))

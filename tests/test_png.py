@@ -98,18 +98,49 @@ def test_png_decode_rejects_malformed():
         ihdr = good[8:8 + 25]
         png_decode(sig + ihdr + chunk(b"IDAT", b"notzlib")
                    + chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError, match="Adam7"):
+    with pytest.raises(PngError, match="interlace"):
         import struct
 
         def chunk(t, b):
             return (struct.pack(">I", len(b)) + t + b
                     + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF))
-        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 7)  # bogus method
         png_decode(good[:8] + chunk(b"IHDR", ihdr)
                    + chunk(b"IDAT", zlib.compress(b"\x00ab"))
                    + chunk(b"IEND", b""))
     with pytest.raises(PngError, match="truncated"):
         png_decode(png_encode([0] * 9, 3, 3)[:30])
+
+
+@PROP
+@given(st.data())
+def test_prop_png_adam7_roundtrip(data):
+    """Adam7 interlaced encode -> decode recovers the exact pixels for
+    every color type/depth, and equals the non-interlaced decode of the
+    same samples (the two serializations are views of one image)."""
+    ct, depth = data.draw(st.sampled_from(_CASES))
+    channels = _CHANNELS[ct]
+    w = data.draw(st.integers(1, 13))
+    h = data.draw(st.integers(1, 13))
+    maxv = (1 << depth) - 1
+    palette = None
+    if ct == 3:
+        n_entries = data.draw(st.integers(1, maxv + 1))
+        palette = bytes(data.draw(st.lists(
+            st.integers(0, 255), min_size=3 * n_entries,
+            max_size=3 * n_entries)))
+        px = data.draw(st.lists(st.integers(0, n_entries - 1),
+                                min_size=w * h, max_size=w * h))
+    else:
+        px = data.draw(st.lists(st.integers(0, maxv),
+                                min_size=w * h * channels,
+                                max_size=w * h * channels))
+    inter = png_decode(png_encode(px, w, h, color_type=ct, bit_depth=depth,
+                                  palette=palette, interlace=True))
+    plain = png_decode(png_encode(px, w, h, color_type=ct, bit_depth=depth,
+                                  palette=palette))
+    assert inter == plain
+    assert (inter.width, inter.height) == (w, h)
 
 
 def test_png_fixture_corpus_matches_imageio(spark):

@@ -30,6 +30,8 @@ def main():
         ("graya", 4, 8, 9, 3, [1, 4, 2]),
         ("palette4", 3, 4, 10, 4, [0, 1, 0, 1]),
         ("rgb_heuristic", 2, 8, 12, 9, None),
+        ("rgba_adam7", 6, 8, 11, 7, None),
+        ("gray_adam7", 0, 8, 9, 10, None),
     ]
     for name, ct, depth, w, h, filters in specs:
         ch = _CHANNELS[ct]
@@ -39,7 +41,8 @@ def main():
             palette = bytes(rnd.randrange(256) for _ in range(3 * (maxv + 1)))
         px = [rnd.randrange(maxv + 1) for _ in range(w * h * ch)]
         blob = png_encode(px, w, h, color_type=ct, bit_depth=depth,
-                          palette=palette, filters=filters)
+                          palette=palette, filters=filters,
+                          interlace=name.endswith("adam7"))
         path = os.path.join(OUT, f"{name}.png")
         with open(path, "wb") as f:
             f.write(blob)
