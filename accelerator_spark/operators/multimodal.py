@@ -190,15 +190,23 @@ def real_audio_decoder(payload: bytes, mime: str):
     from ..functions.wav import wav_decode
 
     raw = bytes(payload) if payload else b""
-    if mime in ("audio/wav", "audio/x-wav", "audio/wave") or raw[:4] == b"RIFF":
+    # sniff the FULL RIFF/WAVE signature — bare b"RIFF" would route
+    # every RIFF container (WEBP, AVI) into wav_decode and fail with a
+    # misleading WavError instead of the actionable hook (review r6)
+    if (mime in ("audio/wav", "audio/x-wav", "audio/wave")
+            or (raw[:4] == b"RIFF" and raw[8:12] == b"WAVE")):
         a = wav_decode(raw)
+        # mean over WHOLE frames only — a data chunk cut mid-frame
+        # leaves trailing samples that would bias the per-channel mean
+        # past [0, 1] (review r6)
+        whole = a.samples[: a.n_frames * a.n_channels]
         if a.n_frames == 0:
             feat = []
         elif a.sample_width == 1:
-            feat = [sum(a.samples[c::a.n_channels]) / a.n_frames / 255.0
+            feat = [sum(whole[c::a.n_channels]) / a.n_frames / 255.0
                     for c in range(a.n_channels)]
         else:
-            feat = [(sum(a.samples[c::a.n_channels]) / a.n_frames + 32768.0)
+            feat = [(sum(whole[c::a.n_channels]) / a.n_frames + 32768.0)
                     / 65535.0 for c in range(a.n_channels)]
         return feat, a.n_frames, a.sample_rate, a.n_channels
     raise NotImplementedError(

@@ -1703,6 +1703,43 @@ FROM h
 """
 
 
+def _doc_media_df(spark: SparkSession, sf_dir: str, build_payload) -> DataFrame:
+    """Shared doc -> (media_id, payload, mime) generator for the media
+    gates. ``build_payload(text) -> (bytes, mime)`` must derive payload
+    bytes ONLY from md5(text)/md5(text + ':p2') so the DuckDB oracles'
+    hex replay matches; one generator serves every media gate (review
+    r6: the per-query copies had to stay byte-identical by hand)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def make_media(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload, mime = build_payload(text or "")
+                out.append((doc_id, payload, mime))
+            yield pd.DataFrame(out, columns=["media_id", "payload", "mime"])
+
+    return docs.mapInPandas(make_media, schema=(
+        "media_id long, payload binary, mime string"))
+
+
+def _doc_png_payload(text: str):
+    """The md5-derived PNG the png_* oracles replay: grayscale, dims
+    2..5, pixels from d1||d2, per-row filter cycling all five types."""
+    import hashlib as _hashlib
+
+    from .functions.png import png_encode
+
+    d1 = _hashlib.md5(text.encode("utf-8")).digest()
+    d2 = _hashlib.md5((text + ":p2").encode("utf-8")).digest()
+    w, h = d1[0] % 4 + 2, d1[1] % 4 + 2
+    pixels = (d1 + d2)[: w * h]
+    filters = [(d1[2] + y) % 5 for y in range(h)]
+    return png_encode(pixels, w, h, filters=filters), "image/png"
+
+
 def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end (VERDICT r5 #1): per document, a
     genuine PNG is encoded (grayscale, md5-derived pixels, per-row
@@ -1722,33 +1759,9 @@ def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartitioning between the stages would be a pure-waste shuffle of
     the blobs (review r6: batch_partitions dropped for exactly that
     reason); no shuffle in the plan."""
-    import hashlib as _hashlib
-
     from .operators.multimodal import decode_features, real_decoder
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-
-    def make_png(batches):
-        import pandas as pd
-
-        from .functions.png import png_encode
-
-        for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                text = row["text"] or ""
-                d1 = _hashlib.md5(text.encode("utf-8")).digest()
-                d2 = _hashlib.md5((text + ":p2").encode("utf-8")).digest()
-                w, h = d1[0] % 4 + 2, d1[1] % 4 + 2
-                pixels = (d1 + d2)[: w * h]
-                filters = [(d1[2] + y) % 5 for y in range(h)]
-                out.append((row["doc_id"],
-                            png_encode(pixels, w, h, filters=filters),
-                            "image/png"))
-            yield pd.DataFrame(out, columns=["media_id", "payload", "mime"])
-
-    media = docs.mapInPandas(make_png, schema=(
-        "media_id long, payload binary, mime string"))
+    media = _doc_media_df(spark, sf_dir, _doc_png_payload)
     feats = decode_features(media, decoder=real_decoder)
     return feats.select(
         "media_id", "width", "height",
@@ -1787,34 +1800,10 @@ def png_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the resized width/height AND the exact resampled pixel sum are both
     value-checked. Three Arrow stages (encode harness, resize under
     test, decode under test), all partition-local — no shuffle."""
-    import hashlib as _hashlib
-
     from .operators.multimodal import (
         decode_features, png_resizer, real_decoder, resize_media)
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-
-    def make_png(batches):
-        import pandas as pd
-
-        from .functions.png import png_encode
-
-        for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                text = row["text"] or ""
-                d1 = _hashlib.md5(text.encode("utf-8")).digest()
-                d2 = _hashlib.md5((text + ":p2").encode("utf-8")).digest()
-                w, h = d1[0] % 4 + 2, d1[1] % 4 + 2
-                pixels = (d1 + d2)[: w * h]
-                filters = [(d1[2] + y) % 5 for y in range(h)]
-                out.append((row["doc_id"],
-                            png_encode(pixels, w, h, filters=filters),
-                            "image/png"))
-            yield pd.DataFrame(out, columns=["media_id", "payload", "mime"])
-
-    media = docs.mapInPandas(make_png, schema=(
-        "media_id long, payload binary, mime string"))
+    media = _doc_media_df(spark, sf_dir, _doc_png_payload)
     resized = resize_media(media, max_side=3, resizer=png_resizer)
     feats = decode_features(resized, decoder=real_decoder)
     return feats.select(
@@ -1832,32 +1821,20 @@ def wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions/wav.py. The oracle replays the md5-derived bytes in SQL
     and checks the decoded frame count, sample rate, channel count and
     EXACT integer sample sum. Two Arrow stages, no shuffle."""
-    import hashlib as _hashlib
-
     from .operators.multimodal import decode_audio_features, real_audio_decoder
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-
-    def make_wav(batches):
-        import pandas as pd
+    def build_wav(text: str):
+        import hashlib as _hashlib
 
         from .functions.wav import wav_encode
 
-        for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                text = row["text"] or ""
-                d1 = _hashlib.md5(text.encode("utf-8")).digest()
-                d2 = _hashlib.md5((text + ":p2").encode("utf-8")).digest()
-                n = d1[0] % 24 + 8
-                rate = 8000 + d1[1] * 16
-                out.append((row["doc_id"],
-                            wav_encode((d1 + d2)[:n], rate),
-                            "audio/wav"))
-            yield pd.DataFrame(out, columns=["media_id", "payload", "mime"])
+        d1 = _hashlib.md5(text.encode("utf-8")).digest()
+        d2 = _hashlib.md5((text + ":p2").encode("utf-8")).digest()
+        n = d1[0] % 24 + 8
+        rate = 8000 + d1[1] * 16
+        return wav_encode((d1 + d2)[:n], rate), "audio/wav"
 
-    media = docs.mapInPandas(make_wav, schema=(
-        "media_id long, payload binary, mime string"))
+    media = _doc_media_df(spark, sf_dir, build_wav)
     feats = decode_audio_features(media, decoder=real_audio_decoder)
     return feats.select(
         "media_id", "n_frames", "sample_rate", "n_channels",

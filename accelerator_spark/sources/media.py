@@ -49,6 +49,15 @@ def binary_import(spark: SparkSession, path: str,
     return media_columns(reader.load(path))
 
 
+def _stem(base):
+    """os.path.splitext-exact stem of a basename column: the lookbehind
+    keeps dotfile semantics ('.DS_Store' is a stem with NO extension,
+    not an empty stem — empty media_ids collided in sidecar joins,
+    review r5). ONE definition shared by binary_import and image_import
+    (review r6: a second copy had crept in)."""
+    return F.regexp_replace(base, r"(?<=.)\.[^.]*$", "")
+
+
 def media_columns(df: DataFrame) -> DataFrame:
     """Project binaryFile-shaped rows (path, length, modificationTime,
     content) to the media schema. Split out so the stem/ext expressions
@@ -56,10 +65,7 @@ def media_columns(df: DataFrame) -> DataFrame:
     decoded = F.col("path")
     base = F.element_at(F.split(decoded, "/"), -1)
     return df.select(
-        # the lookbehind keeps os.path.splitext semantics for dotfiles:
-        # '.DS_Store' is a stem with NO extension, not an empty stem —
-        # empty media_ids collided in sidecar joins (review r5)
-        F.regexp_replace(base, r"(?<=.)\.[^.]*$", "").alias("media_id"),
+        _stem(base).alias("media_id"),
         decoded.alias("media_path"),
         F.lower(F.regexp_extract(base, r"(?<=.)\.([^.]*)$", 1)).alias("ext"),
         F.col("length"),
@@ -95,7 +101,7 @@ def image_import(spark: SparkSession, path: str,
     img = F.col("image")
     base = F.element_at(F.split(img["origin"], "/"), -1)
     return reader.load(path).select(
-        F.regexp_replace(base, r"(?<=.)\.[^.]*$", "").alias("media_id"),
+        _stem(base).alias("media_id"),
         img["origin"].alias("media_path"),
         img["width"].alias("width"),
         img["height"].alias("height"),

@@ -87,3 +87,34 @@ def test_decode_audio_features_distributed(spark):
     assert out[2]["n_frames"] is None  # contained
     with pytest.raises(Exception, match="WavError|not a valid"):
         decode_audio_features(df).collect()
+
+
+def test_real_audio_decoder_partial_frame_and_riff_sniff():
+    """Review r6: a data chunk cut mid-frame must not bias the per-
+    channel mean past [0,1] (mean over whole frames only), and a
+    non-WAV RIFF container (WEBP/AVI) reaches the NotImplementedError
+    hook, not a misleading WavError."""
+    import io
+    import struct
+    import wave
+
+    # stereo u8 with 3 sample bytes = 1 whole frame + 1 trailing sample
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00")
+    blob = bytearray(buf.getvalue())
+    # splice one extra data byte and patch the data-chunk + RIFF sizes
+    data_at = bytes(blob).rindex(b"data")
+    blob[data_at + 4:data_at + 8] = struct.pack("<I", 3)
+    blob = blob[:data_at + 8] + b"\xff\xff\xff"
+    blob[4:8] = struct.pack("<I", len(blob) - 8)
+    feat, n, _, nch = real_audio_decoder(bytes(blob), "audio/wav")
+    assert (n, nch) == (1, 2)
+    assert feat == [pytest.approx(1.0), pytest.approx(1.0)]  # not 2.0
+    # RIFF but not WAVE: actionable hook, not WavError
+    webp = b"RIFF" + b"\x10\x00\x00\x00" + b"WEBPVP8 "
+    with pytest.raises(NotImplementedError, match="WAV PCM"):
+        real_audio_decoder(webp, "image/webp")
