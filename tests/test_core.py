@@ -892,3 +892,42 @@ def test_why_build_forced_withholds_stale_record(spark, sf_dir, tmp_path):
     assert jf.would_build and jf.reason == "forced"
     with pytest.raises(ValueError, match="no build record"):
         jf.dataset()
+
+
+def test_concurrent_builds_many_threads_single_execution(tmp_path):
+    """Claim-protocol stress: N contexts racing on one step (threads,
+    shared workdir) run the work exactly once; everyone gets the same
+    record. Exercises the claim/waiter/record-visibility paths harder
+    than the two-process test."""
+    import threading
+
+    wd = str(tmp_path / "wd")
+    runs = str(tmp_path / "runs.log")
+
+    def slow_step(spark_, datasets, options):
+        import time as _t
+        with open(runs, "a") as f:
+            f.write("x\n")
+        _t.sleep(0.5)
+        return {"n": 1}
+
+    results, errors = [], []
+
+    def worker():
+        try:
+            ctx = BuildContext(None, wd)
+            j = ctx.build(slow_step)
+            results.append((j.jobid, j.load("n")))
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert errors == []
+    with open(runs) as f:
+        assert len(f.read().splitlines()) == 1
+    assert len(results) == 6 and len(set(results)) == 1
+    assert results[0] == ("slow_step-0", 1)
