@@ -532,6 +532,58 @@ def xml_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_regionkey").alias("sum_region"))
 
 
+def avro_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro source/sink gate (r6): the spark-avro module and every
+    Python avro lib are absent from this container, so sources/avro.py
+    implements the Object Container Format pure-stdlib (zigzag varints
+    + deflate blocks) — orders filtered to a deterministic subset,
+    exported one .avro file per partition, re-read distributed, then
+    digested with the order-independent md5-xor checksum the oracle
+    computes over the parquet directly. Exercises long/double/string/
+    local-timestamp round-tripping through real avro binary."""
+    from .queries import _md5_xor_long, _scratch
+    from .sources.avro import avro_export, avro_import
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 == 0)
+    path = _scratch("avro_rt")
+    avro_export(orders.repartition(4), path)
+    back = avro_import(spark, path)
+    # cents as LONG, not double->string: the two engines format doubles
+    # differently, integers identically
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("<N>"))
+             for c in ["o_orderkey", "o_orderstatus"]] + [
+        F.coalesce(cents.cast("string"), F.lit("<N>")),
+        F.coalesce(F.col("o_orderpriority"), F.lit("<N>"))]
+    h = _md5_xor_long(*parts)
+    return back.select(h.alias("h"), "o_custkey", "o_orderdate").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.bit_xor("h").alias("checksum_xor"),
+        F.sum("o_custkey").alias("sum_cust"),
+        F.max(F.col("o_orderdate").cast("date")).cast("string")
+        .alias("max_date"))
+
+
+ORACLE_AVRO_RT = """
+SELECT "n_orders", "checksum_xor",
+       CAST("sum_cust" AS BIGINT) AS "sum_cust",
+       "max_date"
+FROM (
+SELECT count(*) AS n_orders,
+       bit_xor(CAST(('0x' || substring(md5(
+         concat_ws(chr(31),
+           coalesce(CAST(o_orderkey AS VARCHAR), '<N>'),
+           coalesce(o_orderstatus, '<N>'),
+           coalesce(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), '<N>'),
+           coalesce(o_orderpriority, '<N>'))), 1, 15)) AS BIGINT)) AS checksum_xor,
+       sum(o_custkey) AS sum_cust,
+       CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) AS max_date
+FROM orders WHERE o_orderkey % 10 = 0
+) _bigint_cast
+"""
+
+
 ORACLE_XML_RT = """
 -- BIGINT-cast wrapper: DuckDB widens integer sums to HUGEINT, which the
 -- driver's Arrow fetch path renders differently than Spark's long (VERDICT r3 #1).
@@ -2720,6 +2772,7 @@ QUERIES2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_zscore_stats": embedding_zscore_stats,
     "skyline_parts": skyline_parts,
     "xml_roundtrip_checksum": xml_roundtrip_checksum,
+    "avro_roundtrip_checksum": avro_roundtrip_checksum,
     "recursive_copurchase_reach": recursive_copurchase_reach,
     "moving_avg_revenue_7d": moving_avg_revenue_7d,
     "profile_orders": profile_orders,
@@ -2777,6 +2830,7 @@ ORACLES2: dict[str, str] = {
     "embedding_zscore_stats": ORACLE_ZSCORE_EMB,
     "skyline_parts": ORACLE_SKYLINE,
     "xml_roundtrip_checksum": ORACLE_XML_RT,
+    "avro_roundtrip_checksum": ORACLE_AVRO_RT,
     "recursive_copurchase_reach": _RECURSIVE_REACH_SQL,
     "moving_avg_revenue_7d": ORACLE_MOVING_7D,
     "profile_orders": ORACLE_PROFILE,

@@ -1,0 +1,544 @@
+"""Pure-Python Avro Object Container source/sink.
+
+This container ships neither the ``spark-avro`` external module nor any
+Python avro library (verified absent — PARITY.md), so Avro joined the
+PNG/WAV pattern: the format's building blocks are all stdlib (zigzag
+varints + struct floats + zlib deflate), and a complete Object
+Container Format codec is a few hundred lines. ``avro_import`` reads
+a directory of .avro files distributed (binaryFile scan, one Python
+decode per file, Arrow-batched back into Spark rows); ``avro_export``
+writes one container file per partition into a shared directory — the
+same per-slice file model the reference uses for its workdirs
+(/root/reference/accelerator/dataset.py writes one file per slice).
+
+Scope (spec 1.11.x Object Container Format):
+- codecs: null, deflate (raw zlib)
+- types: null boolean int long float double bytes string fixed enum
+  record array map union; named-type references; logical types
+  date (int), timestamp-millis/micros (long) mapped to Spark
+  DateType/TimestampType. Other logical types decode as their base.
+- unions: arbitrary on read for [null, X] shapes; export emits
+  [null, X] for nullable columns.
+Splitting INSIDE one .avro file is not attempted: parallelism is
+per-file (matching the reference's per-slice files); write many files
+for big data.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MAGIC = b"Obj\x01"
+
+
+class AvroError(ValueError):
+    """Malformed or unsupported-by-scope Avro input."""
+
+
+# ---------------------------------------------------------------- binary
+def _read_long(buf: io.BytesIO) -> int:
+    shift, acc = 0, 0
+    while True:
+        b = buf.read(1)
+        if not b:
+            raise AvroError("truncated varint")
+        acc |= (b[0] & 0x7F) << shift
+        if not b[0] & 0x80:
+            break
+        shift += 7
+        if shift > 70:
+            raise AvroError("varint too long")
+    return (acc >> 1) ^ -(acc & 1)  # zigzag
+
+
+def _write_long(out: bytearray, n: int) -> None:
+    n = (n << 1) ^ (n >> 63) if n >= 0 else ((-n - 1) << 1 | 1)
+    # the line above is equivalent to the canonical (n << 1) ^ (n >> 63)
+    # for 64-bit two's complement, but works on Python's unbounded ints
+    while n > 0x7F:
+        out.append((n & 0x7F) | 0x80)
+        n >>= 7
+    out.append(n)
+
+
+def _read_bytes(buf: io.BytesIO) -> bytes:
+    n = _read_long(buf)
+    if n < 0:
+        raise AvroError("negative byte-length")
+    data = buf.read(n)
+    if len(data) != n:
+        raise AvroError("truncated bytes")
+    return data
+
+
+# ---------------------------------------------------------------- schema
+_PRIMITIVES = {"null", "boolean", "int", "long", "float", "double",
+               "bytes", "string"}
+
+
+def _resolve(schema, names: dict):
+    """Normalize a schema node: strings resolve named types, dicts keep
+    their attrs, lists are unions. Registers named types."""
+    if isinstance(schema, str):
+        if schema in _PRIMITIVES:
+            return schema
+        if schema in names:
+            return names[schema]
+        raise AvroError(f"unknown type name {schema!r}")
+    if isinstance(schema, list):
+        return [_resolve(s, names) for s in schema]
+    if isinstance(schema, dict):
+        t = schema.get("type")
+        if t in ("record", "enum", "fixed"):
+            name = schema.get("name")
+            if not name:
+                raise AvroError(f"{t} without a name")
+            full = (schema.get("namespace", "") + "." + name).lstrip(".")
+            names[name] = schema
+            names[full] = schema
+            if t == "record":
+                # resolve field schemas AFTER registering (recursion)
+                for f in schema.get("fields", []):
+                    f["type"] = _resolve(f["type"], names)
+            return schema
+        if t == "array":
+            schema["items"] = _resolve(schema["items"], names)
+            return schema
+        if t == "map":
+            schema["values"] = _resolve(schema["values"], names)
+            return schema
+        if t in _PRIMITIVES:
+            return schema  # primitive with logicalType attrs
+        if isinstance(t, (dict, list)):
+            return _resolve(t, names)
+        raise AvroError(f"unsupported schema node {schema!r}")
+    raise AvroError(f"unsupported schema node {schema!r}")
+
+
+def parse_schema(text: str):
+    return _resolve(json.loads(text), {})
+
+
+def _type_of(schema):
+    return schema if isinstance(schema, str) else (
+        "union" if isinstance(schema, list) else schema["type"])
+
+
+def _logical(schema):
+    return schema.get("logicalType") if isinstance(schema, dict) else None
+
+
+# ---------------------------------------------------------------- datum
+def _read_datum(buf: io.BytesIO, schema):
+    t = _type_of(schema)
+    if t == "null":
+        return None
+    if t == "boolean":
+        b = buf.read(1)
+        if not b:
+            raise AvroError("truncated boolean")
+        return b[0] == 1
+    if t in ("int", "long"):
+        v = _read_long(buf)
+        lt = _logical(schema)
+        if lt == "date":
+            import datetime
+            return datetime.date(1970, 1, 1) + datetime.timedelta(days=v)
+        if lt in ("timestamp-micros", "local-timestamp-micros"):
+            import datetime
+            return (datetime.datetime(1970, 1, 1)
+                    + datetime.timedelta(microseconds=v))
+        if lt in ("timestamp-millis", "local-timestamp-millis"):
+            import datetime
+            return (datetime.datetime(1970, 1, 1)
+                    + datetime.timedelta(milliseconds=v))
+        return v
+    if t == "float":
+        return struct.unpack("<f", buf.read(4))[0]
+    if t == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    if t == "bytes":
+        return _read_bytes(buf)
+    if t == "string":
+        return _read_bytes(buf).decode("utf-8")
+    if t == "fixed":
+        data = buf.read(schema["size"])
+        if len(data) != schema["size"]:
+            raise AvroError("truncated fixed")
+        return data
+    if t == "enum":
+        idx = _read_long(buf)
+        symbols = schema["symbols"]
+        if not 0 <= idx < len(symbols):
+            raise AvroError(f"enum index {idx} out of range")
+        return symbols[idx]
+    if t == "union":
+        idx = _read_long(buf)
+        if not 0 <= idx < len(schema):
+            raise AvroError(f"union index {idx} out of range")
+        return _read_datum(buf, schema[idx])
+    if t == "record":
+        return {f["name"]: _read_datum(buf, f["type"])
+                for f in schema["fields"]}
+    if t == "array":
+        out = []
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                _read_long(buf)  # block byte-size (skippable hint)
+            for _ in range(n):
+                out.append(_read_datum(buf, schema["items"]))
+    if t == "map":
+        out = {}
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                _read_long(buf)
+            for _ in range(n):
+                k = _read_bytes(buf).decode("utf-8")
+                out[k] = _read_datum(buf, schema["values"])
+    raise AvroError(f"unsupported type {t!r}")
+
+
+def _write_datum(out: bytearray, schema, v) -> None:
+    t = _type_of(schema)
+    if t == "null":
+        return
+    if t == "boolean":
+        out.append(1 if v else 0)
+    elif t in ("int", "long"):
+        lt = _logical(schema)
+        if lt == "date":
+            import datetime
+            v = (v - datetime.date(1970, 1, 1)).days
+        elif lt in ("timestamp-micros", "local-timestamp-micros"):
+            import datetime
+            d = v - datetime.datetime(1970, 1, 1)
+            v = (d.days * 86_400_000_000 + d.seconds * 1_000_000
+                 + d.microseconds)
+        elif lt in ("timestamp-millis", "local-timestamp-millis"):
+            import datetime
+            d = v - datetime.datetime(1970, 1, 1)
+            v = (d.days * 86_400_000 + d.seconds * 1000
+                 + d.microseconds // 1000)
+        if isinstance(v, float):
+            # pandas represents a nullable int64 column as float64, so
+            # integral longs arrive as floats — coerce exactly or raise
+            if not v.is_integer():
+                raise AvroError(f"non-integral value {v!r} for {t}")
+            v = int(v)
+        _write_long(out, int(v))
+    elif t == "float":
+        out.extend(struct.pack("<f", v))
+    elif t == "double":
+        out.extend(struct.pack("<d", v))
+    elif t == "bytes":
+        _write_long(out, len(v))
+        out.extend(v)
+    elif t == "string":
+        b = v.encode("utf-8")
+        _write_long(out, len(b))
+        out.extend(b)
+    elif t == "fixed":
+        if len(v) != schema["size"]:
+            raise AvroError("fixed size mismatch")
+        out.extend(v)
+    elif t == "enum":
+        _write_long(out, schema["symbols"].index(v))
+    elif t == "union":
+        # emit the first matching branch (null vs not-null covers the
+        # [null, X] shapes export produces)
+        for i, branch in enumerate(schema):
+            if (v is None) == (_type_of(branch) == "null"):
+                _write_long(out, i)
+                _write_datum(out, branch, v)
+                return
+        raise AvroError("no union branch matched value")
+    elif t == "record":
+        for f in schema["fields"]:
+            _write_datum(out, f["type"], v.get(f["name"]))
+    elif t == "array":
+        # len(), not truthiness: Arrow hands array cells to Python as
+        # numpy arrays, whose bool() raises on >1 element
+        if len(v):
+            _write_long(out, len(v))
+            for item in v:
+                _write_datum(out, schema["items"], item)
+        _write_long(out, 0)
+    elif t == "map":
+        if len(v):
+            _write_long(out, len(v))
+            for k, item in v.items():
+                kb = k.encode("utf-8")
+                _write_long(out, len(kb))
+                out.extend(kb)
+                _write_datum(out, schema["values"], item)
+        _write_long(out, 0)
+    else:
+        raise AvroError(f"unsupported type {t!r}")
+
+
+# ------------------------------------------------------------- container
+def avro_decode_file(data: bytes):
+    """Decode one Object Container file -> (schema, list of records)."""
+    buf = io.BytesIO(data)
+    if buf.read(4) != _MAGIC:
+        raise AvroError("not an Avro object container (bad magic)")
+    meta = _read_datum(buf, {"type": "map", "values": "bytes"})
+    sync = buf.read(16)
+    if len(sync) != 16:
+        raise AvroError("truncated header")
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise AvroError(f"unsupported codec {codec!r} (null/deflate only)")
+    schema = parse_schema(meta["avro.schema"].decode("utf-8"))
+    records = []
+    while True:
+        head = buf.read(1)
+        if not head:
+            break  # clean EOF at a block boundary
+        buf.seek(-1, io.SEEK_CUR)
+        n = _read_long(buf)
+        block = _read_bytes(buf)
+        if buf.read(16) != sync:
+            raise AvroError("sync marker mismatch (corrupt block)")
+        if codec == "deflate":
+            try:
+                block = zlib.decompress(block, -15)
+            except zlib.error as e:
+                raise AvroError(f"deflate block failed: {e}") from None
+        bbuf = io.BytesIO(block)
+        for _ in range(n):
+            records.append(_read_datum(bbuf, schema))
+    return schema, records
+
+
+def avro_encode_file(schema, records, codec: str = "deflate",
+                     sync: bytes = b"\x07" * 16,
+                     block_records: int = 4096) -> bytes:
+    """Encode records into one Object Container file."""
+    if codec not in ("null", "deflate"):
+        raise AvroError(f"unsupported codec {codec!r}")
+    schema = _resolve(json.loads(json.dumps(schema)) if not isinstance(
+        schema, str) else json.loads(schema), {})
+    out = bytearray(_MAGIC)
+    meta = {"avro.schema": json.dumps(schema).encode(),
+            "avro.codec": codec.encode()}
+    _write_datum(out, {"type": "map", "values": "bytes"}, meta)
+    out.extend(sync)
+    for i in range(0, len(records), block_records):
+        chunk = records[i:i + block_records]
+        body = bytearray()
+        for r in chunk:
+            _write_datum(body, schema, r)
+        body = bytes(body)
+        if codec == "deflate":
+            c = zlib.compressobj(6, zlib.DEFLATED, -15)
+            body = c.compress(body) + c.flush()
+        _write_long(out, len(chunk))
+        _write_long(out, len(body))
+        out.extend(body)
+        out.extend(sync)
+    return bytes(out)
+
+
+# ------------------------------------------------------------ Spark glue
+def avro_to_spark_type(schema) -> T.DataType:
+    t = _type_of(schema)
+    lt = _logical(schema)
+    if lt == "date":
+        return T.DateType()
+    if lt in ("timestamp-micros", "timestamp-millis"):
+        return T.TimestampType()
+    if lt in ("local-timestamp-micros", "local-timestamp-millis"):
+        return T.TimestampNTZType()
+    simple = {"null": T.NullType(), "boolean": T.BooleanType(),
+              "int": T.IntegerType(), "long": T.LongType(),
+              "float": T.FloatType(), "double": T.DoubleType(),
+              "bytes": T.BinaryType(), "string": T.StringType(),
+              "enum": T.StringType(), "fixed": T.BinaryType()}
+    if t in simple:
+        return simple[t]
+    if t == "union":
+        non_null = [s for s in schema if _type_of(s) != "null"]
+        if len(non_null) != 1:
+            raise AvroError("only [null, X] unions map to Spark")
+        return avro_to_spark_type(non_null[0])
+    if t == "record":
+        return T.StructType([
+            T.StructField(f["name"], avro_to_spark_type(f["type"]),
+                          _is_nullable(f["type"]))
+            for f in schema["fields"]])
+    if t == "array":
+        return T.ArrayType(avro_to_spark_type(schema["items"]),
+                           _is_nullable(schema["items"]))
+    if t == "map":
+        return T.MapType(T.StringType(),
+                         avro_to_spark_type(schema["values"]),
+                         _is_nullable(schema["values"]))
+    raise AvroError(f"unsupported type {t!r}")
+
+
+def _is_nullable(schema) -> bool:
+    return isinstance(schema, list) and any(
+        _type_of(s) == "null" for s in schema)
+
+
+def spark_to_avro_schema(dt: T.DataType, name: str = "row",
+                         nullable: bool = False):
+    simple = {T.BooleanType: "boolean", T.IntegerType: "int",
+              T.ShortType: "int", T.ByteType: "int",
+              T.LongType: "long", T.FloatType: "float",
+              T.DoubleType: "double", T.BinaryType: "bytes",
+              T.StringType: "string"}
+    if type(dt) in simple:
+        s = simple[type(dt)]
+    elif isinstance(dt, T.DateType):
+        s = {"type": "int", "logicalType": "date"}
+    elif isinstance(dt, T.TimestampNTZType):
+        s = {"type": "long", "logicalType": "local-timestamp-micros"}
+    elif isinstance(dt, T.TimestampType):
+        s = {"type": "long", "logicalType": "timestamp-micros"}
+    elif isinstance(dt, T.DecimalType):
+        # documents-scale export favors portability over exactness here
+        s = "string"
+    elif isinstance(dt, T.StructType):
+        s = {"type": "record", "name": name, "fields": [
+            {"name": f.name,
+             "type": spark_to_avro_schema(f.dataType, f"{name}_{f.name}",
+                                          f.nullable)}
+            for f in dt.fields]}
+    elif isinstance(dt, T.ArrayType):
+        s = {"type": "array",
+             "items": spark_to_avro_schema(dt.elementType, name + "_item",
+                                           dt.containsNull)}
+    elif isinstance(dt, T.MapType):
+        s = {"type": "map",
+             "values": spark_to_avro_schema(dt.valueType, name + "_val",
+                                            dt.valueContainsNull)}
+    else:
+        raise AvroError(f"no avro mapping for Spark type {dt}")
+    return ["null", s] if nullable else s
+
+
+def avro_import(spark: SparkSession, path: str,
+                glob: str = "*.avro") -> DataFrame:
+    """Read a directory of Avro object containers into a DataFrame.
+    Distributed: binaryFile scan (one task per file), pure-Python block
+    decode per file, rows Arrow-batched back into Spark. The schema is
+    taken from the first file's header; files whose schema disagrees
+    fail their task loudly (no silent coercion)."""
+    from .media import binary_import
+
+    files = binary_import(spark, path, glob=glob)
+    head = files.select("media_path").limit(1).collect()
+    if not head:
+        raise AvroError(f"no {glob} files under {path}")
+    first_path = head[0]["media_path"]
+    if first_path.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        local = unquote(urlparse(first_path).path)
+    else:
+        local = first_path
+    if os.path.exists(local):
+        with open(local, "rb") as f:
+            schema, _ = avro_decode_file(f.read())
+    else:
+        # non-local filesystem: pull ONE file's bytes through Spark
+        blob = (files.filter(F.col("media_path") == first_path)
+                .select("content").head()["content"])
+        schema, _ = avro_decode_file(bytes(blob))
+    sdt = avro_to_spark_type(schema)
+    if not isinstance(sdt, T.StructType):
+        sdt = T.StructType([T.StructField("value", sdt, True)])
+        wrap = True
+    else:
+        wrap = False
+    schema_json = json.dumps(schema)
+    cols = [f.name for f in sdt.fields]
+
+    def decode(batches):
+        import pandas as pd
+
+        expect = json.dumps(parse_schema(schema_json))
+        for pdf in batches:
+            for content in pdf["content"]:
+                fschema, records = avro_decode_file(bytes(content))
+                if json.dumps(fschema) != expect:
+                    raise AvroError(
+                        "file schema differs from the directory's first "
+                        "file — mixed-schema avro directories are not "
+                        "merged")
+                if wrap:
+                    rows = [(r,) for r in records]
+                else:
+                    rows = [tuple(r.get(c) for c in cols) for r in records]
+                yield pd.DataFrame(rows, columns=cols)
+
+    return files.select("content").mapInPandas(decode, schema=sdt)
+
+
+def avro_export(df: DataFrame, path: str, codec: str = "deflate") -> int:
+    """Write the DataFrame as one .avro container file per partition
+    under ``path`` (shared filesystem — the reference's per-slice file
+    model). Returns the number of files written."""
+    os.makedirs(path, exist_ok=True)
+    schema = spark_to_avro_schema(df.schema, "row")
+    schema_json = json.dumps(schema)
+    cols = df.columns
+
+    def _null_cell(v):
+        # pandas nulls arrive as None / NaN / NaT depending on dtype;
+        # containers and numpy arrays are never null themselves
+        if v is None:
+            return True
+        if isinstance(v, (list, dict, bytes, bytearray, str)):
+            return False
+        try:
+            import pandas as pd
+
+            return bool(pd.isna(v))
+        except (TypeError, ValueError):
+            return False
+
+    def write_part(batches):
+        import pandas as pd
+
+        records, part_id = [], [None]
+        from pyspark import TaskContext
+
+        part_id[0] = TaskContext.get().partitionId()
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                rec = {}
+                for c, v in zip(cols, row):
+                    if _null_cell(v):
+                        rec[c] = None
+                    elif isinstance(v, pd.Timestamp):
+                        rec[c] = v.to_pydatetime()
+                    else:
+                        rec[c] = v
+                records.append(rec)
+        blob = avro_encode_file(schema_json, records, codec=codec)
+        out = os.path.join(path, f"part-{part_id[0]:05d}.avro")
+        with open(out, "w+b") as f:
+            f.write(blob)
+        yield pd.DataFrame({"file": [out], "n": [len(records)]})
+
+    counts = df.mapInPandas(write_part, schema="file string, n long").collect()
+    return len(counts)

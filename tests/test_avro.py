@@ -1,0 +1,142 @@
+"""Pure-Python Avro Object Container tests (sources/avro.py).
+
+Hypothesis round-trips over the supported type lattice, container
+framing/codec error cases, schema <-> Spark type mapping both ways,
+and the distributed export -> import round-trip including nested
+arrays/maps and NTZ timestamps.
+"""
+
+import datetime
+import json
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from accelerator_spark.sources.avro import (
+    AvroError, avro_decode_file, avro_encode_file, avro_export,
+    avro_import, avro_to_spark_type, parse_schema, spark_to_avro_schema)
+
+PROP = settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+
+_SCHEMA = {
+    "type": "record", "name": "r", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "f", "type": "double"},
+        {"name": "b", "type": "bytes"},
+        {"name": "xs", "type": {"type": "array", "items": "long"}},
+        {"name": "m", "type": {"type": "map", "values": "string"}},
+        {"name": "flag", "type": "boolean"},
+    ]}
+
+
+@PROP
+@given(st.data())
+def test_prop_avro_roundtrip(data):
+    n = data.draw(st.integers(0, 12))
+    recs = []
+    for i in range(n):
+        recs.append({
+            "k": data.draw(st.integers(-(2**63), 2**63 - 1)),
+            "s": data.draw(st.one_of(st.none(), st.text(max_size=6))),
+            "f": data.draw(st.floats(allow_nan=False, width=64)),
+            "b": bytes(data.draw(st.binary(max_size=8))),
+            "xs": data.draw(st.lists(st.integers(-100, 100), max_size=4)),
+            "m": data.draw(st.dictionaries(st.text(max_size=3),
+                                           st.text(max_size=3), max_size=3)),
+            "flag": data.draw(st.booleans()),
+        })
+    codec = data.draw(st.sampled_from(["null", "deflate"]))
+    block = data.draw(st.sampled_from([1, 3, 4096]))
+    blob = avro_encode_file(json.dumps(_SCHEMA), recs, codec=codec,
+                            block_records=block)
+    _, back = avro_decode_file(blob)
+    assert back == recs
+
+
+def test_avro_logical_types_and_named_refs():
+    schema = {
+        "type": "record", "name": "ev", "fields": [
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "ts", "type": {"type": "long",
+                                    "logicalType": "timestamp-micros"}},
+            {"name": "lts", "type": {"type": "long",
+                                     "logicalType": "local-timestamp-millis"}},
+            {"name": "e", "type": {"type": "enum", "name": "Col",
+                                   "symbols": ["A", "B"]}},
+            {"name": "e2", "type": "Col"},  # named-type reference
+            {"name": "fx", "type": {"type": "fixed", "name": "F2",
+                                    "size": 2}},
+        ]}
+    recs = [{"d": datetime.date(2024, 2, 29),
+             "ts": datetime.datetime(2024, 2, 29, 23, 59, 59, 999999),
+             "lts": datetime.datetime(1969, 7, 20, 20, 17, 40, 123000),
+             "e": "B", "e2": "A", "fx": b"xy"}]
+    _, back = avro_decode_file(avro_encode_file(json.dumps(schema), recs))
+    assert back == recs
+
+
+def test_avro_malformed_inputs():
+    blob = avro_encode_file(json.dumps(_SCHEMA), [], codec="deflate")
+    with pytest.raises(AvroError, match="magic"):
+        avro_decode_file(b"PAR1" + blob)
+    with pytest.raises(AvroError, match="truncated"):
+        avro_decode_file(blob[:10])
+    with pytest.raises(AvroError, match="codec"):
+        avro_encode_file(json.dumps(_SCHEMA), [], codec="snappy")
+    # corrupt a block's sync marker
+    recs = [{"k": 1, "s": None, "f": 0.0, "b": b"", "xs": [], "m": {},
+             "flag": True}]
+    good = avro_encode_file(json.dumps(_SCHEMA), recs, codec="null")
+    bad = bytearray(good)
+    bad[-1] ^= 0xFF
+    with pytest.raises(AvroError, match="sync"):
+        avro_decode_file(bytes(bad))
+    with pytest.raises(AvroError, match="unknown type name"):
+        parse_schema('"not_a_type"')
+
+
+def test_avro_spark_type_mapping_roundtrip(spark):
+    from pyspark.sql import types as T
+
+    sdt = T.StructType([
+        T.StructField("a", T.LongType(), False),
+        T.StructField("b", T.StringType(), True),
+        T.StructField("c", T.ArrayType(T.DoubleType(), False), True),
+        T.StructField("d", T.MapType(T.StringType(), T.LongType(), False),
+                      True),
+        T.StructField("e", T.DateType(), True),
+        T.StructField("f", T.TimestampNTZType(), True),
+        T.StructField("g", T.BinaryType(), True),
+        T.StructField("h", T.BooleanType(), True),
+    ])
+    avro = spark_to_avro_schema(sdt, "row")
+    back = avro_to_spark_type(parse_schema(json.dumps(avro)))
+    assert back == sdt
+
+
+def test_avro_export_import_distributed(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "x", [1.5, 2.5], {"k": 9}, datetime.date(2024, 1, 2),
+          datetime.datetime(2024, 1, 2, 3, 4, 5), b"\x01", True),
+         (2, None, [], {}, None, None, None, None)],
+        "a long, b string, c array<double>, d map<string,long>, "
+        "e date, f timestamp_ntz, g binary, h boolean")
+    path = str(tmp_path / "av")
+    n = avro_export(df.repartition(3), path)
+    assert n == 3
+    back = avro_import(spark, path)
+    assert back.schema == df.schema
+    key = lambda r: (r["a"],)  # noqa: E731
+    got = sorted(back.collect(), key=key)
+    want = sorted(df.collect(), key=key)
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    empty = tmp_path / "empty_dir"
+    empty.mkdir()
+    with pytest.raises(AvroError, match="no .*files"):
+        avro_import(spark, str(empty))
