@@ -162,9 +162,15 @@ def _read_datum(buf: io.BytesIO, schema):
                     + datetime.timedelta(milliseconds=v))
         return v
     if t == "float":
-        return struct.unpack("<f", buf.read(4))[0]
+        b = buf.read(4)
+        if len(b) != 4:
+            raise AvroError("truncated float")
+        return struct.unpack("<f", b)[0]
     if t == "double":
-        return struct.unpack("<d", buf.read(8))[0]
+        b = buf.read(8)
+        if len(b) != 8:
+            raise AvroError("truncated double")
+        return struct.unpack("<d", b)[0]
     if t == "bytes":
         return _read_bytes(buf)
     if t == "string":
@@ -235,17 +241,22 @@ def _write_datum(out: bytearray, schema, v) -> None:
             d = v - datetime.datetime(1970, 1, 1)
             v = (d.days * 86_400_000 + d.seconds * 1000
                  + d.microseconds // 1000)
-        if isinstance(v, float):
-            # pandas represents a nullable int64 column as float64, so
-            # integral longs arrive as floats — coerce exactly or raise
+        if isinstance(v, str):
+            # avro_export detours long leaves through JVM-side strings
+            # (exact — pandas would round int64-with-nulls via float64)
+            v = int(v)
+        elif isinstance(v, float):
+            # direct-API floats: coerce exactly or raise; NOTE this path
+            # cannot distinguish 2^53+1 passed as float (already lossy
+            # at the caller) — pass ints or strings for exactness
             if not v.is_integer():
                 raise AvroError(f"non-integral value {v!r} for {t}")
             v = int(v)
         _write_long(out, int(v))
     elif t == "float":
-        out.extend(struct.pack("<f", v))
+        out.extend(struct.pack("<f", float(v) if isinstance(v, str) else v))
     elif t == "double":
-        out.extend(struct.pack("<d", v))
+        out.extend(struct.pack("<d", float(v) if isinstance(v, str) else v))
     elif t == "bytes":
         _write_long(out, len(v))
         out.extend(v)
@@ -293,19 +304,35 @@ def _write_datum(out: bytearray, schema, v) -> None:
 
 
 # ------------------------------------------------------------- container
-def avro_decode_file(data: bytes):
-    """Decode one Object Container file -> (schema, list of records)."""
-    buf = io.BytesIO(data)
-    if buf.read(4) != _MAGIC:
+def avro_read_header(stream):
+    """Parse ONLY the container header from a readable binary stream
+    (magic, metadata map, sync marker) — reads a few KB, never the
+    blocks, so the driver can learn a multi-GB file's schema cheaply
+    (review r6). Returns (schema, codec, sync)."""
+    if stream.read(4) != _MAGIC:
         raise AvroError("not an Avro object container (bad magic)")
-    meta = _read_datum(buf, {"type": "map", "values": "bytes"})
-    sync = buf.read(16)
+    meta = _read_datum(stream, {"type": "map", "values": "bytes"})
+    sync = stream.read(16)
     if len(sync) != 16:
         raise AvroError("truncated header")
     codec = meta.get("avro.codec", b"null").decode()
     if codec not in ("null", "deflate"):
         raise AvroError(f"unsupported codec {codec!r} (null/deflate only)")
-    schema = parse_schema(meta["avro.schema"].decode("utf-8"))
+    if "avro.schema" not in meta:
+        raise AvroError("container header has no avro.schema")
+    try:
+        schema = parse_schema(meta["avro.schema"].decode("utf-8"))
+    except (ValueError, UnicodeDecodeError) as e:
+        if isinstance(e, AvroError):
+            raise
+        raise AvroError(f"bad avro.schema in header: {e}") from None
+    return schema, codec, sync
+
+
+def avro_decode_file(data: bytes):
+    """Decode one Object Container file -> (schema, list of records)."""
+    buf = io.BytesIO(data)
+    schema, codec, sync = avro_read_header(buf)
     records = []
     while True:
         head = buf.read(1)
@@ -313,6 +340,11 @@ def avro_decode_file(data: bytes):
             break  # clean EOF at a block boundary
         buf.seek(-1, io.SEEK_CUR)
         n = _read_long(buf)
+        if n < 0:
+            # negative counts are legal only inside array/map blocks; a
+            # container block count must be positive — silently reading
+            # zero records here would shrink the data without an error
+            raise AvroError(f"corrupt block record-count {n}")
         block = _read_bytes(buf)
         if buf.read(16) != sync:
             raise AvroError("sync marker mismatch (corrupt block)")
@@ -450,19 +482,23 @@ def avro_import(spark: SparkSession, path: str,
         raise AvroError(f"no {glob} files under {path}")
     first_path = head[0]["media_path"]
     if first_path.startswith("file:"):
-        from urllib.parse import unquote, urlparse
+        # NO unquote: binaryFile's path column is NOT percent-encoded
+        # (verified live in media.py, review r4 — decoding corrupts
+        # literal %XX in filenames); just strip the scheme
+        from urllib.parse import urlparse
 
-        local = unquote(urlparse(first_path).path)
+        local = urlparse(first_path).path
     else:
         local = first_path
     if os.path.exists(local):
+        # header-only read: a few KB off disk, never the blocks
         with open(local, "rb") as f:
-            schema, _ = avro_decode_file(f.read())
+            schema, _, _ = avro_read_header(f)
     else:
         # non-local filesystem: pull ONE file's bytes through Spark
         blob = (files.filter(F.col("media_path") == first_path)
                 .select("content").head()["content"])
-        schema, _ = avro_decode_file(bytes(blob))
+        schema, _, _ = avro_read_header(io.BytesIO(bytes(blob)))
     sdt = avro_to_spark_type(schema)
     if not isinstance(sdt, T.StructType):
         sdt = T.StructType([T.StructField("value", sdt, True)])
@@ -471,11 +507,49 @@ def avro_import(spark: SparkSession, path: str,
         wrap = False
     schema_json = json.dumps(schema)
     cols = [f.name for f in sdt.fields]
+    # the Python->Arrow hop conflates null with NaN for float64 columns
+    # (no null bitmap survives a pandas float column), so long/float/
+    # double leaves travel as EXACT strings and are cast back JVM-side —
+    # the mirror of avro_export's detour (review r6)
+    safe_fields, casts = [], []
+    for f in sdt.fields:
+        dt = f.dataType
+        if _needs_string_detour(dt):
+            safe_fields.append(T.StructField(f.name, T.StringType(), True))
+            casts.append(F.col(f.name).cast(dt).alias(f.name))
+        elif isinstance(dt, T.ArrayType) and _needs_string_detour(dt.elementType):
+            safe_fields.append(T.StructField(
+                f.name, T.ArrayType(T.StringType(), True), True))
+            casts.append(F.col(f.name).cast(dt).alias(f.name))
+        elif isinstance(dt, T.MapType) and _needs_string_detour(dt.valueType):
+            safe_fields.append(T.StructField(
+                f.name, T.MapType(T.StringType(), T.StringType(), True), True))
+            casts.append(F.col(f.name).cast(dt).alias(f.name))
+        else:
+            safe_fields.append(f)
+            casts.append(F.col(f.name))
+    safe_sdt = T.StructType(safe_fields)
+    detoured = [i for i, (a, b) in enumerate(zip(safe_fields, sdt.fields))
+                if a.dataType != b.dataType]
+
+    def _exact_str(x):
+        if x is None:
+            return None
+        if isinstance(x, int):
+            return str(x)
+        if x != x:
+            return "NaN"
+        if x == float("inf"):
+            return "Infinity"
+        if x == float("-inf"):
+            return "-Infinity"
+        return repr(x)
 
     def decode(batches):
         import pandas as pd
 
         expect = json.dumps(parse_schema(schema_json))
+        det = set(detoured)
         for pdf in batches:
             for content in pdf["content"]:
                 fschema, records = avro_decode_file(bytes(content))
@@ -487,20 +561,95 @@ def avro_import(spark: SparkSession, path: str,
                 if wrap:
                     rows = [(r,) for r in records]
                 else:
-                    rows = [tuple(r.get(c) for c in cols) for r in records]
+                    # a [null, record] top-level union can yield None
+                    # datums — surface them as all-NULL rows (Spark has
+                    # no null-row concept), review r6
+                    none_row = (None,) * len(cols)
+                    rows = [none_row if r is None
+                            else tuple(r.get(c) for c in cols)
+                            for r in records]
+                if det:
+                    fixed = []
+                    for row in rows:
+                        row = list(row)
+                        for i in det:
+                            v = row[i]
+                            if isinstance(v, list):
+                                row[i] = [_exact_str(e) for e in v]
+                            elif isinstance(v, dict):
+                                row[i] = {k: _exact_str(e)
+                                          for k, e in v.items()}
+                            else:
+                                row[i] = _exact_str(v)
+                        fixed.append(tuple(row))
+                    rows = fixed
                 yield pd.DataFrame(rows, columns=cols)
 
-    return files.select("content").mapInPandas(decode, schema=sdt)
+    out = files.select("content").mapInPandas(decode, schema=safe_sdt)
+    return out.select(*casts)
 
 
-def avro_export(df: DataFrame, path: str, codec: str = "deflate") -> int:
+def _needs_string_detour(dt: T.DataType) -> bool:
+    """Leaves that pandas would corrupt on the Python hop: int64 with
+    nulls becomes float64 (silently rounds > 2^53), and float/double
+    NaN is indistinguishable from null. Detour them through JVM-side
+    strings (Spark's double->string is Java Double.toString — exact
+    round-trip, 'NaN'/'Infinity' included); _write_datum parses the
+    strings back while the avro schema keeps the true type."""
+    return isinstance(dt, (T.LongType, T.FloatType, T.DoubleType))
+
+
+def _detour_col(c: str, dt: T.DataType):
+    if _needs_string_detour(dt):
+        return F.col(c).cast("string").alias(c)
+    if isinstance(dt, T.ArrayType) and _needs_string_detour(dt.elementType):
+        return F.transform(F.col(c), lambda x: x.cast("string")).alias(c)
+    if isinstance(dt, T.MapType) and _needs_string_detour(dt.valueType):
+        return F.transform_values(
+            F.col(c), lambda _, v: v.cast("string")).alias(c)
+    return F.col(c)
+
+
+def avro_export(df: DataFrame, path: str, codec: str = "deflate",
+                mode: str = "error") -> int:
     """Write the DataFrame as one .avro container file per partition
     under ``path`` (shared filesystem — the reference's per-slice file
-    model). Returns the number of files written."""
+    model). ``mode``: "error" refuses a directory that already holds
+    .avro files (stale parts from a wider previous export would be
+    silently merged by avro_import — review r6); "overwrite" removes
+    them first. Returns the number of files written.
+
+    TimestampType columns require an UTC session (get_spark pins it):
+    the Python hop delivers session-local naive datetimes, and
+    encoding those as spec-UTC timestamp-micros under any other zone
+    would shift every instant. TimestampNTZType is zone-free and
+    always safe."""
+    if any(isinstance(f.dataType, T.TimestampType) for f in df.schema.fields):
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+            raise AvroError(
+                f"avro_export of TimestampType needs an UTC session "
+                f"(got {tz!r}): timestamp-micros is a UTC instant but "
+                "the Python hop sees session-local naive datetimes. Set "
+                "spark.sql.session.timeZone=UTC or use TIMESTAMP_NTZ")
+    if mode not in ("error", "overwrite"):
+        raise AvroError(f"mode must be 'error' or 'overwrite', got {mode!r}")
     os.makedirs(path, exist_ok=True)
+    import glob as _glob
+
+    existing = _glob.glob(os.path.join(path, "*.avro"))
+    if existing:
+        if mode == "error":
+            raise AvroError(
+                f"{path} already holds {len(existing)} .avro files — "
+                "pass mode='overwrite' to replace them")
+        for p in existing:
+            os.remove(p)
     schema = spark_to_avro_schema(df.schema, "row")
     schema_json = json.dumps(schema)
     cols = df.columns
+    df = df.select([_detour_col(f.name, f.dataType)
+                    for f in df.schema.fields])
 
     def _null_cell(v):
         # pandas nulls arrive as None / NaN / NaT depending on dtype;

@@ -140,3 +140,57 @@ def test_avro_export_import_distributed(spark, tmp_path):
     empty.mkdir()
     with pytest.raises(AvroError, match="no .*files"):
         avro_import(spark, str(empty))
+
+
+def test_avro_export_exactness_and_modes(spark, tmp_path):
+    """Review r6 closures: int64 beyond 2^53 with nulls survives the
+    pandas hop exactly (JVM string detour); NaN stays NaN and null
+    stays null for doubles, both directions; stale part files are
+    refused by default and removed under mode='overwrite'."""
+    big = 9007199254740993  # 2^53 + 1: float64 would round it
+    df = spark.createDataFrame(
+        [(1, big, float("nan"), [float("nan"), None, 1.5], [3, None]),
+         (2, None, None, None, None)],
+        "k long, v long, d double, xs array<double>, ys array<long>")
+    p = str(tmp_path / "exact")
+    avro_export(df.repartition(2), p)
+    back = {r["k"]: r for r in avro_import(spark, p).collect()}
+    assert back[1]["v"] == big            # exact, not 2^53
+    assert back[1]["d"] != back[1]["d"]   # NaN preserved as NaN
+    assert back[2]["v"] is None and back[2]["d"] is None
+    xs = back[1]["xs"]
+    assert xs[0] != xs[0] and xs[1] is None and xs[2] == 1.5
+    assert list(back[1]["ys"]) == [3, None]
+    # mode semantics
+    with pytest.raises(AvroError, match="overwrite"):
+        avro_export(df, p)
+    n = avro_export(df.repartition(1), p, mode="overwrite")
+    assert n == 1
+    import glob as g
+    assert len(g.glob(p + "/*.avro")) == 1  # stale wider parts removed
+    assert avro_import(spark, p).count() == 2
+
+
+def test_avro_header_only_and_corrupt_block_count(tmp_path):
+    """avro_read_header parses only the header (never inflates blocks);
+    a corrupt negative block record-count raises instead of silently
+    dropping records."""
+    import io
+    import struct
+
+    blob = avro_encode_file(json.dumps(_SCHEMA), [
+        {"k": 1, "s": "a", "f": 0.5, "b": b"", "xs": [], "m": {},
+         "flag": False}], codec="deflate")
+    from accelerator_spark.sources.avro import avro_read_header
+
+    stream = io.BytesIO(blob)
+    schema, codec, sync = avro_read_header(stream)
+    assert codec == "deflate" and len(sync) == 16
+    assert schema["name"] == "r"
+    assert stream.tell() < len(blob)  # blocks untouched
+    # corrupt the first block's record count to a negative varint
+    pos = stream.tell()
+    bad = bytearray(blob)
+    bad[pos] = 0x01  # zigzag(-1)
+    with pytest.raises(AvroError, match="record-count"):
+        avro_decode_file(bytes(bad))
