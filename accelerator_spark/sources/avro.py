@@ -365,10 +365,12 @@ def avro_encode_file(schema, records, codec: str = "deflate",
     """Encode records into one Object Container file."""
     if codec not in ("null", "deflate"):
         raise AvroError(f"unsupported codec {codec!r}")
-    schema = _resolve(json.loads(json.dumps(schema)) if not isinstance(
-        schema, str) else json.loads(schema), {})
+    # metadata carries the ORIGINAL schema text: dumping the resolved
+    # form would hit the dict cycle a (legal) recursive record creates
+    schema_text = schema if isinstance(schema, str) else json.dumps(schema)
+    schema = _resolve(json.loads(schema_text), {})
     out = bytearray(_MAGIC)
-    meta = {"avro.schema": json.dumps(schema).encode(),
+    meta = {"avro.schema": schema_text.encode(),
             "avro.codec": codec.encode()}
     _write_datum(out, {"type": "map", "values": "bytes"}, meta)
     out.extend(sync)
@@ -389,7 +391,13 @@ def avro_encode_file(schema, records, codec: str = "deflate",
 
 
 # ------------------------------------------------------------ Spark glue
-def avro_to_spark_type(schema) -> T.DataType:
+def avro_to_spark_type(schema, _stack: tuple = ()) -> T.DataType:
+    if isinstance(schema, (dict, list)):
+        if id(schema) in _stack:
+            # legal Avro, but relational engines have no recursive rows
+            raise AvroError(
+                "recursive record schemas cannot map to a Spark type")
+        _stack = _stack + (id(schema),)
     t = _type_of(schema)
     lt = _logical(schema)
     if lt == "date":
@@ -409,18 +417,19 @@ def avro_to_spark_type(schema) -> T.DataType:
         non_null = [s for s in schema if _type_of(s) != "null"]
         if len(non_null) != 1:
             raise AvroError("only [null, X] unions map to Spark")
-        return avro_to_spark_type(non_null[0])
+        return avro_to_spark_type(non_null[0], _stack)
     if t == "record":
         return T.StructType([
-            T.StructField(f["name"], avro_to_spark_type(f["type"]),
+            T.StructField(f["name"],
+                          avro_to_spark_type(f["type"], _stack),
                           _is_nullable(f["type"]))
             for f in schema["fields"]])
     if t == "array":
-        return T.ArrayType(avro_to_spark_type(schema["items"]),
+        return T.ArrayType(avro_to_spark_type(schema["items"], _stack),
                            _is_nullable(schema["items"]))
     if t == "map":
         return T.MapType(T.StringType(),
-                         avro_to_spark_type(schema["values"]),
+                         avro_to_spark_type(schema["values"], _stack),
                          _is_nullable(schema["values"]))
     raise AvroError(f"unsupported type {t!r}")
 
@@ -431,7 +440,14 @@ def _is_nullable(schema) -> bool:
 
 
 def spark_to_avro_schema(dt: T.DataType, name: str = "row",
-                         nullable: bool = False):
+                         nullable: bool = False,
+                         _used: set | None = None):
+    # _used keeps generated record names UNIQUE: '_'-joined path names
+    # can collide ('a_b struct<x>' vs 'a struct<b: struct<x>>' both
+    # derive row_a_b), and a duplicate named type is a spec-invalid
+    # schema external readers reject (review r6)
+    if _used is None:
+        _used = set()
     simple = {T.BooleanType: "boolean", T.IntegerType: "int",
               T.ShortType: "int", T.ByteType: "int",
               T.LongType: "long", T.FloatType: "float",
@@ -449,19 +465,24 @@ def spark_to_avro_schema(dt: T.DataType, name: str = "row",
         # documents-scale export favors portability over exactness here
         s = "string"
     elif isinstance(dt, T.StructType):
-        s = {"type": "record", "name": name, "fields": [
+        rec_name, n = name, 2
+        while rec_name in _used:
+            rec_name = f"{name}_{n}"
+            n += 1
+        _used.add(rec_name)
+        s = {"type": "record", "name": rec_name, "fields": [
             {"name": f.name,
-             "type": spark_to_avro_schema(f.dataType, f"{name}_{f.name}",
-                                          f.nullable)}
+             "type": spark_to_avro_schema(f.dataType, f"{rec_name}_{f.name}",
+                                          f.nullable, _used)}
             for f in dt.fields]}
     elif isinstance(dt, T.ArrayType):
         s = {"type": "array",
              "items": spark_to_avro_schema(dt.elementType, name + "_item",
-                                           dt.containsNull)}
+                                           dt.containsNull, _used)}
     elif isinstance(dt, T.MapType):
         s = {"type": "map",
              "values": spark_to_avro_schema(dt.valueType, name + "_val",
-                                            dt.valueContainsNull)}
+                                            dt.valueContainsNull, _used)}
     else:
         raise AvroError(f"no avro mapping for Spark type {dt}")
     return ["null", s] if nullable else s
@@ -500,6 +521,32 @@ def avro_import(spark: SparkSession, path: str,
                 .select("content").head()["content"])
         schema, _, _ = avro_read_header(io.BytesIO(bytes(blob)))
     sdt = avro_to_spark_type(schema)
+    # UTC-instant logical types decode as naive datetimes that Spark's
+    # Arrow path re-interprets in SESSION time — the exact hazard the
+    # export guard catches; mirror it on import (review r6)
+    def _has_utc_instant(s):
+        lt = _logical(s)
+        if lt in ("timestamp-micros", "timestamp-millis"):
+            return True
+        if isinstance(s, list):
+            return any(_has_utc_instant(x) for x in s)
+        if isinstance(s, dict):
+            t = s.get("type")
+            if t == "record":
+                return any(_has_utc_instant(f["type"]) for f in s["fields"])
+            if t == "array":
+                return _has_utc_instant(s["items"])
+            if t == "map":
+                return _has_utc_instant(s["values"])
+        return False
+
+    if _has_utc_instant(schema):
+        tz = spark.conf.get("spark.sql.session.timeZone", "")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+            raise AvroError(
+                f"avro_import of timestamp-micros/millis needs an UTC "
+                f"session (got {tz!r}): the spec-UTC instants would be "
+                "re-interpreted as session-local on the Arrow hop")
     if not isinstance(sdt, T.StructType):
         sdt = T.StructType([T.StructField("value", sdt, True)])
         wrap = True
@@ -520,11 +567,17 @@ def avro_import(spark: SparkSession, path: str,
         elif isinstance(dt, T.ArrayType) and _needs_string_detour(dt.elementType):
             safe_fields.append(T.StructField(
                 f.name, T.ArrayType(T.StringType(), True), True))
-            casts.append(F.col(f.name).cast(dt).alias(f.name))
+            # cast target relaxes containsNull: Spark refuses casting a
+            # nullable-element array to a non-nullable-element one, and
+            # plain "items": "long" files derive containsNull=False
+            # (review r6)
+            casts.append(F.col(f.name).cast(
+                T.ArrayType(dt.elementType, True)).alias(f.name))
         elif isinstance(dt, T.MapType) and _needs_string_detour(dt.valueType):
             safe_fields.append(T.StructField(
                 f.name, T.MapType(T.StringType(), T.StringType(), True), True))
-            casts.append(F.col(f.name).cast(dt).alias(f.name))
+            casts.append(F.col(f.name).cast(
+                T.MapType(dt.keyType, dt.valueType, True)).alias(f.name))
         else:
             safe_fields.append(f)
             casts.append(F.col(f.name))
@@ -590,23 +643,54 @@ def avro_import(spark: SparkSession, path: str,
 
 
 def _needs_string_detour(dt: T.DataType) -> bool:
-    """Leaves that pandas would corrupt on the Python hop: int64 with
-    nulls becomes float64 (silently rounds > 2^53), and float/double
-    NaN is indistinguishable from null. Detour them through JVM-side
-    strings (Spark's double->string is Java Double.toString — exact
-    round-trip, 'NaN'/'Infinity' included); _write_datum parses the
-    strings back while the avro schema keeps the true type."""
-    return isinstance(dt, (T.LongType, T.FloatType, T.DoubleType))
+    """Leaves that pandas/Arrow would corrupt on the Python hop: any
+    integer type inside a nullable context becomes float64 (silently
+    rounds int64 > 2^53; null markers arrive as NaN and crash integer
+    writes), and float/double NaN is indistinguishable from null.
+    Detour them through JVM-side strings (Spark's double->string is
+    Java Double.toString — exact round-trip, 'NaN'/'Infinity'
+    included); _write_datum parses the strings back while the avro
+    schema keeps the true type."""
+    return isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                           T.LongType, T.FloatType, T.DoubleType))
+
+
+def _detour_needed(dt: T.DataType) -> bool:
+    if _needs_string_detour(dt):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _detour_needed(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _detour_needed(dt.valueType)
+    if isinstance(dt, T.StructType):
+        return any(_detour_needed(f.dataType) for f in dt.fields)
+    return False
+
+
+def _detour_expr(expr, dt: T.DataType):
+    """Recursively rewrite numeric leaves to strings at EVERY nesting
+    level — review r6: the corruption reproduces one struct level down
+    and inside arrays of any integer type, not just top-level longs."""
+    if _needs_string_detour(dt):
+        return expr.cast("string")
+    if isinstance(dt, T.ArrayType):
+        return F.transform(expr, lambda x: _detour_expr(x, dt.elementType))
+    if isinstance(dt, T.MapType):
+        return F.transform_values(
+            expr, lambda _, v: _detour_expr(v, dt.valueType))
+    if isinstance(dt, T.StructType):
+        rebuilt = F.struct(*[
+            _detour_expr(expr.getField(f.name), f.dataType).alias(f.name)
+            for f in dt.fields])
+        # preserve struct-level NULLs: a rebuilt struct of a null parent
+        # would otherwise materialize as non-null all-null children
+        return F.when(expr.isNull(), F.lit(None)).otherwise(rebuilt)
+    return expr
 
 
 def _detour_col(c: str, dt: T.DataType):
-    if _needs_string_detour(dt):
-        return F.col(c).cast("string").alias(c)
-    if isinstance(dt, T.ArrayType) and _needs_string_detour(dt.elementType):
-        return F.transform(F.col(c), lambda x: x.cast("string")).alias(c)
-    if isinstance(dt, T.MapType) and _needs_string_detour(dt.valueType):
-        return F.transform_values(
-            F.col(c), lambda _, v: v.cast("string")).alias(c)
+    if _detour_needed(dt):
+        return _detour_expr(F.col(c), dt).alias(c)
     return F.col(c)
 
 
@@ -653,10 +737,13 @@ def avro_export(df: DataFrame, path: str, codec: str = "deflate",
 
     def _null_cell(v):
         # pandas nulls arrive as None / NaN / NaT depending on dtype;
-        # containers and numpy arrays are never null themselves
+        # containers and numpy arrays are never null themselves. The
+        # sized check must come BEFORE pd.isna: a 1-element ndarray
+        # cell ([None]) returns its ELEMENT's verdict from pd.isna and
+        # bool() happily accepts it (review r6 — [None] became NULL)
         if v is None:
             return True
-        if isinstance(v, (list, dict, bytes, bytearray, str)):
+        if hasattr(v, "__len__"):
             return False
         try:
             import pandas as pd
@@ -668,10 +755,10 @@ def avro_export(df: DataFrame, path: str, codec: str = "deflate",
     def write_part(batches):
         import pandas as pd
 
-        records, part_id = [], [None]
         from pyspark import TaskContext
 
-        part_id[0] = TaskContext.get().partitionId()
+        part_id = TaskContext.get().partitionId()
+        records = []
         for pdf in batches:
             for row in pdf.itertuples(index=False):
                 rec = {}
@@ -684,8 +771,8 @@ def avro_export(df: DataFrame, path: str, codec: str = "deflate",
                         rec[c] = v
                 records.append(rec)
         blob = avro_encode_file(schema_json, records, codec=codec)
-        out = os.path.join(path, f"part-{part_id[0]:05d}.avro")
-        with open(out, "w+b") as f:
+        out = os.path.join(path, f"part-{part_id:05d}.avro")
+        with open(out, "wb") as f:
             f.write(blob)
         yield pd.DataFrame({"file": [out], "n": [len(records)]})
 

@@ -194,3 +194,88 @@ def test_avro_header_only_and_corrupt_block_count(tmp_path):
     bad[pos] = 0x01  # zigzag(-1)
     with pytest.raises(AvroError, match="record-count"):
         avro_decode_file(bytes(bad))
+
+
+def test_avro_nested_exactness_and_edge_cells(spark, tmp_path):
+    """Review r6 second pass: the string detour recurses — int64 in a
+    struct child survives exactly past 2^53; array<int> with nulls
+    exports instead of crashing; a one-element [None] array stays
+    [None] (pd.isna on a len-1 ndarray must not make the cell NULL)."""
+    big = 9007199254740993
+    df = spark.createDataFrame(
+        [(1, {"a": big, "w": 1.5}, [3, None], [None]),
+         (2, None, None, ["x"])],
+        "k long, s struct<a: long, w: double>, ys array<int>, "
+        "zs array<string>")
+    p = str(tmp_path / "nested")
+    avro_export(df.repartition(2), p)
+    back = {r["k"]: r for r in avro_import(spark, p).collect()}
+    assert back[1]["s"]["a"] == big
+    assert back[1]["s"]["w"] == 1.5
+    assert back[2]["s"] is None  # struct-level NULL preserved
+    assert list(back[1]["ys"]) == [3, None]
+    assert list(back[1]["zs"]) == [None]
+    assert list(back[2]["zs"]) == ["x"]
+
+
+def test_avro_import_plain_nonnull_items_and_recursive_schema(spark, tmp_path):
+    """Review r6 second pass: files with plain non-union array items
+    (what every external writer emits) import fine; recursive record
+    schemas raise a clean AvroError, not RecursionError."""
+    import os
+
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "xs", "type": {"type": "array", "items": "long"}}]}
+    d = tmp_path / "plain"
+    d.mkdir()
+    with open(os.path.join(str(d), "a.avro"), "wb") as f:
+        f.write(avro_encode_file(json.dumps(schema),
+                                 [{"k": 7, "xs": [1, 2, 3]}]))
+    got = avro_import(spark, str(d)).collect()
+    assert len(got) == 1 and list(got[0]["xs"]) == [1, 2, 3]
+
+    rec = {"type": "record", "name": "Node", "fields": [
+        {"name": "next", "type": ["null", "Node"]}]}
+    d2 = tmp_path / "recur"
+    d2.mkdir()
+    with open(os.path.join(str(d2), "a.avro"), "wb") as f:
+        f.write(avro_encode_file(json.dumps(rec), [{"next": None}]))
+    with pytest.raises(AvroError, match="recursive"):
+        avro_import(spark, str(d2))
+
+
+def test_avro_unique_record_names():
+    """Review r6 second pass: colliding '_'-joined struct paths get
+    deduplicated record names (a duplicate named type is spec-invalid
+    for external readers)."""
+    from pyspark.sql import types as T
+
+    sdt = T.StructType([
+        T.StructField("a_b", T.StructType([
+            T.StructField("x", T.IntegerType())]), True),
+        T.StructField("a", T.StructType([
+            T.StructField("b", T.StructType([
+                T.StructField("x", T.IntegerType())]), True)]), True),
+    ])
+    schema = spark_to_avro_schema(sdt, "row")
+    names = []
+
+    def walk(s):
+        if isinstance(s, list):
+            for x in s:
+                walk(x)
+        elif isinstance(s, dict):
+            if s.get("type") == "record":
+                names.append(s["name"])
+                for f in s["fields"]:
+                    walk(f["type"])
+            elif s.get("type") == "array":
+                walk(s["items"])
+            elif s.get("type") == "map":
+                walk(s["values"])
+
+    walk(schema)
+    assert len(names) == len(set(names)), names
+    # and the schema still parses + maps back
+    assert parse_schema(json.dumps(schema)) is not None
