@@ -75,10 +75,19 @@ def real_decoder(payload: bytes, mime: str):
             for c in range(img.channels)
         ]
         return feat, img.width, img.height
+    if mime == "image/gif" or payload[:6] in (b"GIF87a", b"GIF89a"):
+        from ..functions.gif import frame_rgb, gif_decode
+
+        g = gif_decode(payload)
+        f0 = g.frames[0]
+        rgb = frame_rgb(f0)
+        n_px = f0.width * f0.height
+        feat = [sum(rgb[c::3]) / n_px / 255.0 for c in range(3)]
+        return feat, f0.width, f0.height
     raise NotImplementedError(
-        f"no stdlib codec for {mime!r}: only image/png decodes in this "
-        "container; pass decoder=DETERMINISTIC_FAKE or a PIL/ffmpeg-"
-        "backed callable for other formats")
+        f"no stdlib codec for {mime!r}: only image/png and image/gif "
+        "decode in this container; pass decoder=DETERMINISTIC_FAKE or "
+        "a PIL/ffmpeg-backed callable for other formats")
 
 
 def DETERMINISTIC_FAKE(payload: bytes, mime: str):
@@ -235,6 +244,71 @@ def decode_audio_features(
         [f for f in AUDIO_FEATURE_SCHEMA.fields
          if f.name not in ("media_id", "mime")],
         payload_col, id_col, mime_col, batch_partitions, on_error)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("frame_idx", T.IntegerType(), True),
+    T.StructField("n_frames", T.IntegerType(), True),
+    T.StructField("delay_cs", T.IntegerType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("payload", T.BinaryType(), True),
+])
+
+
+def extract_frames(
+    df: DataFrame,
+    every_n: int = 1,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    mime_col: str = "mime",
+    on_error: str = "raise",
+) -> DataFrame:
+    """REAL frame extraction for animated GIFs: one output row per
+    sampled frame (every ``every_n``-th), each frame re-encoded as an
+    RGB PNG payload — the genuine video-ish half of the frame-sampling
+    pipeline (frame_sample_plan is the JVM planning half; this is the
+    decode half, stdlib GIF in, stdlib PNG out). Rows stay
+    partition-local (no shuffle); ``on_error="null"`` emits one
+    all-NULL-fields row for an undecodable input instead of failing
+    the job."""
+    if every_n <= 0:
+        raise ValueError(f"extract_frames: every_n {every_n} must be >= 1")
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    slim = df.select(id_col, payload_col, mime_col)
+    id_type = df.schema[id_col].dataType
+    schema = T.StructType(
+        [T.StructField("media_id", id_type, False)]
+        + [f for f in FRAME_SCHEMA.fields if f.name != "media_id"])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.gif import frame_rgb, gif_decode
+        from ..functions.png import png_encode
+
+        for pdf in batches:
+            out = []
+            for mid, payload, mime in zip(
+                    pdf[id_col], pdf[payload_col], pdf[mime_col]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    g = gif_decode(raw)
+                    n = len(g.frames)
+                    for i in range(0, n, every_n):
+                        f = g.frames[i]
+                        blob = png_encode(frame_rgb(f), f.width, f.height,
+                                          color_type=2)
+                        out.append((mid, "image/png", i, n, f.delay_cs,
+                                    f.width, f.height, blob))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    out.append((mid, mime) + (None,) * 6)
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return slim.mapInPandas(run, schema=schema)
 
 
 def frame_sample_plan(df: DataFrame, every_n: int = 30,

@@ -1863,6 +1863,86 @@ FROM dims
 """
 
 
+def gif_frames_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-media frame extraction end-to-end, chaining all
+    three stdlib codecs: per document a 2-frame animated GIF is encoded
+    (16-color md5-derived palette, md5-derived indices, real LZW),
+    ``extract_frames`` decodes it and re-encodes every frame as an RGB
+    PNG, and ``decode_features`` with the production ``real_decoder``
+    decodes those PNGs back to per-channel means. The oracle replays
+    the palette-lookup arithmetic in SQL and checks each frame's exact
+    integer RGB sum — a wrong byte anywhere in the GIF LZW decode, the
+    frame re-encode, or the PNG decode fails the gate. Three Arrow
+    stages, no shuffle."""
+    import hashlib as _hashlib
+
+    from .operators.multimodal import (
+        decode_features, extract_frames, real_decoder)
+
+    def build_gif(text: str):
+        from .functions.gif import gif_encode
+
+        d1 = _hashlib.md5(text.encode("utf-8")).digest()
+        d2 = _hashlib.md5((text + ":p2").encode("utf-8")).digest()
+        dd = d1 + d2
+        pal = b"".join(
+            _hashlib.md5((text + f":p{k}").encode("utf-8")).digest()
+            for k in (3, 4, 5))
+        w, h = d1[0] % 3 + 2, d1[1] % 3 + 2
+        frames = [[dd[(f * w * h + i) % 32] % 16 for i in range(w * h)]
+                  for f in (0, 1)]
+        return gif_encode(frames, w, h, pal, delays_cs=[3, 7]), "image/gif"
+
+    media = _doc_media_df(spark, sf_dir, build_gif)
+    frames = extract_frames(media, every_n=1)
+    # composite id keeps frame identity through decode_features'
+    # id/payload/mime projection (n_frames == 2 < 10)
+    fid = frames.select(
+        (F.col("media_id") * 10 + F.col("frame_idx")).alias("media_id"),
+        "payload", "mime")
+    feats = decode_features(fid, decoder=real_decoder)
+    rgb_sum = F.round(
+        (F.element_at("feature", 1) + F.element_at("feature", 2)
+         + F.element_at("feature", 3))
+        * F.col("width") * F.col("height") * 255).cast("long")
+    return feats.select(
+        (F.col("media_id") / 10).cast("long").alias("media_id"),
+        (F.col("media_id") % 10).cast("int").alias("frame_idx"),
+        "width", "height", rgb_sum.alias("rgb_sum"))
+
+
+ORACLE_GIF_FRAMES = """
+WITH h AS (
+  SELECT doc_id AS media_id,
+         md5(coalesce(text, '')) AS d1,
+         md5(coalesce(text, '') || ':p2') AS d2,
+         md5(coalesce(text, '') || ':p3')
+           || md5(coalesce(text, '') || ':p4')
+           || md5(coalesce(text, '') || ':p5') AS pal
+  FROM documents
+), dims AS (
+  SELECT media_id, d1 || d2 AS dd, pal,
+         CAST(('0x' || substr(d1, 1, 2)) AS INT) % 3 + 2 AS width,
+         CAST(('0x' || substr(d1, 3, 2)) AS INT) % 3 + 2 AS height
+  FROM h
+)
+SELECT media_id, fr.f AS frame_idx, width, height,
+       CAST(list_sum(list_transform(range(CAST(width * height AS BIGINT)),
+         i ->
+           CAST(('0x' || substr(pal, CAST(1 + 6 * (CAST(('0x' || substr(dd,
+             CAST(1 + 2 * ((fr.f * width * height + i) % 32) AS INT), 2))
+             AS INT) % 16) AS INT), 2)) AS INT)
+         + CAST(('0x' || substr(pal, CAST(3 + 6 * (CAST(('0x' || substr(dd,
+             CAST(1 + 2 * ((fr.f * width * height + i) % 32) AS INT), 2))
+             AS INT) % 16) AS INT), 2)) AS INT)
+         + CAST(('0x' || substr(pal, CAST(5 + 6 * (CAST(('0x' || substr(dd,
+             CAST(1 + 2 * ((fr.f * width * height + i) % 32) AS INT), 2))
+             AS INT) % 16) AS INT), 2)) AS INT)
+       )) AS BIGINT) AS rgb_sum
+FROM dims CROSS JOIN (VALUES (0), (1)) fr(f)
+"""
+
+
 ORACLE_PNG_RESIZE = """
 WITH h AS (
   SELECT doc_id AS media_id,
@@ -5355,6 +5435,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "png_decode_stats": png_decode_stats,
     "png_resize_stats": png_resize_stats,
     "wav_decode_stats": wav_decode_stats,
+    "gif_frames_report": gif_frames_report,
     "pivot_status_priority": pivot_status_priority,
     "cube_lineitem": cube_lineitem,
     "grouping_sets_orders": grouping_sets_orders,
@@ -5479,6 +5560,7 @@ ORACLES: dict[str, str] = {
     "png_decode_stats": ORACLE_PNG_DECODE,
     "png_resize_stats": ORACLE_PNG_RESIZE,
     "wav_decode_stats": ORACLE_WAV_DECODE,
+    "gif_frames_report": ORACLE_GIF_FRAMES,
     "pivot_status_priority": ORACLE_PIVOT,
     "cube_lineitem": ORACLE_CUBE,
     "grouping_sets_orders": ORACLE_GROUPING_SETS,
