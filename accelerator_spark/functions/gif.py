@@ -33,28 +33,31 @@ class GifFrame(NamedTuple):
     y: int
     width: int
     height: int
-    indices: tuple          # palette indices, row-major, deinterlaced
+    indices: bytes          # palette indices, row-major, deinterlaced
     palette: bytes          # RGB triples effective for THIS frame
     delay_cs: int           # centiseconds (0 for still images)
     transparent: int | None
+    disposal: int = 0       # 0/1 keep, 2 restore background, 3 previous
 
 
 class GifImage(NamedTuple):
     width: int              # logical screen
     height: int
     frames: tuple           # of GifFrame
+    bg_rgb: tuple = (0, 0, 0)   # background color (compositing base)
 
 
-def _lzw_decode(min_code_size: int, data: bytes, expect: int) -> list:
+def _lzw_decode(min_code_size: int, data: bytes, expect: int) -> bytes:
     """GIF-flavor LZW: variable code width, CLEAR resets, EOI ends.
-    ``expect`` bounds the output (decompression-bomb guard, same policy
-    as the PNG codec's bounded inflate)."""
+    Output is a compact bytes buffer bounded at ``expect`` pixels
+    (decompression-bomb guard: stops as soon as the frame is full —
+    also tolerates real-world streams that omit the trailing EOI)."""
     if not 2 <= min_code_size <= 11:
         raise GifError(f"bad LZW min code size {min_code_size}")
     clear = 1 << min_code_size
     eoi = clear + 1
 
-    out: list = []
+    out = bytearray()
     # bit reader, LSB-first
     bitpos = 0
     nbits = len(data) * 8
@@ -75,22 +78,22 @@ def _lzw_decode(min_code_size: int, data: bytes, expect: int) -> list:
 
     table: list = []
     width = min_code_size + 1
-    prev: tuple | None = None
+    prev: bytes | None = None
 
     def reset_table():
         nonlocal table, width, prev
-        table = [(i,) for i in range(clear)] + [(), ()]
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
         width = min_code_size + 1
         prev = None
 
     reset_table()
-    while True:
+    while len(out) < expect:
         code = read_code(width)
         if code == clear:
             reset_table()
             continue
         if code == eoi:
-            return out
+            break
         if prev is None:
             if code >= len(table):
                 raise GifError("LZW: first code not in table")
@@ -98,17 +101,13 @@ def _lzw_decode(min_code_size: int, data: bytes, expect: int) -> list:
         elif code < len(table):
             entry = table[code]
             if len(table) < 4096:  # table freezes at 12 bits
-                table.append(prev + (entry[0],))
+                table.append(prev + entry[:1])
         elif code == len(table) and len(table) < 4096:
-            entry = prev + (prev[0],)
+            entry = prev + prev[:1]
             table.append(entry)
         else:
             raise GifError(f"LZW: code {code} beyond table")
         out.extend(entry)
-        if len(out) > expect:
-            raise GifError(
-                f"LZW output exceeds the {expect} pixels the frame "
-                "descriptor implies")
         prev = entry
         # standard GIF ("late") change, empirically matched against
         # Java ImageIO: the code value 2^width is the first needing
@@ -116,6 +115,7 @@ def _lzw_decode(min_code_size: int, data: bytes, expect: int) -> list:
         # encoder's, that lands exactly at len(table) == 2^width
         if len(table) == (1 << width) and width < 12:
             width += 1
+    return bytes(out[:expect])
 
 
 def _lzw_encode(min_code_size: int, indices) -> bytes:
@@ -179,24 +179,39 @@ def _lzw_encode(min_code_size: int, indices) -> bytes:
     return bytes(out)
 
 
+def _interlace_order(h: int) -> list:
+    """GIF 4-pass interlace row order (SHARED by encode and decode —
+    two copies of this expression could silently desynchronize)."""
+    return (list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2)))
+
+
 def _deinterlace(rows: list) -> list:
-    """GIF 4-pass interlace: rows stored pass-major; return display order."""
-    h = len(rows)
-    order = (list(range(0, h, 8)) + list(range(4, h, 8))
-             + list(range(2, h, 4)) + list(range(1, h, 2)))
-    out = [None] * h
-    for stored, display in enumerate(order):
+    """Rows stored pass-major -> display order."""
+    out = [None] * len(rows)
+    for stored, display in enumerate(_interlace_order(len(rows))):
         out[display] = rows[stored]
     return out
 
 
-def gif_decode(data: bytes, max_frames: int = 10_000) -> GifImage:
-    """Decode a GIF byte string (scope in module docstring)."""
+def gif_decode(data: bytes, max_frames: int = 10_000,
+               max_pixels: int = 1 << 26,
+               first_frame_only: bool = False) -> GifImage:
+    """Decode a GIF byte string (scope in module docstring).
+
+    ``max_pixels`` caps DECLARED dimensions (screen and per frame) —
+    the LZW guard bounds output to the descriptor's fw*fh, so a tiny
+    crafted file declaring a 65535x65535 frame must fail fast instead
+    of allocating gigabytes. ``first_frame_only`` stops after frame 0
+    (the feature-extraction hot path doesn't pay for a 500-frame
+    animation it won't read)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise GifError("not a GIF: bad signature")
     if len(data) < 13:
         raise GifError("truncated header")
-    width, height, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    width, height, flags, bg_index, _ar = struct.unpack("<HHBBB", data[6:13])
+    if width * height > max_pixels:
+        raise GifError(f"screen {width}x{height} exceeds max_pixels")
     pos = 13
     global_pal = b""
     if flags & 0x80:
@@ -209,6 +224,7 @@ def gif_decode(data: bytes, max_frames: int = 10_000) -> GifImage:
     frames = []
     transparent: int | None = None
     delay_cs = 0
+    disposal = 0
     while pos < len(data):
         b = data[pos]
         pos += 1
@@ -234,6 +250,7 @@ def gif_decode(data: bytes, max_frames: int = 10_000) -> GifImage:
                     "<BHB", blocks[0][:4].ljust(4, b"\x00"))
                 delay_cs = delay
                 transparent = tidx if gflags & 1 else None
+                disposal = (gflags >> 2) & 7
             continue
         if b == 0x2C:  # image descriptor
             if len(frames) >= max_frames:
@@ -253,6 +270,8 @@ def gif_decode(data: bytes, max_frames: int = 10_000) -> GifImage:
                 raise GifError("frame without any color table")
             if fw == 0 or fh == 0:
                 raise GifError("zero-dimension frame")
+            if fw * fh > max_pixels:
+                raise GifError(f"frame {fw}x{fh} exceeds max_pixels")
             if pos >= len(data):
                 raise GifError("truncated LZW header")
             min_code = data[pos]
@@ -271,21 +290,25 @@ def gif_decode(data: bytes, max_frames: int = 10_000) -> GifImage:
             if len(idx) < fw * fh:
                 raise GifError(
                     f"frame data short: {len(idx)} < {fw * fh} pixels")
-            idx = idx[: fw * fh]
             n_colors = len(pal) // 3
             if idx and max(idx) >= n_colors:
                 raise GifError("palette index out of range")
             if fflags & 0x40:  # interlaced
-                rows = [tuple(idx[r * fw:(r + 1) * fw]) for r in range(fh)]
-                idx = [p for row in _deinterlace(rows) for p in row]
-            frames.append(GifFrame(x, y, fw, fh, tuple(idx), pal,
-                                   delay_cs, transparent))
-            transparent, delay_cs = None, 0
+                rows = [idx[r * fw:(r + 1) * fw] for r in range(fh)]
+                idx = b"".join(_deinterlace(rows))
+            frames.append(GifFrame(x, y, fw, fh, idx, pal,
+                                   delay_cs, transparent, disposal))
+            transparent, delay_cs, disposal = None, 0, 0
+            if first_frame_only:
+                break
             continue
         raise GifError(f"unknown block 0x{b:02x}")
     if not frames:
         raise GifError("no frames")
-    return GifImage(width, height, tuple(frames))
+    bg = (0, 0, 0)
+    if global_pal and bg_index < len(global_pal) // 3:
+        bg = tuple(global_pal[3 * bg_index:3 * bg_index + 3])
+    return GifImage(width, height, tuple(frames), bg)
 
 
 def gif_encode(frames, width: int, height: int, palette: bytes,
@@ -297,6 +320,14 @@ def gif_encode(frames, width: int, height: int, palette: bytes,
     if len(palette) % 3 or n_colors < 2 or n_colors > 256 or (
             n_colors & (n_colors - 1)):
         raise GifError("palette must be 2^k RGB entries, 2..256")
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise GifError(f"invalid dimensions {width}x{height}")
+    if delays_cs is not None:
+        if len(delays_cs) < len(frames):
+            raise GifError(
+                f"{len(delays_cs)} delays for {len(frames)} frames")
+        if any(not 0 <= d <= 0xFFFF for d in delays_cs):
+            raise GifError("delay out of the u16 centisecond range")
     pal_bits = n_colors.bit_length() - 1  # log2 (power of two checked)
     out = bytearray(b"GIF89a")
     # size field encodes the color-table size: 2 << field == n_colors
@@ -318,10 +349,7 @@ def gif_encode(frames, width: int, height: int, palette: bytes,
                                0x40 if interlace else 0))
         if interlace:
             rows = [idx[r * width:(r + 1) * width] for r in range(height)]
-            h = height
-            order = (list(range(0, h, 8)) + list(range(4, h, 8))
-                     + list(range(2, h, 4)) + list(range(1, h, 2)))
-            idx = [p for r in order for p in rows[r]]
+            idx = [p for r in _interlace_order(height) for p in rows[r]]
         min_code = max(2, pal_bits)  # LZW needs >= 2 even for 2 colors
         out.append(min_code)
         lzw = _lzw_encode(min_code, idx)
@@ -342,3 +370,46 @@ def frame_rgb(frame: GifFrame) -> tuple:
     for i in frame.indices:
         out.extend(pal[3 * i:3 * i + 3])
     return tuple(out)
+
+
+def compose_frames(img: GifImage):
+    """Yield each frame COMPOSED onto the logical screen, honoring
+    frame x/y offsets, transparency, and disposal codes (review r6:
+    optimized real-world GIFs store delta rectangles — the raw region
+    alone looks nothing like the displayed animation). Yields
+    (frame_index, GifFrame, rgb_bytearray) where the buffer is the
+    full width*height*3 displayed canvas AFTER painting that frame.
+    The canvas starts as the file's background color."""
+    w, h = img.width, img.height
+    canvas = bytearray(bytes(img.bg_rgb) * (w * h))
+    for k, f in enumerate(img.frames):
+        if f.disposal == 3:
+            saved = bytes(canvas)
+        for row in range(f.height):
+            y = f.y + row
+            if y >= h:
+                continue
+            for col in range(f.width):
+                x = f.x + col
+                if x >= w:
+                    continue
+                idx = f.indices[row * f.width + col]
+                if f.transparent is not None and idx == f.transparent:
+                    continue
+                off = (y * w + x) * 3
+                canvas[off:off + 3] = f.palette[3 * idx:3 * idx + 3]
+        yield k, f, bytearray(canvas)
+        if f.disposal == 2:  # restore background in the frame's region
+            bg = bytes(img.bg_rgb)
+            for row in range(f.height):
+                y = f.y + row
+                if y >= h:
+                    continue
+                for col in range(f.width):
+                    x = f.x + col
+                    if x >= w:
+                        continue
+                    off = (y * w + x) * 3
+                    canvas[off:off + 3] = bg
+        elif f.disposal == 3:
+            canvas = bytearray(saved)

@@ -76,14 +76,17 @@ def real_decoder(payload: bytes, mime: str):
         ]
         return feat, img.width, img.height
     if mime == "image/gif" or payload[:6] in (b"GIF87a", b"GIF89a"):
-        from ..functions.gif import frame_rgb, gif_decode
+        from ..functions.gif import compose_frames, gif_decode
 
-        g = gif_decode(payload)
-        f0 = g.frames[0]
-        rgb = frame_rgb(f0)
-        n_px = f0.width * f0.height
-        feat = [sum(rgb[c::3]) / n_px / 255.0 for c in range(3)]
-        return feat, f0.width, f0.height
+        # first_frame_only: don't pay a 500-frame animation's LZW cost
+        # for frame-0 features; compose onto the logical screen so a
+        # sub-rectangle first frame reports the true displayed image
+        # (review r6)
+        g = gif_decode(payload, first_frame_only=True)
+        _, _, canvas = next(compose_frames(g))
+        n_px = g.width * g.height
+        feat = [sum(canvas[c::3]) / n_px / 255.0 for c in range(3)]
+        return feat, g.width, g.height
     raise NotImplementedError(
         f"no stdlib codec for {mime!r}: only image/png and image/gif "
         "decode in this container; pass decoder=DETERMINISTIC_FAKE or "
@@ -267,13 +270,16 @@ def extract_frames(
     on_error: str = "raise",
 ) -> DataFrame:
     """REAL frame extraction for animated GIFs: one output row per
-    sampled frame (every ``every_n``-th), each frame re-encoded as an
-    RGB PNG payload — the genuine video-ish half of the frame-sampling
-    pipeline (frame_sample_plan is the JVM planning half; this is the
-    decode half, stdlib GIF in, stdlib PNG out). Rows stay
-    partition-local (no shuffle); ``on_error="null"`` emits one
-    all-NULL-fields row for an undecodable input instead of failing
-    the job."""
+    sampled frame (every ``every_n``-th), each frame COMPOSED onto the
+    logical screen (x/y offsets, transparency, disposal codes — review
+    r6: optimized real-world GIFs store delta rectangles, and the raw
+    region alone looks nothing like the displayed animation) and
+    re-encoded as an RGB PNG payload at the screen dimensions — the
+    genuine video-ish half of the frame-sampling pipeline
+    (frame_sample_plan is the JVM planning half; this is the decode
+    half, stdlib GIF in, stdlib PNG out). Rows stay partition-local
+    (no shuffle); ``on_error="null"`` emits one all-NULL-fields row
+    for an undecodable input instead of failing the job."""
     if every_n <= 0:
         raise ValueError(f"extract_frames: every_n {every_n} must be >= 1")
     if on_error not in ("raise", "null"):
@@ -285,7 +291,7 @@ def extract_frames(
         + [f for f in FRAME_SCHEMA.fields if f.name != "media_id"])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.gif import frame_rgb, gif_decode
+        from ..functions.gif import compose_frames, gif_decode
         from ..functions.png import png_encode
 
         for pdf in batches:
@@ -296,12 +302,13 @@ def extract_frames(
                 try:
                     g = gif_decode(raw)
                     n = len(g.frames)
-                    for i in range(0, n, every_n):
-                        f = g.frames[i]
-                        blob = png_encode(frame_rgb(f), f.width, f.height,
+                    for i, f, canvas in compose_frames(g):
+                        if i % every_n:
+                            continue
+                        blob = png_encode(list(canvas), g.width, g.height,
                                           color_type=2)
                         out.append((mid, "image/png", i, n, f.delay_cs,
-                                    f.width, f.height, blob))
+                                    g.width, g.height, blob))
                 except Exception:
                     if on_error == "raise":
                         raise

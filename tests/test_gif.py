@@ -59,7 +59,7 @@ def test_prop_gif_roundtrip(data):
 def test_prop_lzw_roundtrip(data):
     mcs = data.draw(st.integers(2, 8))
     src = data.draw(st.lists(st.integers(0, (1 << mcs) - 1), max_size=400))
-    assert _lzw_decode(mcs, _lzw_encode(mcs, src), len(src)) == src
+    assert list(_lzw_decode(mcs, _lzw_encode(mcs, src), len(src))) == src
 
 
 def test_gif_12bit_growth_and_runs():
@@ -74,7 +74,7 @@ def test_gif_12bit_growth_and_runs():
     assert list(gif_decode(gif_encode([fr], 400, 300, pal)).frames[0]
                 .indices) == fr
     runs = [s % 4 for s in ([0] * 3000 + [1, 0, 1, 1, 0] * 600)]
-    assert _lzw_decode(2, _lzw_encode(2, runs), len(runs)) == runs
+    assert list(_lzw_decode(2, _lzw_encode(2, runs), len(runs))) == runs
 
 
 def test_gif_malformed():
@@ -92,16 +92,29 @@ def test_gif_malformed():
         gif_encode([[7]], 1, 1, b"\x00" * 6)  # index beyond 2 colors
     with pytest.raises(GifError, match="expected"):
         gif_encode([[0]], 2, 2, b"\x00" * 6)  # wrong pixel count
-    # LZW output bomb guard: frame descriptor says 1x1, data says more
-    with pytest.raises(GifError):
-        blob = bytearray(gif_encode([[0] * 100], 10, 10,
-                                    b"\x00" * 6))
-        # shrink the descriptor dims to 1x1 (offsets: screen dims at
-        # 6..10; descriptor dims 5..9 bytes into the 0x2C block)
-        at = bytes(blob).index(b"\x2c")
-        blob[at + 5:at + 9] = b"\x01\x00\x01\x00"
-        blob[6:10] = b"\x01\x00\x01\x00"
-        gif_decode(bytes(blob))
+    # LZW output bound: frame descriptor says 1x1, data says more ->
+    # decode stops at 1 pixel (bounded, browser-tolerant) instead of
+    # materializing the rest
+    blob = bytearray(gif_encode([[0] * 100], 10, 10, b"\x00" * 6))
+    at = bytes(blob).index(b"\x2c")
+    blob[at + 5:at + 9] = b"\x01\x00\x01\x00"
+    blob[6:10] = b"\x01\x00\x01\x00"
+    img = gif_decode(bytes(blob))
+    assert len(img.frames[0].indices) == 1
+    # declared-dimension cap: a tiny file claiming a huge frame fails
+    # fast instead of allocating gigabytes
+    with pytest.raises(GifError, match="max_pixels"):
+        huge = bytearray(gif_encode([[0] * 4], 2, 2, b"\x00" * 6))
+        at2 = bytes(huge).index(b"\x2c")
+        huge[at2 + 5:at2 + 9] = b"\xff\xff\xff\xff"
+        gif_decode(bytes(huge))
+    # encoder validation (review r6): zero dims, bad delays
+    with pytest.raises(GifError, match="dimensions"):
+        gif_encode([[]], 0, 5, b"\x00" * 6)
+    with pytest.raises(GifError, match="delays"):
+        gif_encode([[0], [0]], 1, 1, b"\x00" * 6, delays_cs=[3])
+    with pytest.raises(GifError, match="centisecond"):
+        gif_encode([[0]], 1, 1, b"\x00" * 6, delays_cs=[70000])
 
 
 def test_gif_fixture_corpus_matches_imageio(spark):
@@ -181,3 +194,95 @@ def test_extract_frames_distributed(spark):
     feats = decode_features(
         extract_frames(df.filter("media_id = 1")), decoder=real_decoder)
     assert feats.count() == 3
+
+
+def test_compose_frames_delta_rects():
+    """Review r6: optimized GIFs store frames as delta rectangles with
+    offsets, transparency and disposal — compose_frames reconstructs
+    the displayed canvas. Hand-built 3-frame animation: full base,
+    transparent delta patch (disposal keep), then a restore-background
+    patch."""
+    import struct
+
+    from accelerator_spark.functions.gif import (
+        _lzw_encode, compose_frames, gif_decode)
+
+    pal = b"\x10\x10\x10" + b"\xff\x00\x00" + b"\x00\xff\x00" + b"\x00\x00\xff"
+    W = H = 3
+
+    def frame_block(x, y, w, h, idx, gflags, delay):
+        b = bytearray()
+        b.extend(struct.pack("<BBBBHBB", 0x21, 0xF9, 4, gflags, delay, 0, 0))
+        b.extend(struct.pack("<BHHHHB", 0x2C, x, y, w, h, 0))
+        b.append(2)
+        lzw = _lzw_encode(2, idx)
+        b.append(len(lzw))
+        b.extend(lzw)
+        b.append(0)
+        return bytes(b)
+
+    blob = bytearray(b"GIF89a")
+    blob.extend(struct.pack("<HHBBB", W, H, 0x80 | 1, 0, 0))  # bg index 0
+    blob.extend(pal)
+    # frame 0: full canvas, all red (1), disposal keep (1<<2)
+    blob.extend(frame_block(0, 0, W, H, [1] * 9, 1 << 2, 5))
+    # frame 1: 2x1 patch at (1,1): [transparent(idx 0), green(2)],
+    # transparency ON (flag 1) with index 0, disposal keep
+    blob.extend(frame_block(1, 1, 2, 1, [0, 2], (1 << 2) | 1, 5))
+    # frame 2: 1x1 blue at (0,0), disposal restore-background (2<<2)
+    blob.extend(frame_block(0, 0, 1, 1, [3], 2 << 2, 5))
+    blob.append(0x3B)
+
+    g = gif_decode(bytes(blob))
+    assert g.bg_rgb == (0x10, 0x10, 0x10)
+    canvases = [bytes(c) for _, _, c in compose_frames(g)]
+    red, green, blue, bg = (255, 0, 0), (0, 255, 0), (0, 0, 255), (16, 16, 16)
+
+    def px(canvas, x, y):
+        off = (y * W + x) * 3
+        return tuple(canvas[off:off + 3])
+
+    # frame 0: all red
+    assert all(px(canvases[0], x, y) == red for x in range(3) for y in range(3))
+    # frame 1: transparent pixel at (1,1) keeps red; (2,1) turns green
+    assert px(canvases[1], 1, 1) == red
+    assert px(canvases[1], 2, 1) == green
+    assert px(canvases[1], 0, 0) == red
+    # frame 2: blue painted at (0,0) over the kept frame-1 canvas
+    assert px(canvases[2], 0, 0) == blue
+    assert px(canvases[2], 2, 1) == green
+
+
+def test_extract_frames_composes(spark):
+    """extract_frames output equals compose_frames' canvases even for
+    sub-rectangle frames."""
+    import struct
+
+    from accelerator_spark.functions.gif import (
+        _lzw_encode, compose_frames, gif_decode)
+    from accelerator_spark.functions.png import png_decode
+
+    pal = b"\x00\x00\x00" + b"\xff\xff\xff"
+    blob = bytearray(b"GIF89a")
+    blob.extend(struct.pack("<HHBBB", 4, 4, 0x80, 0, 0))
+    blob.extend(pal)
+    # frame 0 full black; frame 1: white 2x2 patch at (2,2)
+    for x, y, w, h, idx in ((0, 0, 4, 4, [0] * 16), (2, 2, 2, 2, [1] * 4)):
+        blob.extend(struct.pack("<BHHHHB", 0x2C, x, y, w, h, 0))
+        blob.append(2)
+        lzw = _lzw_encode(2, idx)
+        blob.append(len(lzw))
+        blob.extend(lzw)
+        blob.append(0)
+    blob.append(0x3B)
+    g = gif_decode(bytes(blob))
+    want = {i: bytes(c) for i, _, c in compose_frames(g)}
+
+    df = spark.createDataFrame([(1, bytes(blob), "image/gif")],
+                               "media_id long, payload binary, mime string")
+    rows = extract_frames(df).collect()
+    assert len(rows) == 2
+    for r in rows:
+        png = png_decode(bytes(r["payload"]))
+        assert (png.width, png.height) == (4, 4)  # screen size, not 2x2
+        assert bytes(png.pixels) == want[r["frame_idx"]]
