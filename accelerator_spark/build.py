@@ -174,6 +174,7 @@ class BuildContext:
         self._dbpath = os.path.join(workdir, "jobdb.jsonl")
         self._db: dict[str, JobRecord] = {}
         self._seq: dict[str, int] = {}
+        self._claim_nonces: dict[str, str] = {}
         self._load()
 
     def _load(self) -> None:
@@ -312,19 +313,43 @@ class BuildContext:
             fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
         except FileExistsError:
             return False
+        nonce = os.urandom(16).hex()
         try:
             with os.fdopen(fd, "w") as f:
                 json.dump({"pid": os.getpid(),
                            "host": socket.gethostname(),
-                           "time": time.time()}, f)
+                           "time": time.time(),
+                           "nonce": nonce}, f)
         except OSError:
-            self._release_claim(key)
+            # no takeover can have happened this fast (staleness is
+            # _CLAIM_STALE_S) — the unconditional removal is safe only
+            # on this immediate-failure path
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
             raise
+        self._claim_nonces[key] = nonce
         return True
 
     def _release_claim(self, key: str) -> None:
+        """Remove the claim only if we still own it (ADVICE r6): a
+        builder stalled past the staleness window gets taken over, and
+        its finally block must not delete the NEW owner's claim — that
+        would let a third process claim and double-run the step. The
+        nonce written at claim time is re-read and compared; mismatch
+        (or an unreadable file) means the claim is someone else's."""
+        path = self._claim_path(key)
+        nonce = self._claim_nonces.pop(key, None)
         try:
-            os.remove(self._claim_path(key))
+            with open(path) as f:
+                owner = json.load(f).get("nonce")
+        except (OSError, ValueError):
+            return  # gone, or a half-written claim we can't prove ours
+        if nonce is None or owner != nonce:
+            return  # taken over while we stalled — not ours to remove
+        try:
+            os.remove(path)
         except FileNotFoundError:
             pass
 

@@ -50,7 +50,7 @@ def attach_payload_meta(df: DataFrame, payload_col: str = "payload") -> DataFram
              .withColumn("magic", F.hex(F.substring(p, 1, 4)))
 
 
-def real_decoder(payload: bytes, mime: str):
+def real_decoder(payload: bytes, mime: str, max_pixels: int = 1 << 22):
     """The real codec hook (VERDICT r5 #1). PNG decode is genuinely
     implemented — pure stdlib zlib inflate + per-row unfiltering in
     functions/png.py, cross-checked byte-for-byte against Java ImageIO
@@ -81,8 +81,14 @@ def real_decoder(payload: bytes, mime: str):
         # first_frame_only: don't pay a 500-frame animation's LZW cost
         # for frame-0 features; compose onto the logical screen so a
         # sub-rectangle first frame reports the true displayed image
-        # (review r6)
-        g = gif_decode(payload, first_frame_only=True)
+        # (review r6). max_pixels here defaults far below gif_decode's
+        # own 1<<26 guard: composing is a per-pixel pure-Python loop,
+        # and a legal-but-huge GIF would pin an executor core for
+        # minutes — a practical DoS on dirty corpora that
+        # on_error='null' can't contain (it bounds exceptions, not CPU).
+        # Raise max_pixels explicitly for trusted corpora (ADVICE r6).
+        g = gif_decode(payload, first_frame_only=True,
+                       max_pixels=max_pixels)
         _, _, canvas = next(compose_frames(g))
         n_px = g.width * g.height
         feat = [sum(canvas[c::3]) / n_px / 255.0 for c in range(3)]
@@ -111,6 +117,7 @@ def _map_media_rows(
     mime_col: str,
     batch_partitions: int | None,
     on_error: str,
+    error_vals: Callable | None = None,
 ) -> DataFrame:
     """Shared Arrow-batched mapInPandas scaffolding for binary-media
     transforms (decode_features / resize_media — review r6: the two
@@ -122,7 +129,11 @@ def _map_media_rows(
     ``on_error``: "raise" (default) fails the job on the first bad
     payload; "null" emits NULLs for the per_row outputs instead — the
     containment mode for dirty corpora where one corrupt blob must not
-    abort a 100 TB decode job."""
+    abort a 100 TB decode job. ``error_vals(raw, mime)``, when given,
+    supplies the error row's output tuple so pre-decode facts (e.g.
+    n_bytes = len(raw)) survive containment for triage — size-0 vs
+    truncated vs garbage blobs are distinguishable downstream
+    (ADVICE r6)."""
     if on_error not in ("raise", "null"):
         raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
     slim = df.select(id_col, payload_col, mime_col)
@@ -147,7 +158,8 @@ def _map_media_rows(
                 except Exception:
                     if on_error == "raise":
                         raise
-                    vals = (None,) * n_out
+                    vals = (error_vals(raw, mime) if error_vals
+                            else (None,) * n_out)
                 out.append((mid, mime) + tuple(vals))
             yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
@@ -178,7 +190,9 @@ def decode_features(
     return _map_media_rows(
         df, per_row,
         [f for f in FEATURE_SCHEMA.fields if f.name not in ("media_id", "mime")],
-        payload_col, id_col, mime_col, batch_partitions, on_error)
+        payload_col, id_col, mime_col, batch_partitions, on_error,
+        # n_bytes is knowable before decode — keep it on contained rows
+        error_vals=lambda raw, mime: (len(raw), None, None, None))
 
 
 AUDIO_FEATURE_SCHEMA = T.StructType([
@@ -246,7 +260,8 @@ def decode_audio_features(
         df, per_row,
         [f for f in AUDIO_FEATURE_SCHEMA.fields
          if f.name not in ("media_id", "mime")],
-        payload_col, id_col, mime_col, batch_partitions, on_error)
+        payload_col, id_col, mime_col, batch_partitions, on_error,
+        error_vals=lambda raw, mime: (len(raw), None, None, None, None))
 
 
 FRAME_SCHEMA = T.StructType([
@@ -268,6 +283,7 @@ def extract_frames(
     id_col: str = "media_id",
     mime_col: str = "mime",
     on_error: str = "raise",
+    max_pixels: int = 1 << 22,
 ) -> DataFrame:
     """REAL frame extraction for animated GIFs: one output row per
     sampled frame (every ``every_n``-th), each frame COMPOSED onto the
@@ -279,7 +295,13 @@ def extract_frames(
     (frame_sample_plan is the JVM planning half; this is the decode
     half, stdlib GIF in, stdlib PNG out). Rows stay partition-local
     (no shuffle); ``on_error="null"`` emits one all-NULL-fields row
-    for an undecodable input instead of failing the job."""
+    for an undecodable input instead of failing the job.
+
+    ``max_pixels`` (default 1<<22, well under gif_decode's 1<<26
+    guard) bounds the per-frame pure-Python compose+re-encode loops: a
+    legal 8192x8192 GIF would otherwise pin an executor core for
+    minutes per frame on dirty corpora (ADVICE r6). Raise it
+    explicitly for trusted large media."""
     if every_n <= 0:
         raise ValueError(f"extract_frames: every_n {every_n} must be >= 1")
     if on_error not in ("raise", "null"):
@@ -300,7 +322,7 @@ def extract_frames(
                     pdf[id_col], pdf[payload_col], pdf[mime_col]):
                 raw = bytes(payload) if payload is not None else b""
                 try:
-                    g = gif_decode(raw)
+                    g = gif_decode(raw, max_pixels=max_pixels)
                     n = len(g.frames)
                     for i, f, canvas in compose_frames(g):
                         if i % every_n:

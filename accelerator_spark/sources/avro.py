@@ -252,7 +252,16 @@ def _write_datum(out: bytearray, schema, v) -> None:
             if not v.is_integer():
                 raise AvroError(f"non-integral value {v!r} for {t}")
             v = int(v)
-        _write_long(out, int(v))
+        v = int(v)
+        # range-check per spec width (ADVICE r6): an out-of-range value
+        # through the direct encode API would emit an out-of-spec varint
+        # that strict external readers overflow on or reject. (The Spark
+        # export path can't hit this — IntegerType/LongType are bounded.)
+        if t == "int" and not -(1 << 31) <= v < (1 << 31):
+            raise AvroError(f"value {v} out of range for int (32-bit)")
+        if t == "long" and not -(1 << 63) <= v < (1 << 63):
+            raise AvroError(f"value {v} out of range for long (64-bit)")
+        _write_long(out, v)
     elif t == "float":
         out.extend(struct.pack("<f", float(v) if isinstance(v, str) else v))
     elif t == "double":

@@ -230,16 +230,18 @@ def main() -> None:
             json.dump(out, f, indent=1)
     except OSError as e:
         print(f"# bench_latest.json not written: {e}", file=sys.stderr)
-    print(json.dumps(out))
-    # the driver keeps only the LAST ~2000 chars of stdout, so the big
-    # per-query dict above gets truncated from the FRONT and the headline
-    # total with it (BENCH_r03/r04 both lost it). A compact summary as
-    # the final line always survives the tail capture.
-    # metric/value/unit mirror the full line's keys so a parser that
-    # reads the LAST line still sees a valid bench record
+    # stdout carries EXACTLY ONE JSON object (VERDICT r6 #7): the
+    # compact summary. The full per-query record (with spreads) lives
+    # only in bench_latest.json — the driver's ~2000-char stdout tail
+    # capture truncated the big dict from the front anyway
+    # (BENCH_r03/r04 both lost the headline total), and two objects on
+    # stdout broke `python bench.py | json.loads(stdin)`.
+    # metric/value/unit mirror the full record's keys so a parser that
+    # reads stdout still sees a valid bench record.
     summary = {"metric": out.get("metric", "total_runtime"), "value": total,
                "unit": "sec", "total_sec": total, "n_queries": len(times),
-               "basis": out["basis"], "sf": out["sf"]}
+               "basis": out["basis"], "sf": out["sf"],
+               "per_query_record": "bench_latest.json"}
     if errors:
         summary["n_errors"] = len(errors)
     print(json.dumps(summary))

@@ -101,6 +101,33 @@ def test_avro_malformed_inputs():
         parse_schema('"not_a_type"')
 
 
+def test_avro_int_long_range_checks():
+    """ADVICE r6: the direct encode API must reject values outside the
+    spec width — an out-of-range 'int' would encode as an out-of-spec
+    varint that strict external readers overflow on or reject. (The
+    Spark export path can't hit this: IntegerType/LongType are bounded.)"""
+    ischema = {"type": "record", "name": "ri",
+               "fields": [{"name": "v", "type": "int"}]}
+    lschema = {"type": "record", "name": "rl",
+               "fields": [{"name": "v", "type": "long"}]}
+    # boundary values pass
+    for v in (-(2**31), 2**31 - 1):
+        _, back = avro_decode_file(
+            avro_encode_file(json.dumps(ischema), [{"v": v}], codec="null"))
+        assert back == [{"v": v}]
+    for v in (-(2**63), 2**63 - 1):
+        _, back = avro_decode_file(
+            avro_encode_file(json.dumps(lschema), [{"v": v}], codec="null"))
+        assert back == [{"v": v}]
+    # one past the boundary raises
+    for v in (2**31, -(2**31) - 1):
+        with pytest.raises(AvroError, match="out of range for int"):
+            avro_encode_file(json.dumps(ischema), [{"v": v}], codec="null")
+    for v in (2**63, -(2**63) - 1):
+        with pytest.raises(AvroError, match="out of range for long"):
+            avro_encode_file(json.dumps(lschema), [{"v": v}], codec="null")
+
+
 def test_avro_spark_type_mapping_roundtrip(spark):
     from pyspark.sql import types as T
 

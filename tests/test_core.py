@@ -877,6 +877,42 @@ def test_crashed_claim_takeover(tmp_path):
     assert ctx.build(step_u).load("v") == 8
 
 
+def test_release_claim_respects_new_owner(tmp_path):
+    """ADVICE r6: a builder stalled past the staleness window gets its
+    claim taken over; when its finally block eventually runs,
+    _release_claim must NOT delete the new owner's claim (that would
+    let a third process double-run the step). Ownership is proven by
+    the nonce written at claim time."""
+    import json as _json
+
+    def step_n(spark_, datasets, options):
+        return {"v": 1}
+
+    ctx = BuildContext(None, str(tmp_path / "wd"))
+    key = ctx._job_key(step_n, {}, {})
+    path = ctx._claim_path(key)
+    assert ctx._try_claim(key) is True
+    # simulate a takeover: new owner replaces the claim file
+    os.remove(path)
+    with open(path, "w") as f:
+        _json.dump({"pid": 4242, "host": "elsewhere", "nonce": "theirs"}, f)
+    ctx._release_claim(key)
+    assert os.path.exists(path)  # not ours — left in place
+    with open(path) as f:
+        assert _json.load(f)["nonce"] == "theirs"
+    os.remove(path)
+    # normal path: our own claim IS removed on release
+    assert ctx._try_claim(key) is True
+    ctx._release_claim(key)
+    assert not os.path.exists(path)
+    # releasing with no local nonce record (e.g. after a prior release)
+    # is conservative: the file stays for staleness takeover
+    with open(path, "w") as f:
+        _json.dump({"nonce": "someone"}, f)
+    ctx._release_claim(key)
+    assert os.path.exists(path)
+
+
 def test_why_build_forced_withholds_stale_record(spark, sf_dir, tmp_path):
     """ADVICE r5: why_build + force_build on a cached job must NOT hand
     back the old record — dataset()/df() would silently serve the

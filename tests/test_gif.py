@@ -286,3 +286,34 @@ def test_extract_frames_composes(spark):
         png = png_decode(bytes(r["payload"]))
         assert (png.width, png.height) == (4, 4)  # screen size, not 2x2
         assert bytes(png.pixels) == want[r["frame_idx"]]
+
+
+def test_large_gif_pixel_budget_on_decode_call_sites(spark):
+    """ADVICE r6: real_decoder/extract_frames default max_pixels to
+    1<<22 — far below gif_decode's own 1<<26 guard — because the
+    compose + PNG re-encode loops are per-pixel pure Python, and a
+    legal-but-huge GIF would pin an executor core for minutes
+    (on_error='null' contains exceptions, not CPU). The cap is a
+    parameter for trusted corpora."""
+    import struct
+
+    # header-only GIF declaring a 3000x3000 screen (9 Mpx: legal for
+    # gif_decode's 1<<26 default, over the call sites' 1<<22)
+    huge = (b"GIF89a" + struct.pack("<HHBBB", 3000, 3000, 0, 0, 0)
+            + b"\x3b")
+    # library default accepts the declared size (fails later on the
+    # missing frames, i.e. it got PAST the pixel guard)...
+    with pytest.raises(GifError, match="no frames"):
+        gif_decode(huge)
+    # ...but the production call sites budget-fail first
+    with pytest.raises(GifError, match="max_pixels"):
+        real_decoder(huge, "image/gif")
+    df = spark.createDataFrame([(1, huge, "image/gif")],
+                               "media_id long, payload binary, mime string")
+    out = extract_frames(df, on_error="null").collect()
+    assert len(out) == 1 and out[0]["payload"] is None  # contained
+    # explicit opt-up re-enables big media (decode then fails later on
+    # the missing frames, not on the pixel budget)
+    with pytest.raises(Exception) as ei:
+        extract_frames(df, max_pixels=1 << 26).collect()
+    assert "max_pixels" not in str(ei.value)

@@ -305,6 +305,10 @@ def test_decode_features_on_error_null(spark):
     assert out[1]["width"] == 2 and out[1]["feature"] is not None
     assert out[2]["width"] is None and out[2]["feature"] is None
     assert out[3]["width"] is None
+    # ADVICE r6: n_bytes is computable before decode and survives
+    # containment — size-0 vs truncated blobs stay distinguishable
+    assert out[2]["n_bytes"] == len(b"corrupt")
+    assert out[3]["n_bytes"] == 0
     # default stays raise
     with pytest.raises(Exception, match="PngError|not a PNG"):
         decode_features(df, decoder=real_decoder).collect()

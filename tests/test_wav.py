@@ -85,6 +85,8 @@ def test_decode_audio_features_distributed(spark):
     assert out[1]["n_frames"] == 3 and out[1]["sample_rate"] == 8000
     assert out[1]["feature"][0] == pytest.approx(20 / 255, rel=1e-6)
     assert out[2]["n_frames"] is None  # contained
+    # ADVICE r6: pre-decode n_bytes survives containment for triage
+    assert out[2]["n_bytes"] == len(b"static noise")
     with pytest.raises(Exception, match="WavError|not a valid"):
         decode_audio_features(df).collect()
 
