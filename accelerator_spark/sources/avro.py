@@ -19,9 +19,18 @@ Scope (spec 1.11.x Object Container Format):
   DateType/TimestampType. Other logical types decode as their base.
 - unions: arbitrary on read for [null, X] shapes; export emits
   [null, X] for nullable columns.
-Splitting INSIDE one .avro file is not attempted: parallelism is
-per-file (matching the reference's per-slice files); write many files
-for big data.
+Files SPLIT on block boundaries (VERDICT r6 #3): Avro's sync markers
+exist precisely to make containers splittable, and the block framing
+(record-count varint, byte-size varint, payload, sync) is
+self-describing — so the split index is exact, not a probabilistic
+sync search. ``avro_import`` runs two distributed stages when files
+are locally readable (local paths, NFS/fuse mounts): stage 1 walks
+each file's framing reading ~20 bytes per block plus seeks and emits
+(file, byte-range) pairs of ~target_split_bytes; stage 2 fans the
+ranges out and each task decodes only its range — one 10 GB file
+becomes ~80 tasks instead of one task holding the whole blob. Paths
+only a JVM filesystem connector can reach (hdfs://, s3a://) fall back
+to the whole-file binaryFile scan, one task per file.
 """
 
 from __future__ import annotations
@@ -338,6 +347,94 @@ def avro_read_header(stream):
     return schema, codec, sync
 
 
+def _as_local(spark_path: str) -> str | None:
+    """binaryFile's path column -> a locally readable filesystem path,
+    or None when the file isn't reachable through the OS (hdfs://,
+    s3a://). NO percent-decoding: binaryFile paths are not encoded
+    (verified live in media.py, review r4)."""
+    if spark_path.startswith("file:"):
+        from urllib.parse import urlparse
+
+        p = urlparse(spark_path).path
+    elif "://" in spark_path:
+        return None
+    else:
+        p = spark_path
+    return p if os.path.exists(p) else None
+
+
+def avro_block_ranges(local: str, target_bytes: int = 128 << 20) -> list:
+    """Walk one container's block framing and coalesce consecutive
+    blocks into byte ranges of >= target_bytes (always whole blocks;
+    a single block bigger than the target is its own range). Exact by
+    construction — the framing is self-describing, so no probabilistic
+    sync-pattern search (a sync-sized byte string CAN occur inside
+    data). Reads ~20 bytes per block plus seeks: indexing a 10 GB file
+    touches kilobytes. Returns [(start, end, n_blocks), ...]."""
+    ranges = []
+    with open(local, "rb") as f:
+        _, _, sync = avro_read_header(f)
+        r_start = pos = f.tell()
+        r_blocks = 0
+        while True:
+            head = f.read(1)
+            if not head:
+                break  # clean EOF at a block boundary
+            f.seek(-1, io.SEEK_CUR)
+            n = _read_long(f)
+            if n < 0:
+                raise AvroError(f"corrupt block record-count {n}")
+            size = _read_long(f)
+            if size < 0:
+                raise AvroError("negative block size")
+            f.seek(size, io.SEEK_CUR)
+            if f.read(16) != sync:
+                raise AvroError("sync marker mismatch (corrupt block)")
+            pos = f.tell()
+            r_blocks += 1
+            if pos - r_start >= target_bytes:
+                ranges.append((r_start, pos, r_blocks))
+                r_start, r_blocks = pos, 0
+        if r_blocks:
+            ranges.append((r_start, pos, r_blocks))
+    return ranges
+
+
+def avro_split_index(spark: SparkSession, path: str, glob: str = "*.avro",
+                     target_split_bytes: int = 128 << 20) -> DataFrame:
+    """Stage 1 of the split read: DISTRIBUTED per-file block-boundary
+    scan -> one row per byte range (media_path, local, start, end,
+    n_blocks). The listing reads paths only (binaryFile column pruning
+    never loads content); each task indexes its files via
+    avro_block_ranges. Raises in-task if a file isn't locally readable
+    — callers decide split eligibility first (avro_import does)."""
+    from .media import binary_import
+
+    paths = binary_import(spark, path, glob=glob).select("media_path")
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for sp in pdf["media_path"]:
+                local = _as_local(sp)
+                if local is None:
+                    raise AvroError(
+                        f"avro_split_index: {sp} is not locally readable "
+                        "— use avro_import(split=False) for remote "
+                        "filesystems")
+                for s, e, nb in avro_block_ranges(local, target_split_bytes):
+                    rows.append((sp, local, s, e, nb))
+            yield pd.DataFrame(
+                rows, columns=["media_path", "local", "start", "end",
+                               "n_blocks"])
+
+    return paths.mapInPandas(
+        scan, schema=("media_path string, local string, start long, "
+                      "end long, n_blocks long"))
+
+
 def avro_decode_file(data: bytes):
     """Decode one Object Container file -> (schema, list of records)."""
     buf = io.BytesIO(data)
@@ -497,13 +594,18 @@ def spark_to_avro_schema(dt: T.DataType, name: str = "row",
     return ["null", s] if nullable else s
 
 
-def avro_import(spark: SparkSession, path: str,
-                glob: str = "*.avro") -> DataFrame:
+def avro_import(spark: SparkSession, path: str, glob: str = "*.avro",
+                split: bool | str = "auto",
+                target_split_bytes: int = 128 << 20) -> DataFrame:
     """Read a directory of Avro object containers into a DataFrame.
-    Distributed: binaryFile scan (one task per file), pure-Python block
-    decode per file, rows Arrow-batched back into Spark. The schema is
-    taken from the first file's header; files whose schema disagrees
-    fail their task loudly (no silent coercion)."""
+    Distributed two ways (module docstring): when files are locally
+    readable (default ``split="auto"``), a block-boundary index stage
+    fans each file out into ~``target_split_bytes`` ranges so one huge
+    container decodes on many tasks; otherwise a binaryFile scan (one
+    task per file). ``split=True`` forces range reads (raises on remote
+    paths), ``split=False`` forces whole files. The schema is taken
+    from the first file's header; files whose schema disagrees fail
+    their task loudly (no silent coercion)."""
     from .media import binary_import
 
     files = binary_import(spark, path, glob=glob)
@@ -511,16 +613,8 @@ def avro_import(spark: SparkSession, path: str,
     if not head:
         raise AvroError(f"no {glob} files under {path}")
     first_path = head[0]["media_path"]
-    if first_path.startswith("file:"):
-        # NO unquote: binaryFile's path column is NOT percent-encoded
-        # (verified live in media.py, review r4 — decoding corrupts
-        # literal %XX in filenames); just strip the scheme
-        from urllib.parse import urlparse
-
-        local = urlparse(first_path).path
-    else:
-        local = first_path
-    if os.path.exists(local):
+    local = _as_local(first_path)
+    if local:
         # header-only read: a few KB off disk, never the blocks
         with open(local, "rb") as f:
             schema, _, _ = avro_read_header(f)
@@ -529,6 +623,11 @@ def avro_import(spark: SparkSession, path: str,
         blob = (files.filter(F.col("media_path") == first_path)
                 .select("content").head()["content"])
         schema, _, _ = avro_read_header(io.BytesIO(bytes(blob)))
+    if split is True and local is None:
+        raise AvroError(
+            f"avro_import(split=True): {first_path} is not locally "
+            "readable — range reads need OS-level file access")
+    do_split = split is True or (split == "auto" and local is not None)
     sdt = avro_to_spark_type(schema)
     # UTC-instant logical types decode as naive datetimes that Spark's
     # Arrow path re-interprets in SESSION time — the exact hazard the
@@ -607,47 +706,101 @@ def avro_import(spark: SparkSession, path: str,
             return "-Infinity"
         return repr(x)
 
+    det = set(detoured)
+
+    def _rows_from(records):
+        """records -> row tuples (shared by whole-file and range decode)."""
+        if wrap:
+            rows = [(r,) for r in records]
+        else:
+            # a [null, record] top-level union can yield None
+            # datums — surface them as all-NULL rows (Spark has
+            # no null-row concept), review r6
+            none_row = (None,) * len(cols)
+            rows = [none_row if r is None
+                    else tuple(r.get(c) for c in cols)
+                    for r in records]
+        if det:
+            fixed = []
+            for row in rows:
+                row = list(row)
+                for i in det:
+                    v = row[i]
+                    if isinstance(v, list):
+                        row[i] = [_exact_str(e) for e in v]
+                    elif isinstance(v, dict):
+                        row[i] = {k: _exact_str(e)
+                                  for k, e in v.items()}
+                    else:
+                        row[i] = _exact_str(v)
+                fixed.append(tuple(row))
+            rows = fixed
+        return rows
+
+    _schema_mismatch = ("file schema differs from the directory's first "
+                        "file — mixed-schema avro directories are not "
+                        "merged")
+
     def decode(batches):
         import pandas as pd
 
         expect = json.dumps(parse_schema(schema_json))
-        det = set(detoured)
         for pdf in batches:
             for content in pdf["content"]:
                 fschema, records = avro_decode_file(bytes(content))
                 if json.dumps(fschema) != expect:
-                    raise AvroError(
-                        "file schema differs from the directory's first "
-                        "file — mixed-schema avro directories are not "
-                        "merged")
-                if wrap:
-                    rows = [(r,) for r in records]
-                else:
-                    # a [null, record] top-level union can yield None
-                    # datums — surface them as all-NULL rows (Spark has
-                    # no null-row concept), review r6
-                    none_row = (None,) * len(cols)
-                    rows = [none_row if r is None
-                            else tuple(r.get(c) for c in cols)
-                            for r in records]
-                if det:
-                    fixed = []
-                    for row in rows:
-                        row = list(row)
-                        for i in det:
-                            v = row[i]
-                            if isinstance(v, list):
-                                row[i] = [_exact_str(e) for e in v]
-                            elif isinstance(v, dict):
-                                row[i] = {k: _exact_str(e)
-                                          for k, e in v.items()}
-                            else:
-                                row[i] = _exact_str(v)
-                        fixed.append(tuple(row))
-                    rows = fixed
-                yield pd.DataFrame(rows, columns=cols)
+                    raise AvroError(_schema_mismatch)
+                yield pd.DataFrame(_rows_from(records), columns=cols)
 
-    out = files.select("content").mapInPandas(decode, schema=safe_sdt)
+    def decode_ranges(batches):
+        import pandas as pd
+
+        expect = json.dumps(parse_schema(schema_json))
+        for pdf in batches:
+            for lp, start, end, n_blocks in zip(
+                    pdf["local"], pdf["start"], pdf["end"],
+                    pdf["n_blocks"]):
+                with open(lp, "rb") as f:
+                    fschema, codec, sync = avro_read_header(f)
+                    if json.dumps(fschema) != expect:
+                        raise AvroError(_schema_mismatch)
+                    f.seek(int(start))
+                    records = []
+                    for _ in range(int(n_blocks)):
+                        n = _read_long(f)
+                        if n < 0:
+                            raise AvroError(f"corrupt block count {n}")
+                        block = _read_bytes(f)
+                        if f.read(16) != sync:
+                            raise AvroError(
+                                "sync marker mismatch (corrupt block)")
+                        if codec == "deflate":
+                            block = zlib.decompress(block, -15)
+                        bbuf = io.BytesIO(block)
+                        for _ in range(n):
+                            records.append(_read_datum(bbuf, fschema))
+                    if f.tell() != int(end):
+                        raise AvroError(
+                            f"range decode drift: ended at {f.tell()}, "
+                            f"index said {end} (file changed under us?)")
+                yield pd.DataFrame(_rows_from(records), columns=cols)
+
+    if do_split:
+        ranges = avro_split_index(spark, path, glob=glob,
+                                  target_split_bytes=target_split_bytes)
+        # one task per range, EXPLICIT count: the index stage emits
+        # ranges partitioned like the path listing (one big file's
+        # ranges all in one partition — what the split exists to undo),
+        # and a column-based repartition would let AQE coalesce by the
+        # index rows' ~100 bytes, not the ~target_split_bytes of decode
+        # work each row stands for — collapsing a 10 GB file back to
+        # one task. The count() re-runs the framing scan once (reads
+        # ~20 bytes per block), the price of an exact task count.
+        n_ranges = ranges.count()
+        ranges = ranges.repartition(max(n_ranges, 1))
+        out = ranges.mapInPandas(decode_ranges, schema=safe_sdt)
+    else:
+        out = files.select("content").mapInPandas(decode, schema=safe_sdt)
     return out.select(*casts)
 
 

@@ -528,3 +528,76 @@ def test_avro_java_reference_interop(spark, tmp_path):
         _, jgot = _java_read_avro(
             spark, os.path.join(_GOLDEN_DIR, name), ["a", "s"])
         assert jgot == _GOLDEN_RECORDS
+
+
+def test_avro_block_split_reads(spark, tmp_path):
+    """VERDICT r6 #3: one multi-block container reads as MANY tasks.
+    The block index must tile the file exactly (contiguous ranges from
+    header end to EOF, whole blocks only), the split read must return
+    byte-identical rows to the whole-file read (including the exact
+    int64 > 2^53 detour), and corrupt framing must fail the index."""
+    from accelerator_spark.sources.avro import (
+        avro_block_ranges, avro_read_header, avro_split_index)
+
+    schema = {"type": "record", "name": "S", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "f", "type": "double"},
+    ]}
+    recs = [{"k": 2**53 + i, "s": None if i % 7 == 0 else f"s{i}",
+             "f": i / 3.0} for i in range(60)]
+    d = tmp_path / "av"
+    d.mkdir()
+    p = str(d / "one.avro")
+    with open(p, "wb") as f:
+        f.write(avro_encode_file(json.dumps(schema), recs, codec="deflate",
+                                 block_records=5))  # 12 blocks
+
+    # index: contiguous whole-block tiling of the file
+    ranges = avro_block_ranges(p, target_bytes=64)
+    assert len(ranges) > 1
+    with open(p, "rb") as f:
+        avro_read_header(f)
+        header_end = f.tell()
+    assert ranges[0][0] == header_end
+    assert ranges[-1][1] == os.path.getsize(p)
+    for (s0, e0, _), (s1, _, _) in zip(ranges, ranges[1:]):
+        assert e0 == s1
+    assert sum(nb for _, _, nb in ranges) == 12
+
+    # stage 1 as a DataFrame: one multi-block file -> many range rows
+    idx = avro_split_index(spark, str(d), target_split_bytes=64)
+    rows = idx.collect()
+    assert len(rows) == len(ranges) > 1
+    assert {(r["start"], r["end"], r["n_blocks"]) for r in rows} == set(ranges)
+
+    # split read == whole-file read, and it actually ran on >1 task
+    whole = avro_import(spark, str(d), split=False)
+    split = avro_import(spark, str(d), split=True, target_split_bytes=64)
+    key = lambda r: r["k"]  # noqa: E731
+    assert sorted([tuple(r) for r in split.collect()]) == \
+           sorted([tuple(r) for r in whole.collect()])
+    from pyspark.sql import functions as F
+    n_tasks = (split.withColumn("p", F.spark_partition_id())
+               .select("p").distinct().count())
+    assert n_tasks > 1
+    assert split.count() == 60 and split.schema == whole.schema
+
+    # default auto mode picks the split path for local files and agrees
+    auto = avro_import(spark, str(d), target_split_bytes=64)
+    assert sorted([tuple(r) for r in auto.collect()]) == \
+           sorted([tuple(r) for r in whole.collect()])
+
+    # corrupt a block's sync in a copy: the INDEX stage already fails
+    blob = bytearray(open(p, "rb").read())
+    blob[-1] ^= 0xFF
+    p2 = str(d / "broken.avro")
+    with open(p2, "wb") as f:
+        f.write(bytes(blob))
+    with pytest.raises(AvroError, match="sync"):
+        avro_block_ranges(p2, target_bytes=64)
+    os.remove(p2)
+
+    # a single block larger than the target is its own range
+    big = avro_block_ranges(p, target_bytes=1)
+    assert [nb for _, _, nb in big] == [1] * 12
