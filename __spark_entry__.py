@@ -44,7 +44,7 @@ _GRADED_FIRST = [
     "q9_product_profit", "q13_order_count_distribution", "q18_large_orders",
     "q21_lonely_late_supplier", "q17_small_quantity_revenue",
     "q11_nation_stock_value", "q22_dormant_customers",
-    "top3_orders_per_customer", "orders_rollup", "top100_orders",
+    "top3_orders_per_customer", "orders_rollup",
     # dataset / engine ops
     "hashpart_invariance", "dataset_type_menu2", "typed_from_strings",
     "checksum_lineitem", "merge_customer_nation", "sort_nulls_semantics",
@@ -60,8 +60,10 @@ _GRADED_FIRST = [
     "semantic_dedup_report_capped", "exact_substring_report",
     # ANN / similarity
     "cosine_topk", "ivf_topk_search", "ann_recall_report",
-    # multimodal (real stdlib PNG decode, r6)
-    "png_decode_stats",
+    # multimodal (real stdlib PNG decode r6; real baseline JPEG r7 —
+    # top100_orders moved to the un-graded tail to keep the set at 50,
+    # its shape stays covered there and by q3/q18)
+    "png_decode_stats", "jpeg_decode_stats",
     # text
     "token_counts", "text_quality", "lang_id", "chunk_documents",
     "sequence_packing",

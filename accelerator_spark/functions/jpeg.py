@@ -1,0 +1,765 @@
+"""Pure-stdlib baseline JPEG (JFIF) codec (VERDICT r6 #2).
+
+Real corpora are JPEG-heavy, and baseline sequential JFIF needs nothing
+beyond stdlib math: marker parse, canonical Huffman decode, dequantize,
+8x8 IDCT, chroma upsample, YCbCr->RGB. Like functions/png.py and
+functions/gif.py this is an original implementation from the public
+spec (ITU-T T.81 / ISO 10918-1); the reference engine has no image
+codecs at all (its ds layer stores only typed scalars —
+/root/reference/accelerator/dsutil usage), so this extends the north-
+star multimodal surface, cross-checked against the JVM's ImageIO
+through Spark's ``image`` source exactly like the PNG/GIF codecs.
+
+Scope:
+- decode: baseline DCT (SOF0) and extended sequential (SOF1), 8-bit,
+  Huffman coding, 1- or 3-component (grayscale / JFIF YCbCr), h/v
+  sampling factors 1-4 (4:4:4, 4:2:2, 4:4:0, 4:2:0, ...), restart
+  markers, 8- and 16-bit quant tables, one interleaved scan.
+- encode: baseline, grayscale or 4:4:4 YCbCr, fixed spec-Annex-K-style
+  Huffman tables (the tables travel in DHT, so any valid table set
+  produces a conformant file), IJG-style quality scaling
+  (``quality=100`` -> all-ones quant tables: constant 8x8 blocks then
+  round-trip EXACTLY, the property the oracle gate builds on).
+- out of scope (JpegError): progressive (SOF2), arithmetic coding,
+  12-bit precision, CMYK/4-component, non-interleaved multi-scan.
+
+Unlike PNG/GIF, two correct JPEG DECODERS may legitimately differ by
+~1/255 per sample (the spec constrains IDCT accuracy, not bit-exact
+output; color-convert rounding differs too) — cross-check tests
+compare within that tolerance, except the unit-quant constant-block
+path which is exact by construction.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from dataclasses import dataclass
+
+
+class JpegError(ValueError):
+    """Malformed or unsupported-by-scope JPEG input."""
+
+
+# zigzag position -> natural (row*8+col) index
+_ZZ = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+# orthonormal 1-D DCT basis, scaled so 2-D transforms are
+# f = Bᵀ F B (inverse) and F = B f Bᵀ (forward):
+# B[u][x] = c(u) * cos((2x+1)uπ/16) / 2, c(0)=1/√2 else 1.
+_B = [[(1 / math.sqrt(2) if u == 0 else 1.0)
+       * math.cos((2 * x + 1) * u * math.pi / 16) / 2
+       for x in range(8)] for u in range(8)]
+
+
+def _idct2(F):
+    """2-D 8x8 inverse DCT, natural-order in, natural-order out.
+    Float separable form; a block whose only nonzero coefficient is an
+    integer DC yields exact integers (the gate's exactness lever)."""
+    # t[v*8+x] = Σu B[u][x] * F[v*8+u]
+    t = [0.0] * 64
+    for v in range(8):
+        row = F[v * 8:v * 8 + 8]
+        base = v * 8
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                c = row[u]
+                if c:
+                    s += _B[u][x] * c
+            t[base + x] = s
+    out = [0.0] * 64
+    for y in range(8):
+        by = [_B[v][y] for v in range(8)]
+        base = y * 8
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                c = t[v * 8 + x]
+                if c:
+                    s += by[v] * c
+            out[base + x] = s
+    return out
+
+
+def _fdct2(f):
+    """2-D 8x8 forward DCT, natural-order (level-shifted) samples in."""
+    # t[u*8+y] = Σx B[u][x] * f[y*8+x]
+    t = [0.0] * 64
+    for u in range(8):
+        bu = _B[u]
+        for y in range(8):
+            s = 0.0
+            row = y * 8
+            for x in range(8):
+                s += bu[x] * f[row + x]
+            t[u * 8 + y] = s
+    out = [0.0] * 64
+    for u in range(8):
+        base = u * 8
+        for v in range(8):
+            bv = _B[v]
+            s = 0.0
+            for y in range(8):
+                s += bv[y] * t[base + y]
+            # natural coefficient order is row=vertical frequency:
+            # F(u,v) lives at v*8+u (matching _idct2 and _ZZ)
+            out[v * 8 + u] = s
+    return out
+
+
+def _build_huffman(bits, vals):
+    """Canonical Huffman per T.81 C.2: (length, code) -> value."""
+    if len(bits) != 16 or sum(bits) != len(vals):
+        raise JpegError("corrupt Huffman table spec")
+    table = {}
+    code = k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        if code >= (1 << length):
+            raise JpegError("overfull Huffman table")
+        code <<= 1
+    return table
+
+
+def _huffman_codes(bits, vals):
+    """Canonical Huffman, encoder direction: value -> (code, length)."""
+    out = {}
+    code = k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    byte-unstuffing; any other marker mid-read is an error (the MCU
+    loop consumes restarts explicitly via expect_restart)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self):
+        d, p = self.data, self.pos
+        if p >= len(d):
+            raise JpegError("truncated entropy data")
+        b = d[p]
+        if b == 0xFF:
+            if p + 1 >= len(d):
+                raise JpegError("truncated entropy data")
+            nxt = d[p + 1]
+            if nxt == 0x00:
+                self.pos = p + 2
+            else:
+                raise JpegError(
+                    f"marker 0xff{nxt:02x} inside entropy data "
+                    "(truncated scan?)")
+        else:
+            self.pos = p + 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            v = table.get((length, code))
+            if v is not None:
+                return v
+        raise JpegError("invalid Huffman code in entropy data")
+
+    def receive_extend(self, s: int) -> int:
+        if s == 0:
+            return 0
+        v = self.bits(s)
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    def expect_restart(self, idx: int):
+        """Byte-align and consume the RSTn marker ending an interval."""
+        self.acc = self.n = 0
+        d, p = self.data, self.pos
+        if p + 1 >= len(d) or d[p] != 0xFF:
+            raise JpegError("missing restart marker")
+        m = d[p + 1]
+        if not 0xD0 <= m <= 0xD7:
+            raise JpegError(f"expected RSTn, got 0xff{m:02x}")
+        if m - 0xD0 != idx % 8:
+            raise JpegError("restart marker out of sequence")
+        self.pos = p + 2
+
+
+@dataclass(frozen=True)
+class JpegImage:
+    width: int
+    height: int
+    channels: int       # 1 (grayscale) or 3 (RGB)
+    pixels: bytes       # interleaved, 8-bit, len = w*h*channels
+
+
+@dataclass
+class _Component:
+    cid: int
+    h: int
+    v: int
+    tq: int
+    dc: int = 0
+    ac: int = 0
+
+
+def jpeg_decode(data: bytes, max_pixels: int = 1 << 26) -> JpegImage:
+    """Decode one baseline JFIF byte string (scope in module header).
+    ``max_pixels`` caps DECLARED dimensions — fail fast on a crafted
+    tiny file declaring a 65535x65535 frame, same guard as png/gif."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise JpegError("not a JPEG: bad SOI")
+    pos = 2
+    qt = {}
+    dc_tables = {}
+    ac_tables = {}
+    comps: list[_Component] = []
+    width = height = 0
+    dri = 0
+    while True:
+        if pos + 1 >= len(data):
+            raise JpegError("truncated before SOS")
+        if data[pos] != 0xFF:
+            raise JpegError(f"expected marker at {pos}, got "
+                            f"0x{data[pos]:02x}")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1  # fill bytes
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before any scan
+            raise JpegError("no scan data (EOI before SOS)")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers carry no length
+        if pos + 2 > len(data):
+            raise JpegError("truncated segment header")
+        seglen = struct.unpack(">H", data[pos:pos + 2])[0]
+        if seglen < 2 or pos + seglen > len(data):
+            raise JpegError("truncated segment")
+        seg = data[pos + 2:pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq_id = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq not in (0, 1) or tq_id > 3:
+                    raise JpegError("bad DQT precision/id")
+                n = 64 * (2 if pq else 1)
+                if i + n > len(seg):
+                    raise JpegError("truncated DQT")
+                if pq:
+                    vals = struct.unpack(f">{64}H", seg[i:i + n])
+                else:
+                    vals = tuple(seg[i:i + n])
+                qt[tq_id] = vals  # zigzag order, as stored
+                i += n
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if tc not in (0, 1) or th > 3:
+                    raise JpegError("bad DHT class/id")
+                if i + 16 > len(seg):
+                    raise JpegError("truncated DHT")
+                bits = list(seg[i:i + 16])
+                i += 16
+                nv = sum(bits)
+                if i + nv > len(seg):
+                    raise JpegError("truncated DHT values")
+                vals = list(seg[i:i + nv])
+                i += nv
+                (dc_tables if tc == 0 else ac_tables)[th] = \
+                    _build_huffman(bits, vals)
+        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+            if comps:
+                raise JpegError("multiple frames")
+            if len(seg) < 6:
+                raise JpegError("truncated SOF")
+            prec, height, width, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise JpegError(f"{prec}-bit precision unsupported "
+                                "(8-bit baseline only)")
+            if nc not in (1, 3):
+                raise JpegError(f"{nc}-component images unsupported "
+                                "(grayscale/YCbCr only)")
+            if width == 0 or height == 0:
+                raise JpegError("zero dimension")
+            if width * height > max_pixels:
+                raise JpegError(f"{width}x{height} exceeds max_pixels")
+            if len(seg) < 6 + 3 * nc:
+                raise JpegError("truncated SOF components")
+            for c in range(nc):
+                cid, hv, tq_id = seg[6 + 3 * c:9 + 3 * c]
+                h, v = hv >> 4, hv & 15
+                if not (1 <= h <= 4 and 1 <= v <= 4):
+                    raise JpegError(f"bad sampling factors {h}x{v}")
+                comps.append(_Component(cid, h, v, tq_id))
+        elif marker == 0xC2:
+            raise JpegError("progressive JPEG unsupported "
+                            "(baseline sequential only)")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise JpegError(f"SOF marker 0xff{marker:02x} unsupported "
+                            "(baseline sequential only)")
+        elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise JpegError("truncated DRI")
+            dri = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if not comps:
+                raise JpegError("SOS before SOF")
+            ns = seg[0] if seg else 0
+            if ns != len(comps):
+                raise JpegError("non-interleaved multi-scan JPEG "
+                                "unsupported (one interleaved scan only)")
+            if len(seg) < 1 + 2 * ns + 3:
+                raise JpegError("truncated SOS")
+            by_id = {c.cid: c for c in comps}
+            for s in range(ns):
+                cs, tsel = seg[1 + 2 * s], seg[2 + 2 * s]
+                if cs not in by_id:
+                    raise JpegError(f"scan references unknown "
+                                    f"component {cs}")
+                by_id[cs].dc, by_id[cs].ac = tsel >> 4, tsel & 15
+            return _decode_scan(data, pos, width, height, comps, qt,
+                                dc_tables, ac_tables, dri)
+        # APPn (E0-EF), COM (FE), others with length: skipped
+
+
+def _decode_scan(data, pos, width, height, comps, qt, dc_tables,
+                 ac_tables, dri) -> JpegImage:
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    planes = []
+    pws = []
+    for c in comps:
+        if c.tq not in qt:
+            raise JpegError(f"component references missing quant "
+                            f"table {c.tq}")
+        if c.dc not in dc_tables or c.ac not in ac_tables:
+            raise JpegError("scan references missing Huffman table")
+        pw, ph = mcux * 8 * c.h, mcuy * 8 * c.v
+        planes.append(bytearray(pw * ph))
+        pws.append(pw)
+    reader = _BitReader(data, pos)
+    preds = [0] * len(comps)
+    n_mcu = mcux * mcuy
+    for m in range(n_mcu):
+        if dri and m and m % dri == 0:
+            reader.expect_restart(m // dri - 1)
+            preds = [0] * len(comps)
+        my, mx = divmod(m, mcux)
+        for ci, c in enumerate(comps):
+            dct, act, q = dc_tables[c.dc], ac_tables[c.ac], qt[c.tq]
+            plane, pw = planes[ci], pws[ci]
+            for by in range(c.v):
+                for bx in range(c.h):
+                    # -- decode one block ----------------------------
+                    t = reader.huff(dct)
+                    if t > 15:
+                        raise JpegError("bad DC magnitude category")
+                    preds[ci] += reader.receive_extend(t)
+                    F = [0] * 64
+                    F[0] = preds[ci] * q[0]
+                    k = 1
+                    while k < 64:
+                        rs = reader.huff(act)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise JpegError("AC run past block end")
+                        F[_ZZ[k]] = reader.receive_extend(s) * q[k]
+                        k += 1
+                    samples = _idct2(F)
+                    # -- place into the component plane --------------
+                    ox = (mx * c.h + bx) * 8
+                    oy = (my * c.v + by) * 8
+                    for y in range(8):
+                        row = (oy + y) * pw + ox
+                        src = y * 8
+                        for x in range(8):
+                            v = int(samples[src + x] + 128.5)
+                            plane[row + x] = (0 if v < 0
+                                              else 255 if v > 255 else v)
+    if len(comps) == 1:
+        pw = pws[0]
+        plane = planes[0]
+        out = bytearray(width * height)
+        for y in range(height):
+            out[y * width:(y + 1) * width] = plane[y * pw:y * pw + width]
+        return JpegImage(width, height, 1, bytes(out))
+    # upsample chroma to full resolution, then YCbCr -> RGB per JFIF.
+    # For the ubiquitous 1x/2x sampling ratios the separable triangular
+    # 'fancy' filter is used (out[2i] = (3c[i]+c[i-1]+2)>>2, mirrored
+    # edges) — what libjpeg-class decoders do, so cross-decoder diffs
+    # on 4:2:0 shrink from ~upsampling-choice-sized to rounding-sized;
+    # other ratios fall back to nearest/replication.
+    full = []
+    for ci, c in enumerate(comps):
+        hr, vr = hmax // c.h, vmax // c.v
+        fancy = (hmax % c.h == 0 and vmax % c.v == 0
+                 and hr in (1, 2) and vr in (1, 2))
+        full.append(_upsample(planes[ci], pws[ci], width, height,
+                              c.h, c.v, hmax, vmax)
+                    if fancy else
+                    _upsample_nearest(planes[ci], pws[ci], width, height,
+                                      c.h, c.v, hmax, vmax))
+    py, pcb, pcr = full
+    out = bytearray(width * height * 3)
+    o = 0
+    for i in range(width * height):
+        Y = py[i]
+        cb = pcb[i] - 128
+        cr = pcr[i] - 128
+        r = int(Y + 1.402 * cr + 0.5)
+        g = int(Y - 0.344136 * cb - 0.714136 * cr + 0.5)
+        b = int(Y + 1.772 * cb + 0.5)
+        out[o] = 0 if r < 0 else 255 if r > 255 else r
+        out[o + 1] = 0 if g < 0 else 255 if g > 255 else g
+        out[o + 2] = 0 if b < 0 else 255 if b > 255 else b
+        o += 3
+    return JpegImage(width, height, 3, bytes(out))
+
+
+def _fancy2x_row(row: bytearray) -> bytearray:
+    """1-D triangular 2x upsample (libjpeg 'fancy'): nearest sample
+    weighted 3, the next-nearest 1, mirrored at the edges."""
+    n = len(row)
+    out = bytearray(2 * n)
+    for i in range(n):
+        c = row[i]
+        left = row[i - 1] if i else c
+        right = row[i + 1] if i + 1 < n else c
+        out[2 * i] = (3 * c + left + 2) >> 2
+        out[2 * i + 1] = (3 * c + right + 2) >> 2
+    return out
+
+
+def _upsample(plane, pw, width, height, h, v, hmax, vmax) -> bytearray:
+    """Separable fancy upsample for ratios in {1, 2} -> full-res plane
+    (applying the 1-D filter in both directions reproduces libjpeg's
+    2-D 9:3:3:1 weighting up to a rounding ulp)."""
+    hr, vr = hmax // h, vmax // v
+    cw = -(-width // hr)
+    ch_ = -(-height // vr)
+    rows = [plane[y * pw:y * pw + cw] for y in range(ch_)]
+    if hr == 2:
+        rows = [_fancy2x_row(r)[:width] for r in rows]
+    else:
+        rows = [r[:width] for r in rows]
+    if vr == 2:
+        vrows = []
+        for i in range(ch_):
+            cur = rows[i]
+            up = rows[i - 1] if i else cur
+            dn = rows[i + 1] if i + 1 < ch_ else cur
+            vrows.append(bytearray((3 * c + p + 2) >> 2
+                                   for c, p in zip(cur, up)))
+            vrows.append(bytearray((3 * c + nx + 2) >> 2
+                                   for c, nx in zip(cur, dn)))
+        rows = vrows[:height]
+    out = bytearray(width * height)
+    for y, r in enumerate(rows):
+        out[y * width:(y + 1) * width] = r
+    return out
+
+
+def _upsample_nearest(plane, pw, width, height, h, v, hmax,
+                      vmax) -> bytearray:
+    """Replication upsample for exotic sampling ratios (3x/4x or
+    non-divisible factor pairs)."""
+    out = bytearray(width * height)
+    o = 0
+    for y in range(height):
+        row = (y * v // vmax) * pw
+        for x in range(width):
+            out[o] = plane[row + (x * h // hmax)]
+            o += 1
+    return out
+
+
+# ---------------------------------------------------------------- encode
+
+# fixed Huffman table specs (Annex-K-style typical tables; they travel
+# in DHT, so conformance doesn't depend on matching the spec's bytes)
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+
+# Annex K example quantization tables (luminance / chrominance),
+# natural row order here, stored zigzag in DQT
+_Q_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99]
+_Q_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99]
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad to a byte with 1s
+
+
+def _scale_q(table, quality: int):
+    """IJG-style quality scaling; quality=100 -> all-ones (lossless for
+    constant blocks)."""
+    if not 1 <= quality <= 100:
+        raise JpegError(f"quality {quality} out of range 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return [min(255, max(1, (t * scale + 50) // 100)) for t in table]
+
+
+def _encode_block(w, samples, q, dc_codes, ac_codes, pred):
+    """FDCT + quantize + Huffman-encode one 8x8 block; returns new DC."""
+    F = _fdct2([s - 128 for s in samples])
+    coef = [0] * 64
+    for zz in range(64):
+        v = F[_ZZ[zz]] / q[zz]
+        coef[zz] = int(v + 0.5) if v >= 0 else -int(-v + 0.5)
+    diff = coef[0] - pred
+    mag = abs(diff)
+    s = mag.bit_length()
+    code, ln = dc_codes[s]
+    w.write(code, ln)
+    if s:
+        w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    last = 63
+    while last > 0 and coef[last] == 0:
+        last -= 1
+    run = 0
+    for k in range(1, last + 1):
+        v = coef[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            w.write(code, ln)
+            run -= 16
+        mag = abs(v)
+        s = mag.bit_length()
+        code, ln = ac_codes[(run << 4) | s]
+        w.write(code, ln)
+        w.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        w.write(code, ln)
+    return coef[0]
+
+
+def jpeg_encode(pixels, width: int, height: int, channels: int = 1,
+                quality: int = 85, quant=None,
+                restart_interval: int = 0) -> bytes:
+    """Encode 8-bit samples (interleaved gray or RGB) as baseline JFIF,
+    4:4:4 (no subsampling). ``quant`` overrides the quality-scaled
+    Annex K tables with explicit (luma, chroma) 64-entry natural-order
+    tables — ``([1]*64, [1]*64)`` + constant 8x8 blocks is the exact
+    round-trip the oracle gate uses. ``restart_interval`` > 0 emits DRI
+    + RSTn markers every that-many MCUs (and exercises the decoder's
+    restart path)."""
+    if channels not in (1, 3):
+        raise JpegError("channels must be 1 or 3")
+    if width <= 0 or height <= 0:
+        raise JpegError("zero dimension")
+    if len(pixels) != width * height * channels:
+        raise JpegError(f"expected {width * height * channels} samples, "
+                        f"got {len(pixels)}")
+    if quant is not None:
+        q_luma, q_chroma = list(quant[0]), list(quant[1])
+        if len(q_luma) != 64 or len(q_chroma) != 64:
+            raise JpegError("quant tables must have 64 entries")
+    else:
+        q_luma = _scale_q(_Q_LUMA, quality)
+        q_chroma = _scale_q(_Q_CHROMA, quality)
+    qz_luma = [q_luma[_ZZ[zz]] for zz in range(64)]
+    qz_chroma = [q_chroma[_ZZ[zz]] for zz in range(64)]
+
+    # plane split (+ RGB -> YCbCr)
+    if channels == 1:
+        plane_qs = [qz_luma]
+        planes = [bytes(pixels)]
+    else:
+        ny = bytearray(width * height)
+        ncb = bytearray(width * height)
+        ncr = bytearray(width * height)
+        for i in range(width * height):
+            r, g, b = pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2]
+            y = 0.299 * r + 0.587 * g + 0.114 * b
+            cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+            cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+            ny[i] = min(255, max(0, int(y + 0.5)))
+            ncb[i] = min(255, max(0, int(cb + 0.5)))
+            ncr[i] = min(255, max(0, int(cr + 0.5)))
+        plane_qs = [qz_luma, qz_chroma, qz_chroma]
+        planes = [bytes(ny), bytes(ncb), bytes(ncr)]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0]))
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([0]) \
+        + bytes(qz_luma)
+    if channels == 3:
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([1]) \
+            + bytes(qz_chroma)
+    # SOF0
+    nc = channels
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8,
+                                     height, width, nc)
+    for c in range(nc):
+        out += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    # DHT
+    def dht(tc, th, bits, vals):
+        return (b"\xff\xc4"
+                + struct.pack(">H", 2 + 1 + 16 + len(vals))
+                + bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+    out += dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    out += dht(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+    if channels == 3:
+        out += dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        out += dht(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for c in range(nc):
+        out += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    out += bytes([0, 63, 0])
+    # entropy-coded data: interleaved 4:4:4 -> one block per component
+    # per MCU, MCU grid 8x8
+    dc_l = _huffman_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_l = _huffman_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_c = _huffman_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c = _huffman_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    codes = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (nc - 1)
+    w = _BitWriter()
+    preds = [0] * nc
+    mcux, mcuy = -(-width // 8), -(-height // 8)
+    block = [0] * 64
+    m = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and m and m % restart_interval == 0:
+                w.flush()
+                rst = m // restart_interval - 1
+                w.buf += bytes([0xFF, 0xD0 + rst % 8])
+                preds = [0] * nc
+            m += 1
+            for ci in range(nc):
+                plane = planes[ci]
+                for y in range(8):
+                    sy = min(my * 8 + y, height - 1)
+                    row = sy * width
+                    for x in range(8):
+                        sx = min(mx * 8 + x, width - 1)  # edge-replicate
+                        block[y * 8 + x] = plane[row + sx]
+                preds[ci] = _encode_block(w, block, plane_qs[ci],
+                                          codes[ci][0], codes[ci][1],
+                                          preds[ci])
+    w.flush()
+    out += w.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

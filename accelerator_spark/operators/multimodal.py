@@ -3,13 +3,17 @@ with typed metadata (north-star extension).
 
 The Spark-side plumbing is real and tested: schema conventions, Arrow-
 batched mapInPandas decode pipeline, partition sizing for large blobs.
-PNG decoding is REAL — a pure-stdlib codec (functions/png.py, zlib +
-per-row unfiltering) behind ``real_decoder``, cross-checked against
-Java ImageIO and oracle-gated over real PNG bytes. Codecs that
-genuinely need external libraries (JPEG, audio, video) stay behind the
-``decoder=`` hook: pass a PIL/ffmpeg-backed callable where the libs
-exist; DETERMINISTIC_FAKE produces stable pseudo-features so the
-distributed plumbing is testable for those formats end-to-end.
+Image decoding is REAL for PNG (functions/png.py, zlib + per-row
+unfiltering), GIF (functions/gif.py, pure-Python LZW + frame
+compositing) and baseline JPEG (functions/jpeg.py, Huffman + IDCT) —
+all pure stdlib behind ``real_decoder``, each cross-checked against
+Java ImageIO and oracle-gated over real bytes; WAV PCM likewise
+(functions/wav.py) behind ``real_audio_decoder``. Codecs that
+genuinely need external libraries (progressive JPEG, compressed
+audio, video) stay behind the ``decoder=`` hook: pass a PIL/ffmpeg-
+backed callable where the libs exist; DETERMINISTIC_FAKE produces
+stable pseudo-features so the distributed plumbing is testable for
+those formats end-to-end.
 """
 
 from __future__ import annotations
@@ -58,11 +62,13 @@ def real_decoder(payload: bytes, mime: str, max_pixels: int = 1 << 22):
     per-channel pixel means normalized to [0, 1], plus real width and
     height. Malformed PNG bytes raise PngError (an empty/NULL payload
     tagged image/png included); per-row containment for dirty corpora
-    is decode_features' ``on_error="null"``.
+    is decode_features' ``on_error="null"``. GIF and baseline JPEG
+    (functions/gif.py, functions/jpeg.py) decode for real too, each
+    with its own ImageIO cross-check suite.
 
-    Formats whose codecs genuinely need external libs (JPEG's DCT
-    entropy coding, video containers) still raise NotImplementedError —
-    swap in a PIL/ffmpeg-backed callable where those libs exist."""
+    Formats whose codecs genuinely need external libs (progressive
+    JPEG, video containers) still raise — swap in a PIL/ffmpeg-backed
+    callable where those libs exist."""
     from ..functions.png import _SIGNATURE, png_decode
 
     payload = bytes(payload) if payload else b""
@@ -93,10 +99,22 @@ def real_decoder(payload: bytes, mime: str, max_pixels: int = 1 << 22):
         n_px = g.width * g.height
         feat = [sum(canvas[c::3]) / n_px / 255.0 for c in range(3)]
         return feat, g.width, g.height
+    if mime == "image/jpeg" or payload[:3] == b"\xff\xd8\xff":
+        from ..functions.jpeg import jpeg_decode
+
+        # baseline sequential JFIF, pure stdlib (functions/jpeg.py,
+        # VERDICT r6 #2) — cross-checked against Java ImageIO both
+        # directions in tests/test_jpeg.py; progressive JPEG raises
+        img = jpeg_decode(payload, max_pixels=max_pixels)
+        n_px = img.width * img.height
+        feat = [sum(img.pixels[c::img.channels]) / n_px / 255.0
+                for c in range(img.channels)]
+        return feat, img.width, img.height
     raise NotImplementedError(
-        f"no stdlib codec for {mime!r}: only image/png and image/gif "
-        "decode in this container; pass decoder=DETERMINISTIC_FAKE or "
-        "a PIL/ffmpeg-backed callable for other formats")
+        f"no stdlib codec for {mime!r}: only image/png, image/gif and "
+        "baseline image/jpeg decode in this container; pass "
+        "decoder=DETERMINISTIC_FAKE or a PIL/ffmpeg-backed callable "
+        "for other formats")
 
 
 def DETERMINISTIC_FAKE(payload: bytes, mime: str):
@@ -378,37 +396,70 @@ def FAKE_RESIZER(payload: bytes, mime: str, max_side: int):
     return hashlib.md5((payload or b"") + f":{nw}x{nh}".encode()).digest(), nw, nh
 
 
-def png_resizer(payload: bytes, mime: str, max_side: int):
-    """REAL resize for PNG payloads: stdlib decode -> nearest-neighbor
-    downsample (aspect preserved, never upscales) -> re-encode. The
-    genuine binary-in/binary-out hook for resize_media in this
-    container; other formats raise NotImplementedError (route them to
-    a PIL/ffmpeg resizer where available)."""
-    from ..functions.png import _SIGNATURE, png_decode, png_encode
-
-    raw = bytes(payload) if payload else b""
-    if not (mime == "image/png" or raw[:8] == _SIGNATURE):
-        raise NotImplementedError(
-            f"png_resizer only handles image/png, got {mime!r}")
-    img = png_decode(raw)
-    w, h, ch = img.width, img.height, img.channels
+def _nn_resample(pixels, w: int, h: int, ch: int, max_side: int):
+    """Nearest-neighbor downsample (aspect preserved, never upscales);
+    returns (samples, nw, nh)."""
     scale = min(1.0, max_side / max(w, h))
     nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
     if (nw, nh) == (w, h):
-        resampled = list(img.pixels)
+        return list(pixels), w, h
+    resampled = []
+    for y in range(nh):
+        sy = y * h // nh
+        row_off = sy * w * ch
+        for x in range(nw):
+            sx = x * w // nw
+            off = row_off + sx * ch
+            resampled.extend(pixels[off:off + ch])
+    return resampled, nw, nh
+
+
+def image_resizer(payload: bytes, mime: str, max_side: int,
+                  max_pixels: int = 1 << 22):
+    """REAL resize for every image format this container decodes
+    (VERDICT r6 #5): stdlib decode (PNG / GIF frame 0 composed onto the
+    logical screen / baseline JPEG) -> nearest-neighbor downsample
+    (aspect preserved, never upscales) -> PNG re-encode (lossless, so
+    resize never adds generation loss on top of resampling). The
+    genuine binary-in/binary-out hook for resize_media; non-image
+    formats raise NotImplementedError (route them to a PIL/ffmpeg
+    resizer where available). ``max_pixels`` bounds the pure-Python
+    per-pixel work, as in real_decoder (ADVICE r6)."""
+    from ..functions.png import _SIGNATURE, png_decode, png_encode
+
+    raw = bytes(payload) if payload else b""
+    if mime == "image/png" or raw[:8] == _SIGNATURE:
+        img = png_decode(raw)
+        if img.width * img.height > max_pixels:
+            raise ValueError(
+                f"{img.width}x{img.height} exceeds max_pixels")
+        pixels, w, h, ch, depth = (img.pixels, img.width, img.height,
+                                   img.channels, img.bit_depth)
+    elif mime == "image/gif" or raw[:6] in (b"GIF87a", b"GIF89a"):
+        from ..functions.gif import compose_frames, gif_decode
+
+        g = gif_decode(raw, first_frame_only=True, max_pixels=max_pixels)
+        _, _, canvas = next(compose_frames(g))
+        pixels, w, h, ch, depth = canvas, g.width, g.height, 3, 8
+    elif mime == "image/jpeg" or raw[:3] == b"\xff\xd8\xff":
+        from ..functions.jpeg import jpeg_decode
+
+        img = jpeg_decode(raw, max_pixels=max_pixels)
+        pixels, w, h, ch, depth = (img.pixels, img.width, img.height,
+                                   img.channels, 8)
     else:
-        resampled = []
-        for y in range(nh):
-            sy = y * h // nh
-            row_off = sy * w * ch
-            for x in range(nw):
-                sx = x * w // nw
-                off = row_off + sx * ch
-                resampled.extend(img.pixels[off:off + ch])
+        raise NotImplementedError(
+            f"image_resizer only handles image/png, image/gif and "
+            f"baseline image/jpeg, got {mime!r}")
+    resampled, nw, nh = _nn_resample(pixels, w, h, ch, max_side)
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
     blob = png_encode(resampled, nw, nh, color_type=color_type,
-                      bit_depth=img.bit_depth)
+                      bit_depth=depth)
     return blob, nw, nh
+
+
+# r6 name for the PNG-only resizer; the unified hook supersedes it
+png_resizer = image_resizer
 
 
 def resize_media(
@@ -424,8 +475,9 @@ def resize_media(
     """Binary-in/binary-out media transform (resize/transcode shape):
     the second mapInPandas pattern besides decode_features — output rows
     carry a NEW binary payload, so Arrow batch sizing matters on both
-    directions. ``png_resizer`` really resizes PNGs in this container;
-    swap ``resizer`` for a PIL/ffmpeg hook where those libs exist."""
+    directions. ``image_resizer`` really resizes PNG/GIF/baseline-JPEG
+    in this container; swap ``resizer`` for a PIL/ffmpeg hook where
+    those libs exist."""
     def per_row(raw: bytes, mime: str):
         return resizer(raw, mime, max_side)
 

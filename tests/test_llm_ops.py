@@ -152,15 +152,20 @@ def test_multimodal_pipeline_with_fake_decoder(spark, docs):
 
 def test_real_decoder_png_real_others_stub():
     """r6: real_decoder genuinely decodes PNG (functions/png.py);
-    non-PNG formats keep the explicit NotImplementedError hook, and
-    malformed PNG bytes raise PngError (so decode_features'
-    on_error='null' can contain them per-row)."""
+    r7: JPEG routes to functions/jpeg.py (truncated JPEG is a decode
+    error now, not a missing codec); formats with no stdlib codec
+    (video) keep the explicit NotImplementedError hook, and malformed
+    PNG bytes raise PngError (so decode_features' on_error='null' can
+    contain them per-row)."""
+    from accelerator_spark.functions.jpeg import JpegError
     from accelerator_spark.functions.png import PngError, png_encode
 
     feat, w, h = real_decoder(png_encode([0, 255], 2, 1), "image/png")
     assert (w, h) == (2, 1) and feat == [pytest.approx(0.5)]
-    with pytest.raises(NotImplementedError, match="no stdlib codec"):
+    with pytest.raises(JpegError):
         real_decoder(b"\xff\xd8\xff", "image/jpeg")
+    with pytest.raises(NotImplementedError, match="no stdlib codec"):
+        real_decoder(b"\x1aE\xdf\xa3 webm", "video/webm")
     with pytest.raises(PngError):
         real_decoder(b"x", "image/png")
     with pytest.raises(PngError):

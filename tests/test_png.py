@@ -210,8 +210,13 @@ def test_real_decoder_png_features():
     g16 = png_encode([65535, 0], 2, 1, bit_depth=16)
     feat, _, _ = real_decoder(g16, "image/png")
     assert feat == [pytest.approx(0.5)]
-    with pytest.raises(NotImplementedError, match="image/png"):
+    # r7: JPEG now ROUTES to the real stdlib decoder; garbage after a
+    # valid SOI is a decode error, not a missing-codec hook
+    from accelerator_spark.functions.jpeg import JpegError
+    with pytest.raises(JpegError):
         real_decoder(b"\xff\xd8\xff\xe0 fake jpeg", "image/jpeg")
+    with pytest.raises(NotImplementedError, match="no stdlib codec"):
+        real_decoder(b"\x00\x00\x01\xba mpeg-ps", "video/mpeg")
 
 
 def test_decode_features_routes_real_png(spark):
@@ -355,3 +360,39 @@ def test_image_import_source(spark, tmp_path):
     dropped = image_import(spark, d, drop_invalid=True).collect()
     assert all(r["width"] > 0 for r in dropped)
     assert len(dropped) == len(out) - 1
+
+
+def test_trns_transparency_applied():
+    """VERDICT r6 #6: tRNS expands to a REAL alpha channel on decode
+    (default), for all three legal color types; apply_trns=False keeps
+    the raw samples with the chunk exposed."""
+    # palette: per-entry alpha, entries past the tRNS end are opaque
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    blob = png_encode([0, 1, 2, 1], 2, 2, color_type=3, bit_depth=2,
+                      palette=pal, trns=bytes([10, 200]))
+    img = png_decode(blob)
+    assert (img.channels, img.bit_depth, img.trns) == (4, 8, None)
+    assert img.pixels == (255, 0, 0, 10, 0, 255, 0, 200,
+                          0, 0, 255, 255, 0, 255, 0, 200)
+    raw = png_decode(blob, apply_trns=False)
+    assert raw.channels == 3 and raw.trns == bytes([10, 200])
+    # gray: single key value (16-bit field, value in the low bits)
+    blob = png_decode(png_encode([5, 6, 5], 3, 1, trns=bytes([0, 5])))
+    assert blob.channels == 2
+    assert blob.pixels == (5, 0, 6, 255, 5, 0)
+    # gray 16-bit
+    img16 = png_decode(png_encode([4464, 1], 2, 1, bit_depth=16,
+                                  trns=bytes([0, 1])))
+    assert img16.pixels == (4464, 65535, 1, 0)
+    # RGB key
+    img = png_decode(png_encode([9, 8, 7, 9, 8, 6], 2, 1, color_type=2,
+                                trns=bytes([0, 9, 0, 8, 0, 7])))
+    assert img.channels == 4
+    assert img.pixels == (9, 8, 7, 0, 9, 8, 6, 255)
+    # malformed tRNS + illegal color type
+    with pytest.raises(PngError, match="tRNS"):
+        png_decode(png_encode([5], 1, 1, trns=bytes([0])))
+    with pytest.raises(PngError, match="tRNS"):
+        png_encode([1, 2, 3, 4], 1, 1, color_type=6, trns=b"\x00")
+    # alpha-true formats never consult tRNS; fully-opaque path intact
+    assert png_decode(png_encode([1, 2], 2, 1)).channels == 1

@@ -48,6 +48,30 @@ def main():
             f.write(blob)
         print(f"{path}: {len(blob)} bytes ({w}x{h} ct={ct} depth={depth})")
 
+    # tRNS fixtures (r7: transparency applied on decode, VERDICT r6 #6)
+    # palette: per-entry alpha, deliberately SHORTER than the palette so
+    # the entries-past-the-end-are-opaque rule is exercised
+    pal = bytes(rnd.randrange(256) for _ in range(3 * 8))
+    px = [rnd.randrange(8) for _ in range(6 * 5)]
+    alphas = bytes([0, 64, 128, 255, 7])  # 5 of 8 entries
+    trns_specs = [
+        ("trns_palette", px, 6, 5, dict(color_type=3, bit_depth=4,
+                                        palette=pal, trns=alphas)),
+        # gray: key value 3 at depth 8 -> those pixels fully transparent
+        ("trns_gray", [3, 9, 3, 200, 0, 3], 3, 2,
+         dict(color_type=0, bit_depth=8, trns=bytes([0, 3]))),
+        # RGB: key (10, 20, 30)
+        ("trns_rgb", [10, 20, 30, 10, 20, 31, 99, 98, 97, 10, 20, 30],
+         2, 2, dict(color_type=2, bit_depth=8,
+                    trns=bytes([0, 10, 0, 20, 0, 30]))),
+    ]
+    for name, px, w, h, kw in trns_specs:
+        blob = png_encode(px, w, h, **kw)
+        path = os.path.join(OUT, f"{name}.png")
+        with open(path, "wb") as f:
+            f.write(blob)
+        print(f"{path}: {len(blob)} bytes ({w}x{h} tRNS)")
+
 
 if __name__ == "__main__":
     main()
