@@ -36,8 +36,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # representative cross-section of the ENGINE — relational core, dataset/
 # engine ops, events + streaming, dedup/curation, ANN, text, sketches/
 # graph/layout — instead of mostly one category. Pure reordering: every
-# query and oracle is unchanged, and the full 172 stay covered by
-# CORRECTNESS_HEAD.json / tools/check_oracle.py.
+# query and oracle is unchanged, and the full registry (178 entries as
+# of r7) stays covered by CORRECTNESS_HEAD.json / tools/check_oracle.py.
 _GRADED_FIRST = [
     # relational core
     "q1_pricing_summary", "q3_shipping_priority", "q6_forecast_revenue",

@@ -201,11 +201,16 @@ class _BitReader:
         return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
     def expect_restart(self, idx: int):
-        """Byte-align and consume the RSTn marker ending an interval."""
+        """Byte-align and consume the RSTn marker ending an interval.
+        T.81 B.1.1.2 lets any number of 0xFF fill bytes precede a
+        marker — skip them before reading the code (review r7; the
+        segment-level parser already did)."""
         self.acc = self.n = 0
         d, p = self.data, self.pos
         if p + 1 >= len(d) or d[p] != 0xFF:
             raise JpegError("missing restart marker")
+        while p + 2 < len(d) and d[p + 1] == 0xFF:
+            p += 1  # fill bytes
         m = d[p + 1]
         if not 0xD0 <= m <= 0xD7:
             raise JpegError(f"expected RSTn, got 0xff{m:02x}")

@@ -142,12 +142,17 @@ def _adam7_passes(width: int, height: int):
 
 def png_decode(data: bytes, *, expand_palette: bool = True,
                verify_crc: bool = True,
-               apply_trns: bool = True) -> PngImage:
+               apply_trns: bool = True,
+               max_pixels: int = 1 << 26) -> PngImage:
     """Decode a PNG byte string. See module docstring for scope.
     ``apply_trns`` (default) expands tRNS transparency into a real
     alpha channel (palette -> RGBA, gray -> gray+alpha, RGB -> RGBA),
     the same shape ImageIO returns; pass False to get the raw samples
-    with the chunk exposed on ``.trns`` instead."""
+    with the chunk exposed on ``.trns`` instead. ``max_pixels`` caps
+    DECLARED dimensions at IHDR parse, BEFORE any inflate or per-pixel
+    work (same guard as the gif/jpeg codecs, review r7 — the bounded
+    inflate already prevented OOM, but the pure-Python unfilter loop
+    itself needs a CPU budget on hostile corpora)."""
     if not data.startswith(_SIGNATURE):
         raise PngError("not a PNG: bad signature")
     pos, ihdr, plte, trns = len(_SIGNATURE), None, None, None
@@ -183,6 +188,8 @@ def png_decode(data: bytes, *, expand_palette: bool = True,
         ">IIBBBBB", ihdr)
     if width == 0 or height == 0:
         raise PngError("zero-dimension image")
+    if width * height > max_pixels:
+        raise PngError(f"{width}x{height} exceeds max_pixels")
     if color not in _CHANNELS or depth not in _VALID_DEPTHS.get(color, ()):
         raise PngError(f"invalid color type {color} / bit depth {depth}")
     if comp != 0 or filt != 0:
@@ -270,6 +277,18 @@ def png_decode(data: bytes, *, expand_palette: bool = True,
             if len(trns) < 2:
                 raise PngError("malformed gray tRNS (need 2 bytes)")
             key = struct.unpack(">H", trns[:2])[0]
+            if depth < 8:
+                # scale gray to 8-bit while adding alpha: gray+alpha at
+                # depth 1/2/4 is not a legal PNG shape, so keeping the
+                # native depth crashed any re-encode (image_resizer) —
+                # review r7. 255/maxval is exact for depths 1/2/4, the
+                # spec's own sample-depth scaling.
+                scale = 255 // maxval
+                out = []
+                for s in samples:
+                    out.append(s * scale)
+                    out.append(0 if s == key else 255)
+                return PngImage(width, height, 2, 8, tuple(out), None)
             out = []
             for s in samples:
                 out.append(s)

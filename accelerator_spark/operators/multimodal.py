@@ -73,7 +73,7 @@ def real_decoder(payload: bytes, mime: str, max_pixels: int = 1 << 22):
 
     payload = bytes(payload) if payload else b""
     if mime == "image/png" or payload[:8] == _SIGNATURE:
-        img = png_decode(payload)
+        img = png_decode(payload, max_pixels=max_pixels)
         n_px = img.width * img.height
         maxval = float((1 << img.bit_depth) - 1)
         feat = [
@@ -429,10 +429,9 @@ def image_resizer(payload: bytes, mime: str, max_side: int,
 
     raw = bytes(payload) if payload else b""
     if mime == "image/png" or raw[:8] == _SIGNATURE:
-        img = png_decode(raw)
-        if img.width * img.height > max_pixels:
-            raise ValueError(
-                f"{img.width}x{img.height} exceeds max_pixels")
+        # max_pixels is enforced at IHDR parse inside png_decode —
+        # BEFORE the inflate and per-pixel unfilter work (review r7)
+        img = png_decode(raw, max_pixels=max_pixels)
         pixels, w, h, ch, depth = (img.pixels, img.width, img.height,
                                    img.channels, img.bit_depth)
     elif mime == "image/gif" or raw[:6] in (b"GIF87a", b"GIF89a"):

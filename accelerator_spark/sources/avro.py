@@ -435,6 +435,30 @@ def avro_split_index(spark: SparkSession, path: str, glob: str = "*.avro",
                       "end long, n_blocks long"))
 
 
+def _read_block(buf, sync: bytes, codec: str):
+    """Read ONE container block at the cursor — count varint, payload
+    (inflated for deflate), sync verification — and return
+    (record_count, payload_bytes). Shared by avro_decode_file and the
+    split-range decode (review r7: the two block loops had already
+    drifted, and the range copy let zlib.error escape the AvroError
+    contract)."""
+    n = _read_long(buf)
+    if n < 0:
+        # negative counts are legal only inside array/map blocks; a
+        # container block count must be positive — silently reading
+        # zero records here would shrink the data without an error
+        raise AvroError(f"corrupt block record-count {n}")
+    block = _read_bytes(buf)
+    if buf.read(16) != sync:
+        raise AvroError("sync marker mismatch (corrupt block)")
+    if codec == "deflate":
+        try:
+            block = zlib.decompress(block, -15)
+        except zlib.error as e:
+            raise AvroError(f"deflate block failed: {e}") from None
+    return n, block
+
+
 def avro_decode_file(data: bytes):
     """Decode one Object Container file -> (schema, list of records)."""
     buf = io.BytesIO(data)
@@ -445,20 +469,7 @@ def avro_decode_file(data: bytes):
         if not head:
             break  # clean EOF at a block boundary
         buf.seek(-1, io.SEEK_CUR)
-        n = _read_long(buf)
-        if n < 0:
-            # negative counts are legal only inside array/map blocks; a
-            # container block count must be positive — silently reading
-            # zero records here would shrink the data without an error
-            raise AvroError(f"corrupt block record-count {n}")
-        block = _read_bytes(buf)
-        if buf.read(16) != sync:
-            raise AvroError("sync marker mismatch (corrupt block)")
-        if codec == "deflate":
-            try:
-                block = zlib.decompress(block, -15)
-            except zlib.error as e:
-                raise AvroError(f"deflate block failed: {e}") from None
+        n, block = _read_block(buf, sync, codec)
         bbuf = io.BytesIO(block)
         for _ in range(n):
             records.append(_read_datum(bbuf, schema))
@@ -767,15 +778,7 @@ def avro_import(spark: SparkSession, path: str, glob: str = "*.avro",
                     f.seek(int(start))
                     records = []
                     for _ in range(int(n_blocks)):
-                        n = _read_long(f)
-                        if n < 0:
-                            raise AvroError(f"corrupt block count {n}")
-                        block = _read_bytes(f)
-                        if f.read(16) != sync:
-                            raise AvroError(
-                                "sync marker mismatch (corrupt block)")
-                        if codec == "deflate":
-                            block = zlib.decompress(block, -15)
+                        n, block = _read_block(f, sync, codec)
                         bbuf = io.BytesIO(block)
                         for _ in range(n):
                             records.append(_read_datum(bbuf, fschema))
@@ -788,16 +791,22 @@ def avro_import(spark: SparkSession, path: str, glob: str = "*.avro",
     if do_split:
         ranges = avro_split_index(spark, path, glob=glob,
                                   target_split_bytes=target_split_bytes)
-        # one task per range, EXPLICIT count: the index stage emits
-        # ranges partitioned like the path listing (one big file's
-        # ranges all in one partition — what the split exists to undo),
-        # and a column-based repartition would let AQE coalesce by the
-        # index rows' ~100 bytes, not the ~target_split_bytes of decode
-        # work each row stands for — collapsing a 10 GB file back to
-        # one task. The count() re-runs the framing scan once (reads
-        # ~20 bytes per block), the price of an exact task count.
-        n_ranges = ranges.count()
-        ranges = ranges.repartition(max(n_ranges, 1))
+        # materialize the index on the DRIVER: one ~100-byte row per
+        # ~target_split_bytes of data — the same bounded class as the
+        # export-manifest collect, and where Hadoop InputFormats plan
+        # their splits too. This runs the distributed framing scan
+        # exactly once and hands each decode task exactly ONE range
+        # (review r7: the previous count()+repartition re-ran the
+        # uncached scan for the second job, and round-robin could still
+        # co-locate ranges). A column repartition would be worse again:
+        # AQE sizes by the index rows' bytes, not the decode work each
+        # row stands for, collapsing a 10 GB file back to one task.
+        idx = [tuple(r) for r in ranges.collect()]
+        if not idx:
+            # containers exist (header was read) but hold zero blocks
+            return spark.createDataFrame([], safe_sdt).select(*casts)
+        rdd = spark.sparkContext.parallelize(idx, len(idx))
+        ranges = spark.createDataFrame(rdd, schema=ranges.schema)
         out = ranges.mapInPandas(decode_ranges, schema=safe_sdt)
     else:
         out = files.select("content").mapInPandas(decode, schema=safe_sdt)

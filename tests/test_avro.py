@@ -601,3 +601,36 @@ def test_avro_block_split_reads(spark, tmp_path):
     # a single block larger than the target is its own range
     big = avro_block_ranges(p, target_bytes=1)
     assert [nb for _, _, nb in big] == [1] * 12
+
+
+def test_avro_split_corrupt_deflate_block_raises_avroerror(spark, tmp_path):
+    """Review r7: a corrupt deflate payload (sync intact) must surface
+    as AvroError in BOTH read modes — the split path let raw zlib.error
+    escape the module's error contract."""
+    schema = {"type": "record", "name": "Z",
+              "fields": [{"name": "k", "type": "long"}]}
+    recs = [{"k": i} for i in range(20)]
+    d = tmp_path / "av"
+    d.mkdir()
+    p = str(d / "z.avro")
+    blob = bytearray(avro_encode_file(json.dumps(schema), recs,
+                                      codec="deflate", block_records=5))
+    # overwrite the FIRST block's compressed payload with 0xFF bytes:
+    # deflate reads BTYPE=3 (reserved) -> guaranteed inflate error,
+    # while count/size/sync framing stays intact (a trailing-byte flip
+    # can silently still inflate)
+    import io as _io
+    from accelerator_spark.sources.avro import _read_long, avro_read_header
+    buf = _io.BytesIO(bytes(blob))
+    avro_read_header(buf)
+    _read_long(buf)            # block record-count
+    size = _read_long(buf)     # payload byte-size
+    start = buf.tell()
+    blob[start:start + size] = b"\xff" * size
+    with open(p, "wb") as f:
+        f.write(bytes(blob))
+    for split in (False, True):
+        df = avro_import(spark, str(d), split=split,
+                         target_split_bytes=64)
+        with pytest.raises(Exception, match="AvroError|deflate|sync"):
+            df.collect()

@@ -272,3 +272,16 @@ def test_image_resizer_unified_formats(spark):
     assert (out[2]["width"], out[2]["height"]) == (4, 3)
     assert (out[3]["width"], out[3]["height"]) == (2, 2)
     assert out[4]["payload"] is None  # contained
+
+
+def test_restart_accepts_fill_bytes():
+    """Review r7: T.81 B.1.1.2 allows 0xFF fill bytes before any
+    marker, restarts included — a conformant foreign file with padding
+    must decode."""
+    px, w, h = _const_blocks([50, 100, 150, 200], 4, 1)
+    blob = jpeg_encode(px, w, h, channels=1, quant=UNIT_Q,
+                       restart_interval=1)
+    i = blob.find(b"\xff\xd0")
+    assert i > 0
+    padded = blob[:i] + b"\xff" + blob[i:]  # FF FF D0
+    assert jpeg_decode(padded).pixels == px

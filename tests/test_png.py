@@ -396,3 +396,41 @@ def test_trns_transparency_applied():
         png_encode([1, 2, 3, 4], 1, 1, color_type=6, trns=b"\x00")
     # alpha-true formats never consult tRNS; fully-opaque path intact
     assert png_decode(png_encode([1, 2], 2, 1)).channels == 1
+
+
+def test_trns_gray_subbyte_depth_scales_to_8bit():
+    """Review r7: gray+alpha at depth 1/2/4 is not a legal PNG shape —
+    tRNS application on sub-8-bit gray scales samples to 8-bit (the
+    spec's own 255/maxval scaling), so downstream re-encodes work."""
+    from accelerator_spark.operators.multimodal import image_resizer
+
+    blob = png_encode([0, 1, 1, 0], 2, 2, bit_depth=1,
+                      trns=bytes([0, 1]))
+    img = png_decode(blob)
+    assert (img.channels, img.bit_depth) == (2, 8)
+    assert img.pixels == (0, 255, 255, 0, 255, 0, 0, 255)
+    # and the full binary-in/binary-out path survives it
+    out, nw, nh = image_resizer(blob, "image/png", 1)
+    assert (nw, nh) == (1, 1)
+    assert png_decode(out).channels == 2
+    # depth-2: maxval 3 -> scale 85
+    img2 = png_decode(png_encode([3, 2], 2, 1, bit_depth=2,
+                                 trns=bytes([0, 2])))
+    assert img2.pixels == (255, 255, 170, 0)
+
+
+def test_png_max_pixels_guard_at_parse(spark):
+    """Review r7: max_pixels rejects DECLARED dimensions at IHDR parse,
+    before inflate/unfilter work — and the production call sites
+    (real_decoder, image_resizer) budget at 1<<22 like gif/jpeg."""
+    from accelerator_spark.operators.multimodal import image_resizer
+
+    blob = png_encode([7] * 100, 10, 10)
+    with pytest.raises(PngError, match="max_pixels"):
+        png_decode(blob, max_pixels=99)
+    assert png_decode(blob, max_pixels=100).width == 10
+    # call sites pass their budget through
+    with pytest.raises(PngError, match="max_pixels"):
+        real_decoder(blob, "image/png", max_pixels=99)
+    with pytest.raises(PngError, match="max_pixels"):
+        image_resizer(blob, "image/png", 4, max_pixels=99)
