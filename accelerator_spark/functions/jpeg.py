@@ -11,17 +11,21 @@ star multimodal surface, cross-checked against the JVM's ImageIO
 through Spark's ``image`` source exactly like the PNG/GIF codecs.
 
 Scope:
-- decode: baseline DCT (SOF0) and extended sequential (SOF1), 8-bit,
-  Huffman coding, 1- or 3-component (grayscale / JFIF YCbCr), h/v
-  sampling factors 1-4 (4:4:4, 4:2:2, 4:4:0, 4:2:0, ...), restart
-  markers, 8- and 16-bit quant tables, one interleaved scan.
+- decode: baseline DCT (SOF0), extended sequential (SOF1), AND
+  progressive (SOF2, Annex G: spectral selection + successive
+  approximation with EOBRUN, multi-scan coefficient accumulation —
+  real scraped corpora are full of progressive files), 8-bit, Huffman
+  coding, 1- or 3-component (grayscale / JFIF YCbCr), h/v sampling
+  factors 1-4 (4:4:4, 4:2:2, 4:4:0, 4:2:0, ...), restart markers,
+  8- and 16-bit quant tables.
 - encode: baseline, grayscale or 4:4:4 YCbCr, fixed spec-Annex-K-style
   Huffman tables (the tables travel in DHT, so any valid table set
   produces a conformant file), IJG-style quality scaling
   (``quality=100`` -> all-ones quant tables: constant 8x8 blocks then
   round-trip EXACTLY, the property the oracle gate builds on).
-- out of scope (JpegError): progressive (SOF2), arithmetic coding,
-  12-bit precision, CMYK/4-component, non-interleaved multi-scan.
+- out of scope (JpegError): arithmetic coding, 12-bit precision,
+  CMYK/4-component, lossless/hierarchical SOFs, non-interleaved
+  multi-scan SEQUENTIAL files (progressive multi-scan is in scope).
 
 Unlike PNG/GIF, two correct JPEG DECODERS may legitimately differ by
 ~1/255 per sample (the spec constrains IDCT accuracy, not bit-exact
@@ -250,8 +254,13 @@ def jpeg_decode(data: bytes, max_pixels: int = 1 << 26) -> JpegImage:
     comps: list[_Component] = []
     width = height = 0
     dri = 0
+    progressive = False
+    store = None        # per-component zigzag coefficient blocks (SOF2)
+    geom = None         # (hmax, vmax, mcux, mcuy)
     while True:
         if pos + 1 >= len(data):
+            if progressive and store is not None:
+                break  # tolerate a missing EOI after the last scan
             raise JpegError("truncated before SOS")
         if data[pos] != 0xFF:
             raise JpegError(f"expected marker at {pos}, got "
@@ -260,7 +269,9 @@ def jpeg_decode(data: bytes, max_pixels: int = 1 << 26) -> JpegImage:
             pos += 1  # fill bytes
         marker = data[pos + 1]
         pos += 2
-        if marker == 0xD9:  # EOI before any scan
+        if marker == 0xD9:  # EOI
+            if progressive and store is not None:
+                break  # all scans read — reconstruct below
             raise JpegError("no scan data (EOI before SOS)")
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue  # standalone markers carry no length
@@ -305,9 +316,10 @@ def jpeg_decode(data: bytes, max_pixels: int = 1 << 26) -> JpegImage:
                 i += nv
                 (dc_tables if tc == 0 else ac_tables)[th] = \
                     _build_huffman(bits, vals)
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
             if comps:
                 raise JpegError("multiple frames")
+            progressive = marker == 0xC2
             if len(seg) < 6:
                 raise JpegError("truncated SOF")
             prec, height, width, nc = struct.unpack(">BHHB", seg[:6])
@@ -329,13 +341,10 @@ def jpeg_decode(data: bytes, max_pixels: int = 1 << 26) -> JpegImage:
                 if not (1 <= h <= 4 and 1 <= v <= 4):
                     raise JpegError(f"bad sampling factors {h}x{v}")
                 comps.append(_Component(cid, h, v, tq_id))
-        elif marker == 0xC2:
-            raise JpegError("progressive JPEG unsupported "
-                            "(baseline sequential only)")
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise JpegError(f"SOF marker 0xff{marker:02x} unsupported "
-                            "(baseline sequential only)")
+                            "(baseline/progressive Huffman only)")
         elif marker == 0xDD:  # DRI
             if len(seg) < 2:
                 raise JpegError("truncated DRI")
@@ -344,21 +353,80 @@ def jpeg_decode(data: bytes, max_pixels: int = 1 << 26) -> JpegImage:
             if not comps:
                 raise JpegError("SOS before SOF")
             ns = seg[0] if seg else 0
-            if ns != len(comps):
-                raise JpegError("non-interleaved multi-scan JPEG "
-                                "unsupported (one interleaved scan only)")
             if len(seg) < 1 + 2 * ns + 3:
                 raise JpegError("truncated SOS")
-            by_id = {c.cid: c for c in comps}
+            by_id = {c.cid: (i, c) for i, c in enumerate(comps)}
+            scan_comps = []
             for s in range(ns):
                 cs, tsel = seg[1 + 2 * s], seg[2 + 2 * s]
                 if cs not in by_id:
                     raise JpegError(f"scan references unknown "
                                     f"component {cs}")
-                by_id[cs].dc, by_id[cs].ac = tsel >> 4, tsel & 15
-            return _decode_scan(data, pos, width, height, comps, qt,
-                                dc_tables, ac_tables, dri)
+                i, c = by_id[cs]
+                c.dc, c.ac = tsel >> 4, tsel & 15
+                scan_comps.append((i, c))
+            if not progressive:
+                if ns != len(comps):
+                    raise JpegError(
+                        "non-interleaved multi-scan sequential JPEG "
+                        "unsupported (one interleaved scan only)")
+                return _decode_scan(data, pos, width, height, comps, qt,
+                                    dc_tables, ac_tables, dri)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            if geom is None:
+                hmax = max(c.h for c in comps)
+                vmax = max(c.v for c in comps)
+                geom = (hmax, vmax, -(-width // (8 * hmax)),
+                        -(-height // (8 * vmax)))
+                _, _, mcux, mcuy = geom
+                store = [[[0] * 64
+                          for _ in range(mcux * c.h * mcuy * c.v)]
+                         for c in comps]
+            pos = _decode_progressive_scan(
+                data, pos, width, height, geom, scan_comps, ss, se,
+                ah, al, store, dc_tables, ac_tables, dri)
         # APPn (E0-EF), COM (FE), others with length: skipped
+
+    # progressive reconstruction: all scans accumulated into `store` —
+    # dequantize + IDCT once per block, then the shared plane tail
+    hmax, vmax, mcux, mcuy = geom
+    planes, pws = [], []
+    for ci, c in enumerate(comps):
+        if c.tq not in qt:
+            raise JpegError(f"component references missing quant "
+                            f"table {c.tq}")
+        q = qt[c.tq]
+        pw = mcux * 8 * c.h
+        plane = bytearray(pw * mcuy * 8 * c.v)
+        bw_alloc = mcux * c.h
+        for bi, coefz in enumerate(store[ci]):
+            F = [0] * 64
+            any_nz = False
+            for zz in range(64):
+                v = coefz[zz]
+                if v:
+                    F[_ZZ[zz]] = v * q[zz]
+                    any_nz = True
+            by, bx = divmod(bi, bw_alloc)
+            ox, oy = bx * 8, by * 8
+            if not any_nz:
+                for y in range(8):
+                    row = (oy + y) * pw + ox
+                    plane[row:row + 8] = b"\x80" * 8  # flat 128 block
+                continue
+            samples = _idct2(F)
+            for y in range(8):
+                row = (oy + y) * pw + ox
+                src = y * 8
+                for x in range(8):
+                    v = int(samples[src + x] + 128.5)
+                    plane[row + x] = (0 if v < 0
+                                      else 255 if v > 255 else v)
+        planes.append(plane)
+        pws.append(pw)
+    return _planes_to_image(planes, pws, comps, width, height, hmax, vmax)
 
 
 def _decode_scan(data, pos, width, height, comps, qt, dc_tables,
@@ -423,6 +491,13 @@ def _decode_scan(data, pos, width, height, comps, qt, dc_tables,
                             v = int(samples[src + x] + 128.5)
                             plane[row + x] = (0 if v < 0
                                               else 255 if v > 255 else v)
+    return _planes_to_image(planes, pws, comps, width, height, hmax, vmax)
+
+
+def _planes_to_image(planes, pws, comps, width, height, hmax,
+                     vmax) -> JpegImage:
+    """Component sample planes -> final image (crop, chroma upsample,
+    YCbCr->RGB). Shared by the baseline and progressive paths."""
     if len(comps) == 1:
         pw = pws[0]
         plane = planes[0]
@@ -518,6 +593,155 @@ def _upsample_nearest(plane, pw, width, height, h, v, hmax,
             out[o] = plane[row + (x * h // hmax)]
             o += 1
     return out
+
+
+def _decode_progressive_scan(data, pos, width, height, geom, scan_comps,
+                             ss, se, ah, al, store, dc_tables, ac_tables,
+                             dri) -> int:
+    """Decode ONE progressive scan (T.81 Annex G, Huffman) into the
+    zigzag coefficient store; returns the stream position after the
+    entropy data. Four scan kinds: DC first / DC refine (interleaved or
+    single-component), AC first / AC refine (single-component only, per
+    spec, with EOBRUN end-of-band runs and successive-approximation
+    correction bits)."""
+    hmax, vmax, mcux, mcuy = geom
+    reader = _BitReader(data, pos)
+    if ss == 0:  # ---- DC scan --------------------------------------
+        if se != 0:
+            raise JpegError("DC scan with Se != 0")
+        if ah == 0:
+            tables = {}
+            for _, c in scan_comps:
+                if c.dc not in dc_tables:
+                    raise JpegError("scan references missing DC table")
+                tables[c.cid] = dc_tables[c.dc]
+        preds = [0] * len(scan_comps)
+        if len(scan_comps) > 1:  # interleaved over the MCU grid
+            n_mcu = mcux * mcuy
+            for m in range(n_mcu):
+                if dri and m and m % dri == 0:
+                    reader.expect_restart(m // dri - 1)
+                    preds = [0] * len(scan_comps)
+                my, mx = divmod(m, mcux)
+                for si, (ci, c) in enumerate(scan_comps):
+                    bw_alloc = mcux * c.h
+                    for by in range(c.v):
+                        for bx in range(c.h):
+                            coef = store[ci][
+                                (my * c.v + by) * bw_alloc
+                                + mx * c.h + bx]
+                            if ah == 0:
+                                t = reader.huff(tables[c.cid])
+                                if t > 15:
+                                    raise JpegError("bad DC category")
+                                preds[si] += reader.receive_extend(t)
+                                coef[0] = preds[si] << al
+                            elif reader.bit():
+                                coef[0] |= 1 << al
+            return reader.pos
+        scan_comps = scan_comps[:1]  # single-component: fall through
+    elif len(scan_comps) != 1:
+        raise JpegError("progressive AC scan must cover one component")
+    # ---- single-component scan over the TRUNCATED block grid --------
+    ci, c = scan_comps[0]
+    bw_alloc = mcux * c.h
+    comp_w = -(-width * c.h // hmax)    # ceil: component sample dims
+    comp_h = -(-height * c.v // vmax)
+    tw = -(-comp_w // 8)                # ceil: truncated block grid
+    th = -(-comp_h // 8)
+    is_dc = ss == 0
+    if not is_dc:
+        if not 1 <= ss <= se <= 63:
+            raise JpegError(f"bad spectral band {ss}..{se}")
+        if ah == 0 and c.ac not in ac_tables:
+            raise JpegError("scan references missing AC table")
+        act = ac_tables.get(c.ac)
+    elif ah == 0:
+        dct = dc_tables[c.dc]
+    p1, m1 = 1 << al, -1 << al
+    eobrun = 0
+    pred = 0
+    nb = 0
+    for by in range(th):
+        for bx in range(tw):
+            if dri and nb and nb % dri == 0:
+                reader.expect_restart(nb // dri - 1)
+                pred = eobrun = 0
+            nb += 1
+            coef = store[ci][by * bw_alloc + bx]
+            if is_dc:
+                if ah == 0:
+                    t = reader.huff(dct)
+                    if t > 15:
+                        raise JpegError("bad DC category")
+                    pred += reader.receive_extend(t)
+                    coef[0] = pred << al
+                elif reader.bit():
+                    coef[0] |= p1
+                continue
+            if ah == 0:  # ---- AC first pass -------------------------
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = reader.huff(act)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.bits(r)
+                        break  # EOB for this block
+                    k += r
+                    if k > se:
+                        raise JpegError("AC run past band end")
+                    coef[k] = reader.receive_extend(s) << al
+                    k += 1
+                continue
+            # ---- AC refinement pass (T.81 G.1.2.3 / the classic
+            # correction-bit walk): newly-nonzero coeffs arrive as
+            # +-(1<<Al); every already-nonzero coeff crossed on the way
+            # consumes one correction bit ----------------------------
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = reader.huff(act)
+                    r, s = rs >> 4, rs & 15
+                    newval = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.bits(r)
+                            break
+                        # r == 15: pass over 16 zero-history coeffs
+                    else:
+                        if s != 1:
+                            raise JpegError("bad AC refine magnitude")
+                        newval = p1 if reader.bit() else m1
+                    while k <= se:
+                        if coef[k]:
+                            if reader.bit() and not (coef[k] & p1):
+                                coef[k] += p1 if coef[k] > 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        coef[k] = newval
+                    k += 1
+            if eobrun:
+                while k <= se:
+                    if coef[k]:
+                        if reader.bit() and not (coef[k] & p1):
+                            coef[k] += p1 if coef[k] > 0 else m1
+                    k += 1
+                eobrun -= 1
+    return reader.pos
 
 
 # ---------------------------------------------------------------- encode

@@ -5,12 +5,13 @@ The Spark-side plumbing is real and tested: schema conventions, Arrow-
 batched mapInPandas decode pipeline, partition sizing for large blobs.
 Image decoding is REAL for PNG (functions/png.py, zlib + per-row
 unfiltering), GIF (functions/gif.py, pure-Python LZW + frame
-compositing) and baseline JPEG (functions/jpeg.py, Huffman + IDCT) —
+compositing) and JPEG, baseline AND progressive (functions/jpeg.py,
+Huffman + IDCT) —
 all pure stdlib behind ``real_decoder``, each cross-checked against
 Java ImageIO and oracle-gated over real bytes; WAV PCM likewise
 (functions/wav.py) behind ``real_audio_decoder``. Codecs that
-genuinely need external libraries (progressive JPEG, compressed
-audio, video) stay behind the ``decoder=`` hook: pass a PIL/ffmpeg-
+genuinely need external libraries (compressed audio, video) stay
+behind the ``decoder=`` hook: pass a PIL/ffmpeg-
 backed callable where the libs exist; DETERMINISTIC_FAKE produces
 stable pseudo-features so the distributed plumbing is testable for
 those formats end-to-end.
@@ -62,13 +63,13 @@ def real_decoder(payload: bytes, mime: str, max_pixels: int = 1 << 22):
     per-channel pixel means normalized to [0, 1], plus real width and
     height. Malformed PNG bytes raise PngError (an empty/NULL payload
     tagged image/png included); per-row containment for dirty corpora
-    is decode_features' ``on_error="null"``. GIF and baseline JPEG
-    (functions/gif.py, functions/jpeg.py) decode for real too, each
-    with its own ImageIO cross-check suite.
+    is decode_features' ``on_error="null"``. GIF and JPEG (baseline and
+    progressive; functions/gif.py, functions/jpeg.py) decode for real
+    too, each with its own ImageIO cross-check suite.
 
-    Formats whose codecs genuinely need external libs (progressive
-    JPEG, video containers) still raise — swap in a PIL/ffmpeg-backed
-    callable where those libs exist."""
+    Formats whose codecs genuinely need external libs (video
+    containers, compressed audio) still raise — swap in a PIL/ffmpeg-
+    backed callable where those libs exist."""
     from ..functions.png import _SIGNATURE, png_decode
 
     payload = bytes(payload) if payload else b""
@@ -102,9 +103,9 @@ def real_decoder(payload: bytes, mime: str, max_pixels: int = 1 << 22):
     if mime == "image/jpeg" or payload[:3] == b"\xff\xd8\xff":
         from ..functions.jpeg import jpeg_decode
 
-        # baseline sequential JFIF, pure stdlib (functions/jpeg.py,
-        # VERDICT r6 #2) — cross-checked against Java ImageIO both
-        # directions in tests/test_jpeg.py; progressive JPEG raises
+        # pure-stdlib JFIF, baseline and progressive
+        # (functions/jpeg.py, VERDICT r6 #2) — cross-checked against
+        # Java ImageIO both directions in tests/test_jpeg.py
         img = jpeg_decode(payload, max_pixels=max_pixels)
         n_px = img.width * img.height
         feat = [sum(img.pixels[c::img.channels]) / n_px / 255.0
@@ -112,7 +113,7 @@ def real_decoder(payload: bytes, mime: str, max_pixels: int = 1 << 22):
         return feat, img.width, img.height
     raise NotImplementedError(
         f"no stdlib codec for {mime!r}: only image/png, image/gif and "
-        "baseline image/jpeg decode in this container; pass "
+        "image/jpeg (baseline+progressive) decode in this container; pass "
         "decoder=DETERMINISTIC_FAKE or a PIL/ffmpeg-backed callable "
         "for other formats")
 
@@ -418,7 +419,7 @@ def image_resizer(payload: bytes, mime: str, max_side: int,
                   max_pixels: int = 1 << 22):
     """REAL resize for every image format this container decodes
     (VERDICT r6 #5): stdlib decode (PNG / GIF frame 0 composed onto the
-    logical screen / baseline JPEG) -> nearest-neighbor downsample
+    logical screen / JPEG incl. progressive) -> nearest-neighbor downsample
     (aspect preserved, never upscales) -> PNG re-encode (lossless, so
     resize never adds generation loss on top of resampling). The
     genuine binary-in/binary-out hook for resize_media; non-image
@@ -449,7 +450,7 @@ def image_resizer(payload: bytes, mime: str, max_side: int,
     else:
         raise NotImplementedError(
             f"image_resizer only handles image/png, image/gif and "
-            f"baseline image/jpeg, got {mime!r}")
+            f"image/jpeg, got {mime!r}")
     resampled, nw, nh = _nn_resample(pixels, w, h, ch, max_side)
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
     blob = png_encode(resampled, nw, nh, color_type=color_type,
@@ -474,7 +475,7 @@ def resize_media(
     """Binary-in/binary-out media transform (resize/transcode shape):
     the second mapInPandas pattern besides decode_features — output rows
     carry a NEW binary payload, so Arrow batch sizing matters on both
-    directions. ``image_resizer`` really resizes PNG/GIF/baseline-JPEG
+    directions. ``image_resizer`` really resizes PNG/GIF/JPEG
     in this container; swap ``resizer`` for a PIL/ffmpeg hook where
     those libs exist."""
     def per_row(raw: bytes, mime: str):

@@ -127,11 +127,16 @@ def test_malformed_and_out_of_scope():
         jpeg_decode(good[:20])
     with pytest.raises(JpegError, match="truncated"):
         jpeg_decode(good[:-12])  # cut inside entropy data
-    # progressive: flip SOF0 -> SOF2
+    # flip SOF0 -> SOF2: the baseline scan header (Se=63) is invalid
+    # under progressive rules — caught, not mis-decoded
     i = good.find(b"\xff\xc0")
     prog = good[:i + 1] + b"\xc2" + good[i + 2:]
-    with pytest.raises(JpegError, match="progressive"):
+    with pytest.raises(JpegError, match="Se"):
         jpeg_decode(prog)
+    # genuinely out-of-scope SOF: lossless sequential
+    nosup = good[:i + 1] + b"\xc3" + good[i + 2:]
+    with pytest.raises(JpegError, match="unsupported"):
+        jpeg_decode(nosup)
     with pytest.raises(JpegError, match="max_pixels"):
         jpeg_decode(good, max_pixels=4)
     with pytest.raises(JpegError, match="quality"):
@@ -174,7 +179,8 @@ def test_jpeg_fixture_corpus_matches_imageio(spark):
     4:2:0 adds chroma-upsample rounding (both sides use the triangular
     'fancy' filter; ours composes the 1-D form separably — 1 ulp)."""
     files = sorted(glob.glob(os.path.join(FIXTURE_DIR, "*.jpg")))
-    assert len(files) >= 9, "fixture corpus missing — see tools/make_jpeg_fixtures.py"
+    assert len(files) >= 12, "fixture corpus missing — see tools/make_jpeg_fixtures.py"
+    assert sum("prog" in f for f in files) >= 3  # progressive covered
     for f in files:
         name = os.path.basename(f)
         mine = jpeg_decode(open(f, "rb").read())

@@ -98,6 +98,36 @@ def main():
             blocky += bytes([v, v, v])
     write_java("imageio_blocky.jpg", bytes(blocky), 16, 16)
 
+    # PROGRESSIVE (SOF2, ~10 scans: spectral selection + successive
+    # approximation), ImageIO's encoder — r7 decode-scope extension
+    def write_java_prog(name, px, w, h, gray=False):
+        t = (jvm.java.awt.image.BufferedImage.TYPE_BYTE_GRAY if gray
+             else jvm.java.awt.image.BufferedImage.TYPE_INT_RGB)
+        bi = jvm.java.awt.image.BufferedImage(w, h, t)
+        for y in range(h):
+            for x in range(w):
+                i = y * w + x
+                bi.setRGB(x, y, (px[3 * i] << 16) | (px[3 * i + 1] << 8)
+                          | px[3 * i + 2])
+        writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+            "jpg").next()
+        param = writer.getDefaultWriteParam()
+        param.setProgressiveMode(
+            jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        f = jvm.java.io.File(os.path.join(OUT, name))
+        out = jvm.javax.imageio.ImageIO.createImageOutputStream(f)
+        writer.setOutput(out)
+        writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None),
+                     param)
+        out.close()
+        writer.dispose()
+        print(name, f.length(), "bytes (ImageIO progressive)")
+
+    write_java_prog("imageio_prog_smooth.jpg", smooth_rgb(24, 16), 24, 16)
+    write_java_prog("imageio_prog_odd.jpg", smooth_rgb(19, 11), 19, 11)
+    write_java_prog("imageio_prog_gray.jpg", smooth_rgb(16, 16), 16, 16,
+                    gray=True)
+
 
 if __name__ == "__main__":
     main()
