@@ -36,6 +36,7 @@ path which is exact by construction.
 
 from __future__ import annotations
 
+import array
 import math
 import struct
 from dataclasses import dataclass
@@ -259,9 +260,14 @@ def jpeg_decode(data: bytes, max_pixels: int = 1 << 26) -> JpegImage:
     geom = None         # (hmax, vmax, mcux, mcuy)
     while True:
         if pos + 1 >= len(data):
-            if progressive and store is not None:
-                break  # tolerate a missing EOI after the last scan
-            raise JpegError("truncated before SOS")
+            # EOI is the ONLY completeness signal progressive JPEG has
+            # (encoders choose their own scan script) — running out of
+            # bytes without it means a truncated file, and tolerating it
+            # would silently decode a lower-fidelity image (review r7)
+            raise JpegError(
+                "truncated (no EOI after scans)"
+                if progressive and store is not None
+                else "truncated before SOS")
         if data[pos] != 0xFF:
             raise JpegError(f"expected marker at {pos}, got "
                             f"0x{data[pos]:02x}")
@@ -353,6 +359,8 @@ def jpeg_decode(data: bytes, max_pixels: int = 1 << 26) -> JpegImage:
             if not comps:
                 raise JpegError("SOS before SOF")
             ns = seg[0] if seg else 0
+            if ns == 0:
+                raise JpegError("scan with zero components")
             if len(seg) < 1 + 2 * ns + 3:
                 raise JpegError("truncated SOS")
             by_id = {c.cid: (i, c) for i, c in enumerate(comps)}
@@ -381,9 +389,13 @@ def jpeg_decode(data: bytes, max_pixels: int = 1 << 26) -> JpegImage:
                 geom = (hmax, vmax, -(-width // (8 * hmax)),
                         -(-height // (8 * vmax)))
                 _, _, mcux, mcuy = geom
-                store = [[[0] * 64
-                          for _ in range(mcux * c.h * mcuy * c.v)]
-                         for c in comps]
+                # one FLAT int32 array per component (4 bytes/coeff),
+                # not a list-of-lists (~10x the bytes) — keeps the
+                # max_pixels guard's memory calibration honest for
+                # SOF2 files declaring huge dimensions (review r7)
+                store = [array.array(
+                    "i", bytes(4 * 64 * mcux * c.h * mcuy * c.v))
+                    for c in comps]
             pos = _decode_progressive_scan(
                 data, pos, width, height, geom, scan_comps, ss, se,
                 ah, al, store, dc_tables, ac_tables, dri)
@@ -401,32 +413,39 @@ def jpeg_decode(data: bytes, max_pixels: int = 1 << 26) -> JpegImage:
         pw = mcux * 8 * c.h
         plane = bytearray(pw * mcuy * 8 * c.v)
         bw_alloc = mcux * c.h
-        for bi, coefz in enumerate(store[ci]):
+        st = store[ci]
+        for bi in range(len(st) // 64):
+            base = bi * 64
             F = [0] * 64
-            any_nz = False
             for zz in range(64):
-                v = coefz[zz]
+                v = st[base + zz]
                 if v:
                     F[_ZZ[zz]] = v * q[zz]
-                    any_nz = True
             by, bx = divmod(bi, bw_alloc)
-            ox, oy = bx * 8, by * 8
-            if not any_nz:
-                for y in range(8):
-                    row = (oy + y) * pw + ox
-                    plane[row:row + 8] = b"\x80" * 8  # flat 128 block
-                continue
-            samples = _idct2(F)
-            for y in range(8):
-                row = (oy + y) * pw + ox
-                src = y * 8
-                for x in range(8):
-                    v = int(samples[src + x] + 128.5)
-                    plane[row + x] = (0 if v < 0
-                                      else 255 if v > 255 else v)
+            _block_to_plane(F, plane, pw, bx * 8, by * 8)
         planes.append(plane)
         pws.append(pw)
     return _planes_to_image(planes, pws, comps, width, height, hmax, vmax)
+
+
+def _block_to_plane(F, plane, pw, ox, oy):
+    """Dequantized natural-order coefficients -> clamped 8-bit samples
+    placed at (ox, oy) in a component plane. Shared by the baseline and
+    progressive paths (review r7: the copies had already diverged).
+    All-zero blocks short-circuit to flat 128 — common in sparse
+    progressive stores."""
+    if not any(F):
+        for y in range(8):
+            row = (oy + y) * pw + ox
+            plane[row:row + 8] = b"\x80" * 8
+        return
+    samples = _idct2(F)
+    for y in range(8):
+        row = (oy + y) * pw + ox
+        src = y * 8
+        for x in range(8):
+            v = int(samples[src + x] + 128.5)
+            plane[row + x] = 0 if v < 0 else 255 if v > 255 else v
 
 
 def _decode_scan(data, pos, width, height, comps, qt, dc_tables,
@@ -480,17 +499,8 @@ def _decode_scan(data, pos, width, height, comps, qt, dc_tables,
                             raise JpegError("AC run past block end")
                         F[_ZZ[k]] = reader.receive_extend(s) * q[k]
                         k += 1
-                    samples = _idct2(F)
-                    # -- place into the component plane --------------
-                    ox = (mx * c.h + bx) * 8
-                    oy = (my * c.v + by) * 8
-                    for y in range(8):
-                        row = (oy + y) * pw + ox
-                        src = y * 8
-                        for x in range(8):
-                            v = int(samples[src + x] + 128.5)
-                            plane[row + x] = (0 if v < 0
-                                              else 255 if v > 255 else v)
+                    _block_to_plane(F, plane, pw, (mx * c.h + bx) * 8,
+                                    (my * c.v + by) * 8)
     return _planes_to_image(planes, pws, comps, width, height, hmax, vmax)
 
 
@@ -599,51 +609,55 @@ def _decode_progressive_scan(data, pos, width, height, geom, scan_comps,
                              ss, se, ah, al, store, dc_tables, ac_tables,
                              dri) -> int:
     """Decode ONE progressive scan (T.81 Annex G, Huffman) into the
-    zigzag coefficient store; returns the stream position after the
-    entropy data. Four scan kinds: DC first / DC refine (interleaved or
-    single-component), AC first / AC refine (single-component only, per
-    spec, with EOBRUN end-of-band runs and successive-approximation
-    correction bits)."""
+    flat zigzag coefficient store; returns the stream position after
+    the entropy data. Four scan kinds: DC first / DC refine
+    (interleaved or single-component), AC first / AC refine
+    (single-component only, per spec, with EOBRUN end-of-band runs and
+    successive-approximation correction bits)."""
     hmax, vmax, mcux, mcuy = geom
     reader = _BitReader(data, pos)
+    p1, m1 = 1 << al, -1 << al
     if ss == 0:  # ---- DC scan --------------------------------------
         if se != 0:
             raise JpegError("DC scan with Se != 0")
-        if ah == 0:
-            tables = {}
-            for _, c in scan_comps:
-                if c.dc not in dc_tables:
-                    raise JpegError("scan references missing DC table")
-                tables[c.cid] = dc_tables[c.dc]
-        preds = [0] * len(scan_comps)
         if len(scan_comps) > 1:  # interleaved over the MCU grid
+            if ah == 0:
+                tables = {}
+                for _, c in scan_comps:
+                    if c.dc not in dc_tables:
+                        raise JpegError(
+                            "scan references missing DC table")
+                    tables[c.cid] = dc_tables[c.dc]
+                preds = [0] * len(scan_comps)
             n_mcu = mcux * mcuy
             for m in range(n_mcu):
                 if dri and m and m % dri == 0:
                     reader.expect_restart(m // dri - 1)
-                    preds = [0] * len(scan_comps)
+                    if ah == 0:
+                        preds = [0] * len(scan_comps)
                 my, mx = divmod(m, mcux)
                 for si, (ci, c) in enumerate(scan_comps):
                     bw_alloc = mcux * c.h
+                    st = store[ci]
                     for by in range(c.v):
                         for bx in range(c.h):
-                            coef = store[ci][
-                                (my * c.v + by) * bw_alloc
-                                + mx * c.h + bx]
+                            base = ((my * c.v + by) * bw_alloc
+                                    + mx * c.h + bx) * 64
                             if ah == 0:
                                 t = reader.huff(tables[c.cid])
                                 if t > 15:
                                     raise JpegError("bad DC category")
                                 preds[si] += reader.receive_extend(t)
-                                coef[0] = preds[si] << al
+                                st[base] = preds[si] << al
                             elif reader.bit():
-                                coef[0] |= 1 << al
+                                st[base] |= p1
             return reader.pos
         scan_comps = scan_comps[:1]  # single-component: fall through
     elif len(scan_comps) != 1:
         raise JpegError("progressive AC scan must cover one component")
     # ---- single-component scan over the TRUNCATED block grid --------
     ci, c = scan_comps[0]
+    st = store[ci]
     bw_alloc = mcux * c.h
     comp_w = -(-width * c.h // hmax)    # ceil: component sample dims
     comp_h = -(-height * c.v // vmax)
@@ -653,12 +667,16 @@ def _decode_progressive_scan(data, pos, width, height, geom, scan_comps,
     if not is_dc:
         if not 1 <= ss <= se <= 63:
             raise JpegError(f"bad spectral band {ss}..{se}")
-        if ah == 0 and c.ac not in ac_tables:
+        # refinement reads Huffman symbols too — the table must exist
+        # for BOTH passes (review r7: ah>0 with a missing table crashed
+        # with AttributeError instead of JpegError)
+        if c.ac not in ac_tables:
             raise JpegError("scan references missing AC table")
-        act = ac_tables.get(c.ac)
+        act = ac_tables[c.ac]
     elif ah == 0:
+        if c.dc not in dc_tables:
+            raise JpegError("scan references missing DC table")
         dct = dc_tables[c.dc]
-    p1, m1 = 1 << al, -1 << al
     eobrun = 0
     pred = 0
     nb = 0
@@ -668,16 +686,16 @@ def _decode_progressive_scan(data, pos, width, height, geom, scan_comps,
                 reader.expect_restart(nb // dri - 1)
                 pred = eobrun = 0
             nb += 1
-            coef = store[ci][by * bw_alloc + bx]
+            base = (by * bw_alloc + bx) * 64
             if is_dc:
                 if ah == 0:
                     t = reader.huff(dct)
                     if t > 15:
                         raise JpegError("bad DC category")
                     pred += reader.receive_extend(t)
-                    coef[0] = pred << al
+                    st[base] = pred << al
                 elif reader.bit():
-                    coef[0] |= p1
+                    st[base] |= p1
                 continue
             if ah == 0:  # ---- AC first pass -------------------------
                 if eobrun:
@@ -698,7 +716,7 @@ def _decode_progressive_scan(data, pos, width, height, geom, scan_comps,
                     k += r
                     if k > se:
                         raise JpegError("AC run past band end")
-                    coef[k] = reader.receive_extend(s) << al
+                    st[base + k] = reader.receive_extend(s) << al
                     k += 1
                 continue
             # ---- AC refinement pass (T.81 G.1.2.3 / the classic
@@ -723,22 +741,31 @@ def _decode_progressive_scan(data, pos, width, height, geom, scan_comps,
                             raise JpegError("bad AC refine magnitude")
                         newval = p1 if reader.bit() else m1
                     while k <= se:
-                        if coef[k]:
-                            if reader.bit() and not (coef[k] & p1):
-                                coef[k] += p1 if coef[k] > 0 else m1
+                        v = st[base + k]
+                        if v:
+                            if reader.bit() and not (v & p1):
+                                st[base + k] = v + (p1 if v > 0 else m1)
                         else:
                             if r == 0:
                                 break
                             r -= 1
                         k += 1
-                    if newval and k <= se:
-                        coef[k] = newval
+                    if newval:
+                        if k > se:
+                            # the zero-run walked past the band: a
+                            # desynchronized bitstream — hard error,
+                            # matching the first-pass strictness
+                            # (review r7: silently dropping the coeff
+                            # decoded garbage without a diagnostic)
+                            raise JpegError("AC refine run past band end")
+                        st[base + k] = newval
                     k += 1
             if eobrun:
                 while k <= se:
-                    if coef[k]:
-                        if reader.bit() and not (coef[k] & p1):
-                            coef[k] += p1 if coef[k] > 0 else m1
+                    v = st[base + k]
+                    if v:
+                        if reader.bit() and not (v & p1):
+                            st[base + k] = v + (p1 if v > 0 else m1)
                     k += 1
                 eobrun -= 1
     return reader.pos

@@ -291,3 +291,42 @@ def test_restart_accepts_fill_bytes():
     assert i > 0
     padded = blob[:i] + b"\xff" + blob[i:]  # FF FF D0
     assert jpeg_decode(padded).pixels == px
+
+
+def test_progressive_contract_guards():
+    """Review r7: malformed progressive inputs stay inside the
+    JpegError contract — truncation at a scan boundary (EOI is the only
+    completeness signal progressive has), zero-component scans, and
+    refinement scans naming a missing Huffman table."""
+    blob = open(os.path.join(FIXTURE_DIR, "imageio_prog_smooth.jpg"),
+                "rb").read()
+    full = jpeg_decode(blob)
+    assert (full.width, full.height) == (24, 16)
+    # cut right before the SECOND SOS: only the DC-first scan survives;
+    # must raise, not silently decode a lower-fidelity image
+    first_sos = blob.find(b"\xff\xda")
+    second_sos = blob.find(b"\xff\xda", first_sos + 2)
+    assert second_sos > 0
+    with pytest.raises(JpegError, match="truncated"):
+        jpeg_decode(blob[:second_sos])
+    # zero-component scan header
+    ns_off = first_sos + 4  # marker(2) + length(2) -> ns byte
+    zeroed = blob[:ns_off] + b"\x00" + blob[ns_off + 1:]
+    with pytest.raises(JpegError, match="zero components"):
+        jpeg_decode(zeroed)
+    # strip every DHT: the FIRST scan (whether DC-first or a
+    # refinement) must raise the missing-table JpegError, never an
+    # AttributeError/KeyError escape
+    out = bytearray()
+    i = 2
+    out += blob[:2]
+    while i + 1 < len(blob):
+        if blob[i] == 0xFF and blob[i + 1] == 0xC4:
+            ln = (blob[i + 2] << 8) | blob[i + 3]
+            i += 2 + ln
+            continue
+        out.append(blob[i])
+        i += 1
+    out += blob[i:]
+    with pytest.raises(JpegError, match="missing .. table|missing"):
+        jpeg_decode(bytes(out))
