@@ -1,0 +1,281 @@
+"""Pure-stdlib ISO Base Media File Format (MP4/MOV/M4A) METADATA
+parser.
+
+Video DECODE is genuinely out of stdlib reach (H.264/H.265 entropy
+coding), but the container layer is just a length-prefixed box tree
+(ISO/IEC 14496-12) — and at 100 TB of scraped video, the planning
+questions (how long? what dims? what codec? how many frames?) are
+container-metadata questions, not decode questions. ``mp4_probe``
+answers them by walking boxes: mvhd (movie timescale/duration), per
+track tkhd (dims), mdhd (media timescale/duration), hdlr (handler
+type), stsd (first sample-entry fourcc = codec), stsz/stz2 (sample
+count = frame count for video tracks). The result feeds
+operators/multimodal.frame_sample_plan (which expands n_frames into
+the frame indices a decode stage would fetch) without touching a
+single codec bit.
+
+Like png/gif/jpeg/avro, written from the public spec; validated
+against a hand-derived golden box tree (tests/test_mp4.py) — the
+container ships no foreign MP4 reader to cross-check against, so the
+golden bytes are authored from the spec's field layouts the same way
+the Avro golden fixtures are.
+
+Scope: box walk with 64-bit largesize and size-0 (to-EOF) framing,
+version 0 AND 1 full boxes for mvhd/tkhd/mdhd, multiple tracks,
+nested moov/trak/mdia/minf/stbl descent. NOT parsed (skipped
+cleanly): edit lists, fragmented MP4 (moof) sample counts, codec
+private data (avcC/esds internals), chapters/udta.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+
+class Mp4Error(ValueError):
+    """Malformed or unsupported-by-scope ISO-BMFF input."""
+
+
+# boxes whose payload is a list of child boxes (the descent set)
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts",
+               b"udta", b"mvex"}
+
+
+@dataclass(frozen=True)
+class Mp4Track:
+    track_id: int
+    handler: str          # 'vide', 'soun', ... ('' if no hdlr)
+    codec: str            # first stsd sample-entry fourcc ('' if none)
+    width: int            # tkhd 16.16 fixed, integer part
+    height: int
+    timescale: int        # mdhd units/second
+    duration: int         # in mdhd timescale units
+    n_samples: int        # stsz/stz2 sample_count (frames for video)
+
+    @property
+    def duration_s(self) -> float:
+        return self.duration / self.timescale if self.timescale else 0.0
+
+
+@dataclass(frozen=True)
+class Mp4Meta:
+    brand: str            # ftyp major brand ('' if no ftyp)
+    timescale: int        # mvhd units/second
+    duration: int         # in mvhd timescale units
+    tracks: tuple         # of Mp4Track
+
+    @property
+    def duration_s(self) -> float:
+        return self.duration / self.timescale if self.timescale else 0.0
+
+
+def _boxes(data: bytes, start: int, end: int, budget: list):
+    """Yield (type, body_start, body_end) for the boxes in
+    data[start:end); validates framing and charges the box budget
+    (a recursion/looping bound for hostile inputs)."""
+    pos = start
+    while pos < end:
+        budget[0] -= 1
+        if budget[0] < 0:
+            raise Mp4Error("box budget exceeded (hostile or corrupt)")
+        if pos + 8 > end:
+            raise Mp4Error("truncated box header")
+        size = struct.unpack(">I", data[pos:pos + 4])[0]
+        btype = data[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise Mp4Error("truncated largesize")
+            size = struct.unpack(">Q", data[pos + 8:pos + 16])[0]
+            body = pos + 16
+        elif size == 0:
+            size = end - pos  # box extends to end of enclosing space
+        if size < body - pos or pos + size > end:
+            raise Mp4Error(f"box {btype!r} size {size} overruns container")
+        yield btype, body, pos + size
+        pos += size
+
+
+def _fullbox(data: bytes, start: int, end: int):
+    """(version, flags, payload_start) of a full box."""
+    if start + 4 > end:
+        raise Mp4Error("truncated full box")
+    return data[start], int.from_bytes(data[start + 1:start + 4], "big"), \
+        start + 4
+
+
+def _parse_mvhd(data, start, end):
+    v, _, p = _fullbox(data, start, end)
+    if v == 1:
+        if p + 28 > end:
+            raise Mp4Error("truncated mvhd v1")
+        ts = struct.unpack(">I", data[p + 16:p + 20])[0]
+        dur = struct.unpack(">Q", data[p + 20:p + 28])[0]
+    else:
+        if p + 16 > end:
+            raise Mp4Error("truncated mvhd")
+        ts, dur = struct.unpack(">II", data[p + 8:p + 16])
+    return ts, dur
+
+
+def _parse_tkhd(data, start, end):
+    v, _, p = _fullbox(data, start, end)
+    tid_off = p + (16 if v == 1 else 8)
+    if tid_off + 4 > end:
+        raise Mp4Error("truncated tkhd")
+    track_id = struct.unpack(">I", data[tid_off:tid_off + 4])[0]
+    # width/height are the LAST 8 bytes of the box, 16.16 fixed point
+    if end - 8 < p:
+        raise Mp4Error("truncated tkhd dims")
+    w, h = struct.unpack(">II", data[end - 8:end])
+    return track_id, w >> 16, h >> 16
+
+
+def _parse_mdhd(data, start, end):
+    v, _, p = _fullbox(data, start, end)
+    if v == 1:
+        if p + 28 > end:
+            raise Mp4Error("truncated mdhd v1")
+        ts = struct.unpack(">I", data[p + 16:p + 20])[0]
+        dur = struct.unpack(">Q", data[p + 20:p + 28])[0]
+    else:
+        if p + 16 > end:
+            raise Mp4Error("truncated mdhd")
+        ts, dur = struct.unpack(">II", data[p + 8:p + 16])
+    return ts, dur
+
+
+def mp4_probe(data: bytes, max_boxes: int = 10_000) -> Mp4Meta:
+    """Parse container metadata from one ISO-BMFF byte string. Reads
+    only box headers and the handful of fixed-layout leaf boxes above —
+    never sample data — so probing a multi-GB file costs kilobytes of
+    actual reads when the moov sits up front (faststart layout).
+    ``max_boxes`` bounds total box visits against crafted loops."""
+    if len(data) < 8:
+        raise Mp4Error("too short for an ISO-BMFF box")
+    budget = [max_boxes]
+    brand = ""
+    ts = dur = 0
+    saw_moov = False
+    tracks = []
+    for btype, b0, b1 in _boxes(data, 0, len(data), budget):
+        if btype == b"ftyp":
+            if b1 - b0 >= 4:
+                brand = data[b0:b0 + 4].decode("latin1").strip()
+        elif btype == b"moov":
+            saw_moov = True
+            for ct, c0, c1 in _boxes(data, b0, b1, budget):
+                if ct == b"mvhd":
+                    ts, dur = _parse_mvhd(data, c0, c1)
+                elif ct == b"trak":
+                    tracks.append(_parse_trak(data, c0, c1, budget))
+    if not saw_moov:
+        raise Mp4Error("no moov box (not a complete MP4, or "
+                       "fragmented-only stream)")
+    return Mp4Meta(brand, ts, dur, tuple(tracks))
+
+
+def _parse_trak(data, start, end, budget) -> Mp4Track:
+    track_id = width = height = 0
+    handler = codec = ""
+    ts = dur = n_samples = 0
+    for bt, b0, b1 in _boxes(data, start, end, budget):
+        if bt == b"tkhd":
+            track_id, width, height = _parse_tkhd(data, b0, b1)
+        elif bt == b"mdia":
+            for ct, c0, c1 in _boxes(data, b0, b1, budget):
+                if ct == b"mdhd":
+                    ts, dur = _parse_mdhd(data, c0, c1)
+                elif ct == b"hdlr":
+                    _, _, p = _fullbox(data, c0, c1)
+                    if p + 8 <= c1:
+                        handler = data[p + 4:p + 8].decode("latin1")
+                elif ct == b"minf":
+                    for st, s0, s1 in _boxes(data, c0, c1, budget):
+                        if st != b"stbl":
+                            continue
+                        for xt, x0, x1 in _boxes(data, s0, s1, budget):
+                            if xt == b"stsd":
+                                _, _, p = _fullbox(data, x0, x1)
+                                # entry_count(4) + first entry:
+                                # size(4) fourcc(4)
+                                if p + 12 <= x1:
+                                    codec = data[p + 8:p + 12].decode(
+                                        "latin1")
+                            elif xt in (b"stsz", b"stz2"):
+                                # stsz: sample_size(4) then count;
+                                # stz2: reserved(3)+field_size(1) then
+                                # count — sample_count sits at +4 both
+                                _, _, p = _fullbox(data, x0, x1)
+                                if p + 8 <= x1:
+                                    n_samples = struct.unpack(
+                                        ">I", data[p + 4:p + 8])[0]
+    return Mp4Track(track_id, handler, codec, width, height, ts, dur,
+                    n_samples)
+
+
+# --------------------------------------------------------------- builder
+# Minimal box writers — the test-harness half (like png_encode /
+# avro_encode_file): enough to author deterministic, spec-layout
+# containers for gates and property tests. Not a muxer: no sample
+# data, no interleaving.
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _full(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(btype, bytes([version]) + flags.to_bytes(3, "big")
+                + payload)
+
+
+def mp4_build(timescale: int, duration: int, tracks,
+              brand: bytes = b"isom") -> bytes:
+    """Author a metadata-only MP4: ftyp + moov(mvhd + trak*). Each
+    track is a dict with track_id, handler(4ch), codec(4ch), width,
+    height, timescale, duration, n_samples."""
+    moov = _full(b"mvhd", 0, 0,
+                 struct.pack(">II", 0, 0)            # ctime, mtime
+                 + struct.pack(">II", timescale, duration)
+                 + struct.pack(">I", 0x00010000)     # rate 1.0
+                 + struct.pack(">H", 0x0100)         # volume
+                 + b"\x00" * 10                      # reserved
+                 + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0,
+                               0, 0, 0x40000000)     # unity matrix
+                 + b"\x00" * 24                      # predefined
+                 + struct.pack(">I", len(tracks) + 1))  # next track id
+    for t in tracks:
+        # tkhd duration is expressed in the MOVIE timescale (ISO
+        # 14496-12 §8.3.2), unlike mdhd's media-timescale duration —
+        # the golden-bytes test caught the builder writing media units
+        tk_dur = round(t["duration"] * timescale / t["timescale"])
+        tkhd = _full(b"tkhd", 0, 7,
+                     struct.pack(">II", 0, 0)
+                     + struct.pack(">I", t["track_id"])
+                     + b"\x00" * 4
+                     + struct.pack(">I", tk_dur)
+                     + b"\x00" * 8                   # reserved
+                     + struct.pack(">HHHH", 0, 0, 0, 0)
+                     + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000,
+                                   0, 0, 0, 0x40000000)
+                     + struct.pack(">II", t["width"] << 16,
+                                   t["height"] << 16))
+        mdhd = _full(b"mdhd", 0, 0,
+                     struct.pack(">II", 0, 0)
+                     + struct.pack(">II", t["timescale"], t["duration"])
+                     + struct.pack(">HH", 0x55C4, 0))  # 'und', predefined
+        hdlr = _full(b"hdlr", 0, 0,
+                     b"\x00" * 4 + t["handler"].encode("latin1")
+                     + b"\x00" * 12 + b"\x00")
+        entry = struct.pack(">I", 16) + t["codec"].encode("latin1") \
+            + b"\x00" * 8  # minimal sample entry (reserved + dri)
+        stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+        stsz = _full(b"stsz", 0, 0,
+                     struct.pack(">II", 0, t["n_samples"]))
+        stbl = _box(b"stbl", stsd + stsz)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        moov += _box(b"trak", tkhd + mdia)
+    return _box(b"ftyp", brand + struct.pack(">I", 0) + brand) \
+        + _box(b"moov", moov)

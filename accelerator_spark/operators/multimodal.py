@@ -359,6 +359,61 @@ def extract_frames(
     return slim.mapInPandas(run, schema=schema)
 
 
+VIDEO_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("brand", T.StringType(), True),
+    T.StructField("movie_timescale", T.IntegerType(), True),
+    T.StructField("movie_duration", T.LongType(), True),
+    T.StructField("duration_s", T.DoubleType(), True),
+    T.StructField("n_tracks", T.IntegerType(), True),
+    T.StructField("codec", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("n_frames", T.LongType(), True),
+])
+
+
+def probe_video_meta(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    mime_col: str = "mime",
+    batch_partitions: int | None = None,
+    on_error: str = "raise",
+) -> DataFrame:
+    """REAL video-container metadata at scale (r7): parses the
+    ISO-BMFF box tree (functions/mp4.py — pure stdlib; video DECODE
+    genuinely needs external codecs, but duration/dims/codec/frame
+    count are container questions) and emits one row per asset with
+    the movie timescale/duration, the first VIDEO track's codec, dims
+    and sample (frame) count, and the track total. ``n_frames`` feeds
+    frame_sample_plan directly — probe 100 TB of scraped MP4s, plan
+    the frames to decode, hand the plan to a codec-equipped stage.
+    Same Arrow scaffold and ``on_error="null"`` containment as
+    decode_features."""
+    from ..functions.mp4 import mp4_probe
+
+    def per_row(raw: bytes, mime: str):
+        meta = mp4_probe(raw)
+        vid = next((t for t in meta.tracks if t.handler == "vide"),
+                   meta.tracks[0] if meta.tracks else None)
+        return (len(raw), meta.brand, meta.timescale, meta.duration,
+                meta.duration_s, len(meta.tracks),
+                vid.codec if vid else None,
+                vid.width if vid else None,
+                vid.height if vid else None,
+                vid.n_samples if vid else None)
+
+    return _map_media_rows(
+        df, per_row,
+        [f for f in VIDEO_META_SCHEMA.fields
+         if f.name not in ("media_id", "mime")],
+        payload_col, id_col, mime_col, batch_partitions, on_error,
+        error_vals=lambda raw, mime: (len(raw),) + (None,) * 9)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 30,
                       duration_col: str = "n_frames") -> DataFrame:
     """Video frame-sampling *plan*: expand (media_id, n_frames) into the
