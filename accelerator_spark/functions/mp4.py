@@ -37,11 +37,6 @@ class Mp4Error(ValueError):
     """Malformed or unsupported-by-scope ISO-BMFF input."""
 
 
-# boxes whose payload is a list of child boxes (the descent set)
-_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts",
-               b"udta", b"mvex"}
-
-
 @dataclass(frozen=True)
 class Mp4Track:
     track_id: int
@@ -121,13 +116,14 @@ def _parse_mvhd(data, start, end):
 
 def _parse_tkhd(data, start, end):
     v, _, p = _fullbox(data, start, end)
-    tid_off = p + (16 if v == 1 else 8)
-    if tid_off + 4 > end:
+    # full fixed layout: v0 = 80 payload bytes, v1 = 92 — anything
+    # shorter would let the trailing width/height read overlap earlier
+    # fields and report garbage dims silently (review r7)
+    if end - p < (92 if v == 1 else 80):
         raise Mp4Error("truncated tkhd")
+    tid_off = p + (16 if v == 1 else 8)
     track_id = struct.unpack(">I", data[tid_off:tid_off + 4])[0]
     # width/height are the LAST 8 bytes of the box, 16.16 fixed point
-    if end - 8 < p:
-        raise Mp4Error("truncated tkhd dims")
     w, h = struct.unpack(">II", data[end - 8:end])
     return track_id, w >> 16, h >> 16
 
@@ -146,12 +142,16 @@ def _parse_mdhd(data, start, end):
     return ts, dur
 
 
-def mp4_probe(data: bytes, max_boxes: int = 10_000) -> Mp4Meta:
+def mp4_probe(data: bytes, max_boxes: int = 1_000_000) -> Mp4Meta:
     """Parse container metadata from one ISO-BMFF byte string. Reads
     only box headers and the handful of fixed-layout leaf boxes above —
     never sample data — so probing a multi-GB file costs kilobytes of
     actual reads when the moov sits up front (faststart layout).
-    ``max_boxes`` bounds total box visits against crafted loops."""
+    ``max_boxes`` bounds total box visits; the default accommodates
+    long fragmented recordings (hours of 2 s styp/moof/mdat triples)
+    while still capping crafted millions-of-boxes inputs — the walk is
+    strictly forward (every box advances the cursor), so the budget is
+    a belt-and-braces bound, not a loop guard (review r7)."""
     if len(data) < 8:
         raise Mp4Error("too short for an ISO-BMFF box")
     budget = [max_boxes]
@@ -248,8 +248,14 @@ def mp4_build(timescale: int, duration: int, tracks,
     for t in tracks:
         # tkhd duration is expressed in the MOVIE timescale (ISO
         # 14496-12 §8.3.2), unlike mdhd's media-timescale duration —
-        # the golden-bytes test caught the builder writing media units
-        tk_dur = round(t["duration"] * timescale / t["timescale"])
+        # the golden-bytes test caught the builder writing media units.
+        # Clamp to the field's uint32 ceiling (all-ones = "unknown
+        # duration" per spec) instead of crashing struct.pack, and
+        # reject the undefined zero timescale (review r7)
+        if t["timescale"] <= 0:
+            raise Mp4Error("track timescale must be > 0")
+        tk_dur = min(round(t["duration"] * timescale / t["timescale"]),
+                     0xFFFFFFFF)
         tkhd = _full(b"tkhd", 0, 7,
                      struct.pack(">II", 0, 0)
                      + struct.pack(">I", t["track_id"])

@@ -364,7 +364,10 @@ VIDEO_META_SCHEMA = T.StructType([
     T.StructField("mime", T.StringType(), True),
     T.StructField("n_bytes", T.LongType(), True),
     T.StructField("brand", T.StringType(), True),
-    T.StructField("movie_timescale", T.IntegerType(), True),
+    # LongType: mvhd timescale is uint32 — an IntegerType column made
+    # the Arrow conversion abort the whole batch on one odd file,
+    # outside on_error's per-row containment (review r7)
+    T.StructField("movie_timescale", T.LongType(), True),
     T.StructField("movie_duration", T.LongType(), True),
     T.StructField("duration_s", T.DoubleType(), True),
     T.StructField("n_tracks", T.IntegerType(), True),
@@ -397,9 +400,16 @@ def probe_video_meta(
 
     def per_row(raw: bytes, mime: str):
         meta = mp4_probe(raw)
-        vid = next((t for t in meta.tracks if t.handler == "vide"),
-                   meta.tracks[0] if meta.tracks else None)
-        return (len(raw), meta.brand, meta.timescale, meta.duration,
+        # video columns come ONLY from a real video track: falling
+        # back to tracks[0] reported audio metadata as video and fed
+        # audio sample counts into frame_sample_plan (review r7) —
+        # an audio-only file now has NULL codec/dims/n_frames, which
+        # frame_sample_plan correctly expands to zero rows
+        vid = next((t for t in meta.tracks if t.handler == "vide"), None)
+        # mvhd v1 duration is uint64: NULL it rather than abort the
+        # Arrow batch past int64 (same containment rationale as above)
+        dur = meta.duration if meta.duration < (1 << 63) else None
+        return (len(raw), meta.brand, meta.timescale, dur,
                 meta.duration_s, len(meta.tracks),
                 vid.codec if vid else None,
                 vid.width if vid else None,

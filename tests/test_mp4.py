@@ -7,7 +7,6 @@ property round-trips, version-1 full boxes, largesize and to-EOF
 framing, malformed/hostile inputs, and the distributed
 probe_video_meta -> frame_sample_plan integration."""
 
-import random
 import struct
 
 import pytest
@@ -187,7 +186,6 @@ def test_probe_video_meta_distributed_and_plan(spark):
     """The full planning pipeline with zero codec bits: probe ->
     n_frames -> frame_sample_plan expands the frame indices a
     codec-equipped decode stage would fetch."""
-    rnd = random.Random(11)
     rows = []
     for i in range(1, 4):
         rows.append((i, mp4_build(1000, 1000 * i, [
@@ -198,6 +196,13 @@ def test_probe_video_meta_distributed_and_plan(spark):
                  width=0, height=0, timescale=48000,
                  duration=48000 * i, n_samples=0),
         ]), "video/mp4"))
+    # audio-only container: video columns must be NULL (review r7 —
+    # the tracks[0] fallback reported audio metadata as video and fed
+    # audio sample counts into frame_sample_plan)
+    rows.append((5, mp4_build(1000, 4000, [
+        dict(track_id=1, handler="soun", codec="mp4a", width=0,
+             height=0, timescale=48000, duration=192000,
+             n_samples=10_000_000)]), "audio/mp4"))
     rows.append((9, b"not an mp4 at all", "video/mp4"))
     df = spark.createDataFrame(
         rows, "media_id long, payload binary, mime string")
@@ -210,6 +215,8 @@ def test_probe_video_meta_distributed_and_plan(spark):
         assert (r["codec"], r["n_tracks"]) == ("avc1", 2)
         assert (r["width"], r["height"]) == (320 * i, 180 * i)
         assert r["n_frames"] == 90 * i
+    assert out[5]["codec"] is None and out[5]["n_frames"] is None
+    assert (out[5]["n_tracks"], out[5]["movie_duration"]) == (1, 4000)
     assert out[9]["codec"] is None  # contained
     assert out[9]["n_bytes"] == len(b"not an mp4 at all")
     with pytest.raises(Exception, match="Mp4Error|moov|box"):
@@ -220,4 +227,5 @@ def test_probe_video_meta_distributed_and_plan(spark):
     got = {(r["media_id"], r["frame_idx"]) for r in plan.collect()}
     assert {(1, 0), (1, 30), (1, 60), (2, 0), (3, 0)} <= got
     assert all(fi % 30 == 0 for _, fi in got)
-    assert not any(m == 9 for m, _ in got)  # NULL n_frames -> no rows
+    # NULL n_frames (unparseable AND audio-only) -> no phantom frames
+    assert not any(m in (5, 9) for m, _ in got)
