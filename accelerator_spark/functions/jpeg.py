@@ -909,14 +909,19 @@ def _encode_block(w, samples, q, dc_codes, ac_codes, pred):
 
 def jpeg_encode(pixels, width: int, height: int, channels: int = 1,
                 quality: int = 85, quant=None,
-                restart_interval: int = 0) -> bytes:
-    """Encode 8-bit samples (interleaved gray or RGB) as baseline JFIF,
-    4:4:4 (no subsampling). ``quant`` overrides the quality-scaled
-    Annex K tables with explicit (luma, chroma) 64-entry natural-order
-    tables — ``([1]*64, [1]*64)`` + constant 8x8 blocks is the exact
-    round-trip the oracle gate uses. ``restart_interval`` > 0 emits DRI
-    + RSTn markers every that-many MCUs (and exercises the decoder's
-    restart path)."""
+                restart_interval: int = 0,
+                subsampling: str = "4:4:4") -> bytes:
+    """Encode 8-bit samples (interleaved gray or RGB) as baseline JFIF.
+    ``subsampling``: "4:4:4" (default — chroma at full resolution, the
+    exactness-friendly choice) or "4:2:0" (2x2 box-averaged chroma,
+    what camera/web encoders emit; ~25-40% smaller color files, read
+    back through the decoder's fancy upsampling). ``quant`` overrides
+    the quality-scaled Annex K tables with explicit (luma, chroma)
+    64-entry natural-order tables — ``([1]*64, [1]*64)`` + constant
+    8x8 blocks is the exact round-trip the oracle gate uses (4:4:4
+    only; 4:2:0 chroma averaging is inherently lossy).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that-many
+    MCUs (and exercises the decoder's restart path)."""
     if channels not in (1, 3):
         raise JpegError("channels must be 1 or 3")
     if width <= 0 or height <= 0:
@@ -953,6 +958,35 @@ def jpeg_encode(pixels, width: int, height: int, channels: int = 1,
         plane_qs = [qz_luma, qz_chroma, qz_chroma]
         planes = [bytes(ny), bytes(ncb), bytes(ncr)]
 
+    sub = subsampling if channels == 3 else "4:4:4"
+    if sub not in ("4:4:4", "4:2:0"):
+        raise JpegError(f"unsupported subsampling {sub!r} "
+                        "(4:4:4 / 4:2:0)")
+    if sub == "4:2:0":
+        cw, chh = -(-width // 2), -(-height // 2)
+
+        def down(plane):
+            # 2x2 box average with edge replication (IJG h2v2 downsample)
+            o = bytearray(cw * chh)
+            for y in range(chh):
+                y0 = 2 * y
+                y1 = min(y0 + 1, height - 1)
+                r0, r1 = y0 * width, y1 * width
+                for x in range(cw):
+                    x0 = 2 * x
+                    x1 = min(x0 + 1, width - 1)
+                    o[y * cw + x] = (plane[r0 + x0] + plane[r0 + x1]
+                                     + plane[r1 + x0] + plane[r1 + x1]
+                                     + 2) >> 2
+            return bytes(o)
+
+        planes = [planes[0], down(planes[1]), down(planes[2])]
+        factors = [(2, 2), (1, 1), (1, 1)]
+        dims = [(width, height), (cw, chh), (cw, chh)]
+    else:
+        factors = [(1, 1)] * channels
+        dims = [(width, height)] * channels
+
     out = bytearray(b"\xff\xd8")  # SOI
     out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
             + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0]))
@@ -966,7 +1000,8 @@ def jpeg_encode(pixels, width: int, height: int, channels: int = 1,
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8,
                                      height, width, nc)
     for c in range(nc):
-        out += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+        out += bytes([c + 1, (factors[c][0] << 4) | factors[c][1],
+                      0 if c == 0 else 1])
     # DHT
     def dht(tc, th, bits, vals):
         return (b"\xff\xc4"
@@ -984,8 +1019,9 @@ def jpeg_encode(pixels, width: int, height: int, channels: int = 1,
     for c in range(nc):
         out += bytes([c + 1, 0x00 if c == 0 else 0x11])
     out += bytes([0, 63, 0])
-    # entropy-coded data: interleaved 4:4:4 -> one block per component
-    # per MCU, MCU grid 8x8
+    # entropy-coded data: interleaved scan, h*v blocks per component
+    # per MCU (4:4:4 -> 1 each over an 8x8 MCU grid; 4:2:0 -> 4 luma +
+    # 1 Cb + 1 Cr over a 16x16 grid)
     dc_l = _huffman_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
     ac_l = _huffman_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
     dc_c = _huffman_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
@@ -993,7 +1029,10 @@ def jpeg_encode(pixels, width: int, height: int, channels: int = 1,
     codes = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (nc - 1)
     w = _BitWriter()
     preds = [0] * nc
-    mcux, mcuy = -(-width // 8), -(-height // 8)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
     block = [0] * 64
     m = 0
     for my in range(mcuy):
@@ -1005,16 +1044,22 @@ def jpeg_encode(pixels, width: int, height: int, channels: int = 1,
                 preds = [0] * nc
             m += 1
             for ci in range(nc):
+                ch_, cv = factors[ci]
+                pw, phh = dims[ci]
                 plane = planes[ci]
-                for y in range(8):
-                    sy = min(my * 8 + y, height - 1)
-                    row = sy * width
-                    for x in range(8):
-                        sx = min(mx * 8 + x, width - 1)  # edge-replicate
-                        block[y * 8 + x] = plane[row + sx]
-                preds[ci] = _encode_block(w, block, plane_qs[ci],
-                                          codes[ci][0], codes[ci][1],
-                                          preds[ci])
+                for by in range(cv):
+                    for bx in range(ch_):
+                        oy = (my * cv + by) * 8
+                        ox = (mx * ch_ + bx) * 8
+                        for y in range(8):
+                            sy = min(oy + y, phh - 1)
+                            row = sy * pw
+                            for x in range(8):
+                                sx = min(ox + x, pw - 1)  # edge-replicate
+                                block[y * 8 + x] = plane[row + sx]
+                        preds[ci] = _encode_block(
+                            w, block, plane_qs[ci],
+                            codes[ci][0], codes[ci][1], preds[ci])
     w.flush()
     out += w.buf
     out += b"\xff\xd9"  # EOI

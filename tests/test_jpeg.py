@@ -179,8 +179,9 @@ def test_jpeg_fixture_corpus_matches_imageio(spark):
     4:2:0 adds chroma-upsample rounding (both sides use the triangular
     'fancy' filter; ours composes the 1-D form separably — 1 ulp)."""
     files = sorted(glob.glob(os.path.join(FIXTURE_DIR, "*.jpg")))
-    assert len(files) >= 12, "fixture corpus missing — see tools/make_jpeg_fixtures.py"
+    assert len(files) >= 13, "fixture corpus missing — see tools/make_jpeg_fixtures.py"
     assert sum("prog" in f for f in files) >= 3  # progressive covered
+    assert any("420" in f for f in files)        # our 4:2:0 encoder
     for f in files:
         name = os.path.basename(f)
         mine = jpeg_decode(open(f, "rb").read())
@@ -189,7 +190,9 @@ def test_jpeg_fixture_corpus_matches_imageio(spark):
         ours = _ours_rgb(mine)
         diffs = [abs(a - b) for a, b in zip(ours, theirs)]
         mx, mean = max(diffs), sum(diffs) / len(diffs)
-        if name.startswith("imageio_"):
+        if name.startswith("imageio_") or "420" in name:
+            # 4:2:0 files (either encoder): both decoders fancy-
+            # upsample, diffs are rounding-sized
             assert mx <= 4 and mean <= 1, (name, mx, mean)
         else:
             assert mx <= 2, (name, mx, mean)
@@ -330,3 +333,35 @@ def test_progressive_contract_guards():
     out += blob[i:]
     with pytest.raises(JpegError, match="missing .. table|missing"):
         jpeg_decode(bytes(out))
+
+
+def test_encoder_420_subsampling():
+    """r7: the encoder's 4:2:0 mode — SOF declares 2x2/1x1/1x1
+    sampling, chroma planes are 2x2 box averages, the decoder reads it
+    back within chroma-averaging loss, and flat-chroma images (where
+    averaging loses nothing) round-trip as tightly as 4:4:4."""
+    w, h = 19, 11  # odd dims exercise edge replication both ways
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px += bytes([(x * 255) // 18, (y * 255) // 10, 128])
+    blob = jpeg_encode(bytes(px), w, h, channels=3, quality=95,
+                       subsampling="4:2:0")
+    i = blob.find(b"\xff\xc0")
+    assert blob[i + 11] == 0x22 and blob[i + 14] == 0x11
+    img = jpeg_decode(blob)
+    assert (img.width, img.height, img.channels) == (w, h, 3)
+    diffs = [abs(a - b) for a, b in zip(px, img.pixels)]
+    # loss is bounded by chroma averaging over the gradient steps
+    assert max(diffs) <= 16 and sum(diffs) / len(diffs) <= 2.5
+    # restart markers compose with 4:2:0 MCUs
+    blob_rst = jpeg_encode(bytes(px), w, h, channels=3, quality=95,
+                           subsampling="4:2:0", restart_interval=1)
+    img2 = jpeg_decode(blob_rst)
+    assert img2.pixels == img.pixels
+    with pytest.raises(JpegError, match="subsampling"):
+        jpeg_encode(bytes(px), w, h, channels=3, subsampling="4:1:1")
+    # gray ignores the knob entirely
+    g = bytes(range(64))
+    assert jpeg_decode(jpeg_encode(g, 8, 8, subsampling="4:2:0")).pixels \
+        == jpeg_decode(jpeg_encode(g, 8, 8)).pixels

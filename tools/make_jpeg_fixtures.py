@@ -54,6 +54,11 @@ def main():
         "ours_gray_restart.jpg": jpeg_encode(gray, 24, 17, channels=1,
                                              quality=90,
                                              restart_interval=2),
+        # r7: our own 4:2:0 output (2x2 box-averaged chroma) — the
+        # foreign decoder must accept our subsampled files too
+        "ours_rgb_420_q90.jpg": jpeg_encode(smooth_rgb(22, 14), 22, 14,
+                                            channels=3, quality=90,
+                                            subsampling="4:2:0"),
     }
     # constant 8x8 blocks + unit quant: byte-exact round-trip
     w, h = 32, 16
