@@ -924,6 +924,12 @@ def jpeg_encode(pixels, width: int, height: int, channels: int = 1,
     MCUs (and exercises the decoder's restart path)."""
     if channels not in (1, 3):
         raise JpegError("channels must be 1 or 3")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        # validate unconditionally and up front: grayscale ignores the
+        # knob, but a typo'd value must not pass silently, and color
+        # should not pay the full YCbCr loop before erroring (review r7)
+        raise JpegError(f"unsupported subsampling {subsampling!r} "
+                        "(4:4:4 / 4:2:0)")
     if width <= 0 or height <= 0:
         raise JpegError("zero dimension")
     if len(pixels) != width * height * channels:
@@ -959,14 +965,14 @@ def jpeg_encode(pixels, width: int, height: int, channels: int = 1,
         planes = [bytes(ny), bytes(ncb), bytes(ncr)]
 
     sub = subsampling if channels == 3 else "4:4:4"
-    if sub not in ("4:4:4", "4:2:0"):
-        raise JpegError(f"unsupported subsampling {sub!r} "
-                        "(4:4:4 / 4:2:0)")
     if sub == "4:2:0":
         cw, chh = -(-width // 2), -(-height // 2)
 
         def down(plane):
-            # 2x2 box average with edge replication (IJG h2v2 downsample)
+            # 2x2 box average with edge replication and a constant +2
+            # rounding bias (libjpeg's h2v2 alternates bias 1/2 per
+            # column to fight banding — byte-exact parity with it is
+            # NOT claimed, only the same 2x2 average; review r7)
             o = bytearray(cw * chh)
             for y in range(chh):
                 y0 = 2 * y

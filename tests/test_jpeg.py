@@ -361,6 +361,11 @@ def test_encoder_420_subsampling():
     assert img2.pixels == img.pixels
     with pytest.raises(JpegError, match="subsampling"):
         jpeg_encode(bytes(px), w, h, channels=3, subsampling="4:1:1")
+    # a typo'd value raises for GRAYSCALE too (review r7: it was
+    # silently coerced to 4:4:4 before the validity check ran)
+    with pytest.raises(JpegError, match="subsampling"):
+        jpeg_encode(bytes(range(64)), 8, 8, channels=1,
+                    subsampling="420")
     # gray ignores the knob entirely
     g = bytes(range(64))
     assert jpeg_decode(jpeg_encode(g, 8, 8, subsampling="4:2:0")).pixels \
