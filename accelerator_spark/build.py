@@ -338,7 +338,22 @@ class BuildContext:
         its finally block must not delete the NEW owner's claim — that
         would let a third process claim and double-run the step. The
         nonce written at claim time is re-read and compared; mismatch
-        (or an unreadable file) means the claim is someone else's."""
+        (or an unreadable file) means the claim is someone else's.
+
+        Residual race (ADVICE r7, accepted): the check is read-then-
+        remove, so a takeover landing in the microseconds between the
+        nonce read and os.remove still loses its claim file. That
+        window is ~6 orders of magnitude smaller than _CLAIM_STALE_S
+        (a takeover additionally requires THIS process to have stalled
+        120 s without heartbeating and then to wake exactly inside the
+        gap), and closing it fully needs an atomicity primitive the
+        claim protocol deliberately avoids (flock is advisory-only and
+        lost on NFS; rename-based release re-opens a worse window where
+        a third waiter claims and the rename-back clobbers it). The
+        narrowing from r6's unconditional remove stands; a hit requires
+        the stall + wake-in-window coincidence and degrades to the r6
+        behavior (possible double-run, never a wrong result — steps are
+        deterministic and writes are atomic-rename)."""
         path = self._claim_path(key)
         nonce = self._claim_nonces.pop(key, None)
         try:

@@ -939,6 +939,18 @@ def jpeg_encode(pixels, width: int, height: int, channels: int = 1,
         q_luma, q_chroma = list(quant[0]), list(quant[1])
         if len(q_luma) != 64 or len(q_chroma) != 64:
             raise JpegError("quant tables must have 64 entries")
+        # the same 1..255 clamp _scale_q applies to the built-in
+        # tables: a 0 entry would divide by zero in _encode_block, a
+        # fractional/negative one can push a coefficient past the
+        # fixed Huffman tables' max size category — both escaping the
+        # JpegError contract as ZeroDivisionError/KeyError (ADVICE r7)
+        for tbl in (q_luma, q_chroma):
+            for v in tbl:
+                if not isinstance(v, int) or isinstance(v, bool) \
+                        or not 1 <= v <= 255:
+                    raise JpegError(
+                        f"quant entries must be integers in 1..255, "
+                        f"got {v!r}")
     else:
         q_luma = _scale_q(_Q_LUMA, quality)
         q_chroma = _scale_q(_Q_CHROMA, quality)

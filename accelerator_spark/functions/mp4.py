@@ -123,8 +123,13 @@ def _parse_tkhd(data, start, end):
         raise Mp4Error("truncated tkhd")
     tid_off = p + (16 if v == 1 else 8)
     track_id = struct.unpack(">I", data[tid_off:tid_off + 4])[0]
-    # width/height are the LAST 8 bytes of the box, 16.16 fixed point
-    w, h = struct.unpack(">II", data[end - 8:end])
+    # width/height at the version-fixed payload offset (v0: p+72, v1:
+    # p+84), 16.16 fixed point — NOT the last 8 bytes of the box: the
+    # size check above is >=, so a tkhd with nonstandard trailing bytes
+    # would silently yield garbage dims from a box-relative read
+    # (ADVICE r7)
+    wh_off = p + (84 if v == 1 else 72)
+    w, h = struct.unpack(">II", data[wh_off:wh_off + 8])
     return track_id, w >> 16, h >> 16
 
 

@@ -289,17 +289,18 @@ def test_extract_frames_composes(spark):
 
 
 def test_large_gif_pixel_budget_on_decode_call_sites(spark):
-    """ADVICE r6: real_decoder/extract_frames default max_pixels to
-    1<<22 — far below gif_decode's own 1<<26 guard — because the
-    compose + PNG re-encode loops are per-pixel pure Python, and a
-    legal-but-huge GIF would pin an executor core for minutes
-    (on_error='null' contains exceptions, not CPU). The cap is a
+    """ADVICE r6: real_decoder/extract_frames default max_pixels below
+    gif_decode's own 1<<26 guard — because the compose + PNG re-encode
+    loops are per-pixel pure Python, and a legal-but-huge GIF would pin
+    an executor core for minutes (on_error='null' contains exceptions,
+    not CPU). ADVICE r7 raised the call-site default from 1<<22 to
+    1<<24 so ordinary 12 MP phone photos pass; the cap stays a
     parameter for trusted corpora."""
     import struct
 
-    # header-only GIF declaring a 3000x3000 screen (9 Mpx: legal for
-    # gif_decode's 1<<26 default, over the call sites' 1<<22)
-    huge = (b"GIF89a" + struct.pack("<HHBBB", 3000, 3000, 0, 0, 0)
+    # header-only GIF declaring a 4200x4200 screen (17.6 Mpx: legal for
+    # gif_decode's 1<<26 default, over the call sites' 1<<24)
+    huge = (b"GIF89a" + struct.pack("<HHBBB", 4200, 4200, 0, 0, 0)
             + b"\x3b")
     # library default accepts the declared size (fails later on the
     # missing frames, i.e. it got PAST the pixel guard)...
@@ -317,3 +318,18 @@ def test_large_gif_pixel_budget_on_decode_call_sites(spark):
     with pytest.raises(Exception) as ei:
         extract_frames(df, max_pixels=1 << 26).collect()
     assert "max_pixels" not in str(ei.value)
+
+
+def test_pixel_budget_default_admits_phone_photos():
+    """ADVICE r7: the old 1<<22 (~4.2 Mpx) call-site default rejected
+    every ordinary 12 MP phone photo (4000x3000), aborting whole decode
+    jobs under on_error='raise' and silently nulling real data under
+    'null'. The defaults must sit above common real-corpus sizes."""
+    import inspect
+
+    from accelerator_spark.operators.multimodal import (
+        extract_frames, image_resizer, real_decoder)
+
+    for fn in (real_decoder, extract_frames, image_resizer):
+        default = inspect.signature(fn).parameters["max_pixels"].default
+        assert default >= 4000 * 3000, fn.__name__

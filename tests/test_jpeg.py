@@ -370,3 +370,20 @@ def test_encoder_420_subsampling():
     g = bytes(range(64))
     assert jpeg_decode(jpeg_encode(g, 8, 8, subsampling="4:2:0")).pixels \
         == jpeg_decode(jpeg_encode(g, 8, 8)).pixels
+
+
+def test_jpeg_encode_quant_table_validation():
+    """ADVICE r7: caller-supplied quant entries outside 1..255 escaped
+    the JpegError contract (0 -> ZeroDivisionError in _encode_block;
+    fractional/negative -> KeyError past the fixed Huffman size
+    categories). Validate up front with the same clamp _scale_q uses."""
+    px = [128] * 64
+    for bad in ([0] * 64, [-1] * 64, [256] * 64, [1.5] * 64,
+                [1] * 63 + [0]):
+        with pytest.raises(JpegError, match="quant"):
+            jpeg_encode(px, 8, 8, channels=1, quant=(bad, [1] * 64))
+        with pytest.raises(JpegError, match="quant"):
+            jpeg_encode(px, 8, 8, channels=1, quant=([1] * 64, bad))
+    # boundary values stay accepted
+    jpeg_decode(jpeg_encode(px, 8, 8, channels=1,
+                            quant=([255] * 64, [1] * 64)))

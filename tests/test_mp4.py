@@ -229,3 +229,35 @@ def test_probe_video_meta_distributed_and_plan(spark):
     assert all(fi % 30 == 0 for _, fi in got)
     # NULL n_frames (unparseable AND audio-only) -> no phantom frames
     assert not any(m in (5, 9) for m, _ in got)
+
+
+def test_tkhd_trailing_bytes_fixed_offset_dims():
+    """ADVICE r7: width/height must come from the version-fixed payload
+    offset, not the last 8 bytes of the box — a tkhd with nonstandard
+    trailing bytes (accepted by the box framing) must still report the
+    true dims, not garbage read from the tail."""
+    tkhd = _spec_full(b"tkhd", 0, 7, b"".join([
+        struct.pack(">I", 0), struct.pack(">I", 0),
+        struct.pack(">I", 1),                            # track_id
+        b"\x00" * 4,
+        struct.pack(">I", 5000),                         # duration
+        b"\x00" * 8,
+        struct.pack(">HHHH", 0, 0, 0, 0),
+        struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                    0x40000000),
+        struct.pack(">I", 320 << 16),                    # 16.16 width
+        struct.pack(">I", 240 << 16),
+        b"\xde\xad\xbe\xef\xde\xad\xbe\xef",             # trailing junk
+    ]))
+    mvhd = _spec_full(b"mvhd", 0, 0, b"".join([
+        struct.pack(">I", 0), struct.pack(">I", 0),
+        struct.pack(">I", 1000), struct.pack(">I", 5000),
+        struct.pack(">I", 0x00010000), struct.pack(">H", 0x0100),
+        b"\x00" * 10,
+        struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                    0x40000000),
+        b"\x00" * 24, struct.pack(">I", 2),
+    ]))
+    meta = mp4_probe(_spec_box(b"moov", mvhd + _spec_box(b"trak", tkhd)))
+    t = meta.tracks[0]
+    assert (t.width, t.height) == (320, 240)
