@@ -50,20 +50,25 @@ _GRADED_FIRST = [
     "checksum_lineitem", "merge_customer_nation", "sort_nulls_semantics",
     "range_filter_projection", "union_chain_parts",
     "overlay_roundtrip_checksum", "distinct_segments",
-    # events / streaming
-    "events_hourly", "sessionize_events", "asof_click_purchase",
+    # events / streaming (events_hourly moved to the un-graded tail in
+    # r8 — its hourly-agg shape stays covered by streaming_hourly_counts)
+    "sessionize_events", "asof_click_purchase",
     "streaming_hourly_counts", "streaming_session_counts",
     # dedup / curation
     "dedup_exact", "minhash_lsh_pairs", "simhash_near_dup_pairs64",
     "dedup_components", "decontaminate_train_set", "cross_doc_duplication",
     "url_dedup_report", "corpus_line_dedup_report",
     "semantic_dedup_report_capped", "exact_substring_report",
-    # ANN / similarity
-    "cosine_topk", "ivf_topk_search", "ann_recall_report",
-    # multimodal (real stdlib PNG decode r6; real baseline JPEG r7 —
-    # top100_orders moved to the un-graded tail to keep the set at 50,
-    # its shape stays covered there and by q3/q18)
-    "png_decode_stats", "jpeg_decode_stats",
+    # ANN / similarity (cosine_topk moved to the un-graded tail in r8 —
+    # ann_recall_report computes the same brute-force cosine top-k as
+    # its recall baseline, so the shape stays graded)
+    "ivf_topk_search", "ann_recall_report",
+    # multimodal (real stdlib PNG decode r6; real baseline JPEG r7;
+    # fragmented-MP4 probe r8 — top100_orders/events_hourly moved to
+    # the un-graded tail to keep the set at 50, their shapes stay
+    # covered there and by q3/q18/streaming_hourly_counts)
+    "png_decode_stats", "jpeg_decode_stats", "fmp4_probe_report",
+    "mp3_probe_report",
     # text
     "token_counts", "text_quality", "lang_id", "chunk_documents",
     "sequence_packing",

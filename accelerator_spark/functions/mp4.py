@@ -22,15 +22,20 @@ the Avro golden fixtures are.
 
 Scope: box walk with 64-bit largesize and size-0 (to-EOF) framing,
 version 0 AND 1 full boxes for mvhd/tkhd/mdhd, multiple tracks,
-nested moov/trak/mdia/minf/stbl descent. NOT parsed (skipped
-cleanly): edit lists, fragmented MP4 (moof) sample counts, codec
-private data (avcC/esds internals), chapters/udta.
+nested moov/trak/mdia/minf/stbl descent, and FRAGMENTED MP4
+(VERDICT r7 #1): moof/traf/trun sample counts and durations are
+summed per track (with tfhd and mvex/trex default-duration fallback),
+and mvex/mehd supplies the movie duration when mvhd carries the
+fragmented-stream 0 — so DASH/HLS-style fMP4, most scraped web video,
+probes with real n_frames instead of the stsz-only 0. NOT parsed
+(skipped cleanly): edit lists, codec private data (avcC/esds
+internals), chapters/udta, sidx segment indexes.
 """
 
 from __future__ import annotations
 
 import struct
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 
 class Mp4Error(ValueError):
@@ -57,8 +62,11 @@ class Mp4Track:
 class Mp4Meta:
     brand: str            # ftyp major brand ('' if no ftyp)
     timescale: int        # mvhd units/second
-    duration: int         # in mvhd timescale units
+    duration: int         # in mvhd timescale units (mvex/mehd
+    #                       fragment_duration when mvhd says 0 — the
+    #                       fragmented-stream convention)
     tracks: tuple         # of Mp4Track
+    n_fragments: int = 0  # top-level moof count (0 = plain MP4)
 
     @property
     def duration_s(self) -> float:
@@ -147,6 +155,117 @@ def _parse_mdhd(data, start, end):
     return ts, dur
 
 
+def _parse_mehd(data, start, end) -> int:
+    """mvex/mehd fragment_duration (movie-timescale units): the total
+    movie duration INCLUDING fragments — mvhd carries 0 in fragmented
+    streams."""
+    v, _, p = _fullbox(data, start, end)
+    if v == 1:
+        if p + 8 > end:
+            raise Mp4Error("truncated mehd v1")
+        return struct.unpack(">Q", data[p:p + 8])[0]
+    if p + 4 > end:
+        raise Mp4Error("truncated mehd")
+    return struct.unpack(">I", data[p:p + 4])[0]
+
+
+def _parse_trex(data, start, end):
+    """mvex/trex: (track_id, default_sample_duration) — the
+    movie-level fallback for fragments whose tfhd/trun carry no
+    duration fields."""
+    _, _, p = _fullbox(data, start, end)
+    if p + 20 > end:
+        raise Mp4Error("truncated trex")
+    tid, _sdi, ddur, _dsize, _dflags = struct.unpack(
+        ">5I", data[p:p + 20])
+    return tid, ddur
+
+
+def _parse_tfhd(data, start, end):
+    """traf/tfhd: (track_id, default_sample_duration or None). The
+    optional fields appear in flag order (ISO 14496-12 §8.8.7):
+    base-data-offset(8) sample-description-index(4)
+    default-sample-duration(4) ..."""
+    _, flags, p = _fullbox(data, start, end)
+    if p + 4 > end:
+        raise Mp4Error("truncated tfhd")
+    tid = struct.unpack(">I", data[p:p + 4])[0]
+    p += 4
+    if flags & 0x000001:   # base-data-offset
+        p += 8
+    if flags & 0x000002:   # sample-description-index
+        p += 4
+    ddur = None
+    if flags & 0x000008:   # default-sample-duration
+        if p + 4 > end:
+            raise Mp4Error("truncated tfhd default-sample-duration")
+        ddur = struct.unpack(">I", data[p:p + 4])[0]
+    return tid, ddur
+
+
+def _parse_trun(data, start, end):
+    """traf/trun: (sample_count, duration_sum or None). duration_sum
+    is the sum of per-sample durations when the sample-duration-present
+    flag is set, else None (caller falls back to tfhd/trex defaults).
+    The declared sample table must FIT in the box — that bounds the
+    walk by actual bytes, so a crafted sample_count of 2^31 fails fast
+    instead of looping."""
+    _, flags, p = _fullbox(data, start, end)
+    if p + 4 > end:
+        raise Mp4Error("truncated trun")
+    n = struct.unpack(">I", data[p:p + 4])[0]
+    p += 4
+    if flags & 0x000001:   # data-offset
+        p += 4
+    if flags & 0x000004:   # first-sample-flags
+        p += 4
+    # per-sample fields: duration(0x100) size(0x200) flags(0x400)
+    # composition-time-offset(0x800), 4 bytes each, flag order
+    per = [bit for bit in (0x100, 0x200, 0x400, 0x800) if flags & bit]
+    stride = 4 * len(per)
+    if p + n * stride > end:
+        raise Mp4Error(f"trun sample table overruns box "
+                       f"({n} samples x {stride} bytes)")
+    if not (flags & 0x100) or n == 0:
+        return n, None
+    k = len(per)
+    dur_idx = per.index(0x100)  # always 0, but keep it honest
+    vals = struct.unpack(f">{n * k}I", data[p:p + n * stride])
+    return n, sum(vals[dur_idx::k])
+
+
+def _parse_moof(data, start, end, budget, trex_dur: dict):
+    """One movie fragment: {track_id: (n_samples, duration)} summed
+    over the fragment's traf/trun boxes. Duration per trun comes from
+    per-sample durations when present, else tfhd's
+    default-sample-duration, else the movie-level trex default, else
+    0 (count still recorded)."""
+    per_track = {}
+    for bt, b0, b1 in _boxes(data, start, end, budget):
+        if bt != b"traf":
+            continue
+        tid = None
+        tfhd_dur = None
+        runs = []
+        for ct, c0, c1 in _boxes(data, b0, b1, budget):
+            if ct == b"tfhd":
+                tid, tfhd_dur = _parse_tfhd(data, c0, c1)
+            elif ct == b"trun":
+                runs.append(_parse_trun(data, c0, c1))
+        if tid is None:
+            raise Mp4Error("traf without tfhd")
+        n_prev, d_prev = per_track.get(tid, (0, 0))
+        for n, dsum in runs:
+            if dsum is None:
+                default = tfhd_dur if tfhd_dur is not None \
+                    else trex_dur.get(tid, 0)
+                dsum = n * default
+            n_prev += n
+            d_prev += dsum
+        per_track[tid] = (n_prev, d_prev)
+    return per_track
+
+
 def mp4_probe(data: bytes, max_boxes: int = 1_000_000) -> Mp4Meta:
     """Parse container metadata from one ISO-BMFF byte string. Reads
     only box headers and the handful of fixed-layout leaf boxes above —
@@ -156,7 +275,13 @@ def mp4_probe(data: bytes, max_boxes: int = 1_000_000) -> Mp4Meta:
     long fragmented recordings (hours of 2 s styp/moof/mdat triples)
     while still capping crafted millions-of-boxes inputs — the walk is
     strictly forward (every box advances the cursor), so the budget is
-    a belt-and-braces bound, not a loop guard (review r7)."""
+    a belt-and-braces bound, not a loop guard (review r7).
+
+    Fragmented MP4 (VERDICT r7 #1): moof sample counts/durations are
+    summed into each track's n_samples/duration, and mvex/mehd's
+    fragment_duration replaces a zero mvhd duration — moofs may appear
+    before OR after moov in the byte stream (live-derived files put
+    moov last); the moov's mvex/trex defaults apply either way."""
     if len(data) < 8:
         raise Mp4Error("too short for an ISO-BMFF box")
     budget = [max_boxes]
@@ -164,6 +289,9 @@ def mp4_probe(data: bytes, max_boxes: int = 1_000_000) -> Mp4Meta:
     ts = dur = 0
     saw_moov = False
     tracks = []
+    mehd_dur = 0
+    trex_dur: dict = {}
+    moof_spans = []
     for btype, b0, b1 in _boxes(data, 0, len(data), budget):
         if btype == b"ftyp":
             if b1 - b0 >= 4:
@@ -175,10 +303,36 @@ def mp4_probe(data: bytes, max_boxes: int = 1_000_000) -> Mp4Meta:
                     ts, dur = _parse_mvhd(data, c0, c1)
                 elif ct == b"trak":
                     tracks.append(_parse_trak(data, c0, c1, budget))
+                elif ct == b"mvex":
+                    for xt, x0, x1 in _boxes(data, c0, c1, budget):
+                        if xt == b"mehd":
+                            mehd_dur = _parse_mehd(data, x0, x1)
+                        elif xt == b"trex":
+                            tid, ddur = _parse_trex(data, x0, x1)
+                            trex_dur[tid] = ddur
+        elif btype == b"moof":
+            # defer: trex defaults live in moov, which a live-derived
+            # file writes AFTER its moofs
+            moof_spans.append((b0, b1))
     if not saw_moov:
-        raise Mp4Error("no moov box (not a complete MP4, or "
-                       "fragmented-only stream)")
-    return Mp4Meta(brand, ts, dur, tuple(tracks))
+        raise Mp4Error("no moov box (not a complete MP4, or an "
+                       "init-segment-less fragment stream)")
+    frag: dict = {}
+    for b0, b1 in moof_spans:
+        for tid, (n, d) in _parse_moof(data, b0, b1, budget,
+                                       trex_dur).items():
+            n_prev, d_prev = frag.get(tid, (0, 0))
+            frag[tid] = (n_prev + n, d_prev + d)
+    if frag:
+        tracks = [
+            replace(t,
+                    n_samples=t.n_samples + frag.get(t.track_id, (0, 0))[0],
+                    duration=t.duration + frag.get(t.track_id, (0, 0))[1])
+            for t in tracks
+        ]
+    if dur == 0 and mehd_dur:
+        dur = mehd_dur
+    return Mp4Meta(brand, ts, dur, tuple(tracks), len(moof_spans))
 
 
 def _parse_trak(data, start, end, budget) -> Mp4Track:
@@ -236,10 +390,17 @@ def _full(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
 
 
 def mp4_build(timescale: int, duration: int, tracks,
-              brand: bytes = b"isom") -> bytes:
+              brand: bytes = b"isom",
+              fragment_duration: int | None = None) -> bytes:
     """Author a metadata-only MP4: ftyp + moov(mvhd + trak*). Each
     track is a dict with track_id, handler(4ch), codec(4ch), width,
-    height, timescale, duration, n_samples."""
+    height, timescale, duration, n_samples; optional
+    default_sample_duration feeds the track's trex when the movie is
+    fragmented. ``fragment_duration`` (movie-timescale units), when
+    given, marks the movie as fragmented: mvex(mehd + trex per track)
+    is appended to moov, and ``duration`` is what mvhd itself reports
+    (fragmented streams conventionally write 0 there). Append
+    mp4_build_fragment(...) outputs for the moof/mdat sequence."""
     moov = _full(b"mvhd", 0, 0,
                  struct.pack(">II", 0, 0)            # ctime, mtime
                  + struct.pack(">II", timescale, duration)
@@ -288,5 +449,41 @@ def mp4_build(timescale: int, duration: int, tracks,
         minf = _box(b"minf", stbl)
         mdia = _box(b"mdia", mdhd + hdlr + minf)
         moov += _box(b"trak", tkhd + mdia)
+    if fragment_duration is not None:
+        mvex = _full(b"mehd", 0, 0, struct.pack(">I", fragment_duration))
+        for t in tracks:
+            mvex += _full(b"trex", 0, 0, struct.pack(
+                ">5I", t["track_id"], 1,
+                t.get("default_sample_duration", 0), 0, 0))
+        moov += _box(b"mvex", mvex)
     return _box(b"ftyp", brand + struct.pack(">I", 0) + brand) \
         + _box(b"moov", moov)
+
+
+def mp4_build_fragment(sequence: int, runs) -> bytes:
+    """Author one movie fragment: moof(mfhd + traf*) + an empty mdat
+    (the probe never reads sample data; the mdat keeps the top-level
+    box sequence spec-shaped). Each run is a dict with track_id and
+    either ``sample_durations`` (list -> a trun with per-sample
+    durations) or ``n_samples`` (+ optional
+    ``default_sample_duration`` -> tfhd default, trun counts only).
+    tfhd always sets flag 0x020000 (default-base-is-moof, the CMAF/
+    DASH convention)."""
+    moof = _full(b"mfhd", 0, 0, struct.pack(">I", sequence))
+    for r in runs:
+        tf_flags = 0x020000
+        tf_payload = struct.pack(">I", r["track_id"])
+        if r.get("default_sample_duration") is not None:
+            tf_flags |= 0x000008
+            tf_payload += struct.pack(">I", r["default_sample_duration"])
+        tfhd = _full(b"tfhd", 0, tf_flags, tf_payload)
+        durs = r.get("sample_durations")
+        if durs is not None:
+            trun = _full(b"trun", 0, 0x000100,
+                         struct.pack(">I", len(durs))
+                         + b"".join(struct.pack(">I", d) for d in durs))
+        else:
+            trun = _full(b"trun", 0, 0,
+                         struct.pack(">I", r["n_samples"]))
+        moof += _box(b"traf", tfhd + trun)
+    return _box(b"moof", moof) + _box(b"mdat", b"")

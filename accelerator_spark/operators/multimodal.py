@@ -287,6 +287,72 @@ def decode_audio_features(
         error_vals=lambda raw, mime: (len(raw), None, None, None, None))
 
 
+AUDIO_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("codec", T.StringType(), True),       # 'mp3' / 'wav'
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("n_channels", T.IntegerType(), True),
+    # mp3: MPEG frame count; wav: NULL (PCM has no framing)
+    T.StructField("n_frames", T.LongType(), True),
+    T.StructField("n_samples", T.LongType(), True),     # per channel
+    T.StructField("duration_s", T.DoubleType(), True),
+    T.StructField("bitrate_kbps", T.IntegerType(), True),
+    T.StructField("vbr", T.BooleanType(), True),
+    T.StructField("id3v2_size", T.LongType(), True),
+])
+
+
+def probe_audio_meta(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    mime_col: str = "mime",
+    batch_partitions: int | None = None,
+    on_error: str = "raise",
+) -> DataFrame:
+    """REAL audio metadata at scale (r8, the mp4-probe pattern for
+    audio): MP3 — the dominant scraped-audio format — probes via the
+    pure-stdlib MPEG frame-header walk in functions/mp3.py (exact
+    frame/sample counts, duration, CBR/VBR, ID3 wrapper size; DECODE
+    genuinely needs external codecs, the planning metadata does not),
+    and WAV probes via the PCM header. One row per asset; other
+    formats (aac/opus/flac) raise per row — ``on_error="null"``
+    contains them on dirty corpora. Same Arrow scaffold as
+    decode_features."""
+    from ..functions.mp3 import mp3_probe
+    from ..functions.wav import wav_decode
+
+    def per_row(raw: bytes, mime: str):
+        if (mime in ("audio/mpeg", "audio/mp3")
+                or raw[:3] == b"ID3"
+                or (len(raw) >= 2 and raw[0] == 0xFF
+                    and raw[1] & 0xE0 == 0xE0)):
+            m = mp3_probe(raw)
+            return (len(raw), "mp3", m.sample_rate, m.n_channels,
+                    m.n_frames, m.n_samples, m.duration_s,
+                    m.bitrate_kbps, m.vbr, m.id3v2_size)
+        if (mime in ("audio/wav", "audio/x-wav", "audio/wave")
+                or (raw[:4] == b"RIFF" and raw[8:12] == b"WAVE")):
+            a = wav_decode(raw)
+            kbps = a.sample_rate * a.n_channels * a.sample_width * 8 \
+                // 1000
+            dur = a.n_frames / a.sample_rate if a.sample_rate else 0.0
+            return (len(raw), "wav", a.sample_rate, a.n_channels,
+                    None, a.n_frames, dur, kbps, False, 0)
+        raise NotImplementedError(
+            f"no stdlib prober for {mime!r}: mp3 and wav probe in this "
+            "container; pass other formats to an ffmpeg-backed stage")
+
+    return _map_media_rows(
+        df, per_row,
+        [f for f in AUDIO_META_SCHEMA.fields
+         if f.name not in ("media_id", "mime")],
+        payload_col, id_col, mime_col, batch_partitions, on_error,
+        error_vals=lambda raw, mime: (len(raw),) + (None,) * 9)
+
+
 FRAME_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("mime", T.StringType(), True),
@@ -380,6 +446,9 @@ VIDEO_META_SCHEMA = T.StructType([
     T.StructField("width", T.IntegerType(), True),
     T.StructField("height", T.IntegerType(), True),
     T.StructField("n_frames", T.LongType(), True),
+    # top-level moof count: >0 identifies DASH/HLS-style fragmented
+    # MP4, whose frame counts come from moof/trun sums (r8)
+    T.StructField("n_fragments", T.IntegerType(), True),
 ])
 
 
@@ -399,8 +468,11 @@ def probe_video_meta(
     and sample (frame) count, and the track total. ``n_frames`` feeds
     frame_sample_plan directly — probe 100 TB of scraped MP4s, plan
     the frames to decode, hand the plan to a codec-equipped stage.
-    Same Arrow scaffold and ``on_error="null"`` containment as
-    decode_features."""
+    Fragmented MP4 (DASH/HLS, most scraped web video) counts for real
+    too (r8): moof/trun samples are summed per track and mehd supplies
+    the duration, so fMP4 no longer probes with n_frames=0;
+    ``n_fragments`` > 0 flags those files. Same Arrow scaffold and
+    ``on_error="null"`` containment as decode_features."""
     from ..functions.mp4 import mp4_probe
 
     def per_row(raw: bytes, mime: str):
@@ -419,14 +491,15 @@ def probe_video_meta(
                 vid.codec if vid else None,
                 vid.width if vid else None,
                 vid.height if vid else None,
-                vid.n_samples if vid else None)
+                vid.n_samples if vid else None,
+                meta.n_fragments)
 
     return _map_media_rows(
         df, per_row,
         [f for f in VIDEO_META_SCHEMA.fields
          if f.name not in ("media_id", "mime")],
         payload_col, id_col, mime_col, batch_partitions, on_error,
-        error_vals=lambda raw, mime: (len(raw),) + (None,) * 9)
+        error_vals=lambda raw, mime: (len(raw),) + (None,) * 10)
 
 
 def frame_sample_plan(df: DataFrame, every_n: int = 30,
