@@ -12,7 +12,13 @@ same per-slice file model the reference uses for its workdirs
 (/root/reference/accelerator/dataset.py writes one file per slice).
 
 Scope (spec 1.11.x Object Container Format):
-- codecs: null, deflate (raw zlib)
+- codecs: null, deflate (raw zlib) read+write; snappy READ (pure-
+  Python raw-snappy block decoder + the spec's 4-byte big-endian CRC32
+  of the uncompressed data, VERDICT r7 #3 — cross-checked against
+  containers the Apache Avro Java reference implementation writes via
+  snappy-java). Export stays null/deflate: corpora arrive in whatever
+  codec upstream chose (snappy is ubiquitous), but what WE write is
+  our choice, and deflate is stdlib-exact in both directions.
 - types: null boolean int long float double bytes string fixed enum
   record array map union; named-type references; logical types
   date (int), timestamp-millis/micros (long) mapped to Spark
@@ -334,8 +340,9 @@ def avro_read_header(stream):
     if len(sync) != 16:
         raise AvroError("truncated header")
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
-        raise AvroError(f"unsupported codec {codec!r} (null/deflate only)")
+    if codec not in ("null", "deflate", "snappy"):
+        raise AvroError(f"unsupported codec {codec!r} "
+                        "(null/deflate/snappy only)")
     if "avro.schema" not in meta:
         raise AvroError("container header has no avro.schema")
     try:
@@ -435,6 +442,87 @@ def avro_split_index(spark: SparkSession, path: str, glob: str = "*.avro",
                       "end long, n_blocks long"))
 
 
+def _snappy_uncompress(data: bytes) -> bytes:
+    """Pure-Python raw-Snappy (block format) decompressor (VERDICT r7
+    #3). The format is a little-endian-varint uncompressed length
+    followed by tagged elements — 2-bit type in the tag's low bits:
+    00 literal (length in the high 6 bits, 60..63 meaning 1..4 extra
+    LE length bytes), 01 copy with 3-bit length and 11-bit offset
+    (3 high tag bits + 1 byte), 10 copy with 6-bit length and 2-byte
+    LE offset, 11 copy with 6-bit length and 4-byte LE offset. Copies
+    may overlap their own output (offset < length = run repetition).
+    Decompression only — Avro corpora ARRIVE snappy-framed; what we
+    write is deflate (module scope note)."""
+    n = len(data)
+    pos = 0
+    # preamble: uncompressed length, LE base-128 varint
+    out_len = shift = 0
+    while True:
+        if pos >= n:
+            raise AvroError("snappy: truncated length preamble")
+        b = data[pos]
+        pos += 1
+        out_len |= (b & 0x7F) << shift
+        shift += 7
+        if not b & 0x80:
+            break
+        if shift > 35:
+            raise AvroError("snappy: length varint too long")
+    out = bytearray()
+    while pos < n:
+        tag = data[pos]
+        pos += 1
+        ttype = tag & 3
+        if ttype == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:
+                extra = ln - 59
+                if pos + extra > n:
+                    raise AvroError("snappy: truncated literal length")
+                ln = int.from_bytes(data[pos:pos + extra], "little")
+                pos += extra
+            ln += 1
+            if pos + ln > n:
+                raise AvroError("snappy: literal overruns input")
+            out += data[pos:pos + ln]
+            pos += ln
+            continue
+        if ttype == 1:   # copy, 1 extra offset byte
+            ln = 4 + ((tag >> 2) & 0x7)
+            if pos >= n:
+                raise AvroError("snappy: truncated copy-1 offset")
+            off = ((tag & 0xE0) << 3) | data[pos]
+            pos += 1
+        elif ttype == 2:  # copy, 2-byte LE offset
+            ln = (tag >> 2) + 1
+            if pos + 2 > n:
+                raise AvroError("snappy: truncated copy-2 offset")
+            off = int.from_bytes(data[pos:pos + 2], "little")
+            pos += 2
+        else:             # copy, 4-byte LE offset
+            ln = (tag >> 2) + 1
+            if pos + 4 > n:
+                raise AvroError("snappy: truncated copy-4 offset")
+            off = int.from_bytes(data[pos:pos + 4], "little")
+            pos += 4
+        if off == 0 or off > len(out):
+            raise AvroError(f"snappy: copy offset {off} outside output")
+        if len(out) + ln > out_len:
+            raise AvroError("snappy: copy overruns declared length")
+        if off >= ln:
+            start = len(out) - off
+            out += out[start:start + ln]
+        else:
+            # overlapping run: repeat byte-window until filled
+            start = len(out) - off
+            for i in range(ln):
+                out.append(out[start + i])
+    if len(out) != out_len:
+        raise AvroError(f"snappy: declared {out_len} bytes, "
+                        f"produced {len(out)}")
+    return bytes(out)
+
+
 def _read_block(buf, sync: bytes, codec: str):
     """Read ONE container block at the cursor — count varint, payload
     (inflated for deflate), sync verification — and return
@@ -456,6 +544,15 @@ def _read_block(buf, sync: bytes, codec: str):
             block = zlib.decompress(block, -15)
         except zlib.error as e:
             raise AvroError(f"deflate block failed: {e}") from None
+    elif codec == "snappy":
+        # Avro frames each snappy block as compressed-bytes + 4-byte
+        # BIG-endian CRC32 of the UNCOMPRESSED data (spec §"Required
+        # Codecs"/snappy)
+        if len(block) < 4:
+            raise AvroError("snappy block too short for its CRC32")
+        block, crc = _snappy_uncompress(block[:-4]), block[-4:]
+        if zlib.crc32(block) != int.from_bytes(crc, "big"):
+            raise AvroError("snappy block CRC32 mismatch")
     return n, block
 
 
@@ -481,7 +578,8 @@ def avro_encode_file(schema, records, codec: str = "deflate",
                      block_records: int = 4096) -> bytes:
     """Encode records into one Object Container file."""
     if codec not in ("null", "deflate"):
-        raise AvroError(f"unsupported codec {codec!r}")
+        raise AvroError(f"unsupported codec {codec!r} (export writes "
+                        "null/deflate; snappy is read-only)")
     # metadata carries the ORIGINAL schema text: dumping the resolved
     # form would hit the dict cycle a (legal) recursive record creates
     schema_text = schema if isinstance(schema, str) else json.dumps(schema)

@@ -634,3 +634,111 @@ def test_avro_split_corrupt_deflate_block_raises_avroerror(spark, tmp_path):
                          target_split_bytes=64)
         with pytest.raises(Exception, match="AvroError|deflate|sync"):
             df.collect()
+
+
+def test_snappy_spec_golden_bytes():
+    """Pure-Python raw-snappy decompressor (VERDICT r7 #3) against
+    streams hand-authored from the format description
+    (snappy/format_description.txt): literals (short and 1-extra-
+    length-byte forms), copy-1 with an overlapping run, copy-2 with
+    offset 1 (byte repetition), copy-4, and the malformed lattice."""
+    from accelerator_spark.sources.avro import _snappy_uncompress
+
+    # litera l"abc", copy-1 offset 3 len 9 (overlap run), literal "X"
+    assert _snappy_uncompress(b"\x0d\x08abc\x15\x03\x00X") \
+        == b"abcabcabcabcX"
+    # literal "a", copy-2 offset 1 len 20 -> "a" * 21
+    assert _snappy_uncompress(b"\x15\x00a\x4e\x01\x00") == b"a" * 21
+    # 100-byte literal via the 60-marker (1 extra length byte)
+    body = bytes(range(100))
+    assert _snappy_uncompress(b"\x64\xf0\x63" + body) == body
+    # copy-4: literal "ab", copy len 2 offset 2 via 4-byte offset
+    assert _snappy_uncompress(
+        b"\x04\x04ab" + bytes([(2 - 1) << 2 | 3]) + b"\x02\x00\x00\x00"
+    ) == b"abab"
+    # malformed lattice
+    for blob, msg in [
+        (b"", "truncated length"),
+        (b"\x05\x08ab", "literal overruns"),
+        (b"\x02\x00a\x15\x03\x00", "outside output"),   # off 3 > out 1
+        (b"\x02\x00a\x15\x00\x00", "outside output"),   # off 0
+        (b"\x01\x00a\x11\x01", "overruns declared"),    # copy past len
+        (b"\x0d\x08abc", "declared 13 bytes, produced 3"),
+        (b"\xff\xff\xff\xff\xff\xff", "varint too long"),
+    ]:
+        with pytest.raises(AvroError, match=msg):
+            _snappy_uncompress(blob)
+
+
+def test_avro_snappy_container_hand_framed():
+    """A snappy-codec container framed by hand (header metadata +
+    count/size varints + compressed payload + the spec's 4-byte
+    BIG-endian CRC32 of the uncompressed data + sync) decodes to the
+    records; a corrupted CRC raises AvroError, and export refuses the
+    codec (read-only by scope)."""
+    import zlib
+
+    from accelerator_spark.sources.avro import avro_encode_file
+
+    schema = '{"type":"record","name":"R","fields":' \
+             '[{"name":"a","type":"long"}]}'
+    # payload: two records a=1, a=2 -> zigzag varints 02 04
+    raw = b"\x02\x04"
+    comp = b"\x02" + bytes([(len(raw) - 1) << 2]) + raw  # one literal
+    crc = zlib.crc32(raw).to_bytes(4, "big")
+    sync = b"\x07" * 16
+    # header (magic + meta + sync) from encoding zero records, with
+    # the codec metadata string swapped null -> snappy byte-wise
+    hdr = avro_encode_file(schema, [], codec="null", sync=sync)
+    hdr = hdr.replace(b"\x08null", b"\x0csnappy")
+    blob = hdr + b"\x04" + _spec_vlong(len(comp) + 4) \
+        + comp + crc + sync
+    got_schema, recs = avro_decode_file(blob)
+    assert recs == [{"a": 1}, {"a": 2}]
+    bad = blob.replace(crc + sync, b"\xde\xad\xbe\xef" + sync)
+    with pytest.raises(AvroError, match="CRC32 mismatch"):
+        avro_decode_file(bad)
+    with pytest.raises(AvroError, match="read-only"):
+        avro_encode_file(schema, [{"a": 1}], codec="snappy")
+
+
+def test_avro_snappy_java_written_container(spark, tmp_path):
+    """The foreign cross-check (VERDICT r7 #3): a snappy container
+    written by the Apache Avro JAVA reference implementation (via the
+    bundled snappy-java codec) decodes to identical records through
+    our pure-Python snappy path — single-file decode AND the
+    distributed block-split import."""
+    from accelerator_spark.sources.avro import avro_import
+
+    schema = {"type": "record", "name": "S", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "s", "type": ["null", "string"]},
+    ]}
+    recs = [{"k": i, "s": None if i % 7 == 0 else f"text-{i}" * (i % 5)}
+            for i in range(500)]
+    jvm = spark._jvm
+    parser = jvm.org.apache.avro.Schema.Parser()
+    jschema = parser.parse(json.dumps(schema))
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(jschema))
+    writer.setCodec(jvm.org.apache.avro.file.CodecFactory.snappyCodec())
+    # small sync interval -> many blocks, so the split index has real
+    # block boundaries to cut at
+    writer.setSyncInterval(256)
+    d = tmp_path / "snappy_dir"
+    d.mkdir()
+    jp = str(d / "java_snappy.avro")
+    writer.create(jschema, jvm.java.io.File(jp))
+    for r in recs:
+        rec = jvm.org.apache.avro.generic.GenericData.Record(jschema)
+        rec.put("k", r["k"])
+        rec.put("s", r["s"])
+        writer.append(rec)
+    writer.close()
+    with open(jp, "rb") as f:
+        _, back = avro_decode_file(f.read())
+    assert back == recs
+    # distributed import, forced through the block-split range path
+    df = avro_import(spark, str(d), target_split_bytes=512)
+    got = sorted((r["k"], r["s"]) for r in df.collect())
+    assert got == [(r["k"], r["s"]) for r in recs]
