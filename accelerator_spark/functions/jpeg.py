@@ -39,7 +39,7 @@ from __future__ import annotations
 import array
 import math
 import struct
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 
 class JpegError(ValueError):
@@ -230,6 +230,12 @@ class JpegImage:
     height: int
     channels: int       # 1 (grayscale) or 3 (RGB)
     pixels: bytes       # interleaved, 8-bit, len = w*h*channels
+    # EXIF orientation tag (0x0112) from APP1, 1..8; 1 = upright.
+    # DECODE does not apply it (neither do libjpeg or ImageIO —
+    # pixels are always sensor order); consumers that produce
+    # display-oriented output (image_resizer) apply it via
+    # apply_exif_orientation (ADVICE/VERDICT r7 #5)
+    orientation: int = 1
 
 
 @dataclass
@@ -242,10 +248,86 @@ class _Component:
     ac: int = 0
 
 
+def _exif_orientation(tiff: bytes):
+    """Orientation tag (0x0112, SHORT) from an APP1 TIFF body, or None.
+    Deliberately forgiving: EXIF is third-party metadata bolted onto an
+    otherwise-valid image, and real photo corpora are full of mangled
+    writers — a bad EXIF block must not fail the pixel decode, so every
+    malformed shape returns None (orientation stays 1) instead of
+    raising (VERDICT r7 #5)."""
+    try:
+        if tiff[:2] == b"II":
+            e = "<"
+        elif tiff[:2] == b"MM":
+            e = ">"
+        else:
+            return None
+        if struct.unpack(e + "H", tiff[2:4])[0] != 42:
+            return None
+        off = struct.unpack(e + "I", tiff[4:8])[0]
+        if off + 2 > len(tiff):
+            return None
+        n = struct.unpack(e + "H", tiff[off:off + 2])[0]
+        for i in range(min(n, 512)):  # IFD0 entry budget
+            ent = off + 2 + 12 * i
+            if ent + 12 > len(tiff):
+                return None
+            tag, typ, cnt = struct.unpack(e + "HHI", tiff[ent:ent + 8])
+            if tag == 0x0112 and typ == 3 and cnt >= 1:
+                v = struct.unpack(e + "H", tiff[ent + 8:ent + 10])[0]
+                return v if 1 <= v <= 8 else None
+        return None
+    except struct.error:
+        return None
+
+
+# (sx, sy) source-pixel lookups and whether output dims swap, per EXIF
+# orientation value 2..8 (1 = upright). Derived from the tag semantics
+# (where the stored row-0/col-0 sit in the scene), inverted to "which
+# source pixel lands at output (x, y)".
+_EXIF_XFORMS = {
+    2: (False, lambda x, y, w, h: (w - 1 - x, y)),          # flip H
+    3: (False, lambda x, y, w, h: (w - 1 - x, h - 1 - y)),  # rot 180
+    4: (False, lambda x, y, w, h: (x, h - 1 - y)),          # flip V
+    5: (True, lambda x, y, w, h: (y, x)),                   # transpose
+    6: (True, lambda x, y, w, h: (y, h - 1 - x)),           # rot 90 CW
+    7: (True, lambda x, y, w, h: (w - 1 - y, h - 1 - x)),   # transverse
+    8: (True, lambda x, y, w, h: (w - 1 - y, x)),           # rot 270 CW
+}
+
+
+def apply_exif_orientation(pixels, width: int, height: int,
+                           channels: int, orientation: int):
+    """Rearrange interleaved samples so the image displays upright;
+    returns (pixels, width, height) — dims swap for orientations 5-8.
+    Real photo corpora are full of orientation-6/8 files (portrait
+    phone shots); a resize pipeline that ignores the tag produces
+    transposed thumbnails (VERDICT r7 #5)."""
+    if orientation == 1:
+        return pixels, width, height
+    if orientation not in _EXIF_XFORMS:
+        raise JpegError(f"bad EXIF orientation {orientation}")
+    swap, src = _EXIF_XFORMS[orientation]
+    nw, nh = (height, width) if swap else (width, height)
+    out = bytearray(len(pixels))
+    ch = channels
+    i = 0
+    for y in range(nh):
+        for x in range(nw):
+            sx, sy = src(x, y, width, height)
+            o = (sy * width + sx) * ch
+            out[i:i + ch] = pixels[o:o + ch]
+            i += ch
+    return bytes(out), nw, nh
+
+
 def jpeg_decode(data: bytes, max_pixels: int = 1 << 26) -> JpegImage:
     """Decode one baseline JFIF byte string (scope in module header).
     ``max_pixels`` caps DECLARED dimensions — fail fast on a crafted
-    tiny file declaring a 65535x65535 frame, same guard as png/gif."""
+    tiny file declaring a 65535x65535 frame, same guard as png/gif.
+    EXIF orientation (APP1) is parsed onto ``JpegImage.orientation``
+    but never applied to the pixels — libjpeg/ImageIO behavior; use
+    apply_exif_orientation downstream."""
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise JpegError("not a JPEG: bad SOI")
     pos = 2
@@ -255,6 +337,7 @@ def jpeg_decode(data: bytes, max_pixels: int = 1 << 26) -> JpegImage:
     comps: list[_Component] = []
     width = height = 0
     dri = 0
+    orientation = 1
     progressive = False
     store = None        # per-component zigzag coefficient blocks (SOF2)
     geom = None         # (hmax, vmax, mcux, mcuy)
@@ -378,8 +461,10 @@ def jpeg_decode(data: bytes, max_pixels: int = 1 << 26) -> JpegImage:
                     raise JpegError(
                         "non-interleaved multi-scan sequential JPEG "
                         "unsupported (one interleaved scan only)")
-                return _decode_scan(data, pos, width, height, comps, qt,
-                                    dc_tables, ac_tables, dri)
+                img = _decode_scan(data, pos, width, height, comps,
+                                   qt, dc_tables, ac_tables, dri)
+                return replace(img, orientation=orientation) \
+                    if orientation != 1 else img
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ahal = seg[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 15
@@ -399,7 +484,11 @@ def jpeg_decode(data: bytes, max_pixels: int = 1 << 26) -> JpegImage:
             pos = _decode_progressive_scan(
                 data, pos, width, height, geom, scan_comps, ss, se,
                 ah, al, store, dc_tables, ac_tables, dri)
-        # APPn (E0-EF), COM (FE), others with length: skipped
+        elif marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+            # EXIF APP1: only the orientation tag matters to this
+            # decoder; parse failures leave the default upright 1
+            orientation = _exif_orientation(seg[6:]) or orientation
+        # other APPn (E0-EF), COM (FE), others with length: skipped
 
     # progressive reconstruction: all scans accumulated into `store` —
     # dequantize + IDCT once per block, then the shared plane tail
@@ -425,7 +514,9 @@ def jpeg_decode(data: bytes, max_pixels: int = 1 << 26) -> JpegImage:
             _block_to_plane(F, plane, pw, bx * 8, by * 8)
         planes.append(plane)
         pws.append(pw)
-    return _planes_to_image(planes, pws, comps, width, height, hmax, vmax)
+    img = _planes_to_image(planes, pws, comps, width, height, hmax, vmax)
+    return replace(img, orientation=orientation) \
+        if orientation != 1 else img
 
 
 def _block_to_plane(F, plane, pw, ox, oy):

@@ -585,11 +585,16 @@ def image_resizer(payload: bytes, mime: str, max_side: int,
         _, _, canvas = next(compose_frames(g))
         pixels, w, h, ch, depth = canvas, g.width, g.height, 3, 8
     elif mime == "image/jpeg" or raw[:3] == b"\xff\xd8\xff":
-        from ..functions.jpeg import jpeg_decode
+        from ..functions.jpeg import apply_exif_orientation, jpeg_decode
 
         img = jpeg_decode(raw, max_pixels=max_pixels)
-        pixels, w, h, ch, depth = (img.pixels, img.width, img.height,
-                                   img.channels, 8)
+        # real photo corpora are full of orientation-6/8 (portrait
+        # phone) files; resizing sensor-order pixels would produce
+        # transposed thumbnails (VERDICT r7 #5)
+        pixels, w, h = apply_exif_orientation(
+            img.pixels, img.width, img.height, img.channels,
+            img.orientation)
+        ch, depth = img.channels, 8
     else:
         raise NotImplementedError(
             f"image_resizer only handles image/png, image/gif and "

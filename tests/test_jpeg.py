@@ -387,3 +387,126 @@ def test_jpeg_encode_quant_table_validation():
     # boundary values stay accepted
     jpeg_decode(jpeg_encode(px, 8, 8, channels=1,
                             quant=([255] * 64, [1] * 64)))
+
+
+# ------------------------------------------------------- EXIF orientation
+
+def _exif_app1(orientation: int, byte_order: str = "II",
+               tag_type: int = 3) -> bytes:
+    """Hand-authored APP1 segment: Exif header + TIFF with a 1-entry
+    IFD0 carrying the orientation tag. ImageIO ignores EXIF, so these
+    fixtures are spec-authored (VERDICT r7 #5)."""
+    import struct
+
+    e = "<" if byte_order == "II" else ">"
+    tiff = (byte_order.encode()
+            + struct.pack(e + "H", 42)
+            + struct.pack(e + "I", 8)           # IFD0 at offset 8
+            + struct.pack(e + "H", 1)           # one entry
+            + struct.pack(e + "HHI", 0x0112, tag_type, 1)
+            + struct.pack(e + "H", orientation) + b"\x00\x00"
+            + struct.pack(e + "I", 0))          # no next IFD
+    body = b"Exif\x00\x00" + tiff
+    import struct as _s
+    return b"\xff\xe1" + _s.pack(">H", 2 + len(body)) + body
+
+
+def _splice_app1(jpeg: bytes, app1: bytes) -> bytes:
+    return jpeg[:2] + app1 + jpeg[2:]
+
+
+def test_exif_orientation_parsed_both_byte_orders():
+    base = jpeg_encode([99] * 64, 8, 8, channels=1, quant=UNIT_Q)
+    assert jpeg_decode(base).orientation == 1
+    for k in range(1, 9):
+        for bo in ("II", "MM"):
+            img = jpeg_decode(_splice_app1(base, _exif_app1(k, bo)))
+            assert img.orientation == k, (k, bo)
+            assert img.pixels == jpeg_decode(base).pixels  # never applied
+
+
+def test_exif_malformed_never_fails_decode():
+    """EXIF is bolted-on third-party metadata: every mangled shape
+    leaves orientation at 1 and the pixel decode intact."""
+    base = jpeg_encode([50] * 64, 8, 8, channels=1, quant=UNIT_Q)
+    good = jpeg_decode(base).pixels
+    import struct
+
+    def app1(body: bytes) -> bytes:
+        return b"\xff\xe1" + struct.pack(">H", 2 + len(body)) + body
+
+    cases = [
+        _exif_app1(9),                          # out-of-range value
+        _exif_app1(0),
+        _exif_app1(6, tag_type=4),              # wrong type (LONG)
+        app1(b"Exif\x00\x00"),                  # empty TIFF body
+        app1(b"Exif\x00\x00XX" + b"\x00" * 8),  # bad byte order
+        app1(_exif_app1(6)[4:14]),              # truncated mid-TIFF
+    ]
+    for app1 in cases:
+        img = jpeg_decode(_splice_app1(base, app1))
+        assert img.orientation == 1
+        assert img.pixels == good
+
+
+def test_apply_exif_orientation_hand_checked():
+    """All 8 transforms on an asymmetric 2x3 image, expectations
+    written out by hand from the tag semantics."""
+    from accelerator_spark.functions.jpeg import apply_exif_orientation
+
+    # w=2, h=3, values:   a b
+    #                     c d
+    #                     e f
+    a, b, c, d, e, f = range(10, 16)
+    px = bytes([a, b, c, d, e, f])
+    want = {
+        1: (px, 2, 3),
+        2: (bytes([b, a, d, c, f, e]), 2, 3),          # flip H
+        3: (bytes([f, e, d, c, b, a]), 2, 3),          # rot 180
+        4: (bytes([e, f, c, d, a, b]), 2, 3),          # flip V
+        5: (bytes([a, c, e, b, d, f]), 3, 2),          # transpose
+        6: (bytes([e, c, a, f, d, b]), 3, 2),          # rot 90 CW
+        7: (bytes([f, d, b, e, c, a]), 3, 2),          # transverse
+        8: (bytes([b, d, f, a, c, e]), 3, 2),          # rot 270 CW
+    }
+    for k, (wpx, ww, wh) in want.items():
+        got = apply_exif_orientation(px, 2, 3, 1, k)
+        assert got == (wpx, ww, wh), k
+    # involutions / inverse pairs close the algebra
+    for k in (2, 3, 4, 5, 7):
+        p1, w1, h1 = apply_exif_orientation(px, 2, 3, 1, k)
+        assert apply_exif_orientation(p1, w1, h1, 1, k) == (px, 2, 3)
+    p6, w6, h6 = apply_exif_orientation(px, 2, 3, 1, 6)
+    assert apply_exif_orientation(p6, w6, h6, 1, 8) == (px, 2, 3)
+    # multi-channel: samples move together
+    rgb = bytes(range(18))
+    p, w2, h2 = apply_exif_orientation(rgb, 2, 3, 3, 6)
+    assert (w2, h2) == (3, 2)
+    assert p[0:3] == rgb[12:15]  # out(0,0) = src(0,2) = pixel e
+    with pytest.raises(JpegError, match="orientation"):
+        apply_exif_orientation(px, 2, 3, 1, 11)
+
+
+def test_image_resizer_applies_exif_orientation():
+    """An orientation-6 (portrait phone) JPEG through image_resizer
+    comes out rotated upright: dims swap and the constant-block layout
+    lands where a 90-degree clockwise rotation puts it."""
+    from accelerator_spark.functions.png import png_decode
+
+    # 8x16 grayscale: block A=40 on top, B=200 below
+    px, w, h = _const_blocks([40, 200], 1, 2)
+    blob = _splice_app1(
+        jpeg_encode(list(px), w, h, channels=1, quant=UNIT_Q),
+        _exif_app1(6))
+    out, nw, nh = image_resizer(blob, "image/jpeg", max_side=16)
+    assert (nw, nh) == (16, 8)
+    back = png_decode(out)
+    # rot 90 CW: the top block (A) moves to the RIGHT half
+    for y in range(8):
+        row = back.pixels[y * 16:(y + 1) * 16]
+        assert set(row[:8]) == {200} and set(row[8:]) == {40}
+    # without the tag, dims stay sensor-order
+    out2, nw2, nh2 = image_resizer(
+        jpeg_encode(list(px), w, h, channels=1, quant=UNIT_Q),
+        "image/jpeg", max_side=16)
+    assert (nw2, nh2) == (8, 16)
