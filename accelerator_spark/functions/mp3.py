@@ -93,9 +93,11 @@ def _samples_per_frame(version: str, layer: int) -> int:
 
 def _parse_header(h: int):
     """Decode one 32-bit frame header; returns (version, layer,
-    bitrate_kbps, sample_rate, padding, mode_bits) or None if the
-    bytes are not a valid frame header (resync / trailing-junk
-    detection relies on None, not exceptions)."""
+    bitrate_kbps, sample_rate, padding, mode_bits), the string
+    "free" for a free-format header (valid sync but bitrate index 0 —
+    out of scope, but it must NOT abort a junk resync: a false sync
+    inside garbage or trailing bytes can carry a zero bitrate nibble,
+    review r8), or None if the bytes are not a frame header at all."""
     if h >> 21 != 0x7FF:
         return None
     ver_bits = (h >> 19) & 0b11
@@ -109,7 +111,7 @@ def _parse_header(h: int):
     if br_idx == 15 or sr_idx == 3:
         return None
     if br_idx == 0:
-        raise Mp3Error("free-format bitrate (index 0) is out of scope")
+        return "free"
     bitrate = _BITRATES[(version == "1", layer)][br_idx - 1]
     rate = _RATES[version][sr_idx]
     padding = (h >> 9) & 1
@@ -161,11 +163,18 @@ def mp3_probe(data: bytes, max_resync: int = 65536) -> Mp3Meta:
     layer = rate = mode = 0
     n_frames = bitrate_sum = 0
     vbr = False
+    saw_free = False
     scan_limit = min(pos + max_resync, end - 4)
     while pos + 4 <= end:
         h = int.from_bytes(data[pos:pos + 4], "big")
         parsed = _parse_header(h)
-        if parsed is None:
+        if parsed is None or parsed == "free":
+            # free-format headers are treated like non-headers during
+            # resync and after real frames (a false sync can carry a
+            # zero bitrate nibble, review r8) — but remembered, so a
+            # genuinely free-format FILE gets the actionable scope
+            # error below instead of 'no frames found'
+            saw_free = saw_free or parsed == "free"
             if n_frames == 0 and pos <= scan_limit:
                 pos += 1  # junk before the first frame: resync
                 continue
@@ -185,7 +194,9 @@ def mp3_probe(data: bytes, max_resync: int = 65536) -> Mp3Meta:
         bitrate_sum += br
         pos += _frame_length(ver, lay, br, rt, pad)
     if n_frames == 0:
-        raise Mp3Error("no MPEG audio frames found")
+        raise Mp3Error(
+            "free-format bitrate (index 0) is out of scope" if saw_free
+            else "no MPEG audio frames found")
     spf = _samples_per_frame(version, layer)
     return Mp3Meta(
         version=version, layer=layer, sample_rate=rate,

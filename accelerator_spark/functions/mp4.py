@@ -229,9 +229,14 @@ def _parse_trun(data, start, end):
     if not (flags & 0x100) or n == 0:
         return n, None
     k = len(per)
-    dur_idx = per.index(0x100)  # always 0, but keep it honest
-    vals = struct.unpack(f">{n * k}I", data[p:p + n * stride])
-    return n, sum(vals[dur_idx::k])
+    if k == 1:  # duration is the only per-sample field: one flat unpack
+        return n, sum(struct.unpack(f">{n}I", data[p:p + 4 * n]))
+    # multi-field entries: read ONLY the duration column (always field
+    # 0 — 0x100 is the lowest flag bit). Unpacking the whole n*k table
+    # to slice every k-th element materializes a ~30x-the-need tuple
+    # for a 1M-sample trun (review r8).
+    return n, sum(struct.unpack_from(">I", data, off)[0]
+                  for off in range(p, p + n * stride, stride))
 
 
 def _parse_moof(data, start, end, budget, trex_dur: dict):

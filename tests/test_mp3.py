@@ -181,3 +181,34 @@ def test_probe_audio_meta_distributed(spark):
     # on_error='raise' surfaces the actionable hook message
     with pytest.raises(Exception, match="NotImplementedError|stdlib"):
         probe_audio_meta(df.filter("media_id = 3")).collect()
+
+
+def test_free_format_false_sync_does_not_abort():
+    """Review r8: a false sync carrying a zero bitrate nibble — in
+    leading junk OR trailing bytes — must not abort the probe; only a
+    genuinely free-format stream gets the scope error."""
+    body = mp3_build_frames("1", 3, [9] * 3, 0)
+    # leading junk containing sync+MPEG1L3+bitrate-0: resyncs past it
+    m = mp3_probe(b"\xff\xfb\x00\x00junk" + body)
+    assert m.n_frames == 3
+    # trailing free-format-looking bytes: walk ends cleanly
+    m = mp3_probe(body + b"\xff\xfb\x00\x00")
+    assert m.n_frames == 3
+    # a stream whose only header IS free-format: actionable scope error
+    free = bytearray(mp3_build_frames("1", 3, [9], 0))
+    free[2] = 0x00
+    with pytest.raises(Mp3Error, match="free-format"):
+        mp3_probe(bytes(free))
+
+
+def test_adts_aac_not_routed_to_mp3(spark):
+    """Review r8: AAC ADTS shares the 0xFFF sync but carries layer bits
+    00 — it must hit the actionable not-implemented path, not the MPEG
+    walk (which would emit garbage mp3 metadata for an AAC asset)."""
+    adts = b"\xff\xf1\x50\x80\x00\x1f\xfc" + b"\x00" * 64
+    df = spark.createDataFrame(
+        [(1, adts, "")], "media_id long, payload binary, mime string")
+    rows = probe_audio_meta(df, on_error="null").collect()
+    assert rows[0]["codec"] is None  # contained, not mislabeled mp3
+    with pytest.raises(Exception, match="NotImplementedError|stdlib"):
+        probe_audio_meta(df).collect()
