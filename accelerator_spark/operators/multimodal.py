@@ -316,12 +316,22 @@ def probe_audio_meta(
     audio): MP3 — the dominant scraped-audio format — probes via the
     pure-stdlib MPEG frame-header walk in functions/mp3.py (exact
     frame/sample counts, duration, CBR/VBR, ID3 wrapper size; DECODE
-    genuinely needs external codecs, the planning metadata does not),
-    and WAV probes via the PCM header. One row per asset; other
-    formats (aac/opus/flac) raise per row — ``on_error="null"``
-    contains them on dirty corpora. Same Arrow scaffold as
-    decode_features."""
+    genuinely needs external codecs, the planning metadata does not);
+    FLAC via its mandatory STREAMINFO block (functions/flac.py); Ogg
+    Opus/Vorbis via the page walk and last-page granule
+    (functions/ogg.py); WAV via the PCM header. One row per asset;
+    other formats (aac/m4a — the latter probes via probe_video_meta's
+    ISO-BMFF walk) raise per row — ``on_error="null"`` contains them
+    on dirty corpora. Same Arrow scaffold as decode_features.
+
+    Column notes: ``n_frames`` is MP3 MPEG-frame count / Ogg page
+    count (NULL for wav/flac — PCM and FLAC framing aren't planning
+    units); ``n_samples`` is per-channel samples (Opus: at the 48 kHz
+    granule rate, pre-skip deducted); ``bitrate_kbps`` is NULL where
+    the headers don't state one (flac/ogg)."""
+    from ..functions.flac import flac_probe
     from ..functions.mp3 import mp3_probe
+    from ..functions.ogg import ogg_probe
     from ..functions.wav import wav_decode
 
     def per_row(raw: bytes, mime: str):
@@ -338,6 +348,15 @@ def probe_audio_meta(
             return (len(raw), "mp3", m.sample_rate, m.n_channels,
                     m.n_frames, m.n_samples, m.duration_s,
                     m.bitrate_kbps, m.vbr, m.id3v2_size)
+        if mime in ("audio/flac", "audio/x-flac") or raw[:4] == b"fLaC":
+            f = flac_probe(raw)
+            return (len(raw), "flac", f.sample_rate, f.n_channels,
+                    None, f.total_samples, f.duration_s, None, None, 0)
+        if (mime in ("audio/ogg", "audio/opus", "audio/vorbis",
+                     "application/ogg") or raw[:4] == b"OggS"):
+            o = ogg_probe(raw)
+            return (len(raw), o.codec, o.sample_rate, o.n_channels,
+                    o.n_pages, o.n_samples, o.duration_s, None, None, 0)
         if (mime in ("audio/wav", "audio/x-wav", "audio/wave")
                 or (raw[:4] == b"RIFF" and raw[8:12] == b"WAVE")):
             a = wav_decode(raw)
@@ -347,8 +366,10 @@ def probe_audio_meta(
             return (len(raw), "wav", a.sample_rate, a.n_channels,
                     None, a.n_frames, dur, kbps, False, 0)
         raise NotImplementedError(
-            f"no stdlib prober for {mime!r}: mp3 and wav probe in this "
-            "container; pass other formats to an ffmpeg-backed stage")
+            f"no stdlib prober for {mime!r}: mp3/flac/ogg(opus,vorbis)/"
+            "wav probe in this container (m4a probes via "
+            "probe_video_meta); pass other formats to an ffmpeg-backed "
+            "stage")
 
     return _map_media_rows(
         df, per_row,

@@ -2089,6 +2089,65 @@ FROM p
 """
 
 
+def audio_probe_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC/Opus metadata end-to-end (r8): per document either a
+    FLAC metadata stream (functions/flac.py — magic + STREAMINFO bit
+    fields, authored by flac_build) or an Opus-in-Ogg skeleton
+    (functions/ogg.py — BOS page with an RFC 7845 OpusHead + an EOS
+    page whose granule encodes the duration), md5-chosen; then
+    ``probe_audio_meta`` routes by magic bytes (mime deliberately
+    left generic — the dirty-corpus reality) and reports codec, rate,
+    channels and exact per-channel sample count: FLAC from
+    STREAMINFO's 36-bit total, Opus from last-granule minus pre-skip.
+    The oracle replays the md5 arithmetic. Two Arrow stages over
+    source partitioning, no shuffle."""
+    from .operators.multimodal import probe_audio_meta
+
+    def build_audio(text: str):
+        import hashlib as _hashlib
+
+        from .functions.flac import flac_build
+        from .functions.ogg import ogg_build_opus
+
+        d1 = _hashlib.md5(text.encode("utf-8")).digest()
+        rate = 8000 + d1[0] * 256
+        ch = d1[1] % 8 + 1
+        if d1[7] % 2:
+            pre = d1[2] * 4
+            return ogg_build_opus(
+                ch, pre, rate, [pre + d1[3] * 1000]), "audio/ogg"
+        return flac_build(rate, ch, d1[2] % 29 + 4,
+                          d1[3] * 100000 + d1[4]), "audio/flac"
+
+    media = _doc_media_df(spark, sf_dir, build_audio)
+    meta = probe_audio_meta(media)
+    return meta.select("media_id", "codec", "sample_rate",
+                       "n_channels", "n_samples")
+
+
+ORACLE_AUDIO_PROBE = """
+WITH h AS (
+  SELECT doc_id AS media_id, md5(coalesce(text, '')) AS d1
+  FROM documents
+), p AS (
+  SELECT media_id,
+         CAST(('0x' || substr(d1, 15, 2)) AS INT) % 2 AS is_opus,
+         8000 + CAST(('0x' || substr(d1, 1, 2)) AS INT) * 256 AS rate,
+         CAST(('0x' || substr(d1, 3, 2)) AS INT) % 8 + 1 AS ch,
+         CAST(('0x' || substr(d1, 7, 2)) AS INT) AS b3,
+         CAST(('0x' || substr(d1, 9, 2)) AS INT) AS b4
+  FROM h
+)
+SELECT media_id,
+       CASE WHEN is_opus = 1 THEN 'opus' ELSE 'flac' END AS codec,
+       CAST(rate AS INT) AS sample_rate,
+       CAST(ch AS INT) AS n_channels,
+       CAST(CASE WHEN is_opus = 1 THEN b3 * 1000
+                 ELSE b3 * 100000 + b4 END AS BIGINT) AS n_samples
+FROM p
+"""
+
+
 def png_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image resize end-to-end: the same per-document PNGs as
     png_decode_stats, pushed through resize_media with the genuine
@@ -5737,6 +5796,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_probe_report": video_probe_report,
     "fmp4_probe_report": fmp4_probe_report,
     "mp3_probe_report": mp3_probe_report,
+    "audio_probe_report": audio_probe_report,
     "png_resize_stats": png_resize_stats,
     "wav_decode_stats": wav_decode_stats,
     "gif_frames_report": gif_frames_report,
@@ -5867,6 +5927,7 @@ ORACLES: dict[str, str] = {
     "video_probe_report": ORACLE_VIDEO_PROBE,
     "fmp4_probe_report": ORACLE_FMP4_PROBE,
     "mp3_probe_report": ORACLE_MP3_PROBE,
+    "audio_probe_report": ORACLE_AUDIO_PROBE,
     "png_resize_stats": ORACLE_PNG_RESIZE,
     "wav_decode_stats": ORACLE_WAV_DECODE,
     "gif_frames_report": ORACLE_GIF_FRAMES,

@@ -159,7 +159,7 @@ def test_probe_audio_meta_distributed(spark):
     wav = wav_encode(bytes(range(48)), 8000)
     df = spark.createDataFrame(
         [(1, mp3, "audio/mpeg"), (2, wav, "audio/wav"),
-         (3, b"fLaC....", "audio/flac"), (4, b"", "audio/mpeg")],
+         (3, b"\xde\xad\xaa\xcc", "audio/aac"), (4, b"", "audio/mpeg")],
         "media_id long, payload binary, mime string")
     rows = {r["media_id"]: r
             for r in probe_audio_meta(df, on_error="null").collect()}
@@ -177,7 +177,7 @@ def test_probe_audio_meta_distributed(spark):
     for mid in (3, 4):
         assert rows[mid]["codec"] is None
         assert rows[mid]["sample_rate"] is None
-    assert rows[3]["n_bytes"] == 8 and rows[4]["n_bytes"] == 0
+    assert rows[3]["n_bytes"] == 4 and rows[4]["n_bytes"] == 0
     # on_error='raise' surfaces the actionable hook message
     with pytest.raises(Exception, match="NotImplementedError|stdlib"):
         probe_audio_meta(df.filter("media_id = 3")).collect()
