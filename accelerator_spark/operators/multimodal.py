@@ -287,6 +287,56 @@ def decode_audio_features(
         error_vals=lambda raw, mime: (len(raw), None, None, None, None))
 
 
+IMAGE_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("format", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("bit_depth", T.IntegerType(), True),
+    T.StructField("channels", T.IntegerType(), True),
+    T.StructField("n_frames", T.IntegerType(), True),
+    T.StructField("progressive", T.BooleanType(), True),
+    T.StructField("orientation", T.IntegerType(), True),
+    T.StructField("has_alpha", T.BooleanType(), True),
+])
+
+
+def probe_image_meta(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    mime_col: str = "mime",
+    batch_partitions: int | None = None,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Image metadata WITHOUT decode (r8): format/dims/frames/EXIF
+    orientation from headers alone (functions/imagemeta.py — PNG IHDR,
+    GIF block-structure walk, JPEG SOF/APP1 marker walk, WebP
+    VP8/VP8L/VP8X incl. ANMF frame counts, BMP). The planning front
+    end of the image pipeline: filter a 100 TB scrape by size/
+    format/animation BEFORE paying any decode — header probing is
+    O(bytes-read ~KB) per asset where decode_features is O(pixels).
+    WebP is probe-only in this container (decode needs libwebp); PNG/
+    GIF/JPEG probe results are cross-checked against the real decoders
+    in tests. Same Arrow scaffold and containment as decode_features."""
+    from ..functions.imagemeta import image_probe
+
+    def per_row(raw: bytes, mime: str):
+        m = image_probe(raw)
+        return (len(raw), m.format, m.width, m.height, m.bit_depth,
+                m.channels, m.n_frames, m.progressive, m.orientation,
+                m.has_alpha)
+
+    return _map_media_rows(
+        df, per_row,
+        [f for f in IMAGE_META_SCHEMA.fields
+         if f.name not in ("media_id", "mime")],
+        payload_col, id_col, mime_col, batch_partitions, on_error,
+        error_vals=lambda raw, mime: (len(raw),) + (None,) * 9)
+
+
 AUDIO_META_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("mime", T.StringType(), True),

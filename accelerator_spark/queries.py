@@ -2148,6 +2148,89 @@ FROM p
 """
 
 
+def image_probe_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only image metadata end-to-end (r8): per document one of
+    png / gif / jpeg / webp is authored (md5-chosen format and
+    parameters — PNG/GIF/JPEG via the real encoders, WebP via the
+    spec-layout VP8X builder with ANMF animation frames since no WebP
+    encoder exists in stdlib), then ``probe_image_meta`` reads format,
+    dims, frame count and EXIF orientation from HEADERS ALONE
+    (functions/imagemeta.py — the no-decode planning front end: the
+    JPEG rows carry a spliced APP1 whose orientation the probe must
+    surface without touching entropy data). The oracle replays the md5
+    arithmetic. Two Arrow stages over source partitioning, no
+    shuffle."""
+    from .operators.multimodal import probe_image_meta
+
+    def build_image(text: str):
+        import hashlib as _hashlib
+        import struct as _struct
+
+        d1 = _hashlib.md5(text.encode("utf-8")).digest()
+        w, h = d1[0] % 16 + 1, d1[1] % 16 + 1
+        kind = d1[7] % 4
+        if kind == 0:
+            from .functions.png import png_encode
+
+            return png_encode([0] * (w * h), w, h,
+                              color_type=0), "image/png"
+        if kind == 1:
+            from .functions.gif import gif_encode
+
+            k = d1[2] % 4 + 1
+            return gif_encode([[0] * (w * h)] * k, w, h,
+                              bytes(6)), "image/gif"
+        if kind == 2:
+            from .functions.jpeg import jpeg_encode
+
+            orient = d1[3] % 8 + 1
+            # spec-layout APP1: Exif header + little-endian TIFF with
+            # a 1-entry IFD0 carrying the orientation SHORT
+            tiff = (b"II" + _struct.pack("<H", 42)
+                    + _struct.pack("<I", 8) + _struct.pack("<H", 1)
+                    + _struct.pack("<HHI", 0x0112, 3, 1)
+                    + _struct.pack("<H", orient) + b"\x00\x00"
+                    + _struct.pack("<I", 0))
+            body = b"Exif\x00\x00" + tiff
+            app1 = b"\xff\xe1" + _struct.pack(">H", 2 + len(body)) + body
+            blob = jpeg_encode([0] * (w * h), w, h, channels=1)
+            return blob[:2] + app1 + blob[2:], "image/jpeg"
+        from .functions.imagemeta import webp_build_extended
+
+        return webp_build_extended(w, h, n_frames=d1[2] % 4 + 1), \
+            "image/webp"
+
+    media = _doc_media_df(spark, sf_dir, build_image)
+    meta = probe_image_meta(media)
+    return meta.select("media_id", "format", "width", "height",
+                       "n_frames", "orientation")
+
+
+ORACLE_IMAGE_PROBE = """
+WITH h AS (
+  SELECT doc_id AS media_id, md5(coalesce(text, '')) AS d1
+  FROM documents
+), p AS (
+  SELECT media_id,
+         CAST(('0x' || substr(d1, 15, 2)) AS INT) % 4 AS kind,
+         CAST(('0x' || substr(d1, 1, 2)) AS INT) % 16 + 1 AS w,
+         CAST(('0x' || substr(d1, 3, 2)) AS INT) % 16 + 1 AS hh,
+         CAST(('0x' || substr(d1, 5, 2)) AS INT) % 4 + 1 AS frames,
+         CAST(('0x' || substr(d1, 7, 2)) AS INT) % 8 + 1 AS orient
+  FROM h
+)
+SELECT media_id,
+       list_extract(['png', 'gif', 'jpeg', 'webp'], kind + 1) AS format,
+       CAST(w AS INT) AS width,
+       CAST(hh AS INT) AS height,
+       CAST(CASE WHEN kind IN (1, 3) THEN frames ELSE 1 END AS INT)
+         AS n_frames,
+       CAST(CASE WHEN kind = 2 THEN orient ELSE 1 END AS INT)
+         AS orientation
+FROM p
+"""
+
+
 def png_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image resize end-to-end: the same per-document PNGs as
     png_decode_stats, pushed through resize_media with the genuine
@@ -5797,6 +5880,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fmp4_probe_report": fmp4_probe_report,
     "mp3_probe_report": mp3_probe_report,
     "audio_probe_report": audio_probe_report,
+    "image_probe_report": image_probe_report,
     "png_resize_stats": png_resize_stats,
     "wav_decode_stats": wav_decode_stats,
     "gif_frames_report": gif_frames_report,
@@ -5928,6 +6012,7 @@ ORACLES: dict[str, str] = {
     "fmp4_probe_report": ORACLE_FMP4_PROBE,
     "mp3_probe_report": ORACLE_MP3_PROBE,
     "audio_probe_report": ORACLE_AUDIO_PROBE,
+    "image_probe_report": ORACLE_IMAGE_PROBE,
     "png_resize_stats": ORACLE_PNG_RESIZE,
     "wav_decode_stats": ORACLE_WAV_DECODE,
     "gif_frames_report": ORACLE_GIF_FRAMES,
