@@ -11,7 +11,7 @@ STREAMINFO's bit fields; it never touches audio frames, so probing is
 O(metadata), not O(file).
 
 Like the other codecs/probes: written from the public spec; validated
-against hand-derived golden bytes (tests/test_flac.py — no foreign
+against hand-derived golden bytes (tests/test_flac_ogg.py — no foreign
 FLAC reader ships in this container).
 
 Scope: STREAMINFO (+ counting the other metadata blocks and their

@@ -61,6 +61,12 @@ def _probe_png(data: bytes) -> ImageMeta:
     if len(data) < 33 or data[12:16] != b"IHDR":
         raise ImageMetaError("truncated PNG IHDR")
     w, h = struct.unpack(">II", data[16:24])
+    # the spec caps dims at 2^31-1; a crafted header past that must
+    # raise (contained by on_error='null') — a huge int sailing through
+    # would abort the whole Arrow batch at serialization time, outside
+    # the per-row containment (review r8)
+    if not (0 < w <= 0x7FFFFFFF and 0 < h <= 0x7FFFFFFF):
+        raise ImageMetaError(f"invalid PNG dimensions {w}x{h}")
     depth, color, _comp, _filt, interlace = data[24:29]
     if color not in _PNG_COLOR:
         raise ImageMetaError(f"bad PNG color type {color}")
@@ -88,10 +94,12 @@ def _probe_gif(data: bytes) -> ImageMeta:
         pos += 3 * (2 << (packed & 0x07))
     n_frames = 0
     interlaced = False
+    saw_trailer = False
     while pos < len(data):
         b = data[pos]
         pos += 1
         if b == 0x3B:                       # trailer
+            saw_trailer = True
             break
         if b == 0x21:                       # extension: label + blocks
             if pos >= len(data):
@@ -111,6 +119,10 @@ def _probe_gif(data: bytes) -> ImageMeta:
             n_frames += 1
         else:
             raise ImageMetaError(f"bad GIF block 0x{b:02x}")
+    if not saw_trailer:
+        # a partial download cut at a block boundary must probe as
+        # corrupt, not silently report fewer frames (review r8)
+        raise ImageMetaError("truncated GIF (no trailer)")
     return ImageMeta("gif", w, h, depth, 3, n_frames, interlaced, 1,
                      False)
 
@@ -144,8 +156,13 @@ def _probe_jpeg(data: bytes) -> ImageMeta:
             depth = seg[0]
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
+            # progressive DCT frames: Huffman (C2), differential (C6),
+            # arithmetic (CA), differential arithmetic (CE) — SOF2
+            # alone misses the arithmetic/differential variants
+            # (review r8)
             return ImageMeta("jpeg", w, h, depth, ncomp, 1,
-                             marker == 0xC2, orientation, False)
+                             marker in (0xC2, 0xC6, 0xCA, 0xCE),
+                             orientation, False)
         elif marker == 0xDA:
             break   # scans start; SOF should have come first
     raise ImageMetaError("no SOF header in JPEG stream")
@@ -218,6 +235,11 @@ def _probe_bmp(data: bytes) -> ImageMeta:
         depth = struct.unpack("<H", data[24:26])[0]
     else:
         raise ImageMetaError(f"unknown BMP header size {hdr_size}")
+    # negative HEIGHT is legal (top-down rows); negative or zero WIDTH
+    # is not — surface it as corrupt instead of a nonsense dimension
+    # (review r8)
+    if w <= 0 or h == 0:
+        raise ImageMetaError(f"invalid BMP dimensions {w}x{h}")
     return ImageMeta("bmp", w, abs(h), depth, 0, 1, False, 1, False)
 
 

@@ -12,7 +12,7 @@ headers (never page bodies beyond the id header), sums pages, and
 derives duration from the final granule: 48 kHz fixed granule rate
 minus pre-skip for Opus, the id-header rate for Vorbis.
 
-Validated against hand-derived golden pages (tests/test_ogg.py — no
+Validated against hand-derived golden pages (tests/test_flac_ogg.py — no
 foreign Ogg reader ships in this container). Page CRCs are NOT
 verified (scope: metadata probe, not integrity checker — the CRC
 covers page bodies the probe never reads).
@@ -124,11 +124,16 @@ def _page(htype: int, granule: int, serial: int, seq: int,
     """One Ogg page. CRC is written as zero — the probe's scope note
     says CRCs are unverified, and a real CRC needs the whole body the
     gate fixtures don't carry."""
-    if len(body) > 255 * 255:
+    if len(body) > 254 * 255:
         raise OggError("builder: body too large for one page")
-    nseg = -(-len(body) // 255) if body else 1
-    segs = bytearray([255] * (nseg - 1))
-    segs.append(len(body) - 255 * (nseg - 1))
+    # RFC 3533 lacing: [255] * (len // 255) then the remainder — which
+    # is a REQUIRED terminating 0 when len is a multiple of 255 (a
+    # trailing 255 means "packet continues on the next page";
+    # review r8)
+    full, rem = divmod(len(body), 255)
+    segs = bytearray([255] * full)
+    segs.append(rem)
+    nseg = full + 1
     return (b"OggS\x00" + bytes([htype])
             + struct.pack("<qI", granule, serial)
             + struct.pack("<I", seq) + b"\x00\x00\x00\x00"

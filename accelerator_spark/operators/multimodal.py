@@ -405,6 +405,14 @@ def probe_audio_meta(
         if (mime in ("audio/ogg", "audio/opus", "audio/vorbis",
                      "application/ogg") or raw[:4] == b"OggS"):
             o = ogg_probe(raw)
+            if o.codec == "unknown":
+                # an id header we can't parse (speex/theora/...): the
+                # page stats are real but rate/channels/samples aren't
+                # stated — NULL them like every other unstated field
+                # instead of emitting zeros and a granule count at an
+                # unknown rate (review r8)
+                return (len(raw), o.codec, None, None, o.n_pages,
+                        None, None, None, None, 0)
             return (len(raw), o.codec, o.sample_rate, o.n_channels,
                     o.n_pages, o.n_samples, o.duration_s, None, None, 0)
         if (mime in ("audio/wav", "audio/x-wav", "audio/wave")

@@ -205,3 +205,38 @@ def test_probe_audio_meta_routes_flac_and_ogg(spark):
     assert r2["n_samples"] == 48000 * 60
     assert r2["duration_s"] == pytest.approx(60.0)
     assert r2["n_frames"] == 2  # page count
+
+
+def test_review_r8_ogg_hardening():
+    """Review r8: unknown-codec Ogg rows NULL their unstated audio
+    fields through probe_audio_meta, and the page builder emits the
+    RFC 3533 terminating-0 lacing for 255-multiple bodies."""
+    from accelerator_spark.functions.ogg import _page
+
+    # lacing: 255-byte body -> [255, 0], 510 -> [255, 255, 0]
+    p = _page(0, 0, 1, 0, b"x" * 255)
+    assert p[26] == 2 and p[27:29] == b"\xff\x00"
+    p = _page(0, 0, 1, 0, b"x" * 510)
+    assert p[26] == 3 and p[27:30] == b"\xff\xff\x00"
+    # empty body keeps the single-0 lacing
+    p = _page(0, 0, 1, 0, b"")
+    assert p[26] == 1 and p[27] == 0
+
+
+def test_review_r8_ogg_unknown_codec_nulls(spark):
+    import struct as _s
+
+    head = b"Speex   " + b"\x00" * 8
+    blob = (b"OggS\x00\x02" + _s.pack("<qI", 0, 3)
+            + _s.pack("<I", 0) + b"\x00" * 4
+            + bytes([1, len(head)]) + head
+            + b"OggS\x00\x04" + _s.pack("<qI", 555, 3)
+            + _s.pack("<I", 1) + b"\x00" * 4 + bytes([1, 0]))
+    df = spark.createDataFrame(
+        [(1, blob, "audio/ogg")],
+        "media_id long, payload binary, mime string")
+    r = probe_audio_meta(df).collect()[0]
+    assert r["codec"] == "unknown" and r["n_frames"] == 2
+    for col in ("sample_rate", "n_channels", "n_samples", "duration_s",
+                "bitrate_kbps"):
+        assert r[col] is None, col

@@ -169,3 +169,51 @@ def test_probe_image_meta_distributed(spark):
         ("png", 2, 2)
     assert (got[2]["format"], got[2]["n_frames"]) == ("webp", 2)
     assert got[3]["format"] is None and got[3]["n_bytes"] == 9
+
+
+def test_review_r8_hardening():
+    """Review r8: dims that would overflow the IntegerType schema (or
+    are zero/negative) raise and get contained instead of aborting the
+    Arrow batch; truncated GIFs raise instead of under-counting; all
+    progressive-DCT SOF variants set the flag."""
+    import struct as _s
+
+    from accelerator_spark.functions.gif import gif_encode
+    from accelerator_spark.functions.jpeg import jpeg_encode
+    from accelerator_spark.functions.png import png_encode
+
+    # PNG declaring width 2^31: probe raises (Arrow int32 ceiling)
+    blob = bytearray(png_encode([0, 0, 0, 0], 2, 2, color_type=0))
+    blob[16:20] = _s.pack(">I", 1 << 31)
+    with pytest.raises(ImageMetaError, match="invalid PNG dimensions"):
+        image_probe(bytes(blob))
+    # GIF cut at a block boundary (before the 0x3B trailer)
+    g = gif_encode([[0]] * 3, 1, 1, bytes(6))
+    with pytest.raises(ImageMetaError, match="no trailer"):
+        image_probe(g[:-1])
+    # BMP negative width is corrupt, not a dimension
+    b = bytearray(bmp_build(10, 10))
+    b[18:22] = _s.pack("<i", -1)
+    with pytest.raises(ImageMetaError, match="invalid BMP"):
+        image_probe(bytes(b))
+    # SOF10 (progressive arithmetic) sets the progressive flag
+    j = bytearray(jpeg_encode([0] * 64, 8, 8, channels=1))
+    at = bytes(j).index(b"\xff\xc0")
+    j[at + 1] = 0xCA
+    assert image_probe(bytes(j)).progressive is True
+
+
+def test_review_r8_containment_end_to_end(spark):
+    """The overflow-dims row is contained by on_error='null' (the
+    whole point of raising inside per_row, review r8)."""
+    import struct as _s
+
+    from accelerator_spark.functions.png import png_encode
+
+    blob = bytearray(png_encode([0, 0, 0, 0], 2, 2, color_type=0))
+    blob[16:20] = _s.pack(">I", 1 << 31)
+    df = spark.createDataFrame(
+        [(1, bytes(blob), "image/png")],
+        "media_id long, payload binary, mime string")
+    rows = probe_image_meta(df, on_error="null").collect()
+    assert rows[0]["format"] is None and rows[0]["n_bytes"] > 0
