@@ -18,6 +18,8 @@ looks at. ``image_probe`` answers them from headers alone:
   alpha/animation flags and an ANMF frame count — the one common
   scraped-image format whose DECODE is genuinely out of stdlib reach;
   the probe keeps it plannable anyway.
+- TIFF: baseline 6.0 IFD walk — dims/depth/orientation tags, linked
+  IFDs counted as pages (multi-page scans).
 - BMP: BITMAPINFOHEADER dims.
 
 Golden fixtures: PNG/GIF/JPEG probe results are cross-checked against
@@ -221,6 +223,59 @@ def _probe_webp(data: bytes) -> ImageMeta:
                      False, 1, alpha)
 
 
+def _probe_tiff(data: bytes) -> ImageMeta:
+    """Baseline TIFF 6.0 IFD walk: dims (tags 256/257), bit depth
+    (258), samples/pixel (277), orientation (274); every linked IFD is
+    one page (n_frames). Values are read only when inline (count 1,
+    SHORT/LONG) — offset-stored arrays (e.g. per-channel
+    BitsPerSample) fall back to the first inline-representable case or
+    0, which keeps the probe O(header)."""
+    e = "<" if data[:2] == b"II" else ">"
+    if struct.unpack(e + "H", data[2:4])[0] != 42:
+        raise ImageMetaError("bad TIFF magic number")
+    off = struct.unpack(e + "I", data[4:8])[0]
+    w = h = depth = 0
+    spp = orientation = 1
+    n_ifds = 0
+    first = True
+    while off:
+        n_ifds += 1
+        if n_ifds > 4096:
+            raise ImageMetaError("TIFF IFD chain budget exceeded")
+        if off + 2 > len(data):
+            raise ImageMetaError("truncated TIFF IFD")
+        n = struct.unpack(e + "H", data[off:off + 2])[0]
+        end = off + 2 + 12 * n
+        if end + 4 > len(data):
+            raise ImageMetaError("truncated TIFF IFD entries")
+        if first:
+            for i in range(n):
+                ent = off + 2 + 12 * i
+                tag, typ, cnt = struct.unpack(
+                    e + "HHI", data[ent:ent + 8])
+                if cnt != 1 or typ not in (3, 4):
+                    continue
+                val = struct.unpack(
+                    e + ("H" if typ == 3 else "I"),
+                    data[ent + 8:ent + 8 + (2 if typ == 3 else 4)])[0]
+                if tag == 256:
+                    w = val
+                elif tag == 257:
+                    h = val
+                elif tag == 258:
+                    depth = val
+                elif tag == 277:
+                    spp = val
+                elif tag == 274 and 1 <= val <= 8:
+                    orientation = val
+            first = False
+        off = struct.unpack(e + "I", data[end:end + 4])[0]
+    if not (0 < w <= 0x7FFFFFFF and 0 < h <= 0x7FFFFFFF):
+        raise ImageMetaError(f"invalid TIFF dimensions {w}x{h}")
+    return ImageMeta("tiff", w, h, depth, spp, n_ifds, False,
+                     orientation, spp == 4)
+
+
 def _probe_bmp(data: bytes) -> ImageMeta:
     if len(data) < 26:
         raise ImageMetaError("truncated BMP header")
@@ -256,10 +311,12 @@ def image_probe(data: bytes) -> ImageMeta:
         return _probe_jpeg(data)
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         return _probe_webp(data)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return _probe_tiff(data)
     if data[:2] == b"BM":
         return _probe_bmp(data)
     raise ImageMetaError(
-        "unrecognized image magic (png/gif/jpeg/webp/bmp)")
+        "unrecognized image magic (png/gif/jpeg/webp/tiff/bmp)")
 
 
 # --------------------------------------------------------------- builders
@@ -303,6 +360,32 @@ def webp_build_extended(width: int, height: int, n_frames: int = 0,
         chunks += b"ANMF" + struct.pack("<I", len(frame)) + frame
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" \
         + chunks
+
+
+def tiff_build(width: int, height: int, depth: int = 8,
+               n_pages: int = 1, orientation: int = 1,
+               byte_order: str = "II") -> bytes:
+    """Header-only baseline TIFF: ``n_pages`` linked IFDs, the first
+    carrying dims/depth/orientation tags (SHORT/LONG inline values)."""
+    e = "<" if byte_order == "II" else ">"
+    if n_pages < 1:
+        raise ImageMetaError("n_pages must be >= 1")
+    out = bytearray(byte_order.encode() + struct.pack(e + "H", 42)
+                    + struct.pack(e + "I", 8))
+
+    def entry(tag, typ, val):
+        v = struct.pack(e + ("H" if typ == 3 else "I"), val)
+        return struct.pack(e + "HHI", tag, typ, 1) + v.ljust(4, b"\x00")
+
+    for p in range(n_pages):
+        tags = ([entry(256, 4, width), entry(257, 4, height),
+                 entry(258, 3, depth), entry(274, 3, orientation)]
+                if p == 0 else [entry(256, 4, width),
+                                entry(257, 4, height)])
+        ifd = struct.pack(e + "H", len(tags)) + b"".join(tags)
+        next_off = len(out) + len(ifd) + 4 if p < n_pages - 1 else 0
+        out += ifd + struct.pack(e + "I", next_off)
+    return bytes(out)
 
 
 def bmp_build(width: int, height: int, depth: int = 24) -> bytes:

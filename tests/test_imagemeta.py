@@ -217,3 +217,36 @@ def test_review_r8_containment_end_to_end(spark):
         "media_id long, payload binary, mime string")
     rows = probe_image_meta(df, on_error="null").collect()
     assert rows[0]["format"] is None and rows[0]["n_bytes"] > 0
+
+
+def test_tiff_golden_spec_bytes_and_pages():
+    """Hand-derived little-endian TIFF header: II + 42 + IFD at 8,
+    three entries (256=LONG 640, 257=LONG 480, 274=SHORT 6), no next
+    IFD — written out field-by-field from TIFF 6.0 §2."""
+    from accelerator_spark.functions.imagemeta import tiff_build
+
+    golden = (b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)
+              + struct.pack("<H", 3)
+              + struct.pack("<HHI", 256, 4, 1) + struct.pack("<I", 640)
+              + struct.pack("<HHI", 257, 4, 1) + struct.pack("<I", 480)
+              + struct.pack("<HHI", 274, 3, 1)
+              + struct.pack("<H", 6) + b"\x00\x00"
+              + struct.pack("<I", 0))
+    m = image_probe(golden)
+    assert (m.format, m.width, m.height) == ("tiff", 640, 480)
+    assert (m.orientation, m.n_frames) == (6, 1)
+    # builder/probe round-trips: big-endian, multi-page, depth
+    for bo in ("II", "MM"):
+        m = image_probe(tiff_build(97, 33, depth=16, n_pages=3,
+                                   orientation=8, byte_order=bo))
+        assert (m.format, m.width, m.height) == ("tiff", 97, 33), bo
+        assert (m.bit_depth, m.n_frames, m.orientation) == (16, 3, 8)
+    # malformed: bad magic number (caught by the 4-byte sniff),
+    # truncated IFD, zero dims
+    with pytest.raises(ImageMetaError, match="magic"):
+        image_probe(b"II\x2b\x00" + b"\x00" * 8)
+    with pytest.raises(ImageMetaError, match="truncated TIFF"):
+        image_probe(tiff_build(4, 4)[:12])
+    with pytest.raises(ImageMetaError, match="invalid TIFF"):
+        image_probe(tiff_build(4, 4).replace(
+            struct.pack("<I", 4), struct.pack("<I", 0), 1))
