@@ -12,13 +12,15 @@ same per-slice file model the reference uses for its workdirs
 (/root/reference/accelerator/dataset.py writes one file per slice).
 
 Scope (spec 1.11.x Object Container Format):
-- codecs: null, deflate (raw zlib) read+write; snappy READ (pure-
+- codecs: null, deflate (raw zlib), bzip2, xz read+write (bz2/lzma
+  are stdlib BOTH ways, so the optional-codec pair is symmetric,
+  Java-interop-checked in tests/test_avro.py); snappy READ (pure-
   Python raw-snappy block decoder + the spec's 4-byte big-endian CRC32
   of the uncompressed data, VERDICT r7 #3 — cross-checked against
   containers the Apache Avro Java reference implementation writes via
-  snappy-java). Export stays null/deflate: corpora arrive in whatever
-  codec upstream chose (snappy is ubiquitous), but what WE write is
-  our choice, and deflate is stdlib-exact in both directions.
+  snappy-java). Snappy stays read-only: corpora ARRIVE snappy-framed
+  (it's ubiquitous), but what we write is our choice and stdlib has no
+  snappy compressor — deflate stays the default sink codec.
 - types: null boolean int long float double bytes string fixed enum
   record array map union; named-type references; logical types
   date (int), timestamp-millis/micros (long) mapped to Spark
@@ -41,8 +43,10 @@ to the whole-file binaryFile scan, one task per file.
 
 from __future__ import annotations
 
+import bz2
 import io
 import json
+import lzma
 import os
 import struct
 import zlib
@@ -340,9 +344,9 @@ def avro_read_header(stream):
     if len(sync) != 16:
         raise AvroError("truncated header")
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate", "snappy"):
+    if codec not in ("null", "deflate", "snappy", "bzip2", "xz"):
         raise AvroError(f"unsupported codec {codec!r} "
-                        "(null/deflate/snappy only)")
+                        "(null/deflate/snappy/bzip2/xz only)")
     if "avro.schema" not in meta:
         raise AvroError("container header has no avro.schema")
     try:
@@ -553,6 +557,16 @@ def _read_block(buf, sync: bytes, codec: str):
         block, crc = _snappy_uncompress(block[:-4]), block[-4:]
         if zlib.crc32(block) != int.from_bytes(crc, "big"):
             raise AvroError("snappy block CRC32 mismatch")
+    elif codec == "bzip2":
+        try:
+            block = bz2.decompress(block)
+        except (OSError, ValueError) as e:
+            raise AvroError(f"bzip2 block failed: {e}") from None
+    elif codec == "xz":
+        try:
+            block = lzma.decompress(block, format=lzma.FORMAT_XZ)
+        except lzma.LZMAError as e:
+            raise AvroError(f"xz block failed: {e}") from None
     return n, block
 
 
@@ -577,9 +591,9 @@ def avro_encode_file(schema, records, codec: str = "deflate",
                      sync: bytes = b"\x07" * 16,
                      block_records: int = 4096) -> bytes:
     """Encode records into one Object Container file."""
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "bzip2", "xz"):
         raise AvroError(f"unsupported codec {codec!r} (export writes "
-                        "null/deflate; snappy is read-only)")
+                        "null/deflate/bzip2/xz; snappy is read-only)")
     # metadata carries the ORIGINAL schema text: dumping the resolved
     # form would hit the dict cycle a (legal) recursive record creates
     schema_text = schema if isinstance(schema, str) else json.dumps(schema)
@@ -598,6 +612,10 @@ def avro_encode_file(schema, records, codec: str = "deflate",
         if codec == "deflate":
             c = zlib.compressobj(6, zlib.DEFLATED, -15)
             body = c.compress(body) + c.flush()
+        elif codec == "bzip2":
+            body = bz2.compress(body)
+        elif codec == "xz":
+            body = lzma.compress(body, format=lzma.FORMAT_XZ)
         _write_long(out, len(chunk))
         _write_long(out, len(body))
         out.extend(body)

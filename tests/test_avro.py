@@ -52,7 +52,8 @@ def test_prop_avro_roundtrip(data):
                                            st.text(max_size=3), max_size=3)),
             "flag": data.draw(st.booleans()),
         })
-    codec = data.draw(st.sampled_from(["null", "deflate"]))
+    codec = data.draw(st.sampled_from(["null", "deflate", "bzip2",
+                                       "xz"]))
     block = data.draw(st.sampled_from([1, 3, 4096]))
     blob = avro_encode_file(json.dumps(_SCHEMA), recs, codec=codec,
                             block_records=block)
@@ -742,3 +743,62 @@ def test_avro_snappy_java_written_container(spark, tmp_path):
     df = avro_import(spark, str(d), target_split_bytes=512)
     got = sorted((r["k"], r["s"]) for r in df.collect())
     assert got == [(r["k"], r["s"]) for r in recs]
+
+
+def test_avro_bzip2_xz_codecs_java_interop(spark, tmp_path):
+    """bzip2 and xz are the two optional Avro codecs stdlib can do in
+    BOTH directions (bz2/lzma); files our encoder writes must be
+    readable by the Apache Avro Java reference implementation
+    (commons-compress / org.tukaani xz, both bundled) and vice versa,
+    plus the distributed block-split import over an xz container."""
+    from accelerator_spark.sources.avro import avro_import
+
+    schema = {"type": "record", "name": "Z", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "s", "type": "string"},
+    ]}
+    recs = [{"k": i, "s": f"row-{i}" * (i % 4)} for i in range(300)]
+    fields = ["k", "s"]
+    jvm = spark._jvm
+    factory = jvm.org.apache.avro.file.CodecFactory
+
+    for codec, jcodec in [("bzip2", factory.bzip2Codec()),
+                          ("xz", factory.xzCodec(6))]:
+        # ours -> Java
+        p = str(tmp_path / f"ours_{codec}.avro")
+        with open(p, "wb") as f:
+            f.write(avro_encode_file(json.dumps(schema), recs,
+                                     codec=codec, block_records=64))
+        got_codec, got = _java_read_avro(spark, p, fields)
+        assert got_codec == codec
+        assert got == recs
+        # Java -> ours
+        parser = jvm.org.apache.avro.Schema.Parser()
+        jschema = parser.parse(json.dumps(schema))
+        writer = jvm.org.apache.avro.file.DataFileWriter(
+            jvm.org.apache.avro.generic.GenericDatumWriter(jschema))
+        writer.setCodec(jcodec)
+        writer.setSyncInterval(256)
+        d = tmp_path / f"dir_{codec}"
+        d.mkdir()
+        jp = str(d / f"java_{codec}.avro")
+        writer.create(jschema, jvm.java.io.File(jp))
+        for r in recs:
+            rec = jvm.org.apache.avro.generic.GenericData.Record(jschema)
+            rec.put("k", r["k"])
+            rec.put("s", r["s"])
+            writer.append(rec)
+        writer.close()
+        with open(jp, "rb") as f:
+            _, back = avro_decode_file(f.read())
+        assert back == recs
+        # split path decodes the multi-block Java file identically
+        df = avro_import(spark, str(d), target_split_bytes=512)
+        assert sorted((r["k"], r["s"]) for r in df.collect()) == \
+            [(r["k"], r["s"]) for r in recs]
+    # corrupt bzip2/xz payloads surface as AvroError, not bz2/lzma
+    blob = bytearray(avro_encode_file(json.dumps(schema), recs[:5],
+                                      codec="xz"))
+    blob[-20] ^= 0xFF
+    with pytest.raises(AvroError, match="xz block failed|truncated|sync"):
+        avro_decode_file(bytes(blob))
