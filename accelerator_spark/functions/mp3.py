@@ -207,6 +207,77 @@ def mp3_probe(data: bytes, max_resync: int = 65536) -> Mp3Meta:
         id3v2_size=id3v2, has_id3v1=has_id3v1)
 
 
+_ID3_ENCODINGS = {0: "latin1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+
+
+def id3v2_tags(data: bytes, max_frames: int = 1024) -> dict:
+    """Extract ID3v2.3/2.4 TEXT frames (TIT2 title, TPE1 artist, TALB
+    album, TDRC/TYER year, TCON genre, ...) from a leading ID3v2 tag —
+    the metadata half of the MP3 probe: at corpus scale, title/artist
+    strings drive near-dup grouping and licensing triage the way URL
+    canonicalization does for web text. Returns {frame_id: text} for
+    the T*** frames (TXXX's user-defined description:value pairs are
+    joined with ':'); non-text frames (APIC art, COMM comments) are
+    skipped by their length. Missing/v2.2/corrupt tags return {} —
+    tags are bolted-on third-party metadata and must never fail a
+    probe, the EXIF rule (functions/jpeg._exif_orientation)."""
+    try:
+        if data[:3] != b"ID3":
+            return {}
+        ver = data[3]
+        if ver not in (3, 4):
+            return {}  # v2.2's 3-byte frames are out of scope
+        if any(b & 0x80 for b in data[6:10]):
+            return {}
+        size = ((data[6] << 21) | (data[7] << 14) | (data[8] << 7)
+                | data[9])
+        end = min(10 + size, len(data))
+        pos = 10
+        if data[5] & 0x40:  # extended header: skip by its own size
+            if pos + 4 > end:
+                return {}
+            ext = int.from_bytes(data[pos:pos + 4], "big")
+            if ver == 4:  # syncsafe in v2.4, includes itself
+                ext = ((data[pos] << 21) | (data[pos + 1] << 14)
+                       | (data[pos + 2] << 7) | data[pos + 3])
+            else:
+                ext += 4  # v2.3 size excludes the size field
+            pos += ext
+        out = {}
+        for _ in range(max_frames):
+            if pos + 10 > end or data[pos] == 0:
+                break  # padding or end of tag
+            fid = data[pos:pos + 4].decode("latin1")
+            if ver == 4:
+                if any(b & 0x80 for b in data[pos + 4:pos + 8]):
+                    break  # corrupt syncsafe size: stop, keep parsed
+                fsize = ((data[pos + 4] << 21) | (data[pos + 5] << 14)
+                         | (data[pos + 6] << 7) | data[pos + 7])
+            else:
+                fsize = int.from_bytes(data[pos + 4:pos + 8], "big")
+            body = data[pos + 10:pos + 10 + fsize]
+            pos += 10 + fsize
+            if pos > end:
+                break  # frame overruns tag: stop, keep what parsed
+            if not fid.startswith("T") or not body:
+                continue
+            enc = _ID3_ENCODINGS.get(body[0])
+            if enc is None:
+                continue
+            try:
+                text = body[1:].decode(enc)
+            except UnicodeDecodeError:
+                continue
+            text = text.strip("\x00")
+            if fid == "TXXX":
+                text = text.replace("\x00", ":")
+            if text:
+                out[fid] = text
+        return out
+    except (IndexError, ValueError):
+        return {}
+
+
 # --------------------------------------------------------------- builder
 # Test-harness half (the mp4_build pattern): authors spec-layout frame
 # sequences with zeroed payloads — headers and lengths are real, audio
@@ -248,6 +319,31 @@ def mp3_build_frames(version: str, layer: int, bitrate_indexes,
         frame[:4] = h.to_bytes(4, "big")
         out += frame
     return bytes(out)
+
+
+def id3v2_build_tags(frames: dict, version: int = 4,
+                     padding: int = 0) -> bytes:
+    """Author a real ID3v2.3/2.4 tag carrying UTF-8 (v4) / UTF-16 (v3)
+    text frames — the harness half of id3v2_tags. Returns the complete
+    tag bytes; prefix them to an MPEG stream."""
+    if version not in (3, 4):
+        raise Mp3Error("id3v2_build_tags writes v2.3/v2.4 only")
+    body = bytearray()
+    for fid, text in frames.items():
+        if len(fid) != 4:
+            raise Mp3Error(f"bad frame id {fid!r}")
+        payload = (b"\x03" + text.encode("utf-8") if version == 4
+                   else b"\x01" + text.encode("utf-16"))
+        n = len(payload)
+        size = (bytes(((n >> s) & 0x7F) for s in (21, 14, 7, 0))
+                if version == 4 else n.to_bytes(4, "big"))
+        body += fid.encode("latin1") + size + b"\x00\x00" + payload
+    body += b"\x00" * padding
+    n = len(body)
+    if n >= 1 << 28:
+        raise Mp3Error("tag too large for syncsafe size")
+    size = bytes(((n >> s) & 0x7F) for s in (21, 14, 7, 0))
+    return b"ID3" + bytes([version, 0, 0]) + size + bytes(body)
 
 
 def id3v2_wrap(body: bytes, tag_bytes: int, footer: bool = False) -> bytes:

@@ -437,6 +437,51 @@ def probe_audio_meta(
         error_vals=lambda raw, mime: (len(raw),) + (None,) * 9)
 
 
+ID3_TAGS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("title", T.StringType(), True),
+    T.StructField("artist", T.StringType(), True),
+    T.StructField("album", T.StringType(), True),
+    T.StructField("year", T.StringType(), True),
+    T.StructField("genre", T.StringType(), True),
+    T.StructField("n_text_frames", T.IntegerType(), True),
+])
+
+
+def extract_id3_tags(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    mime_col: str = "mime",
+    batch_partitions: int | None = None,
+    on_error: str = "raise",
+) -> DataFrame:
+    """ID3v2 text metadata at scale (r8): title/artist/album/year/
+    genre from the leading tag (functions/mp3.id3v2_tags — v2.3 and
+    v2.4, all four spec text encodings, APIC/COMM skipped by length).
+    Title+artist strings are the audio corpus's URL-canonicalization
+    analogue: the join key for near-dup grouping and licensing triage.
+    Tagless or v2.2 files yield NULL fields (not errors — tags are
+    optional by design); undecodable payload rows follow the usual
+    on_error containment. Map-only, no shuffle."""
+    from ..functions.mp3 import id3v2_tags
+
+    def per_row(raw: bytes, mime: str):
+        tags = id3v2_tags(raw)
+        year = tags.get("TDRC") or tags.get("TYER")  # v2.4 vs v2.3
+        return (len(raw), tags.get("TIT2"), tags.get("TPE1"),
+                tags.get("TALB"), year, tags.get("TCON"), len(tags))
+
+    return _map_media_rows(
+        df, per_row,
+        [f for f in ID3_TAGS_SCHEMA.fields
+         if f.name not in ("media_id", "mime")],
+        payload_col, id_col, mime_col, batch_partitions, on_error,
+        error_vals=lambda raw, mime: (len(raw),) + (None,) * 6)
+
+
 FRAME_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("mime", T.StringType(), True),

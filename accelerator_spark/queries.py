@@ -2231,6 +2231,52 @@ FROM p
 """
 
 
+def id3_tags_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2 text metadata end-to-end (r8): per document a real
+    ID3v2.4 (or v2.3/UTF-16, md5-chosen) tag with md5-derived
+    title/artist/year strings is authored (functions/mp3.
+    id3v2_build_tags — spec frame layout, syncsafe v4 sizes) ahead of
+    real MPEG frames, then ``extract_id3_tags`` parses the frames back
+    with the production parser. The first STRING-valued media gate:
+    the oracle replays the exact md5-hex-derived strings, so encoding
+    handling (UTF-8 and UTF-16-with-BOM) is value-checked, not just
+    counted. Map-only Arrow stage, no shuffle."""
+    from .operators.multimodal import extract_id3_tags
+
+    def build_tagged(text: str):
+        import hashlib as _hashlib
+
+        from .functions.mp3 import id3v2_build_tags, mp3_build_frames
+
+        hx = _hashlib.md5(text.encode("utf-8")).hexdigest()
+        d0 = int(hx[:2], 16)
+        tag = id3v2_build_tags(
+            {"TIT2": "T-" + hx[:8], "TPE1": "A-" + hx[8:16],
+             "TDRC": str(1970 + d0 % 56)},
+            version=4 if d0 % 2 else 3)
+        return tag + mp3_build_frames("1", 3, [9], 0), "audio/mpeg"
+
+    media = _doc_media_df(spark, sf_dir, build_tagged)
+    tags = extract_id3_tags(media)
+    return tags.select("media_id", "title", "artist", "year",
+                       "n_text_frames")
+
+
+ORACLE_ID3_TAGS = """
+WITH h AS (
+  SELECT doc_id AS media_id, md5(coalesce(text, '')) AS d1
+  FROM documents
+)
+SELECT media_id,
+       'T-' || substr(d1, 1, 8) AS title,
+       'A-' || substr(d1, 9, 8) AS artist,
+       CAST(1970 + CAST(('0x' || substr(d1, 1, 2)) AS INT) % 56
+            AS VARCHAR) AS year,
+       3 AS n_text_frames
+FROM h
+"""
+
+
 def png_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image resize end-to-end: the same per-document PNGs as
     png_decode_stats, pushed through resize_media with the genuine
@@ -5881,6 +5927,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mp3_probe_report": mp3_probe_report,
     "audio_probe_report": audio_probe_report,
     "image_probe_report": image_probe_report,
+    "id3_tags_report": id3_tags_report,
     "png_resize_stats": png_resize_stats,
     "wav_decode_stats": wav_decode_stats,
     "gif_frames_report": gif_frames_report,
@@ -6013,6 +6060,7 @@ ORACLES: dict[str, str] = {
     "mp3_probe_report": ORACLE_MP3_PROBE,
     "audio_probe_report": ORACLE_AUDIO_PROBE,
     "image_probe_report": ORACLE_IMAGE_PROBE,
+    "id3_tags_report": ORACLE_ID3_TAGS,
     "png_resize_stats": ORACLE_PNG_RESIZE,
     "wav_decode_stats": ORACLE_WAV_DECODE,
     "gif_frames_report": ORACLE_GIF_FRAMES,

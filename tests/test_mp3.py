@@ -212,3 +212,69 @@ def test_adts_aac_not_routed_to_mp3(spark):
     assert rows[0]["codec"] is None  # contained, not mislabeled mp3
     with pytest.raises(Exception, match="NotImplementedError|stdlib"):
         probe_audio_meta(df).collect()
+
+
+def test_id3v2_tags_golden_and_encodings():
+    """Hand-authored v2.4 tag bytes (syncsafe frame sizes, UTF-8) and
+    v2.3 (big-endian sizes, UTF-16 with BOM) both parse; non-text
+    frames are skipped by length; v2.2 and corrupt tags return {}."""
+    import struct
+
+    from accelerator_spark.functions.mp3 import (
+        id3v2_build_tags, id3v2_tags)
+
+    # golden v2.4: one TIT2 frame "Né" in utf-8, written longhand
+    payload = b"\x03N\xc3\xa9"
+    frame = b"TIT2" + bytes([0, 0, 0, len(payload)]) + b"\x00\x00" \
+        + payload
+    tag = b"ID3\x04\x00\x00" + bytes([0, 0, 0, len(frame)]) + frame
+    assert id3v2_tags(tag) == {"TIT2": "Né"}
+    # builder reproduces the golden bytes
+    assert id3v2_build_tags({"TIT2": "Né"}) == tag
+    # v2.3 utf-16 round-trip + all standard fields + TXXX join
+    t3 = id3v2_build_tags({"TIT2": "Song", "TPE1": "Artist",
+                           "TALB": "Album", "TYER": "1999",
+                           "TCON": "Jazz",
+                           "TXXX": "mood\x00calm"}, version=3)
+    got = id3v2_tags(t3 + mp3_build_frames("1", 3, [9], 0))
+    assert got == {"TIT2": "Song", "TPE1": "Artist", "TALB": "Album",
+                   "TYER": "1999", "TCON": "Jazz", "TXXX": "mood:calm"}
+    # APIC (binary art) is skipped by length, following text still read
+    apic = b"APIC" + bytes([0, 0, 0, 8]) + b"\x00\x00" + b"\xff" * 8
+    t = id3v2_build_tags({"TALB": "X"})
+    spliced = t[:10] + apic + t[10:]
+    n = len(spliced) - 10
+    fixed = (spliced[:6]
+             + bytes(((n >> s) & 0x7F) for s in (21, 14, 7, 0))
+             + spliced[10:])
+    assert id3v2_tags(fixed) == {"TALB": "X"}
+    # v2.2, no tag, corrupt: all {}
+    assert id3v2_tags(b"ID3\x02\x00\x00" + b"\x00" * 10) == {}
+    assert id3v2_tags(mp3_build_frames("1", 3, [9], 0)) == {}
+    assert id3v2_tags(b"ID3\x04\x00\x00\x7f\x7f\x7f\x7f" + b"TIT2") == {}
+    # a frame overrunning the tag keeps earlier frames
+    big = id3v2_build_tags({"TIT2": "keep"})
+    trunc_frame = b"TPE1" + bytes([0, 0, 0, 100]) + b"\x00\x00\x03hi"
+    n = len(big) - 10 + len(trunc_frame)
+    blob = (big[:6]
+            + bytes(((n >> s) & 0x7F) for s in (21, 14, 7, 0))
+            + big[10:] + trunc_frame)
+    assert id3v2_tags(blob) == {"TIT2": "keep"}
+
+
+def test_extract_id3_tags_distributed(spark):
+    from accelerator_spark.functions.mp3 import id3v2_build_tags
+    from accelerator_spark.operators.multimodal import extract_id3_tags
+
+    tagged = id3v2_build_tags(
+        {"TIT2": "T1", "TPE1": "A1", "TDRC": "2021"}) \
+        + mp3_build_frames("1", 3, [9], 0)
+    bare = mp3_build_frames("1", 3, [9], 0)
+    df = spark.createDataFrame(
+        [(1, tagged, "audio/mpeg"), (2, bare, "audio/mpeg")],
+        "media_id long, payload binary, mime string")
+    rows = {r["media_id"]: r for r in extract_id3_tags(df).collect()}
+    assert (rows[1]["title"], rows[1]["artist"], rows[1]["year"]) == \
+        ("T1", "A1", "2021")
+    assert rows[1]["n_text_frames"] == 3
+    assert rows[2]["title"] is None and rows[2]["n_text_frames"] == 0
