@@ -22,7 +22,11 @@ Scope:
   Huffman tables (the tables travel in DHT, so any valid table set
   produces a conformant file), IJG-style quality scaling
   (``quality=100`` -> all-ones quant tables: constant 8x8 blocks then
-  round-trip EXACTLY, the property the oracle gate builds on).
+  round-trip EXACTLY, the property the oracle gate builds on); AND
+  progressive (r8, jpeg_encode_progressive: SOF2 spectral selection,
+  interleaved DC scan + per-component AC band scans — closes the
+  ours->foreign SOF2 interop direction that r7 left
+  single-provenance).
 - out of scope (JpegError): arithmetic coding, 12-bit precision,
   CMYK/4-component, lossless/hierarchical SOFs, non-interleaved
   multi-scan SEQUENTIAL files (progressive multi-scan is in scope).
@@ -996,6 +1000,197 @@ def _encode_block(w, samples, q, dc_codes, ac_codes, pred):
         code, ln = ac_codes[0x00]  # EOB
         w.write(code, ln)
     return coef[0]
+
+
+def _quant_coef_block(samples, q):
+    """FDCT + quantize one 8x8 sample block -> zigzag-order coefficient
+    list (the encoder half shared by sequential and progressive)."""
+    F = _fdct2([s - 128 for s in samples])
+    coef = [0] * 64
+    for zz in range(64):
+        v = F[_ZZ[zz]] / q[zz]
+        coef[zz] = int(v + 0.5) if v >= 0 else -int(-v + 0.5)
+    return coef
+
+
+def _write_dc(w, diff, dc_codes):
+    mag = abs(diff)
+    s = mag.bit_length()
+    code, ln = dc_codes[s]
+    w.write(code, ln)
+    if s:
+        w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+
+def _write_ac_band(w, coef, ss, se, ac_codes):
+    """One block's AC coefficients [ss..se] in a progressive
+    spectral-selection scan (Ah=Al=0, T.81 G.1.2.2). EOB runs are NOT
+    coalesced across blocks: the Annex K AC tables define no EOBn
+    codes for n >= 2 (only 0x00 EOB and 0xF0 ZRL), so each
+    trailing-zero tail gets its own EOB0 — legal, and exactly what a
+    fixed-table encoder must do."""
+    run = 0
+    for k in range(ss, se + 1):
+        v = coef[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            w.write(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        code, ln = ac_codes[(run << 4) | s]
+        w.write(code, ln)
+        w.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        # trailing zeros (an all-zero band included): EOB0
+        code, ln = ac_codes[0x00]
+        w.write(code, ln)
+
+
+def jpeg_encode_progressive(pixels, width: int, height: int,
+                            channels: int = 1, quality: int = 85,
+                            quant=None,
+                            bands=((1, 5), (6, 63))) -> bytes:
+    """Encode 8-bit samples as PROGRESSIVE JFIF (SOF2, spectral
+    selection, Ah=Al=0): one interleaved DC scan, then per-component
+    AC band scans (non-interleaved, as G.1 requires). 4:4:4 only —
+    with all sampling factors 1x1 a component's block grid equals the
+    MCU grid, so the non-interleaved scan order is unambiguous.
+    Successive approximation is decode-only scope (ImageIO authors
+    those fixtures); this encoder closes the ours->foreign direction
+    for SOF2 that r7 left single-provenance. Same quant/quality
+    semantics as jpeg_encode: ``([1]*64, [1]*64)`` + constant blocks
+    round-trips bit-exactly through ANY conformant decoder."""
+    if channels not in (1, 3):
+        raise JpegError("channels must be 1 or 3")
+    if width <= 0 or height <= 0:
+        raise JpegError("zero dimension")
+    if len(pixels) != width * height * channels:
+        raise JpegError(f"expected {width * height * channels} samples, "
+                        f"got {len(pixels)}")
+    prev = 0
+    for ss, se in bands:
+        if not 1 <= ss <= se <= 63 or ss != prev + 1:
+            raise JpegError("bands must partition 1..63 contiguously")
+        prev = se
+    if prev != 63:
+        raise JpegError("bands must end at 63")
+    if quant is not None:
+        q_luma, q_chroma = list(quant[0]), list(quant[1])
+        if len(q_luma) != 64 or len(q_chroma) != 64:
+            raise JpegError("quant tables must have 64 entries")
+        for tbl in (q_luma, q_chroma):
+            for v in tbl:
+                if not isinstance(v, int) or isinstance(v, bool) \
+                        or not 1 <= v <= 255:
+                    raise JpegError(
+                        f"quant entries must be integers in 1..255, "
+                        f"got {v!r}")
+    else:
+        q_luma = _scale_q(_Q_LUMA, quality)
+        q_chroma = _scale_q(_Q_CHROMA, quality)
+    qz_luma = [q_luma[_ZZ[zz]] for zz in range(64)]
+    qz_chroma = [q_chroma[_ZZ[zz]] for zz in range(64)]
+
+    if channels == 1:
+        planes = [bytes(pixels)]
+        plane_qs = [qz_luma]
+    else:
+        ny = bytearray(width * height)
+        ncb = bytearray(width * height)
+        ncr = bytearray(width * height)
+        for i in range(width * height):
+            r, g, b = pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2]
+            y = 0.299 * r + 0.587 * g + 0.114 * b
+            cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+            cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+            ny[i] = min(255, max(0, int(y + 0.5)))
+            ncb[i] = min(255, max(0, int(cb + 0.5)))
+            ncr[i] = min(255, max(0, int(cr + 0.5)))
+        planes = [bytes(ny), bytes(ncb), bytes(ncr)]
+        plane_qs = [qz_luma, qz_chroma, qz_chroma]
+
+    # all coefficient blocks up front (progressive = multiple passes
+    # over the same coefficients)
+    bw = -(-width // 8)
+    bh = -(-height // 8)
+    block = [0] * 64
+    coefs = []          # per component: list of zigzag coef blocks
+    for ci, plane in enumerate(planes):
+        comp_blocks = []
+        for by in range(bh):
+            for bx in range(bw):
+                for y in range(8):
+                    sy = min(by * 8 + y, height - 1)
+                    row = sy * width
+                    for x in range(8):
+                        sx = min(bx * 8 + x, width - 1)
+                        block[y * 8 + x] = plane[row + sx]
+                comp_blocks.append(_quant_coef_block(block,
+                                                     plane_qs[ci]))
+        coefs.append(comp_blocks)
+
+    nc = channels
+    out = bytearray(b"\xff\xd8")
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0]))
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([0]) \
+        + bytes(qz_luma)
+    if nc == 3:
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([1]) \
+            + bytes(qz_chroma)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8,
+                                     height, width, nc)
+    for c in range(nc):
+        out += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+
+    def dht(tc, th, bits, vals):
+        return (b"\xff\xc4"
+                + struct.pack(">H", 2 + 1 + 16 + len(vals))
+                + bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+    out += dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    out += dht(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+    if nc == 3:
+        out += dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        out += dht(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    dc_l = _huffman_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_l = _huffman_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_c = _huffman_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c = _huffman_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+
+    # scan 1: interleaved DC, Ss=Se=0 (with 1x1 factors the MCU walk
+    # is the block raster walk)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for c in range(nc):
+        out += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    out += bytes([0, 0, 0])
+    w = _BitWriter()
+    preds = [0] * nc
+    for bi in range(bw * bh):
+        for ci in range(nc):
+            dc = coefs[ci][bi][0]
+            _write_dc(w, dc - preds[ci], dc_l if ci == 0 else dc_c)
+            preds[ci] = dc
+    w.flush()
+    out += w.buf
+
+    # AC band scans: non-interleaved, one component each
+    for ci in range(nc):
+        ac = ac_l if ci == 0 else ac_c
+        for ss, se in bands:
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+            out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+            out += bytes([ss, se, 0])
+            w = _BitWriter()
+            for coef in coefs[ci]:
+                _write_ac_band(w, coef, ss, se, ac)
+            w.flush()
+            out += w.buf
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def jpeg_encode(pixels, width: int, height: int, channels: int = 1,

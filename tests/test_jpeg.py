@@ -510,3 +510,71 @@ def test_image_resizer_applies_exif_orientation():
         jpeg_encode(list(px), w, h, channels=1, quant=UNIT_Q),
         "image/jpeg", max_side=16)
     assert (nw2, nh2) == (8, 16)
+
+
+# ---------------------------------------------------- progressive ENCODER
+
+def test_progressive_encoder_roundtrip_exact_and_tolerance():
+    """r8: spectral-selection SOF2 encoder. Unit-quant constant blocks
+    round-trip EXACTLY through our own progressive decoder; smooth
+    content at q95 stays within the codec tolerance; band partition
+    validation."""
+    from accelerator_spark.functions.jpeg import jpeg_encode_progressive
+
+    px, w, h = _const_blocks([31, 99, 180, 255], 2, 2)
+    img = jpeg_decode(jpeg_encode_progressive(list(px), w, h,
+                                              channels=1, quant=UNIT_Q))
+    assert (img.width, img.height) == (w, h)
+    assert img.pixels == tuple(px) if isinstance(img.pixels, tuple) \
+        else bytes(img.pixels) == px
+    # single-band and three-band scripts agree with the default
+    for bands in (((1, 63),), ((1, 2), (3, 17), (18, 63))):
+        img2 = jpeg_decode(jpeg_encode_progressive(
+            list(px), w, h, channels=1, quant=UNIT_Q, bands=bands))
+        assert bytes(img2.pixels) == px, bands
+    # color gradient, q95 tolerance
+    rgb = [v for y in range(10) for x in range(11)
+           for v in (x * 9 % 256, y * 11 % 256, (x + y) * 7 % 256)]
+    img3 = jpeg_decode(jpeg_encode_progressive(rgb, 11, 10, channels=3,
+                                               quality=95))
+    assert max(abs(a - b) for a, b in zip(rgb, img3.pixels)) <= 4
+    # bands must partition 1..63 contiguously
+    for bad in (((1, 5),), ((2, 63),), ((1, 5), (7, 63)),
+                ((1, 63), (1, 63))):
+        with pytest.raises(JpegError, match="bands"):
+            jpeg_encode_progressive([0] * 64, 8, 8, channels=1,
+                                    bands=bad)
+
+
+def test_progressive_encoder_imageio_foreign_decode(spark, tmp_path):
+    """The interop direction r7 couldn't cover: OUR progressive (SOF2)
+    files decoded by the foreign Java ImageIO decoder. Unit-quant
+    constant blocks compare EXACTLY; q90 content within the standard
+    cross-decoder tolerance."""
+    from accelerator_spark.functions.jpeg import jpeg_encode_progressive
+
+    # exact case: constant blocks, unit quant, grayscale
+    px, w, h = _const_blocks([10, 77, 140, 203, 255, 32], 3, 2)
+    p1 = str(tmp_path / "prog_exact.jpg")
+    with open(p1, "wb") as f:
+        f.write(jpeg_encode_progressive(list(px), w, h, channels=1,
+                                        quant=UNIT_Q))
+    iw, ih, irgb = _imageio_rgb(spark, p1)
+    assert (iw, ih) == (w, h)
+    assert irgb == bytes(v for p in px for v in (p, p, p))
+    # tolerance case: color noise at q90, multi-band
+    import random
+    rnd = random.Random(42)
+    w2, h2 = 21, 13
+    rgb = [rnd.randrange(256) for _ in range(w2 * h2 * 3)]
+    blob = jpeg_encode_progressive(rgb, w2, h2, channels=3, quality=90)
+    p2 = str(tmp_path / "prog_tol.jpg")
+    with open(p2, "wb") as f:
+        f.write(blob)
+    iw, ih, irgb = _imageio_rgb(spark, p2)
+    assert (iw, ih) == (w2, h2)
+    ours = jpeg_decode(blob)
+    # ImageIO and our decoder agree on OUR progressive file within the
+    # spec's cross-decoder tolerance (IDCT + color-convert rounding)
+    diffs = [abs(a - b) for a, b in zip(_ours_rgb(ours), irgb)]
+    assert max(diffs) <= 3 and sum(diffs) / len(diffs) < 1.0

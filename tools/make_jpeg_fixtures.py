@@ -71,6 +71,17 @@ def main():
                     px[(by * 8 + y) * w + bx * 8 + x] = c
     specs["ours_gray_blocks_unitq.jpg"] = jpeg_encode(
         bytes(px), w, h, channels=1, quant=([1] * 64, [1] * 64))
+    # r8: OUR progressive (SOF2 spectral selection) output — the
+    # foreign decoder must accept our multi-scan files too, closing
+    # the ours->foreign direction r7 left single-provenance
+    from accelerator_spark.functions.jpeg import jpeg_encode_progressive
+    specs["ours_prog_gray_q90.jpg"] = jpeg_encode_progressive(
+        gray, 24, 17, channels=1, quality=90)
+    specs["ours_prog_rgb_q90.jpg"] = jpeg_encode_progressive(
+        smooth_rgb(21, 13), 21, 13, channels=3, quality=90)
+    specs["ours_prog_blocks_unitq.jpg"] = jpeg_encode_progressive(
+        bytes(px), w, h, channels=1, quant=([1] * 64, [1] * 64),
+        bands=((1, 5), (6, 20), (21, 63)))
     for name, blob in specs.items():
         with open(os.path.join(OUT, name), "wb") as f:
             f.write(blob)
