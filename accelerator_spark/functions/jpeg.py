@@ -964,42 +964,59 @@ def _scale_q(table, quality: int):
 
 
 def _encode_block(w, samples, q, dc_codes, ac_codes, pred):
-    """FDCT + quantize + Huffman-encode one 8x8 block; returns new DC."""
-    F = _fdct2([s - 128 for s in samples])
-    coef = [0] * 64
-    for zz in range(64):
-        v = F[_ZZ[zz]] / q[zz]
-        coef[zz] = int(v + 0.5) if v >= 0 else -int(-v + 0.5)
-    diff = coef[0] - pred
-    mag = abs(diff)
-    s = mag.bit_length()
-    code, ln = dc_codes[s]
-    w.write(code, ln)
-    if s:
-        w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
-    last = 63
-    while last > 0 and coef[last] == 0:
-        last -= 1
-    run = 0
-    for k in range(1, last + 1):
-        v = coef[k]
-        if v == 0:
-            run += 1
-            continue
-        while run > 15:
-            code, ln = ac_codes[0xF0]  # ZRL
-            w.write(code, ln)
-            run -= 16
-        mag = abs(v)
-        s = mag.bit_length()
-        code, ln = ac_codes[(run << 4) | s]
-        w.write(code, ln)
-        w.write(v if v >= 0 else v + (1 << s) - 1, s)
-        run = 0
-    if last < 63:
-        code, ln = ac_codes[0x00]  # EOB
-        w.write(code, ln)
+    """FDCT + quantize + Huffman-encode one 8x8 block; returns new DC.
+    A sequential block IS the progressive primitives composed — DC
+    diff + the full 1..63 AC band (review r8: the inline copies of
+    the FDCT/quantize/DC/AC logic had the same divergence risk
+    _map_media_rows and _read_block already bit)."""
+    coef = _quant_coef_block(samples, q)
+    _write_dc(w, coef[0] - pred, dc_codes)
+    _write_ac_band(w, coef, 1, 63, ac_codes)
     return coef[0]
+
+
+def _resolve_quant(quant, quality):
+    """Validate caller-supplied (luma, chroma) quant tables or derive
+    them from ``quality`` — shared by the sequential and progressive
+    encoders (review r8); returns ZIGZAG-order tables."""
+    if quant is not None:
+        q_luma, q_chroma = list(quant[0]), list(quant[1])
+        if len(q_luma) != 64 or len(q_chroma) != 64:
+            raise JpegError("quant tables must have 64 entries")
+        # the same 1..255 clamp _scale_q applies to the built-in
+        # tables: a 0 entry would divide by zero in _quant_coef_block,
+        # a fractional/negative one can push a coefficient past the
+        # fixed Huffman tables' max size category — both escaping the
+        # JpegError contract as ZeroDivisionError/KeyError (ADVICE r7)
+        for tbl in (q_luma, q_chroma):
+            for v in tbl:
+                if not isinstance(v, int) or isinstance(v, bool) \
+                        or not 1 <= v <= 255:
+                    raise JpegError(
+                        f"quant entries must be integers in 1..255, "
+                        f"got {v!r}")
+    else:
+        q_luma = _scale_q(_Q_LUMA, quality)
+        q_chroma = _scale_q(_Q_CHROMA, quality)
+    return ([q_luma[_ZZ[zz]] for zz in range(64)],
+            [q_chroma[_ZZ[zz]] for zz in range(64)])
+
+
+def _rgb_to_ycbcr_planes(pixels, width, height):
+    """Interleaved RGB -> (Y, Cb, Cr) byte planes (JFIF full-range) —
+    shared by the sequential and progressive encoders (review r8)."""
+    ny = bytearray(width * height)
+    ncb = bytearray(width * height)
+    ncr = bytearray(width * height)
+    for i in range(width * height):
+        r, g, b = pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+        ny[i] = min(255, max(0, int(y + 0.5)))
+        ncb[i] = min(255, max(0, int(cb + 0.5)))
+        ncr[i] = min(255, max(0, int(cr + 0.5)))
+    return bytes(ny), bytes(ncb), bytes(ncr)
 
 
 def _quant_coef_block(samples, q):
@@ -1078,39 +1095,13 @@ def jpeg_encode_progressive(pixels, width: int, height: int,
         prev = se
     if prev != 63:
         raise JpegError("bands must end at 63")
-    if quant is not None:
-        q_luma, q_chroma = list(quant[0]), list(quant[1])
-        if len(q_luma) != 64 or len(q_chroma) != 64:
-            raise JpegError("quant tables must have 64 entries")
-        for tbl in (q_luma, q_chroma):
-            for v in tbl:
-                if not isinstance(v, int) or isinstance(v, bool) \
-                        or not 1 <= v <= 255:
-                    raise JpegError(
-                        f"quant entries must be integers in 1..255, "
-                        f"got {v!r}")
-    else:
-        q_luma = _scale_q(_Q_LUMA, quality)
-        q_chroma = _scale_q(_Q_CHROMA, quality)
-    qz_luma = [q_luma[_ZZ[zz]] for zz in range(64)]
-    qz_chroma = [q_chroma[_ZZ[zz]] for zz in range(64)]
+    qz_luma, qz_chroma = _resolve_quant(quant, quality)
 
     if channels == 1:
         planes = [bytes(pixels)]
         plane_qs = [qz_luma]
     else:
-        ny = bytearray(width * height)
-        ncb = bytearray(width * height)
-        ncr = bytearray(width * height)
-        for i in range(width * height):
-            r, g, b = pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2]
-            y = 0.299 * r + 0.587 * g + 0.114 * b
-            cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
-            cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
-            ny[i] = min(255, max(0, int(y + 0.5)))
-            ncb[i] = min(255, max(0, int(cb + 0.5)))
-            ncr[i] = min(255, max(0, int(cr + 0.5)))
-        planes = [bytes(ny), bytes(ncb), bytes(ncr)]
+        planes = list(_rgb_to_ycbcr_planes(pixels, width, height))
         plane_qs = [qz_luma, qz_chroma, qz_chroma]
 
     # all coefficient blocks up front (progressive = multiple passes

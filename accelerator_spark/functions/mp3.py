@@ -217,16 +217,26 @@ def id3v2_tags(data: bytes, max_frames: int = 1024) -> dict:
     strings drive near-dup grouping and licensing triage the way URL
     canonicalization does for web text. Returns {frame_id: text} for
     the T*** frames (TXXX's user-defined description:value pairs are
-    joined with ':'); non-text frames (APIC art, COMM comments) are
-    skipped by their length. Missing/v2.2/corrupt tags return {} —
-    tags are bolted-on third-party metadata and must never fail a
-    probe, the EXIF rule (functions/jpeg._exif_orientation)."""
+    joined with ':'; v2.4 multi-value NUL separators become the '/'
+    v2.3 used, so join keys stay NUL-free — review r8); non-text
+    frames (APIC art, COMM comments) and frames flagged compressed/
+    encrypted/per-frame-unsynced/with-DLI are skipped by their length
+    (review r8: their bodies are not encoding-byte+text and would
+    decode as garbage strings). Missing/v2.2/corrupt/tag-level-
+    unsynchronised tags return {} — tags are bolted-on third-party
+    metadata and must never fail a probe, the EXIF rule
+    (functions/jpeg._exif_orientation); tag-level unsynchronisation
+    (v2.3-era rippers) shifts every stored byte, so parsing it
+    without the de-unsync pass would yield corrupted titles, and {}
+    is the honest scope boundary (review r8)."""
     try:
         if data[:3] != b"ID3":
             return {}
         ver = data[3]
         if ver not in (3, 4):
             return {}  # v2.2's 3-byte frames are out of scope
+        if data[5] & 0x80:
+            return {}  # tag-level unsynchronisation: out of scope
         if any(b & 0x80 for b in data[6:10]):
             return {}
         size = ((data[6] << 21) | (data[7] << 14) | (data[8] << 7)
@@ -255,11 +265,18 @@ def id3v2_tags(data: bytes, max_frames: int = 1024) -> dict:
                          | (data[pos + 6] << 7) | data[pos + 7])
             else:
                 fsize = int.from_bytes(data[pos + 4:pos + 8], "big")
+            fflags = data[pos + 9]
             body = data[pos + 10:pos + 10 + fsize]
             pos += 10 + fsize
             if pos > end:
                 break  # frame overruns tag: stop, keep what parsed
             if not fid.startswith("T") or not body:
+                continue
+            # frames whose body is NOT encoding-byte+text: v2.3
+            # compression(0x80)/encryption(0x40); v2.4 compression
+            # (0x08)/encryption(0x04)/per-frame unsync(0x02)/
+            # data-length-indicator(0x01) — skip, never emit garbage
+            if fflags & (0xC0 if ver == 3 else 0x0F):
                 continue
             enc = _ID3_ENCODINGS.get(body[0])
             if enc is None:
@@ -271,6 +288,11 @@ def id3v2_tags(data: bytes, max_frames: int = 1024) -> dict:
             text = text.strip("\x00")
             if fid == "TXXX":
                 text = text.replace("\x00", ":")
+            else:
+                # v2.4 multi-value lists are NUL-separated; emit the
+                # '/' separator v2.3 documented so no NUL reaches a
+                # Spark string column (review r8)
+                text = text.replace("\x00", "/")
             if text:
                 out[fid] = text
         return out

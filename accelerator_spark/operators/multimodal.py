@@ -471,6 +471,11 @@ def extract_id3_tags(
     def per_row(raw: bytes, mime: str):
         tags = id3v2_tags(raw)
         year = tags.get("TDRC") or tags.get("TYER")  # v2.4 vs v2.3
+        # TDRC is a full timestamp ('2004-06-01T12:00') in v2.4 but
+        # TYER is a bare year — normalize to the leading yyyy so the
+        # column means one thing across tag versions (review r8)
+        if year and len(year) > 4 and year[:4].isdigit():
+            year = year[:4]
         return (len(raw), tags.get("TIT2"), tags.get("TPE1"),
                 tags.get("TALB"), year, tags.get("TCON"), len(tags))
 

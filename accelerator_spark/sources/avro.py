@@ -995,6 +995,12 @@ def avro_export(df: DataFrame, path: str, codec: str = "deflate",
     encoding those as spec-UTC timestamp-micros under any other zone
     would shift every instant. TimestampNTZType is zone-free and
     always safe."""
+    if codec not in ("null", "deflate", "bzip2", "xz"):
+        # validate BEFORE mode='overwrite' deletes anything: executors
+        # would reject the codec anyway, but only after the previous
+        # export was already destroyed (review r8)
+        raise AvroError(f"unsupported codec {codec!r} (export writes "
+                        "null/deflate/bzip2/xz; snappy is read-only)")
     if any(isinstance(f.dataType, T.TimestampType) for f in df.schema.fields):
         tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "")
         if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):

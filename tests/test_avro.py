@@ -802,3 +802,16 @@ def test_avro_bzip2_xz_codecs_java_interop(spark, tmp_path):
     blob[-20] ^= 0xFF
     with pytest.raises(AvroError, match="xz block failed|truncated|sync"):
         avro_decode_file(bytes(blob))
+
+
+def test_avro_export_bad_codec_fails_before_overwrite(spark, tmp_path):
+    """Review r8: a bad codec must fail at the driver BEFORE
+    mode='overwrite' deletes the previous export."""
+    df = spark.createDataFrame([(1,)], "a long")
+    path = str(tmp_path / "keepme")
+    avro_export(df, path)
+    files = sorted(os.listdir(path))
+    assert files
+    with pytest.raises(AvroError, match="read-only"):
+        avro_export(df, path, codec="snappy", mode="overwrite")
+    assert sorted(os.listdir(path)) == files  # nothing was deleted

@@ -278,3 +278,47 @@ def test_extract_id3_tags_distributed(spark):
         ("T1", "A1", "2021")
     assert rows[1]["n_text_frames"] == 3
     assert rows[2]["title"] is None and rows[2]["n_text_frames"] == 0
+
+
+def test_id3v2_review_r8_flag_handling():
+    """Review r8: tag-level unsynchronisation returns {} (parsing
+    shifted bytes yields garbage text); compressed/encrypted/DLI
+    frames are skipped; v2.4 multi-value NULs become '/'."""
+    from accelerator_spark.functions.mp3 import (
+        id3v2_build_tags, id3v2_tags)
+
+    good = id3v2_build_tags({"TIT2": "ok"})
+    # tag-level unsync flag set -> {}
+    unsync = good[:5] + bytes([good[5] | 0x80]) + good[6:]
+    assert id3v2_tags(unsync) == {}
+    # v2.3 compressed frame skipped, clean frame still read
+    t3 = id3v2_build_tags({"TIT2": "keep"}, version=3)
+    comp = b"TPE1" + (6).to_bytes(4, "big") + b"\x00\x80" \
+        + b"\x00zlib??"[:6]
+    n = len(t3) - 10 + len(comp)
+    blob = (t3[:6] + bytes(((n >> s) & 0x7F) for s in (21, 14, 7, 0))
+            + t3[10:] + comp)
+    assert id3v2_tags(blob) == {"TIT2": "keep"}
+    # v2.4 data-length-indicator frame skipped
+    t4 = id3v2_build_tags({"TALB": "keep"})
+    dli = b"TPE1" + bytes([0, 0, 0, 6]) + b"\x00\x01" + b"\x00" * 6
+    n = len(t4) - 10 + len(dli)
+    blob = (t4[:6] + bytes(((n >> s) & 0x7F) for s in (21, 14, 7, 0))
+            + t4[10:] + dli)
+    assert id3v2_tags(blob) == {"TALB": "keep"}
+    # v2.4 multi-value list: NUL separator -> '/'
+    got = id3v2_tags(id3v2_build_tags({"TPE1": "ArtistA\x00ArtistB"}))
+    assert got == {"TPE1": "ArtistA/ArtistB"}
+
+
+def test_extract_id3_tags_year_normalized(spark):
+    """Review r8: v2.4 TDRC full timestamps normalize to yyyy so the
+    year column means one thing across tag versions."""
+    from accelerator_spark.functions.mp3 import id3v2_build_tags
+    from accelerator_spark.operators.multimodal import extract_id3_tags
+
+    blob = id3v2_build_tags({"TDRC": "2004-06-01T12:00"}) \
+        + mp3_build_frames("1", 3, [9], 0)
+    df = spark.createDataFrame([(1, blob, "audio/mpeg")],
+                               "media_id long, payload binary, mime string")
+    assert extract_id3_tags(df).collect()[0]["year"] == "2004"
