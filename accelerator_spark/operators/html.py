@@ -1,0 +1,186 @@
+"""HTML -> training text extraction (the CommonCrawl step).
+
+A 100 TB web scrape arrives as HTML; every downstream curation
+operator in this package (quality, dedup, lang-id, packing) wants the
+ARTICLE TEXT. Two extraction tiers, because the scale trade is real:
+
+- ``strip_tags_fast``: pure JVM expression (regexp chain) — drops
+  script/style/comment blocks, strips tags, decodes the ubiquitous
+  named entities, collapses whitespace. Runs inside whole-stage
+  codegen at full scan speed; the right default for bulk quality
+  scoring where per-tag fidelity doesn't matter.
+- ``html_extract``: real parse via stdlib ``html.parser`` in an
+  Arrow-batched mapInPandas stage — title, visible text (script/
+  style/noscript/template subtrees dropped, block boundaries
+  normalized to newlines), link count and link-character density
+  (the classic boilerplate signal), heading/paragraph counts. The
+  fidelity tier: entity-exact (numeric + the full HTML5 named set via
+  html.unescape), malformed-markup tolerant (HTMLParser is a
+  tolerant tokenizer, not a validator — unclosed tags cannot raise).
+
+Both are per-row map-only — no shuffle, scales with the scan. The
+oracle gate (queries.html_extract_report) authors md5-derived pages
+and replays title/text/link arithmetic in DuckDB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# the entities worth decoding JVM-side (the full named set needs the
+# real parser tier); ORDER MATTERS: &amp; last, or '&amp;lt;' would
+# double-decode
+_FAST_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                  ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "),
+                  ("&amp;", "&")]
+
+
+def strip_tags_fast(col: Column) -> Column:
+    """JVM-side tag stripping: script/style/comment subtrees removed,
+    tags dropped, common entities decoded, whitespace collapsed.
+    Regex-based — a crude tier by design (CDATA, conditional comments
+    and pathological nesting go to ``html_extract``); (?is) = dotall +
+    case-insensitive."""
+    c = F.regexp_replace(col, r"(?is)<(script|style)\b.*?</\1\s*>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    for ent, rep in _FAST_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+HTML_EXTRACT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("title", T.StringType(), True),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("n_links", T.IntegerType(), True),
+    T.StructField("link_density", T.DoubleType(), True),
+    T.StructField("n_paragraphs", T.IntegerType(), True),
+    T.StructField("n_headings", T.IntegerType(), True),
+])
+
+# subtrees whose text is never visible
+_DROP = {"script", "style", "noscript", "template"}
+# elements that imply a block boundary in the extracted text
+_BLOCK = {"p", "div", "br", "li", "ul", "ol", "h1", "h2", "h3", "h4",
+          "h5", "h6", "tr", "table", "section", "article", "header",
+          "footer", "blockquote", "pre", "hr"}
+_HEADINGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
+# void elements never get closing tags — they must not be treated as
+# "unclosed drop/title starts" by the stack logic
+_VOID = {"br", "hr", "img", "input", "meta", "link", "area", "base",
+         "col", "embed", "source", "track", "wbr"}
+
+
+def _extract_one(raw: str):
+    """(title, text, n_links, link_density, n_paragraphs, n_headings)
+    for one HTML string. html.parser is a tolerant tokenizer: broken
+    markup yields best-effort text, never an exception."""
+    from html.parser import HTMLParser
+
+    class _X(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.parts: list = []
+            self.title_parts: list = []
+            self.drop_depth = 0
+            self.in_title = False
+            self.link_depth = 0
+            self.link_chars = 0
+            self.n_links = 0
+            self.n_paragraphs = 0
+            self.n_headings = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in _DROP:
+                self.drop_depth += 1
+            elif tag == "title":
+                self.in_title = True
+            elif tag == "a":
+                self.link_depth += 1
+                self.n_links += 1
+            elif tag == "p":
+                self.n_paragraphs += 1
+            elif tag in _HEADINGS:
+                self.n_headings += 1
+            if tag in _BLOCK:
+                self.parts.append("\n")
+
+        def handle_startendtag(self, tag, attrs):
+            if tag in _BLOCK:
+                self.parts.append("\n")
+            if tag == "a":
+                self.n_links += 1
+
+        def handle_endtag(self, tag):
+            if tag in _DROP and self.drop_depth:
+                self.drop_depth -= 1
+            elif tag == "title":
+                self.in_title = False
+            elif tag == "a" and self.link_depth:
+                self.link_depth -= 1
+            if tag in _BLOCK and tag not in _VOID:
+                self.parts.append("\n")
+
+        def handle_data(self, data):
+            if self.drop_depth:
+                return
+            if self.in_title:
+                self.title_parts.append(data)
+                return
+            self.parts.append(data)
+            if self.link_depth:
+                self.link_chars += len(data.strip())
+
+    x = _X()
+    x.feed(raw or "")
+    x.close()
+    # normalize: collapse intra-line whitespace, drop blank lines
+    lines = []
+    for chunk in "".join(x.parts).split("\n"):
+        line = " ".join(chunk.split())
+        if line:
+            lines.append(line)
+    text = "\n".join(lines)
+    title = " ".join("".join(x.title_parts).split())
+    n_text = len(text.replace("\n", ""))
+    density = x.link_chars / n_text if n_text else 0.0
+    return (title or None, text, x.n_links, density, x.n_paragraphs,
+            x.n_headings)
+
+
+def html_extract(
+    df: DataFrame,
+    html_col: str = "text",
+    id_col: str = "doc_id",
+    batch_partitions: int | None = None,
+) -> DataFrame:
+    """Arrow-batched real-parser extraction: one row per document with
+    title / visible text / link stats / structure counts. Map-only, no
+    shuffle — the Python parse IS the operator (the fast JVM tier is
+    strip_tags_fast). html.parser never raises on malformed markup, so
+    there is no on_error mode to need."""
+    slim = df.select(id_col, html_col)
+    id_type = df.schema[id_col].dataType
+    schema = T.StructType(
+        [T.StructField("doc_id", id_type, False)]
+        + [f for f in HTML_EXTRACT_SCHEMA.fields if f.name != "doc_id"])
+    if batch_partitions:
+        slim = slim.repartition(batch_partitions)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                (did,) + _extract_one(raw)
+                for did, raw in zip(pdf[id_col], pdf[html_col])
+            ]
+            yield pd.DataFrame(out,
+                               columns=[f.name for f in schema.fields])
+
+    return slim.mapInPandas(run, schema=schema)

@@ -2262,6 +2262,91 @@ def id3_tags_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "n_text_frames")
 
 
+def html_extract_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction end-to-end (r8): per document a page is
+    authored (md5-derived title, one h1, 1-4 paragraphs, 0-2 anchors
+    and an &amp; entity in paragraph 0, plus a script block that must
+    NOT leak into the text), then ``html_extract`` runs the real
+    stdlib-parser tier (operators/html.py) and the gate value-checks
+    the title string, the md5 of the extracted text (line structure
+    included), link/paragraph/heading counts and the 4dp-rounded
+    link-character density. The oracle replays the exact extracted
+    text with string concatenation. One Arrow map stage, no
+    shuffle."""
+    from .operators.html import html_extract
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build_html(batches):
+        import hashlib as _hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = _hashlib.md5((text or "").encode("utf-8")).hexdigest()
+                k = int(h[0:2], 16) % 4 + 1
+                n_links = int(h[2:4], 16) % 3
+                parts = [f"<html><head><title>T-{h[:8]}</title>",
+                         "<script>var x = '<p>no</p>';</script></head>",
+                         f"<body><h1>H-{h[8:12]}</h1>"]
+                for i in range(k):
+                    seg = h[2 * i:2 * i + 6]
+                    if i == 0:
+                        links = "".join(f'<a href="/u">L{j}</a>'
+                                        for j in range(n_links))
+                        parts.append(f"<p>P0-{seg}&amp;Z{links}</p>")
+                    else:
+                        parts.append(f"<p>P{i}-{seg}</p>")
+                parts.append("</body></html>")
+                out.append((doc_id, "".join(parts)))
+            yield pd.DataFrame(out, columns=["doc_id", "text"])
+
+    pages = docs.mapInPandas(build_html, schema="doc_id long, text string")
+    ex = html_extract(pages)
+    return ex.select(
+        "doc_id", "title",
+        F.md5("text").alias("text_hash"),
+        "n_links", "n_paragraphs", "n_headings",
+        F.round("link_density", 4).alias("link_density_r4"))
+
+
+ORACLE_HTML_EXTRACT = """
+WITH h AS (
+  SELECT doc_id, md5(coalesce(text, '')) AS d1
+  FROM documents
+), p AS (
+  SELECT doc_id, d1,
+         CAST(('0x' || substr(d1, 1, 2)) AS INT) % 4 + 1 AS k,
+         CAST(('0x' || substr(d1, 3, 2)) AS INT) % 3 AS n_links
+  FROM h
+), t AS (
+  SELECT doc_id, d1, k, n_links,
+         concat_ws(chr(10),
+           'H-' || substr(d1, 9, 4),
+           'P0-' || substr(d1, 1, 6) || '&Z'
+             || CASE n_links WHEN 0 THEN '' WHEN 1 THEN 'L0'
+                ELSE 'L0L1' END,
+           CASE WHEN k > 1 THEN 'P1-' || substr(d1, 3, 6) END,
+           CASE WHEN k > 2 THEN 'P2-' || substr(d1, 5, 6) END,
+           CASE WHEN k > 3 THEN 'P3-' || substr(d1, 7, 6) END
+         ) AS text
+  FROM p
+)
+SELECT doc_id,
+       'T-' || substr(d1, 1, 8) AS title,
+       md5(text) AS text_hash,
+       CAST(n_links AS INT) AS n_links,
+       CAST(k AS INT) AS n_paragraphs,
+       1 AS n_headings,
+       round(CAST(2 * n_links AS DOUBLE)
+             / length(replace(text, chr(10), '')), 4)
+         AS link_density_r4
+FROM t
+"""
+
+
 ORACLE_ID3_TAGS = """
 WITH h AS (
   SELECT doc_id AS media_id, md5(coalesce(text, '')) AS d1
@@ -5928,6 +6013,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_probe_report": audio_probe_report,
     "image_probe_report": image_probe_report,
     "id3_tags_report": id3_tags_report,
+    "html_extract_report": html_extract_report,
     "png_resize_stats": png_resize_stats,
     "wav_decode_stats": wav_decode_stats,
     "gif_frames_report": gif_frames_report,
@@ -6061,6 +6147,7 @@ ORACLES: dict[str, str] = {
     "audio_probe_report": ORACLE_AUDIO_PROBE,
     "image_probe_report": ORACLE_IMAGE_PROBE,
     "id3_tags_report": ORACLE_ID3_TAGS,
+    "html_extract_report": ORACLE_HTML_EXTRACT,
     "png_resize_stats": ORACLE_PNG_RESIZE,
     "wav_decode_stats": ORACLE_WAV_DECODE,
     "gif_frames_report": ORACLE_GIF_FRAMES,
