@@ -454,3 +454,71 @@ def dedup_lines_corpus(df: DataFrame, id_col: str = "doc_id",
             .select(id_col, "lines_in",
                     F.coalesce("lines_kept", F.lit(0)).alias("lines_kept"),
                     F.coalesce("text_dedup", F.lit("")).alias("text_dedup")))
+
+
+def _fix_mojibake_one(s: str, max_passes: int = 3):
+    """(fixed_text, n_passes) for one string — ftfy's core heuristic:
+    text whose characters, written back out as latin-1/cp1252 bytes,
+    form VALID UTF-8 that differs from the input was almost certainly
+    UTF-8 misdecoded under that 8-bit codec ('caf\\u00c3\\u00a9' ->
+    'caf\\u00e9'); legitimate single-byte text fails the UTF-8 decode
+    and passes through untouched (a lone \\u00e9 is an invalid UTF-8
+    lead byte). Repeats for the double-encoded case, bounded by
+    ``max_passes``. cp1252 is tried first (the Windows superset maps
+    the \\u0080-\\u009f block real mojibake lands in); latin-1 second."""
+    passes = 0
+    while passes < max_passes:
+        fixed = None
+        for codec in ("cp1252", "latin-1"):
+            try:
+                candidate = s.encode(codec).decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                continue
+            if candidate != s:
+                fixed = candidate
+            break  # codec applied cleanly; don't double-try latin-1
+        if fixed is None:
+            break
+        s = fixed
+        passes += 1
+    return s, passes
+
+
+def fix_mojibake(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 max_passes: int = 3) -> DataFrame:
+    """Repair UTF-8-misdecoded text at corpus scale (r8): scraped
+    corpora are full of 'Ã©'-for-'é' mojibake (UTF-8 bytes decoded as
+    latin-1/cp1252 somewhere upstream), and exact/near dedup treats
+    the broken and clean variants as different documents. One Arrow
+    map stage emits (id, fixed text, n_passes): n_passes=0 rows were
+    clean (including ALL pure-ASCII text, which short-circuits),
+    1 = single mojibake, 2+ = the double-encoded horror. No shuffle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    slim = df.select(id_col, text_col)
+    id_type = df.schema[id_col].dataType
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField(id_col, id_type, False),
+        T.StructField("fixed_text", T.StringType(), True),
+        T.StructField("mojibake_passes", T.IntegerType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, s in zip(pdf[id_col], pdf[text_col]):
+                if s is None:
+                    out.append((did, None, 0))
+                elif s.isascii():
+                    out.append((did, s, 0))  # nothing to repair
+                else:
+                    fixed, n = _fix_mojibake_one(s, max_passes)
+                    out.append((did, fixed, n))
+            yield pd.DataFrame(out,
+                               columns=[f.name for f in schema.fields])
+
+    return slim.mapInPandas(run, schema=schema)

@@ -2312,6 +2312,59 @@ def html_extract_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("link_density", 4).alias("link_density_r4"))
 
 
+def mojibake_repair_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair end-to-end (r8): per document the input text is
+    md5-chosen as clean ASCII, single-mojibake (the UTF-8 bytes of an
+    accented string decoded as latin-1 — 'Ã©' for 'é'), or the
+    double-encoded variant; ``fix_mojibake`` (operators/text.py, the
+    ftfy core heuristic) must return the exact original string and the
+    pass count. The oracle replays the expected repaired strings as
+    unicode literals. One Arrow map stage, no shuffle."""
+    from .operators.text import fix_mojibake
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def corrupt(batches):
+        import hashlib as _hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = _hashlib.md5((text or "").encode("utf-8")).hexdigest()
+                mode = int(h[14:16], 16) % 3
+                if mode == 0:
+                    s = "clean-" + h[:6]
+                else:
+                    s = "café-" + h[:6] + "-№"
+                    for _ in range(mode):
+                        s = s.encode("utf-8").decode("latin-1")
+                out.append((doc_id, s))
+            yield pd.DataFrame(out, columns=["doc_id", "text"])
+
+    corrupted = docs.mapInPandas(corrupt, schema="doc_id long, text string")
+    return fix_mojibake(corrupted).select(
+        "doc_id", "fixed_text", "mojibake_passes")
+
+
+ORACLE_MOJIBAKE = """
+WITH h AS (
+  SELECT doc_id, md5(coalesce(text, '')) AS d1
+  FROM documents
+), p AS (
+  SELECT doc_id, d1,
+         CAST(('0x' || substr(d1, 15, 2)) AS INT) % 3 AS mode
+  FROM h
+)
+SELECT doc_id,
+       CASE WHEN mode = 0 THEN 'clean-' || substr(d1, 1, 6)
+            ELSE 'café-' || substr(d1, 1, 6) || '-№' END AS fixed_text,
+       CAST(mode AS INT) AS mojibake_passes
+FROM p
+"""
+
+
 ORACLE_HTML_EXTRACT = """
 WITH h AS (
   SELECT doc_id, md5(coalesce(text, '')) AS d1
@@ -6014,6 +6067,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_probe_report": image_probe_report,
     "id3_tags_report": id3_tags_report,
     "html_extract_report": html_extract_report,
+    "mojibake_repair_report": mojibake_repair_report,
     "png_resize_stats": png_resize_stats,
     "wav_decode_stats": wav_decode_stats,
     "gif_frames_report": gif_frames_report,
@@ -6148,6 +6202,7 @@ ORACLES: dict[str, str] = {
     "image_probe_report": ORACLE_IMAGE_PROBE,
     "id3_tags_report": ORACLE_ID3_TAGS,
     "html_extract_report": ORACLE_HTML_EXTRACT,
+    "mojibake_repair_report": ORACLE_MOJIBAKE,
     "png_resize_stats": ORACLE_PNG_RESIZE,
     "wav_decode_stats": ORACLE_WAV_DECODE,
     "gif_frames_report": ORACLE_GIF_FRAMES,

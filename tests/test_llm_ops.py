@@ -801,3 +801,35 @@ def test_semantic_dedup_auto_cap_default(spark, emb):
             == sorted(r["vec_id"] for r in exact.select("vec_id").collect()))
     with pytest.raises(ValueError, match="auto"):
         semantic_dedup(base, cents, cell_cap="bogus")
+
+
+def test_fix_mojibake_unit_and_distributed(spark):
+    """r8: ftfy-style encode/decode repair — single and double
+    mojibake repaired, legitimate accented text and ASCII untouched,
+    cp1252-only sequences (curly quotes, em dash) handled."""
+    from accelerator_spark.operators.text import (
+        _fix_mojibake_one, fix_mojibake)
+
+    orig = "café Élève — “quoted” №7"
+    broken = orig.encode("utf-8").decode("latin-1")
+    double = broken.encode("utf-8").decode("latin-1")
+    assert _fix_mojibake_one(broken) == (orig, 1)
+    assert _fix_mojibake_one(double) == (orig, 2)
+    # cp1252-misdecoded variant (em dash / open quote land in the
+    # 0x80-0x9f block cp1252 defines; 0x9d is undefined there, so the
+    # fixture avoids the closing curly quote)
+    orig2 = "café — “mixed"
+    broken1252 = orig2.encode("utf-8").decode("cp1252")
+    assert _fix_mojibake_one(broken1252) == (orig2, 1)
+    # legitimate text is a no-op
+    for clean in ("plain café", "ascii", "日本語テキスト", ""):
+        assert _fix_mojibake_one(clean) == (clean, 0)
+    df = spark.createDataFrame(
+        [(1, broken), (2, "clean café"), (3, None), (4, double)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in fix_mojibake(df).collect()}
+    assert (rows[1]["fixed_text"], rows[1]["mojibake_passes"]) == (orig, 1)
+    assert (rows[2]["fixed_text"], rows[2]["mojibake_passes"]) == \
+        ("clean café", 0)
+    assert rows[3]["fixed_text"] is None
+    assert (rows[4]["fixed_text"], rows[4]["mojibake_passes"]) == (orig, 2)
