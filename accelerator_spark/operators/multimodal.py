@@ -605,11 +605,31 @@ def probe_video_meta(
     Fragmented MP4 (DASH/HLS, most scraped web video) counts for real
     too (r8): moof/trun samples are summed per track and mehd supplies
     the duration, so fMP4 no longer probes with n_frames=0;
-    ``n_fragments`` > 0 flags those files. Same Arrow scaffold and
-    ``on_error="null"`` containment as decode_features."""
+    ``n_fragments`` > 0 flags those files. WebM/Matroska (the other
+    half of scraped web video) probes through the same schema (r8,
+    functions/mkv.py): brand carries the EBML DocType,
+    movie_timescale/duration the Info values (ticks of TimecodeScale
+    ns), n_fragments the Cluster count; n_frames is NULL — Matroska
+    frame counts live inside cluster lacing the probe deliberately
+    skips. Same Arrow scaffold and ``on_error="null"`` containment as
+    decode_features."""
+    from ..functions.mkv import mkv_probe
     from ..functions.mp4 import mp4_probe
 
     def per_row(raw: bytes, mime: str):
+        if raw[:4] == b"\x1a\x45\xdf\xa3" or mime in (
+                "video/webm", "audio/webm", "video/x-matroska"):
+            mk = mkv_probe(raw)
+            vid = next((t for t in mk.tracks if t.track_type == 1),
+                       None)
+            dur = int(mk.duration_ticks)
+            return (len(raw), mk.doc_type, mk.timescale_ns,
+                    dur if dur < (1 << 63) else None,
+                    mk.duration_s, len(mk.tracks),
+                    vid.codec if vid else None,
+                    vid.width if vid else None,
+                    vid.height if vid else None,
+                    None, mk.n_clusters)
         meta = mp4_probe(raw)
         # video columns come ONLY from a real video track: falling
         # back to tracks[0] reported audio metadata as video and fed

@@ -2028,6 +2028,67 @@ FROM h
 """
 
 
+def webm_probe_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebM/Matroska metadata end-to-end (r8): per document an EBML
+    container is authored (functions/mkv.mkv_build — DocType, Info
+    timescale/duration, a VP9 video track + an Opus audio track,
+    empty clusters; md5-derived parameters, odd documents using the
+    streamed unknown-size-Segment convention), then
+    ``probe_video_meta`` routes it by the EBML magic through the
+    production parser (functions/mkv.py, validated against
+    hand-derived RFC 8794 golden elements in tests/test_mkv.py) and
+    reports DocType, duration, video dims and cluster count through
+    the same schema MP4 uses — one probe operator for both halves of
+    scraped web video. The oracle replays the md5 arithmetic
+    (duration_s = ticks/1000 is exact binary: ticks are multiples of
+    250). Two Arrow stages, no shuffle."""
+    from .operators.multimodal import probe_video_meta
+
+    def build_webm(text: str):
+        import hashlib as _hashlib
+
+        from .functions.mkv import mkv_build
+
+        d1 = _hashlib.md5(text.encode("utf-8")).digest()
+        return mkv_build(
+            "webm", 1_000_000, float(d1[0] * 250),
+            [dict(number=1, track_type=1, codec="V_VP9",
+                  width=16 * (d1[1] % 64 + 1),
+                  height=16 * (d1[2] % 64 + 1)),
+             dict(number=2, track_type=2, codec="A_OPUS",
+                  sample_rate=48000.0, n_channels=d1[3] % 2 + 1)],
+            n_clusters=d1[4] % 8,
+            unknown_segment_size=bool(d1[5] % 2)), "video/webm"
+
+    media = _doc_media_df(spark, sf_dir, build_webm)
+    meta = probe_video_meta(media)
+    return meta.select("media_id", "brand", "movie_duration",
+                       "duration_s", "width", "height", "n_fragments",
+                       "n_tracks")
+
+
+ORACLE_WEBM_PROBE = """
+WITH h AS (
+  SELECT doc_id AS media_id, md5(coalesce(text, '')) AS d1
+  FROM documents
+)
+SELECT media_id,
+       'webm' AS brand,
+       CAST(CAST(('0x' || substr(d1, 1, 2)) AS INT) * 250 AS BIGINT)
+         AS movie_duration,
+       CAST(CAST(('0x' || substr(d1, 1, 2)) AS INT) AS DOUBLE) / 4
+         AS duration_s,
+       CAST(16 * (CAST(('0x' || substr(d1, 3, 2)) AS INT) % 64 + 1)
+         AS INT) AS width,
+       CAST(16 * (CAST(('0x' || substr(d1, 5, 2)) AS INT) % 64 + 1)
+         AS INT) AS height,
+       CAST(CAST(('0x' || substr(d1, 9, 2)) AS INT) % 8 AS INT)
+         AS n_fragments,
+       2 AS n_tracks
+FROM h
+"""
+
+
 def mp3_probe_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MP3 metadata end-to-end (VERDICT r7 #2): per document an
     ID3v2-wrapped MPEG-1 Layer III CBR stream is authored
@@ -6062,6 +6123,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jpeg_resize_stats": jpeg_resize_stats,
     "video_probe_report": video_probe_report,
     "fmp4_probe_report": fmp4_probe_report,
+    "webm_probe_report": webm_probe_report,
     "mp3_probe_report": mp3_probe_report,
     "audio_probe_report": audio_probe_report,
     "image_probe_report": image_probe_report,
@@ -6197,6 +6259,7 @@ ORACLES: dict[str, str] = {
     "jpeg_resize_stats": ORACLE_JPEG_RESIZE,
     "video_probe_report": ORACLE_VIDEO_PROBE,
     "fmp4_probe_report": ORACLE_FMP4_PROBE,
+    "webm_probe_report": ORACLE_WEBM_PROBE,
     "mp3_probe_report": ORACLE_MP3_PROBE,
     "audio_probe_report": ORACLE_AUDIO_PROBE,
     "image_probe_report": ORACLE_IMAGE_PROBE,

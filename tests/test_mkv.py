@@ -1,0 +1,175 @@
+"""Matroska/WebM (EBML) metadata probe tests (functions/mkv.py).
+
+Hand-derived golden elements authored byte-by-byte from RFC 8794 +
+the Matroska element registry (independent of mkv_build — no foreign
+Matroska reader ships in this container, the mp4-golden pattern),
+builder <-> probe property round-trips, unknown-size (streamed)
+segments, hostile inputs, and the probe_video_meta routing."""
+
+import struct
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from accelerator_spark.functions.mkv import (
+    MkvError, mkv_build, mkv_probe)
+from accelerator_spark.operators.multimodal import probe_video_meta
+
+PROP = settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+
+
+def _golden_webm():
+    """One WebM written out longhand: EBML header (DocType 'webm'),
+    Segment(Info(TimecodeScale 1000000, Duration 12000.0 ticks),
+    Tracks(video VP9 640x360 + audio Opus 48kHz stereo), 2 empty
+    Clusters). EBML varints: 1-byte sizes carry 0x80 | n."""
+    def el(id_bytes, payload):
+        return id_bytes + bytes([0x80 | len(payload)]) + payload
+
+    header = el(b"\x1a\x45\xdf\xa3",
+                el(b"\x42\x86", b"\x01")        # EBMLVersion 1
+                + el(b"\x42\xf7", b"\x01")      # EBMLReadVersion 1
+                + el(b"\x42\x82", b"webm")      # DocType
+                + el(b"\x42\x87", b"\x04")      # DocTypeVersion
+                + el(b"\x42\x85", b"\x02"))     # DocTypeReadVersion
+    info = el(b"\x15\x49\xa9\x66",
+              el(b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big"))
+              + el(b"\x44\x89", struct.pack(">d", 12000.0)))
+    video = el(b"\xae",
+               el(b"\xd7", b"\x01") + el(b"\x83", b"\x01")
+               + el(b"\x86", b"V_VP9")
+               + el(b"\xe0", el(b"\xb0", (640).to_bytes(2, "big"))
+                    + el(b"\xba", (360).to_bytes(2, "big"))))
+    audio = el(b"\xae",
+               el(b"\xd7", b"\x02") + el(b"\x83", b"\x02")
+               + el(b"\x86", b"A_OPUS")
+               + el(b"\xe1", el(b"\xb5", struct.pack(">f", 48000.0))
+                    + el(b"\x9f", b"\x02")))
+    tracks = el(b"\x16\x54\xae\x6b", video + audio)
+    cluster = el(b"\x1f\x43\xb6\x75", el(b"\xe7", b"\x00"))
+    seg_body = info + tracks + cluster + cluster
+    segment = b"\x18\x53\x80\x67" + bytes([0x80 | len(seg_body)]) \
+        + seg_body
+    return header + segment
+
+
+def test_golden_spec_bytes_and_builder_agreement():
+    golden = _golden_webm()
+    m = mkv_probe(golden)
+    assert m.doc_type == "webm"
+    assert (m.timescale_ns, m.duration_ticks) == (1_000_000, 12000.0)
+    assert m.duration_s == pytest.approx(12.0)
+    assert m.n_clusters == 2
+    v, a = m.tracks
+    assert (v.track_type, v.codec, v.width, v.height) == \
+        (1, "V_VP9", 640, 360)
+    assert (a.track_type, a.codec, a.sample_rate, a.n_channels) == \
+        (2, "A_OPUS", 48000.0, 2)
+    built = mkv_build("webm", 1_000_000, 12000.0, [
+        dict(number=1, track_type=1, codec="V_VP9", width=640,
+             height=360),
+        dict(number=2, track_type=2, codec="A_OPUS",
+             sample_rate=48000.0, n_channels=2)], n_clusters=2)
+    assert built == golden
+
+
+def test_unknown_size_segment_and_matroska():
+    """Streamed files write the Segment size as all-ones (unknown);
+    the walk extends it to EOF."""
+    blob = mkv_build("matroska", 500_000, 4000.0, [
+        dict(number=1, track_type=1, codec="V_AV1", width=1920,
+             height=1080)], n_clusters=3, unknown_segment_size=True)
+    m = mkv_probe(blob)
+    assert m.doc_type == "matroska"
+    assert m.duration_s == pytest.approx(2.0)  # 4000 * 0.5ms
+    assert m.n_clusters == 3
+    assert m.tracks[0].codec == "V_AV1"
+
+
+def test_malformed_and_hostile():
+    good = mkv_build("webm", 1_000_000, 1000.0, [])
+    with pytest.raises(MkvError, match="magic"):
+        mkv_probe(b"RIFF" + good[4:])
+    with pytest.raises(MkvError, match="truncated|overruns"):
+        mkv_probe(good[:-3])
+    with pytest.raises(MkvError, match="no Segment"):
+        mkv_probe(good[:good.index(b"\x18\x53\x80\x67")])
+    # element claiming to overrun its container
+    bad = bytearray(good)
+    at = good.index(b"\x15\x49\xa9\x66") + 4
+    bad[at] = 0xFF - 1  # huge 1-byte size
+    with pytest.raises(MkvError, match="overruns"):
+        mkv_probe(bytes(bad))
+    # hostile: thousands of tiny elements exhaust the budget
+    spam = b"\xec\x80" * 50_000  # Void elements, empty
+    blob = mkv_build("webm", 1_000_000, 0.0, [])[:0]
+    hdr = mkv_build("webm", 1_000_000, 0.0, [])
+    seg_at = hdr.index(b"\x18\x53\x80\x67")
+    blob = hdr[:seg_at] + b"\x18\x53\x80\x67\xff" + spam
+    with pytest.raises(MkvError, match="budget"):
+        mkv_probe(blob, max_elements=1000)
+    # zero timescale is invalid
+    z = mkv_build("webm", 1, 0.0, [])
+    z = z.replace(b"\x2a\xd7\xb1\x81\x01", b"\x2a\xd7\xb1\x81\x00")
+    with pytest.raises(MkvError, match="positive"):
+        mkv_probe(z)
+
+
+@PROP
+@given(st.data())
+def test_prop_build_probe_roundtrip(data):
+    n_tracks = data.draw(st.integers(0, 3))
+    tracks = []
+    for i in range(n_tracks):
+        kind = data.draw(st.sampled_from(["video", "audio", "sub"]))
+        t = dict(number=i + 1,
+                 track_type={"video": 1, "audio": 2, "sub": 17}[kind],
+                 codec=data.draw(st.sampled_from(
+                     ["V_VP8", "V_VP9", "V_AV1", "A_OPUS", "A_VORBIS",
+                      "S_TEXT/UTF8"])))
+        if kind == "video":
+            t["width"] = data.draw(st.integers(1, 8192))
+            t["height"] = data.draw(st.integers(1, 8192))
+        elif kind == "audio":
+            t["sample_rate"] = float(data.draw(
+                st.sampled_from([8000, 16000, 44100, 48000])))
+            t["n_channels"] = data.draw(st.integers(1, 8))
+        tracks.append(t)
+    ts = data.draw(st.integers(1, 10**9))
+    dur = float(data.draw(st.integers(0, 10**9)))
+    k = data.draw(st.integers(0, 5))
+    unk = data.draw(st.booleans())
+    m = mkv_probe(mkv_build("webm", ts, dur, tracks, n_clusters=k,
+                            unknown_segment_size=unk))
+    assert (m.timescale_ns, m.duration_ticks) == (ts, dur)
+    assert m.n_clusters == k
+    assert len(m.tracks) == n_tracks
+    for want, got in zip(tracks, m.tracks):
+        assert got.number == want["number"]
+        assert got.codec == want["codec"]
+        assert got.width == want.get("width", 0)
+        assert got.sample_rate == want.get("sample_rate", 0.0)
+
+
+def test_probe_video_meta_routes_webm(spark):
+    webm = mkv_build("webm", 1_000_000, 90_000.0, [
+        dict(number=1, track_type=1, codec="V_VP9", width=1280,
+             height=720),
+        dict(number=2, track_type=2, codec="A_OPUS",
+             sample_rate=48000.0, n_channels=2)], n_clusters=7)
+    df = spark.createDataFrame(
+        [(1, webm, "video/webm")],
+        "media_id long, payload binary, mime string")
+    r = probe_video_meta(df).collect()[0]
+    assert r["brand"] == "webm"
+    assert r["movie_timescale"] == 1_000_000
+    assert r["movie_duration"] == 90_000
+    assert r["duration_s"] == pytest.approx(90.0)
+    assert (r["codec"], r["width"], r["height"]) == ("V_VP9", 1280, 720)
+    assert r["n_frames"] is None and r["n_fragments"] == 7
+    assert r["n_tracks"] == 2
