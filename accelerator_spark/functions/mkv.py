@@ -78,12 +78,42 @@ def _read_vint(data: bytes, pos: int, keep_marker: bool):
     return v, pos + length
 
 
+# Segment-level element IDs an unknown-size element terminates at
+# (RFC 8794 §6.2: an unknown-size element ends where a non-descendant
+# element starts; for the streamed-WebM case that matters — every
+# Cluster written with unknown size, e.g. browser MediaRecorder
+# output — the next boundary is one of these)
+_SEGMENT_LEVEL_IDS = (b"\x1f\x43\xb6\x75",   # Cluster
+                      b"\x15\x49\xa9\x66",   # Info
+                      b"\x16\x54\xae\x6b",   # Tracks
+                      b"\x1c\x53\xbb\x6b",   # Cues
+                      b"\x11\x4d\x9b\x74",   # SeekHead
+                      b"\x10\x43\xa7\x70",   # Chapters
+                      b"\x12\x54\xc3\x67",   # Tags
+                      b"\x19\x41\xa4\x69")   # Attachments
+
+
+def _unknown_end(data: bytes, pos: int, end: int) -> int:
+    """End of an unknown-size NON-Segment element: the next
+    Segment-level ID at or after ``pos`` (else the enclosing end).
+    A raw byte search can in principle match inside a payload — an
+    accepted metadata-probe approximation (a false match shortens one
+    cluster's span, it cannot crash the walk)."""
+    nxt = end
+    for marker in _SEGMENT_LEVEL_IDS:
+        at = data.find(marker, pos, nxt)
+        if at != -1:
+            nxt = at
+    return nxt
+
+
 def _elements(data: bytes, start: int, end: int, budget: list):
     """Yield (id, body_start, body_end) for the elements in
-    data[start:end); an unknown-size element extends to the end of
-    its enclosing space (legal only for Segment/Cluster-level
-    elements in practice — the walk allows it anywhere and lets the
-    caller's budget bound pathological nesting)."""
+    data[start:end); an unknown-size Segment extends to the end of its
+    enclosing space, and an unknown-size Cluster (or other element)
+    ends at the next Segment-level ID — without the resync, the FIRST
+    streamed cluster would swallow every following cluster and any
+    trailing Segment children (review r8)."""
     pos = start
     while pos < end:
         budget[0] -= 1
@@ -91,7 +121,11 @@ def _elements(data: bytes, start: int, end: int, budget: list):
             raise MkvError("element budget exceeded (hostile or corrupt)")
         eid, pos = _read_vint(data, pos, keep_marker=True)
         size, pos = _read_vint(data, pos, keep_marker=False)
-        body_end = end if size == _UNKNOWN else pos + size
+        if size == _UNKNOWN:
+            body_end = end if eid == 0x18538067 \
+                else _unknown_end(data, pos, end)
+        else:
+            body_end = pos + size
         if body_end > end:
             raise MkvError(f"element 0x{eid:x} overruns container")
         yield eid, pos, body_end

@@ -25,9 +25,7 @@ and replays title/text/link arithmetic in DuckDB.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
+from html.parser import HTMLParser
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -78,67 +76,85 @@ _VOID = {"br", "hr", "img", "input", "meta", "link", "area", "base",
          "col", "embed", "source", "track", "wbr"}
 
 
+class _Extractor(HTMLParser):
+    """Module-level parser class (review r8: a per-call class
+    definition paid MRO/descriptor construction per DOCUMENT in the
+    hot path); one instance per document — HTMLParser keeps tokenizer
+    state that is not safely reusable after malformed input."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.parts: list = []
+        self.title_parts: list = []
+        self.drop_depth = 0
+        self.in_title = False
+        self.link_depth = 0
+        self.link_chars = 0
+        self.n_links = 0
+        self.n_paragraphs = 0
+        self.n_headings = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _DROP:
+            self.drop_depth += 1
+            return
+        if self.drop_depth:
+            # counts must describe VISIBLE content, like the text and
+            # the density numerator do — a <p><a> inside noscript/
+            # template is invisible boilerplate (review r8)
+            return
+        if tag == "title":
+            self.in_title = True
+        elif tag == "a":
+            self.link_depth += 1
+            self.n_links += 1
+        elif tag == "p":
+            self.n_paragraphs += 1
+        elif tag in _HEADINGS:
+            self.n_headings += 1
+        if tag in _BLOCK:
+            self.parts.append("\n")
+
+    def handle_startendtag(self, tag, attrs):
+        if self.drop_depth:
+            return
+        if tag in _BLOCK:
+            self.parts.append("\n")
+        if tag == "a":
+            self.n_links += 1
+
+    def handle_endtag(self, tag):
+        if tag in _DROP and self.drop_depth:
+            self.drop_depth -= 1
+            return
+        if self.drop_depth:
+            return
+        if tag == "title":
+            self.in_title = False
+        elif tag == "a" and self.link_depth:
+            self.link_depth -= 1
+        if tag in _BLOCK and tag not in _VOID:
+            self.parts.append("\n")
+
+    def handle_data(self, data):
+        if self.drop_depth:
+            return
+        if self.in_title:
+            self.title_parts.append(data)
+            return
+        self.parts.append(data)
+        if self.link_depth:
+            # collapsed length, matching the denominator's whitespace
+            # normalization — pretty-printed anchors otherwise inflate
+            # the density past 1.0 (review r8)
+            self.link_chars += len(" ".join(data.split()))
+
+
 def _extract_one(raw: str):
     """(title, text, n_links, link_density, n_paragraphs, n_headings)
     for one HTML string. html.parser is a tolerant tokenizer: broken
     markup yields best-effort text, never an exception."""
-    from html.parser import HTMLParser
-
-    class _X(HTMLParser):
-        def __init__(self):
-            super().__init__(convert_charrefs=True)
-            self.parts: list = []
-            self.title_parts: list = []
-            self.drop_depth = 0
-            self.in_title = False
-            self.link_depth = 0
-            self.link_chars = 0
-            self.n_links = 0
-            self.n_paragraphs = 0
-            self.n_headings = 0
-
-        def handle_starttag(self, tag, attrs):
-            if tag in _DROP:
-                self.drop_depth += 1
-            elif tag == "title":
-                self.in_title = True
-            elif tag == "a":
-                self.link_depth += 1
-                self.n_links += 1
-            elif tag == "p":
-                self.n_paragraphs += 1
-            elif tag in _HEADINGS:
-                self.n_headings += 1
-            if tag in _BLOCK:
-                self.parts.append("\n")
-
-        def handle_startendtag(self, tag, attrs):
-            if tag in _BLOCK:
-                self.parts.append("\n")
-            if tag == "a":
-                self.n_links += 1
-
-        def handle_endtag(self, tag):
-            if tag in _DROP and self.drop_depth:
-                self.drop_depth -= 1
-            elif tag == "title":
-                self.in_title = False
-            elif tag == "a" and self.link_depth:
-                self.link_depth -= 1
-            if tag in _BLOCK and tag not in _VOID:
-                self.parts.append("\n")
-
-        def handle_data(self, data):
-            if self.drop_depth:
-                return
-            if self.in_title:
-                self.title_parts.append(data)
-                return
-            self.parts.append(data)
-            if self.link_depth:
-                self.link_chars += len(data.strip())
-
-    x = _X()
+    x = _Extractor()
     x.feed(raw or "")
     x.close()
     # normalize: collapse intra-line whitespace, drop blank lines
@@ -166,21 +182,10 @@ def html_extract(
     shuffle — the Python parse IS the operator (the fast JVM tier is
     strip_tags_fast). html.parser never raises on malformed markup, so
     there is no on_error mode to need."""
-    slim = df.select(id_col, html_col)
-    id_type = df.schema[id_col].dataType
-    schema = T.StructType(
-        [T.StructField("doc_id", id_type, False)]
-        + [f for f in HTML_EXTRACT_SCHEMA.fields if f.name != "doc_id"])
-    if batch_partitions:
-        slim = slim.repartition(batch_partitions)
+    from .arrowmap import map_text_rows
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = [
-                (did,) + _extract_one(raw)
-                for did, raw in zip(pdf[id_col], pdf[html_col])
-            ]
-            yield pd.DataFrame(out,
-                               columns=[f.name for f in schema.fields])
-
-    return slim.mapInPandas(run, schema=schema)
+    return map_text_rows(
+        df, _extract_one,
+        [f for f in HTML_EXTRACT_SCHEMA.fields if f.name != "doc_id"],
+        html_col, id_col, id_out_name="doc_id",
+        batch_partitions=batch_partitions)

@@ -616,20 +616,33 @@ def probe_video_meta(
     from ..functions.mkv import mkv_probe
     from ..functions.mp4 import mp4_probe
 
+    def _i32(v):
+        return v if v is not None and 0 <= v <= 0x7FFFFFFF else None
+
+    def _i64(v):
+        return v if v is not None and -(1 << 63) <= v < (1 << 63) \
+            else None
+
     def per_row(raw: bytes, mime: str):
-        if raw[:4] == b"\x1a\x45\xdf\xa3" or mime in (
-                "video/webm", "audio/webm", "video/x-matroska"):
+        # route by MAGIC only: mislabeled mimes are common in crawls,
+        # and a 'video/webm' mime on valid MP4 bytes must keep parsing
+        # as MP4 — every real EBML file matches the 4-byte magic
+        # anyway (review r8)
+        if raw[:4] == b"\x1a\x45\xdf\xa3":
             mk = mkv_probe(raw)
             vid = next((t for t in mk.tracks if t.track_type == 1),
                        None)
-            dur = int(mk.duration_ticks)
-            return (len(raw), mk.doc_type, mk.timescale_ns,
-                    dur if dur < (1 << 63) else None,
+            # EBML uints are unbounded: clamp-to-NULL anything past
+            # the column types, or the Arrow conversion aborts the
+            # batch OUTSIDE per-row containment (review r8, the same
+            # class the r7 VIDEO_META_SCHEMA comment records)
+            return (len(raw), mk.doc_type, _i64(mk.timescale_ns),
+                    _i64(int(mk.duration_ticks)),
                     mk.duration_s, len(mk.tracks),
                     vid.codec if vid else None,
-                    vid.width if vid else None,
-                    vid.height if vid else None,
-                    None, mk.n_clusters)
+                    _i32(vid.width) if vid else None,
+                    _i32(vid.height) if vid else None,
+                    None, _i32(mk.n_clusters))
         meta = mp4_probe(raw)
         # video columns come ONLY from a real video track: falling
         # back to tracks[0] reported audio metadata as video and fed

@@ -1,6 +1,7 @@
 """Text-analysis operators for corpus curation (north-star extension):
 language-ID (n-gram/stopword evidence), quality scoring, token counting,
-fingerprinting. All JVM-side expressions — no Python in the hot path.
+fingerprinting. JVM-side expressions except where the transform
+genuinely needs Python's codecs (fix_mojibake — one Arrow map stage).
 Column-level API so they compose into any pipeline step.
 """
 
@@ -494,31 +495,19 @@ def fix_mojibake(df: DataFrame, text_col: str = "text",
     map stage emits (id, fixed text, n_passes): n_passes=0 rows were
     clean (including ALL pure-ASCII text, which short-circuits),
     1 = single mojibake, 2+ = the double-encoded horror. No shuffle."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    slim = df.select(id_col, text_col)
-    id_type = df.schema[id_col].dataType
     from pyspark.sql import types as T
-    schema = T.StructType([
-        T.StructField(id_col, id_type, False),
-        T.StructField("fixed_text", T.StringType(), True),
-        T.StructField("mojibake_passes", T.IntegerType(), True),
-    ])
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for did, s in zip(pdf[id_col], pdf[text_col]):
-                if s is None:
-                    out.append((did, None, 0))
-                elif s.isascii():
-                    out.append((did, s, 0))  # nothing to repair
-                else:
-                    fixed, n = _fix_mojibake_one(s, max_passes)
-                    out.append((did, fixed, n))
-            yield pd.DataFrame(out,
-                               columns=[f.name for f in schema.fields])
+    from .arrowmap import map_text_rows
 
-    return slim.mapInPandas(run, schema=schema)
+    def per_row(s):
+        if s is None:
+            return None, 0
+        if s.isascii():
+            return s, 0  # nothing to repair
+        return _fix_mojibake_one(s, max_passes)
+
+    return map_text_rows(
+        df, per_row,
+        [T.StructField("fixed_text", T.StringType(), True),
+         T.StructField("mojibake_passes", T.IntegerType(), True)],
+        text_col, id_col)

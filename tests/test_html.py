@@ -88,3 +88,17 @@ def test_html_extract_distributed(spark):
     df2 = spark.createDataFrame([("a", "<p>x</p>")],
                                 "doc_id string, text string")
     assert html_extract(df2).collect()[0]["doc_id"] == "a"
+
+
+def test_review_r8_visible_counts_and_density_bound():
+    """Review r8: counts describe VISIBLE content only, and pretty-
+    printed anchor whitespace doesn't inflate link_density past 1."""
+    _, text, n_links, density, n_p, n_h = _extract_one(
+        "<noscript><p>enable <a>js</a></p><h1>x</h1></noscript>"
+        "<p>real</p>")
+    assert text == "real"
+    assert (n_links, n_p, n_h) == (0, 1, 0)
+    _, text, n_links, density, *_ = _extract_one(
+        "<p><a href=x>a      b</a></p>")
+    assert text == "a b" and density <= 1.0
+    assert density == pytest.approx(1.0)
