@@ -2409,6 +2409,79 @@ def mojibake_repair_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "fixed_text", "mojibake_passes")
 
 
+def warc_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion end-to-end (r8): per document a record-at-time
+    GZIPPED WARC file is authored (sources/warc.warc_build — one
+    warcinfo record plus 1-3 HTTP-response records with md5-derived
+    URIs and HTML bodies), then decoded with the production per-file
+    parser (warc_decode_file — the function warc_import fans out over
+    a crawl directory; spec golden bytes in tests/test_warc.py): gzip
+    member walk, WARC framing, HTTP status/header split. One output
+    row per response record, value-checking URI, status, content type
+    and the exact HTML body string. The oracle replays the md5
+    construction with a lateral range join. One Arrow map stage, no
+    shuffle."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        import hashlib as _hashlib
+
+        import pandas as pd
+
+        from .sources.warc import warc_build, warc_decode_file
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = _hashlib.md5((text or "").encode("utf-8")).hexdigest()
+                k = int(h[0:2], 16) % 3 + 1
+                recs = [dict(warc_type="warcinfo", payload=b"ci")]
+                for i in range(k):
+                    html = (f"<title>W-{h[:6]}-{i}</title>"
+                            f"<p>{h[2 * i:2 * i + 8]}</p>")
+                    recs.append(dict(
+                        warc_type="response",
+                        target_uri=f"http://w/{h[:4]}/{i}",
+                        payload=html.encode(), http=(200, "text/html")))
+                blob = warc_build(recs, gzip_members=True)
+                rec_i = 0
+                for (idx, wtype, uri, _date, _rid, status, ctype,
+                     body, _n) in warc_decode_file(blob):
+                    if wtype != "response":
+                        continue
+                    out.append((doc_id, rec_i, uri, status, ctype,
+                                body.decode("utf-8")))
+                    rec_i += 1
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "rec_idx", "target_uri", "http_status",
+                "content_type", "body"])
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, rec_idx int, target_uri string, "
+                    "http_status int, content_type string, body string")
+
+
+ORACLE_WARC_PIPELINE = """
+WITH h AS (
+  SELECT doc_id, md5(coalesce(text, '')) AS d1
+  FROM documents
+), p AS (
+  SELECT doc_id, d1,
+         CAST(('0x' || substr(d1, 1, 2)) AS INT) % 3 + 1 AS k
+  FROM h
+)
+SELECT doc_id,
+       CAST(t.i AS INT) AS rec_idx,
+       'http://w/' || substr(d1, 1, 4) || '/' || t.i AS target_uri,
+       200 AS http_status,
+       'text/html' AS content_type,
+       '<title>W-' || substr(d1, 1, 6) || '-' || t.i || '</title><p>'
+         || substr(d1, CAST(2 * t.i + 1 AS INT), 8) || '</p>' AS body
+FROM p, range(3) t(i)
+WHERE t.i < k
+"""
+
+
 ORACLE_MOJIBAKE = """
 WITH h AS (
   SELECT doc_id, md5(coalesce(text, '')) AS d1
@@ -6130,6 +6203,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "id3_tags_report": id3_tags_report,
     "html_extract_report": html_extract_report,
     "mojibake_repair_report": mojibake_repair_report,
+    "warc_pipeline_report": warc_pipeline_report,
     "png_resize_stats": png_resize_stats,
     "wav_decode_stats": wav_decode_stats,
     "gif_frames_report": gif_frames_report,
@@ -6266,6 +6340,7 @@ ORACLES: dict[str, str] = {
     "id3_tags_report": ORACLE_ID3_TAGS,
     "html_extract_report": ORACLE_HTML_EXTRACT,
     "mojibake_repair_report": ORACLE_MOJIBAKE,
+    "warc_pipeline_report": ORACLE_WARC_PIPELINE,
     "png_resize_stats": ORACLE_PNG_RESIZE,
     "wav_decode_stats": ORACLE_WAV_DECODE,
     "gif_frames_report": ORACLE_GIF_FRAMES,
