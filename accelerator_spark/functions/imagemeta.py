@@ -90,7 +90,11 @@ def _probe_gif(data: bytes) -> ImageMeta:
     if len(data) < 13:
         raise ImageMetaError("truncated GIF header")
     w, h, packed = struct.unpack("<HHB", data[6:11])
-    depth = (packed & 0x07) + 1
+    # bits 4-6 are the logical-screen "color resolution" (bits per
+    # primary); bits 0-2 size the GLOBAL COLOR TABLE and only govern
+    # how many palette bytes to skip below (ADVICE r8: the two differ
+    # on real headers — GCT size is not a depth)
+    depth = ((packed >> 4) & 0x07) + 1
     pos = 13
     if packed & 0x80:                       # global color table
         pos += 3 * (2 << (packed & 0x07))

@@ -93,17 +93,37 @@ _SEGMENT_LEVEL_IDS = (b"\x1f\x43\xb6\x75",   # Cluster
                       b"\x19\x41\xa4\x69")   # Attachments
 
 
+def _plausible_boundary(data: bytes, at: int, end: int) -> bool:
+    """A 4-byte segment-level ID found by raw search only counts as an
+    element boundary if a well-formed size varint follows it and the
+    implied body stays inside the enclosing space (ADVICE r8: the bare
+    byte search can false-match inside a cluster's media payload and
+    split one streamed cluster into several)."""
+    try:
+        size, body = _read_vint(data, at + 4, keep_marker=False)
+    except MkvError:
+        return False
+    if size == _UNKNOWN:
+        return True
+    return body + size <= end
+
+
 def _unknown_end(data: bytes, pos: int, end: int) -> int:
-    """End of an unknown-size NON-Segment element: the next
-    Segment-level ID at or after ``pos`` (else the enclosing end).
-    A raw byte search can in principle match inside a payload — an
-    accepted metadata-probe approximation (a false match shortens one
-    cluster's span, it cannot crash the walk)."""
+    """End of an unknown-size NON-Segment element: the earliest
+    VALIDATED Segment-level ID at or after ``pos`` (else the enclosing
+    end). Candidates whose following bytes do not parse as an in-bounds
+    size varint are payload false-matches and are skipped."""
     nxt = end
     for marker in _SEGMENT_LEVEL_IDS:
-        at = data.find(marker, pos, nxt)
-        if at != -1:
-            nxt = at
+        start = pos
+        while start < nxt:
+            at = data.find(marker, start, nxt)
+            if at == -1:
+                break
+            if _plausible_boundary(data, at, end):
+                nxt = at
+                break
+            start = at + 1
     return nxt
 
 

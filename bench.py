@@ -207,9 +207,20 @@ def main() -> None:
                     .format("noop").save()
                 samples.append(time.perf_counter() - t0)
                 reruns[name] = round(samples[-1], 3)
-                samples = sorted(samples)[:3]
+                # drop ONLY the single worst rep, and only when it is
+                # still past the 3x guard — dropping the max of 4
+                # unconditionally kept the 3 FASTEST and biased the
+                # median optimistic when reps genuinely vary
+                # (ADVICE r8); otherwise all 4 vote
+                if max(samples) > 3.0 * max(min(samples), 1e-9):
+                    samples = sorted(samples)[:3]
             except Exception as e:  # noqa: BLE001
-                errors[name] = str(e).split("\n")[0][:200]
+                # the 3 base reps already succeeded — the query itself
+                # is fine, so keep their median and record the rerun
+                # failure under its own key instead of errors[name]
+                # (which would make times+errors an inconsistent
+                # record, ADVICE r8)
+                errors[name + "#rerun"] = str(e).split("\n")[0][:200]
             finally:
                 spark.catalog.clearCache()
         if samples:

@@ -153,6 +153,29 @@ def test_bmp_and_malformed():
         image_probe(j[:at + 3])
 
 
+def test_advice_r8_gif_bit_depth_from_color_resolution():
+    """ADVICE r8: GIF bit_depth comes from the logical-screen 'color
+    resolution' field (bits 4-6 of the packed byte), not from the
+    global-color-table SIZE field (bits 0-2) — headers where the two
+    differ must report the former."""
+    from accelerator_spark.functions.gif import gif_encode
+
+    g = bytearray(gif_encode([[0] * 4], 2, 2, bytes(12)))  # 4-color GCT
+    packed = g[10]
+    assert packed & 0x07 == 1  # table-size field: 2<<1 == 4 colors
+    # color resolution 7 (8 bits/primary), table size unchanged
+    g[10] = (packed & 0x8F) | (7 << 4)
+    m = image_probe(bytes(g))
+    assert (m.width, m.height, m.bit_depth) == (2, 2, 8)
+    # color resolution 0 with a 256-entry table: depth 1, and the
+    # table-size field still governs the palette skip (probe walks on)
+    g2 = bytearray(gif_encode([[0] * 4], 2, 2, bytes(768)))
+    assert g2[10] & 0x07 == 7
+    g2[10] = g2[10] & 0x8F
+    m2 = image_probe(bytes(g2))
+    assert (m2.bit_depth, m2.n_frames) == (1, 1)
+
+
 def test_probe_image_meta_distributed(spark):
     from accelerator_spark.functions.png import png_encode
 

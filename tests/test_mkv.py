@@ -196,6 +196,33 @@ def test_review_r8_unknown_size_clusters_count():
     del cluster_known
 
 
+def test_advice_r8_payload_embedded_id_is_not_a_boundary():
+    """ADVICE r8: an unknown-size cluster whose media payload embeds a
+    segment-level ID byte pattern must NOT be split at the false match
+    — a candidate only terminates the cluster when a well-formed size
+    varint follows it and the implied body stays in bounds."""
+    blob = mkv_build("webm", 1_000_000, 1000.0, [
+        dict(number=1, track_type=1, codec="V_VP9", width=64,
+             height=48)])
+    seg_at = blob.index(b"\x18\x53\x80\x67")
+    body = blob[seg_at + 5:]  # known-size segment, 1-byte size
+    # hostile payload embeds: a Cluster ID followed by an INVALID size
+    # varint (0x00), and an Info ID followed by a size (0x61 0xff =
+    # 8703) that would overrun the file — both must be rejected
+    hostile = (b"\xe7\x81\x00"
+               + b"\x1f\x43\xb6\x75\x00"
+               + b"\x15\x49\xa9\x66\x61\xff"
+               + b"\xe7\x81\x01")
+    cluster_unknown = b"\x1f\x43\xb6\x75\xff" + hostile
+    real_cluster = (b"\x1f\x43\xb6\x75" + bytes([0x80 | 3])
+                    + b"\xe7\x81\x00")
+    rebuilt = (blob[:seg_at] + b"\x18\x53\x80\x67\xff" + body
+               + cluster_unknown + real_cluster)
+    m = mkv_probe(rebuilt)
+    assert m.n_clusters == 2  # hostile payload stays inside cluster 1
+    assert m.tracks[0].codec == "V_VP9"
+
+
 def test_review_r8_overflow_and_mislabeled_mime_containment(spark):
     """Review r8: EBML uints past the column types become NULL inside
     per-row containment (not an Arrow batch abort), and a
