@@ -1,0 +1,187 @@
+"""Charset-aware bytes -> text decoding (the WARC -> HTML hop).
+
+``sources/warc.warc_import`` emits ``payload`` as BinaryType because a
+crawl's bytes have no single encoding: real CommonCrawl is several
+percent windows-125x / shift-jis / gbk / koi8 and a naive
+``.cast("string")`` (which assumes UTF-8) silently mangles exactly
+that slice — the mojibake repairer (operators/text.fix_mojibake)
+fixes MIS-DECODED text, not UNDECODED bytes, so this step must get
+the codec right the first time (VERDICT r8 #1).
+
+``decode_payload`` resolves the codec per document with the crawl
+precedence chain (each candidate is tried as a STRICT decode and
+falls through on failure, so a lying header cannot mangle a page
+that a later tier decodes cleanly):
+
+1. the ``charset=`` parameter of the HTTP Content-Type header,
+2. a BOM (UTF-8 / UTF-16 / UTF-32, either endianness),
+3. a ``<meta charset=..>`` / http-equiv declaration sniffed from the
+   first 1024 bytes (the WHATWG prescan window),
+4. strict UTF-8 (the dominant and self-validating case),
+5. cp1252, then latin-1 (which cannot fail) — the last-resort guess,
+   flagged ``is_valid = false``.
+
+Charset labels are normalized with the WHATWG promotions that matter
+in practice (iso-8859-1 family and ascii label the cp1252 superset;
+gb2312 labels gbk) and resolved against Python's codec registry, so
+any stdlib codec a crawl declares (shift_jis, euc-jp, gbk, big5,
+koi8-r, windows-125x, ...) just works. Output per row: ``text``
+(decoded, BOM stripped), ``charset_used`` (the codec that decoded),
+``charset_source`` (header/bom/meta/utf8/fallback) and ``is_valid``
+(false only for tier 5). One Arrow map stage over the scan's own
+partitioning — no shuffle, scales with the crawl.
+"""
+
+from __future__ import annotations
+
+import codecs
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# WHATWG Encoding Standard promotions (the ones that change results on
+# real crawls): the latin-1/ascii family of LABELS means the cp1252
+# SUPERSET on the web, and gb2312 labels gbk. Keys are the normalized
+# (lower, trimmed) label.
+_LABEL_ALIASES = {
+    "iso-8859-1": "cp1252", "iso8859-1": "cp1252", "iso_8859-1": "cp1252",
+    "latin1": "cp1252", "latin-1": "cp1252", "l1": "cp1252",
+    "ascii": "cp1252", "us-ascii": "cp1252", "ansi_x3.4-1968": "cp1252",
+    "windows-1252": "cp1252", "x-cp1252": "cp1252", "cp819": "cp1252",
+    "gb2312": "gbk", "gb_2312": "gbk", "gb_2312-80": "gbk",
+    "csgb2312": "gbk", "x-gbk": "gbk",
+    "unicode": "utf-16", "utf8": "utf-8",
+}
+
+# BOM table, longest-first so UTF-32's 4 bytes win over UTF-16's 2
+_BOMS = (
+    (codecs.BOM_UTF32_LE, "utf-32-le"),
+    (codecs.BOM_UTF32_BE, "utf-32-be"),
+    (codecs.BOM_UTF8, "utf-8"),
+    (codecs.BOM_UTF16_LE, "utf-16-le"),
+    (codecs.BOM_UTF16_BE, "utf-16-be"),
+)
+
+_CT_CHARSET_RE = re.compile(r"""charset\s*=\s*["']?\s*([^\s"';,]+)""",
+                            re.IGNORECASE)
+# one pattern catches both <meta charset=x> and the http-equiv
+# content="text/html; charset=x" form — we only need the parameter
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]{0,200}?charset\s*=\s*["']?\s*([A-Za-z0-9._:-]+)""",
+    re.IGNORECASE | re.DOTALL)
+
+_PRESCAN = 1024  # WHATWG meta-prescan window
+
+
+def normalize_charset_label(label: str | None) -> str | None:
+    """Declared label -> Python codec name, or None for an unknown
+    label (an unresolvable declaration falls through the chain rather
+    than failing the page)."""
+    if not label:
+        return None
+    lab = label.strip().strip("\"'").lower()
+    lab = _LABEL_ALIASES.get(lab, lab)
+    try:
+        return codecs.lookup(lab).name
+    except LookupError:
+        return None
+
+
+def _header_charset(content_type: str | None) -> str | None:
+    if not content_type:
+        return None
+    m = _CT_CHARSET_RE.search(content_type)
+    return normalize_charset_label(m.group(1)) if m else None
+
+
+def _bom_charset(payload: bytes):
+    """(codec, bom_length) or (None, 0)."""
+    for bom, codec in _BOMS:
+        if payload.startswith(bom):
+            return codec, len(bom)
+    return None, 0
+
+
+def _meta_charset(payload: bytes) -> str | None:
+    m = _META_CHARSET_RE.search(payload[:_PRESCAN])
+    if not m:
+        return None
+    return normalize_charset_label(m.group(1).decode("latin1"))
+
+
+def decode_bytes(payload: bytes | None, content_type: str | None):
+    """(text, charset_used, charset_source, is_valid) for one payload.
+    Every tier is a STRICT decode that falls through on failure; only
+    the final cp1252/latin-1 guess is lossy-by-assumption and flags
+    is_valid False. None payload -> all-None row."""
+    if payload is None:
+        return None, None, None, None
+    payload = bytes(payload)
+    bom_codec, bom_len = _bom_charset(payload)
+    candidates = []
+    hdr = _header_charset(content_type)
+    if hdr:
+        candidates.append((hdr, "header"))
+    if bom_codec:
+        candidates.append((bom_codec, "bom"))
+    meta = _meta_charset(payload)
+    if meta:
+        candidates.append((meta, "meta"))
+    candidates.append(("utf-8", "utf8"))
+    for codec, source in candidates:
+        body = payload[bom_len:] if source == "bom" else payload
+        try:
+            text = body.decode(codec)
+        except (UnicodeDecodeError, ValueError):
+            continue
+        # a BOM surviving a whole-payload decode (e.g. header said
+        # utf-8 and the page leads with the UTF-8 BOM) is markup noise
+        if text[:1] == "\ufeff":
+            text = text[1:]
+        return text, codec, source, True
+    try:
+        return payload.decode("cp1252"), "cp1252", "fallback", False
+    except UnicodeDecodeError:
+        # cp1252 leaves 5 bytes undefined; latin-1 cannot fail
+        return payload.decode("latin-1"), "iso8859-1", "fallback", False
+
+
+DECODE_FIELDS = [
+    T.StructField("text", T.StringType(), True),
+    T.StructField("charset_used", T.StringType(), True),
+    T.StructField("charset_source", T.StringType(), True),
+    T.StructField("is_valid", T.BooleanType(), True),
+]
+
+
+def decode_payload(
+    df: DataFrame,
+    payload_col: str = "payload",
+    content_type_col: str = "content_type",
+    id_col: str = "record_id",
+) -> DataFrame:
+    """Arrow-batched charset resolution + decode: (id, payload bytes,
+    Content-Type string) -> (id, text, charset_used, charset_source,
+    is_valid). Map-only over the source partitioning — the stage
+    between warc_import's BinaryType payload and html_extract's string
+    column."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    slim = df.select(id_col, payload_col, content_type_col)
+    id_type = df.schema[id_col].dataType
+    schema = T.StructType(
+        [T.StructField(id_col, id_type, True)] + DECODE_FIELDS)
+    cols = [f.name for f in schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [(rid,) + decode_bytes(payload, ctype)
+                   for rid, payload, ctype in zip(
+                       pdf[id_col], pdf[payload_col],
+                       pdf[content_type_col])]
+            yield pd.DataFrame(out, columns=cols)
+
+    return slim.mapInPandas(run, schema=schema)

@@ -2482,6 +2482,89 @@ WHERE t.i < k
 """
 
 
+def charset_decode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset-aware payload decode end-to-end (r9, VERDICT r8 #1):
+    per document an md5-chosen (payload bytes, Content-Type) pair is
+    authored in one of six real crawl shapes — UTF-8 with a header
+    charset, Shift_JIS and GB2312-labeled GBK headers, a koi8-r
+    ``<meta charset>`` page, a BOM'd undeclared UTF-8 page, and
+    undeclared cp1252 bytes that are invalid UTF-8 (the slice a naive
+    cast silently mangles) — then ``decode_payload``
+    (operators/charset.py) resolves the codec with the production
+    precedence chain. The gate value-checks the decoded STRING (so
+    every codec's byte mapping is exercised), the codec name, the
+    source tier and the validity flag; the oracle replays the expected
+    strings as unicode literals. One Arrow map stage, no shuffle."""
+    from .operators.charset import decode_payload
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        import codecs as _codecs
+        import hashlib as _hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = _hashlib.md5((text or "").encode("utf-8")).hexdigest()
+                mode = int(h[0:2], 16) % 6
+                ct = "text/html"
+                if mode == 0:
+                    payload = ("déjà-" + h[:6]).encode("utf-8")
+                    ct = "text/html; charset=utf-8"
+                elif mode == 1:
+                    payload = ("日本語-" + h[:6]).encode("shift_jis")
+                    ct = "text/html; charset=Shift_JIS"
+                elif mode == 2:
+                    payload = ("中文-" + h[:6]).encode("gbk")
+                    ct = 'text/html; charset="GB2312"'
+                elif mode == 3:
+                    payload = ("<meta charset=koi8-r>русский-"
+                               + h[:6]).encode("koi8-r")
+                elif mode == 4:
+                    payload = _codecs.BOM_UTF8 \
+                        + ("bom-" + h[:6]).encode("utf-8")
+                else:
+                    payload = ("café—" + h[:6]).encode("cp1252")
+                out.append((doc_id, payload, ct))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "payload", "content_type"])
+
+    pages = docs.mapInPandas(
+        gen, schema="doc_id long, payload binary, content_type string")
+    return decode_payload(pages, id_col="doc_id").select(
+        "doc_id", "text", "charset_used", "charset_source", "is_valid")
+
+
+ORACLE_CHARSET_DECODE = """
+WITH h AS (
+  SELECT doc_id, md5(coalesce(text, '')) AS d1
+  FROM documents
+), p AS (
+  SELECT doc_id, substr(d1, 1, 6) AS s6,
+         CAST(('0x' || substr(d1, 1, 2)) AS INT) % 6 AS mode
+  FROM h
+)
+SELECT doc_id,
+       CASE mode
+         WHEN 0 THEN 'déjà-' || s6
+         WHEN 1 THEN '日本語-' || s6
+         WHEN 2 THEN '中文-' || s6
+         WHEN 3 THEN '<meta charset=koi8-r>русский-' || s6
+         WHEN 4 THEN 'bom-' || s6
+         ELSE 'café—' || s6 END AS text,
+       CASE mode WHEN 1 THEN 'shift_jis' WHEN 2 THEN 'gbk'
+            WHEN 3 THEN 'koi8-r' WHEN 5 THEN 'cp1252'
+            ELSE 'utf-8' END AS charset_used,
+       CASE mode WHEN 3 THEN 'meta' WHEN 4 THEN 'bom'
+            WHEN 5 THEN 'fallback' ELSE 'header' END AS charset_source,
+       (mode <> 5) AS is_valid
+FROM p
+"""
+
+
 ORACLE_MOJIBAKE = """
 WITH h AS (
   SELECT doc_id, md5(coalesce(text, '')) AS d1
@@ -6204,6 +6287,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_extract_report": html_extract_report,
     "mojibake_repair_report": mojibake_repair_report,
     "warc_pipeline_report": warc_pipeline_report,
+    "charset_decode_report": charset_decode_report,
     "png_resize_stats": png_resize_stats,
     "wav_decode_stats": wav_decode_stats,
     "gif_frames_report": gif_frames_report,
@@ -6341,6 +6425,7 @@ ORACLES: dict[str, str] = {
     "html_extract_report": ORACLE_HTML_EXTRACT,
     "mojibake_repair_report": ORACLE_MOJIBAKE,
     "warc_pipeline_report": ORACLE_WARC_PIPELINE,
+    "charset_decode_report": ORACLE_CHARSET_DECODE,
     "png_resize_stats": ORACLE_PNG_RESIZE,
     "wav_decode_stats": ORACLE_WAV_DECODE,
     "gif_frames_report": ORACLE_GIF_FRAMES,
