@@ -377,7 +377,7 @@ def udtf_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_UDTF_WORDS = """
 WITH words AS (
-  -- \s+ split, mirroring the UDTF's tokenizer (review r4)
+  -- whitespace split, mirroring the UDTF's tokenizer (review r4)
   SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
   FROM documents WHERE doc_id < 20
 ), cnts AS (

@@ -130,3 +130,143 @@ def test_warc_import_distributed_and_html_hop(spark, tmp_path):
     assert got["http://s1/p2"]["title"] == "T1-2"
     assert got["http://s0/p0"]["text"] == "body 0-0 l"
     assert got["http://s0/p0"]["n_links"] == 1
+
+
+def test_chunked_decode_bounds_memory():
+    """VERDICT r8 #2: the distributed decode drains warc_iter_file in
+    bounded chunks — a multi-hundred-record file leaves the task as
+    MULTIPLE Arrow batches, never one whole-file list."""
+    from accelerator_spark.sources.warc import (
+        _chunked_frames, warc_iter_file)
+
+    recs = [dict(warc_type="response", target_uri=f"http://x/{i}",
+                 payload=b"b" * 100, http=(200, "text/html"))
+            for i in range(300)]
+    blob = warc_build(recs, gzip_members=True)
+    cols = ["record_idx", "warc_type", "target_uri", "warc_date",
+            "record_id", "http_status", "content_type", "payload",
+            "n_bytes"]
+    frames = list(_chunked_frames(warc_iter_file(blob), cols,
+                                  chunk_records=50,
+                                  chunk_bytes=64 << 20))
+    assert len(frames) == 6 and all(len(f) == 50 for f in frames)
+    assert list(frames[0]["record_idx"])[:3] == [0, 1, 2]
+    assert list(frames[5]["record_idx"])[-1] == 299
+    # the BYTE bound triggers too, before the record bound
+    frames = list(_chunked_frames(warc_iter_file(blob), cols,
+                                  chunk_records=10_000,
+                                  chunk_bytes=1000))
+    assert len(frames) == 30  # 10 x 100-byte payloads per frame
+    # generator laziness: the first frame arrives without walking the
+    # rest of the stream (a poisoned tail is only hit when reached)
+    poisoned = blob + b"\x1f\x8b" + b"\x00" * 10
+    it = _chunked_frames(warc_iter_file(poisoned), cols, 50, 64 << 20)
+    assert len(next(it)) == 50
+    with pytest.raises(WarcError):
+        list(it)
+
+
+def test_cdx_formats_and_ranges():
+    from accelerator_spark.sources.warc import cdx_offsets, warc_cdx_ranges
+
+    blob, cdx = warc_build(
+        [dict(warc_type="response", payload=b"p%d" % i,
+              target_uri=f"http://x/{i}", http=(200, "text/html"))
+         for i in range(4)], gzip_members=True, with_cdx=True)
+    offs = cdx_offsets(cdx)
+    assert len(offs) == 4 and offs[0] == 0
+    assert offs == sorted(offs)
+    # gzipped sidecar reads the same
+    assert cdx_offsets(gzip.compress(cdx)) == offs
+    # classic CDX with a header line (V = offset)
+    classic = (b" CDX N b a m s k r M S V g\n"
+               + b"\n".join(
+                   b"u 2026 http://x/%d t 200 sum - - 40 %d f.warc.gz"
+                   % (i, o) for i, o in enumerate(offs)) + b"\n")
+    assert cdx_offsets(classic) == offs
+    with pytest.raises(WarcError, match="unrecognized CDX"):
+        cdx_offsets(b"no json and no header\n")
+    with pytest.raises(WarcError, match="without offset"):
+        cdx_offsets(b" CDX N b a\nx y z\n")
+    # ranges tile [0, size) exactly, cut only at record starts
+    ranges = warc_cdx_ranges(offs, len(blob), target_bytes=1)
+    assert [r[0] for r in ranges] == offs
+    assert ranges[-1][1] == len(blob)
+    assert [r[2] for r in ranges] == [0, 1, 2, 3]
+    assert all(r[3] == 1 for r in ranges)
+    one = warc_cdx_ranges(offs, len(blob), target_bytes=1 << 30)
+    assert one == [(0, len(blob), 0, 4)]
+    with pytest.raises(WarcError, match="first record"):
+        warc_cdx_ranges(offs[1:], len(blob), 1)
+    with pytest.raises(WarcError, match="beyond the file"):
+        warc_cdx_ranges(offs, offs[-1], 1)
+
+
+def test_cdx_split_read_is_byte_identical(spark, tmp_path):
+    """VERDICT r8 #6 done-criterion: with a CDX sidecar the read fans
+    out one-task-per-record-range and returns exactly the whole-file
+    rows; a partial sidecar fails loudly."""
+    d = tmp_path / "crawl"
+    d.mkdir()
+    recs = [dict(warc_type="warcinfo", payload=b"ci")]
+    for i in range(20):
+        recs.append(dict(warc_type="response",
+                         target_uri=f"http://s/{i}",
+                         payload=b"<p>%d</p>" % i + b"x" * 50,
+                         http=(200, "text/html")))
+    blob, cdx = warc_build(recs, gzip_members=True, with_cdx=True)
+    (d / "a.warc.gz").write_bytes(blob)
+    (d / "a.warc.cdx").write_bytes(cdx)
+
+    whole = warc_import(spark, str(d), split=False)
+    split = warc_import(spark, str(d), split=True,
+                        target_split_bytes=300)
+    assert split.rdd.getNumPartitions() > 1  # really fanned out
+    w = sorted(map(tuple, whole.collect()))
+    s = sorted(map(tuple, split.collect()))
+    assert s == w and len(s) == 21
+    # auto mode picks the sidecar up without being asked
+    auto = warc_import(spark, str(d), target_split_bytes=300)
+    assert sorted(map(tuple, auto.collect())) == w
+    # partial sidecar (a skipped record) fails the decode task loudly
+    partial = b"\n".join(ln for i, ln in enumerate(cdx.splitlines())
+                         if i != 3) + b"\n"
+    (d / "a.warc.cdx").write_bytes(partial)
+    with pytest.raises(Exception, match="partial or stale"):
+        warc_import(spark, str(d), split=True,
+                    target_split_bytes=1 << 30).collect()
+    # split=True without any sidecar raises at plan time
+    (d / "a.warc.cdx").unlink()
+    with pytest.raises(WarcError, match="no usable CDX"):
+        warc_import(spark, str(d), split=True)
+
+
+def test_cdx_mixed_directory_and_find(spark, tmp_path):
+    """One file with a sidecar, one without: the split and whole paths
+    union back into one DataFrame with per-file record numbering."""
+    from accelerator_spark.sources.warc import _find_cdx
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    blob_a, cdx_a = warc_build(
+        [dict(warc_type="response", target_uri=f"http://a/{i}",
+              payload=b"A%d" % i, http=(200, "text/html"))
+         for i in range(4)], gzip_members=True, with_cdx=True)
+    (d / "a.warc.gz").write_bytes(blob_a)
+    (d / "a.cdx.gz").write_bytes(gzip.compress(cdx_a))
+    blob_b = warc_build(
+        [dict(warc_type="response", target_uri=f"http://b/{i}",
+              payload=b"B%d" % i, http=(200, "text/html"))
+         for i in range(3)], gzip_members=True)
+    (d / "b.warc.gz").write_bytes(blob_b)
+
+    assert _find_cdx(str(d / "a.warc.gz")) == str(d / "a.cdx.gz")
+    assert _find_cdx(str(d / "b.warc.gz")) is None
+
+    df = warc_import(spark, str(d), target_split_bytes=1)
+    rows = df.select("file", "record_idx", "target_uri").collect()
+    got = {(r["file"].rsplit("/", 1)[-1], r["record_idx"]):
+           r["target_uri"] for r in rows}
+    assert len(got) == 7
+    assert got[("a.warc.gz", 2)] == "http://a/2"
+    assert got[("b.warc.gz", 2)] == "http://b/2"
