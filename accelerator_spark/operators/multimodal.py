@@ -487,6 +487,46 @@ def extract_id3_tags(
         error_vals=lambda raw, mime: (len(raw),) + (None,) * 6)
 
 
+PDF_TEXT_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("n_pages", T.IntegerType(), True),
+])
+
+
+def extract_pdf_text(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    mime_col: str = "mime",
+    batch_partitions: int | None = None,
+    on_error: str = "raise",
+) -> DataFrame:
+    """PDF -> training text at scale (r9, VERDICT r8 #3): parse the
+    object graph (classic xref tables, xref streams, object streams —
+    functions/pdf.py), walk the /Pages tree, FlateDecode each page's
+    content streams and extract the text operators (Tj / ' / \" / TJ,
+    line moves as newlines). Output per document: the page-joined
+    text and the page count. Encrypted files, non-Flate text filters
+    and crafted graphs (cycles, blown budgets) raise per-row and
+    follow the usual on_error containment — one corrupt blob must not
+    abort a 100 TB corpus job. Map-only, no shuffle."""
+    from ..functions.pdf import pdf_extract_text
+
+    def per_row(raw: bytes, mime: str):
+        text, n_pages = pdf_extract_text(raw)
+        return len(raw), text, n_pages
+
+    return _map_media_rows(
+        df, per_row,
+        [f for f in PDF_TEXT_SCHEMA.fields
+         if f.name not in ("media_id", "mime")],
+        payload_col, id_col, mime_col, batch_partitions, on_error,
+        error_vals=lambda raw, mime: (len(raw), None, None))
+
+
 FRAME_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("mime", T.StringType(), True),
