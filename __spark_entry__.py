@@ -54,11 +54,17 @@ _GRADED_FIRST = [
     # r8 — its hourly-agg shape stays covered by streaming_hourly_counts)
     "sessionize_events", "asof_click_purchase",
     "streaming_hourly_counts", "streaming_session_counts",
-    # dedup / curation
+    # dedup / curation (exact_substring_report moved to the un-graded
+    # tail in r9 — its suffix-span shape stays next to the graded
+    # cross_doc_duplication)
     "dedup_exact", "minhash_lsh_pairs", "simhash_near_dup_pairs64",
     "dedup_components", "decontaminate_train_set", "cross_doc_duplication",
     "url_dedup_report", "corpus_line_dedup_report",
-    "semantic_dedup_report_capped", "exact_substring_report",
+    "semantic_dedup_report_capped",
+    # crawl -> training-text front (r9, VERDICT r8 #4: the official
+    # scoreboard grades the headline capability — WARC ingestion and
+    # real-parser HTML extraction)
+    "warc_pipeline_report", "html_extract_report",
     # ANN / similarity (cosine_topk moved to the un-graded tail in r8 —
     # ann_recall_report computes the same brute-force cosine top-k as
     # its recall baseline, so the shape stays graded)
@@ -69,9 +75,9 @@ _GRADED_FIRST = [
     # covered there and by q3/q18/streaming_hourly_counts)
     "png_decode_stats", "jpeg_decode_stats", "fmp4_probe_report",
     "mp3_probe_report",
-    # text
-    "token_counts", "text_quality", "lang_id", "chunk_documents",
-    "sequence_packing",
+    # text (chunk_documents moved to the un-graded tail in r9 — its
+    # token-window shape stays graded via sequence_packing)
+    "token_counts", "text_quality", "lang_id", "sequence_packing",
     # sketches / graph / layout
     "hll_distinct_rollup", "graph_pagerank_top20", "rfm_segmentation",
 ]

@@ -309,8 +309,11 @@ def test_entry_graded_subset_is_representative_and_valid():
     assert names[:50] == e._GRADED_FIRST
     assert len(names) == len(set(names)) == len(e.oracle_sql())
     # ann_recall_report replaced cosine_topk in the graded 50 (r8): it
-    # computes the same brute-force cosine top-k as its recall baseline
+    # computes the same brute-force cosine top-k as its recall baseline;
+    # r9 swapped the crawl front in (warc_pipeline_report +
+    # html_extract_report) for chunk_documents / exact_substring_report
     cats = {"q1_pricing_summary", "minhash_lsh_pairs", "ann_recall_report",
-            "streaming_hourly_counts", "chunk_documents",
+            "streaming_hourly_counts", "warc_pipeline_report",
+            "html_extract_report", "sequence_packing",
             "hll_distinct_rollup", "dataset_type_menu2"}
     assert cats <= set(names[:50])
