@@ -527,6 +527,67 @@ def extract_pdf_text(
         error_vals=lambda raw, mime: (len(raw), None, None))
 
 
+DOC_TEXT_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("kind", T.StringType(), True),
+    T.StructField("title", T.StringType(), True),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("n_units", T.IntegerType(), True),
+])
+
+
+def extract_document_text(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    mime_col: str = "mime",
+    batch_partitions: int | None = None,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Unified document -> training text for a mixed scraped corpus
+    (r9): routes each blob by its BYTES, never its MIME (scraped files
+    lie) — ``%PDF-`` to the PDF extractor, ZIP containers to EPUB
+    (META-INF/container.xml), DOCX or PPTX (functions/epub.py,
+    functions/docx.py). Output: kind, title (EPUB dc:title, else
+    NULL), extracted text and the unit count (pages / paragraphs /
+    slides / spine docs). XLSX identifies but raises (tabular — route
+    to a table source); unknown containers raise; both follow
+    ``on_error`` containment. Map-only, no shuffle."""
+    from ..functions.docx import OfficeError, office_extract_text
+    from ..functions.epub import epub_text
+    from ..functions.pdf import pdf_extract_text
+
+    def per_row(raw: bytes, mime: str):
+        if raw.startswith(b"%PDF-"):
+            text, n = pdf_extract_text(raw)
+            return len(raw), "pdf", None, text, n
+        if raw[:2] == b"PK":
+            import io as _io
+            import zipfile as _zipfile
+
+            try:
+                with _zipfile.ZipFile(_io.BytesIO(raw)) as zf:
+                    names = set(zf.namelist())
+            except _zipfile.BadZipFile as e:
+                raise OfficeError(f"corrupt zip container: {e}") \
+                    from None
+            if "META-INF/container.xml" in names:
+                title, text, n = epub_text(raw)
+                return len(raw), "epub", title, text, n
+            kind, text, n = office_extract_text(raw)
+            return len(raw), kind, None, text, n
+        raise OfficeError("unrecognized document container")
+
+    return _map_media_rows(
+        df, per_row,
+        [f for f in DOC_TEXT_SCHEMA.fields
+         if f.name not in ("media_id", "mime")],
+        payload_col, id_col, mime_col, batch_partitions, on_error,
+        error_vals=lambda raw, mime: (len(raw),) + (None,) * 4)
+
+
 FRAME_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("mime", T.StringType(), True),

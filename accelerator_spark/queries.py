@@ -2625,6 +2625,68 @@ GROUP BY media_id
 """
 
 
+def document_extract_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified office/ebook extraction end-to-end (r9): per document
+    an md5-chosen DOCX, PPTX, or EPUB is authored with 1-3 md5-derived
+    text units (word paragraphs / slides / spine chapters — real ZIP +
+    XML containers via functions/docx.py, functions/epub.py), then
+    ``extract_document_text`` (operators/multimodal.py) routes by
+    CONTAINER BYTES (the MIME column deliberately lies for every row)
+    and extracts with the production parsers — DOCX through
+    WordprocessingML runs, PPTX through numeric-ordered slide XML,
+    EPUB through container.xml -> OPF spine -> the crawl front's real
+    HTML tier. Value-checks kind, the EPUB dc:title, the exact joined
+    text and the unit count; the oracle replays the md5 arithmetic.
+    One Arrow map stage, no shuffle."""
+    from .operators.multimodal import extract_document_text
+
+    def build_doc(text: str):
+        import hashlib as _hashlib
+
+        from .functions.docx import docx_build, pptx_build
+        from .functions.epub import epub_build
+
+        h = _hashlib.md5(text.encode("utf-8")).hexdigest()
+        k = int(h[0:2], 16) % 3 + 1
+        kind = int(h[2:4], 16) % 3
+        units = [f"U{i}-{h[2 * i:2 * i + 6]}" for i in range(k)]
+        if kind == 0:
+            return docx_build(units), "application/pdf"  # lying mime
+        if kind == 1:
+            return pptx_build(units), "text/plain"
+        return epub_build("T-" + h[:8], units), "application/zip"
+
+    media = _doc_media_df(spark, sf_dir, build_doc)
+    return extract_document_text(media).select(
+        "media_id", "kind", "title", "text", "n_units")
+
+
+ORACLE_DOCUMENT_EXTRACT = """
+WITH h AS (
+  SELECT doc_id AS media_id, md5(coalesce(text, '')) AS d1
+  FROM documents
+), p AS (
+  SELECT media_id, d1,
+         CAST(('0x' || substr(d1, 1, 2)) AS INT) % 3 + 1 AS k,
+         CAST(('0x' || substr(d1, 3, 2)) AS INT) % 3 AS kind
+  FROM h
+), units AS (
+  SELECT media_id, kind, d1, t.i,
+         'U' || t.i || '-' || substr(d1, CAST(2 * t.i + 1 AS INT), 6)
+           AS u
+  FROM p, range(3) t(i)
+  WHERE t.i < k
+)
+SELECT media_id,
+       list_extract(['docx', 'pptx', 'epub'], kind + 1) AS kind,
+       CASE WHEN kind = 2 THEN 'T-' || substr(d1, 1, 8) END AS title,
+       string_agg(u, chr(10) ORDER BY i) AS text,
+       CAST(count(*) AS INT) AS n_units
+FROM units
+GROUP BY media_id, kind, d1
+"""
+
+
 ORACLE_MOJIBAKE = """
 WITH h AS (
   SELECT doc_id, md5(coalesce(text, '')) AS d1
@@ -6349,6 +6411,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_pipeline_report": warc_pipeline_report,
     "charset_decode_report": charset_decode_report,
     "pdf_extract_report": pdf_extract_report,
+    "document_extract_report": document_extract_report,
     "png_resize_stats": png_resize_stats,
     "wav_decode_stats": wav_decode_stats,
     "gif_frames_report": gif_frames_report,
@@ -6488,6 +6551,7 @@ ORACLES: dict[str, str] = {
     "warc_pipeline_report": ORACLE_WARC_PIPELINE,
     "charset_decode_report": ORACLE_CHARSET_DECODE,
     "pdf_extract_report": ORACLE_PDF_EXTRACT,
+    "document_extract_report": ORACLE_DOCUMENT_EXTRACT,
     "png_resize_stats": ORACLE_PNG_RESIZE,
     "wav_decode_stats": ORACLE_WAV_DECODE,
     "gif_frames_report": ORACLE_GIF_FRAMES,
