@@ -511,3 +511,72 @@ def fix_mojibake(df: DataFrame, text_col: str = "text",
         [T.StructField("fixed_text", T.StringType(), True),
          T.StructField("mojibake_passes", T.IntegerType(), True)],
         text_col, id_col)
+
+
+_KEEP_CONTROLS = frozenset("\n\t\r")
+
+
+def _normalize_one(s: str, form: str):
+    """(normalized, changed) for one string: canonical Unicode
+    normalization (``form``) followed by the scraped-text cleanup a
+    tokenizer wants — Cc controls dropped (newline/tab/CR kept), Cf
+    format characters dropped (zero-width spaces/joiners, BOM, bidi
+    marks), exotic Zs spaces folded to ' ', Zl/Zp separators folded
+    to newline."""
+    import unicodedata
+
+    out = unicodedata.normalize(form, s)
+    # ASCII fast path — but DEL (\x7f) is Cc too, not just c < ' '
+    if out.isascii() and not any(
+            (c < " " or c == "\x7f") and c not in _KEEP_CONTROLS
+            for c in out):
+        return out, out != s
+    cleaned = []
+    for ch in out:
+        cat = unicodedata.category(ch)
+        if cat == "Cc":
+            if ch in _KEEP_CONTROLS:
+                cleaned.append(ch)
+        elif cat == "Cf":
+            pass
+        elif cat == "Zs":
+            cleaned.append(" ")
+        elif cat in ("Zl", "Zp"):
+            cleaned.append("\n")
+        else:
+            cleaned.append(ch)
+    res = "".join(cleaned)
+    return res, res != s
+
+
+def normalize_unicode(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      form: str = "NFC") -> DataFrame:
+    """Unicode normalization at corpus scale (r9): scraped text mixes
+    precomposed and decomposed accents (NFC vs NFD — exact and
+    MinHash dedup see them as different documents), zero-width
+    characters that split tokens invisibly, non-breaking/ideographic
+    spaces, and stray C0 controls. One Arrow map stage emits (id,
+    text_norm, changed); ``form`` is NFC (default, canonical-exact)
+    or NFKC (also folds compatibility variants: fullwidth forms,
+    ligatures). The NFC path is cross-checked against DuckDB's
+    utf8proc ``nfc_normalize`` by the oracle gate — two independent
+    Unicode implementations agreeing on the same corpus. No
+    shuffle."""
+    from pyspark.sql import types as T
+
+    from .arrowmap import map_text_rows
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"form must be NFC/NFKC/NFD/NFKD, got {form!r}")
+
+    def per_row(s):
+        if s is None:
+            return None, None
+        return _normalize_one(s, form)
+
+    return map_text_rows(
+        df, per_row,
+        [T.StructField("text_norm", T.StringType(), True),
+         T.StructField("changed", T.BooleanType(), True)],
+        text_col, id_col)

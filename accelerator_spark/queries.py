@@ -2687,6 +2687,67 @@ GROUP BY media_id, kind, d1
 """
 
 
+def unicode_normalize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization end-to-end (r9): per document the input
+    is md5-chosen as NFD-decomposed accents (combining acute — the
+    dedup-splitting case), zero-width-space + NBSP contamination,
+    C0-control contamination, or clean ASCII; ``normalize_unicode``
+    (operators/text.py) must emit the cleaned NFC string and the
+    changed flag. The decomposed mode's expectation is computed by
+    DUCKDB'S OWN utf8proc ``nfc_normalize`` over the same construction
+    — two independent Unicode implementations (CPython unicodedata vs
+    utf8proc) value-agreeing per row. One Arrow map stage, no
+    shuffle."""
+    from .operators.text import normalize_unicode
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def corrupt(batches):
+        import hashlib as _hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = _hashlib.md5((text or "").encode("utf-8")).hexdigest()
+                mode = int(h[0:2], 16) % 4
+                s6 = h[:6]
+                if mode == 0:
+                    s = "cafe\u0301-" + s6  # DECOMPOSED accent
+                elif mode == 1:
+                    s = "a\u200bb\u00a0c-" + s6
+                elif mode == 2:
+                    s = "x\x07y\tz-" + s6
+                else:
+                    s = "plain-" + s6
+                out.append((doc_id, s))
+            yield pd.DataFrame(out, columns=["doc_id", "text"])
+
+    raw = docs.mapInPandas(corrupt, schema="doc_id long, text string")
+    return normalize_unicode(raw).select("doc_id", "text_norm", "changed")
+
+
+ORACLE_UNICODE_NORMALIZE = """
+WITH h AS (
+  SELECT doc_id, md5(coalesce(text, '')) AS d1
+  FROM documents
+), p AS (
+  SELECT doc_id, substr(d1, 1, 6) AS s6,
+         CAST(('0x' || substr(d1, 1, 2)) AS INT) % 4 AS mode
+  FROM h
+)
+SELECT doc_id,
+       CASE mode
+         WHEN 0 THEN nfc_normalize('cafe' || chr(769) || '-' || s6)
+         WHEN 1 THEN 'ab c-' || s6
+         WHEN 2 THEN 'xy' || chr(9) || 'z-' || s6
+         ELSE 'plain-' || s6 END AS text_norm,
+       (mode <> 3) AS changed
+FROM p
+"""
+
+
 ORACLE_MOJIBAKE = """
 WITH h AS (
   SELECT doc_id, md5(coalesce(text, '')) AS d1
@@ -6408,6 +6469,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "id3_tags_report": id3_tags_report,
     "html_extract_report": html_extract_report,
     "mojibake_repair_report": mojibake_repair_report,
+    "unicode_normalize_report": unicode_normalize_report,
     "warc_pipeline_report": warc_pipeline_report,
     "charset_decode_report": charset_decode_report,
     "pdf_extract_report": pdf_extract_report,
@@ -6548,6 +6610,7 @@ ORACLES: dict[str, str] = {
     "id3_tags_report": ORACLE_ID3_TAGS,
     "html_extract_report": ORACLE_HTML_EXTRACT,
     "mojibake_repair_report": ORACLE_MOJIBAKE,
+    "unicode_normalize_report": ORACLE_UNICODE_NORMALIZE,
     "warc_pipeline_report": ORACLE_WARC_PIPELINE,
     "charset_decode_report": ORACLE_CHARSET_DECODE,
     "pdf_extract_report": ORACLE_PDF_EXTRACT,

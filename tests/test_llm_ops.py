@@ -833,3 +833,40 @@ def test_fix_mojibake_unit_and_distributed(spark):
         ("clean café", 0)
     assert rows[3]["fixed_text"] is None
     assert (rows[4]["fixed_text"], rows[4]["mojibake_passes"]) == (orig, 2)
+
+
+def test_normalize_unicode_unit_and_distributed(spark):
+    """r9: NFC normalization + scraped-text cleanup — decomposed
+    accents compose, zero-width/format chars drop, exotic spaces fold
+    to ' ', controls drop (newline/tab/CR and nothing else kept),
+    NFKC additionally folds fullwidth/ligature compatibility forms."""
+    from accelerator_spark.operators.text import (
+        _normalize_one, normalize_unicode)
+
+    assert _normalize_one("café", "NFC") == ("café", True)
+    assert _normalize_one("a​b c　d", "NFC") == \
+        ("ab c d", True)
+    assert _normalize_one("x\x07y\x7fz\tk\r\nm", "NFC") == \
+        ("xyz\tk\r\nm", True)
+    assert _normalize_one("l1 l2 l3", "NFC") == \
+        ("l1\nl2\nl3", True)
+    assert _normalize_one("﻿bom", "NFC") == ("bom", True)
+    assert _normalize_one("plain café", "NFC") == \
+        ("plain café", False)
+    # NFKC folds compatibility forms; NFC must NOT
+    assert _normalize_one("Ｆｕｌｌ ﬁ", "NFKC") \
+        == ("Full fi", True)
+    assert _normalize_one("ﬁ", "NFC") == ("ﬁ", False)
+    with pytest.raises(ValueError, match="form must be"):
+        normalize_unicode(spark.range(1), form="NFX")
+
+    df = spark.createDataFrame(
+        [(1, "café"), (2, "clean"), (3, None),
+         (4, "a​b c")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in normalize_unicode(df).collect()}
+    assert (rows[1]["text_norm"], rows[1]["changed"]) == \
+        ("café", True)
+    assert (rows[2]["text_norm"], rows[2]["changed"]) == ("clean", False)
+    assert rows[3]["text_norm"] is None and rows[3]["changed"] is None
+    assert (rows[4]["text_norm"], rows[4]["changed"]) == ("ab c", True)
