@@ -189,3 +189,128 @@ def html_extract(
         [f for f in HTML_EXTRACT_SCHEMA.fields if f.name != "doc_id"],
         html_col, id_col, id_out_name="doc_id",
         batch_partitions=batch_partitions)
+
+
+# ----------------------------------------------------- main content
+# HTML5 semantic containers whose subtrees are boilerplate by
+# construction (the article body never lives in them)
+_BOILER = {"nav", "aside", "footer"}
+
+MAIN_CONTENT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("main_text", T.StringType(), True),
+    T.StructField("n_blocks", T.IntegerType(), True),
+    T.StructField("n_kept", T.IntegerType(), True),
+])
+
+
+class _BlockExtractor(HTMLParser):
+    """Segments visible text into BLOCKS at block-element boundaries,
+    tracking per-block link-character mass and whether the block sits
+    inside a semantic boilerplate container — the inputs the
+    justext-style paragraph classifier needs (html_extract's
+    _Extractor keeps only page-global link stats)."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.blocks: list = []   # (collapsed_text, link_chars, boiler)
+        self._parts: list = []
+        self._link_chars = 0
+        self.drop_depth = 0
+        self.boiler_depth = 0
+        self.link_depth = 0
+        self.in_title = False
+
+    def _flush(self):
+        text = " ".join("".join(self._parts).split())
+        if text:
+            self.blocks.append((text, self._link_chars,
+                                self.boiler_depth > 0))
+        self._parts = []
+        self._link_chars = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _DROP:
+            self.drop_depth += 1
+            return
+        if self.drop_depth:
+            return
+        if tag == "title":
+            self.in_title = True
+        elif tag == "a":
+            self.link_depth += 1
+        if tag in _BLOCK or tag in _BOILER:
+            self._flush()
+        if tag in _BOILER:
+            self.boiler_depth += 1
+
+    def handle_startendtag(self, tag, attrs):
+        if not self.drop_depth and tag in _BLOCK:
+            self._flush()
+
+    def handle_endtag(self, tag):
+        if tag in _DROP and self.drop_depth:
+            self.drop_depth -= 1
+            return
+        if self.drop_depth:
+            return
+        if tag == "title":
+            self.in_title = False
+        elif tag == "a" and self.link_depth:
+            self.link_depth -= 1
+        if (tag in _BLOCK or tag in _BOILER) and tag not in _VOID:
+            self._flush()
+        if tag in _BOILER and self.boiler_depth:
+            self.boiler_depth -= 1
+
+    def handle_data(self, data):
+        if self.drop_depth or self.in_title:
+            return
+        self._parts.append(data)
+        if self.link_depth:
+            self._link_chars += len(" ".join(data.split()))
+
+
+def _main_content_one(raw: str, min_chars: int, max_link_density: float):
+    """(main_text, n_blocks, n_kept) for one page: a block survives if
+    it is outside nav/aside/footer, carries at least ``min_chars`` of
+    collapsed text, and its link-character density is at most
+    ``max_link_density`` — the justext/trafilatura-lite rule."""
+    x = _BlockExtractor()
+    x.feed(raw or "")
+    x.close()
+    x._flush()
+    kept = []
+    for text, link_chars, boiler in x.blocks:
+        n = len(text)
+        density = link_chars / n if n else 1.0
+        if not boiler and n >= min_chars and density <= max_link_density:
+            kept.append(text)
+    return "\n".join(kept), len(x.blocks), len(kept)
+
+
+def extract_main_content(
+    df: DataFrame,
+    html_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 25,
+    max_link_density: float = 0.5,
+    batch_partitions: int | None = None,
+) -> DataFrame:
+    """Boilerplate removal at corpus scale (r9): navigation chrome,
+    footers, link farms and copyright stubs poison quality scores and
+    dedup keys, so the training-text pipeline wants the ARTICLE BODY,
+    not the page. Block-level classification (the justext family):
+    text segments between block-element boundaries keep their own
+    link-character mass; a block survives outside semantic boilerplate
+    containers (nav/aside/footer subtrees drop whole) when it has
+    >= ``min_chars`` of text at <= ``max_link_density`` link density.
+    One Arrow map stage emits (id, main_text, n_blocks, n_kept). No
+    shuffle — scales with the scan."""
+    from .arrowmap import map_text_rows
+
+    return map_text_rows(
+        df, lambda s: _main_content_one(s, min_chars, max_link_density),
+        [f for f in MAIN_CONTENT_SCHEMA.fields if f.name != "doc_id"],
+        html_col, id_col, id_out_name="doc_id",
+        batch_partitions=batch_partitions)

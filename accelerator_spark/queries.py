@@ -2748,6 +2748,72 @@ FROM p
 """
 
 
+def main_content_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal end-to-end (r9): per document a full page
+    is authored — a nav bar of links (semantic-container boilerplate),
+    a short copyright stub (under the length floor), 1-3 long
+    md5-derived article paragraphs, and a link-farm div (density 1.0)
+    — then ``extract_main_content`` (operators/html.py) runs the
+    block-level justext-style classifier. The gate value-checks the
+    exact surviving text and the block/kept counts; the oracle replays
+    the article strings. One Arrow map stage, no shuffle."""
+    from .operators.html import extract_main_content
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build_page(batches):
+        import hashlib as _hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = _hashlib.md5((text or "").encode("utf-8")).hexdigest()
+                k = int(h[0:2], 16) % 3 + 1
+                parts = ["<html><head><title>T</title></head><body>",
+                         '<nav><a href="/">Home</a> '
+                         '<a href="/a">About</a></nav>',
+                         "<div>(c) 2026</div>"]
+                for i in range(k):
+                    parts.append(
+                        f"<p>Article paragraph {i} body "
+                        f"{h[2 * i:2 * i + 8]} long enough to keep.</p>")
+                parts.append('<div><a href="/r">A long related-links '
+                             "anchor text block</a></div></body></html>")
+                out.append((doc_id, "".join(parts)))
+            yield pd.DataFrame(out, columns=["doc_id", "text"])
+
+    pages = docs.mapInPandas(build_page, schema="doc_id long, text string")
+    return extract_main_content(pages).select(
+        "doc_id", "main_text", "n_blocks", "n_kept")
+
+
+ORACLE_MAIN_CONTENT = """
+WITH h AS (
+  SELECT doc_id, md5(coalesce(text, '')) AS d1
+  FROM documents
+), p AS (
+  SELECT doc_id, d1,
+         CAST(('0x' || substr(d1, 1, 2)) AS INT) % 3 + 1 AS k
+  FROM h
+), paras AS (
+  SELECT doc_id, k, t.i,
+         'Article paragraph ' || t.i || ' body '
+           || substr(d1, CAST(2 * t.i + 1 AS INT), 8)
+           || ' long enough to keep.' AS para
+  FROM p, range(3) t(i)
+  WHERE t.i < k
+)
+SELECT doc_id,
+       string_agg(para, chr(10) ORDER BY i) AS main_text,
+       CAST(k + 3 AS INT) AS n_blocks,
+       CAST(k AS INT) AS n_kept
+FROM paras
+GROUP BY doc_id, k
+"""
+
+
 ORACLE_MOJIBAKE = """
 WITH h AS (
   SELECT doc_id, md5(coalesce(text, '')) AS d1
@@ -6470,6 +6536,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_extract_report": html_extract_report,
     "mojibake_repair_report": mojibake_repair_report,
     "unicode_normalize_report": unicode_normalize_report,
+    "main_content_report": main_content_report,
     "warc_pipeline_report": warc_pipeline_report,
     "charset_decode_report": charset_decode_report,
     "pdf_extract_report": pdf_extract_report,
@@ -6611,6 +6678,7 @@ ORACLES: dict[str, str] = {
     "html_extract_report": ORACLE_HTML_EXTRACT,
     "mojibake_repair_report": ORACLE_MOJIBAKE,
     "unicode_normalize_report": ORACLE_UNICODE_NORMALIZE,
+    "main_content_report": ORACLE_MAIN_CONTENT,
     "warc_pipeline_report": ORACLE_WARC_PIPELINE,
     "charset_decode_report": ORACLE_CHARSET_DECODE,
     "pdf_extract_report": ORACLE_PDF_EXTRACT,

@@ -102,3 +102,46 @@ def test_review_r8_visible_counts_and_density_bound():
         "<p><a href=x>a      b</a></p>")
     assert text == "a b" and density <= 1.0
     assert density == pytest.approx(1.0)
+
+
+def test_extract_main_content_unit_and_distributed(spark):
+    """r9: block-level boilerplate classification — nav/aside/footer
+    subtrees drop whole, short stubs drop by length, link farms drop
+    by density, the article body survives with block accounting."""
+    from accelerator_spark.operators.html import (
+        _main_content_one, extract_main_content)
+
+    page = ("<html><head><title>T</title>"
+            "<script>var x='<p>never</p>';</script></head><body>"
+            "<nav><a href='/'>Home</a> <a href='/a'>About page</a></nav>"
+            "<aside><p>A long enough sidebar promo paragraph that "
+            "would otherwise pass the length floor.</p></aside>"
+            "<div>(c) 2026</div>"
+            "<p>First real article paragraph with plenty of text.</p>"
+            "<p>Second article paragraph, also long enough, with an "
+            "inline <a href='x'>link</a> inside.</p>"
+            "<div><a href='r'>A long related-links anchor text "
+            "block</a></div>"
+            "<footer>Contact | Terms | Privacy | Sitemap page</footer>"
+            "</body></html>")
+    text, n_blocks, n_kept = _main_content_one(page, 25, 0.5)
+    assert text == ("First real article paragraph with plenty of text."
+                    "\nSecond article paragraph, also long enough, "
+                    "with an inline link inside.")
+    assert (n_blocks, n_kept) == (7, 2)
+    # threshold knobs: a zero density cap drops the inline-link para
+    text2, _, kept2 = _main_content_one(page, 25, 0.0)
+    assert kept2 == 1 and "inline" not in text2
+    # malformed markup never raises (each unclosed <p> is its own
+    # 2-char block; the unclosed nav block stays boilerplate)
+    assert _main_content_one("<p>ok " * 5 + "<nav><a>x", 2, 0.5) == \
+        ("ok\nok\nok\nok\nok", 6, 5)
+    assert _main_content_one("", 25, 0.5) == ("", 0, 0)
+    assert _main_content_one(None, 25, 0.5) == ("", 0, 0)
+
+    df = spark.createDataFrame(
+        [(1, page), (2, None)], "doc_id long, text string")
+    rows = {r["doc_id"]: r
+            for r in extract_main_content(df).collect()}
+    assert rows[1]["n_kept"] == 2 and "First real" in rows[1]["main_text"]
+    assert rows[2]["main_text"] == "" and rows[2]["n_blocks"] == 0
