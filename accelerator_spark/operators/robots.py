@@ -1,0 +1,210 @@
+"""robots.txt (RFC 9309) parsing and corpus-scale URL filtering.
+
+A crawl-derived training corpus is expected to respect the Robots
+Exclusion Protocol; re-checking stored URLs against their hosts'
+robots.txt (CommonCrawl ships those too) is a standard curation
+step. Stdlib has ``urllib.robotparser``, but it predates RFC 9309 —
+no ``*`` wildcard / ``$`` end-anchor support and no longest-match
+precedence — so the matcher here implements the RFC directly:
+
+- groups are runs of ``User-agent:`` lines followed by rules; a
+  crawler matches every group whose product token equals its name
+  case-insensitively (merged), falling back to the ``*`` groups;
+- ``Allow``/``Disallow`` values match path+query by prefix with ``*``
+  wildcards and an optional ``$`` end anchor;
+- the LONGEST matching pattern wins; on a length tie, allow wins;
+  no match or empty pattern means allowed (RFC defaults);
+- ``Sitemap:`` lines and the group's ``Crawl-delay`` surface as data.
+
+``robots_check`` joins a URL corpus against a per-host robots table
+(one row per host — tiny next to the corpus, so it BROADCASTS) and
+evaluates each URL in an Arrow map stage with a per-task parsed-rules
+cache keyed by host: parse cost is bounded by distinct hosts per
+task, not rows. No shuffle beyond the broadcast. Hosts with no
+robots row are allowed (the protocol's no-file default).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@dataclass(frozen=True)
+class RobotsRules:
+    rules: tuple          # ((allow: bool, pattern: str, regex), ...)
+    crawl_delay: float | None = None
+    sitemaps: tuple = ()
+    matched_agent: str | None = None  # group that applied (None = none)
+
+
+def _pattern_regex(pattern: str):
+    """RFC 9309 path pattern -> compiled regex (prefix match, ``*``
+    wildcard, ``$`` end anchor)."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    parts = [re.escape(seg) for seg in pattern.split("*")]
+    body = ".*".join(parts)
+    return re.compile(body + ("$" if anchored else ""))
+
+
+def parse_robots(text: str | None, agent: str = "*") -> RobotsRules:
+    """Parse one robots.txt for one crawler name. Group selection per
+    RFC 9309: all groups whose token equals ``agent``
+    (case-insensitive) merge; if none match, the ``*`` groups apply;
+    if there are none of those either, everything is allowed."""
+    if not text:
+        return RobotsRules(rules=())
+    agent_l = agent.lower()
+    groups: list = []        # (tokens, rules, crawl_delay)
+    cur_tokens: list = []
+    cur_rules: list = []
+    cur_delay = [None]
+    sitemaps: list = []
+    in_agent_run = False
+
+    def close_group():
+        if cur_tokens:
+            groups.append((tuple(cur_tokens), tuple(cur_rules),
+                           cur_delay[0]))
+
+    for line in text.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, sep, val = line.partition(":")
+        if not sep:
+            continue
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not in_agent_run:
+                close_group()
+                cur_tokens, cur_rules = [], []
+                cur_delay = [None]
+            cur_tokens.append(val.lower())
+            in_agent_run = True
+            continue
+        in_agent_run = False
+        if key == "sitemap":
+            sitemaps.append(val)  # sitemap lines are group-independent
+        elif key in ("allow", "disallow"):
+            if cur_tokens:
+                cur_rules.append((key == "allow", val))
+        elif key == "crawl-delay" and cur_tokens:
+            try:
+                cur_delay[0] = float(val)
+            except ValueError:
+                pass
+    close_group()
+
+    matched = [g for g in groups if agent_l in g[0]]
+    label = agent_l
+    if not matched:
+        matched = [g for g in groups if "*" in g[0]]
+        label = "*" if matched else None
+    rules = []
+    delay = None
+    for _, grules, gdelay in matched:
+        for allow, pattern in grules:
+            if pattern:  # empty Disallow: means allow-all (no rule)
+                rules.append((allow, pattern, _pattern_regex(pattern)))
+        if gdelay is not None and delay is None:
+            delay = gdelay
+    return RobotsRules(rules=tuple(rules), crawl_delay=delay,
+                       sitemaps=tuple(sitemaps), matched_agent=label)
+
+
+def robots_allowed(rules: RobotsRules, path: str) -> bool:
+    """Longest-match decision for one path (include the query string
+    if you have one); allow wins length ties; default allowed."""
+    if not path.startswith("/"):
+        path = "/" + path
+    best_len = -1
+    best_allow = True
+    for allow, pattern, rx in rules.rules:
+        if rx.match(path):
+            ln = len(pattern)
+            if ln > best_len or (ln == best_len and allow):
+                best_len = ln
+                best_allow = allow
+    return best_allow
+
+
+def _url_path(url: str) -> str:
+    """path+query of an absolute or relative URL (the RFC match
+    target), without urllib overhead in the hot loop."""
+    at = url.find("://")
+    if at != -1:
+        slash = url.find("/", at + 3)
+        if slash == -1:
+            return "/"
+        url = url[slash:]
+    frag = url.find("#")
+    if frag != -1:
+        url = url[:frag]
+    return url or "/"
+
+
+def robots_check(
+    urls: DataFrame,
+    robots: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """URL corpus x per-host robots table -> the URL columns plus an
+    ``allowed`` boolean. The robots side broadcasts (one row per
+    host); evaluation is one Arrow map stage with an lru parse cache
+    per task. Missing robots rows allow by default."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    slim = robots.select(
+        F.col(host_col).alias("__rb_host"),
+        F.col(robots_col).alias("__rb_txt"))
+    joined = urls.join(
+        F.broadcast(slim),
+        urls[host_col] == F.col("__rb_host"), "left").drop("__rb_host")
+    out_schema = T.StructType(
+        list(urls.schema.fields)
+        + [T.StructField("allowed", T.BooleanType(), True)])
+    in_cols = [f.name for f in urls.schema.fields]
+    cols = [f.name for f in out_schema.fields]
+
+    url_at = in_cols.index(url_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-task parse cache (a module-level lru_cache would not
+        # pickle into the udf closure): bounded by distinct robots
+        # TEXTS seen by this task, evicted wholesale past the cap
+        cache: dict = {}
+
+        def rules_for(txt):
+            r = cache.get(txt)
+            if r is None:
+                if len(cache) > 4096:
+                    cache.clear()
+                r = cache[txt] = parse_robots(txt, agent)
+            return r
+
+        for pdf in batches:
+            out = []
+            for row in zip(*(pdf[c] for c in in_cols), pdf["__rb_txt"]):
+                *vals, txt = row
+                url = vals[url_at]
+                if url is None:
+                    out.append(tuple(vals) + (None,))
+                    continue
+                allowed = robots_allowed(rules_for(txt), _url_path(url))
+                out.append(tuple(vals) + (allowed,))
+            yield pd.DataFrame(out, columns=cols)
+
+    return joined.mapInPandas(run, schema=out_schema)

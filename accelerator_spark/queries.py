@@ -2814,6 +2814,76 @@ GROUP BY doc_id, k
 """
 
 
+def robots_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt URL filtering end-to-end (r9): per document an
+    md5-chosen URL exercises one branch of a realistic rule set —
+    plain allow, prefix disallow, longest-match Allow override,
+    ``*``-wildcard + ``$``-anchored pattern (hit and near-miss), and a
+    host with NO robots row (the protocol's allow default) — then
+    ``robots_check`` (operators/robots.py) broadcasts the per-host
+    robots table and evaluates each URL with the RFC 9309
+    longest-match rules. The oracle replays the expected decisions.
+    One broadcast join + one Arrow map stage."""
+    from .operators.robots import robots_check
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    _ROBOTS = ("User-agent: trainbot\nDisallow: /\n\n"
+               "User-agent: *\nDisallow: /private/\n"
+               "Allow: /private/open\nDisallow: /*.pdf$\n")
+    _PATHS = ["/public/p", "/private/p", "/private/open/p",
+              "/doc.pdf", "/doc.pdfx", "/anywhere"]
+
+    def gen(batches):
+        import hashlib as _hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            urls, robots = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = _hashlib.md5((text or "").encode("utf-8")).hexdigest()
+                mode = int(h[0:2], 16) % 6
+                s6 = h[:6]
+                host = ("nosite-" if mode == 5 else "site-") + s6
+                urls.append((doc_id, host,
+                             f"http://{host}{_PATHS[mode]}"))
+                robots.append(("site-" + s6, _ROBOTS))
+            yield pd.DataFrame(
+                {"doc_id": [u[0] for u in urls],
+                 "host": [u[1] for u in urls],
+                 "url": [u[2] for u in urls],
+                 "rb_host": [r[0] for r in robots]})
+
+    both = docs.mapInPandas(
+        gen, schema="doc_id long, host string, url string, rb_host string")
+    urls = both.select("doc_id", "host", "url")
+    robots = both.select(
+        F.col("rb_host").alias("host")).distinct() \
+        .withColumn("robots_txt", F.lit(_ROBOTS))
+    return robots_check(urls, robots).select("doc_id", "url", "allowed")
+
+
+ORACLE_ROBOTS_FILTER = """
+WITH h AS (
+  SELECT doc_id, md5(coalesce(text, '')) AS d1
+  FROM documents
+), p AS (
+  SELECT doc_id, substr(d1, 1, 6) AS s6,
+         CAST(('0x' || substr(d1, 1, 2)) AS INT) % 6 AS mode
+  FROM h
+)
+SELECT doc_id,
+       'http://' || CASE WHEN mode = 5 THEN 'nosite-' ELSE 'site-' END
+         || s6
+         || list_extract(['/public/p', '/private/p', '/private/open/p',
+                          '/doc.pdf', '/doc.pdfx', '/anywhere'],
+                         mode + 1) AS url,
+       mode NOT IN (1, 3) AS allowed
+FROM p
+"""
+
+
 ORACLE_MOJIBAKE = """
 WITH h AS (
   SELECT doc_id, md5(coalesce(text, '')) AS d1
@@ -6537,6 +6607,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mojibake_repair_report": mojibake_repair_report,
     "unicode_normalize_report": unicode_normalize_report,
     "main_content_report": main_content_report,
+    "robots_filter_report": robots_filter_report,
     "warc_pipeline_report": warc_pipeline_report,
     "charset_decode_report": charset_decode_report,
     "pdf_extract_report": pdf_extract_report,
@@ -6679,6 +6750,7 @@ ORACLES: dict[str, str] = {
     "mojibake_repair_report": ORACLE_MOJIBAKE,
     "unicode_normalize_report": ORACLE_UNICODE_NORMALIZE,
     "main_content_report": ORACLE_MAIN_CONTENT,
+    "robots_filter_report": ORACLE_ROBOTS_FILTER,
     "warc_pipeline_report": ORACLE_WARC_PIPELINE,
     "charset_decode_report": ORACLE_CHARSET_DECODE,
     "pdf_extract_report": ORACLE_PDF_EXTRACT,

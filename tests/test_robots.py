@@ -1,0 +1,113 @@
+"""robots.txt parsing + URL filtering tests (operators/robots.py):
+RFC 9309 group selection, longest-match precedence, wildcard/anchor
+patterns, defaults, and the broadcast-join distributed check."""
+
+from accelerator_spark.operators.robots import (
+    RobotsRules, _url_path, parse_robots, robots_allowed, robots_check)
+
+_TXT = """
+# demo robots
+User-agent: trainbot
+User-agent: otherbot
+Disallow: /
+Crawl-delay: 10
+
+User-agent: *
+Disallow: /private/
+Allow: /private/open
+Disallow: /*.pdf$
+Disallow: /search?q=
+Crawl-delay: 2.5
+Sitemap: https://h.example/sitemap.xml
+"""
+
+
+def test_group_selection_and_merge():
+    r = parse_robots(_TXT)
+    assert r.matched_agent == "*"
+    assert r.crawl_delay == 2.5
+    assert r.sitemaps == ("https://h.example/sitemap.xml",)
+    # a named agent matches its group (case-insensitively), and a
+    # multi-UA header applies to both names
+    for name in ("TrainBot", "otherbot"):
+        rb = parse_robots(_TXT, name)
+        assert rb.matched_agent == name.lower()
+        assert rb.crawl_delay == 10
+        assert not robots_allowed(rb, "/anything")
+    # an agent with no matching group falls back to *
+    assert parse_robots(_TXT, "unknownbot").matched_agent == "*"
+    # no groups at all -> everything allowed
+    empty = parse_robots("Sitemap: https://x/s.xml")
+    assert empty.matched_agent is None
+    assert robots_allowed(empty, "/any")
+    assert robots_allowed(parse_robots(None), "/any")
+    assert robots_allowed(parse_robots(""), "/any")
+
+
+def test_longest_match_and_patterns():
+    r = parse_robots(_TXT)
+    assert robots_allowed(r, "/public/a")
+    assert not robots_allowed(r, "/private/a")
+    # longest match wins: Allow /private/open beats Disallow /private/
+    assert robots_allowed(r, "/private/open")
+    assert robots_allowed(r, "/private/open/deep")
+    # wildcard + end anchor
+    assert not robots_allowed(r, "/doc.pdf")
+    assert not robots_allowed(r, "/a/b/c.pdf")
+    assert robots_allowed(r, "/doc.pdfx")      # anchor holds
+    assert robots_allowed(r, "/a.pdf?x=1")     # query breaks the anchor
+    # query-string rule matches path+query
+    assert not robots_allowed(r, "/search?q=test")
+    assert robots_allowed(r, "/search")
+    # allow wins a length tie
+    tie = parse_robots("User-agent: *\nDisallow: /x/\nAllow: /x*\n")
+    assert robots_allowed(tie, "/x/a")
+    # empty Disallow: is allow-all (no rule), not 'disallow nothing-prefix'
+    assert robots_allowed(parse_robots("User-agent: *\nDisallow:\n"),
+                          "/deep/path")
+    # a path missing its leading slash still evaluates
+    assert not robots_allowed(r, "private/a")
+
+
+def test_url_path():
+    assert _url_path("https://h.example/a/b?q=1#frag") == "/a/b?q=1"
+    assert _url_path("http://h.example") == "/"
+    assert _url_path("/already/path") == "/already/path"
+    assert _url_path("") == "/"
+
+
+def test_robots_check_distributed(spark):
+    urls = spark.createDataFrame(
+        [(1, "a.example", "http://a.example/public/x"),
+         (2, "a.example", "http://a.example/private/x"),
+         (3, "a.example", "http://a.example/private/open/x"),
+         (4, "b.example", "http://b.example/anything"),  # no robots row
+         (5, "a.example", None)],
+        "doc_id long, host string, url string")
+    robots = spark.createDataFrame(
+        [("a.example",
+          "User-agent: *\nDisallow: /private/\nAllow: /private/open\n")],
+        "host string, robots_txt string")
+    got = {r["doc_id"]: r["allowed"]
+           for r in robots_check(urls, robots).collect()}
+    assert got == {1: True, 2: False, 3: True, 4: True, 5: None}
+    # the robots side is broadcast, not shuffled
+    plan = robots_check(urls, robots)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_hostile_robots():
+    # garbage lines, absurd sizes, rules before any UA line
+    junk = "Disallow: /early\n" * 3 + "???\n:::\nUser-agent: *\n" \
+        + "Disallow: /x\n" + "Noise-Field: y\n" * 5
+    r = parse_robots(junk)
+    assert robots_allowed(r, "/early")       # pre-group rules ignored
+    assert not robots_allowed(r, "/x")
+    # a pattern of only wildcards compiles and matches everything
+    allstar = parse_robots("User-agent: *\nDisallow: ***\n")
+    assert not robots_allowed(allstar, "/any")
+    assert isinstance(allstar, RobotsRules)
+    # crawl-delay garbage is skipped, not fatal
+    assert parse_robots("User-agent: *\nCrawl-delay: soon\n"
+                        ).crawl_delay is None
