@@ -208,3 +208,116 @@ def robots_check(
             yield pd.DataFrame(out, columns=cols)
 
     return joined.mapInPandas(run, schema=out_schema)
+
+
+# ----------------------------------------------------------- sitemaps
+_SM = "{http://www.sitemaps.org/schemas/sitemap/0.9}"
+
+SITEMAP_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("seq", T.IntegerType(), True),
+    T.StructField("kind", T.StringType(), True),
+    T.StructField("loc", T.StringType(), True),
+    T.StructField("lastmod", T.StringType(), True),
+    T.StructField("changefreq", T.StringType(), True),
+    T.StructField("priority", T.DoubleType(), True),
+])
+
+
+class SitemapError(ValueError):
+    """Malformed or unsupported-by-scope sitemap input."""
+
+
+def parse_sitemap(data: bytes, max_entries: int = 200_000) -> tuple:
+    """(kind, entries) for one sitemap document (plain or gzipped —
+    sitemap.org caps files at 50 MB / 50k URLs, the budget enforces
+    more): kind is 'urlset' (page entries) or 'sitemapindex' (child
+    sitemap entries, the fan-out case); each entry is (loc, lastmod,
+    changefreq, priority). Robots ``Sitemap:`` lines name these files
+    — the crawl-frontier companion to robots_check."""
+    import zlib
+    from xml.etree import ElementTree
+
+    if data[:2] == b"\x1f\x8b":
+        try:
+            data = zlib.decompress(data, 47)
+        except zlib.error as e:
+            raise SitemapError(f"bad gzip: {e}") from None
+    try:
+        root = ElementTree.fromstring(data)
+    except ElementTree.ParseError as e:
+        raise SitemapError(f"malformed sitemap XML: {e}") from None
+    if root.tag == _SM + "urlset":
+        kind, child_tag = "urlset", _SM + "url"
+    elif root.tag == _SM + "sitemapindex":
+        kind, child_tag = "sitemapindex", _SM + "sitemap"
+    else:
+        raise SitemapError(f"unexpected root element {root.tag!r}")
+    entries = []
+    for el in root:
+        if el.tag != child_tag:
+            continue
+        if len(entries) >= max_entries:
+            raise SitemapError("sitemap entry budget exceeded")
+        loc = el.findtext(_SM + "loc")
+        if loc is None:
+            continue  # an entry without <loc> carries nothing
+        prio = el.findtext(_SM + "priority")
+        try:
+            prio_f = float(prio) if prio is not None else None
+        except ValueError:
+            prio_f = None
+        entries.append((loc.strip(),
+                        el.findtext(_SM + "lastmod"),
+                        el.findtext(_SM + "changefreq"),
+                        prio_f))
+    return kind, entries
+
+
+def sitemap_entries(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-batched sitemap explosion: one row per <url>/<sitemap>
+    entry with its metadata and the container kind — feed 'urlset'
+    locs to robots_check / the frontier, recurse on 'sitemapindex'
+    locs. Map-only over the scan, no shuffle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    slim = df.select(id_col, payload_col)
+    cols = [f.name for f in SITEMAP_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                kind, entries = parse_sitemap(bytes(payload))
+                for i, (loc, lastmod, freq, prio) in enumerate(entries):
+                    out.append((did, i, kind, loc, lastmod, freq, prio))
+            yield pd.DataFrame(out, columns=cols)
+
+    return slim.mapInPandas(run, schema=SITEMAP_SCHEMA)
+
+
+def sitemap_build(entries, kind: str = "urlset",
+                  gzipped: bool = False) -> bytes:
+    """Author a sitemap (the gate half). Each entry: dict with loc and
+    optional lastmod/changefreq/priority."""
+    import gzip as _gzip
+
+    child = "url" if kind == "urlset" else "sitemap"
+    parts = ['<?xml version="1.0" encoding="UTF-8"?>',
+             f'<{kind} xmlns="http://www.sitemaps.org/schemas/'
+             'sitemap/0.9">']
+    for e in entries:
+        fields = [f"<loc>{e['loc']}</loc>"]
+        for k in ("lastmod", "changefreq", "priority"):
+            if e.get(k) is not None:
+                fields.append(f"<{k}>{e[k]}</{k}>")
+        parts.append(f"<{child}>{''.join(fields)}</{child}>")
+    parts.append(f"</{kind}>")
+    raw = "".join(parts).encode("utf-8")
+    return _gzip.compress(raw, mtime=0) if gzipped else raw

@@ -2884,6 +2884,90 @@ FROM p
 """
 
 
+def sitemap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap parsing end-to-end (r9): per document an md5-chosen
+    sitemap is authored — a plain urlset, a GZIPPED urlset (the common
+    robots-referenced form), or a sitemapindex (the fan-out case) —
+    with 1-3 md5-derived entries carrying loc/lastmod/changefreq/
+    priority, then ``sitemap_entries`` (operators/robots.py) explodes
+    it with the production namespace-aware parser. Value-checks every
+    field including the decimal->double priority parse on both
+    engines; the oracle replays the construction with a lateral range
+    join. One Arrow map stage, no shuffle."""
+    from .operators.robots import sitemap_build, sitemap_entries
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        import hashlib as _hashlib
+
+        import pandas as pd
+
+        freqs = ["daily", "weekly", "monthly"]
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = _hashlib.md5((text or "").encode("utf-8")).hexdigest()
+                k = int(h[0:2], 16) % 3 + 1
+                mode = int(h[2:4], 16) % 3
+                s6 = h[:6]
+                entries = []
+                for i in range(k):
+                    v = int(h[2 * i:2 * i + 2], 16)
+                    if mode == 2:
+                        entries.append(
+                            dict(loc=f"https://s-{s6}/sm{i}.xml.gz"))
+                    else:
+                        entries.append(dict(
+                            loc=f"https://s-{s6}/p{i}",
+                            lastmod=f"2026-01-0{i + 1}",
+                            changefreq=freqs[v % 3],
+                            priority=f"0.{v % 10}"))
+                blob = sitemap_build(
+                    entries,
+                    kind="sitemapindex" if mode == 2 else "urlset",
+                    gzipped=(mode == 1))
+                out.append((doc_id, blob))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    maps = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    return sitemap_entries(maps).select(
+        "doc_id", "seq", "kind", "loc", "lastmod", "changefreq",
+        "priority")
+
+
+ORACLE_SITEMAP = """
+WITH h AS (
+  SELECT doc_id, md5(coalesce(text, '')) AS d1
+  FROM documents
+), p AS (
+  SELECT doc_id, d1, substr(d1, 1, 6) AS s6,
+         CAST(('0x' || substr(d1, 1, 2)) AS INT) % 3 + 1 AS k,
+         CAST(('0x' || substr(d1, 3, 2)) AS INT) % 3 AS mode
+  FROM h
+), e AS (
+  SELECT doc_id, s6, mode, t.i,
+         CAST(('0x' || substr(d1, CAST(2 * t.i + 1 AS INT), 2)) AS INT)
+           AS v
+  FROM p, range(3) t(i)
+  WHERE t.i < k
+)
+SELECT doc_id,
+       CAST(i AS INT) AS seq,
+       CASE WHEN mode = 2 THEN 'sitemapindex' ELSE 'urlset' END AS kind,
+       CASE WHEN mode = 2
+            THEN 'https://s-' || s6 || '/sm' || i || '.xml.gz'
+            ELSE 'https://s-' || s6 || '/p' || i END AS loc,
+       CASE WHEN mode <> 2 THEN '2026-01-0' || (i + 1) END AS lastmod,
+       CASE WHEN mode <> 2
+            THEN list_extract(['daily', 'weekly', 'monthly'],
+                              v % 3 + 1) END AS changefreq,
+       CASE WHEN mode <> 2
+            THEN CAST('0.' || (v % 10) AS DOUBLE) END AS priority
+FROM e
+"""
+
+
 ORACLE_MOJIBAKE = """
 WITH h AS (
   SELECT doc_id, md5(coalesce(text, '')) AS d1
@@ -6608,6 +6692,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unicode_normalize_report": unicode_normalize_report,
     "main_content_report": main_content_report,
     "robots_filter_report": robots_filter_report,
+    "sitemap_report": sitemap_report,
     "warc_pipeline_report": warc_pipeline_report,
     "charset_decode_report": charset_decode_report,
     "pdf_extract_report": pdf_extract_report,
@@ -6751,6 +6836,7 @@ ORACLES: dict[str, str] = {
     "unicode_normalize_report": ORACLE_UNICODE_NORMALIZE,
     "main_content_report": ORACLE_MAIN_CONTENT,
     "robots_filter_report": ORACLE_ROBOTS_FILTER,
+    "sitemap_report": ORACLE_SITEMAP,
     "warc_pipeline_report": ORACLE_WARC_PIPELINE,
     "charset_decode_report": ORACLE_CHARSET_DECODE,
     "pdf_extract_report": ORACLE_PDF_EXTRACT,

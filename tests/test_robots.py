@@ -111,3 +111,59 @@ def test_hostile_robots():
     # crawl-delay garbage is skipped, not fatal
     assert parse_robots("User-agent: *\nCrawl-delay: soon\n"
                         ).crawl_delay is None
+
+
+def test_sitemap_parse_and_build():
+    from accelerator_spark.operators.robots import (
+        SitemapError, parse_sitemap, sitemap_build)
+
+    b = sitemap_build([
+        dict(loc="https://x/a", lastmod="2026-01-01", priority="0.8"),
+        dict(loc=" https://x/b ", changefreq="daily")])
+    kind, entries = parse_sitemap(b)
+    assert kind == "urlset"
+    assert entries[0] == ("https://x/a", "2026-01-01", None, 0.8)
+    assert entries[1] == ("https://x/b", None, "daily", None)  # loc strips
+    # gzipped sitemapindex
+    bi = sitemap_build([dict(loc="https://x/s1.xml")],
+                       kind="sitemapindex", gzipped=True)
+    assert bi[:2] == b"\x1f\x8b"
+    assert parse_sitemap(bi) == \
+        ("sitemapindex", [("https://x/s1.xml", None, None, None)])
+    # hostile: bad gzip, bad xml, wrong root, entry budget, bad
+    # priority tolerated as NULL, entries without <loc> skipped
+    import pytest as _pytest
+
+    with _pytest.raises(SitemapError, match="bad gzip"):
+        parse_sitemap(b"\x1f\x8bxx")
+    with _pytest.raises(SitemapError, match="malformed"):
+        parse_sitemap(b"<urlset>")
+    with _pytest.raises(SitemapError, match="unexpected root"):
+        parse_sitemap(b"<feed/>")
+    with _pytest.raises(SitemapError, match="budget"):
+        parse_sitemap(sitemap_build(
+            [dict(loc=f"https://x/{i}") for i in range(5)]),
+            max_entries=3)
+    ns = "http://www.sitemaps.org/schemas/sitemap/0.9"
+    odd = (f'<urlset xmlns="{ns}"><url><lastmod>2026</lastmod></url>'
+           f"<url><loc>https://x/ok</loc><priority>high</priority>"
+           f"</url></urlset>").encode()
+    kind, entries = parse_sitemap(odd)
+    assert entries == [("https://x/ok", None, None, None)]
+
+
+def test_sitemap_entries_distributed(spark):
+    from accelerator_spark.operators.robots import (
+        sitemap_build, sitemap_entries)
+
+    df = spark.createDataFrame(
+        [(1, sitemap_build([dict(loc="https://a/1"),
+                            dict(loc="https://a/2")])),
+         (2, sitemap_build([dict(loc="https://b/s.xml")],
+                           kind="sitemapindex", gzipped=True))],
+        "doc_id long, payload binary")
+    rows = sorted((r["doc_id"], r["seq"], r["kind"], r["loc"])
+                  for r in sitemap_entries(df).collect())
+    assert rows == [(1, 0, "urlset", "https://a/1"),
+                    (1, 1, "urlset", "https://a/2"),
+                    (2, 0, "sitemapindex", "https://b/s.xml")]
