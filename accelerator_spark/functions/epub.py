@@ -54,9 +54,16 @@ def epub_text(data: bytes, max_docs: int = 10_000) -> tuple:
     parser; documents joined by newline."""
     from ..operators.html import _extract_one
 
-    members = zip_read_members(data, lambda n: True)
+    # three targeted passes (container -> OPF -> spine docs), never
+    # the whole archive: an image/font/audio-heavy but legitimate
+    # book must not blow the decompressed-size budget on members the
+    # text path never needs (review r9); each pass decompresses only
+    # the selected members
+    members = zip_read_members(
+        data, lambda n: n == "META-INF/container.xml")
     opf_at = _opf_path(members)
-    opf_blob = members.get(opf_at)
+    opf_blob = zip_read_members(
+        data, lambda n: n == opf_at).get(opf_at)
     if opf_blob is None:
         raise EpubError(f"rootfile {opf_at} missing from archive")
     try:
@@ -73,20 +80,25 @@ def epub_text(data: bytes, max_docs: int = 10_000) -> tuple:
         if iid and href:
             hrefs[iid] = href
     base = posixpath.dirname(opf_at)
-    texts = []
-    n_docs = 0
+    spine_paths = []
     for ref in opf.iter(_OPF + "itemref"):
         idref = ref.get("idref")
         href = hrefs.get(idref)
         if href is None:
             raise EpubError(f"spine idref {idref!r} not in manifest")
-        path = posixpath.normpath(posixpath.join(base, href))
-        blob = members.get(path)
+        spine_paths.append(
+            posixpath.normpath(posixpath.join(base, href)))
+        if len(spine_paths) > max_docs:
+            raise EpubError("spine document budget exceeded")
+    wanted = set(spine_paths)
+    docs = zip_read_members(data, lambda n: n in wanted)
+    texts = []
+    n_docs = 0
+    for path in spine_paths:
+        blob = docs.get(path)
         if blob is None:
             raise EpubError(f"spine document {path} missing")
         n_docs += 1
-        if n_docs > max_docs:
-            raise EpubError("spine document budget exceeded")
         # XHTML decodes as UTF-8 by spec; tolerate the odd latin-1 book
         try:
             html = blob.decode("utf-8")

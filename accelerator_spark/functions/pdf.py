@@ -107,7 +107,10 @@ def _parse_name(buf: _Buf) -> Name:
         out = bytearray()
         i = 0
         while i < len(raw):
-            if raw[i:i + 1] == b"#" and i + 2 < len(raw) + 1:
+            # a #-escape needs exactly TWO hex digits; '#d' at end of
+            # name stays literal (review r9: the old off-by-one bound
+            # decoded a single trailing digit)
+            if raw[i:i + 1] == b"#" and i + 3 <= len(raw):
                 try:
                     out.append(int(raw[i + 1:i + 3], 16))
                     i += 3
@@ -305,6 +308,11 @@ def _decode_stream(sdict: dict, raw: bytes, resolve) -> bytes:
         filt, parms = [filt], [parms]
     elif not isinstance(parms, list):
         parms = [parms] + [{}] * (len(filt) - 1)
+    if len(parms) < len(filt):
+        # a /DecodeParms list shorter than /Filter is spec-legal
+        # ([null] for a 2-filter chain); zip() truncating it would
+        # silently skip trailing filters (review r9)
+        parms = list(parms) + [{}] * (len(filt) - len(parms))
     data = raw
     for f, p in zip(filt, parms):
         if str(f) != "FlateDecode":
@@ -339,6 +347,7 @@ class PdfDoc:
         self.data = data
         self.max_objects = max_objects
         self._cache = {}
+        self._loading: set = set()  # cycle guard (review r9)
         self._loads = 0
         if not data.startswith(b"%PDF-"):
             raise PdfError("missing %PDF- header")
@@ -410,10 +419,14 @@ class PdfDoc:
                 m = ent_re.match(d, buf.pos)
                 if not m:
                     raise PdfError("truncated or malformed xref entry")
-                if m.group(2) == b"n":
-                    num = start + i
-                    if num not in xref:  # newest update wins
-                        xref[num] = ("o", int(m.group(1)))
+                num = start + i
+                if num not in xref:  # newest update wins
+                    # free ('f') entries RECORD the deletion — skipping
+                    # them would resurrect objects freed by an
+                    # incremental update from older /Prev sections
+                    # (redaction leak, review r9)
+                    xref[num] = ("o", int(m.group(1))) \
+                        if m.group(2) == b"n" else ("f",)
                 buf.pos = m.end()
 
     def _read_xref_stream(self, buf: _Buf, xref: dict) -> dict:
@@ -460,7 +473,10 @@ class PdfDoc:
                     xref[num] = ("o", f2)
                 elif t == 2:
                     xref[num] = ("s", f2, f3)
-                # t == 0: free — skip
+                elif t == 0:
+                    # record the free entry so older /Prev sections
+                    # cannot resurrect a deleted object (review r9)
+                    xref[num] = ("f",)
         return sdict
 
     # -- objects --------------------------------------------------
@@ -516,16 +532,26 @@ class PdfDoc:
                 v = self._cache[key]
                 continue
             ent = self.xref.get(key)
-            if ent is None:
-                v = None
+            if ent is None or ent[0] == "f":
+                v = None  # unknown or freed object resolves to null
                 break
-            if ent[0] == "o":
-                obj, raw = self._load_indirect_at(ent[1],
-                                                  allow_stream=True)
-                if raw is not None:
-                    obj = _Stream(obj, raw)
-            else:
-                obj = self._load_from_objstm(ent[1], ent[2])
+            if key in self._loading:
+                # a crafted type-2 entry can point an ObjStm at itself
+                # (or a cycle) — without this the mutual recursion
+                # bypasses both budgets and dies with RecursionError
+                # (review r9)
+                raise PdfError("cyclic indirect-object reference")
+            self._loading.add(key)
+            try:
+                if ent[0] == "o":
+                    obj, raw = self._load_indirect_at(ent[1],
+                                                      allow_stream=True)
+                    if raw is not None:
+                        obj = _Stream(obj, raw)
+                else:
+                    obj = self._load_from_objstm(ent[1], ent[2])
+            finally:
+                self._loading.discard(key)
             self._cache[key] = obj
             v = obj
         return v

@@ -107,7 +107,15 @@ def _meta_charset(payload: bytes) -> str | None:
     m = _META_CHARSET_RE.search(payload[:_PRESCAN])
     if not m:
         return None
-    return normalize_charset_label(m.group(1).decode("latin1"))
+    codec = normalize_charset_label(m.group(1).decode("latin1"))
+    # WHATWG prescan rule: a meta-declared utf-16/utf-32 label means
+    # utf-8 — the byte-regex finding the tag at all proves the bytes
+    # are ASCII-compatible, so a wide-encoding label is always wrong
+    # and even-length payloads would strict-"succeed" into CJK
+    # mojibake flagged valid (review r9)
+    if codec and codec.startswith(("utf-16", "utf-32")):
+        return "utf-8"
+    return codec
 
 
 def decode_bytes(payload: bytes | None, content_type: str | None):

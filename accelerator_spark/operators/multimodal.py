@@ -555,7 +555,8 @@ def extract_document_text(
     slides / spine docs). XLSX identifies but raises (tabular — route
     to a table source); unknown containers raise; both follow
     ``on_error`` containment. Map-only, no shuffle."""
-    from ..functions.docx import OfficeError, office_extract_text
+    from ..functions.docx import (
+        _SLIDE_RE, OfficeError, docx_text, pptx_text)
     from ..functions.epub import epub_text
     from ..functions.pdf import pdf_extract_text
 
@@ -567,6 +568,8 @@ def extract_document_text(
             import io as _io
             import zipfile as _zipfile
 
+            # route on ONE central-directory scan (review r9: the
+            # office_kind round-trip re-opened the same archive)
             try:
                 with _zipfile.ZipFile(_io.BytesIO(raw)) as zf:
                     names = set(zf.namelist())
@@ -576,8 +579,17 @@ def extract_document_text(
             if "META-INF/container.xml" in names:
                 title, text, n = epub_text(raw)
                 return len(raw), "epub", title, text, n
-            kind, text, n = office_extract_text(raw)
-            return len(raw), kind, None, text, n
+            if "word/document.xml" in names:
+                text, n = docx_text(raw)
+                return len(raw), "docx", None, text, n
+            if "ppt/presentation.xml" in names \
+                    or any(_SLIDE_RE.match(n) for n in names):
+                text, n = pptx_text(raw)
+                return len(raw), "pptx", None, text, n
+            if "xl/workbook.xml" in names:
+                raise OfficeError("xlsx is tabular, not prose (route "
+                                  "to a table source)")
+            raise OfficeError("not an OOXML/EPUB container")
         raise OfficeError("unrecognized document container")
 
     return _map_media_rows(

@@ -137,14 +137,27 @@ def robots_allowed(rules: RobotsRules, path: str) -> bool:
 
 
 def _url_path(url: str) -> str:
-    """path+query of an absolute or relative URL (the RFC match
-    target), without urllib overhead in the hot loop."""
+    """path+query of an absolute, scheme-relative, or relative URL
+    (the RFC match target), without urllib overhead in the hot
+    loop."""
     at = url.find("://")
     if at != -1:
-        slash = url.find("/", at + 3)
-        if slash == -1:
+        rest = at + 3
+    elif url.startswith("//"):
+        rest = 2  # scheme-relative: //host/path
+    else:
+        rest = None
+    if rest is not None:
+        slash = url.find("/", rest)
+        q = url.find("?", rest)
+        if q != -1 and (slash == -1 or q < slash):
+            # authority directly followed by a query: path is '/',
+            # the query still participates in the match (review r9)
+            url = "/" + url[q:]
+        elif slash != -1:
+            url = url[slash:]
+        else:
             return "/"
-        url = url[slash:]
     frag = url.find("#")
     if frag != -1:
         url = url[:frag]
@@ -228,21 +241,29 @@ class SitemapError(ValueError):
     """Malformed or unsupported-by-scope sitemap input."""
 
 
-def parse_sitemap(data: bytes, max_entries: int = 200_000) -> tuple:
+def parse_sitemap(data: bytes, max_entries: int = 200_000,
+                  max_bytes: int = 256 << 20) -> tuple:
     """(kind, entries) for one sitemap document (plain or gzipped —
-    sitemap.org caps files at 50 MB / 50k URLs, the budget enforces
+    sitemap.org caps files at 50 MB / 50k URLs, the budgets enforce
     more): kind is 'urlset' (page entries) or 'sitemapindex' (child
     sitemap entries, the fan-out case); each entry is (loc, lastmod,
-    changefreq, priority). Robots ``Sitemap:`` lines name these files
-    — the crawl-frontier companion to robots_check."""
+    changefreq, priority). ``max_bytes`` caps the DECOMPRESSED size —
+    a gzip bomb fails the row before it can materialize (review r9).
+    Robots ``Sitemap:`` lines name these files — the crawl-frontier
+    companion to robots_check."""
     import zlib
     from xml.etree import ElementTree
 
     if data[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(47)
         try:
-            data = zlib.decompress(data, 47)
+            out = d.decompress(data, max_bytes + 1)
         except zlib.error as e:
             raise SitemapError(f"bad gzip: {e}") from None
+        if len(out) > max_bytes or not d.eof:
+            raise SitemapError("decompressed-size budget exceeded "
+                               "(or truncated gzip)")
+        data = out
     try:
         root = ElementTree.fromstring(data)
     except ElementTree.ParseError as e:
@@ -278,15 +299,22 @@ def sitemap_entries(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "doc_id",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Arrow-batched sitemap explosion: one row per <url>/<sitemap>
     entry with its metadata and the container kind — feed 'urlset'
     locs to robots_check / the frontier, recurse on 'sitemapindex'
-    locs. Map-only over the scan, no shuffle."""
+    locs. ``on_error="null"`` turns a NULL or malformed payload into
+    ONE all-NULL-fields row (kind/loc NULL, seq NULL) instead of
+    failing the job — one corrupt sitemap must not abort a corpus
+    sweep (review r9). Map-only over the scan, no shuffle."""
     from collections.abc import Iterator
 
     import pandas as pd
 
+    if on_error not in ("raise", "null"):
+        raise ValueError(
+            f"on_error must be 'raise' or 'null', got {on_error!r}")
     slim = df.select(id_col, payload_col)
     cols = [f.name for f in SITEMAP_SCHEMA.fields]
 
@@ -294,7 +322,14 @@ def sitemap_entries(
         for pdf in batches:
             out = []
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
-                kind, entries = parse_sitemap(bytes(payload))
+                try:
+                    raw = bytes(payload) if payload is not None else b""
+                    kind, entries = parse_sitemap(raw)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    out.append((did,) + (None,) * 6)
+                    continue
                 for i, (loc, lastmod, freq, prio) in enumerate(entries):
                     out.append((did, i, kind, loc, lastmod, freq, prio))
             yield pd.DataFrame(out, columns=cols)

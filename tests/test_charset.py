@@ -160,3 +160,18 @@ def test_warc_decode_html_pipeline(spark, tmp_path):
     assert got_valid[2]["charset_used"] == "shift_jis"
     assert got_valid[3]["charset_source"] == "meta"
     assert all(got_valid[i]["is_valid"] for i in (1, 2, 3, 4))
+
+
+def test_review_r9_meta_utf16_label_means_utf8():
+    """Review r9 / WHATWG prescan: a meta-declared utf-16/utf-32 label
+    is always wrong (the byte-regex finding it proves ASCII-compatible
+    bytes) and means utf-8."""
+    page = b"<meta charset=utf-16><p>hello world</p>\n"
+    text, used, src, ok = decode_bytes(page, "text/html")
+    assert "hello world" in text
+    assert (used, src, ok) == ("utf-8", "meta", True)
+    page32 = b'<meta charset="UTF-32LE"><p>x</p>'
+    assert decode_bytes(page32, None)[1] == "utf-8"
+    # a HEADER-declared utf-16 with real utf-16 bytes still works
+    wide = "wide".encode("utf-16")
+    assert decode_bytes(wide, "text/html; charset=utf-16")[0] == "wide"

@@ -148,3 +148,20 @@ def test_extract_document_text_distributed(spark):
     assert (got[4]["kind"], got[4]["title"], got[4]["text"]) == \
         ("epub", "Book T", "chapter text")
     assert got[5]["kind"] is None and got[5]["n_bytes"] == 19
+
+
+def test_review_r9_epub_skips_media_members():
+    """Review r9: epub_text reads container/OPF/spine docs only — a
+    book with heavy media members never decompresses them (and a
+    repeated spine entry still extracts per occurrence)."""
+    good = epub_build("t", ["chapter body"])
+    buf = io.BytesIO(good)
+    with zipfile.ZipFile(buf) as zf:
+        names = {n: zf.read(n) for n in zf.namelist()}
+    names["OEBPS/video.bin"] = b"\x00" * 100_000
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for k, v in names.items():
+            zf.writestr(k, v)
+    title, text, n = epub_text(out.getvalue())
+    assert (title, text, n) == ("t", "chapter body", 1)

@@ -203,3 +203,43 @@ def test_extract_pdf_text_distributed(spark):
     assert got[3]["text"] is None and got[3]["n_bytes"] == 15
     with pytest.raises(Exception):
         extract_pdf_text(df).collect()  # on_error="raise" default
+
+
+def test_review_r9_fixes():
+    """Review r9: freed objects stay deleted, short /DecodeParms pads,
+    ObjStm cycles raise PdfError, trailing one-digit #-escape stays
+    literal."""
+    import re as _re
+    import zlib as _zlib
+
+    from accelerator_spark.functions.pdf import PdfDoc, _decode_stream
+
+    # (1) incremental update FREEING the content object: the old
+    # /Prev section must not resurrect it (redaction leak)
+    base = pdf_build(["Deleted secret", "Page 2"], compress=False)
+    prev = int(_re.search(rb"startxref\s+(\d+)", base).group(1))
+    xref_at = len(base)
+    upd = (b"xref\n0 1\n0000000000 65535 f \n4 1\n"
+           b"0000000000 65535 f \n"
+           b"trailer << /Size 8 /Root 1 0 R /Prev %d >>\n"
+           b"startxref\n%d\n%%%%EOF\n" % (prev, xref_at))
+    assert pdf_page_texts(base + upd) == ["", "Page 2"]
+    # (2) /DecodeParms shorter than the /Filter chain still applies
+    # every filter
+    double = _zlib.compress(_zlib.compress(b"BT (x) Tj ET"))
+    sdict = {"Filter": [Name("FlateDecode"), Name("FlateDecode")],
+             "DecodeParms": [None]}
+    assert _decode_stream(sdict, double, lambda v: v) == b"BT (x) Tj ET"
+    # (3) a type-2 xref entry pointing an ObjStm at itself raises
+    # PdfError, not RecursionError
+    blob = pdf_build(["x"], use_objstm=True)
+    doc = PdfDoc(blob)
+    stm_num = next(e[1] for e in doc.xref.values()
+                   if e[0] == "s")
+    doc.xref[stm_num] = ("s", stm_num, 0)
+    doc._cache.clear()
+    with pytest.raises(PdfError, match="cyclic indirect-object"):
+        doc.resolve(Ref(stm_num, 0))
+    # (4) one-digit trailing #-escape stays literal
+    assert parse_object(_Buf(b"/A#4 ")) == Name("A#4")
+    assert parse_object(_Buf(b"/A#41")) == Name("AA")

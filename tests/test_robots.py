@@ -167,3 +167,42 @@ def test_sitemap_entries_distributed(spark):
     assert rows == [(1, 0, "urlset", "https://a/1"),
                     (1, 1, "urlset", "https://a/2"),
                     (2, 0, "sitemapindex", "https://b/s.xml")]
+
+
+def test_review_r9_fixes(spark):
+    """Review r9: gzip-bomb budget, on_error containment, and
+    query-only URL paths."""
+    import gzip
+
+    import pytest
+
+    from accelerator_spark.operators.robots import (
+        SitemapError, parse_robots, parse_sitemap, robots_allowed,
+        sitemap_build, sitemap_entries)
+
+    # (1) decompressed-size budget fails a bomb BEFORE materializing
+    bomb = gzip.compress(b"0" * (1 << 20))
+    with pytest.raises(SitemapError, match="budget"):
+        parse_sitemap(bomb, max_bytes=1000)
+    # (2) on_error="null": NULL and malformed payloads become one
+    # all-NULL row instead of failing the job
+    df = spark.createDataFrame(
+        [(1, sitemap_build([dict(loc="https://a/1")])),
+         (2, None), (3, b"<not a sitemap")],
+        "doc_id long, payload binary")
+    with pytest.raises(Exception):
+        sitemap_entries(df).collect()
+    rows = {r["doc_id"]: r
+            for r in sitemap_entries(df, on_error="null").collect()}
+    assert rows[1]["loc"] == "https://a/1"
+    assert rows[2]["kind"] is None and rows[2]["seq"] is None
+    assert rows[3]["loc"] is None
+    # (3) query-only and scheme-relative URLs keep their query in the
+    # match target
+    from accelerator_spark.operators.robots import _url_path
+
+    assert _url_path("http://host?q=secret") == "/?q=secret"
+    assert _url_path("//host/p?a=1") == "/p?a=1"
+    assert _url_path("//host?a=1") == "/?a=1"
+    r = parse_robots("User-agent: *\nDisallow: /?q=\n")
+    assert not robots_allowed(r, _url_path("http://host?q=secret"))
