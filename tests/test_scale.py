@@ -442,3 +442,65 @@ def test_simhash64_near_pairs_at_16x_capped(spark, docs16):
     assert len(fam_pairs) == 16 * 15 // 2
     assert all(r["hamming"] == 0 for r in fam_pairs)
     assert pairs.count() <= n_docs * bands * (cap - 1) // 2
+
+
+def test_document_extract_at_16x(spark, docs16):
+    """r9: the unified document extractor is per-row Python parse over
+    source partitioning — at 16x documents it must stream through
+    Arrow batches (no whole-partition materialization) and keep one
+    zip/pdf parse per row."""
+    from pyspark.sql import types as T
+
+    from accelerator_spark.operators.multimodal import (
+        extract_document_text)
+
+    def to_doc(batches):
+        import pandas as pd
+
+        from accelerator_spark.functions.docx import docx_build
+        from accelerator_spark.functions.pdf import pdf_build
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                if did % 2:
+                    blob = docx_build([f"para {did}"])
+                else:
+                    blob = pdf_build([f"page {did}"])
+                out.append((did, blob, None))
+            yield pd.DataFrame(
+                out, columns=["media_id", "payload", "mime"])
+
+    media = docs16.select("doc_id").mapInPandas(
+        to_doc, schema="media_id long, payload binary, mime string")
+    got = extract_document_text(media)
+    n_in = docs16.count()
+    stats = got.groupBy("kind").count().collect()
+    assert sum(r["count"] for r in stats) == n_in
+    assert {r["kind"] for r in stats} == {"pdf", "docx"}
+
+
+def test_robots_check_at_16x_broadcast(spark, docs16):
+    """r9: robots_check over 16x URLs with a 1000-host robots table
+    stays a BROADCAST join (no shuffle of the URL side) and the
+    per-task parse cache bounds rule parsing by hosts, not rows."""
+    from pyspark.sql import functions as F
+
+    from accelerator_spark.operators.robots import robots_check
+
+    urls = docs16.select(
+        F.col("doc_id"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 1000)).alias("host"),
+        F.concat(F.lit("http://h"), (F.col("doc_id") % 1000),
+                 F.when(F.col("doc_id") % 2 == 0, F.lit("/private/x"))
+                 .otherwise(F.lit("/public/x"))).alias("url"))
+    robots = spark.range(1000).select(
+        F.concat(F.lit("h"), F.col("id")).alias("host"),
+        F.lit("User-agent: *\nDisallow: /private/\n").alias("robots_txt"))
+    out = robots_check(urls, robots)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    agg = {r["allowed"]: r["count"]
+           for r in out.groupBy("allowed").count().collect()}
+    assert agg[True] + agg[False] == docs16.count()
+    assert agg[False] == docs16.filter("doc_id % 2 = 0").count()
