@@ -15,9 +15,12 @@ non-stream object there) read whole.
 
 Scope and honest limits:
 
-- Filters: FlateDecode (with /Predictor 2 and the PNG predictors
-  10-15) and unfiltered streams. Other filters (DCT, LZW, CCITT, ...)
-  raise — they encode IMAGES, not text, in the wild.
+- Filters: every TEXT filter — FlateDecode and LZWDecode (both with
+  /Predictor 2 and the PNG predictors 10-15; the LZW bitstream is
+  foreign-checked against Java ImageIO's TIFF reader), ASCII85Decode,
+  ASCIIHexDecode, RunLengthDecode — plus unfiltered streams. The
+  image-only filters (DCT, JPX, CCITT, JBIG2) raise; they never carry
+  page text.
 - String bytes decode as PDFDocEncoding-approximated latin-1, or
   UTF-16BE behind a BOM. Font /ToUnicode CMaps and composite-font
   multi-byte codes are NOT parsed: extraction is exact for simple
@@ -36,6 +39,7 @@ classic-xref, xref-stream and object-stream files for the oracle gate
 
 from __future__ import annotations
 
+import base64
 import re
 import zlib
 from typing import NamedTuple
@@ -297,9 +301,180 @@ def _png_unpredict(data: bytes, columns: int, colors: int = 1,
     return bytes(out)
 
 
+def lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """TIFF/PDF-variant LZW (MSB-first variable-width codes, 256 =
+    ClearTable, 257 = EOD, width 9->12 with the EarlyChange-1 bump the
+    PDF spec defaults to). The bitstream (including the width-change
+    timing — the GIF-precedent risk class) is validated against the
+    FOREIGN Java ImageIO TIFF reader in tests/test_pdf.py."""
+    out = bytearray()
+    table: list = []
+    width = 9
+    prev: bytes | None = None
+
+    def clear():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    clear()
+    acc = nbits = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)  # tolerate a missing EOD
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        acc &= (1 << nbits) - 1
+        if code == 256:
+            clear()
+            continue
+        if code == 257:
+            return bytes(out)
+        if prev is None:
+            if code >= 258:
+                raise PdfError("LZW: first code after clear is not a "
+                               "literal")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise PdfError("LZW: code beyond table")
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        out += entry
+        prev = entry
+        if len(table) >= (1 << width) - early and width < 12:
+            width += 1
+
+
+def lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """The matching encoder (builder/gate half): emits an initial
+    ClearTable, resets the table before it fills, ends with EOD."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    dic = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(256, width)
+    s = b""
+    for i in range(len(data)):
+        t = s + data[i:i + 1]
+        if t in dic:
+            s = t
+            continue
+        emit(dic[s], width)
+        dic[t] = next_code
+        next_code += 1
+        if next_code > (1 << width) - early and width < 12:
+            width += 1
+        if next_code >= 4096 - early:
+            emit(256, width)  # ClearTable before the table overflows
+            dic = {bytes([j]): j for j in range(256)}
+            next_code = 258
+            width = 9
+        s = data[i:i + 1]
+    if s:
+        emit(dic[s], width)
+        next_code += 1
+        if next_code > (1 << width) - early and width < 12:
+            width += 1
+    emit(257, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    data = bytes(c for c in data if c not in _WS)
+    if data.endswith(b"~>"):
+        data = data[:-2]
+    try:
+        return base64.a85decode(data)
+    except ValueError as e:
+        raise PdfError(f"ASCII85Decode failed: {e}") from None
+
+
+def _asciihex_decode(data: bytes) -> bytes:
+    eod = data.find(b">")
+    if eod != -1:
+        data = data[:eod]
+    hx = bytes(c for c in data if c not in _WS)
+    if len(hx) % 2:
+        hx += b"0"
+    try:
+        return bytes.fromhex(hx.decode("latin-1"))
+    except ValueError:
+        raise PdfError("ASCIIHexDecode: bad hex digit") from None
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        ln = data[pos]
+        pos += 1
+        if ln == 128:  # EOD
+            return bytes(out)
+        if ln < 128:
+            chunk = data[pos:pos + ln + 1]
+            if len(chunk) != ln + 1:
+                raise PdfError("RunLengthDecode: truncated literal run")
+            out += chunk
+            pos += ln + 1
+        else:
+            if pos >= n:
+                raise PdfError("RunLengthDecode: truncated repeat run")
+            out += data[pos:pos + 1] * (257 - ln)
+            pos += 1
+    return bytes(out)
+
+
+def _apply_predictor(data: bytes, p: dict, resolve) -> bytes:
+    pred = resolve(p.get("Predictor", 1))
+    if pred and pred >= 10:
+        return _png_unpredict(
+            data, resolve(p.get("Columns", 1)),
+            resolve(p.get("Colors", 1)),
+            resolve(p.get("BitsPerComponent", 8)))
+    if pred == 2:
+        cols = resolve(p.get("Columns", 1))
+        out = bytearray(data)
+        for r in range(0, len(out) - cols + 1, cols):
+            for i in range(r + 1, r + cols):
+                out[i] = (out[i] + out[i - 1]) & 0xFF
+        return bytes(out)
+    if pred not in (None, 1):
+        raise PdfError(f"unsupported predictor {pred}")
+    return data
+
+
 def _decode_stream(sdict: dict, raw: bytes, resolve) -> bytes:
-    """Apply /Filter (+ /DecodeParms) to raw stream bytes. FlateDecode
-    only — scope note in the module docstring."""
+    """Apply /Filter (+ /DecodeParms) to raw stream bytes. The TEXT
+    filters are covered — FlateDecode, LZWDecode (both with
+    predictors), ASCII85Decode, ASCIIHexDecode, RunLengthDecode; the
+    image-only filters (DCT/JPX/CCITT/JBIG2) raise (scope note in the
+    module docstring)."""
     filt = resolve(sdict.get("Filter"))
     parms = resolve(sdict.get("DecodeParms")) or {}
     if filt is None:
@@ -315,28 +490,26 @@ def _decode_stream(sdict: dict, raw: bytes, resolve) -> bytes:
         parms = list(parms) + [{}] * (len(filt) - len(parms))
     data = raw
     for f, p in zip(filt, parms):
-        if str(f) != "FlateDecode":
-            raise PdfError(f"unsupported stream filter /{f}")
-        try:
-            data = zlib.decompress(data)
-        except zlib.error as e:
-            raise PdfError(f"FlateDecode failed: {e}") from None
         p = resolve(p) or {}
-        pred = resolve(p.get("Predictor", 1))
-        if pred and pred >= 10:
-            data = _png_unpredict(
-                data, resolve(p.get("Columns", 1)),
-                resolve(p.get("Colors", 1)),
-                resolve(p.get("BitsPerComponent", 8)))
-        elif pred == 2:
-            cols = resolve(p.get("Columns", 1))
-            out = bytearray(data)
-            for r in range(0, len(out) - cols + 1, cols):
-                for i in range(r + 1, r + cols):
-                    out[i] = (out[i] + out[i - 1]) & 0xFF
-            data = bytes(out)
-        elif pred not in (None, 1):
-            raise PdfError(f"unsupported predictor {pred}")
+        name = str(f)
+        if name == "FlateDecode":
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as e:
+                raise PdfError(f"FlateDecode failed: {e}") from None
+            data = _apply_predictor(data, p, resolve)
+        elif name == "LZWDecode":
+            early = resolve(p.get("EarlyChange", 1))
+            data = lzw_decode(data, 1 if early is None else int(early))
+            data = _apply_predictor(data, p, resolve)
+        elif name == "ASCII85Decode":
+            data = _ascii85_decode(data)
+        elif name == "ASCIIHexDecode":
+            data = _asciihex_decode(data)
+        elif name == "RunLengthDecode":
+            data = _runlength_decode(data)
+        else:
+            raise PdfError(f"unsupported stream filter /{f}")
     return data
 
 
@@ -749,14 +922,38 @@ def _esc_literal(s: str) -> bytes:
             .replace(b"\n", b"\\n"))
 
 
+def _rl_encode(data: bytes) -> bytes:
+    """All-literal RunLength encoding (builder half — correctness, not
+    ratio)."""
+    out = bytearray()
+    for i in range(0, len(data), 128):
+        chunk = data[i:i + 128]
+        out.append(len(chunk) - 1)
+        out += chunk
+    out.append(128)  # EOD
+    return bytes(out)
+
+
+_CONTENT_FILTERS = {
+    "flate": (b"/FlateDecode", zlib.compress),
+    "lzw": (b"/LZWDecode", lzw_encode),
+    "a85": (b"/ASCII85Decode", lambda d: base64.a85encode(d) + b"~>"),
+    "ahx": (b"/ASCIIHexDecode", lambda d: d.hex().encode() + b">"),
+    "rl": (b"/RunLengthDecode", _rl_encode),
+}
+
+
 def pdf_build(pages, compress: bool = True, xref_stream: bool = False,
-              use_objstm: bool = False, predictor: bool = False) -> bytes:
+              use_objstm: bool = False, predictor: bool = False,
+              content_filter: str | None = None) -> bytes:
     """Author a PDF (the test-harness/gate half). ``pages`` is a list
     of page texts; each page's lines (split on newline) become Tj
     shows separated by T* line moves. Variants: classic xref table
     (default), ``xref_stream=True`` (/Type /XRef, /W [1 2 1], optional
     PNG Up ``predictor``), ``use_objstm=True`` (non-stream objects
-    packed into a /Type /ObjStm, implies xref_stream). Text must be
+    packed into a /Type /ObjStm, implies xref_stream);
+    ``content_filter`` picks the content-stream codec
+    (flate/lzw/a85/ahx/rl, default per ``compress``). Text must be
     latin-1-encodable (builder scope)."""
     if use_objstm:
         xref_stream = True
@@ -782,9 +979,11 @@ def pdf_build(pages, compress: bool = True, xref_stream: bool = False,
             body += b"(" + _esc_literal(line) + b") Tj "
         body += b"ET"
         raw = bytes(body)
-        if compress:
-            raw = zlib.compress(raw)
-            sd = b"<< /Length %d /Filter /FlateDecode >>" % len(raw)
+        fkey = content_filter or ("flate" if compress else None)
+        if fkey is not None:
+            fname, enc = _CONTENT_FILTERS[fkey]
+            raw = enc(raw)
+            sd = b"<< /Length %d /Filter %s >>" % (len(raw), fname)
         else:
             sd = b"<< /Length %d >>" % len(raw)
         streams[cnum] = (sd, raw)

@@ -2568,10 +2568,11 @@ FROM p
 def pdf_extract_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF text extraction end-to-end (r9, VERDICT r8 #3): per
     document a real PDF with 1-3 pages of md5-derived two-line text is
-    authored in one of FOUR md5-chosen file layouts — classic xref
-    table (Flate and uncompressed) and cross-reference STREAM with
-    PNG-Up-predictor entries, plain and with every non-stream object
-    packed into a /Type /ObjStm object stream — then
+    authored in one of SIX md5-chosen file layouts — classic xref
+    table (Flate and uncompressed), cross-reference STREAM with
+    PNG-Up-predictor entries, every non-stream object packed into a
+    /Type /ObjStm object stream, and LZWDecode / ASCII85Decode
+    content streams (r9: the full text-filter menu) — then
     ``extract_pdf_text`` (operators/multimodal.py -> functions/pdf.py)
     parses the object graph back and walks the content-stream text
     operators. The gate value-checks the exact page-joined text and
@@ -2587,12 +2588,13 @@ def pdf_extract_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         h = _hashlib.md5(text.encode("utf-8")).hexdigest()
         k = int(h[0:2], 16) % 3 + 1
-        variant = int(h[2:4], 16) % 4
+        variant = int(h[2:4], 16) % 6
         pages = [f"A{i}-{h[2 * i:2 * i + 6]}\nB{i}-{h[2 * i + 2:2 * i + 8]}"
                  for i in range(k)]
         kw = [dict(), dict(compress=False),
               dict(xref_stream=True, predictor=True),
-              dict(use_objstm=True)][variant]
+              dict(use_objstm=True), dict(content_filter="lzw"),
+              dict(content_filter="a85")][variant]
         return pdf_build(pages, **kw), "application/pdf"
 
     media = _doc_media_df(spark, sf_dir, build_pdf)

@@ -142,7 +142,7 @@ def test_hostile_inputs():
         pdf_extract_text(bad)
     # unsupported filter on the content stream (SAME-LENGTH corruption
     # — an insertion would shift every xref offset and mask the error)
-    bad = pdf_build(["x"]).replace(b"FlateDecode", b"LZWDecode  ", 1)
+    bad = pdf_build(["x"]).replace(b"FlateDecode", b"DCTDecode  ", 1)
     with pytest.raises(PdfError, match="unsupported stream filter"):
         pdf_extract_text(bad)
     # encrypted flag (trailer /Root swapped for /Encrypt, same length)
@@ -243,3 +243,150 @@ def test_review_r9_fixes():
     # (4) one-digit trailing #-escape stays literal
     assert parse_object(_Buf(b"/A#4 ")) == Name("A#4")
     assert parse_object(_Buf(b"/A#41")) == Name("AA")
+
+
+@pytest.mark.parametrize("cf", ["flate", "lzw", "a85", "ahx", "rl"])
+def test_content_filters_roundtrip(cf):
+    pages = ["Filtered text\nsecond line", "page 2 (with) specials\\"]
+    blob = pdf_build(pages, content_filter=cf)
+    assert pdf_page_texts(blob) == pages
+
+
+def test_lzw_golden_and_roundtrip():
+    """Hand-derived spec vector ('AAAAA' -> Clear,65,258,258,EOD at
+    width 9) plus round-trips across both width bumps and the
+    table-reset path."""
+    import random
+
+    from accelerator_spark.functions.pdf import lzw_decode, lzw_encode
+
+    def bits(codes, w=9):
+        acc = nb = 0
+        out = bytearray()
+        for c in codes:
+            acc = (acc << w) | c
+            nb += w
+            while nb >= 8:
+                out.append((acc >> (nb - 8)) & 0xFF)
+                nb -= 8
+                acc &= (1 << nb) - 1
+        if nb:
+            out.append((acc << (8 - nb)) & 0xFF)
+        return bytes(out)
+
+    golden = bits([256, 65, 258, 258, 257])
+    assert lzw_decode(golden) == b"AAAAA"
+    assert lzw_encode(b"AAAAA") == golden
+    random.seed(11)
+    for n in (0, 1, 300, 5000, 90_000):  # 90k crosses a table reset
+        data = bytes(random.randrange(5) for _ in range(n))
+        assert lzw_decode(lzw_encode(data)) == data, n
+    blob = bytes(random.randrange(256) for _ in range(20_000))
+    assert lzw_decode(lzw_encode(blob)) == blob  # incompressible path
+    with pytest.raises(PdfError, match="beyond table"):
+        lzw_decode(bits([256, 65, 300, 257]))
+    with pytest.raises(PdfError, match="not a literal"):
+        lzw_decode(bits([256, 300, 257]))
+
+
+def _tiff_lzw_ours(w, h, pixels):
+    """Minimal grayscale LZW TIFF around OUR encoder's strip bytes."""
+    import struct
+
+    from accelerator_spark.functions.pdf import lzw_encode
+
+    comp = lzw_encode(bytes(pixels))
+    strip_at = 8
+    ifd_at = strip_at + len(comp) + (len(comp) & 1)
+    tags = [(256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8),
+            (259, 3, 1, 5), (262, 3, 1, 1), (273, 4, 1, strip_at),
+            (277, 3, 1, 1), (278, 3, 1, h), (279, 4, 1, len(comp))]
+    ifd = struct.pack("<H", len(tags))
+    for t, typ, cnt, val in tags:
+        ifd += struct.pack("<HHII", t, typ, cnt, val)
+    ifd += struct.pack("<I", 0)
+    return (b"II*\x00" + struct.pack("<I", ifd_at) + comp
+            + b"\x00" * (len(comp) & 1) + ifd)
+
+
+def test_lzw_foreign_imageio_decodes_ours(spark, tmp_path):
+    """FOREIGN cross-check, direction 1: the JVM's ImageIO TIFF reader
+    (an independent LZW implementation) decodes OUR bitstream
+    pixel-exactly — including the 9->10->11 width-change timing, the
+    exact failure class self-round-trips cannot catch (the GIF
+    precedent)."""
+    w, h = 128, 64
+    pixels = bytes(((x * 7 + y * 13) // 5) % 251
+                   for y in range(h) for x in range(w))
+    path = tmp_path / "ours_lzw.tif"
+    path.write_bytes(_tiff_lzw_ours(w, h, pixels))
+    row = spark.read.format("image").load(str(path)).collect()[0]["image"]
+    assert (row.width, row.height) == (w, h)
+    data = bytes(row.data)
+    got = bytes(data[p * row.nChannels] for p in range(w * h))
+    assert got == pixels
+
+
+def test_lzw_foreign_ours_decodes_imageio(spark, tmp_path):
+    """FOREIGN cross-check, direction 2: ImageIO WRITES an LZW TIFF,
+    our lzw_decode reads its strips back pixel-exactly (undoing the
+    horizontal-differencing predictor if the writer used one)."""
+    import struct
+
+    from accelerator_spark.functions.pdf import lzw_decode
+
+    w, h = 40, 23
+    pixels = bytes((x * 3 + y * 11) % 253 for y in range(h)
+                   for x in range(w))
+    jvm = spark._jvm
+    bi = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    raster = bi.getRaster()
+    for i, v in enumerate(pixels):
+        raster.setSample(i % w, i // w, 0, v)
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+        "tiff").next()
+    param = writer.getDefaultWriteParam()
+    param.setCompressionMode(
+        jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType("LZW")
+    path = str(tmp_path / "theirs_lzw.tif")
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(
+        jvm.java.io.File(path))
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None),
+                 param)
+    ios.close()
+
+    blob = open(path, "rb").read()
+    bo = "<" if blob[:2] == b"II" else ">"
+    (ifd_at,) = struct.unpack(bo + "I", blob[4:8])
+    (n_tags,) = struct.unpack(bo + "H", blob[ifd_at:ifd_at + 2])
+    tags = {}
+    for k in range(n_tags):
+        at = ifd_at + 2 + 12 * k
+        tag, typ, cnt = struct.unpack(bo + "HHI", blob[at:at + 8])
+        if typ == 3 and cnt == 1:
+            (val,) = struct.unpack(bo + "H", blob[at + 8:at + 10])
+            tags[tag] = [val]
+        elif cnt == 1:
+            (val,) = struct.unpack(bo + "I", blob[at + 8:at + 12])
+            tags[tag] = [val]
+        else:
+            (off,) = struct.unpack(bo + "I", blob[at + 8:at + 12])
+            sz, fmt = {3: (2, "H"), 4: (4, "I")}[typ]
+            tags[tag] = [struct.unpack(bo + fmt,
+                                       blob[off + j * sz:
+                                            off + (j + 1) * sz])[0]
+                         for j in range(cnt)]
+    assert tags[259] == [5]  # really LZW-compressed
+    rows_per_strip = tags.get(278, [h])[0]
+    out = bytearray()
+    for off, cnt in zip(tags[273], tags[279]):
+        out += lzw_decode(blob[off:off + cnt])
+    if tags.get(317, [1])[0] == 2:  # horizontal differencing
+        for r in range(0, len(out), w):
+            for i in range(r + 1, min(r + w, len(out))):
+                out[i] = (out[i] + out[i - 1]) & 0xFF
+    assert bytes(out) == pixels
+    del rows_per_strip
