@@ -19,9 +19,11 @@ element-count budget on the XML walk, and loud errors for
 not-a-zip / missing-part / malformed-XML payloads so the operator's
 ``on_error`` containment (operators/multimodal.py) can do its job.
 
-XLSX is NOT text-extracted (a spreadsheet's meaning is tabular — the
-right ingestion is a table source, not a prose string); the probe
-still identifies it so corpora can route it.
+XLSX is tabular, not prose: ``xlsx_cells`` reads it as a CELL TABLE
+(sheet, row, column, value, kind — sharedStrings resolved, workbook
+rels walked, inline/formula/boolean cells typed), which is what
+``operators/multimodal.extract_table_cells`` distributes; the prose
+extractors refuse it by design.
 """
 
 from __future__ import annotations
@@ -235,4 +237,178 @@ def pptx_build(slides) -> bytes:
                 'openxmlformats.org/presentationml/2006/main" xmlns:a='
                 '"http://schemas.openxmlformats.org/drawingml/2006/'
                 f'main"><p:txBody>{paras}</p:txBody></p:sld>')
+    return buf.getvalue()
+
+
+# ------------------------------------------------------------- xlsx
+_R = ("{http://schemas.openxmlformats.org/officeDocument/2006/"
+      "relationships}")
+_PKG_R = ("{http://schemas.openxmlformats.org/package/2006/"
+          "relationships}")
+_CELL_REF_RE = re.compile(r"^([A-Z]{1,3})(\d+)$")
+
+
+def _si_text(si) -> str:
+    """One <si> shared-string item: plain <t> or rich-text <r> runs."""
+    return "".join(node.text or "" for node in si.iter(_W_NONE + "t"))
+
+
+_W_NONE = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def xlsx_cells(data: bytes):
+    """Yield (sheet_name, row, col_letters, value_str, kind) for every
+    value-carrying cell of an XLSX workbook, sheets in workbook order.
+    ``kind``: 's' shared/inline/formula string, 'n' number, 'b'
+    boolean, 'e' error. Values stay STRINGS (the file stores them as
+    text; typing them is the caller's schema decision — the tabular
+    route the prose extractor points spreadsheets at). Formulas yield
+    their cached <v> result."""
+    wanted = {"xl/workbook.xml", "xl/_rels/workbook.xml.rels",
+              "xl/sharedStrings.xml"}
+    members = zip_read_members(
+        data, lambda n: n in wanted or (
+            n.startswith("xl/worksheets/") and n.endswith(".xml")))
+    wb = members.get("xl/workbook.xml")
+    if wb is None:
+        raise OfficeError("no xl/workbook.xml (not an XLSX)")
+    wb_root = _parse_xml(wb, "xl/workbook.xml")
+    rels = {}
+    rels_blob = members.get("xl/_rels/workbook.xml.rels")
+    if rels_blob is not None:
+        for rel in _parse_xml(rels_blob, "workbook rels").iter(
+                _PKG_R + "Relationship"):
+            rels[rel.get("Id")] = rel.get("Target", "")
+    shared = []
+    sst = members.get("xl/sharedStrings.xml")
+    if sst is not None:
+        shared = [_si_text(si) for si in
+                  _parse_xml(sst, "sharedStrings").iter(_W_NONE + "si")]
+    sheets = []
+    for sh in wb_root.iter(_W_NONE + "sheet"):
+        name = sh.get("name") or f"sheet{len(sheets) + 1}"
+        target = rels.get(sh.get(_R + "id"), "")
+        if not target:  # no rels part: fall back to position order
+            target = f"worksheets/sheet{len(sheets) + 1}.xml"
+        path = "xl/" + target.lstrip("/") if not target.startswith(
+            "xl/") else target
+        sheets.append((name, path))
+    if not sheets:
+        raise OfficeError("workbook declares no sheets")
+    for name, path in sheets:
+        blob = members.get(path)
+        if blob is None:
+            raise OfficeError(f"worksheet {path} missing from archive")
+        root = _parse_xml(blob, path)
+        for row_el in root.iter(_W_NONE + "row"):
+            for c in row_el:
+                if c.tag != _W_NONE + "c":
+                    continue
+                ref = c.get("r") or ""
+                m = _CELL_REF_RE.match(ref)
+                t = c.get("t", "n")
+                if t == "inlineStr":
+                    val = "".join(
+                        n.text or "" for n in c.iter(_W_NONE + "t"))
+                    kind = "s"
+                else:
+                    v = c.find(_W_NONE + "v")
+                    if v is None or v.text is None:
+                        continue  # style-only cell carries no value
+                    val = v.text
+                    if t == "s":
+                        try:
+                            val = shared[int(val)]
+                        except (ValueError, IndexError):
+                            raise OfficeError(
+                                "bad sharedStrings index") from None
+                        kind = "s"
+                    elif t == "str":
+                        kind = "s"
+                    elif t == "b":
+                        kind = "b"
+                        val = "true" if val.strip() == "1" else "false"
+                    elif t == "e":
+                        kind = "e"
+                    else:
+                        kind = "n"
+                yield (name,
+                       int(m.group(2)) if m else
+                       int(row_el.get("r", 0) or 0),
+                       m.group(1) if m else "",
+                       val, kind)
+
+
+def xlsx_build(sheets: dict) -> bytes:
+    """Author a minimal XLSX (the gate half): {sheet_name: rows},
+    each row a list of cell values — str cells go through
+    sharedStrings (the real-writer path), bools as t=\"b\", numbers
+    inline."""
+    shared: list = []
+    shared_at: dict = {}
+
+    def col_letters(j: int) -> str:
+        out = ""
+        j += 1
+        while j:
+            j, r = divmod(j - 1, 26)
+            out = chr(65 + r) + out
+        return out
+
+    sheet_xmls = []
+    for rows in sheets.values():
+        body = []
+        for i, row in enumerate(rows, start=1):
+            cells = []
+            for j, v in enumerate(row):
+                ref = f"{col_letters(j)}{i}"
+                if isinstance(v, bool):
+                    cells.append(f'<c r="{ref}" t="b"><v>'
+                                 f"{1 if v else 0}</v></c>")
+                elif isinstance(v, str):
+                    if v not in shared_at:
+                        shared_at[v] = len(shared)
+                        shared.append(v)
+                    cells.append(f'<c r="{ref}" t="s"><v>'
+                                 f"{shared_at[v]}</v></c>")
+                elif v is None:
+                    continue
+                else:
+                    cells.append(f'<c r="{ref}"><v>{v}</v></c>')
+            body.append(f'<row r="{i}">{"".join(cells)}</row>')
+        ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        sheet_xmls.append(
+            f'<?xml version="1.0"?><worksheet xmlns="{ns}">'
+            f'<sheetData>{"".join(body)}</sheetData></worksheet>')
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rns = ("http://schemas.openxmlformats.org/officeDocument/2006/"
+           "relationships")
+    pkg = ("http://schemas.openxmlformats.org/package/2006/"
+           "relationships")
+    wb_sheets = "".join(
+        f'<sheet name="{_xml_escape(nm)}" sheetId="{i + 1}" '
+        f'r:id="rId{i + 1}"/>'
+        for i, nm in enumerate(sheets))
+    workbook = (f'<?xml version="1.0"?><workbook xmlns="{ns}" '
+                f'xmlns:r="{rns}"><sheets>{wb_sheets}</sheets>'
+                "</workbook>")
+    rels = "".join(
+        f'<Relationship Id="rId{i + 1}" Type="{rns}/worksheet" '
+        f'Target="worksheets/sheet{i + 1}.xml"/>'
+        for i in range(len(sheets)))
+    sst = ('<?xml version="1.0"?><sst xmlns="%s" count="%d" '
+           'uniqueCount="%d">%s</sst>'
+           % (ns, len(shared), len(shared),
+              "".join(f"<si><t xml:space=\"preserve\">"
+                      f"{_xml_escape(s)}</t></si>" for s in shared)))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels",
+                    f'<?xml version="1.0"?><Relationships '
+                    f'xmlns="{pkg}">{rels}</Relationships>')
+        zf.writestr("xl/sharedStrings.xml", sst)
+        for i, xml in enumerate(sheet_xmls):
+            zf.writestr(f"xl/worksheets/sheet{i + 1}.xml", xml)
     return buf.getvalue()

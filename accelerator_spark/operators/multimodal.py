@@ -939,3 +939,63 @@ def resize_media(
         df, per_row,
         [f for f in RESIZED_SCHEMA.fields if f.name not in ("media_id", "mime")],
         payload_col, id_col, mime_col, batch_partitions, on_error)
+
+
+TABLE_CELLS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("sheet", T.StringType(), True),
+    T.StructField("row", T.IntegerType(), True),
+    T.StructField("col", T.StringType(), True),
+    T.StructField("value", T.StringType(), True),
+    T.StructField("kind", T.StringType(), True),
+])
+
+
+def extract_table_cells(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    on_error: str = "raise",
+) -> DataFrame:
+    """XLSX -> cell table at scale (r9): the tabular route the prose
+    extractor points spreadsheets at. One row per value-carrying cell
+    (sheet, 1-based row, column letters, value STRING, kind
+    s/n/b/e) — sharedStrings resolved, workbook rels walked, values
+    left untyped because the file stores them as text and the schema
+    decision belongs to the caller (pivot to columns with
+    groupBy(sheet, row).pivot(col)). ``on_error="null"`` turns a NULL
+    or malformed workbook into one all-NULL row. Map-only, no
+    shuffle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..functions.docx import xlsx_cells
+
+    if on_error not in ("raise", "null"):
+        raise ValueError(
+            f"on_error must be 'raise' or 'null', got {on_error!r}")
+    slim = df.select(id_col, payload_col)
+    id_type = df.schema[id_col].dataType
+    schema = T.StructType(
+        [T.StructField("media_id", id_type, False)]
+        + list(TABLE_CELLS_SCHEMA.fields[1:]))
+    cols = [f.name for f in schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    raw = bytes(payload) if payload is not None else b""
+                    cells = list(xlsx_cells(raw))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    out.append((mid,) + (None,) * 5)
+                    continue
+                for sheet, row, col, value, kind in cells:
+                    out.append((mid, sheet, row, col, value, kind))
+            yield pd.DataFrame(out, columns=cols)
+
+    return slim.mapInPandas(run, schema=schema)

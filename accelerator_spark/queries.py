@@ -2970,6 +2970,74 @@ FROM e
 """
 
 
+def xlsx_cells_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XLSX tabular ingestion end-to-end (r9): per document a real
+    two-sheet workbook is authored (functions/docx.xlsx_build —
+    sharedStrings for every string cell, workbook rels, typed
+    boolean/number cells) with 1-3 md5-derived data rows, then
+    ``extract_table_cells`` (operators/multimodal.py) explodes it with
+    the production SpreadsheetML parser — sharedStrings indices
+    resolved, cell references split into row/column, booleans
+    normalized. Value-checks every cell of both sheets; the oracle
+    replays the construction with a lateral range join + cell-kind
+    union. One Arrow map stage, no shuffle."""
+    from .operators.multimodal import extract_table_cells
+
+    def build_wb(text: str):
+        import hashlib as _hashlib
+
+        from .functions.docx import xlsx_build
+
+        h = _hashlib.md5(text.encode("utf-8")).hexdigest()
+        k = int(h[0:2], 16) % 3 + 1
+        rows = []
+        for i in range(k):
+            rows.append(["it-" + h[2 * i:2 * i + 6],
+                         int(h[2 * i:2 * i + 3], 16) % 1000,
+                         int(h[2 * i + 1:2 * i + 3], 16) % 2 == 0])
+        return xlsx_build({"D": rows, "M": [["meta-" + h[:6]]]}), \
+            "application/vnd.ms-excel"
+
+    media = _doc_media_df(spark, sf_dir, build_wb)
+    return extract_table_cells(media).select(
+        "media_id", "sheet", F.col("row").alias("row_num"), "col",
+        "value", "kind")
+
+
+ORACLE_XLSX_CELLS = """
+WITH h AS (
+  SELECT doc_id AS media_id, md5(coalesce(text, '')) AS d1
+  FROM documents
+), p AS (
+  SELECT media_id, d1,
+         CAST(('0x' || substr(d1, 1, 2)) AS INT) % 3 + 1 AS k
+  FROM h
+), r AS (
+  SELECT media_id, d1, t.i
+  FROM p, range(3) t(i)
+  WHERE t.i < k
+)
+SELECT media_id, 'D' AS sheet, CAST(i + 1 AS INT) AS row_num,
+       'A' AS col, 'it-' || substr(d1, CAST(2 * i + 1 AS INT), 6)
+         AS value, 's' AS kind
+FROM r
+UNION ALL
+SELECT media_id, 'D', CAST(i + 1 AS INT), 'B',
+       CAST(CAST(('0x' || substr(d1, CAST(2 * i + 1 AS INT), 3)) AS INT)
+            % 1000 AS VARCHAR), 'n'
+FROM r
+UNION ALL
+SELECT media_id, 'D', CAST(i + 1 AS INT), 'C',
+       CASE WHEN CAST(('0x' || substr(d1, CAST(2 * i + 2 AS INT), 2))
+                      AS INT) % 2 = 0
+            THEN 'true' ELSE 'false' END, 'b'
+FROM r
+UNION ALL
+SELECT media_id, 'M', 1, 'A', 'meta-' || substr(d1, 1, 6), 's'
+FROM p
+"""
+
+
 ORACLE_MOJIBAKE = """
 WITH h AS (
   SELECT doc_id, md5(coalesce(text, '')) AS d1
@@ -6699,6 +6767,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "charset_decode_report": charset_decode_report,
     "pdf_extract_report": pdf_extract_report,
     "document_extract_report": document_extract_report,
+    "xlsx_cells_report": xlsx_cells_report,
     "png_resize_stats": png_resize_stats,
     "wav_decode_stats": wav_decode_stats,
     "gif_frames_report": gif_frames_report,
@@ -6843,6 +6912,7 @@ ORACLES: dict[str, str] = {
     "charset_decode_report": ORACLE_CHARSET_DECODE,
     "pdf_extract_report": ORACLE_PDF_EXTRACT,
     "document_extract_report": ORACLE_DOCUMENT_EXTRACT,
+    "xlsx_cells_report": ORACLE_XLSX_CELLS,
     "png_resize_stats": ORACLE_PNG_RESIZE,
     "wav_decode_stats": ORACLE_WAV_DECODE,
     "gif_frames_report": ORACLE_GIF_FRAMES,

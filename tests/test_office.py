@@ -165,3 +165,95 @@ def test_review_r9_epub_skips_media_members():
             zf.writestr(k, v)
     title, text, n = epub_text(out.getvalue())
     assert (title, text, n) == ("t", "chapter body", 1)
+
+
+def test_xlsx_cells_and_builder():
+    from accelerator_spark.functions.docx import xlsx_build, xlsx_cells
+
+    blob = xlsx_build({"Data": [["name", "qty"], ["apple", 3],
+                                [None, 2.5]],
+                       "Flags": [[True, False, "x & <y>"]]})
+    assert office_kind(blob) == "xlsx"
+    cells = list(xlsx_cells(blob))
+    assert ("Data", 1, "A", "name", "s") in cells
+    assert ("Data", 2, "B", "3", "n") in cells
+    assert ("Data", 3, "B", "2.5", "n") in cells          # None skipped
+    assert ("Flags", 1, "A", "true", "b") in cells
+    assert ("Flags", 1, "B", "false", "b") in cells
+    assert ("Flags", 1, "C", "x & <y>", "s") in cells     # entity round-trip
+    assert not any(c[0] == "Data" and c[1] == 3 and c[2] == "A"
+                   for c in cells)
+    # sheets come back in workbook order
+    assert [c[0] for c in cells] == ["Data"] * 5 + ["Flags"] * 3
+
+
+def test_xlsx_hostile_and_variants():
+    import pytest
+
+    from accelerator_spark.functions.docx import xlsx_build, xlsx_cells
+
+    # inline strings, formula-cached strings, error cells, 27+ columns
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    sheet = (f'<?xml version="1.0"?><worksheet xmlns="{ns}"><sheetData>'
+             '<row r="1">'
+             '<c r="A1" t="inlineStr"><is><t>inline</t></is></c>'
+             '<c r="AB1" t="str"><v>cached</v></c>'
+             '<c r="AC1" t="e"><v>#DIV/0!</v></c>'
+             '<c r="AD1"/>'                     # style-only, no value
+             "</row></sheetData></worksheet>")
+    wb = (f'<?xml version="1.0"?><workbook xmlns="{ns}"><sheets>'
+          '<sheet name="S" sheetId="1"/></sheets></workbook>')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)       # no rels: fallback path
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    cells = list(xlsx_cells(buf.getvalue()))
+    assert ("S", 1, "A", "inline", "s") in cells
+    assert ("S", 1, "AB", "cached", "s") in cells
+    assert ("S", 1, "AC", "#DIV/0!", "e") in cells
+    assert len(cells) == 3
+    # bad sharedStrings index is loud (hand-authored: the builder's
+    # zip is deflated, so a byte-replace can't reach the XML)
+    bad_sheet = (f'<?xml version="1.0"?><worksheet xmlns="{ns}">'
+                 '<sheetData><row r="1"><c r="A1" t="s"><v>9</v></c>'
+                 "</row></sheetData></worksheet>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/worksheets/sheet1.xml", bad_sheet)
+    with pytest.raises(OfficeError, match="sharedStrings index"):
+        list(xlsx_cells(buf.getvalue()))
+    # missing worksheet part is loud
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)
+    with pytest.raises(OfficeError, match="missing"):
+        list(xlsx_cells(buf.getvalue()))
+    # not an xlsx at all
+    with pytest.raises(OfficeError, match="not an XLSX"):
+        list(xlsx_cells(docx_build(["x"])))
+
+
+def test_extract_table_cells_distributed(spark):
+    from accelerator_spark.functions.docx import xlsx_build
+    from accelerator_spark.operators.multimodal import (
+        extract_table_cells)
+
+    df = spark.createDataFrame(
+        [(1, xlsx_build({"S": [["a", 1], ["b", 2]]})),
+         (2, None), (3, b"PK garbage")],
+        "media_id long, payload binary")
+    with pytest.raises(Exception):
+        extract_table_cells(df).collect()
+    rows = extract_table_cells(df, on_error="null").collect()
+    got = {(r["media_id"], r["sheet"], r["row"], r["col"]): r["value"]
+           for r in rows}
+    assert got[(1, "S", 1, "A")] == "a" and got[(1, "S", 2, "B")] == "2"
+    assert got[(2, None, None, None)] is None
+    assert got[(3, None, None, None)] is None
+    # pivot-to-columns works downstream (the caller's schema decision)
+    wide = (extract_table_cells(df.limit(1))
+            .groupBy("media_id", "row").pivot("col", ["A", "B"])
+            .agg({"value": "first"}).collect())
+    assert {(r["row"], r["A"], r["B"]) for r in wide} == \
+        {(1, "a", "1"), (2, "b", "2")}
