@@ -587,8 +587,8 @@ def extract_document_text(
                 text, n = pptx_text(raw)
                 return len(raw), "pptx", None, text, n
             if "xl/workbook.xml" in names:
-                raise OfficeError("xlsx is tabular, not prose (route "
-                                  "to a table source)")
+                raise OfficeError("xlsx is tabular, not prose — use "
+                                  "extract_table_cells")
             raise OfficeError("not an OOXML/EPUB container")
         raise OfficeError("unrecognized document container")
 

@@ -580,3 +580,35 @@ def normalize_unicode(df: DataFrame, text_col: str = "text",
         [T.StructField("text_norm", T.StringType(), True),
          T.StructField("changed", T.BooleanType(), True)],
         text_col, id_col)
+
+
+# sentence boundary: whitespace after [.!?] (closing quotes/brackets
+# allowed in between), NOT after a known abbreviation, and only when
+# something sentence-initial follows. Java regex (bounded lookbehind).
+_SENT_BOUNDARY = (
+    r"(?<=[.!?][\"')\]]{0,2})"
+    r"(?<!\b(?:Dr|Mr|Ms|Jr|Sr|St|vs|etc|Inc|Prof|Mrs)\.)"
+    r"(?<!\b[A-Z]\.)"
+    r"\s+"
+    r"(?=[\"'(\[]?[A-Z0-9])")
+
+
+def split_sentences(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Rule-based sentence segmentation, ENTIRELY JVM-side (no Python
+    in the hot path): one ``split`` + ``posexplode`` inside
+    whole-stage codegen. The boundary is whitespace after ./!/? —
+    optionally through closing quotes/brackets — not preceded by a
+    common abbreviation or a single-initial ('J. Smith'), and followed
+    by a sentence-initial character. The deliberately simple tier:
+    corpus chunking and packing want cheap, deterministic boundaries
+    at scan speed, not a trained segmenter. Emits (id, sent_idx,
+    sentence); rows with NULL text produce no rows (explode
+    semantics)."""
+    return (df
+            .select(id_col,
+                    F.posexplode(F.split(F.col(text_col),
+                                         _SENT_BOUNDARY))
+                    .alias("sent_idx", "sentence"))
+            .filter(F.trim("sentence") != "")
+            .select(id_col, "sent_idx", "sentence"))

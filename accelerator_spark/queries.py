@@ -3038,6 +3038,60 @@ FROM p
 """
 
 
+def sentence_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation end-to-end (r9): per document a text of
+    2-3 md5-derived sentences is authored — the first contains an
+    abbreviation ('Dr.') that must NOT split, the set mixes ./!/?
+    terminators — then ``split_sentences`` (operators/text.py) runs
+    the all-JVM boundary rule (split + posexplode inside whole-stage
+    codegen; DuckDB's RE2 cannot run the lookbehind, so the oracle
+    replays the expected sentences from the same md5 arithmetic
+    instead of the regex). No Python, no shuffle."""
+    from .operators.text import split_sentences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        import hashlib as _hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = _hashlib.md5((text or "").encode("utf-8")).hexdigest()
+                k = int(h[0:2], 16) % 2 + 2
+                sents = [f"Alpha {h[0:6]} met Dr. Who.",
+                         f"Beta {h[2:8]}!"]
+                if k == 3:
+                    sents.append(f"Gamma {h[4:10]}?")
+                out.append((doc_id, " ".join(sents)))
+            yield pd.DataFrame(out, columns=["doc_id", "text"])
+
+    raw = docs.mapInPandas(gen, schema="doc_id long, text string")
+    return split_sentences(raw).select("doc_id", "sent_idx", "sentence")
+
+
+ORACLE_SENTENCE_SPLIT = """
+WITH h AS (
+  SELECT doc_id, md5(coalesce(text, '')) AS d1
+  FROM documents
+), p AS (
+  SELECT doc_id, d1,
+         CAST(('0x' || substr(d1, 1, 2)) AS INT) % 2 + 2 AS k
+  FROM h
+)
+SELECT doc_id,
+       CAST(t.i AS INT) AS sent_idx,
+       CASE t.i
+         WHEN 0 THEN 'Alpha ' || substr(d1, 1, 6) || ' met Dr. Who.'
+         WHEN 1 THEN 'Beta ' || substr(d1, 3, 6) || '!'
+         ELSE 'Gamma ' || substr(d1, 5, 6) || '?' END AS sentence
+FROM p, range(3) t(i)
+WHERE t.i < k
+"""
+
+
 ORACLE_MOJIBAKE = """
 WITH h AS (
   SELECT doc_id, md5(coalesce(text, '')) AS d1
@@ -6760,6 +6814,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_extract_report": html_extract_report,
     "mojibake_repair_report": mojibake_repair_report,
     "unicode_normalize_report": unicode_normalize_report,
+    "sentence_split_report": sentence_split_report,
     "main_content_report": main_content_report,
     "robots_filter_report": robots_filter_report,
     "sitemap_report": sitemap_report,
@@ -6905,6 +6960,7 @@ ORACLES: dict[str, str] = {
     "html_extract_report": ORACLE_HTML_EXTRACT,
     "mojibake_repair_report": ORACLE_MOJIBAKE,
     "unicode_normalize_report": ORACLE_UNICODE_NORMALIZE,
+    "sentence_split_report": ORACLE_SENTENCE_SPLIT,
     "main_content_report": ORACLE_MAIN_CONTENT,
     "robots_filter_report": ORACLE_ROBOTS_FILTER,
     "sitemap_report": ORACLE_SITEMAP,

@@ -870,3 +870,29 @@ def test_normalize_unicode_unit_and_distributed(spark):
     assert (rows[2]["text_norm"], rows[2]["changed"]) == ("clean", False)
     assert rows[3]["text_norm"] is None and rows[3]["changed"] is None
     assert (rows[4]["text_norm"], rows[4]["changed"]) == ("ab c", True)
+
+
+def test_split_sentences_jvm(spark):
+    """r9: rule-based sentence boundaries entirely JVM-side —
+    abbreviations and initials don't split, closing quotes ride with
+    their sentence, NULL text yields no rows."""
+    from accelerator_spark.operators.text import split_sentences
+
+    df = spark.createDataFrame(
+        [(1, 'One starts. Two, by Dr. Smith! She said "three?" '
+             'J. Doe wrote Inc. reports. Last'),
+         (2, None), (3, "   "), (4, "lowercase follows. no split")],
+        "doc_id long, text string")
+    rows = [(r["doc_id"], r["sent_idx"], r["sentence"])
+            for r in split_sentences(df).collect()]
+    assert [s for d, i, s in rows if d == 1] == [
+        "One starts.", "Two, by Dr. Smith!", 'She said "three?"',
+        "J. Doe wrote Inc. reports.", "Last"]
+    assert not any(d == 2 or d == 3 for d, _, _ in rows)
+    # boundary needs a sentence-initial follower: stays one sentence
+    assert [s for d, i, s in rows if d == 4] == \
+        ["lowercase follows. no split"]
+    # the plan stays inside whole-stage codegen (no Python stage)
+    plan = split_sentences(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
