@@ -264,11 +264,11 @@ def xlsx_cells(data: bytes):
     text; typing them is the caller's schema decision — the tabular
     route the prose extractor points spreadsheets at). Formulas yield
     their cached <v> result."""
-    wanted = {"xl/workbook.xml", "xl/_rels/workbook.xml.rels",
-              "xl/sharedStrings.xml"}
+    # any xl/**.xml can be a rels target (POI-style absolute targets
+    # included) — the non-xml members (media, vml) stay unread
     members = zip_read_members(
-        data, lambda n: n in wanted or (
-            n.startswith("xl/worksheets/") and n.endswith(".xml")))
+        data, lambda n: n.startswith("xl/") and n.endswith(
+            (".xml", ".rels")))
     wb = members.get("xl/workbook.xml")
     if wb is None:
         raise OfficeError("no xl/workbook.xml (not an XLSX)")
@@ -290,8 +290,11 @@ def xlsx_cells(data: bytes):
         target = rels.get(sh.get(_R + "id"), "")
         if not target:  # no rels part: fall back to position order
             target = f"worksheets/sheet{len(sheets) + 1}.xml"
-        path = "xl/" + target.lstrip("/") if not target.startswith(
-            "xl/") else target
+        # normalize AFTER stripping the leading '/': an absolute
+        # '/xl/worksheets/sheet1.xml' target must not double the
+        # prefix (review r9b)
+        t = target.lstrip("/")
+        path = t if t.startswith("xl/") else "xl/" + t
         sheets.append((name, path))
     if not sheets:
         raise OfficeError("workbook declares no sheets")
@@ -318,7 +321,10 @@ def xlsx_cells(data: bytes):
                     val = v.text
                     if t == "s":
                         try:
-                            val = shared[int(val)]
+                            idx = int(val)
+                            if idx < 0:
+                                raise IndexError  # no negative wrap
+                            val = shared[idx]
                         except (ValueError, IndexError):
                             raise OfficeError(
                                 "bad sharedStrings index") from None
@@ -332,10 +338,15 @@ def xlsx_cells(data: bytes):
                         kind = "e"
                     else:
                         kind = "n"
-                yield (name,
-                       int(m.group(2)) if m else
-                       int(row_el.get("r", 0) or 0),
-                       m.group(1) if m else "",
+                row_num = (int(m.group(2)) if m
+                           else int(row_el.get("r", 0) or 0))
+                if not 0 <= row_num <= 1_048_576:
+                    # the xlsx row ceiling; an absurd reference would
+                    # otherwise escape per-row containment as an Arrow
+                    # int32 cast error at batch-yield time (review r9b)
+                    raise OfficeError(f"cell row {row_num} out of the "
+                                      "xlsx range")
+                yield (name, row_num, m.group(1) if m else "",
                        val, kind)
 
 

@@ -301,7 +301,8 @@ def _png_unpredict(data: bytes, columns: int, colors: int = 1,
     return bytes(out)
 
 
-def lzw_decode(data: bytes, early: int = 1) -> bytes:
+def lzw_decode(data: bytes, early: int = 1,
+               max_bytes: int = 256 << 20) -> bytes:
     """TIFF/PDF-variant LZW (MSB-first variable-width codes, 256 =
     ClearTable, 257 = EOD, width 9->12 with the EarlyChange-1 bump the
     PDF spec defaults to). The bitstream (including the width-change
@@ -342,6 +343,11 @@ def lzw_decode(data: bytes, early: int = 1) -> bytes:
                 raise PdfError("LZW: first code after clear is not a "
                                "literal")
             entry = table[code]
+        elif len(out) > max_bytes:
+            # ~2500x amplification is possible from repeated max-width
+            # codes — a decompression bomb must fail before it
+            # materializes (review r9b; the sitemap gzip budget's twin)
+            raise PdfError("LZW: decompressed-size budget exceeded")
         else:
             if code < len(table):
                 entry = table[code]
@@ -459,6 +465,8 @@ def _apply_predictor(data: bytes, p: dict, resolve) -> bytes:
             resolve(p.get("BitsPerComponent", 8)))
     if pred == 2:
         cols = resolve(p.get("Columns", 1))
+        if not isinstance(cols, int) or cols < 1:
+            raise PdfError("bad predictor geometry")
         out = bytearray(data)
         for r in range(0, len(out) - cols + 1, cols):
             for i in range(r + 1, r + cols):
@@ -469,12 +477,15 @@ def _apply_predictor(data: bytes, p: dict, resolve) -> bytes:
     return data
 
 
-def _decode_stream(sdict: dict, raw: bytes, resolve) -> bytes:
+def _decode_stream(sdict: dict, raw: bytes, resolve,
+                   max_bytes: int = 256 << 20) -> bytes:
     """Apply /Filter (+ /DecodeParms) to raw stream bytes. The TEXT
     filters are covered — FlateDecode, LZWDecode (both with
     predictors), ASCII85Decode, ASCIIHexDecode, RunLengthDecode; the
     image-only filters (DCT/JPX/CCITT/JBIG2) raise (scope note in the
-    module docstring)."""
+    module docstring). Every stage is capped at ``max_bytes`` of
+    output, so a crafted flate/LZW bomb fails loudly before it
+    materializes (review r9b)."""
     filt = resolve(sdict.get("Filter"))
     parms = resolve(sdict.get("DecodeParms")) or {}
     if filt is None:
@@ -493,14 +504,19 @@ def _decode_stream(sdict: dict, raw: bytes, resolve) -> bytes:
         p = resolve(p) or {}
         name = str(f)
         if name == "FlateDecode":
+            d = zlib.decompressobj()
             try:
-                data = zlib.decompress(data)
+                data = d.decompress(data, max_bytes + 1)
             except zlib.error as e:
                 raise PdfError(f"FlateDecode failed: {e}") from None
+            if len(data) > max_bytes or not d.eof:
+                raise PdfError("FlateDecode: decompressed-size budget "
+                               "exceeded (or truncated stream)")
             data = _apply_predictor(data, p, resolve)
         elif name == "LZWDecode":
             early = resolve(p.get("EarlyChange", 1))
-            data = lzw_decode(data, 1 if early is None else int(early))
+            data = lzw_decode(data, 1 if early is None else int(early),
+                              max_bytes=max_bytes)
             data = _apply_predictor(data, p, resolve)
         elif name == "ASCII85Decode":
             data = _ascii85_decode(data)
@@ -510,6 +526,8 @@ def _decode_stream(sdict: dict, raw: bytes, resolve) -> bytes:
             data = _runlength_decode(data)
         else:
             raise PdfError(f"unsupported stream filter /{f}")
+        if len(data) > max_bytes:
+            raise PdfError("stream decompressed-size budget exceeded")
     return data
 
 

@@ -140,6 +140,11 @@ def _url_path(url: str) -> str:
     """path+query of an absolute, scheme-relative, or relative URL
     (the RFC match target), without urllib overhead in the hot
     loop."""
+    frag = url.find("#")
+    if frag != -1:
+        url = url[:frag]  # BEFORE the authority scan: a '#f?q' or
+        # '#f/x' fragment must not leak into the match target
+        # (review r9b)
     at = url.find("://")
     if at != -1:
         rest = at + 3
@@ -158,9 +163,6 @@ def _url_path(url: str) -> str:
             url = url[slash:]
         else:
             return "/"
-    frag = url.find("#")
-    if frag != -1:
-        url = url[:frag]
     return url or "/"
 
 
@@ -343,15 +345,19 @@ def sitemap_build(entries, kind: str = "urlset",
     optional lastmod/changefreq/priority."""
     import gzip as _gzip
 
+    from ..functions.docx import _xml_escape
+
     child = "url" if kind == "urlset" else "sitemap"
     parts = ['<?xml version="1.0" encoding="UTF-8"?>',
              f'<{kind} xmlns="http://www.sitemaps.org/schemas/'
              'sitemap/0.9">']
     for e in entries:
-        fields = [f"<loc>{e['loc']}</loc>"]
+        # sitemap.org mandates entity escaping — '&' in query-string
+        # URLs is everyday sitemap content (review r9b)
+        fields = [f"<loc>{_xml_escape(str(e['loc']))}</loc>"]
         for k in ("lastmod", "changefreq", "priority"):
             if e.get(k) is not None:
-                fields.append(f"<{k}>{e[k]}</{k}>")
+                fields.append(f"<{k}>{_xml_escape(str(e[k]))}</{k}>")
         parts.append(f"<{child}>{''.join(fields)}</{child}>")
     parts.append(f"</{kind}>")
     raw = "".join(parts).encode("utf-8")

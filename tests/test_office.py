@@ -257,3 +257,53 @@ def test_extract_table_cells_distributed(spark):
             .agg({"value": "first"}).collect())
     assert {(r["row"], r["A"], r["B"]) for r in wide} == \
         {(1, "a", "1"), (2, "b", "2")}
+
+
+def test_review_r9b_xlsx_hardening():
+    """Review r9 pass 2: absolute rels targets resolve, negative
+    sharedStrings indices and out-of-range rows are loud."""
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rns = ("http://schemas.openxmlformats.org/officeDocument/2006/"
+           "relationships")
+    pkg = ("http://schemas.openxmlformats.org/package/2006/"
+           "relationships")
+    from accelerator_spark.functions.docx import xlsx_cells
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml",
+                    f'<workbook xmlns="{ns}" xmlns:r="{rns}"><sheets>'
+                    '<sheet name="S" sheetId="1" r:id="rId1"/>'
+                    "</sheets></workbook>")
+        zf.writestr("xl/_rels/workbook.xml.rels",
+                    f'<Relationships xmlns="{pkg}"><Relationship '
+                    'Id="rId1" Type="x" '
+                    'Target="/xl/worksheets/sheet1.xml"/>'
+                    "</Relationships>")
+        zf.writestr("xl/worksheets/sheet1.xml",
+                    f'<worksheet xmlns="{ns}"><sheetData><row r="1">'
+                    '<c r="A1"><v>7</v></c></row></sheetData>'
+                    "</worksheet>")
+    assert list(xlsx_cells(buf.getvalue())) == [("S", 1, "A", "7", "n")]
+
+    def one_sheet(cell_xml, sst=None):
+        b = io.BytesIO()
+        with zipfile.ZipFile(b, "w") as zf:
+            zf.writestr("xl/workbook.xml",
+                        f'<workbook xmlns="{ns}"><sheets>'
+                        '<sheet name="S" sheetId="1"/></sheets>'
+                        "</workbook>")
+            if sst:
+                zf.writestr("xl/sharedStrings.xml", sst)
+            zf.writestr("xl/worksheets/sheet1.xml",
+                        f'<worksheet xmlns="{ns}"><sheetData>'
+                        f'<row r="1">{cell_xml}</row></sheetData>'
+                        "</worksheet>")
+        return b.getvalue()
+
+    with pytest.raises(OfficeError, match="sharedStrings index"):
+        list(xlsx_cells(one_sheet(
+            '<c r="A1" t="s"><v>-1</v></c>',
+            f'<sst xmlns="{ns}"><si><t>SECRET</t></si></sst>')))
+    with pytest.raises(OfficeError, match="out of the xlsx range"):
+        list(xlsx_cells(one_sheet('<c r="A99999999999"><v>1</v></c>')))

@@ -390,3 +390,23 @@ def test_lzw_foreign_ours_decodes_imageio(spark, tmp_path):
                 out[i] = (out[i] + out[i - 1]) & 0xFF
     assert bytes(out) == pixels
     del rows_per_strip
+
+
+def test_review_r9b_budgets_and_geometry():
+    """Review r9 pass 2: flate/LZW decompression bombs fail before
+    materializing; Predictor-2 with zero columns raises PdfError, not
+    ValueError."""
+    from accelerator_spark.functions.pdf import (
+        _decode_stream, lzw_decode, lzw_encode)
+
+    bomb = zlib.compress(b"\x00" * (1 << 20))
+    with pytest.raises(PdfError, match="budget"):
+        _decode_stream({"Filter": Name("FlateDecode")}, bomb,
+                       lambda v: v, max_bytes=1000)
+    with pytest.raises(PdfError, match="budget"):
+        lzw_decode(lzw_encode(b"\x00" * (1 << 20)), max_bytes=1000)
+    with pytest.raises(PdfError, match="bad predictor geometry"):
+        _decode_stream(
+            {"Filter": Name("FlateDecode"),
+             "DecodeParms": {"Predictor": 2, "Columns": 0}},
+            zlib.compress(b"abcd"), lambda v: v)

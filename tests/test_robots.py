@@ -206,3 +206,18 @@ def test_review_r9_fixes(spark):
     assert _url_path("//host?a=1") == "/?a=1"
     r = parse_robots("User-agent: *\nDisallow: /?q=\n")
     assert not robots_allowed(r, _url_path("http://host?q=secret"))
+
+
+def test_review_r9b_sitemap_escaping_and_fragments():
+    """Review r9 pass 2: ampersand URLs survive the builder (entity
+    escaping) and fragments never leak into the robots match
+    target."""
+    from accelerator_spark.operators.robots import (
+        _url_path, parse_sitemap, sitemap_build)
+
+    kind, entries = parse_sitemap(sitemap_build(
+        [dict(loc="https://x/p?a=1&b=<2>")]))
+    assert entries[0][0] == "https://x/p?a=1&b=<2>"
+    assert _url_path("http://host#f?q=1") == "/"
+    assert _url_path("http://host#f/x") == "/"
+    assert _url_path("http://host/p?a=1#f") == "/p?a=1"
