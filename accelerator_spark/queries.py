@@ -7030,3 +7030,10 @@ from .queries2 import ORACLES2 as _ORACLES2, QUERIES2 as _QUERIES2  # noqa: E402
 
 QUERIES.update(_QUERIES2)
 ORACLES.update(_ORACLES2)
+
+# round-9b suites (WebDataset shards, HTML→Markdown, MIME mail,
+# k-means training) live in queries3.py
+from .queries3 import ORACLES3 as _ORACLES3, QUERIES3 as _QUERIES3  # noqa: E402
+
+QUERIES.update(_QUERIES3)
+ORACLES.update(_ORACLES3)

@@ -1,0 +1,157 @@
+"""TAR / WebDataset source tests (sources/tar.py).
+
+Hand-authored spec golden bytes (ustar 512-byte header layout written
+out longhand, independent of tar_build), the tar_build writer vs the
+stdlib-backed reader cross-check, WebDataset key/ext semantics,
+compression sniffing, chunked decode memory bounds, malformed inputs,
+the distributed import and sample grouping."""
+
+import gzip
+import hashlib
+import io
+import tarfile
+
+import pytest
+
+from accelerator_spark.sources.tar import (
+    TarError, tar_build, tar_decode_file, tar_import, tar_iter_members,
+    wds_key_ext, webdataset_group)
+
+
+def _golden_header(name: bytes, size: int) -> bytes:
+    """One ustar header written out longhand from the IEEE 1003.1
+    field table (offsets 0/100/108/116/124/136/148/156/257/263)."""
+    hdr = bytearray(512)
+    hdr[0:len(name)] = name
+    hdr[100:108] = b"0000644\0"
+    hdr[108:116] = b"0000000\0"
+    hdr[116:124] = b"0000000\0"
+    hdr[124:136] = b"%011o\0" % size
+    hdr[136:148] = b"%011o\0" % 1700000000
+    hdr[148:156] = b" " * 8
+    hdr[156] = ord("0")
+    hdr[257:263] = b"ustar\0"
+    hdr[263:265] = b"00"
+    hdr[148:156] = b"%06o\0 " % sum(hdr)
+    return bytes(hdr)
+
+
+def _golden_tar() -> bytes:
+    """Two members + end blocks, all field bytes hand-laid."""
+    p1, p2 = b"hello", b"x" * 600
+    return (_golden_header(b"a/s.txt", len(p1)) + p1 + b"\0" * (512 - 5)
+            + _golden_header(b"a/s.json", len(p2)) + p2 + b"\0" * (1024 - 600)
+            + b"\0" * 1024)
+
+
+def test_golden_bytes_parse():
+    rows = list(tar_iter_members(_golden_tar()))
+    assert [(r[0], r[1], r[3], r[4]) for r in rows] == [
+        (0, "a/s.txt", 5, 1700000000), (1, "a/s.json", 600, 1700000000)]
+    assert rows[0][2] == b"hello" and rows[1][2] == b"x" * 600
+
+
+def test_build_read_cross_check():
+    """Hand-rolled writer vs stdlib reader, including ustar prefix
+    long names, gzip, and mtime stepping."""
+    long = "p/" * 60 + "f.bin"
+    members = [("d/a.jpg", b"\xff\xd8" * 7), ("d/a.txt", b"t"),
+               (long, b"LL"), ("noext", b"")]
+    for gz in (False, True):
+        data = tar_build(members, mtime=1600000000, mtime_step=3,
+                         gzip_compress=gz)
+        rows = list(tar_iter_members(data))
+        assert [(r[1], r[2]) for r in rows] == members
+        assert [r[4] for r in rows] == [1600000000 + 3 * i
+                                        for i in range(4)]
+    # and stdlib tarfile agrees with our writer directly
+    tf = tarfile.open(fileobj=io.BytesIO(tar_build(members)))
+    assert [m.name for m in tf.getmembers()] == [m[0] for m in members]
+
+
+def test_build_rejects_unrepresentable():
+    with pytest.raises(TarError):
+        tar_build([("x" * 300, b"")])          # no slash to split at
+    with pytest.raises(TarError):
+        tar_build([("a", b"")], mtime=8 ** 12)  # octal overflow
+
+
+def test_wds_key_ext():
+    assert wds_key_ext("d/a.jpg") == ("d/a", "jpg")
+    assert wds_key_ext("d/a.seg.json") == ("d/a", "seg.json")
+    assert wds_key_ext("./d/a.txt") == ("d/a", "txt")
+    assert wds_key_ext("noext") == ("noext", "")
+    assert wds_key_ext("d.ir/plain") == ("d.ir/plain", "")
+    assert wds_key_ext(".hidden") == ("", "hidden")
+
+
+def test_skips_non_regular_members():
+    """Directories and links carry no payload; PAX/GNU metadata
+    entries must be consumed by the reader, not surfaced as rows."""
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.PAX_FORMAT) as tf:
+        d = tarfile.TarInfo("dir/")
+        d.type = tarfile.DIRTYPE
+        tf.addfile(d)
+        f = tarfile.TarInfo("dir/" + "n" * 150 + ".txt")  # forces PAX path
+        f.size = 3
+        tf.addfile(f, io.BytesIO(b"abc"))
+        ln = tarfile.TarInfo("dir/link.txt")
+        ln.type = tarfile.SYMTYPE
+        ln.linkname = "dir/other"
+        tf.addfile(ln)
+    rows = list(tar_iter_members(buf.getvalue()))
+    assert len(rows) == 1
+    assert rows[0][1].endswith(".txt") and rows[0][2] == b"abc"
+    assert rows[0][0] == 0
+
+
+def test_malformed_inputs():
+    with pytest.raises(TarError):
+        list(tar_iter_members(b"not a tar at all" + b"\0" * 600))
+    # truncated payload: header promises more bytes than exist
+    good = tar_build([("a.txt", b"12345")])
+    with pytest.raises(TarError):
+        list(tar_iter_members(good[:512 + 2]))
+
+
+def test_chunked_decode_bounds():
+    members = [(f"s{i:03d}.txt", bytes([i % 251]) * 10) for i in range(57)]
+    data = tar_build(members)
+    batches = list(tar_decode_file("p", data, chunk_records=10))
+    assert [len(b) for b in batches] == [10] * 5 + [7]
+    flat = [r for b in batches for r in b]
+    assert [r[2] for r in flat] == [m[0] for m in members]
+    assert [r[1] for r in flat] == list(range(57))
+    # byte-budget cut: 10-byte payloads, 25-byte budget -> 3 per batch
+    by_bytes = list(tar_decode_file("p", data, chunk_bytes=25))
+    assert [len(b) for b in by_bytes][:3] == [3, 3, 3]
+
+
+def test_tar_import_and_group(spark, tmp_path):
+    shard1 = [("d/a.jpg", b"IMGA"), ("d/a.txt", b"capA"),
+              ("d/b.jpg", b"IMGB"),
+              ("d/a.txt", b"capA2")]          # duplicate ext: last wins
+    shard2 = [("d/c.jpg", b"IMGC"), ("d/c.cls", b"7")]
+    (tmp_path / "s1.tar").write_bytes(tar_build(shard1))
+    (tmp_path / "s2.tar.gz").write_bytes(
+        tar_build(shard2, gzip_compress=True))
+    df = tar_import(spark, str(tmp_path))
+    rows = {(r.path.rsplit("/", 1)[-1], r.member_idx):
+            (r.member, r.sample_key, r.ext, bytes(r.payload))
+            for r in df.collect()}
+    assert len(rows) == 6
+    assert rows[("s1.tar", 3)] == ("d/a.txt", "d/a", "txt", b"capA2")
+    assert rows[("s2.tar.gz", 1)] == ("d/c.cls", "d/c", "cls", b"7")
+
+    g = webdataset_group(df)
+    samples = {r.sample_key: r for r in g.collect()}
+    assert set(samples) == {"d/a", "d/b", "d/c"}
+    a = samples["d/a"]
+    assert a.n_parts == 2
+    assert bytes(a.parts["txt"]) == b"capA2"      # last-wins
+    assert bytes(a.parts["jpg"]) == b"IMGA"
+    assert a.total_bytes == 4 + 4 + 5             # dup bytes counted
+    assert a.first_member_idx == 0
+    assert samples["d/c"].n_parts == 2
+    assert bytes(samples["d/c"].parts["cls"]) == b"7"
