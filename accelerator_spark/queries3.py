@@ -137,10 +137,85 @@ SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM rm
 """
 
 
+# =====================================================================
+# HTML → Markdown (operators/markdown.py)
+# =====================================================================
+
+def html_markdown_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→Markdown conversion end-to-end: per document a page is
+    authored with an h2, a paragraph exercising every inline form
+    (bold, italic, inline code, a link), an md5-chosen ul-or-ol list
+    and an md5-gated fenced pre block, then ``html_to_markdown`` runs
+    the production converter and the oracle replays the EXACT Markdown
+    string (newlines and all) by concatenation. One Arrow map stage,
+    no shuffle."""
+    from .operators.markdown import html_to_markdown
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build_html(batches):
+        import hashlib as _hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = _hashlib.md5((text or "").encode("utf-8")).hexdigest()
+                b0 = int(h[0:2], 16)
+                parts = [
+                    f"<h2>H-{h[:6]}</h2>",
+                    f'<p>P-{h[6:10]} <b>B-{h[10:14]}</b> '
+                    f'<i>I-{h[14:18]}</i> <code>C-{h[18:22]}</code> '
+                    f'<a href="/u/{h[22:26]}">L-{h[26:30]}</a>.</p>',
+                ]
+                tag = "ul" if b0 & 1 else "ol"
+                parts.append(f"<{tag}><li>i1-{h[2:6]}</li>"
+                             f"<li>i2-{h[4:8]}</li></{tag}>")
+                if b0 & 2:
+                    parts.append(f"<pre>code-{h[8:12]}</pre>")
+                out.append((doc_id, "".join(parts)))
+            yield pd.DataFrame(out, columns=["doc_id", "text"])
+
+    pages = docs.mapInPandas(build_html, schema="doc_id long, text string")
+    return html_to_markdown(pages).select("doc_id", "markdown", "n_chars")
+
+
+ORACLE_HTML_MARKDOWN = """
+WITH h AS (
+  SELECT doc_id, md5(text) AS hx,
+         CAST(('0x' || substr(md5(text), 1, 2)) AS INT) AS b0
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         '## H-' || substr(hx, 1, 6) || chr(10) || chr(10)
+         || 'P-' || substr(hx, 7, 4)
+         || ' **B-' || substr(hx, 11, 4) || '**'
+         || ' *I-' || substr(hx, 15, 4) || '*'
+         || ' `C-' || substr(hx, 19, 4) || '`'
+         || ' [L-' || substr(hx, 27, 4) || '](/u/' || substr(hx, 23, 4)
+         || ').' || chr(10) || chr(10)
+         || CASE WHEN b0 & 1 = 1
+                 THEN '- i1-' || substr(hx, 3, 4) || chr(10)
+                      || '- i2-' || substr(hx, 5, 4)
+                 ELSE '1. i1-' || substr(hx, 3, 4) || chr(10)
+                      || '2. i2-' || substr(hx, 5, 4) END
+         || CASE WHEN b0 & 2 = 2
+                 THEN chr(10) || chr(10) || '```' || chr(10)
+                      || 'code-' || substr(hx, 9, 4) || chr(10) || '```'
+                 ELSE '' END AS markdown
+  FROM h
+)
+SELECT doc_id, markdown, CAST(length(markdown) AS INT) AS n_chars FROM m
+"""
+
+
 QUERIES3 = {
     "webdataset_report": webdataset_report,
+    "html_markdown_report": html_markdown_report,
 }
 
 ORACLES3 = {
     "webdataset_report": ORACLE_WEBDATASET,
+    "html_markdown_report": ORACLE_HTML_MARKDOWN,
 }
