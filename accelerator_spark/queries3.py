@@ -210,12 +210,150 @@ SELECT doc_id, markdown, CAST(length(markdown) AS INT) AS n_chars FROM m
 """
 
 
+# =====================================================================
+# mbox / MIME mail (sources/mail.py)
+# =====================================================================
+
+def mbox_extract_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mbox/MIME ingestion end-to-end: per document an mboxrd file is
+    authored (sources/mail.mbox_build framing over hand-assembled
+    RFC 2822 bytes) with 1-2 messages in one of three md5-chosen body
+    shapes — 7bit text/plain whose body embeds a ``From ``-prefixed
+    line (so mboxrd quoting is exercised through build→split),
+    quoted-printable with non-ASCII, or multipart/mixed with a base64
+    text/plain + text/html + a binary attachment — and message 1
+    carries an RFC 2047 encoded-word subject. The production decode
+    (mbox_decode_file) parses everything back; the oracle replays
+    subjects (incl. the decoded ü), epoch dates, exact decoded bodies
+    and attachment arithmetic. One Arrow map stage, no shuffle."""
+    from pyspark.sql import types as T
+
+    from .sources.mail import MAIL_SCHEMA
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType())]
+        + [f for f in MAIL_SCHEMA.fields if f.name not in ("path",)])
+
+    def build_and_decode(batches):
+        import base64 as _b64
+        import hashlib as _hashlib
+        import quopri as _quopri
+
+        import pandas as pd
+
+        from .sources.mail import mbox_build, mbox_decode_file
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hx = _hashlib.md5((text or "").encode("utf-8")).hexdigest()
+                b0, b1, b2 = (int(hx[0:2], 16), int(hx[2:4], 16),
+                              int(hx[4:6], 16))
+                mode = b2 % 3
+                raws = []
+                for i in range(b0 % 2 + 1):
+                    if i == 0:
+                        subj = f"S-{hx[:8]}".encode()
+                    else:
+                        subj = (b"=?utf-8?b?" + _b64.b64encode(
+                            f"Sü-{hx[8:12]}".encode()) + b"?=")
+                    head = (b"Message-ID: <m%d-%s@x>\n"
+                            % (i, hx[:6].encode())
+                            + b"From: u" + hx[12:16].encode()
+                            + b"@example.com\n"
+                            + b"Subject: " + subj + b"\n"
+                            + b"Date: Thu, 01 Jan 2026 00:00:%02d +0000\n"
+                            % ((b1 + i) % 60))
+                    if mode == 0:
+                        body = (f"B-{hx[16:24]}\n"
+                                f"From here-{hx[24:28]}").encode()
+                        raw = (head + b"Content-Type: text/plain; "
+                               b"charset=utf-8\n\n" + body)
+                    elif mode == 1:
+                        body = _quopri.encodestring(
+                            f"Q-{hx[16:20]}-é№".encode())
+                        raw = (head + b"Content-Type: text/plain; "
+                               b"charset=utf-8\n"
+                               b"Content-Transfer-Encoding: "
+                               b"quoted-printable\n\n" + body)
+                    else:
+                        plain = _b64.encodebytes(
+                            f"B64-{hx[16:22]}-±".encode())
+                        att = _b64.encodebytes(bytes.fromhex(hx[:16]))
+                        raw = (head
+                               + b"MIME-Version: 1.0\n"
+                               b"Content-Type: multipart/mixed; "
+                               b"boundary=BB\n\n"
+                               b"--BB\n"
+                               b"Content-Type: text/plain; charset=utf-8\n"
+                               b"Content-Transfer-Encoding: base64\n\n"
+                               + plain +
+                               b"--BB\n"
+                               b"Content-Type: text/html; charset=utf-8\n\n"
+                               + f"<p>H-{hx[22:26]}</p>".encode() + b"\n"
+                               b"--BB\n"
+                               b"Content-Type: application/octet-stream\n"
+                               b"Content-Disposition: attachment; "
+                               b"filename=a.bin\n"
+                               b"Content-Transfer-Encoding: base64\n\n"
+                               + att +
+                               b"--BB--\n")
+                    raws.append(raw)
+                data = mbox_build(raws)
+                for rows in mbox_decode_file(str(doc_id), data):
+                    out.extend((int(r[0]),) + r[1:] for r in rows)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in out_schema.fields])
+
+    return docs.mapInPandas(build_and_decode, schema=out_schema)
+
+
+ORACLE_MBOX_EXTRACT = """
+WITH h AS (
+  SELECT doc_id, md5(text) AS hx,
+         CAST(('0x' || substr(md5(text), 1, 2)) AS INT) AS b0,
+         CAST(('0x' || substr(md5(text), 3, 2)) AS INT) AS b1,
+         CAST(('0x' || substr(md5(text), 5, 2)) AS INT) % 3 AS mode
+  FROM documents
+), msgs AS (
+  SELECT h.*, i.msg_idx
+  FROM h JOIN (SELECT 0 AS msg_idx UNION ALL SELECT 1) i
+    ON i.msg_idx <= b0 % 2
+)
+SELECT doc_id,
+       CAST(msg_idx AS BIGINT) AS msg_idx,
+       '<m' || msg_idx || '-' || substr(hx, 1, 6) || '@x>' AS message_id,
+       CASE WHEN msg_idx = 0 THEN 'S-' || substr(hx, 1, 8)
+            ELSE 'Sü-' || substr(hx, 9, 4) END AS subject,
+       'u' || substr(hx, 13, 4) || '@example.com' AS from_addr,
+       CAST(NULL AS VARCHAR) AS to_addrs,
+       CAST(1767225600 + (b1 + msg_idx) % 60 AS BIGINT) AS date_ts,
+       CASE mode
+         WHEN 0 THEN 'B-' || substr(hx, 17, 8) || chr(10)
+                     || 'From here-' || substr(hx, 25, 4)
+         WHEN 1 THEN 'Q-' || substr(hx, 17, 4) || '-é№'
+         ELSE 'B64-' || substr(hx, 17, 6) || '-±' END AS body_text,
+       CASE WHEN mode = 2
+            THEN '<p>H-' || substr(hx, 23, 4) || '</p>'
+            ELSE NULL END AS body_html,
+       CAST(CASE WHEN mode = 2 THEN 3 ELSE 1 END AS INT) AS n_parts,
+       CAST(CASE WHEN mode = 2 THEN 1 ELSE 0 END AS INT)
+         AS n_attachments,
+       CAST(CASE WHEN mode = 2 THEN 8 ELSE 0 END AS BIGINT)
+         AS attachment_bytes
+FROM msgs
+"""
+
+
 QUERIES3 = {
     "webdataset_report": webdataset_report,
     "html_markdown_report": html_markdown_report,
+    "mbox_extract_report": mbox_extract_report,
 }
 
 ORACLES3 = {
     "webdataset_report": ORACLE_WEBDATASET,
     "html_markdown_report": ORACLE_HTML_MARKDOWN,
+    "mbox_extract_report": ORACLE_MBOX_EXTRACT,
 }
