@@ -308,3 +308,93 @@ def semantic_dedup(corpus: DataFrame, centroids: DataFrame,
     # all corpus columns survive (the docstring contract is "kept ROWS
     # + centroid_id", not a projection down to id+vector)
     return assigned.join(dropped, id_col, "left_anti")
+
+
+def kmeans_train(corpus: DataFrame, k: int = 8, iters: int = 4,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 coord_dp: int = 6, score_dp: int = 4):
+    """Distributed Lloyd k-means over an embedding column — the trainer
+    that feeds ``ivf_assign``/``ivf_topk``/``semantic_dedup`` real
+    centroids instead of seed vectors (kmeans_lloyd_step in the gate
+    suite checks ONE update; this iterates).
+
+    The standard distributed shape: the MODEL is small (k × dim
+    doubles) and lives driver-side; the DATA is big and never leaves
+    the executors. Per iteration:
+
+    - assignment is a pure JVM expression — the k unit-normalized
+      centroids are compiled into the plan as literals and each vector
+      takes ``argmax(round(dot(v, u_c), score_dp))`` with lowest-c_id
+      tiebreak (cosine order: unit centroids make the vector's own
+      norm a common positive factor). No join, no shuffle.
+    - the mean recompute is one (c_id, dim) partial-agg shuffle
+      (posexplode → avg), then k × dim rows collect to the driver —
+      the audited bounded-collect class (model state, not data).
+
+    Determinism across engines and runs: init = the k lowest-id
+    vectors (c_id = their rank order); coordinates rounded to
+    ``coord_dp`` each update (heals partition-order float drift in
+    avg); scores rounded to ``score_dp``. An emptied cluster keeps its
+    previous centroid. All math in double (float arrays are cast up
+    front — 32-bit dot products drift).
+
+    Returns ``(centroids, assigned)``: centroids as a DataFrame
+    (c_id, c_emb, n_members — membership of the LAST assignment pass,
+    the one that produced the final means), and ``assigned`` = corpus
+    + c_id under the final centroids, lazily evaluable at corpus
+    scale. At 100 TB: iters × (one scan + one narrow shuffle); k up to
+    a few thousand keeps the literal plan and driver state trivial."""
+    if k < 1 or iters < 1:
+        raise ValueError("kmeans_train: k and iters must be >= 1")
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = corpus.select(F.col(id_col).alias("_kid"),
+                         vec_d.alias("_kv"))
+    seed = base.orderBy("_kid").limit(k).collect()
+    if len(seed) < k:
+        raise ValueError(f"kmeans_train: k={k} but corpus has only "
+                         f"{len(seed)} rows")
+    cents = [[float(x) for x in r["_kv"]] for r in seed]
+
+    def _unit(c):
+        n = (sum(x * x for x in c)) ** 0.5
+        return [x / n for x in c] if n > 0 else c
+
+    def _assign(units):
+        dots = F.array(*[
+            F.round(F.aggregate(
+                F.zip_with(F.col("_kv"),
+                           F.array(*[F.lit(x) for x in u]),
+                           lambda a, b: a * b),
+                F.lit(0.0), lambda acc, v: acc + v), score_dp)
+            for u in units])
+        return (base.withColumn("_dots", dots)
+                .withColumn("c_id", F.expr(
+                    "array_position(_dots, array_max(_dots)) - 1")
+                    .cast("int"))
+                .drop("_dots"))
+
+    sizes: dict = {}
+    for _ in range(iters):
+        assigned = _assign([_unit(c) for c in cents])
+        stats = (assigned
+                 .select("c_id", F.posexplode("_kv").alias("d", "x"))
+                 .groupBy("c_id", "d")
+                 .agg(F.round(F.avg("x"), coord_dp).alias("nx"),
+                      F.count(F.lit(1)).alias("n"))
+                 .collect())
+        sizes = {}
+        new = {cid: list(c) for cid, c in enumerate(cents)}
+        for r in stats:
+            new[r["c_id"]][r["d"]] = float(r["nx"])
+            sizes[r["c_id"]] = int(r["n"])
+        cents = [new[cid] for cid in range(k)]
+
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(cid, cents[cid], sizes.get(cid, 0)) for cid in range(k)],
+        schema="c_id int, c_emb array<double>, n_members long")
+    final = _assign([_unit(c) for c in cents])
+    out = (corpus.join(final.select("_kid", "c_id"),
+                       corpus[id_col] == F.col("_kid"))
+           .drop("_kid"))
+    return cent_df, out

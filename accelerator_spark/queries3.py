@@ -346,14 +346,90 @@ FROM msgs
 """
 
 
+# =====================================================================
+# k-means training (operators/similarity.py kmeans_train)
+# =====================================================================
+
+def kmeans_train_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-iteration Lloyd training end-to-end: ``kmeans_train``
+    (k=4, iters=2, init = 4 lowest-id vectors) over the embeddings
+    table; the oracle UNROLLS both iterations in SQL (unit-normalize →
+    rounded-dot argmax with low-id tiebreak → per-dim rounded means)
+    — so the full train loop, not just one step (kmeans_lloyd_step),
+    is value-checked: final sizes, each centroid's first coordinate
+    and L2 norm. Per iteration: one JVM assignment scan (centroid
+    literals compiled into the plan) + one (c_id, dim) agg shuffle."""
+    from .operators.similarity import kmeans_train
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents, _assigned = kmeans_train(emb, k=4, iters=2)
+    return cents.select(
+        F.col("c_id").cast("int").alias("c_id"),
+        "n_members",
+        F.round(F.element_at("c_emb", 1), 4).alias("dim0_r4"),
+        F.round(F.sqrt(F.aggregate(
+            F.transform("c_emb", lambda x: x * x),
+            F.lit(0.0), lambda a, v: a + v)), 4).alias("norm_r4"))
+
+
+# one Lloyd iteration in SQL: {p} = previous-centroid CTE (c_id, c),
+# {a}/{m}/{c} = names for the assignment / means / new-centroid CTEs
+_KM_ITER = """
+u{n} AS (
+  SELECT c_id, list_transform(c, x -> x / sqrt(list_dot_product(c, c)))
+           AS u
+  FROM {p}
+), a{n} AS (
+  SELECT vec_id, v, c_id FROM (
+    SELECT e.vec_id, e.v, u{n}.c_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_dot_product(e.v, u{n}.u), 4) DESC,
+                      u{n}.c_id ASC) AS rn
+    FROM emb e, u{n}) WHERE rn = 1
+), m{n} AS (
+  SELECT c_id, d, round(avg(x), 6) AS nx
+  FROM (SELECT c_id, generate_subscripts(v, 1) AS d, unnest(v) AS x
+        FROM a{n})
+  GROUP BY c_id, d
+), c{n} AS (
+  -- empty cluster keeps its centroid; count() guards the LEFT JOIN's
+  -- all-NULL group (list() of it would be [NULL], not NULL)
+  SELECT p.c_id,
+         CASE WHEN count(m{n}.nx) = 0 THEN p.c
+              ELSE list(m{n}.nx ORDER BY m{n}.d) END AS c
+  FROM {p} p LEFT JOIN m{n} USING (c_id)
+  GROUP BY p.c_id, p.c
+)"""
+
+ORACLE_KMEANS_TRAIN = ("""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c0 AS (
+  SELECT CAST(vec_id AS INT) AS c_id, v AS c FROM emb WHERE vec_id < 4
+), """
++ _KM_ITER.format(n=1, p="c0") + ", "
++ _KM_ITER.format(n=2, p="c1") + """,
+sizes AS (
+  SELECT c_id, count(*) AS n_members FROM a2 GROUP BY c_id
+)
+SELECT c2.c_id,
+       CAST(coalesce(sizes.n_members, 0) AS BIGINT) AS n_members,
+       round(c2.c[1], 4) AS dim0_r4,
+       round(sqrt(list_dot_product(c2.c, c2.c)), 4) AS norm_r4
+FROM c2 LEFT JOIN sizes USING (c_id)
+""")
+
+
 QUERIES3 = {
     "webdataset_report": webdataset_report,
     "html_markdown_report": html_markdown_report,
     "mbox_extract_report": mbox_extract_report,
+    "kmeans_train_report": kmeans_train_report,
 }
 
 ORACLES3 = {
     "webdataset_report": ORACLE_WEBDATASET,
     "html_markdown_report": ORACLE_HTML_MARKDOWN,
     "mbox_extract_report": ORACLE_MBOX_EXTRACT,
+    "kmeans_train_report": ORACLE_KMEANS_TRAIN,
 }
