@@ -548,7 +548,8 @@ def extract_document_text(
 ) -> DataFrame:
     """Unified document -> training text for a mixed scraped corpus
     (r9): routes each blob by its BYTES, never its MIME (scraped files
-    lie) — ``%PDF-`` to the PDF extractor, ZIP containers to EPUB
+    lie) — ``%PDF-`` to the PDF extractor, ``{\\rtf`` to the RTF
+    parser (functions/rtf.py), ZIP containers to EPUB
     (META-INF/container.xml), DOCX or PPTX (functions/epub.py,
     functions/docx.py). Output: kind, title (EPUB dc:title, else
     NULL), extracted text and the unit count (pages / paragraphs /
@@ -564,6 +565,10 @@ def extract_document_text(
         if raw.startswith(b"%PDF-"):
             text, n = pdf_extract_text(raw)
             return len(raw), "pdf", None, text, n
+        if raw.startswith(b"{\\rtf"):
+            from ..functions.rtf import rtf_text
+            text, n = rtf_text(raw)
+            return len(raw), "rtf", None, text, n
         if raw[:2] == b"PK":
             import io as _io
             import zipfile as _zipfile

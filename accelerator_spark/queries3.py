@@ -420,7 +420,60 @@ FROM c2 LEFT JOIN sizes USING (c_id)
 """)
 
 
+# =====================================================================
+# RTF extraction (functions/rtf.py via extract_document_text)
+# =====================================================================
+
+def rtf_extract_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RTF extraction end-to-end: per document an RTF file is authored
+    (functions/rtf.rtf_build — brace/backslash escapes, cp1252 \\'hh
+    bytes, \\uN-with-fallback unicode, a skippable font table and a
+    starred generator destination) with 2-3 md5-derived paragraphs
+    mixing braces, accents, № and a tab, then routed through the
+    PRODUCTION byte-sniffing router (extract_document_text → rtf_text)
+    and the oracle replays the exact extracted text. One Arrow map
+    stage, no shuffle."""
+    from .operators.multimodal import extract_document_text
+    from .queries import _doc_media_df
+
+    def build_rtf(text: str):
+        import hashlib as _hashlib
+
+        from .functions.rtf import rtf_build
+
+        h = _hashlib.md5(text.encode("utf-8")).hexdigest()
+        b0 = int(h[0:2], 16)
+        paras = [f"P1-{h[:8]} {{caf\xe9}}", f"P2-{h[8:14]}-№"]
+        if b0 & 1:
+            paras.append(f"P3-{h[14:18]}\tT")
+        return rtf_build(paras), "application/rtf"
+
+    media = _doc_media_df(spark, sf_dir, build_rtf)
+    ex = extract_document_text(media)
+    return ex.select(F.col("media_id").alias("doc_id"), "kind",
+                     "text", "n_units")
+
+
+ORACLE_RTF_EXTRACT = """
+WITH h AS (
+  SELECT doc_id, md5(text) AS hx,
+         CAST(('0x' || substr(md5(text), 1, 2)) AS INT) AS b0
+  FROM documents
+)
+SELECT doc_id, 'rtf' AS kind,
+       'P1-' || substr(hx, 1, 8) || ' {café}' || chr(10)
+       || 'P2-' || substr(hx, 9, 6) || '-№'
+       || CASE WHEN b0 & 1 = 1
+               THEN chr(10) || 'P3-' || substr(hx, 15, 4)
+                    || chr(9) || 'T'
+               ELSE '' END AS text,
+       CAST(CASE WHEN b0 & 1 = 1 THEN 3 ELSE 2 END AS INT) AS n_units
+FROM h
+"""
+
+
 QUERIES3 = {
+    "rtf_extract_report": rtf_extract_report,
     "webdataset_report": webdataset_report,
     "html_markdown_report": html_markdown_report,
     "mbox_extract_report": mbox_extract_report,
@@ -428,6 +481,7 @@ QUERIES3 = {
 }
 
 ORACLES3 = {
+    "rtf_extract_report": ORACLE_RTF_EXTRACT,
     "webdataset_report": ORACLE_WEBDATASET,
     "html_markdown_report": ORACLE_HTML_MARKDOWN,
     "mbox_extract_report": ORACLE_MBOX_EXTRACT,
