@@ -193,3 +193,100 @@ def heavy_hitters(df: DataFrame, key_col: str, threshold: int) -> DataFrame:
             .groupBy(key_col)
             .agg(F.count(F.lit(1)).alias("cnt"))
             .filter(F.col("cnt") >= threshold))
+
+
+# ---------------------------------------------------------------- bloom
+
+class BloomFilter:
+    """A deterministic Bloom filter for map-only pre-filtering: the
+    100 TB pattern where a bounded key set (URL blocklist, holdout
+    ids, decontamination fingerprints) must drop rows from a huge scan
+    WITHOUT a join or shuffle. The bitset is MODEL state (m_bits/8
+    bytes, built once, compiled into the probe plan as a hex literal),
+    so probing is a pure JVM expression at scan speed with zero
+    network — the same shape Spark's own runtime-filter bloom uses,
+    but with md5-derived positions both this package and a SQL oracle
+    can replay bit-for-bit (Spark's native bloom_filter_agg hashing is
+    opaque to other engines; use it for ad-hoc join pruning, use this
+    where decisions must be reproducible).
+
+    Position j of a key = ``int(md5(key)[8j : 8j+8], 16) % m_bits``
+    (j < n_hashes <= 4 — md5 yields four independent 32-bit lanes).
+    False-positive rate: standard ``(1 - e^(-kn/m))^k``; no false
+    negatives. All-positions-set membership semantics."""
+
+    def __init__(self, bits: int, m_bits: int, n_hashes: int, n_keys: int):
+        if m_bits % 4 or m_bits < 16:
+            raise ValueError("m_bits must be a multiple of 4, >= 16")
+        if not 1 <= n_hashes <= 4:
+            raise ValueError("n_hashes must be 1..4 (md5 has 4 lanes)")
+        self.bits = bits
+        self.m_bits = m_bits
+        self.n_hashes = n_hashes
+        self.n_keys = n_keys
+
+    @property
+    def hex_bitset(self) -> str:
+        """Hex char i encodes bit range [4i, 4i+4) — lowest bit first."""
+        out = []
+        b = self.bits
+        for _ in range(self.m_bits // 4):
+            out.append(format(b & 0xF, "x"))
+            b >>= 4
+        return "".join(out)
+
+    def fp_rate(self) -> float:
+        k, n, m = self.n_hashes, self.n_keys, self.m_bits
+        return (1.0 - math.exp(-k * n / m)) ** k
+
+    def might_contain(self, col) -> "F.Column":
+        """JVM membership test: every md5 lane's bit is set in the hex
+        literal. NULL keys give NULL (unknown), matching SQL `IN`."""
+        h = F.md5(col.cast("string"))
+        lit = F.lit(self.hex_bitset)
+        checks = []
+        for j in range(self.n_hashes):
+            p = (F.conv(F.substring(h, 8 * j + 1, 8), 16, 10)
+                 .cast("long") % self.m_bits)
+            digit = F.conv(
+                F.substring(lit, (p / 4).cast("int") + 1, 1), 16, 10
+            ).cast("int")
+            # shiftright() wants a literal shift — divide instead
+            # (digit <= 15, pow of 2 exact in double)
+            shifted = (digit / F.pow(F.lit(2.0), (p % 4).cast("double"))
+                       ).cast("int")
+            checks.append((shifted % 2) == 1)
+        out = checks[0]
+        for c in checks[1:]:
+            out = out & c
+        return out
+
+
+def bloom_build(df: DataFrame, key_col: str, m_bits: int = 1 << 16,
+                n_hashes: int = 4) -> BloomFilter:
+    """Build the filter distributed: positions are computed JVM-side
+    and only DISTINCT set positions collect (<= m_bits ints — bounded
+    model state, not data). NULL keys are ignored (they can't match)."""
+    BloomFilter(0, m_bits, n_hashes, 0)  # validate params early
+    h = F.md5(F.col(key_col).cast("string"))
+    pos = F.array(*[
+        (F.conv(F.substring(h, 8 * j + 1, 8), 16, 10)
+         .cast("long") % m_bits).cast("int")
+        for j in range(n_hashes)])
+    rows = (df.filter(F.col(key_col).isNotNull())
+            .select(F.explode(pos).alias("p")).distinct().collect())
+    bits = 0
+    for r in rows:
+        bits |= 1 << r["p"]
+    n_keys = df.filter(F.col(key_col).isNotNull()) \
+        .select(key_col).distinct().count()
+    return BloomFilter(bits, m_bits, n_hashes, n_keys)
+
+
+def bloom_prefilter(probe: DataFrame, bf: BloomFilter,
+                    key_col: str) -> DataFrame:
+    """Map-only pre-filter: keep rows whose key MIGHT be in the build
+    set (all true members survive; ~fp_rate() impostors do — chase
+    with an exact semi-join when exactness matters, on the
+    now-tiny survivor set)."""
+    return probe.filter(bf.might_contain(F.col(key_col)))

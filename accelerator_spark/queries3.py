@@ -472,8 +472,75 @@ FROM h
 """
 
 
+# =====================================================================
+# Bloom pre-filter (operators/sketches.py BloomFilter)
+# =====================================================================
+
+def bloom_prefilter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-Bloom pre-filter end-to-end: the BUILDING-segment
+    customer keys build a 2048-bit / 3-hash filter (sized to force
+    real false positives at sf0.01), every order probes it as a pure
+    JVM expression, and the per-priority report counts probes, maybes,
+    true members and false positives. The oracle replays the md5-lane
+    positions in SQL and applies the same all-positions-set
+    semantics — so the filter's exact bit pattern, FALSE POSITIVES
+    INCLUDED, is value-checked. Build: one distinct-positions
+    collect (bounded by m_bits); probe: map-only, no shuffle."""
+    from .operators.sketches import bloom_build
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    build = (cust.filter(F.col("c_mktsegment") == "BUILDING")
+             .select("c_custkey"))
+    bf = bloom_build(build, "c_custkey", m_bits=2048, n_hashes=3)
+    probed = (orders
+              .withColumn("maybe", bf.might_contain(F.col("o_custkey")))
+              .join(F.broadcast(build),
+                    F.col("o_custkey") == F.col("c_custkey"), "left")
+              .withColumn("is_true", F.col("c_custkey").isNotNull()))
+    return (probed.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_probe"),
+                 F.sum(F.col("maybe").cast("long")).alias("n_maybe"),
+                 F.sum(F.col("is_true").cast("long")).alias("n_true"),
+                 F.sum((F.col("maybe") & ~F.col("is_true"))
+                       .cast("long")).alias("n_false_pos")))
+
+
+ORACLE_BLOOM_PREFILTER = """
+WITH js AS (SELECT 0 AS j UNION ALL SELECT 1 UNION ALL SELECT 2),
+build AS (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+), bpos AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                              8 * j + 1, 8)) AS BIGINT) % 2048 AS p
+  FROM build, js
+), probe AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority,
+         CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                              8 * j + 1, 8)) AS BIGINT) % 2048 AS p
+  FROM orders, js
+), pm AS (
+  SELECT o_orderkey, any_value(o_custkey) AS o_custkey,
+         any_value(o_orderpriority) AS o_orderpriority,
+         bool_and(p IN (SELECT p FROM bpos)) AS maybe
+  FROM probe GROUP BY o_orderkey
+)
+SELECT o_orderpriority,
+       count(*) AS n_probe,
+       CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+       CAST(sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM build)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN maybe AND o_custkey NOT IN
+                          (SELECT c_custkey FROM build)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+FROM pm GROUP BY o_orderpriority
+"""
+
+
 QUERIES3 = {
     "rtf_extract_report": rtf_extract_report,
+    "bloom_prefilter_report": bloom_prefilter_report,
     "webdataset_report": webdataset_report,
     "html_markdown_report": html_markdown_report,
     "mbox_extract_report": mbox_extract_report,
@@ -482,6 +549,7 @@ QUERIES3 = {
 
 ORACLES3 = {
     "rtf_extract_report": ORACLE_RTF_EXTRACT,
+    "bloom_prefilter_report": ORACLE_BLOOM_PREFILTER,
     "webdataset_report": ORACLE_WEBDATASET,
     "html_markdown_report": ORACLE_HTML_MARKDOWN,
     "mbox_extract_report": ORACLE_MBOX_EXTRACT,
