@@ -538,9 +538,77 @@ FROM pm GROUP BY o_orderpriority
 """
 
 
+# =====================================================================
+# BPE tokenization (operators/bpe.py)
+# =====================================================================
+
+def bpe_tokenize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge application end-to-end: a fixed 4-entry merge table
+    with chained ranks (a+b → ab+c → abc+</w>, plus x+y) tokenizes
+    per-document texts of 3-5 md5-chosen words from a closed set whose
+    tokenizations are hand-derived — so rank ORDER, end-of-word fusion
+    and non-merging fallthrough are value-checked token-by-token
+    against a DuckDB replay. (The TRAINER is cross-checked in
+    tests/test_bpe.py against an independent reference implementation
+    and the published example corpus; training is iterative and not
+    SQL-expressible.) One Arrow map stage, no shuffle."""
+    from .operators.bpe import EOW, bpe_tokenize
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = ["abc", "ab", "cab", "xyz"]
+
+    def build_text(batches):
+        import hashlib as _hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = _hashlib.md5((text or "").encode("utf-8")).hexdigest()
+                k = 3 + int(h[0:2], 16) % 3
+                picked = [words[int(h[2 + i], 16) % 4] for i in range(k)]
+                out.append((doc_id, " ".join(picked)))
+            yield pd.DataFrame(out, columns=["doc_id", "text"])
+
+    texts = docs.mapInPandas(build_text, schema="doc_id long, text string")
+    merges = [("a", "b"), ("ab", "c"), ("abc", EOW), ("x", "y")]
+    tok = bpe_tokenize(texts, merges)
+    return tok.select("doc_id",
+                      F.array_join("tokens", " ").alias("tokens_str"),
+                      "n_tokens")
+
+
+ORACLE_BPE_TOKENIZE = """
+WITH h AS (
+  SELECT doc_id, md5(text) AS hx,
+         3 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 3 AS k
+  FROM documents
+), pos AS (
+  SELECT 0 AS i UNION ALL SELECT 1 UNION ALL SELECT 2
+  UNION ALL SELECT 3 UNION ALL SELECT 4
+), picked AS (
+  SELECT doc_id, i,
+         CAST(('0x' || substr(hx, 3 + i, 1)) AS INT) % 4 AS c
+  FROM h, pos WHERE i < k
+), toks AS (
+  SELECT doc_id, i,
+         CASE c WHEN 0 THEN 'abc</w>' WHEN 1 THEN 'ab </w>'
+                WHEN 2 THEN 'c ab </w>' ELSE 'xy z </w>' END AS t,
+         CASE c WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 3 END AS n
+  FROM picked
+)
+SELECT doc_id,
+       string_agg(t, ' ' ORDER BY i) AS tokens_str,
+       CAST(sum(n) AS INT) AS n_tokens
+FROM toks GROUP BY doc_id
+"""
+
+
 QUERIES3 = {
     "rtf_extract_report": rtf_extract_report,
     "bloom_prefilter_report": bloom_prefilter_report,
+    "bpe_tokenize_report": bpe_tokenize_report,
     "webdataset_report": webdataset_report,
     "html_markdown_report": html_markdown_report,
     "mbox_extract_report": mbox_extract_report,
@@ -550,6 +618,7 @@ QUERIES3 = {
 ORACLES3 = {
     "rtf_extract_report": ORACLE_RTF_EXTRACT,
     "bloom_prefilter_report": ORACLE_BLOOM_PREFILTER,
+    "bpe_tokenize_report": ORACLE_BPE_TOKENIZE,
     "webdataset_report": ORACLE_WEBDATASET,
     "html_markdown_report": ORACLE_HTML_MARKDOWN,
     "mbox_extract_report": ORACLE_MBOX_EXTRACT,
