@@ -605,10 +605,65 @@ FROM toks GROUP BY doc_id
 """
 
 
+# =====================================================================
+# format sniffing / corpus inventory (operators/sniff.py)
+# =====================================================================
+
+def corpus_inventory_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-corpus inventory end-to-end: per document one 64-byte
+    blob is authored with an md5-chosen magic head (png/gif/jpeg/pdf/
+    warc/mp4/json/raw-binary), then the PRODUCTION sniffer
+    (sniff_format via corpus_inventory) classifies and aggregates;
+    the oracle replays the choice distribution and the fixed sizes.
+    The planning pass a 100 TB scrape starts with: map-only scan +
+    one tiny agg shuffle. (Builder-output sniffing — docx/tar/mbox/
+    gzip-peek — is pinned in tests/test_sniff.py.)"""
+    from .operators.sniff import corpus_inventory
+    from .queries import _doc_media_df
+
+    heads = [b"\x89PNG\r\n\x1a\n", b"GIF89a", b"\xff\xd8\xff\xe0",
+             b"%PDF-1.7\n", b"WARC/1.0\r\n", b"\x00\x00\x00\x18ftyp",
+             b'{"k": "v", "x": "', b"\x00\x01\x02\x03"]
+
+    def build_blob(text: str):
+        import hashlib as _hashlib
+
+        h = _hashlib.md5(text.encode("utf-8")).hexdigest()
+        c = int(h[2], 16) % 8
+        head = heads[c]
+        pad = (b"\x00" if c == 7 else b"a") * (64 - len(head))
+        return head + pad, "application/octet-stream"
+
+    media = _doc_media_df(spark, sf_dir, build_blob)
+    return corpus_inventory(media)
+
+
+ORACLE_CORPUS_INVENTORY = """
+WITH h AS (
+  SELECT CAST(('0x' || substr(md5(text), 3, 1)) AS INT) % 8 AS c
+  FROM documents
+), m AS (
+  SELECT CASE c WHEN 0 THEN 'image' WHEN 1 THEN 'image'
+                WHEN 2 THEN 'image' WHEN 3 THEN 'document'
+                WHEN 4 THEN 'web' WHEN 5 THEN 'video'
+                WHEN 6 THEN 'text' ELSE 'unknown' END AS family,
+         CASE c WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                WHEN 2 THEN 'jpeg' WHEN 3 THEN 'pdf'
+                WHEN 4 THEN 'warc' WHEN 5 THEN 'mp4'
+                WHEN 6 THEN 'json' ELSE 'binary' END AS format
+  FROM h
+)
+SELECT family, format, count(*) AS n_files,
+       CAST(count(*) * 64 AS BIGINT) AS total_bytes
+FROM m GROUP BY family, format
+"""
+
+
 QUERIES3 = {
     "rtf_extract_report": rtf_extract_report,
     "bloom_prefilter_report": bloom_prefilter_report,
     "bpe_tokenize_report": bpe_tokenize_report,
+    "corpus_inventory_report": corpus_inventory_report,
     "webdataset_report": webdataset_report,
     "html_markdown_report": html_markdown_report,
     "mbox_extract_report": mbox_extract_report,
@@ -619,6 +674,7 @@ ORACLES3 = {
     "rtf_extract_report": ORACLE_RTF_EXTRACT,
     "bloom_prefilter_report": ORACLE_BLOOM_PREFILTER,
     "bpe_tokenize_report": ORACLE_BPE_TOKENIZE,
+    "corpus_inventory_report": ORACLE_CORPUS_INVENTORY,
     "webdataset_report": ORACLE_WEBDATASET,
     "html_markdown_report": ORACLE_HTML_MARKDOWN,
     "mbox_extract_report": ORACLE_MBOX_EXTRACT,
