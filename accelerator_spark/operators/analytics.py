@@ -131,3 +131,72 @@ def winsorize(df: DataFrame, value_col: str, group_cols: list[str],
                 F.col("_hi")))
     return (out.withColumn(f"{value_col}_winsor", clamped)
             .drop("_lo", "_hi", *[f"_g_{c}" for c in group_cols]))
+
+
+def logreg_train(df: DataFrame, vec_col: str = "embedding",
+                 label_col: str = "label", iters: int = 10,
+                 lr: float = 1.0, weight_dp: int = 6):
+    """Distributed logistic-regression training by full-batch gradient
+    descent — the quality-classifier primitive of a curation pipeline
+    (train a filter on labeled docs, score the corpus with the learned
+    weights; scoring is ``sigmoid(dot(w, x) + b)`` as a pure JVM
+    expression).
+
+    Same distributed shape as similarity.kmeans_train: the MODEL
+    (dim+1 doubles) is driver-side state compiled into each
+    iteration's plan as literals; the DATA never leaves the
+    executors. Per iteration one scan computes per-row
+    ``sigmoid(w·x + b) - y`` JVM-side, one (dim) partial-agg shuffle
+    sums the gradient (posexplode → sum), dim+1 values collect.
+    Weights update ``w -= lr/n * g`` and round to ``weight_dp``
+    (heals partition-order float drift — the cross-engine determinism
+    contract the oracle gate relies on). Labels must be 0/1 (cast
+    yourself); vectors must be same-length.
+
+    Returns ``(weights, bias)`` as plain python values — model state,
+    not a DataFrame; call ``logreg_score`` for corpus predictions.
+
+    At 100 TB: iters × (one scan + one narrow shuffle), identical
+    cost shape to an aggregation sweep."""
+    if iters < 1:
+        raise ValueError("logreg_train: iters must be >= 1")
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = (df.select(vec_d.alias("_x"),
+                      F.col(label_col).cast("double").alias("_y"))
+            .filter(F.col("_x").isNotNull() & F.col("_y").isNotNull()))
+    first = base.select(F.size("_x").alias("d")).first()
+    if first is None:
+        raise ValueError("logreg_train: empty input")
+    dim = first["d"]
+    n = base.count()
+    w = [0.0] * dim
+    b = 0.0
+    for _ in range(iters):
+        wlit = F.array(*[F.lit(x) for x in w])
+        score = F.aggregate(
+            F.zip_with(F.col("_x"), wlit, lambda a, c: a * c),
+            F.lit(b), lambda acc, v: acc + v)
+        resid = (F.lit(1.0) / (F.lit(1.0) + F.exp(-score)) - F.col("_y"))
+        scored = base.withColumn("_r", resid)
+        grad = (scored.select(F.posexplode("_x").alias("d", "xv"), "_r")
+                .groupBy("d")
+                .agg(F.sum(F.col("xv") * F.col("_r")).alias("g"))
+                .collect())
+        gb = scored.select(F.sum("_r").alias("g")).first()["g"]
+        gmap = {r["d"]: float(r["g"]) for r in grad}
+        w = [round(w[d] - lr * gmap.get(d, 0.0) / n, weight_dp)
+             for d in range(dim)]
+        b = round(b - lr * float(gb) / n, weight_dp)
+    return w, b
+
+
+def logreg_score(df: DataFrame, weights: list, bias: float,
+                 vec_col: str = "embedding",
+                 out_col: str = "prob") -> DataFrame:
+    """sigmoid(w·x + b) per row as a JVM expression — map-only corpus
+    scoring with the trained model."""
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    wlit = F.array(*[F.lit(float(x)) for x in weights])
+    s = F.aggregate(F.zip_with(vec_d, wlit, lambda a, c: a * c),
+                    F.lit(float(bias)), lambda acc, v: acc + v)
+    return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-s)))

@@ -659,11 +659,73 @@ FROM m GROUP BY family, format
 """
 
 
+# =====================================================================
+# logistic-regression training (operators/analytics.py logreg_train)
+# =====================================================================
+
+def logreg_train_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed classifier training end-to-end: ``logreg_train``
+    (2 full-batch GD iterations, lr=1.0, y = label%2) over the
+    embeddings table; the oracle UNROLLS both iterations in SQL
+    (sigmoid residuals → per-dim gradient sums → rounded weight
+    update), so the whole training loop is value-checked weight by
+    weight (d=0 is the bias). Per iteration: one JVM scoring scan
+    (weights as plan literals) + one (dim) agg shuffle; the model is
+    dim+1 doubles of driver state."""
+    from .operators.analytics import logreg_train
+
+    emb = (_t(spark, sf_dir, "embeddings")
+           .select("embedding", (F.col("label") % 2).alias("y")))
+    w, b = logreg_train(emb, "embedding", "y", iters=2, lr=1.0)
+    rows = [(0, float(b))] + [(i + 1, float(x)) for i, x in enumerate(w)]
+    return spark.createDataFrame(rows, schema="d int, weight double")
+
+
+_LR_ITER = """
+s{n} AS (
+  SELECT e.v, e.y,
+         1.0 / (1.0 + exp(-(list_dot_product(e.v, {p}.w) + {p}.b)))
+           - e.y AS r
+  FROM emb e, {p}
+), g{n} AS (
+  SELECT d, sum(xv * r) AS g
+  FROM (SELECT generate_subscripts(v, 1) AS d, unnest(v) AS xv, r
+        FROM s{n})
+  GROUP BY d
+), w{n} AS (
+  SELECT list(round(wp.w[g.d] - 1.0 * g.g / c.n, 6) ORDER BY g.d) AS w,
+         round(any_value(wp.b)
+               - 1.0 * (SELECT sum(r) FROM s{n}) / any_value(c.n),
+               6) AS b
+  FROM g{n} g, {p} wp, cnt c
+)"""
+
+ORACLE_LOGREG_TRAIN = ("""
+WITH emb AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v,
+         CAST(label % 2 AS DOUBLE) AS y
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND label IS NOT NULL
+), cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM emb),
+w0 AS (
+  SELECT list_transform((SELECT v FROM emb LIMIT 1), x -> 0.0) AS w,
+         0.0 AS b
+), """
++ _LR_ITER.format(n=1, p="w0") + ", "
++ _LR_ITER.format(n=2, p="w1") + """
+SELECT CAST(0 AS INT) AS d, b AS weight FROM w2
+UNION ALL
+SELECT CAST(gs AS INT) AS d, val AS weight
+FROM (SELECT generate_subscripts(w, 1) AS gs, unnest(w) AS val FROM w2)
+""")
+
+
 QUERIES3 = {
     "rtf_extract_report": rtf_extract_report,
     "bloom_prefilter_report": bloom_prefilter_report,
     "bpe_tokenize_report": bpe_tokenize_report,
     "corpus_inventory_report": corpus_inventory_report,
+    "logreg_train_report": logreg_train_report,
     "webdataset_report": webdataset_report,
     "html_markdown_report": html_markdown_report,
     "mbox_extract_report": mbox_extract_report,
@@ -675,6 +737,7 @@ ORACLES3 = {
     "bloom_prefilter_report": ORACLE_BLOOM_PREFILTER,
     "bpe_tokenize_report": ORACLE_BPE_TOKENIZE,
     "corpus_inventory_report": ORACLE_CORPUS_INVENTORY,
+    "logreg_train_report": ORACLE_LOGREG_TRAIN,
     "webdataset_report": ORACLE_WEBDATASET,
     "html_markdown_report": ORACLE_HTML_MARKDOWN,
     "mbox_extract_report": ORACLE_MBOX_EXTRACT,
