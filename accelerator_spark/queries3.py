@@ -720,8 +720,66 @@ FROM (SELECT generate_subscripts(w, 1) AS gs, unnest(w) AS val FROM w2)
 """)
 
 
+# =====================================================================
+# Arrow IPC source/sink (sources/arrowipc.py)
+# =====================================================================
+
+def arrow_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC sink/source gate (the avro_roundtrip_checksum shape):
+    a deterministic lineitem subset exports one IPC FILE per
+    partition (pyarrow writer, Spark→Arrow schema mapping incl. the
+    NTZ timestamp), re-imports distributed batch-per-batch, and
+    digests with the order-independent md5-xor checksum the oracle
+    computes over the parquet directly — so a value corrupted
+    anywhere in the export/import hop flips the hash."""
+    from .queries import _md5_xor_long, _scratch
+    from .sources.arrowipc import arrow_export, arrow_import
+
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") % 17 == 0)
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+                  "l_returnflag", "l_shipdate"))
+    path = _scratch("arrow_rt")
+    arrow_export(li.repartition(4), path)
+    back = arrow_import(spark, path)
+    cents = F.round(F.col("l_quantity") * 100).cast("long")
+    parts = [F.coalesce(F.col("l_orderkey").cast("string"), F.lit("<N>")),
+             F.coalesce(F.col("l_linenumber").cast("string"), F.lit("<N>")),
+             F.coalesce(cents.cast("string"), F.lit("<N>")),
+             F.coalesce(F.col("l_returnflag"), F.lit("<N>"))]
+    h = _md5_xor_long(*parts)
+    return back.select(h.alias("h"), "l_orderkey", "l_shipdate").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor("h").alias("checksum_xor"),
+        F.sum("l_orderkey").alias("sum_okey"),
+        F.max(F.col("l_shipdate").cast("date")).cast("string")
+        .alias("max_ship"))
+
+
+ORACLE_ARROW_RT = """
+SELECT "n_rows", "checksum_xor",
+       CAST("sum_okey" AS BIGINT) AS "sum_okey",
+       "max_ship"
+FROM (
+SELECT count(*) AS n_rows,
+       bit_xor(CAST(('0x' || substring(md5(
+         concat_ws(chr(31),
+           coalesce(CAST(l_orderkey AS VARCHAR), '<N>'),
+           coalesce(CAST(l_linenumber AS VARCHAR), '<N>'),
+           coalesce(CAST(CAST(round(l_quantity * 100) AS BIGINT)
+                         AS VARCHAR), '<N>'),
+           coalesce(l_returnflag, '<N>'))), 1, 15)) AS BIGINT))
+         AS checksum_xor,
+       sum(l_orderkey) AS sum_okey,
+       CAST(CAST(max(l_shipdate) AS DATE) AS VARCHAR) AS max_ship
+FROM lineitem WHERE l_orderkey % 17 = 0
+) _bigint_cast
+"""
+
+
 QUERIES3 = {
     "rtf_extract_report": rtf_extract_report,
+    "arrow_roundtrip_checksum": arrow_roundtrip_checksum,
     "bloom_prefilter_report": bloom_prefilter_report,
     "bpe_tokenize_report": bpe_tokenize_report,
     "corpus_inventory_report": corpus_inventory_report,
@@ -734,6 +792,7 @@ QUERIES3 = {
 
 ORACLES3 = {
     "rtf_extract_report": ORACLE_RTF_EXTRACT,
+    "arrow_roundtrip_checksum": ORACLE_ARROW_RT,
     "bloom_prefilter_report": ORACLE_BLOOM_PREFILTER,
     "bpe_tokenize_report": ORACLE_BPE_TOKENIZE,
     "corpus_inventory_report": ORACLE_CORPUS_INVENTORY,
