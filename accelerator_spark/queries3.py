@@ -777,9 +777,79 @@ FROM lineitem WHERE l_orderkey % 17 = 0
 """
 
 
+# =====================================================================
+# image dHash (operators/multimodal.py dhash_bits / image_dhash)
+# =====================================================================
+
+def image_dhash_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash end-to-end: per document a 9x8 grayscale PNG is
+    authored whose 72 pixel bytes are five chained md5 digests — the
+    exact dHash grid size, so the resample is the identity and every
+    one of the 64 gradient bits is replayable in SQL. The production
+    path (real PNG decode -> dhash_bits) runs; the oracle recomputes
+    each bit from the same md5 bytes and assembles the identical hex
+    string. Map-only Arrow stage, no shuffle."""
+    from .operators.multimodal import image_dhash
+    from .queries import _doc_media_df
+
+    def build_png(text: str):
+        import hashlib as _hashlib
+
+        from .functions.png import png_encode
+
+        raw = b"".join(
+            _hashlib.md5((text + suffix).encode("utf-8")).digest()
+            for suffix in ("", ":p2", ":p3", ":p4", ":p5"))
+        return png_encode(list(raw[:72]), 9, 8, color_type=0), "image/png"
+
+    media = _doc_media_df(spark, sf_dir, build_png)
+    return image_dhash(media).select(
+        F.col("media_id").alias("doc_id"), "dhash_hex",
+        "n_gradient_bits", "width", "height")
+
+
+def _dhash_oracle_sql() -> str:
+    """Assemble the 64-bit replay: pixel i is byte i of the five
+    concatenated digests; bit (y*8+x) compares grid (x,y) to (x+1,y);
+    nibbles index a hex alphabet."""
+    def px(i):
+        return f"CAST(('0x' || substr(hc, {2 * i + 1}, 2)) AS INT)"
+
+    def bit(b):
+        y, x = divmod(b, 8)
+        i = y * 9 + x
+        return f"(CASE WHEN {px(i)} < {px(i + 1)} THEN 1 ELSE 0 END)"
+
+    nibbles = []
+    for n in range(16):
+        v = " + ".join(f"{w} * {bit(4 * n + k)}"
+                       for k, w in enumerate((8, 4, 2, 1)))
+        nibbles.append(f"substr('0123456789abcdef', ({v}) + 1, 1)")
+    hex_expr = " || ".join(nibbles)
+    count_expr = " + ".join(bit(b) for b in range(64))
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         md5(text) || md5(text || ':p2') || md5(text || ':p3')
+         || md5(text || ':p4') || md5(text || ':p5') AS hc
+  FROM documents
+)
+SELECT doc_id,
+       {hex_expr} AS dhash_hex,
+       CAST({count_expr} AS INT) AS n_gradient_bits,
+       CAST(9 AS INT) AS width,
+       CAST(8 AS INT) AS height
+FROM h
+"""
+
+
+ORACLE_IMAGE_DHASH = _dhash_oracle_sql()
+
+
 QUERIES3 = {
     "rtf_extract_report": rtf_extract_report,
     "arrow_roundtrip_checksum": arrow_roundtrip_checksum,
+    "image_dhash_report": image_dhash_report,
     "bloom_prefilter_report": bloom_prefilter_report,
     "bpe_tokenize_report": bpe_tokenize_report,
     "corpus_inventory_report": corpus_inventory_report,
@@ -793,6 +863,7 @@ QUERIES3 = {
 ORACLES3 = {
     "rtf_extract_report": ORACLE_RTF_EXTRACT,
     "arrow_roundtrip_checksum": ORACLE_ARROW_RT,
+    "image_dhash_report": ORACLE_IMAGE_DHASH,
     "bloom_prefilter_report": ORACLE_BLOOM_PREFILTER,
     "bpe_tokenize_report": ORACLE_BPE_TOKENIZE,
     "corpus_inventory_report": ORACLE_CORPUS_INVENTORY,

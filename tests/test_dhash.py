@@ -1,0 +1,77 @@
+"""Image dHash tests (operators/multimodal.py dhash_bits/image_dhash):
+hand-computed bits on exact-size grids, luma reduction, EXIF
+orientation composition, PNG/GIF end-to-end, near-dup tolerance."""
+
+from accelerator_spark.functions.png import png_encode
+from accelerator_spark.operators.multimodal import dhash_bits, image_dhash
+
+
+def _expected_bits(grid):
+    """Independent recompute from a 9x8 grayscale grid (row-major)."""
+    bits = 0
+    for y in range(8):
+        for x in range(8):
+            bits = (bits << 1) | (1 if grid[y][x] < grid[y][x + 1] else 0)
+    return bits
+
+
+def test_hand_computed_exact_size():
+    # 9x8 grayscale: identity resample, bits straight off the pairs
+    grid = [[(x * 7 + y * 13) % 251 for x in range(9)] for y in range(8)]
+    flat = [v for row in grid for v in row]
+    assert dhash_bits(flat, 9, 8, 1) == _expected_bits(grid)
+    # monotone rows -> all 64 bits set; reversed -> none
+    inc = [x for _ in range(8) for x in range(9)]
+    assert dhash_bits(inc, 9, 8, 1) == (1 << 64) - 1
+    assert dhash_bits(inc[::-1], 9, 8, 1) == 0
+
+
+def test_luma_reduction_rgb():
+    # an RGB image whose luma equals a known gray image hashes the same
+    gray = [[(x * 31 + y * 3) % 200 for x in range(9)] for y in range(8)]
+    flat_gray = [v for row in gray for v in row]
+    flat_rgb = []
+    for v in flat_gray:
+        flat_rgb += [v, v, v]         # luma(v,v,v) == v
+    assert dhash_bits(flat_rgb, 9, 8, 3) == dhash_bits(flat_gray, 9, 8, 1)
+
+
+def test_orientation_composition():
+    # orientation 3 = 180° rotation: composing into the index math must
+    # equal hashing the materially rotated pixel grid
+    flat = [(x * 11 + y * 29) % 255 for y in range(8) for x in range(9)]
+    rotated = flat[::-1]
+    assert dhash_bits(flat, 9, 8, 1, orientation=3) == \
+        dhash_bits(rotated, 9, 8, 1, orientation=1)
+
+
+def test_png_end_to_end_and_resample_tolerance(spark):
+    # a smooth large image and its 2x downscale should hash identically
+    # (dHash's whole point); a noisy unrelated image should differ
+    big = [min(255, x // 2 + y // 3) for y in range(64) for x in range(72)]
+    small = [min(255, x + y) for y in range(16) for x in range(18)]
+    noise = [(x * 97 + y * 53) % 256 for y in range(16) for x in range(18)]
+    rows = [
+        (1, bytearray(png_encode(big, 72, 64)), "image/png"),
+        (2, bytearray(png_encode([big[(2 * y) * 72 + 2 * x]
+                                  for y in range(32) for x in range(36)],
+                                 36, 32)), "image/png"),
+        (3, bytearray(png_encode(small, 18, 16)), "image/png"),
+        (4, bytearray(png_encode(noise, 18, 16)), "image/png"),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary, mime string")
+    got = {r.media_id: (r.dhash_hex, r.width, r.height)
+           for r in image_dhash(df).collect()}
+    assert got[1][1:] == (72, 64)
+    assert got[1][0] == got[2][0]          # scale-invariant
+    assert got[3][0] != got[4][0]          # distinct content differs
+    assert len(got[1][0]) == 16
+
+
+def test_on_error_null(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not an image"), "image/png")],
+        "media_id long, payload binary, mime string")
+    out = image_dhash(df, on_error="null").collect()[0]
+    assert out.dhash_hex is None and out.width is None
