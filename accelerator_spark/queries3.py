@@ -1,5 +1,8 @@
-"""Round-9b query/operator additions — WebDataset shards, HTML→Markdown,
-MIME mail, multi-iteration k-means.
+"""Round-9b query/operator additions — WebDataset/tar shards,
+HTML→Markdown, mbox/MIME mail, RTF extraction, multi-iteration k-means,
+logistic-regression training, deterministic Bloom pre-filtering, BPE
+tokenization, format sniffing / corpus inventory, Arrow IPC round-trip,
+perceptual image hashing (dHash).
 
 Same contract as queries.py / queries2.py: every entry pairs a Spark
 implementation with a DuckDB oracle over the identical parquet tables;

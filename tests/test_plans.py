@@ -317,3 +317,62 @@ def test_entry_graded_subset_is_representative_and_valid():
             "html_extract_report", "sequence_packing",
             "hll_distinct_rollup", "dataset_type_menu2"}
     assert cats <= set(names[:50])
+
+
+# ---------------------------------------------------------------- round-9b
+
+def test_markdown_and_bpe_gates_map_only(spark, sf_dir):
+    """HTML→Markdown and BPE tokenization are per-document transforms:
+    their whole plans must stay map-only (no exchange, no join)."""
+    for name in ("html_markdown_report", "bpe_tokenize_report",
+                 "rtf_extract_report", "mbox_extract_report",
+                 "image_dhash_report"):
+        s = _plan(spark, name, sf_dir)
+        assert "Exchange" not in s, name
+        assert "Join" not in s, name
+
+
+def test_webdataset_grouping_bounded_shuffles(spark, sf_dir):
+    """Sample folding: the per-ext fold and the per-sample fold are the
+    only shuffles; no join anywhere."""
+    s = _plan(spark, "webdataset_report", sf_dir)
+    assert s.count("Exchange") <= 2
+    assert "Join" not in s
+
+
+def test_corpus_inventory_single_agg_exchange(spark, sf_dir):
+    s = _plan(spark, "corpus_inventory_report", sf_dir)
+    assert s.count("Exchange") == 1     # partial+final agg only
+    assert "Join" not in s
+
+
+def test_bloom_probe_is_join_free(spark, sf_dir):
+    """The Bloom membership test must compile to pure expressions over
+    the scan — no join, no shuffle. (The gate adds a broadcast
+    semi-join only to LABEL true members for the report.)"""
+    from accelerator_spark.operators.sketches import (
+        BloomFilter, bloom_prefilter)
+    from accelerator_spark.queries import _t
+
+    bf = BloomFilter((1 << 64) - 1, 256, 3, 10)
+    probe = bloom_prefilter(_t(spark, sf_dir, "orders"), bf, "o_custkey")
+    s = probe._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in s
+    assert "Join" not in s
+    # and the gate itself: broadcast for labeling, never SMJ
+    g = _plan(spark, "bloom_prefilter_report", sf_dir)
+    assert "BroadcastHashJoin" in g
+    assert "SortMergeJoin" not in g
+
+
+def test_logreg_scoring_map_only(spark, sf_dir):
+    """Scoring with a trained model is one JVM expression over the
+    scan — the corpus-filter hot path must not shuffle."""
+    from accelerator_spark.operators.analytics import logreg_score
+    from accelerator_spark.queries import _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    s = (logreg_score(emb, [0.1] * 64, -0.2)
+         ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in s
+    assert "Join" not in s
