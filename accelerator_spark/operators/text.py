@@ -612,3 +612,48 @@ def split_sentences(df: DataFrame, text_col: str = "text",
                     .alias("sent_idx", "sentence"))
             .filter(F.trim("sentence") != "")
             .select(id_col, "sent_idx", "sentence"))
+
+
+def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", lam: float = 0.75,
+                   ndigits: int = 4) -> DataFrame:
+    """Per-document mean ln-probability under the corpus's own
+    INTERPOLATED BIGRAM LM — the next quality rung above
+    ``unigram_logprob`` (CCNet-style perplexity filtering uses n-gram
+    context; a doc of individually-common but never-adjacent tokens
+    scores low here and normal there):
+
+        P(w2|w1) = lam * c(w1 w2)/c(w1) + (1-lam) * c(w2)/N
+
+    Returns id_col, n_bigrams, avg_logprob2; docs with fewer than two
+    tokens have no bigrams and are absent (the unigram operator's
+    empty-doc contract). Plan shape (no window, no driver data):
+    bigrams pair JVM-side inside each token array (arrays_zip of two
+    slices) BEFORE the explode, so pairing costs no shuffle; then the
+    bigram-vocab and unigram-vocab joins (AQE broadcasts them while
+    they fit) and one final per-doc agg."""
+    ts = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    base = (df.select(id_col, ts.alias("ts"))
+            .filter(F.size("ts") >= 2))
+    pairs = base.select(
+        id_col,
+        F.explode(F.arrays_zip(
+            F.expr("slice(ts, 1, size(ts) - 1)").alias("w1"),
+            F.expr("slice(ts, 2, size(ts) - 1)").alias("w2"))).alias("bg")
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uni = (df.select(F.explode(ts).alias("tok"))
+           .groupBy("tok").agg(F.count(F.lit(1)).alias("c1")))
+    total = uni.agg(F.sum("c1").cast("double").alias("corpus_n"))
+    p = (F.lit(lam) * F.col("c2") / F.col("c1_w1")
+         + (F.lit(1.0) - F.lit(lam)) * F.col("c1_w2") / F.col("corpus_n"))
+    return (pairs
+            .join(big, ["w1", "w2"])
+            .join(uni.select(F.col("tok").alias("w1"),
+                             F.col("c1").alias("c1_w1")), "w1")
+            .join(uni.select(F.col("tok").alias("w2"),
+                             F.col("c1").alias("c1_w2")), "w2")
+            .join(F.broadcast(total))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.avg(F.log(p)), ndigits).alias("avg_logprob2")))

@@ -849,10 +849,73 @@ FROM h
 ORACLE_IMAGE_DHASH = _dhash_oracle_sql()
 
 
+# =====================================================================
+# bigram LM quality (operators/text.py bigram_logprob)
+# =====================================================================
+
+def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM quality (the rung above
+    unigram_logprob_quality): every document scored by mean ln P(w2|w1)
+    with lam*c2/c1 + (1-lam)*c1/N smoothing, rolled up per source. The
+    oracle replays tokenization, pairing, both vocabularies and the
+    interpolation in SQL. Plan: JVM-side pairing inside the token
+    array (no window), vocab joins AQE-broadcast, one final agg."""
+    from .operators.text import bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = bigram_logprob(docs)
+    return (scored.join(docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("avg_logprob2"), 2).alias("avg_lp2"),
+                 F.sum("n_bigrams").alias("total_bigrams"))
+            .orderBy("source"))
+
+
+ORACLE_BIGRAM_LP = """
+WITH toks0 AS (
+  SELECT doc_id,
+         generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1)
+           AS pos,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+), toks AS (
+  SELECT doc_id, pos, tok FROM toks0 WHERE tok <> ''
+), pairs AS (
+  SELECT t1.doc_id, t1.tok AS w1, t2.tok AS w2
+  FROM toks t1 JOIN toks t2
+    ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+), big AS (
+  SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2
+), uni AS (
+  SELECT tok, count(*) AS c1 FROM toks GROUP BY tok
+), total AS (
+  SELECT CAST(sum(c1) AS DOUBLE) AS corpus_n FROM uni
+), scored AS (
+  SELECT p.doc_id, count(*) AS n_bigrams,
+         round(avg(ln(0.75 * b.c2 / u1.c1
+                      + 0.25 * u2.c1 / total.corpus_n)), 4)
+           AS avg_logprob2
+  FROM pairs p
+  JOIN big b USING (w1, w2)
+  JOIN uni u1 ON u1.tok = p.w1
+  JOIN uni u2 ON u2.tok = p.w2
+  CROSS JOIN total
+  GROUP BY p.doc_id
+)
+SELECT d.source, count(*) AS n_docs,
+       round(avg(s.avg_logprob2), 2) AS avg_lp2,
+       CAST(sum(s.n_bigrams) AS BIGINT) AS total_bigrams
+FROM scored s JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
 QUERIES3 = {
     "rtf_extract_report": rtf_extract_report,
     "arrow_roundtrip_checksum": arrow_roundtrip_checksum,
     "image_dhash_report": image_dhash_report,
+    "bigram_logprob_quality": bigram_logprob_quality,
     "bloom_prefilter_report": bloom_prefilter_report,
     "bpe_tokenize_report": bpe_tokenize_report,
     "corpus_inventory_report": corpus_inventory_report,
@@ -867,6 +930,7 @@ ORACLES3 = {
     "rtf_extract_report": ORACLE_RTF_EXTRACT,
     "arrow_roundtrip_checksum": ORACLE_ARROW_RT,
     "image_dhash_report": ORACLE_IMAGE_DHASH,
+    "bigram_logprob_quality": ORACLE_BIGRAM_LP,
     "bloom_prefilter_report": ORACLE_BLOOM_PREFILTER,
     "bpe_tokenize_report": ORACLE_BPE_TOKENIZE,
     "corpus_inventory_report": ORACLE_CORPUS_INVENTORY,

@@ -896,3 +896,26 @@ def test_split_sentences_jvm(spark):
     plan = split_sentences(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Interpolated bigram LM on a 2-doc corpus small enough to do by
+    hand; 1-token and empty docs are absent from the output."""
+    import math
+
+    from accelerator_spark.operators.text import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b b"), (3, "solo"), (4, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.n_bigrams, r.avg_logprob2)
+           for r in bigram_logprob(docs).collect()}
+    assert set(out) == {1, 2}
+    # corpus: tokens a,b,a,b,b,solo -> c1: a=2 b=3 solo=1, N=6
+    # bigrams: (a,b)=1 (b,a)=1 (b,b)=1
+    lam = 0.75
+    p_ab = lam * 1 / 2 + (1 - lam) * 3 / 6
+    p_ba = lam * 1 / 3 + (1 - lam) * 2 / 6
+    p_bb = lam * 1 / 3 + (1 - lam) * 3 / 6
+    assert out[1] == (2, round((math.log(p_ab) + math.log(p_ba)) / 2, 4))
+    assert out[2] == (1, round(math.log(p_bb), 4))
