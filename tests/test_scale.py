@@ -504,3 +504,98 @@ def test_robots_check_at_16x_broadcast(spark, docs16):
            for r in out.groupBy("allowed").count().collect()}
     assert agg[True] + agg[False] == docs16.count()
     assert agg[False] == docs16.filter("doc_id % 2 = 0").count()
+
+
+def test_tar_webdataset_at_16x_chunked(spark, docs16):
+    """r9b: shard decode must stream in bounded Arrow batches and the
+    sample fold must stay a plain key shuffle at 16x shards."""
+    from accelerator_spark.sources.tar import (
+        TAR_SCHEMA, tar_decode_file, webdataset_group)
+
+    def to_members(batches):
+        import pandas as pd
+
+        from accelerator_spark.sources.tar import tar_build
+
+        cols = [f.name for f in TAR_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                shard = tar_build(
+                    [(f"d/s{did}.jpg", b"I" * 64),
+                     (f"d/s{did}.txt", b"c" * 16)])
+                # tiny chunk bound: forces multi-batch streaming
+                for rows in tar_decode_file(str(did), shard,
+                                            chunk_records=1):
+                    out.extend(rows)
+            yield pd.DataFrame(out, columns=cols)
+
+    members = docs16.select("doc_id").mapInPandas(
+        to_members, schema=TAR_SCHEMA)
+    n_in = docs16.count()
+    g = webdataset_group(members)
+    agg = g.agg(F.count(F.lit(1)).alias("n"),
+                F.sum("n_parts").alias("p")).collect()[0]
+    assert agg["n"] == n_in          # one sample per input doc
+    assert agg["p"] == 2 * n_in
+
+
+def test_bpe_tokenize_at_16x_memoized(spark, docs16):
+    """r9b: BPE application is map-only; the per-worker word memo must
+    keep 16x repeated text linear."""
+    from accelerator_spark.operators.bpe import bpe_tokenize
+
+    merges = [("a", "b"), ("ab", "c")]
+    out = bpe_tokenize(docs16, merges)
+    n_in = docs16.count()
+    agg = out.agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("n_tokens").alias("t")).collect()[0]
+    assert agg["n"] == n_in
+    assert agg["t"] > 0
+
+
+def test_bloom_prefilter_at_16x_no_false_negatives(spark, li16):
+    """r9b: the probe is a pure expression — at 16x rows every true
+    member must survive and the maybe-count must replicate 16x."""
+    from accelerator_spark.operators.sketches import (
+        bloom_build, bloom_prefilter)
+
+    base = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    build = base.filter(F.col("l_orderkey") % 1000 == 0) \
+        .select("l_orderkey").distinct()
+    bf = bloom_build(build, "l_orderkey", m_bits=1 << 14, n_hashes=3)
+    n_base = bloom_prefilter(base, bf, "l_orderkey").count()
+    n_16 = bloom_prefilter(li16, bf, "l_orderkey").count()
+    assert n_16 == 16 * n_base
+    true_base = base.join(build, "l_orderkey", "left_semi").count()
+    assert n_base >= true_base
+
+
+def test_image_dhash_at_16x(spark, docs16):
+    """r9b: perceptual hashing decodes one image per row, map-only;
+    identical inputs must produce identical signatures at 16x."""
+    from accelerator_spark.operators.multimodal import image_dhash
+
+    def to_png(batches):
+        import pandas as pd
+
+        from accelerator_spark.functions.png import png_encode
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                px = [(x * (did % 7 + 1) + y) % 256
+                      for y in range(8) for x in range(9)]
+                out.append((did, png_encode(px, 9, 8, color_type=0),
+                            "image/png"))
+            yield pd.DataFrame(
+                out, columns=["media_id", "payload", "mime"])
+
+    media = docs16.select("doc_id").mapInPandas(
+        to_png, schema="media_id long, payload binary, mime string")
+    got = image_dhash(media)
+    n_in = docs16.count()
+    stats = got.agg(F.count(F.lit(1)).alias("n"),
+                    F.countDistinct("dhash_hex").alias("d")).collect()[0]
+    assert stats["n"] == n_in
+    assert stats["d"] <= 7           # 7 distinct patterns by construction
