@@ -40,7 +40,12 @@ from html.parser import HTMLParser
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from .html import _DROP, _VOID
+from .html import _DROP as _HTML_DROP, _VOID
+
+# markdown additionally drops <title>: it is document METADATA (the
+# html_extract operator surfaces it as its own column), not body text —
+# leaking it produced a phantom leading paragraph on every real page
+_DROP = _HTML_DROP | {"title"}
 
 _HEADING_LEVEL = {f"h{i}": i for i in range(1, 7)}
 # block containers that flush the current paragraph on both edges

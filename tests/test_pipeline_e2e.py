@@ -1,0 +1,123 @@
+"""End-to-end crawl-to-training-set integration: WARC bytes in, packed
+Arrow shards out, every stage the production operator. This is the
+pipeline a user of the engine actually runs — the test wires the r8
+crawl front (WARC -> charset decode -> HTML extract) into the r9b
+additions (Markdown, Bloom decontamination, BPE tokens, Arrow export)
+and asserts values, not just counts, at each hop."""
+
+import gzip
+
+from pyspark.sql import functions as F
+
+
+def _crawl_bytes():
+    """A 6-page crawl: 2 hosts, one exact duplicate pair, one
+    cp1252-encoded page, one boilerplate-only page."""
+    from accelerator_spark.sources.warc import warc_build
+
+    def page(title, body_html, charset="utf-8"):
+        html = (f"<html><head><title>{title}</title></head>"
+                f"<body><h1>{title}</h1>{body_html}"
+                "<script>tracking();</script></body></html>")
+        return html.encode(charset)
+
+    recs = [
+        {"warc_type": "response", "target_uri": "http://a.example/1",
+         "payload": page("Alpha", "<p>The quick brown fox jumps.</p>"),
+         "http": (200, "text/html; charset=utf-8")},
+        {"warc_type": "response", "target_uri": "http://a.example/2",
+         "payload": page("Beta", "<p>Caf\xe9 ole — smart.</p>",
+                         "cp1252"),
+         "http": (200, "text/html; charset=windows-1252")},
+        {"warc_type": "response", "target_uri": "http://b.example/1",
+         "payload": page("Alpha", "<p>The quick brown fox jumps.</p>"),
+         "http": (200, "text/html; charset=utf-8")},   # exact dup of /1
+        {"warc_type": "response", "target_uri": "http://b.example/2",
+         "payload": page("Gamma", "<p>Totally different words here "
+                                  "for the corpus.</p>"),
+         "http": (200, "text/html; charset=utf-8")},
+        {"warc_type": "response", "target_uri": "http://b.example/404",
+         "payload": b"<html><body>not found</body></html>",
+         "http": (404, "text/html")},
+        {"warc_type": "request", "target_uri": "http://b.example/1",
+         "payload": b"GET / HTTP/1.1"},
+    ]
+    return warc_build(recs, gzip_members=True)
+
+
+def test_crawl_to_training_set(spark, tmp_path):
+    from accelerator_spark.operators.bpe import bpe_tokenize, bpe_train
+    from accelerator_spark.operators.charset import decode_payload
+    from accelerator_spark.operators.dedup import exact_dedup
+    from accelerator_spark.operators.html import html_extract
+    from accelerator_spark.operators.markdown import html_to_markdown
+    from accelerator_spark.operators.sketches import (
+        bloom_build, bloom_prefilter)
+    from accelerator_spark.sources.arrowipc import arrow_export, arrow_import
+    from accelerator_spark.sources.warc import warc_import
+
+    crawl_dir = tmp_path / "crawl"
+    crawl_dir.mkdir()
+    (crawl_dir / "shard-0.warc.gz").write_bytes(_crawl_bytes())
+
+    # 1. ingest: only 200 HTML responses move on
+    recs = warc_import(spark, str(crawl_dir))
+    pages = recs.filter((F.col("warc_type") == "response")
+                        & (F.col("http_status") == 200))
+    assert pages.count() == 4
+
+    # 2. charset-aware decode: the cp1252 page must come out exact
+    pages = pages.withColumn("record_id",
+                             F.monotonically_increasing_id())
+    texts = decode_payload(pages).join(
+        pages.select("record_id", "target_uri"), "record_id")
+    by_uri = {r.target_uri: r for r in texts.collect()}
+    assert "Café ole — smart." in by_uri["http://a.example/2"].text
+    assert by_uri["http://a.example/2"].charset_used in (
+        "cp1252", "windows-1252")
+
+    # 3. structure: html_extract for text, markdown for training form
+    docs = texts.select(F.col("record_id").alias("doc_id"),
+                        "target_uri", "text")
+    ex = html_extract(docs).join(docs.select("doc_id", "target_uri"),
+                                 "doc_id")
+    md = html_to_markdown(docs).join(docs.select("doc_id", "target_uri"),
+                                     "doc_id")
+    md_by_uri = {r.target_uri: r.markdown for r in md.collect()}
+    assert md_by_uri["http://a.example/1"].startswith(
+        "# Alpha\n\nThe quick brown fox jumps.")
+    assert "tracking()" not in md_by_uri["http://a.example/1"]
+
+    # 4. exact dedup on extracted text: the cross-host dup collapses
+    body = ex.select("doc_id", "text")
+    keep = exact_dedup(body, text_col="text")
+    assert keep.count() == 3
+    assert keep.agg(F.max("n_copies")).first()[0] == 2  # the dup pair
+    kept = body.join(
+        keep.select(F.col("keep_doc_id").alias("doc_id")), "doc_id")
+
+    # 5. decontamination: Bloom-block the page whose text matches the
+    # "benchmark" set (map-only probe), then anti-join the maybes out
+    bench = spark.createDataFrame(
+        [("Gamma\nTotally different words here for the corpus.",)],
+        "text string")
+    bf = bloom_build(bench.select(F.md5("text").alias("fp")), "fp",
+                     m_bits=1 << 12, n_hashes=3)
+    with_fp = kept.withColumn("fp", F.md5(F.col("text")))
+    contaminated = bloom_prefilter(with_fp, bf, "fp").select("doc_id")
+    survivors = kept.join(contaminated, "doc_id", "left_anti")
+    # 2 of the 3 unique docs survive (Gamma was contaminated)
+    assert survivors.count() == 2
+
+    # 6. tokenize with a corpus-trained BPE and export Arrow shards
+    merges = bpe_train(survivors, text_col="text", n_merges=50,
+                       max_words=1000)
+    toks = bpe_tokenize(survivors, merges, text_col="text")
+    out_dir = str(tmp_path / "shards")
+    n = arrow_export(toks.select("doc_id", "tokens", "n_tokens"),
+                     out_dir)
+    assert n == 2
+    back = arrow_import(spark, out_dir)
+    got = {r.doc_id: r.n_tokens for r in back.collect()}
+    assert set(got) == {r.doc_id for r in survivors.collect()}
+    assert all(v > 0 for v in got.values())
