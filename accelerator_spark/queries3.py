@@ -79,7 +79,12 @@ def webdataset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out.extend(rows)
             yield pd.DataFrame(out, columns=cols)
 
-    member_df = docs.mapInPandas(build_and_decode, schema=TAR_SCHEMA)
+    # the authored-fixture stage parallelizes explicitly: sf0.1's
+    # documents.parquet is ONE file -> one task, and building+
+    # decoding 5k gzipped shards single-threaded dominates the gate
+    # (a real crawl directory has file-granular parallelism already)
+    member_df = docs.repartition(32).mapInPandas(
+        build_and_decode, schema=TAR_SCHEMA)
     g = webdataset_group(member_df)
     exts = F.array_sort(F.map_keys("parts"))
     sig = F.array_join(
@@ -309,7 +314,10 @@ def mbox_extract_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 out, columns=[f.name for f in out_schema.fields])
 
-    return docs.mapInPandas(build_and_decode, schema=out_schema)
+    # explicit fixture-stage parallelism (see webdataset_report):
+    # 7.5k MIME parses single-task dominated the gate otherwise
+    return docs.repartition(32).mapInPandas(
+        build_and_decode, schema=out_schema)
 
 
 ORACLE_MBOX_EXTRACT = """

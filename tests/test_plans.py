@@ -325,18 +325,27 @@ def test_markdown_and_bpe_gates_map_only(spark, sf_dir):
     """HTML→Markdown and BPE tokenization are per-document transforms:
     their whole plans must stay map-only (no exchange, no join)."""
     for name in ("html_markdown_report", "bpe_tokenize_report",
-                 "rtf_extract_report", "mbox_extract_report",
-                 "image_dhash_report"):
+                 "rtf_extract_report", "image_dhash_report"):
         s = _plan(spark, name, sf_dir)
         assert "Exchange" not in s, name
         assert "Join" not in s, name
 
 
+def test_mbox_gate_fixture_repartition_only(spark, sf_dir):
+    """The MIME decode itself is map-only; the gate's single exchange
+    is the explicit fixture-stage repartition (sf0.1's documents table
+    is one file -> one task; a real mail archive directory is already
+    file-granular)."""
+    s = _plan(spark, "mbox_extract_report", sf_dir)
+    assert s.count("Exchange") == 1
+    assert "Join" not in s
+
+
 def test_webdataset_grouping_bounded_shuffles(spark, sf_dir):
-    """Sample folding: the per-ext fold and the per-sample fold are the
-    only shuffles; no join anywhere."""
+    """Sample folding: the fixture repartition plus the per-ext and
+    per-sample folds are the only shuffles; no join anywhere."""
     s = _plan(spark, "webdataset_report", sf_dir)
-    assert s.count("Exchange") <= 2
+    assert s.count("Exchange") <= 3
     assert "Join" not in s
 
 
