@@ -919,8 +919,86 @@ GROUP BY d.source ORDER BY d.source
 """
 
 
+# =====================================================================
+# WARC sink (sources/warc.py warc_export)
+# =====================================================================
+
+def warc_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC sink/source gate: per document an md5-derived page
+    (URI, ASCII HTML body, 200-or-404 status, month-coded date) is
+    exported as record-at-time-gzipped WARC shards WITH CDXJ sidecars
+    (warc_export, 4 partitions), then re-imported record-granular
+    through the SPLIT reader — so the writer's framing, HTTP wrapping,
+    deterministic <urn:md5:> record ids and its own sidecars are all
+    value-checked by the production import path. The oracle replays
+    every field, the record-id hash included, from DuckDB md5()."""
+    from .queries import _scratch
+    from .sources.warc import warc_export, warc_import
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build_pages(batches):
+        import hashlib as _hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hx = _hashlib.md5((text or "").encode("utf-8")).hexdigest()
+                b0 = int(hx[0:2], 16)
+                out.append((doc_id,
+                            f"http://ex.test/{doc_id}",
+                            f"<p>B-{hx[8:16]}</p>".encode(),
+                            "text/html",
+                            200 if b0 & 1 else 404,
+                            f"2025-{b0 % 12 + 1:02d}-01T00:00:00Z"))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "target_uri", "payload", "content_type",
+                "http_status", "fetch_date"])
+
+    pages = docs.mapInPandas(build_pages, schema=(
+        "doc_id long, target_uri string, payload binary, "
+        "content_type string, http_status int, fetch_date string"))
+    path = _scratch("warc_export_rt")
+    warc_export(pages.repartition(4), path, date_col="fetch_date")
+    back = warc_import(spark, path, split=True)
+    return back.filter(F.col("warc_type") == "response").select(
+        F.element_at(F.split("target_uri", "/"), -1).cast("long")
+        .alias("doc_id"),
+        "target_uri", "http_status", "content_type",
+        F.col("warc_date").alias("fetch_date"),
+        F.md5("payload").alias("body_md5"),
+        "record_id")
+
+
+ORACLE_WARC_EXPORT = """
+WITH h AS (
+  SELECT doc_id, md5(text) AS hx,
+         CAST(('0x' || substr(md5(text), 1, 2)) AS INT) AS b0
+  FROM documents
+), p AS (
+  SELECT doc_id,
+         'http://ex.test/' || doc_id AS target_uri,
+         '<p>B-' || substr(hx, 9, 8) || '</p>' AS body,
+         CASE WHEN b0 & 1 = 1 THEN 200 ELSE 404 END AS http_status,
+         printf('2025-%02d-01T00:00:00Z', b0 % 12 + 1) AS fetch_date
+  FROM h
+)
+SELECT doc_id, target_uri,
+       CAST(http_status AS INT) AS http_status,
+       'text/html' AS content_type,
+       fetch_date,
+       md5(body) AS body_md5,
+       '<urn:md5:' || md5(target_uri || chr(0) || body) || '>'
+         AS record_id
+FROM p
+"""
+
+
 QUERIES3 = {
     "rtf_extract_report": rtf_extract_report,
+    "warc_export_roundtrip": warc_export_roundtrip,
     "arrow_roundtrip_checksum": arrow_roundtrip_checksum,
     "image_dhash_report": image_dhash_report,
     "bigram_logprob_quality": bigram_logprob_quality,
@@ -936,6 +1014,7 @@ QUERIES3 = {
 
 ORACLES3 = {
     "rtf_extract_report": ORACLE_RTF_EXTRACT,
+    "warc_export_roundtrip": ORACLE_WARC_EXPORT,
     "arrow_roundtrip_checksum": ORACLE_ARROW_RT,
     "image_dhash_report": ORACLE_IMAGE_DHASH,
     "bigram_logprob_quality": ORACLE_BIGRAM_LP,

@@ -478,3 +478,106 @@ def warc_build(records, gzip_members: bool = False,
     if with_cdx:
         return bytes(out), ("\n".join(cdx_lines) + "\n").encode()
     return bytes(out)
+
+
+def warc_export(df: DataFrame, path: str,
+                uri_col: str = "target_uri",
+                payload_col: str = "payload",
+                content_type_col: str | None = "content_type",
+                status_col: str | None = "http_status",
+                date_col: str | None = None,
+                fixed_date: str = "2026-01-01T00:00:00Z",
+                gzip_members: bool = True,
+                with_cdx: bool = True) -> int:
+    """Write a DataFrame of pages back out as WARC response records —
+    the re-shard half of the crawl pipeline (filter/dedup a crawl with
+    the corpus operators, then land the survivors as a smaller crawl
+    other WARC tooling can read). One ``part-<hex>.warc(.gz)`` per
+    partition, record-at-time gzip members (the spec's splittable
+    form), plus a matching ``.cdx`` CDXJ sidecar by default so the
+    exported shards re-import record-granular through this module's
+    own split reader (_find_cdx naming).
+
+    Determinism contract: WARC-Record-ID is ``<urn:md5:...>`` of
+    uri+payload and WARC-Date comes from ``date_col`` (ISO strings)
+    or the ``fixed_date`` param — never the wall clock, so a re-shard
+    of the same inputs produces byte-identical RECORDS (file names are
+    fresh per write; fixture/test/diff-friendly;
+    pass the crawl's real dates via date_col). Returns rows written.
+    NULL payloads are skipped (a failed fetch has no record)."""
+    os.makedirs(path, exist_ok=True)
+    cols = [uri_col, payload_col]
+    opt = {}
+    for role, c in (("ct", content_type_col), ("st", status_col),
+                    ("dt", date_col)):
+        if c is not None and c in df.columns:
+            opt[role] = c
+            cols.append(c)
+    slim = df.select(*cols)
+
+    def write(batches):
+        import hashlib as _hashlib
+
+        import pandas as pd
+
+        n = 0
+        out = bytearray()
+        cdx = []
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                d = dict(zip(pdf.columns, row))
+                payload = d[payload_col]
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                uri = d.get(uri_col) or ""
+                status = int(d.get(opt.get("st"), 200) or 200) \
+                    if "st" in opt else 200
+                ctype = (d.get(opt.get("ct")) or "text/html") \
+                    if "ct" in opt else "text/html"
+                date = (d.get(opt.get("dt")) or fixed_date) \
+                    if "dt" in opt else fixed_date
+                http = (f"HTTP/1.1 {status} X\r\n"
+                        f"Content-Type: {ctype}\r\n"
+                        f"Content-Length: {len(payload)}\r\n\r\n"
+                        ).encode("latin1") + payload
+                rid = _hashlib.md5(
+                    uri.encode("utf-8", "surrogateescape") + b"\x00"
+                    + payload).hexdigest()
+                hdrs = [b"WARC/1.0",
+                        b"WARC-Type: response",
+                        b"WARC-Record-ID: <urn:md5:" + rid.encode() + b">",
+                        b"WARC-Date: " + str(date).encode("latin1"),
+                        b"WARC-Target-URI: "
+                        + uri.encode("utf-8", "surrogateescape"),
+                        b"Content-Type: application/http; "
+                        b"msgtype=response",
+                        b"Content-Length: %d" % len(http)]
+                rec = (b"\r\n".join(hdrs) + b"\r\n\r\n" + http
+                       + b"\r\n\r\n")
+                at = len(out)
+                if gzip_members:
+                    c = zlib.compressobj(6, zlib.DEFLATED, 31)
+                    out += c.compress(rec) + c.flush()
+                else:
+                    out += rec
+                cdx.append('%s - {"url": "%s", "offset": "%d", '
+                           '"length": "%d"}'
+                           % (uri or "-", uri or "-", at,
+                              len(out) - at))
+                n += 1
+        if n:
+            base = os.path.join(
+                path, "part-" + os.urandom(8).hex()
+                + (".warc.gz" if gzip_members else ".warc"))
+            with open(base, "wb") as fh:
+                fh.write(out)
+            if with_cdx:
+                stem = base[:-8] if gzip_members else base[:-5]
+                with open(stem + ".cdx", "w") as fh:
+                    fh.write("\n".join(cdx) + "\n")
+        yield pd.DataFrame({"n": [n]})
+
+    import pandas as pd  # noqa: F401  (schema hint for linters)
+    counts = slim.mapInPandas(write, schema="n long").collect()
+    return sum(r["n"] for r in counts)
