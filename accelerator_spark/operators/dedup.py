@@ -491,3 +491,41 @@ def exact_substring_spans(df: DataFrame, text_col: str = "text",
             .withColumn("span_tokens",
                         F.col("span_end") - F.col("span_start"))
             .select(id_col, "span_start", "span_end", "span_tokens"))
+
+
+def dedup_incremental(new_batch: DataFrame,
+                      seen_fps: DataFrame | None,
+                      text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Exact dedup of an ARRIVING batch against everything already
+    accepted — the incremental-corpus primitive the reference's chain
+    model implies (each day's import links to yesterday's; dedup must
+    not rescan the chain): the accumulated state is ONE fingerprint
+    column (``fp``), persisted between batches (Dataset chain /
+    parquet), never the corpus text.
+
+    Returns ``(kept, fps)``: ``kept`` = the batch rows that survive —
+    not fingerprint-seen before AND min-id within their in-batch
+    duplicate group; ``fps`` = ``seen_fps`` ∪ kept's fingerprints, the
+    state to persist for the next batch. Pass ``seen_fps=None`` for
+    the first batch.
+
+    Scale shape: one fingerprint shuffle over the NEW batch (its
+    in-batch min-id group), one left-anti join against the state
+    (AQE broadcasts the state while it fits; beyond that both sides
+    hash-partition on fp — bucketing the persisted state on fp makes
+    the join shuffle-free on the state side). Batch cost is
+    O(new batch), never O(corpus)."""
+    fp = fingerprint(F.col(text_col))
+    in_batch = (new_batch
+                .filter(F.col(text_col).isNotNull())
+                .withColumn("fp", fp))
+    winners = (in_batch.groupBy("fp")
+               .agg(F.min(id_col).alias(id_col)))
+    if seen_fps is not None:
+        winners = winners.join(seen_fps.select("fp"), "fp", "left_anti")
+    kept = new_batch.join(winners.select(id_col), id_col)
+    new_fps = winners.select("fp")
+    fps = (new_fps if seen_fps is None
+           else seen_fps.select("fp").unionByName(new_fps))
+    return kept, fps

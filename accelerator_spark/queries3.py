@@ -996,9 +996,68 @@ FROM p
 """
 
 
+# =====================================================================
+# incremental batch dedup (operators/dedup.py dedup_incremental)
+# =====================================================================
+
+def dedup_incremental_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-corpus dedup end-to-end: documents arrive as three
+    sequential batches (doc_id % 3 = 0, 1, 2 — so batch order is NOT
+    id order and cross-batch winners matter), each batch deduped
+    against the accumulated fingerprint state with
+    ``dedup_incremental``; contents are md5-bucketed into ~256 groups
+    so collisions span batches heavily. The oracle replays the batch
+    protocol in SQL: a row survives iff its batch is its
+    fingerprint's FIRST batch and its id is the min within that
+    (fp, batch) group. Output: every kept row with its batch."""
+    from .operators.dedup import dedup_incremental
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def content(batches):
+        import hashlib as _hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = [(did,
+                    "G-" + _hashlib.md5(
+                        (t or "").encode("utf-8")).hexdigest()[:2])
+                   for did, t in zip(pdf["doc_id"], pdf["text"])]
+            yield pd.DataFrame(out, columns=["doc_id", "text"])
+
+    keyed = docs.mapInPandas(content, schema="doc_id long, text string")
+    fps = None
+    kept_parts = []
+    for b in range(3):
+        batch = keyed.filter(F.col("doc_id") % 3 == b)
+        kept, fps = dedup_incremental(batch, fps)
+        kept_parts.append(kept.select(
+            "doc_id", F.lit(b).cast("int").alias("batch")))
+    out = kept_parts[0]
+    for p in kept_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+ORACLE_DEDUP_INCREMENTAL = """
+WITH keyed AS (
+  SELECT doc_id, CAST(doc_id % 3 AS INT) AS batch,
+         md5('g-' || substr(md5(text), 1, 2)) AS fp
+  FROM documents
+), firstb AS (
+  SELECT fp, min(batch) AS batch FROM keyed GROUP BY fp
+)
+SELECT min(k.doc_id) AS doc_id, k.batch
+FROM keyed k JOIN firstb USING (fp, batch)
+GROUP BY k.fp, k.batch
+"""
+
+
 QUERIES3 = {
     "rtf_extract_report": rtf_extract_report,
     "warc_export_roundtrip": warc_export_roundtrip,
+    "dedup_incremental_report": dedup_incremental_report,
     "arrow_roundtrip_checksum": arrow_roundtrip_checksum,
     "image_dhash_report": image_dhash_report,
     "bigram_logprob_quality": bigram_logprob_quality,
@@ -1015,6 +1074,7 @@ QUERIES3 = {
 ORACLES3 = {
     "rtf_extract_report": ORACLE_RTF_EXTRACT,
     "warc_export_roundtrip": ORACLE_WARC_EXPORT,
+    "dedup_incremental_report": ORACLE_DEDUP_INCREMENTAL,
     "arrow_roundtrip_checksum": ORACLE_ARROW_RT,
     "image_dhash_report": ORACLE_IMAGE_DHASH,
     "bigram_logprob_quality": ORACLE_BIGRAM_LP,
