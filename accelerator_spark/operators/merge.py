@@ -159,3 +159,53 @@ def compact_latest(df: DataFrame, key_cols: list[str], order_col: str,
     w = Window.partitionBy(*key_cols).orderBy(*order)
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def interval_join(left: DataFrame, right: DataFrame,
+                  left_range: tuple = ("start", "end"),
+                  right_range: tuple = ("start", "end"),
+                  by: str | None = None,
+                  bin_width: int = 3600) -> DataFrame:
+    """Overlap join on half-open integer intervals: pairs every left
+    row with every right row where ``l.start < r.end AND r.start <
+    l.end`` (plus an optional ``by`` equality key) — the log-vs-window
+    join shape (sessions x incidents, requests x deploy windows) that
+    compiles to a cross product if written naively.
+
+    Scale shape (the classic bin trick): each interval explodes into
+    the ``bin_width``-sized bins it covers, candidates equi-join on
+    (by, bin) — so AQE sizes/broadcasts it like any equi-join — and a
+    pair that shares several bins is kept exactly once WITHOUT a
+    distinct pass: only in its OWNER bin, the bin of
+    ``greatest(l.start, r.start)`` (the first bin both cover). Exact
+    overlap predicate applied last. Per-row cost is interval_length /
+    bin_width bins — pick bin_width near the typical interval length;
+    a pathological interval spanning B bins costs B candidate rows
+    (cap upstream if inputs are hostile). Left columns come out
+    prefixed ``l_``, right ``r_``.
+
+    Start/end must be integer-valued (epoch seconds/millis — cast
+    timestamps first); end <= start rows are degenerate and dropped."""
+    w = F.lit(int(bin_width))
+
+    def prep(df, rng, prefix):
+        s, e = rng
+        out = df.select([F.col(c).alias(prefix + c) for c in df.columns])
+        ps, pe = prefix + s, prefix + e
+        return (out.filter(F.col(pe) > F.col(ps))
+                .withColumn("_bin", F.explode(F.sequence(
+                    F.floor(F.col(ps) / w),
+                    F.floor((F.col(pe) - 1) / w)))))
+
+    lp = prep(left, left_range, "l_")
+    rp = prep(right, right_range, "r_")
+    cond = lp["_bin"] == rp["_bin"]
+    if by is not None:
+        cond = cond & (lp["l_" + by] == rp["r_" + by])
+    ls, le = ("l_" + c for c in left_range)
+    rs, re_ = ("r_" + c for c in right_range)
+    owner = F.floor(F.greatest(F.col(ls), F.col(rs)) / w)
+    return (lp.join(rp, cond)
+            .filter((F.col(ls) < F.col(re_)) & (F.col(rs) < F.col(le)))
+            .filter(owner == lp["_bin"])
+            .drop(lp["_bin"]).drop(rp["_bin"]))

@@ -1054,10 +1054,68 @@ GROUP BY k.fp, k.batch
 """
 
 
+# =====================================================================
+# interval overlap join (operators/merge.py interval_join)
+# =====================================================================
+
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap join end-to-end: every event becomes a half-open
+    interval (start = epoch ts, length = event_id-derived), a sparse
+    subset becomes ±300 s incident windows, and ``interval_join``
+    pairs them per user-bucket via the bin trick (equi-join on
+    covering bins, owner-bin pair-once dedup, exact predicate last —
+    never a cross product). The oracle is the naive SQL overlap join.
+    Output: per window, overlap count + first overlapping event."""
+    from .operators.merge import interval_join
+
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_id", (F.col("user_id") % 4).alias("k"),
+        F.unix_timestamp("ts").alias("start"))
+    left = (base.filter(F.col("event_id") % 5 != 0)
+            .withColumn("end", F.col("start")
+                        + F.col("event_id") % 120 + 1))
+    right = (base.filter(F.col("event_id") % 97 == 0)
+             .select("event_id", "k",
+                     (F.col("start") - 300).alias("start"),
+                     (F.col("start") + 300).alias("end")))
+    pairs = interval_join(left, right, by="k", bin_width=256)
+    return (pairs.groupBy(F.col("r_event_id").alias("window_id"))
+            .agg(F.count(F.lit(1)).alias("n_overlaps"),
+                 F.min("l_event_id").alias("first_event")))
+
+
+def _events(spark, sf_dir):
+    from .queries import _events as real
+    return real(spark, sf_dir)
+
+
+ORACLE_INTERVAL_OVERLAP = """
+WITH base AS (
+  SELECT event_id, user_id % 4 AS k,
+         CAST(epoch(ts) AS BIGINT) AS start
+  FROM events
+), l AS (
+  SELECT event_id, k, start, start + event_id % 120 + 1 AS "end"
+  FROM base WHERE event_id % 5 <> 0
+), r AS (
+  SELECT event_id, k, start - 300 AS start, start + 300 AS "end"
+  FROM base WHERE event_id % 97 = 0
+)
+SELECT r.event_id AS window_id,
+       count(*) AS n_overlaps,
+       min(l.event_id) AS first_event
+FROM l JOIN r ON l.k = r.k
+  AND l.start < r."end" AND r.start < l."end"
+GROUP BY r.event_id
+"""
+
+
 QUERIES3 = {
     "rtf_extract_report": rtf_extract_report,
     "warc_export_roundtrip": warc_export_roundtrip,
     "dedup_incremental_report": dedup_incremental_report,
+    "interval_overlap_join": interval_overlap_join,
     "arrow_roundtrip_checksum": arrow_roundtrip_checksum,
     "image_dhash_report": image_dhash_report,
     "bigram_logprob_quality": bigram_logprob_quality,
@@ -1075,6 +1133,7 @@ ORACLES3 = {
     "rtf_extract_report": ORACLE_RTF_EXTRACT,
     "warc_export_roundtrip": ORACLE_WARC_EXPORT,
     "dedup_incremental_report": ORACLE_DEDUP_INCREMENTAL,
+    "interval_overlap_join": ORACLE_INTERVAL_OVERLAP,
     "arrow_roundtrip_checksum": ORACLE_ARROW_RT,
     "image_dhash_report": ORACLE_IMAGE_DHASH,
     "bigram_logprob_quality": ORACLE_BIGRAM_LP,

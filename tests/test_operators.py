@@ -245,3 +245,51 @@ def test_dataset_merge_null_keys_distinct_error(spark):
     b = spark.createDataFrame([(1, "p"), (None, "q")], "k int, w string")
     with pytest.raises(ValueError, match="contains NULLs"):
         dataset_merge(a, b, on="k")
+
+
+def test_interval_join_overlap_semantics(spark):
+    """Half-open overlap vs a brute-force reference over random-ish
+    intervals, with a `by` key and several bin widths (pair-once
+    owner-bin dedup must hold at every width)."""
+    from accelerator_spark.operators.merge import interval_join
+
+    L = [(i, k % 3, (i * 7) % 50, (i * 7) % 50 + (i % 9) + 1)
+         for i, k in zip(range(40), range(40))]
+    R = [(j, j % 3, (j * 11) % 60, (j * 11) % 60 + (j % 13) + 1)
+         for j in range(30)]
+    ldf = spark.createDataFrame(L, "id long, k long, start long, end long")
+    rdf = spark.createDataFrame(R, "id long, k long, start long, end long")
+
+    def ref(with_key):
+        return sorted(
+            (a[0], b[0]) for a in L for b in R
+            if a[2] < b[3] and b[2] < a[3]
+            and (not with_key or a[1] == b[1]))
+
+    for width in (1, 5, 64):
+        got = sorted((r.l_id, r.r_id) for r in
+                     interval_join(ldf, rdf, bin_width=width).collect())
+        assert got == ref(False), width
+    got_k = sorted((r.l_id, r.r_id) for r in
+                   interval_join(ldf, rdf, by="k", bin_width=7).collect())
+    assert got_k == ref(True)
+    # degenerate (end <= start) rows never pair
+    bad = spark.createDataFrame([(99, 0, 5, 5)],
+                                "id long, k long, start long, end long")
+    assert interval_join(bad, rdf, bin_width=4).count() == 0
+
+
+def test_dedup_incremental_protocol(spark):
+    from accelerator_spark.operators.dedup import dedup_incremental
+
+    b1 = spark.createDataFrame(
+        [(5, "X"), (2, " x "), (3, "Y")], "doc_id long, text string")
+    b2 = spark.createDataFrame(
+        [(10, "y"), (11, "Z"), (12, "z"), (13, None)],
+        "doc_id long, text string")
+    k1, fps = dedup_incremental(b1, None)
+    assert sorted(r.doc_id for r in k1.collect()) == [2, 3]
+    k2, fps = dedup_incremental(b2, fps)
+    assert sorted(r.doc_id for r in k2.collect()) == [11]  # y seen, z min-id
+    assert fps.count() == 3
+    assert fps.columns == ["fp"]       # state is fingerprints ONLY

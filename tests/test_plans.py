@@ -385,3 +385,12 @@ def test_logreg_scoring_map_only(spark, sf_dir):
          ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in s
     assert "Join" not in s
+
+
+def test_interval_join_is_equi_join(spark, sf_dir):
+    """The overlap join must ride the bin equi-key — broadcast or SMJ,
+    never a nested loop over the cross product."""
+    s = _plan(spark, "interval_overlap_join", sf_dir)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "BroadcastHashJoin" in s or "SortMergeJoin" in s
