@@ -59,8 +59,12 @@ _GRADED_FIRST = [
     # cross_doc_duplication)
     "dedup_exact", "minhash_lsh_pairs", "simhash_near_dup_pairs64",
     "dedup_components", "decontaminate_train_set", "cross_doc_duplication",
-    "url_dedup_report", "corpus_line_dedup_report",
-    "semantic_dedup_report_capped",
+    "url_dedup_report", "semantic_dedup_report_capped",
+    # (corpus_line_dedup_report moved to the un-graded tail in r9b —
+    # its canonicalize+groupBy shape stays graded via url_dedup_report)
+    # multimodal training-shard ingestion (r9b headline: WebDataset tar
+    # shards, sample grouping, payload md5s value-checked)
+    "webdataset_report",
     # crawl -> training-text front (r9, VERDICT r8 #4: the official
     # scoreboard grades the headline capability — WARC ingestion and
     # real-parser HTML extraction)
@@ -76,8 +80,10 @@ _GRADED_FIRST = [
     "png_decode_stats", "jpeg_decode_stats", "fmp4_probe_report",
     "mp3_probe_report",
     # text (chunk_documents moved to the un-graded tail in r9 — its
-    # token-window shape stays graded via sequence_packing)
-    "token_counts", "text_quality", "lang_id", "sequence_packing",
+    # token-window shape stays graded via sequence_packing;
+    # token_counts moved to the tail in r9b for the REAL tokenizer —
+    # bpe_tokenize_report value-checks merge application token-by-token)
+    "bpe_tokenize_report", "text_quality", "lang_id", "sequence_packing",
     # sketches / graph / layout
     "hll_distinct_rollup", "graph_pagerank_top20", "rfm_segmentation",
 ]

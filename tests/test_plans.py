@@ -311,11 +311,15 @@ def test_entry_graded_subset_is_representative_and_valid():
     # ann_recall_report replaced cosine_topk in the graded 50 (r8): it
     # computes the same brute-force cosine top-k as its recall baseline;
     # r9 swapped the crawl front in (warc_pipeline_report +
-    # html_extract_report) for chunk_documents / exact_substring_report
+    # html_extract_report) for chunk_documents / exact_substring_report;
+    # r9b swapped webdataset_report + bpe_tokenize_report in for
+    # corpus_line_dedup_report / token_counts (shapes stay graded via
+    # url_dedup_report / sequence_packing)
     cats = {"q1_pricing_summary", "minhash_lsh_pairs", "ann_recall_report",
             "streaming_hourly_counts", "warc_pipeline_report",
             "html_extract_report", "sequence_packing",
-            "hll_distinct_rollup", "dataset_type_menu2"}
+            "hll_distinct_rollup", "dataset_type_menu2",
+            "webdataset_report", "bpe_tokenize_report"}
     assert cats <= set(names[:50])
 
 
