@@ -2,7 +2,8 @@
 HTML→Markdown, mbox/MIME mail, RTF extraction, multi-iteration k-means,
 logistic-regression training, deterministic Bloom pre-filtering, BPE
 tokenization, format sniffing / corpus inventory, Arrow IPC round-trip,
-perceptual image hashing (dHash).
+perceptual image hashing (dHash), the WARC sink, incremental batch
+dedup, interval overlap join, bigram LM quality.
 
 Same contract as queries.py / queries2.py: every entry pairs a Spark
 implementation with a DuckDB oracle over the identical parquet tables;
