@@ -62,6 +62,7 @@ def rtf_text(data: bytes, max_chars: int = 8 << 20,
     stack: list[tuple[bool, int]] = []
     skipping, uc = False, 1
     pend_skip = 0          # \uN fallback chars still to swallow
+    pend_hi = None         # high surrogate awaiting its low half
     codepage = "cp1252"
     i, n, tokens = 0, len(data), 0
 
@@ -138,7 +139,25 @@ def rtf_text(data: bytes, max_chars: int = 8 << 20,
                     if cp < 0:
                         cp += 65536
                     if not skipping:
-                        put(chr(cp))
+                        # \uN is 16-bit: astral chars arrive as UTF-16
+                        # surrogate PAIRS (two \uN, each with its own
+                        # \ucN fallback) — combine them (Word writes
+                        # them this way)
+                        if 0xD800 <= cp < 0xDC00:
+                            if pend_hi is not None:
+                                put("�")  # lone high surrogate
+                            pend_hi = cp
+                        elif 0xDC00 <= cp < 0xE000 and pend_hi is not None:
+                            put(chr(0x10000
+                                    + ((pend_hi - 0xD800) << 10)
+                                    + (cp - 0xDC00)))
+                            pend_hi = None
+                        else:
+                            if pend_hi is not None:
+                                put("�")
+                                pend_hi = None
+                            put(chr(cp) if not 0xDC00 <= cp < 0xE000
+                                else "�")
                         pend_skip += uc
                 elif word == b"uc":
                     uc = max(0, int(param or 1))
@@ -200,9 +219,15 @@ def _escape_rtf(s: str) -> str:
                 out.append(f"\\'{b[0]:02x}")
             except UnicodeEncodeError:
                 cp = ord(ch)
-                if cp > 32767:
-                    cp -= 65536
-                out.append(f"\\u{cp}?")
+                if cp > 0xFFFF:
+                    # \uN is 16-bit: astral chars as a surrogate pair
+                    cp -= 0x10000
+                    for v in (0xD800 + (cp >> 10), 0xDC00 + (cp & 0x3FF)):
+                        out.append(f"\\u{v - 65536}?")
+                else:
+                    if cp > 32767:
+                        cp -= 65536
+                    out.append(f"\\u{cp}?")
     return "".join(out)
 
 

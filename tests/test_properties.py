@@ -1034,3 +1034,59 @@ def test_prop_csv_tokenizer_rejects_malformed_quoting(data):
     except csv.Error:
         raised = True
     assert raised
+
+
+# ------------------------------------------------------- r9b containers
+
+_member_names = st.lists(
+    st.from_regex(r"[A-Za-z0-9_][A-Za-z0-9_.\-]{0,30}(/[A-Za-z0-9_.]{1,20}){0,2}",
+                  fullmatch=True),
+    min_size=1, max_size=8, unique=True)
+
+
+@settings(deadline=None, max_examples=40)
+@given(_member_names, st.data())
+def test_prop_tar_build_iter_roundtrip(names, data):
+    """Hand-rolled ustar writer vs stdlib-backed reader: arbitrary
+    member names/payloads survive byte-exact, plain and gzipped."""
+    from accelerator_spark.sources.tar import tar_build, tar_iter_members
+
+    members = [(n, data.draw(st.binary(max_size=200))) for n in names]
+    for gz in (False, True):
+        out = [(r[1], r[2]) for r in
+               tar_iter_members(tar_build(members, gzip_compress=gz))]
+        assert out == members
+
+
+_rtf_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",),
+                           blacklist_characters="\r"),
+    max_size=60)
+
+
+@settings(deadline=None, max_examples=60)
+@given(st.lists(_rtf_text, min_size=1, max_size=5))
+def test_prop_rtf_build_text_roundtrip(paras):
+    """Escaper vs parser: arbitrary unicode paragraphs (braces,
+    backslashes, cp1252-able and not, tabs, embedded newlines)
+    round-trip through real RTF bytes."""
+    from accelerator_spark.functions.rtf import rtf_build, rtf_text
+
+    got, _n = rtf_text(rtf_build(paras))
+    assert got == "\n".join(paras).rstrip("\n")
+
+
+_body_line = st.from_regex(r"(>{0,3}From )?[ -~]{0,40}", fullmatch=True)
+
+
+@settings(deadline=None, max_examples=60)
+@given(st.lists(st.lists(_body_line, max_size=6), min_size=1,
+                max_size=4))
+def test_prop_mbox_build_split_roundtrip(bodies):
+    """mboxrd framing: bodies full of From-lines and >From-lines (the
+    quoting-sensitive class) survive build -> split byte-exact."""
+    from accelerator_spark.sources.mail import mbox_build, mbox_split
+
+    raws = [b"H: v\n\n" + "\n".join(lines).encode("ascii")
+            for lines in bodies]
+    assert list(mbox_split(mbox_build(raws))) == raws
