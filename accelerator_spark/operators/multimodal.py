@@ -897,8 +897,9 @@ def _decode_image_any(payload: bytes, mime: str, max_pixels: int):
         return (img.pixels, img.width, img.height, img.channels, 8,
                 img.orientation)
     raise NotImplementedError(
-        f"image decode only handles image/png, image/gif and "
-        f"image/jpeg, got {mime!r}")
+        f"image_resizer/image_dhash stdlib decode only handles "
+        f"image/png, image/gif and image/jpeg, got {mime!r} — pass a "
+        f"PIL/ffmpeg-backed callable for other formats")
 
 
 def image_resizer(payload: bytes, mime: str, max_side: int,
