@@ -1112,11 +1112,75 @@ GROUP BY r.event_id
 """
 
 
+# =====================================================================
+# tensor containers (sources/tensors.py)
+# =====================================================================
+
+def tensor_import_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """safetensors ingestion end-to-end: per document a container with
+    an F32 (2x3) embedding matrix and a 1-D I64 id vector is authored
+    from md5 digest bytes (safetensors_build — spec header layout),
+    then the PRODUCTION decode (tensor_decode_file: header JSON,
+    offset validation, row-vector emission) parses it back and the
+    oracle replays every vector element from DuckDB md5 byte
+    arithmetic. (NPY/NPZ parsing is cross-checked against numpy as a
+    foreign writer in tests/test_tensors.py.) Map-only Arrow stage."""
+    from .sources.tensors import TENSOR_SCHEMA, tensor_decode_file
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build_and_decode(batches):
+        import hashlib as _hashlib
+
+        import pandas as pd
+
+        from .sources.tensors import safetensors_build
+
+        cols = [f.name for f in TENSOR_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = _hashlib.md5((text or "").encode("utf-8")).digest()
+                blob = safetensors_build({
+                    "emb": ("F32", [2, 3], [float(b) for b in d[:6]]),
+                    "ids": ("I64", [2], [d[6], d[7]]),
+                })
+                out.extend((str(doc_id),) + r[1:]
+                           for r in tensor_decode_file(str(doc_id), blob))
+            yield pd.DataFrame(out, columns=cols)
+
+    rows = docs.mapInPandas(build_and_decode, schema=TENSOR_SCHEMA)
+    return rows.select(
+        F.col("path").cast("long").alias("doc_id"),
+        "tensor", "dtype", "n_rows", "dim", "row_idx", "vector")
+
+
+ORACLE_TENSOR_IMPORT = """
+WITH h AS (
+  SELECT doc_id, md5(text) AS hx FROM documents
+), b AS (
+  SELECT doc_id,
+         [CAST(('0x' || substr(hx, 2 * i + 1, 2)) AS INT) :: DOUBLE
+          FOR i IN range(8)] AS by
+  FROM h
+)
+SELECT doc_id, 'emb' AS tensor, 'F32' AS dtype,
+       CAST(2 AS INT) AS n_rows, CAST(3 AS INT) AS dim,
+       CAST(0 AS INT) AS row_idx, [by[1], by[2], by[3]] AS vector
+FROM b
+UNION ALL
+SELECT doc_id, 'emb', 'F32', 2, 3, 1, [by[4], by[5], by[6]] FROM b
+UNION ALL
+SELECT doc_id, 'ids', 'I64', 1, 2, 0, [by[7], by[8]] FROM b
+"""
+
+
 QUERIES3 = {
     "rtf_extract_report": rtf_extract_report,
     "warc_export_roundtrip": warc_export_roundtrip,
     "dedup_incremental_report": dedup_incremental_report,
     "interval_overlap_join": interval_overlap_join,
+    "tensor_import_report": tensor_import_report,
     "arrow_roundtrip_checksum": arrow_roundtrip_checksum,
     "image_dhash_report": image_dhash_report,
     "bigram_logprob_quality": bigram_logprob_quality,
@@ -1135,6 +1199,7 @@ ORACLES3 = {
     "warc_export_roundtrip": ORACLE_WARC_EXPORT,
     "dedup_incremental_report": ORACLE_DEDUP_INCREMENTAL,
     "interval_overlap_join": ORACLE_INTERVAL_OVERLAP,
+    "tensor_import_report": ORACLE_TENSOR_IMPORT,
     "arrow_roundtrip_checksum": ORACLE_ARROW_RT,
     "image_dhash_report": ORACLE_IMAGE_DHASH,
     "bigram_logprob_quality": ORACLE_BIGRAM_LP,

@@ -1,0 +1,92 @@
+"""Tensor-container source tests (sources/tensors.py): safetensors
+writer/reader pair over every dtype, numpy as the FOREIGN npy/npz
+writer, row-vector emission, hostile inputs, the distributed import."""
+
+import io
+
+import numpy as np
+import pytest
+
+from accelerator_spark.sources.tensors import (
+    TensorFormatError, npy_parse, safetensors_build, safetensors_parse,
+    tensor_decode_file, tensor_import)
+
+
+def test_safetensors_all_dtypes_roundtrip():
+    spec = {
+        "f64": ("F64", [2, 2], [1.5, -2.5, 0.0, 1e100]),
+        "f32": ("F32", [3], [0.25, -0.5, 2.0]),
+        "f16": ("F16", [2], [0.5, -2.0]),
+        "i64": ("I64", [2], [-(2 ** 62), 2 ** 62]),
+        "i32": ("I32", [2], [-2147483648, 2147483647]),
+        "i16": ("I16", [1], [-32768]),
+        "i8": ("I8", [1], [-128]),
+        "u8": ("U8", [2], [0, 255]),
+        "bool": ("BOOL", [2], [1, 0]),
+    }
+    got = {n: (d, s, v) for n, d, s, v in
+           safetensors_parse(safetensors_build(spec))}
+    for name, (dtype, shape, vals) in spec.items():
+        gd, gs, gv = got[name]
+        assert (gd, gs) == (dtype, shape)
+        assert gv == [float(x) for x in vals]
+
+
+def test_safetensors_hostile():
+    good = safetensors_build({"t": ("F32", [2], [1.0, 2.0])})
+    with pytest.raises(TensorFormatError):
+        safetensors_parse(b"\x00" * 4).__next__()          # truncated
+    with pytest.raises(TensorFormatError):
+        list(safetensors_parse(
+            b"\xff\xff\xff\xff\xff\xff\xff\xff" + good[8:]))  # hlen bomb
+    # offsets past the buffer
+    import json as j, struct as st
+    hdr = j.dumps({"t": {"dtype": "F32", "shape": [4],
+                         "data_offsets": [0, 16]}}).encode()
+    bad = st.pack("<Q", len(hdr)) + hdr + b"\x00" * 8
+    with pytest.raises(TensorFormatError):
+        list(safetensors_parse(bad))
+    with pytest.raises(TensorFormatError):
+        list(safetensors_parse(good[:8] + b"not json" + good[16:]))
+
+
+def test_npy_foreign_writer_and_scope():
+    for arr in (np.arange(6, dtype="<f8").reshape(2, 3),
+                np.array([1, 2, 3], dtype="<i4"),
+                np.array(7.5, dtype="<f4")):
+        buf = io.BytesIO()
+        np.save(buf, arr)
+        descr, shape, vals = npy_parse(buf.getvalue())
+        assert shape == list(arr.shape)
+        assert vals == [float(x) for x in arr.ravel()]
+    buf = io.BytesIO()
+    np.save(buf, np.asfortranarray(np.ones((2, 2))))
+    with pytest.raises(TensorFormatError):
+        npy_parse(buf.getvalue())
+    buf = io.BytesIO()
+    np.save(buf, np.array(["s"], dtype="<U1"))
+    with pytest.raises(TensorFormatError):
+        npy_parse(buf.getvalue())
+
+
+def test_rank_guard_and_row_vectors():
+    st = safetensors_build({"t3": ("F32", [2, 2, 2], [0.0] * 8)})
+    with pytest.raises(TensorFormatError):
+        list(tensor_decode_file("p", st))
+    st1 = safetensors_build({"v": ("F32", [3], [1.0, 2.0, 3.0])})
+    rows = list(tensor_decode_file("p", st1))
+    assert rows == [("p", "v", "F32", 1, 3, 0, [1.0, 2.0, 3.0])]
+
+
+def test_tensor_import(spark, tmp_path):
+    (tmp_path / "a.safetensors").write_bytes(safetensors_build(
+        {"emb": ("F32", [3, 2], [float(i) for i in range(6)])}))
+    buf = io.BytesIO()
+    np.savez(buf, w=np.arange(4, dtype="<f8").reshape(2, 2))
+    (tmp_path / "b.npz").write_bytes(buf.getvalue())
+    df = tensor_import(spark, str(tmp_path))
+    rows = {(r.path.rsplit("/", 1)[-1], r.tensor, r.row_idx):
+            (r.dim, list(r.vector)) for r in df.collect()}
+    assert rows[("a.safetensors", "emb", 1)] == (2, [2.0, 3.0])
+    assert rows[("b.npz", "w", 0)] == (2, [0.0, 1.0])
+    assert len(rows) == 5
