@@ -144,3 +144,24 @@ def bpe_tokenize(df: DataFrame, merges: list[tuple],
         [T.StructField("tokens", T.ArrayType(T.StringType()), True),
          T.StructField("n_tokens", T.IntegerType(), True)],
         text_col, id_col)
+
+
+def bpe_save(merges: list[tuple], path: str):
+    """Persist a merge table as JSON (rank order = list order) — the
+    model artifact a curation run trains once and every later
+    tokenize job loads."""
+    import json
+
+    with open(path, "w", encoding="utf-8") as fh:
+        json.dump([list(p) for p in merges], fh, ensure_ascii=False)
+
+
+def bpe_load(path: str) -> list[tuple]:
+    import json
+
+    with open(path, encoding="utf-8") as fh:
+        data = json.load(fh)
+    if not isinstance(data, list) or any(
+            not isinstance(p, list) or len(p) != 2 for p in data):
+        raise ValueError(f"{path}: not a merge table (list of pairs)")
+    return [tuple(p) for p in data]

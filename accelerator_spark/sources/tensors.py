@@ -33,10 +33,12 @@ from __future__ import annotations
 import ast
 import io
 import json
+import os
 import struct
 import zipfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -247,3 +249,53 @@ def safetensors_build(tensors: dict) -> bytes:
         off += len(raw)
     hjson = json.dumps(header, separators=(",", ":")).encode("utf-8")
     return struct.pack("<Q", len(hjson)) + hjson + b"".join(parts)
+
+
+def tensor_export(df: DataFrame, path: str, vec_col: str = "embedding",
+                  id_col: str = "vec_id",
+                  dtype: str = "F32") -> int:
+    """Write an embedding column back out as safetensors shards — the
+    hand-back to single-node ML tooling (torch/safetensors load these
+    directly). One ``part-<hex>.safetensors`` per partition with two
+    tensors: ``emb`` (n x dim, ``dtype``) and ``ids`` (n, I64) in row
+    order, so vectors stay joined to their ids without a sidecar.
+    Returns rows written; empty partitions write nothing; rows with
+    NULL vector are skipped; ragged dims raise (a tensor is
+    rectangular)."""
+    if dtype not in ("F32", "F64"):
+        raise TensorFormatError("tensor_export dtype must be F32/F64")
+    os.makedirs(path, exist_ok=True)
+    slim = df.select(F.col(id_col).cast("long").alias("_id"),
+                     F.col(vec_col).alias("_v"))
+
+    def write(batches):
+        import pandas as pd
+
+        ids, vecs, dim = [], [], None
+        for pdf in batches:
+            for vid, vec in zip(pdf["_id"], pdf["_v"]):
+                if vec is None:
+                    continue
+                v = [float(x) for x in vec]
+                if dim is None:
+                    dim = len(v)
+                elif len(v) != dim:
+                    raise TensorFormatError(
+                        f"ragged vectors: {len(v)} vs {dim}")
+                ids.append(int(vid))
+                vecs.extend(v)
+        n = len(ids)
+        if n:
+            blob = safetensors_build({
+                "emb": (dtype, [n, dim], vecs),
+                "ids": ("I64", [n], ids),
+            })
+            fname = os.path.join(
+                path, "part-" + os.urandom(8).hex() + ".safetensors")
+            with open(fname, "wb") as fh:
+                fh.write(blob)
+        yield pd.DataFrame({"n": [n]})
+
+    counts = slim.mapInPandas(write, schema="n long").collect()
+    return sum(r["n"] for r in counts)
+

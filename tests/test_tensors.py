@@ -90,3 +90,44 @@ def test_tensor_import(spark, tmp_path):
     assert rows[("a.safetensors", "emb", 1)] == (2, [2.0, 3.0])
     assert rows[("b.npz", "w", 0)] == (2, [0.0, 1.0])
     assert len(rows) == 5
+
+
+def test_tensor_export_roundtrip(spark, tmp_path):
+    """embeddings -> safetensors shards -> re-import: ids stay joined
+    to vectors, F32 quantizes, F64 is exact; NULL vectors skipped."""
+    import pyspark.sql.functions as F
+
+    from accelerator_spark.sources.tensors import tensor_export
+
+    rows = [(i, [float(i), i + 0.25]) for i in range(9)] + [(99, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = str(tmp_path / "st")
+    assert tensor_export(df.repartition(3), out, dtype="F64") == 9
+    back = tensor_import(spark, out)
+    emb = {(r.path, r.row_idx): list(r.vector)
+           for r in back.filter("tensor = 'emb'").collect()}
+    ids = {r.path: list(r.vector)
+           for r in back.filter("tensor = 'ids'").collect()}
+    # per shard: ids[k] is the vec_id of emb row k (row order preserved)
+    seen = {}
+    for (p, ridx), v in emb.items():
+        seen[int(ids[p][ridx])] = v
+    assert seen == {i: [float(i), i + 0.25] for i in range(9)}
+    with pytest.raises(TensorFormatError):
+        tensor_export(df, out, dtype="I64")
+    ragged = spark.createDataFrame(
+        [(1, [1.0]), (2, [1.0, 2.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(Exception):
+        tensor_export(ragged.coalesce(1), str(tmp_path / "r"))
+
+
+def test_bpe_save_load(tmp_path):
+    from accelerator_spark.operators.bpe import bpe_load, bpe_save
+
+    merges = [("a", "b"), ("ab", "</w>"), ("é", "ü")]
+    p = str(tmp_path / "merges.json")
+    bpe_save(merges, p)
+    assert bpe_load(p) == merges
+    (tmp_path / "bad.json").write_text('{"not": "a list"}')
+    with pytest.raises(ValueError):
+        bpe_load(str(tmp_path / "bad.json"))
