@@ -75,3 +75,29 @@ def test_on_error_null(spark):
         "media_id long, payload binary, mime string")
     out = image_dhash(df, on_error="null").collect()[0]
     assert out.dhash_hex is None and out.width is None
+
+
+def test_orientation_6_and_8_composition():
+    """90° rotations (the portrait-phone cases): composed index math
+    must equal hashing the materially rotated grid. Use an 8x9 source
+    so the oriented grid is 9x8 (exact, no resample)."""
+    from accelerator_spark.functions.jpeg import _EXIF_XFORMS
+
+    w, h = 8, 9
+    flat = [(x * 13 + y * 7) % 251 for y in range(h) for x in range(w)]
+
+    def materialize(orient):
+        swap, srcfn = _EXIF_XFORMS[orient]
+        ow, oh = (h, w) if swap else (w, h)
+        out = []
+        for oy in range(oh):
+            for ox in range(ow):
+                sx, sy = srcfn(ox, oy, w, h)
+                out.append(flat[sy * w + sx])
+        return out, ow, oh
+
+    for orient in (6, 8):
+        rot, ow, oh = materialize(orient)
+        assert (ow, oh) == (9, 8)
+        assert dhash_bits(flat, w, h, 1, orientation=orient) == \
+            dhash_bits(rot, ow, oh, 1, orientation=1)

@@ -150,3 +150,20 @@ def test_mbox_import(spark, tmp_path):
                   for r in df.collect())
     assert rows == [("a.mbox", 0, "one"), ("b.mbox", 0, "two"),
                     ("b.mbox", 1, "three")]
+
+
+def test_crlf_mbox():
+    """CRLF line endings (Windows-written archives): framing and
+    un-quoting must work on \\r\\n lines too."""
+    data = (b"From a@x Thu Jan  1 00:00:00 2026\r\n"
+            b"Subject: one\r\n\r\nbody1\r\n"
+            b"\r\n"
+            b"From b@x Thu Jan  1 00:00:00 2026\r\n"
+            b"Subject: two\r\n\r\n>From quoted\r\n")
+    msgs = list(mbox_split(data))
+    assert len(msgs) == 2
+    assert msgs[0] == b"Subject: one\r\n\r\nbody1\r"
+    assert msgs[1] == b"Subject: two\r\n\r\nFrom quoted\r"
+    d = parse_email(msgs[1])
+    assert d["subject"] == "two"
+    assert d["body_text"].startswith("From quoted")

@@ -1090,3 +1090,57 @@ def test_prop_mbox_build_split_roundtrip(bodies):
     raws = [b"H: v\n\n" + "\n".join(lines).encode("ascii")
             for lines in bodies]
     assert list(mbox_split(mbox_build(raws))) == raws
+
+
+_st_dtype = st.sampled_from(
+    ["F64", "F32", "I64", "I32", "I16", "I8", "U8", "BOOL"])
+
+
+@settings(deadline=None, max_examples=40)
+@given(st.lists(st.tuples(_st_dtype,
+                          st.integers(0, 4), st.integers(1, 5)),
+                min_size=1, max_size=4), st.data())
+def test_prop_safetensors_roundtrip(specs, data):
+    """safetensors writer/reader pair over random dtypes and 1/2-D
+    shapes; integer values chosen inside each dtype's range."""
+    from accelerator_spark.sources.tensors import (
+        safetensors_build, safetensors_parse)
+
+    rng = {"I8": (-128, 127), "U8": (0, 255), "I16": (-2**15, 2**15-1),
+           "I32": (-2**31, 2**31-1), "I64": (-2**53, 2**53),
+           "BOOL": (0, 1), "F32": (-2**20, 2**20), "F64": (-2**50, 2**50)}
+    tensors = {}
+    for k, (dtype, nr, dim) in enumerate(specs):
+        shape = [nr, dim] if nr else [dim]
+        n = (nr or 1) * dim
+        lo, hi = rng[dtype]
+        tensors[f"t{k}"] = (dtype, shape, [
+            data.draw(st.integers(lo, hi)) for _ in range(n)])
+    got = {n: (d, s, v) for n, d, s, v in
+           safetensors_parse(safetensors_build(tensors))}
+    for name, (dtype, shape, vals) in tensors.items():
+        gd, gs, gv = got[name]
+        assert (gd, gs) == (dtype, shape)
+        assert gv == [float(x) for x in vals]
+
+
+@settings(deadline=None, max_examples=30)
+@given(st.lists(st.tuples(st.integers(0, 200), st.integers(1, 30)),
+                min_size=1, max_size=25),
+       st.lists(st.tuples(st.integers(0, 200), st.integers(1, 30)),
+                min_size=1, max_size=15),
+       st.integers(1, 64))
+def test_prop_interval_join_matches_brute_force(spark, ls, rs, width):
+    """Owner-bin pair-once dedup vs the O(n*m) reference at random
+    widths — duplicates of the same pair must never appear."""
+    from accelerator_spark.operators.merge import interval_join
+
+    L = [(i, s, s + d) for i, (s, d) in enumerate(ls)]
+    R = [(j, s, s + d) for j, (s, d) in enumerate(rs)]
+    ldf = spark.createDataFrame(L, "id long, start long, end long")
+    rdf = spark.createDataFrame(R, "id long, start long, end long")
+    got = sorted((r.l_id, r.r_id) for r in
+                 interval_join(ldf, rdf, bin_width=width).collect())
+    ref = sorted((a[0], b[0]) for a in L for b in R
+                 if a[1] < b[2] and b[1] < a[2])
+    assert got == ref
