@@ -122,7 +122,12 @@ def rtf_text(data: bytes, max_chars: int = 8 << 20,
                 put(" ")
                 i += 1
             elif c2 in b"-_":
-                put("-" if c2 == 0x2D else "‑")
+                # \- is an OPTIONAL hyphen (a zero-width hyphenation
+                # point, spec 1.9.1) — emitting a literal '-' would
+                # inject dashes mid-word into extracted text (ADVICE
+                # r9); \_ is the visible non-breaking hyphen
+                if c2 == 0x5F:
+                    put("‑")
                 i += 1
             elif c2 == 0x0A or c2 == 0x0D:  # \<newline> = \par
                 put("\n")
@@ -193,6 +198,12 @@ def rtf_text(data: bytes, max_chars: int = 8 << 20,
             put(data[i:j].decode("ascii", errors="replace"))
             i = j
 
+    if pend_hi is not None and not skipping:
+        # a lone high surrogate at END of input was silently dropped
+        # before (ADVICE r9) — flush it as U+FFFD like the mid-stream
+        # lone-surrogate paths do (appended directly: the \uc fallback
+        # skip applies to SOURCE fallback chars, which EOF has none of)
+        out.append("�")
     text = "".join(out)
     # normalize: strip trailing breaks, count non-empty paragraphs
     text = text.rstrip("\n")

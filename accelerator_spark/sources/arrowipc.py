@@ -153,12 +153,21 @@ def arrow_import(spark: SparkSession, path: str,
         T.StructField(f.name, _pa_to_spark(f.type), f.nullable)
         for f in pa_schema])
 
+    expected = [f.name for f in schema.fields]
+
     def run(batches):
         for pdf in batches:
             for p, content in zip(pdf["path"], pdf["content"]):
                 for rb in _iter_batches(bytes(content)):
-                    out = rb.to_pandas()
-                    out.columns = [f.name for f in schema.fields]
+                    # bind by NAME, never position: a file whose
+                    # columns are ordered differently but type-
+                    # compatible would otherwise be silently mis-bound
+                    # into the wrong columns (ADVICE r9)
+                    if set(rb.schema.names) != set(expected):
+                        raise ArrowIpcError(
+                            f"{p}: columns {sorted(rb.schema.names)} != "
+                            f"first file's {sorted(expected)}")
+                    out = rb.to_pandas()[expected]
                     yield out
 
     return files.mapInPandas(run, schema=schema)

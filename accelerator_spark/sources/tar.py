@@ -34,6 +34,7 @@ multimodal columns need their native shard format).
 from __future__ import annotations
 
 import io
+import os
 import tarfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -73,16 +74,38 @@ def wds_key_ext(name: str) -> tuple[str, str]:
     return name[:slash + 1] + base[:dot], base[dot + 1:]
 
 
-def tar_iter_members(data: bytes):
+ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"  # zstd frame magic, little-endian
+
+
+def _maybe_zstd(data: bytes, codec_hook):
+    """Route a zstd-compressed shard through the injectable codec hook
+    (the warc.py/_maybe_zstd twin): modern WebDataset shards ship as
+    .tar.zst, stdlib tarfile's ``r|*`` sniffs only gz/bz2/xz, and
+    stdlib gains ``compression.zstd`` in 3.14 — the hook makes the
+    source zstd-ready the day the environment has a codec. None ->
+    a clear unsupported error naming the hook."""
+    if data[:4] != ZSTD_MAGIC:
+        return data
+    if codec_hook is None:
+        raise TarError(
+            "zstd-compressed tar shard and no codec available: pass "
+            "codec_hook=<bytes->bytes zstd decompressor> (e.g. "
+            "zstandard.decompress or Python 3.14 compression.zstd)")
+    return codec_hook(data)
+
+
+def tar_iter_members(data: bytes, codec_hook=None):
     """Yield ``(idx, name, payload, size, mtime)`` for each REGULAR
-    file member of a (possibly gzip/bzip2/xz-compressed) tar, in
-    archive order, streaming: stream mode (``r|*``) decompresses
-    incrementally, so peak heap is one member, never the decompressed
-    shard. Directories, sym/hard links, devices and FIFOs carry no
-    sample payload and are skipped (links deliberately — following
-    them would need random access and can alias data outside the
-    sample; WebDataset writers emit regular files only). idx counts
-    regular files, matching the row numbering the schema promises."""
+    file member of a (possibly gzip/bzip2/xz-compressed, or zstd via
+    ``codec_hook``) tar, in archive order, streaming: stream mode
+    (``r|*``) decompresses incrementally, so peak heap is one member,
+    never the decompressed shard. Directories, sym/hard links, devices
+    and FIFOs carry no sample payload and are skipped (links
+    deliberately — following them would need random access and can
+    alias data outside the sample; WebDataset writers emit regular
+    files only). idx counts regular files, matching the row numbering
+    the schema promises."""
+    data = _maybe_zstd(data, codec_hook)
     try:
         tf = tarfile.open(fileobj=io.BytesIO(data), mode="r|*")
     except tarfile.TarError as e:
@@ -107,13 +130,15 @@ def tar_iter_members(data: bytes):
 
 def tar_decode_file(path: str, data: bytes,
                     chunk_records: int = 1024,
-                    chunk_bytes: int = 64 << 20):
+                    chunk_bytes: int = 64 << 20,
+                    codec_hook=None):
     """Generator of row-lists for one shard, cut every
     ``chunk_records`` members or ``chunk_bytes`` of payload —
     the Arrow-batch memory bound (one oversized member still forms
     its own batch; the bound is per-batch overhead, not a splitter)."""
     out, nbytes = [], 0
-    for idx, name, payload, size, mtime in tar_iter_members(data):
+    for idx, name, payload, size, mtime in tar_iter_members(
+            data, codec_hook):
         key, ext = wds_key_ext(name)
         out.append((path, idx, name, key, ext, payload, size, mtime))
         nbytes += size
@@ -127,12 +152,15 @@ def tar_decode_file(path: str, data: bytes,
 def tar_import(spark: SparkSession, path: str,
                pattern: str = "*.tar*",
                chunk_records: int = 1024,
-               chunk_bytes: int = 64 << 20) -> DataFrame:
+               chunk_bytes: int = 64 << 20,
+               codec_hook=None) -> DataFrame:
     """Read a directory of tar/WebDataset shards distributed: one task
     per shard (binaryFile — shards are sized for this, typically
-    100 MB-1 GB), rows leave in bounded Arrow batches. Feed the result
-    to ``webdataset_group`` for sample rows, or filter ``ext`` and
-    route payloads to the multimodal probes/decoders directly."""
+    100 MB-1 GB), rows leave in bounded Arrow batches. ``codec_hook``
+    (a picklable bytes->bytes decompressor) enables .tar.zst shards —
+    see _maybe_zstd. Feed the result to ``webdataset_group`` for
+    sample rows, or filter ``ext`` and route payloads to the
+    multimodal probes/decoders directly."""
     files = (spark.read.format("binaryFile")
              .option("pathGlobFilter", pattern).load(path)
              .select("path", "content"))
@@ -143,7 +171,8 @@ def tar_import(spark: SparkSession, path: str,
         for pdf in batches:
             for p, content in zip(pdf["path"], pdf["content"]):
                 for rows in tar_decode_file(
-                        p, bytes(content), chunk_records, chunk_bytes):
+                        p, bytes(content), chunk_records, chunk_bytes,
+                        codec_hook):
                     yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(run, schema=TAR_SCHEMA)
@@ -180,40 +209,48 @@ def _octal(n: int, width: int) -> bytes:
     return b"%0*o\0" % (width - 1, n)
 
 
+def _ustar_header(name: str, size: int, mtime: int) -> bytes:
+    """One 512-byte POSIX ustar header — spec bytes (IEEE 1003.1:
+    100-byte name, octal size/mtime, checksum over a space-seeded
+    header, magic ``ustar\\0 00``), NOT stdlib tarfile, so reading the
+    archive back with the stdlib-based ``tar_iter_members`` is a
+    genuine writer/reader cross-check. Names longer than 100 bytes use
+    the ustar prefix field (no GNU/PAX long-name writing)."""
+    nb = name.encode("utf-8")
+    prefix = b""
+    if len(nb) > 100:
+        cut = nb.rfind(b"/", 0, 156)
+        if cut <= 0 or len(nb) - cut - 1 > 100:
+            raise TarError(f"name too long for ustar: {name!r}")
+        prefix, nb = nb[:cut], nb[cut + 1:]
+    hdr = bytearray(512)
+    hdr[0:len(nb)] = nb                       # name
+    hdr[100:108] = _octal(0o644, 8)           # mode
+    hdr[108:116] = _octal(0, 8)               # uid
+    hdr[116:124] = _octal(0, 8)               # gid
+    hdr[124:136] = _octal(size, 12)           # size
+    hdr[136:148] = _octal(mtime, 12)
+    hdr[148:156] = b" " * 8                   # chksum seed
+    hdr[156] = 0x30                           # typeflag '0' regular
+    hdr[257:263] = b"ustar\0"                 # magic
+    hdr[263:265] = b"00"                      # version
+    hdr[345:345 + len(prefix)] = prefix
+    hdr[148:156] = b"%06o\0 " % sum(hdr)
+    return bytes(hdr)
+
+
 def tar_build(members, mtime: int = 0, gzip_compress: bool = False,
               mtime_step: int = 0) -> bytes:
     """Hand-author a POSIX ustar archive from ``(name, payload)``
-    pairs — spec bytes (IEEE 1003.1 ustar header: 100-byte name,
-    octal size/mtime, checksum over a space-seeded header, magic
-    ``ustar\\0 00``), NOT stdlib tarfile, so reading it back with the
-    stdlib-based ``tar_iter_members`` is a genuine writer/reader
-    cross-check. Names longer than 100 bytes use the ustar prefix
-    field (suffices for fixtures; no GNU/PAX long-name writing)."""
+    pairs — the in-memory fixture writer (headers from
+    ``_ustar_header``, the same spec bytes the distributed sink
+    streams)."""
     import gzip as _gzip
 
     blocks = []
     for i, (name, payload) in enumerate(members):
-        nb = name.encode("utf-8")
-        prefix = b""
-        if len(nb) > 100:
-            cut = nb.rfind(b"/", 0, 156)
-            if cut <= 0 or len(nb) - cut - 1 > 100:
-                raise TarError(f"name too long for ustar: {name!r}")
-            prefix, nb = nb[:cut], nb[cut + 1:]
-        hdr = bytearray(512)
-        hdr[0:len(nb)] = nb                       # name
-        hdr[100:108] = _octal(0o644, 8)           # mode
-        hdr[108:116] = _octal(0, 8)               # uid
-        hdr[116:124] = _octal(0, 8)               # gid
-        hdr[124:136] = _octal(len(payload), 12)   # size
-        hdr[136:148] = _octal(mtime + i * mtime_step, 12)
-        hdr[148:156] = b" " * 8                   # chksum seed
-        hdr[156] = 0x30                           # typeflag '0' regular
-        hdr[257:263] = b"ustar\0"                 # magic
-        hdr[263:265] = b"00"                      # version
-        hdr[345:345 + len(prefix)] = prefix
-        hdr[148:156] = b"%06o\0 " % sum(hdr)
-        blocks.append(bytes(hdr))
+        blocks.append(_ustar_header(name, len(payload),
+                                    mtime + i * mtime_step))
         blocks.append(payload)
         pad = -len(payload) % 512
         blocks.append(b"\0" * pad)
@@ -222,3 +259,105 @@ def tar_build(members, mtime: int = 0, gzip_compress: bool = False,
     if gzip_compress:
         return _gzip.compress(raw, mtime=0)
     return raw
+
+
+def tar_export(df: DataFrame, path: str,
+               sample_col: str = "sample_key",
+               ext_col: str = "ext",
+               payload_col: str = "payload",
+               gzip_compress: bool = True,
+               mtime: int = 0,
+               n_shards: int | None = None,
+               samples_per_shard: int | None = None,
+               arrange: bool = True) -> int:
+    """Write member rows back out as WebDataset .tar shards — the sink
+    half the multimodal front was missing (VERDICT r9 #1; the
+    warc_export twin): filter/dedup/re-balance a corpus with the
+    DataFrame operators, then land the survivors as shards any
+    WebDataset loader (or ``tar_import``) reads back.
+
+    Member name is ``{sample_key}.{ext}`` (bare ``sample_key`` when
+    ext is ''), headers from the hand-rolled ustar writer
+    (``_ustar_header``). The WebDataset contract is positional: all
+    members of one sample must sit ADJACENT in ONE shard —
+    ``arrange=True`` (default) enforces it by hash-repartitioning on
+    ``sample_col`` (into ``n_shards`` partitions when given) and
+    sorting within partitions on (sample, ext); pass ``arrange=False``
+    only when the frame already satisfies it. ``samples_per_shard``
+    additionally rolls to a fresh shard at a sample BOUNDARY every N
+    samples (the WebDataset fixed-count convention) — so one partition
+    may land several ``part-<hex>.tar(.gz)`` files.
+
+    Memory contract: members stream header-by-payload straight to the
+    open (optionally GzipFile-wrapped) handle — task heap is
+    O(member), never the shard. Determinism: ``mtime`` is a fixed
+    param, gzip mtime 0, so re-exporting identical partitions yields
+    byte-identical shard CONTENT (file names are fresh per write).
+    NULL payloads are skipped; a NULL sample key raises (a sample
+    without identity is a corrupt corpus, not a skippable row).
+    Returns member rows written."""
+    import gzip as _gzip
+
+    os.makedirs(path, exist_ok=True)
+    slim = df.select(F.col(sample_col).alias("_k"),
+                     F.col(ext_col).alias("_e"),
+                     F.col(payload_col).alias("_p"))
+    if arrange:
+        slim = (slim.repartition(n_shards, "_k") if n_shards
+                else slim.repartition("_k"))
+        slim = slim.sortWithinPartitions("_k", "_e")
+    suffix = ".tar.gz" if gzip_compress else ".tar"
+
+    def write(batches):
+        import pandas as pd
+
+        fh = gz = None
+        n_members = 0
+        n_samples = 0
+        prev_key = None
+
+        def close_shard():
+            nonlocal fh, gz
+            if gz is not None:
+                gz.write(b"\0" * 1024)   # end-of-archive
+                gz.close()
+                fh.close()
+                fh = gz = None
+
+        for pdf in batches:
+            for key, ext, payload in zip(pdf["_k"], pdf["_e"],
+                                         pdf["_p"]):
+                if payload is None:
+                    continue
+                if key is None:
+                    raise TarError(
+                        "tar_export: NULL sample key — a member "
+                        "without identity cannot join a sample")
+                if key != prev_key:
+                    if (samples_per_shard
+                            and n_samples >= samples_per_shard):
+                        close_shard()
+                        n_samples = 0
+                    n_samples += 1
+                    prev_key = key
+                if gz is None:
+                    fname = os.path.join(
+                        path, "part-" + os.urandom(8).hex() + suffix)
+                    fh = open(fname, "wb")
+                    # filename="" keeps the fresh part name out of
+                    # the gzip FNAME header — shard CONTENT must be
+                    # deterministic across re-exports
+                    gz = (_gzip.GzipFile(filename="", fileobj=fh,
+                                         mode="wb", mtime=0)
+                          if gzip_compress else fh)
+                payload = bytes(payload)
+                name = f"{key}.{ext}" if ext else str(key)
+                gz.write(_ustar_header(name, len(payload), mtime))
+                gz.write(payload)
+                gz.write(b"\0" * (-len(payload) % 512))
+                n_members += 1
+        close_shard()
+        yield pd.DataFrame({"n": [n_members]})
+
+    counts = slim.mapInPandas(write, schema="n long").collect()
+    return sum(r["n"] for r in counts)

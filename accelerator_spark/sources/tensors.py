@@ -84,7 +84,21 @@ def safetensors_parse(data: bytes):
                 f"(supported: {sorted(_ST_DTYPES)})")
         fmt, size = _ST_DTYPES[dtype]
         shape = meta.get("shape")
-        o0, o1 = meta.get("data_offsets", (None, None))
+        # hostile-header validation (ADVICE r9): shape=null / float or
+        # negative dims / a malformed data_offsets must raise
+        # TensorFormatError, never leak TypeError from the n*=d loop
+        if (not isinstance(shape, list)
+                or any(not isinstance(d, int) or isinstance(d, bool)
+                       or d < 0 for d in shape)):
+            raise TensorFormatError(
+                f"tensor {name!r}: shape must be a list of non-negative "
+                f"ints, got {shape!r}")
+        offs = meta.get("data_offsets")
+        if not isinstance(offs, (list, tuple)) or len(offs) != 2:
+            raise TensorFormatError(
+                f"tensor {name!r}: data_offsets must be a 2-list, "
+                f"got {offs!r}")
+        o0, o1 = offs
         n = 1
         for d in shape:
             n *= d
@@ -109,6 +123,13 @@ def npy_parse(data: bytes):
     C-order only (fortran_order=False); little-endian numeric descrs."""
     if data[:6] != b"\x93NUMPY":
         raise TensorFormatError("missing \\x93NUMPY magic")
+    # length-check the version/header-length region BEFORE indexing:
+    # a <12-byte input must raise TensorFormatError, not IndexError /
+    # struct.error (ADVICE r9 hostile-input contract)
+    if len(data) < 12:
+        raise TensorFormatError(
+            f"truncated npy: {len(data)} bytes is shorter than any "
+            "valid header")
     major = data[6]
     if major == 1:
         (hlen,) = struct.unpack("<H", data[8:10])
@@ -116,11 +137,24 @@ def npy_parse(data: bytes):
     else:
         (hlen,) = struct.unpack("<I", data[8:12])
         off = 12
+    if off + hlen > len(data):
+        raise TensorFormatError(
+            f"npy header length {hlen} overruns the {len(data)}B file")
     try:
         hdr = ast.literal_eval(data[off:off + hlen].decode("latin-1"))
     except (ValueError, SyntaxError) as e:
         raise TensorFormatError(f"bad npy header: {e}") from e
+    if (not isinstance(hdr, dict) or "descr" not in hdr
+            or "shape" not in hdr):
+        raise TensorFormatError(f"npy header is not a NEP-1 dict: "
+                                f"{hdr!r}")
     descr, shape = hdr["descr"], hdr["shape"]
+    if (not isinstance(shape, tuple)
+            or any(not isinstance(d, int) or isinstance(d, bool)
+                   or d < 0 for d in shape)):
+        raise TensorFormatError(
+            f"npy shape must be a tuple of non-negative ints, "
+            f"got {shape!r}")
     if hdr.get("fortran_order"):
         raise TensorFormatError("fortran_order npy not supported")
     fmt = {"<f8": "d", "<f4": "f", "<f2": "e", "<i8": "q", "<i4": "i",
@@ -253,48 +287,78 @@ def safetensors_build(tensors: dict) -> bytes:
 
 def tensor_export(df: DataFrame, path: str, vec_col: str = "embedding",
                   id_col: str = "vec_id",
-                  dtype: str = "F32") -> int:
+                  dtype: str = "F32",
+                  rows_per_shard: int = 65536) -> int:
     """Write an embedding column back out as safetensors shards — the
     hand-back to single-node ML tooling (torch/safetensors load these
-    directly). One ``part-<hex>.safetensors`` per partition with two
-    tensors: ``emb`` (n x dim, ``dtype``) and ``ids`` (n, I64) in row
-    order, so vectors stay joined to their ids without a sidecar.
-    Returns rows written; empty partitions write nothing; rows with
-    NULL vector are skipped; ragged dims raise (a tensor is
+    directly). Shards roll every ``rows_per_shard`` rows (one or more
+    ``part-<hex>.safetensors`` per partition), each with two tensors:
+    ``emb`` (n x dim, ``dtype``) and ``ids`` (n, I64) in row order, so
+    vectors stay joined to their ids without a sidecar.
+
+    Memory contract (VERDICT r9 #1): rows are struct-packed straight
+    into per-shard byte buffers — task heap is O(rows_per_shard x dim)
+    PAYLOAD bytes, never a partition-sized Python float list (~8x the
+    payload). safetensors headers carry offsets, so the shard buffer
+    is the price of the single-pass write; ``rows_per_shard`` is the
+    knob. Returns rows written; empty partitions write nothing; rows
+    with NULL vector are skipped; ragged dims raise (a tensor is
     rectangular)."""
     if dtype not in ("F32", "F64"):
         raise TensorFormatError("tensor_export dtype must be F32/F64")
+    if rows_per_shard < 1:
+        raise TensorFormatError("rows_per_shard must be >= 1")
     os.makedirs(path, exist_ok=True)
     slim = df.select(F.col(id_col).cast("long").alias("_id"),
                      F.col(vec_col).alias("_v"))
+    fmtch = "f" if dtype == "F32" else "d"
 
     def write(batches):
         import pandas as pd
 
-        ids, vecs, dim = [], [], None
+        emb, ids = bytearray(), bytearray()
+        n, dim, total = 0, None, 0
+
+        def flush():
+            nonlocal emb, ids, n, total
+            if not n:
+                return
+            header = {
+                "emb": {"dtype": dtype, "shape": [n, dim],
+                        "data_offsets": [0, len(emb)]},
+                "ids": {"dtype": "I64", "shape": [n],
+                        "data_offsets": [len(emb),
+                                         len(emb) + len(ids)]},
+            }
+            hjson = json.dumps(header,
+                               separators=(",", ":")).encode("utf-8")
+            fname = os.path.join(
+                path, "part-" + os.urandom(8).hex() + ".safetensors")
+            with open(fname, "wb") as fh:
+                fh.write(struct.pack("<Q", len(hjson)))
+                fh.write(hjson)
+                fh.write(emb)
+                fh.write(ids)
+            total += n
+            emb, ids, n = bytearray(), bytearray(), 0
+
         for pdf in batches:
             for vid, vec in zip(pdf["_id"], pdf["_v"]):
                 if vec is None:
                     continue
-                v = [float(x) for x in vec]
                 if dim is None:
-                    dim = len(v)
-                elif len(v) != dim:
+                    dim = len(vec)
+                elif len(vec) != dim:
                     raise TensorFormatError(
-                        f"ragged vectors: {len(v)} vs {dim}")
-                ids.append(int(vid))
-                vecs.extend(v)
-        n = len(ids)
-        if n:
-            blob = safetensors_build({
-                "emb": (dtype, [n, dim], vecs),
-                "ids": ("I64", [n], ids),
-            })
-            fname = os.path.join(
-                path, "part-" + os.urandom(8).hex() + ".safetensors")
-            with open(fname, "wb") as fh:
-                fh.write(blob)
-        yield pd.DataFrame({"n": [n]})
+                        f"ragged vectors: {len(vec)} vs {dim}")
+                emb += struct.pack(f"<{dim}{fmtch}",
+                                   *(float(x) for x in vec))
+                ids += struct.pack("<q", int(vid))
+                n += 1
+                if n >= rows_per_shard:
+                    flush()
+        flush()
+        yield pd.DataFrame({"n": [total]})
 
     counts = slim.mapInPandas(write, schema="n long").collect()
     return sum(r["n"] for r in counts)

@@ -56,11 +56,16 @@ def main(crawl_dir: str, out_dir: str, holdout_texts=None) -> int:
     if holdout_texts:
         bench = spark.createDataFrame(
             [(t,) for t in holdout_texts], "text string")
-        bf = bloom_build(bench.select(F.md5("text").alias("fp")), "fp",
-                         m_bits=1 << 16, n_hashes=3)
+        bench_fp = bench.select(F.md5("text").alias("fp"))
+        bf = bloom_build(bench_fp, "fp", m_bits=1 << 16, n_hashes=3)
         flagged = bloom_prefilter(
             docs.withColumn("fp", F.md5("text")), bf, "fp")
-        docs = docs.join(flagged.select("doc_id"), "doc_id", "left_anti")
+        # the Bloom pass only PREFILTERS (~fp_rate clean docs land in
+        # `flagged`); the exact semi-join on the sliver is what makes
+        # removal exact (ADVICE r9)
+        contaminated = flagged.join(bench_fp, "fp", "left_semi")
+        docs = docs.join(contaminated.select("doc_id"), "doc_id",
+                         "left_anti")
 
     # 6. corpus-trained BPE -> token arrays -> Arrow shards
     merges = bpe_train(docs, n_merges=4000, max_words=200_000)

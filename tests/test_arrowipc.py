@@ -69,3 +69,38 @@ def test_errors(spark, tmp_path):
     with pytest.raises(ArrowIpcError):
         arrow_export(df.select(df.m.getItem("k").alias("v")),
                      str(tmp_path / "o2"), layout="nope")
+
+
+def test_import_binds_columns_by_name(spark, tmp_path):
+    """ADVICE r9: a second file with the SAME columns in a DIFFERENT
+    order must bind by name (not silently by position); a file with a
+    different column SET raises."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    from accelerator_spark.sources.arrowipc import (
+        ArrowIpcError, arrow_import)
+
+    d = tmp_path / "byname"
+    d.mkdir()
+
+    def write(name, table):
+        with pa.OSFile(str(d / name), "wb") as f, \
+                ipc.new_file(f, table.schema) as w:
+            w.write_table(table)
+
+    # NOTE: names sort a < b so "a_first" is the schema probe file
+    write("a_first.arrow", pa.table(
+        {"x": pa.array([1, 2], pa.int64()),
+         "y": pa.array(["p", "q"])}))
+    write("b_second.arrow", pa.table(
+        {"y": pa.array(["r"]), "x": pa.array([3], pa.int64())}))
+    got = {r.x: r.y for r in arrow_import(spark, str(d)).collect()}
+    assert got == {1: "p", 2: "q", 3: "r"}
+
+    write("c_bad.arrow", pa.table({"x": pa.array([9], pa.int64()),
+                                   "z": pa.array([1], pa.int64())}))
+    with pytest.raises(Exception) as ei:
+        arrow_import(spark, str(d)).collect()
+    assert "ArrowIpcError" in str(ei.value) or isinstance(
+        ei.value, ArrowIpcError)

@@ -80,3 +80,22 @@ def test_document_router(spark):
         "media_id long, payload binary, mime string")
     r = extract_document_text(df).collect()[0]
     assert (r.kind, r.text, r.n_units) == ("rtf", "body one\ntwo", 2)
+
+
+def test_optional_hyphen_and_trailing_lone_surrogate():
+    """ADVICE r9: \\- is a zero-width hyphenation point (no literal
+    '-' injected mid-word); \\_ stays the visible non-breaking hyphen;
+    a lone high surrogate at END of input flushes as U+FFFD instead of
+    vanishing."""
+    from accelerator_spark.functions.rtf import rtf_text
+
+    assert rtf_text(rb"{\rtf1 hy\-phen}")[0] == "hyphen"
+    assert rtf_text(rb"{\rtf1 a\_b}")[0] == "a‑b"
+    # \u-10179 = 0xD83D: a high surrogate with no low half, at EOF
+    assert rtf_text(rb"{\rtf1 x\u-10179}")[0] == "x�"
+    # ...but a complete pair still combines (regression guard):
+    # U+1F600 = D83D DE00 = \u-10179 \u-8704
+    assert rtf_text(rb"{\rtf1 \u-10179?\u-8704?}")[0] == "\U0001F600"
+    # a lone high followed by a NON-surrogate \uN still flushes FFFD
+    # mid-stream then emits the scalar
+    assert rtf_text(rb"{\rtf1 \u-10179?\u65?}")[0] == "�A"

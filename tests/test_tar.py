@@ -155,3 +155,106 @@ def test_tar_import_and_group(spark, tmp_path):
     assert a.first_member_idx == 0
     assert samples["d/c"].n_parts == 2
     assert bytes(samples["d/c"].parts["cls"]) == b"7"
+
+
+def test_zstd_hook_and_sniff():
+    """zstd-magic shards route through the injectable codec hook
+    (VERDICT r9 #4): no hook -> a TarError NAMING the hook; a
+    hook-injected round-trip decodes identically (the fake codec is
+    zlib behind the real zstd magic — the wiring under test is the
+    sniff + routing, not the codec)."""
+    import zlib
+
+    from accelerator_spark.sources.tar import ZSTD_MAGIC
+
+    raw = tar_build([("d/a.txt", b"T"), ("d/a.json", b"J")])
+    fake = ZSTD_MAGIC + zlib.compress(raw)
+    with pytest.raises(TarError, match="codec_hook"):
+        list(tar_iter_members(fake))
+    hook = lambda b: zlib.decompress(b[4:])  # noqa: E731
+    assert list(tar_iter_members(fake, codec_hook=hook)) \
+        == list(tar_iter_members(raw))
+    # non-zstd bytes never touch the hook
+    boom = lambda b: (_ for _ in ()).throw(AssertionError)  # noqa: E731
+    assert list(tar_iter_members(raw, codec_hook=boom)) \
+        == list(tar_iter_members(raw))
+
+
+def test_tar_export_roundtrip_and_adjacency(spark, tmp_path):
+    """The WebDataset sink (VERDICT r9 #1): member rows -> tar shards
+    -> tar_import round-trip with value identity; every sample's
+    members sit ADJACENT in ONE shard; NULL payloads skipped; NULL
+    sample keys raise; deterministic shard content."""
+    from accelerator_spark.sources.tar import tar_export
+
+    rows = []
+    for i in range(20):
+        rows.append((f"s{i:03d}", "txt", b"T%d" % i))
+        rows.append((f"s{i:03d}", "cap.json", b"J%d" % i))
+        if i % 3 == 0:
+            rows.append((f"s{i:03d}", "cls", b"C%d" % i))
+    rows.append(("snull", "txt", None))         # skipped
+    df = spark.createDataFrame(
+        rows, "sample_key string, ext string, payload binary")
+    out = tmp_path / "wds"
+    n = tar_export(df.repartition(5), str(out), n_shards=3)
+    assert n == len(rows) - 1
+    shards = sorted(out.iterdir())
+    assert 1 < len(shards) <= 3 and all(
+        p.name.endswith(".tar.gz") for p in shards)
+
+    back = tar_import(spark, str(out))
+    got = {(r.sample_key, r.ext): bytes(r.payload)
+           for r in back.collect()}
+    want = {(k, e): p for k, e, p in rows if p is not None}
+    assert got == want
+    # adjacency: one sample = one contiguous run in exactly one shard
+    rowlist = back.select("path", "member_idx", "sample_key").collect()
+    by_key = {}
+    for r in rowlist:
+        by_key.setdefault(r.sample_key, []).append(
+            (r.path, r.member_idx))
+    for key, locs in by_key.items():
+        paths = {p for p, _ in locs}
+        assert len(paths) == 1, f"sample {key} straddles shards"
+        idxs = sorted(i for _, i in locs)
+        assert idxs == list(range(idxs[0], idxs[0] + len(idxs))), \
+            f"sample {key} members not adjacent: {idxs}"
+
+    with pytest.raises(Exception):  # Py4J wraps TarError
+        tar_export(spark.createDataFrame(
+            [(None, "txt", b"x")],
+            "sample_key string, ext string, payload binary"), str(
+                tmp_path / "nk"))
+    # deterministic shard content (fresh names, identical bytes)
+    one = df.filter("payload is not null").coalesce(1)
+    d1, d2 = tmp_path / "a", tmp_path / "b"
+    tar_export(one, str(d1), arrange=False)
+    tar_export(one, str(d2), arrange=False)
+    assert [p.read_bytes() for p in sorted(d1.iterdir())] \
+        == [p.read_bytes() for p in sorted(d2.iterdir())]
+
+
+def test_tar_export_rolls_at_sample_boundaries(spark, tmp_path):
+    """samples_per_shard rolls to a fresh shard only at sample
+    boundaries: 7 samples x 2 members in ONE partition with
+    samples_per_shard=3 -> 3 shards of 3/3/1 whole samples."""
+    from accelerator_spark.sources.tar import tar_export
+
+    rows = [(f"k{i}", e, b"p") for i in range(7)
+            for e in ("txt", "json")]
+    df = spark.createDataFrame(
+        rows, "sample_key string, ext string, payload binary")
+    out = tmp_path / "rolled"
+    assert tar_export(df.coalesce(1), str(out), gzip_compress=False,
+                      samples_per_shard=3, arrange=False) == 14
+    shards = sorted(out.iterdir())
+    assert len(shards) == 3
+    per_shard = []
+    for p in shards:
+        keys = {wds_key_ext(r[1])[0]
+                for r in tar_iter_members(p.read_bytes())}
+        per_shard.append(keys)
+    assert sorted(len(k) for k in per_shard) == [1, 3, 3]
+    # no sample appears in two shards
+    assert sum(len(k) for k in per_shard) == 7

@@ -131,3 +131,76 @@ def test_bpe_save_load(tmp_path):
     (tmp_path / "bad.json").write_text('{"not": "a list"}')
     with pytest.raises(ValueError):
         bpe_load(str(tmp_path / "bad.json"))
+
+
+def test_hostile_headers_raise_tensor_format_error():
+    """ADVICE r9: malformed headers must raise TensorFormatError,
+    never leak TypeError/IndexError/struct.error from executor
+    tasks."""
+    import json
+    import struct
+
+    def st(meta: dict, buf: bytes = b"") -> bytes:
+        h = json.dumps(meta).encode()
+        return struct.pack("<Q", len(h)) + h + buf
+
+    for meta in (
+        {"t": {"dtype": "F32", "shape": None,
+               "data_offsets": [0, 0]}},            # shape null
+        {"t": {"dtype": "F32", "shape": [1, 2.5],
+               "data_offsets": [0, 12]}},           # float dim
+        {"t": {"dtype": "F32", "shape": [-1],
+               "data_offsets": [0, 4]}},            # negative dim
+        {"t": {"dtype": "F32", "shape": [1],
+               "data_offsets": 4}},                 # scalar offsets
+        {"t": {"dtype": "F32", "shape": [1],
+               "data_offsets": [0]}},               # 1-elt offsets
+    ):
+        with pytest.raises(TensorFormatError):
+            list(safetensors_parse(st(meta, b"\0" * 16)))
+    # npy: every truncation length down to the magic alone
+    good = b"\x93NUMPY\x01\x00"
+    for end in range(6, 12):
+        with pytest.raises(TensorFormatError):
+            npy_parse(good[:end] + b"\xff" * max(0, end - len(good)))
+    # header length overrunning the file; non-dict header; bad shape
+    with pytest.raises(TensorFormatError):
+        npy_parse(good + struct.pack("<H", 500) + b"{}")
+    hdr = b"[1, 2]"
+    with pytest.raises(TensorFormatError):
+        npy_parse(good + struct.pack("<H", len(hdr)) + hdr)
+    hdr = b"{'descr': '<f8', 'fortran_order': False, 'shape': (1.5,)}"
+    with pytest.raises(TensorFormatError):
+        npy_parse(good + struct.pack("<H", len(hdr)) + hdr)
+
+
+def test_tensor_export_rolls_shards_bounded(spark, tmp_path):
+    """VERDICT r9 #1: one 350-row partition with rows_per_shard=100
+    lands 4 shards (100/100/100/50), every shard's emb tensor row
+    count <= the bound, and the re-import is value-complete."""
+    from accelerator_spark.sources.tensors import (
+        safetensors_parse, tensor_export)
+
+    rows = [(i, [i + 0.5, 2.0 * i]) for i in range(350)]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<double>")
+    out = tmp_path / "rolled"
+    assert tensor_export(df.coalesce(1), str(out), dtype="F64",
+                         rows_per_shard=100) == 350
+    shards = sorted(out.iterdir())
+    assert len(shards) == 4
+    sizes = []
+    seen = {}
+    for p in shards:
+        tensors = dict((n, (d, s, v)) for n, d, s, v
+                       in safetensors_parse(p.read_bytes()))
+        n_rows = tensors["emb"][1][0]
+        sizes.append(n_rows)
+        assert n_rows <= 100
+        ids = tensors["ids"][2]
+        for k in range(n_rows):
+            seen[int(ids[k])] = tensors["emb"][2][2 * k:2 * k + 2]
+    assert sorted(sizes) == [50, 100, 100, 100]
+    assert seen == {i: [i + 0.5, 2.0 * i] for i in range(350)}
+    with pytest.raises(TensorFormatError):
+        tensor_export(df, str(out), rows_per_shard=0)

@@ -310,3 +310,78 @@ def test_warc_export_roundtrip_and_determinism(spark, tmp_path):
     b2 = [(p.name.split(".", 1)[1], p.read_bytes())
           for p in sorted(d2.iterdir())]
     assert [x[1] for x in b1] == [x[1] for x in b2]
+
+
+def test_surt_urlkey_forms():
+    """SURT transform (VERDICT r9 #5): host reversal, scheme/userinfo
+    drop, default-port drop, explicit ports kept, IPv4/IPv6 literals
+    un-reversed, lowercasing, CDX-hostile characters percent-encoded,
+    non-URI passthrough."""
+    from accelerator_spark.sources.warc import surt
+
+    assert surt("http://www.Example.com/Path?Q=1") \
+        == "com,example,www)/path?q=1"
+    assert surt("https://a.b.c.example.org:443/") == "org,example,c,b,a)/"
+    assert surt("http://example.com:80/x") == "com,example)/x"
+    assert surt("http://user:pw@example.com:8080/x") \
+        == "com,example:8080)/x"
+    assert surt("http://1.2.3.4:81/p") == "1.2.3.4:81)/p"
+    assert surt("http://[2001:DB8::1]:8443/p") == "[2001:db8::1]:8443)/p"
+    assert surt("http://[::1]/p") == "[::1])/p"
+    assert surt("http://example.com") == "com,example)/"
+    # CDX line structure survives spaces/braces/quotes in the path
+    assert surt('http://a.b/p q/{r}"s\\') == 'b,a)/p%20q/%7br%7d%22s%5c'
+    assert surt("no scheme here") == "no%20scheme%20here"
+
+
+def test_export_cdxj_is_valid_json_with_surt_urlkey(tmp_path, spark):
+    """A double-quote/backslash URI must yield a VALID JSON sidecar
+    payload (ADVICE r9) with a SURT urlkey, and the sidecar must still
+    drive the split re-import."""
+    import json
+
+    from accelerator_spark.sources.warc import warc_export, warc_import
+
+    evil = 'http://ex.com/a"b\\c{d} e'
+    df = spark.createDataFrame(
+        [(evil, bytearray(b"<p>x</p>"))],
+        "target_uri string, payload binary")
+    out = tmp_path / "evil"
+    assert warc_export(df.coalesce(1), str(out)) == 1
+    (cdx,) = [p for p in out.iterdir() if p.name.endswith(".cdx")]
+    line = cdx.read_text().strip()
+    urlkey, ts, payload = line.split(" ", 2)
+    assert json.loads(payload)["url"] == evil
+    assert " " not in urlkey and '"' not in urlkey and "{" not in urlkey
+    assert urlkey.startswith("com,ex)/")
+    back = warc_import(spark, str(out), split=True).collect()
+    assert len(back) == 1 and back[0].target_uri == evil
+
+
+def test_zstd_codec_hook(tmp_path, spark):
+    """zstd-magic WARC input routes through the injectable codec hook
+    (VERDICT r9 #4): no hook -> WarcError NAMING the hook; fake-codec
+    (zlib behind the real zstd magic) round-trips both the direct
+    iterator and the distributed import."""
+    import zlib
+
+    from accelerator_spark.sources.warc import (
+        ZSTD_MAGIC, warc_import, warc_iter_file)
+
+    raw = warc_build([
+        {"warc_type": "response", "target_uri": "http://z/%d" % i,
+         "payload": b"<b>%d</b>" % i, "http": (200, "text/html")}
+        for i in range(4)])
+    fake = ZSTD_MAGIC + zlib.compress(raw)
+    with pytest.raises(WarcError, match="codec_hook"):
+        list(warc_iter_file(fake))
+    hook = lambda b: zlib.decompress(b[4:])  # noqa: E731
+    assert list(warc_iter_file(fake, codec_hook=hook)) \
+        == list(warc_iter_file(raw))
+    d = tmp_path / "zst"
+    d.mkdir()
+    (d / "a.warc.zst").write_bytes(fake)
+    got = warc_import(spark, str(d), pattern="*.warc.zst",
+                      codec_hook=hook).collect()
+    assert {r.target_uri for r in got} == {"http://z/%d" % i
+                                           for i in range(4)}
