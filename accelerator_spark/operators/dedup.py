@@ -219,25 +219,36 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return agg.select(id_col, out.alias("simhash"))
 
 
-def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                       bits: int = 16, max_hamming: int = 3,
-                       bucket_cap: int | None = None) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance, blocked on
-    ``max_hamming + 1`` bands: by pigeonhole, a pair within distance
-    <= max_hamming has at least one band with ZERO differing bits, so
-    banded blocking has 100% recall (two half-bands only guarantee
-    distance <= 1 — review r3). Block-join then exact hamming filter
-    via bit_count(xor). Scale: the block key bounds the join fanout."""
+def fp_near_pairs(df: DataFrame, fp_col: str = "fp",
+                  id_col: str = "doc_id",
+                  bits: int = 64, max_hamming: int = 3,
+                  bucket_cap: int | None = None) -> DataFrame:
+    """Generic banded-Hamming near-pair join over a PRECOMPUTED
+    integral fingerprint column (VERDICT r9 #3 — the candidate logic
+    of simhash_near_pairs factored out so ANY 64-bit-or-narrower
+    signature can pair: SimHash text fingerprints, dHash perceptual
+    image hashes, any sketch that encodes similarity as Hamming
+    proximity). Blocked on ``max_hamming + 1`` bands: by pigeonhole, a
+    pair within distance <= max_hamming has at least one band with
+    ZERO differing bits, so banded blocking has 100% recall (two
+    half-bands only guarantee distance <= 1 — review r3). Block-join
+    then exact hamming filter via bit_count(xor). Returns
+    (doc_a, doc_b, hamming) with doc_a < doc_b. Scale: the block key
+    bounds the join fanout; ``bucket_cap`` drops degenerate blocks
+    (the minhash bucket_cap contract)."""
+    if bits > 64:
+        raise ValueError(f"fp_near_pairs: bits={bits} exceeds the "
+                         "64-bit fingerprint word")
     if max_hamming >= bits:
         # pigeonhole needs max_hamming+1 bands over `bits` bits; at
         # max_hamming >= bits a pair differing in EVERY bit is still
         # within distance yet shares no band — silently under-recalling
         # instead of honoring the documented 100% guarantee (review r4)
         raise ValueError(
-            f"simhash_near_pairs: max_hamming {max_hamming} >= bits "
+            f"fp_near_pairs: max_hamming {max_hamming} >= bits "
             f"{bits} voids the pigeonhole recall guarantee — raise bits "
             "or lower max_hamming")
-    sh = simhash(df, text_col, id_col, bits)
+    fp = F.col(fp_col).cast("long")
     n_bands = max_hamming + 1
     # distribute the bits EVENLY over the bands (ceil-width slicing
     # left the last band empty when (n_bands-1)*width >= bits — an
@@ -252,11 +263,11 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
         mask = -1 if w >= 64 else (1 << w) - 1
         band_keys.append(
             F.concat(F.lit(f"B{i}_"),
-                     F.shiftright(F.col("simhash"), off)
+                     F.shiftright(fp, off)
                      .bitwiseAND(F.lit(mask)).cast("string")))
         off += w
-    blocks = sh.select(
-        id_col, "simhash",
+    blocks = df.select(
+        id_col, fp.alias("_fp"),
         F.explode(F.array(*band_keys)).alias("blk"),
     )
     if bucket_cap is not None:
@@ -268,7 +279,7 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
         blocks = (blocks.join(sizes, "blk")
                   .filter(F.col("_bn") <= bucket_cap).drop("_bn"))
     a, b = blocks.alias("a"), blocks.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    ham = F.bit_count(F.col("a._fp").bitwiseXOR(F.col("b._fp")))
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -278,6 +289,23 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
                 ham.alias("hamming"))
         .distinct()
     )
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       bits: int = 16, max_hamming: int = 3,
+                       bucket_cap: int | None = None) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance: ``simhash``
+    fingerprints then the generic banded-Hamming join
+    (``fp_near_pairs`` — pigeonhole banding, exact bit_count(xor)
+    filter; see there for the recall and bucket_cap contracts)."""
+    if max_hamming >= bits:
+        raise ValueError(
+            f"simhash_near_pairs: max_hamming {max_hamming} >= bits "
+            f"{bits} voids the pigeonhole recall guarantee — raise bits "
+            "or lower max_hamming")
+    sh = simhash(df, text_col, id_col, bits)
+    return fp_near_pairs(sh, "simhash", id_col, bits, max_hamming,
+                         bucket_cap)
 
 
 def connected_components(edges: DataFrame, src: str = "doc_a",

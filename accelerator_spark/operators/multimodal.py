@@ -1085,3 +1085,42 @@ def image_dhash(
          T.StructField("width", T.IntegerType(), True),
          T.StructField("height", T.IntegerType(), True)],
         payload_col, id_col, mime_col, batch_partitions, on_error)
+
+
+def dhash_hex_to_long(hex_col) -> "F.Column":
+    """The 16-char dHash hex signature as a SIGNED 64-bit long (two's
+    complement — an MSB-set hash maps negative, bijectively), built
+    from two 32-bit conv() halves so no intermediate overflows ANSI
+    arithmetic: the form every Hamming operator (xor/bit_count,
+    fp_near_pairs banding) consumes."""
+    col = F.col(hex_col) if isinstance(hex_col, str) else hex_col
+    hi = F.conv(F.substring(col, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(col, 9, 8), 16, 10).cast("long")
+    signed_hi = F.when(hi >= F.lit(1 << 31), hi - F.lit(1 << 32)) \
+        .otherwise(hi)
+    return (signed_hi * F.lit(1 << 32).cast("long") + lo).cast("long")
+
+
+def dhash_near_pairs(
+    hashed: DataFrame,
+    id_col: str = "media_id",
+    hex_col: str = "dhash_hex",
+    max_hamming: int = 6,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Image near-duplicate candidate pairs from ``image_dhash``
+    output (VERDICT r9 #3 — the operator the dHash primitive exists
+    for): the hex signature becomes a signed 64-bit fingerprint
+    (``dhash_hex_to_long``) and pairs at Hamming <= ``max_hamming``
+    via the generic banded join (operators/dedup.fp_near_pairs —
+    pigeonhole banding, 100% recall, exact bit_count(xor) filter).
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b over
+    ``id_col`` values. Scale: one fingerprint shuffle on the band
+    keys; ``bucket_cap`` guards degenerate blocks (flat-color images
+    all hash to 0 — cap or pre-filter n_gradient_bits)."""
+    from .dedup import fp_near_pairs
+
+    fps = hashed.select(F.col(id_col),
+                        dhash_hex_to_long(hex_col).alias("_dfp"))
+    return fp_near_pairs(fps, "_dfp", id_col, 64, max_hamming,
+                         bucket_cap)

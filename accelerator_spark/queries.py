@@ -7037,3 +7037,10 @@ from .queries3 import ORACLES3 as _ORACLES3, QUERIES3 as _QUERIES3  # noqa: E402
 
 QUERIES.update(_QUERIES3)
 ORACLES.update(_ORACLES3)
+
+# round-10 suites (WebDataset sink round-trip, image near-dup pairs)
+# live in queries4.py
+from .queries4 import ORACLES4 as _ORACLES4, QUERIES4 as _QUERIES4  # noqa: E402
+
+QUERIES.update(_QUERIES4)
+ORACLES.update(_ORACLES4)
