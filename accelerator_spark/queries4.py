@@ -151,7 +151,7 @@ def webdataset_export_roundtrip(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """WebDataset sink/source gate: per document md5-derived member
     rows (a ``txt`` part always, a ``cap.json`` part for half the
-    docs) are exported as gzipped .tar shards (tar_export, 4 shards,
+    docs) are exported as gzipped .tar shards (tar_export, 16 shards,
     sample-adjacent streamed ustar bytes), then re-imported through
     the production reader (tar_import) and folded by
     ``webdataset_group`` — so the sink's header bytes, member naming
@@ -187,7 +187,7 @@ def webdataset_export_roundtrip(spark: SparkSession,
         build_members,
         schema="sample_key string, ext string, payload binary")
     path = _scratch("wds_export_rt")
-    tar_export(members, path, n_shards=4)
+    tar_export(members, path, n_shards=16)
     back = tar_import(spark, path)
     g = webdataset_group(back)
     exts = F.array_sort(F.map_keys("parts"))

@@ -209,20 +209,11 @@ def _octal(n: int, width: int) -> bytes:
     return b"%0*o\0" % (width - 1, n)
 
 
-def _ustar_header(name: str, size: int, mtime: int) -> bytes:
-    """One 512-byte POSIX ustar header — spec bytes (IEEE 1003.1:
-    100-byte name, octal size/mtime, checksum over a space-seeded
-    header, magic ``ustar\\0 00``), NOT stdlib tarfile, so reading the
-    archive back with the stdlib-based ``tar_iter_members`` is a
-    genuine writer/reader cross-check. Names longer than 100 bytes use
-    the ustar prefix field (no GNU/PAX long-name writing)."""
-    nb = name.encode("utf-8")
-    prefix = b""
-    if len(nb) > 100:
-        cut = nb.rfind(b"/", 0, 156)
-        if cut <= 0 or len(nb) - cut - 1 > 100:
-            raise TarError(f"name too long for ustar: {name!r}")
-        prefix, nb = nb[:cut], nb[cut + 1:]
+def _ustar_header_raw(nb: bytes, prefix: bytes, size: int, mtime: int,
+                      typeflag: int = 0x30) -> bytes:
+    """The 512 header bytes from pre-split name/prefix fields (IEEE
+    1003.1 layout: octal size/mtime, checksum over a space-seeded
+    header, magic ``ustar\\0 00``)."""
     hdr = bytearray(512)
     hdr[0:len(nb)] = nb                       # name
     hdr[100:108] = _octal(0o644, 8)           # mode
@@ -231,12 +222,51 @@ def _ustar_header(name: str, size: int, mtime: int) -> bytes:
     hdr[124:136] = _octal(size, 12)           # size
     hdr[136:148] = _octal(mtime, 12)
     hdr[148:156] = b" " * 8                   # chksum seed
-    hdr[156] = 0x30                           # typeflag '0' regular
+    hdr[156] = typeflag                       # '0' regular / 'L' GNU
     hdr[257:263] = b"ustar\0"                 # magic
     hdr[263:265] = b"00"                      # version
     hdr[345:345 + len(prefix)] = prefix
     hdr[148:156] = b"%06o\0 " % sum(hdr)
     return bytes(hdr)
+
+
+def _ustar_header(name: str, size: int, mtime: int) -> bytes:
+    """One 512-byte POSIX ustar header — spec bytes, NOT stdlib
+    tarfile, so reading the archive back with the stdlib-based
+    ``tar_iter_members`` is a genuine writer/reader cross-check. Names
+    longer than 100 bytes use the ustar prefix field; raises TarError
+    when even that cannot represent the name (callers that must
+    handle arbitrary names wrap with ``_member_blocks`` — GNU 'L')."""
+    nb = name.encode("utf-8")
+    prefix = b""
+    if len(nb) > 100:
+        cut = nb.rfind(b"/", 0, 156)
+        if cut <= 0 or len(nb) - cut - 1 > 100:
+            raise TarError(f"name too long for ustar: {name!r}")
+        prefix, nb = nb[:cut], nb[cut + 1:]
+    return _ustar_header_raw(nb, prefix, size, mtime)
+
+
+def _member_blocks(name: str, payload_len: int, mtime: int):
+    """Header blocks for one member, GNU-long-name capable: a name
+    that fits ustar (plain or prefix-split) gets one header; anything
+    longer gets the GNU 'L' convention — a ``././@LongLink``
+    pseudo-member whose payload is the full NUL-terminated name,
+    followed by a real header carrying the truncated name (exactly
+    what GNU tar writes; stdlib tarfile and every mainstream reader
+    replace the truncated name from the 'L' member). Returns a list
+    of byte blocks to write BEFORE the payload."""
+    try:
+        return [_ustar_header(name, payload_len, mtime)]
+    except TarError:
+        nb = name.encode("utf-8")
+        data = nb + b"\0"
+        return [
+            _ustar_header_raw(b"././@LongLink", b"", len(data), mtime,
+                              typeflag=0x4C),
+            data, b"\0" * (-len(data) % 512),
+            _ustar_header_raw(nb[:100], b"", payload_len, mtime),
+        ]
 
 
 def tar_build(members, mtime: int = 0, gzip_compress: bool = False,
@@ -278,7 +308,9 @@ def tar_export(df: DataFrame, path: str,
 
     Member name is ``{sample_key}.{ext}`` (bare ``sample_key`` when
     ext is ''), headers from the hand-rolled ustar writer
-    (``_ustar_header``). The WebDataset contract is positional: all
+    (``_ustar_header``); names that exceed ustar's name+prefix reach
+    get the GNU 'L' long-name convention (``_member_blocks``) so an
+    arbitrary sample key always round-trips. The WebDataset contract is positional: all
     members of one sample must sit ADJACENT in ONE shard —
     ``arrange=True`` (default) enforces it by hash-repartitioning on
     ``sample_col`` (into ``n_shards`` partitions when given) and
@@ -346,13 +378,17 @@ def tar_export(df: DataFrame, path: str,
                     fh = open(fname, "wb")
                     # filename="" keeps the fresh part name out of
                     # the gzip FNAME header — shard CONTENT must be
-                    # deterministic across re-exports
+                    # deterministic across re-exports; level 6 (zlib
+                    # default) over GzipFile's 9: ~2x faster writes
+                    # for ~1% size on already-encoded media payloads
                     gz = (_gzip.GzipFile(filename="", fileobj=fh,
-                                         mode="wb", mtime=0)
+                                         mode="wb", mtime=0,
+                                         compresslevel=6)
                           if gzip_compress else fh)
                 payload = bytes(payload)
                 name = f"{key}.{ext}" if ext else str(key)
-                gz.write(_ustar_header(name, len(payload), mtime))
+                for block in _member_blocks(name, len(payload), mtime):
+                    gz.write(block)
                 gz.write(payload)
                 gz.write(b"\0" * (-len(payload) % 512))
                 n_members += 1

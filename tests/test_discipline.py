@@ -10,7 +10,9 @@ import os
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 QUERY_MODULES = ("accelerator_spark/queries.py",
-                 "accelerator_spark/queries2.py")
+                 "accelerator_spark/queries2.py",
+                 "accelerator_spark/queries3.py",
+                 "accelerator_spark/queries4.py")
 
 # Functions allowed to .collect(): each pulls a provably tiny,
 # size-bounded result to the driver (a sketch, k centroid dims, two
@@ -61,8 +63,7 @@ def test_no_row_at_a_time_python_udf():
     """F.udf (row-at-a-time Python) must not appear in operators or
     queries — Python escape hatches are Arrow-batched (pandas_udf,
     mapInPandas, applyInPandas, UDTF)."""
-    roots = ["accelerator_spark/queries.py", "accelerator_spark/queries2.py",
-             "accelerator_spark/operators"]
+    roots = list(QUERY_MODULES) + ["accelerator_spark/operators"]
     offenders = []
     for root in roots:
         full = os.path.join(REPO, root)

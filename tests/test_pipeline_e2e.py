@@ -121,3 +121,92 @@ def test_crawl_to_training_set(spark, tmp_path):
     got = {r.doc_id: r.n_tokens for r in back.collect()}
     assert set(got) == {r.doc_id for r in survivors.collect()}
     assert all(v > 0 for v in got.values())
+
+
+def _wds_shards(tmp_path):
+    """Three WebDataset shards of (png, txt) samples: an exact
+    duplicate pair ACROSS shards, a one-pixel near-duplicate, a
+    90-degree rotated copy (must NOT dedup), and distinct fillers."""
+    import hashlib
+
+    from accelerator_spark.functions.png import png_encode
+    from accelerator_spark.sources.tar import tar_build
+
+    def grid(seed):
+        return list(b"".join(
+            hashlib.md5(b"wds%d:%d" % (seed, k)).digest()
+            for k in range(5))[:72])
+
+    base = grid(1)
+    near = base[:]
+    near[30] = (near[30] + 77) % 256
+    rot90 = [base[(7 - x) * 9 + y] for y in range(9) for x in range(8)]
+
+    def png(px, w=9, h=8):
+        return png_encode(px, w, h, color_type=0)
+
+    samples = {                      # key -> (pixels, w, h, shard)
+        "a/dup0": (png(base), 0), "b/dup1": (png(base), 1),
+        "a/near": (png(near), 0),
+        "c/rot": (png(rot90, 8, 9), 2),
+        "b/solo1": (png(grid(2)), 1), "c/solo2": (png(grid(3)), 2),
+    }
+    shard_members = {0: [], 1: [], 2: []}
+    for key, (img, shard) in sorted(samples.items()):
+        shard_members[shard].append((f"{key}.png", img))
+        shard_members[shard].append(
+            (f"{key}.txt", f"caption of {key}".encode()))
+    d = tmp_path / "shards_in"
+    d.mkdir()
+    for shard, members in shard_members.items():
+        (d / f"shard-{shard}.tar.gz").write_bytes(
+            tar_build(members, mtime=1600000000, gzip_compress=True))
+    return d
+
+
+def test_webdataset_image_dedup_loop(spark, tmp_path):
+    """The multimodal curation loop end-to-end, every stage the
+    production operator: WebDataset shards in (tar_import), perceptual
+    near-dup candidates (image_dhash -> dhash_near_pairs), canonical
+    groups (connected_components, keep min key), survivors re-exported
+    as WebDataset shards (tar_export) and re-imported intact — the
+    image twin of the crawl-to-training-set pipeline."""
+    from accelerator_spark.operators.dedup import connected_components
+    from accelerator_spark.operators.multimodal import (
+        dhash_near_pairs, image_dhash)
+    from accelerator_spark.sources.tar import tar_export, tar_import
+
+    members = tar_import(spark, str(_wds_shards(tmp_path)))
+    assert members.count() == 12
+
+    images = members.filter(F.col("ext") == "png").select(
+        F.col("sample_key").alias("media_id"),
+        "payload", F.lit("image/png").alias("mime"))
+    hashed = image_dhash(images)
+    pairs = dhash_near_pairs(hashed, max_hamming=6)
+    got_pairs = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert ("a/dup0", "b/dup1") in got_pairs          # exact dup
+    assert any(a == "a/dup0" or b == "a/near"
+               for a, b in got_pairs if "a/near" in (a, b))
+    assert not any("c/rot" in p for p in got_pairs)    # rotation differs
+
+    comp = connected_components(pairs)                 # (node, component)
+    drop = comp.filter(F.col("node") != F.col("component")) \
+               .select(F.col("node").alias("sample_key"))
+    survivors = members.join(drop, "sample_key", "left_anti")
+
+    out = tmp_path / "shards_out"
+    n = tar_export(
+        survivors.select("sample_key", "ext", "payload"), str(out),
+        n_shards=2)
+    back = tar_import(spark, str(out))
+    keys = {r.sample_key for r in
+            back.select("sample_key").distinct().collect()}
+    assert keys == {"a/dup0", "c/rot", "b/solo1", "c/solo2"}
+    assert n == back.count() == 8                      # png+txt each
+    # payload identity for a surviving sample, both parts
+    first = {r.ext: bytes(r.payload) for r in back.filter(
+        F.col("sample_key") == "b/solo1").collect()}
+    orig = {r.ext: bytes(r.payload) for r in members.filter(
+        F.col("sample_key") == "b/solo1").collect()}
+    assert first == orig and set(first) == {"png", "txt"}

@@ -599,3 +599,79 @@ def test_image_dhash_at_16x(spark, docs16):
                     F.countDistinct("dhash_hex").alias("d")).collect()[0]
     assert stats["n"] == n_in
     assert stats["d"] <= 7           # 7 distinct patterns by construction
+
+
+def test_tar_export_at_16x_rolls_and_bounds(spark, docs16, tmp_path):
+    """r10: the WebDataset sink at 16x members — shard rolling must
+    keep every shard under the sample bound, samples must never
+    straddle shards, and the re-import must be row-complete. The
+    write itself is the memory test: a partition-sized buffer would
+    OOM long before 80k members stream through O(member) heap."""
+    from accelerator_spark.sources.tar import (
+        tar_export, tar_import, wds_key_ext)
+
+    members = docs16.select(
+        F.concat(F.lit("s/"), F.col("doc_id")).alias("sample_key"),
+        F.lit("txt").alias("ext"),
+        F.encode(F.substring("text", 1, 64), "utf-8").alias("payload"))
+    n_in = members.count()
+    out = tmp_path / "wds16"
+    assert tar_export(members, str(out), n_shards=8,
+                      samples_per_shard=4096) == n_in
+    back = tar_import(spark, str(out))
+    assert back.count() == n_in
+    per_shard = (back.groupBy("path")
+                 .agg(F.countDistinct("sample_key").alias("k"))
+                 .collect())
+    assert all(r["k"] <= 4096 for r in per_shard)
+    straddlers = (back.groupBy("sample_key")
+                  .agg(F.countDistinct("path").alias("p"))
+                  .filter(F.col("p") > 1).count())
+    assert straddlers == 0
+
+
+def test_dhash_near_pairs_at_16x_families(spark, docs16):
+    """r10: image near-dup at 16x — every doc family (16 verbatim
+    copies -> identical PNGs -> identical dHash) must pair completely
+    within itself through the banded join, and the pair count must
+    respect the bucket_cap bound."""
+    from accelerator_spark.operators.multimodal import (
+        dhash_near_pairs, image_dhash)
+
+    def to_png(batches):
+        import hashlib
+
+        import pandas as pd
+
+        from accelerator_spark.functions.png import png_encode
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                base = did % 100000          # copies share the image
+                # md5-derived pixels: family hashes are ~random, so
+                # band buckets stay small (a linear gradient here
+                # would make thousands of families hash identically
+                # and the cap would — correctly — drop those blocks)
+                px = list(b"".join(
+                    hashlib.md5(b"img%d:%d" % (base, k)).digest()
+                    for k in range(5))[:72])
+                out.append((did, png_encode(px, 9, 8, color_type=0),
+                            "image/png"))
+            yield pd.DataFrame(
+                out, columns=["media_id", "payload", "mime"])
+
+    media = docs16.select("doc_id").mapInPandas(
+        to_png, schema="media_id long, payload binary, mime string")
+    cap = 200
+    pairs = dhash_near_pairs(image_dhash(media), max_hamming=3,
+                             bucket_cap=cap)
+    fam = sorted(r["doc_id"] for r in
+                 docs16.filter(F.col("doc_id") % 100000 == 7)
+                       .select("doc_id").collect())
+    fam_pairs = pairs.filter(
+        F.col("doc_a").isin(fam) & F.col("doc_b").isin(fam)).collect()
+    assert len(fam_pairs) == 16 * 15 // 2
+    assert all(r["hamming"] == 0 for r in fam_pairs)
+    n_imgs = docs16.count()
+    assert pairs.count() <= n_imgs * 4 * (cap - 1) // 2

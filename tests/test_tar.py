@@ -258,3 +258,29 @@ def test_tar_export_rolls_at_sample_boundaries(spark, tmp_path):
     assert sorted(len(k) for k in per_shard) == [1, 3, 3]
     # no sample appears in two shards
     assert sum(len(k) for k in per_shard) == 7
+
+
+def test_tar_export_gnu_long_names(spark, tmp_path):
+    """A sample key beyond ustar's name+prefix reach round-trips via
+    the GNU 'L' long-name convention — verified through the
+    stdlib-backed reader AND raw stdlib tarfile directly."""
+    from accelerator_spark.sources.tar import tar_export
+
+    long_key = "x" * 180                       # no slash: ustar can't
+    deep_key = "/".join(["d" * 40] * 6)        # prefix can't either
+    rows = [(long_key, "txt", b"LONG"), (deep_key, "cap.json", b"DEEP"),
+            ("short", "txt", b"S")]
+    df = spark.createDataFrame(
+        rows, "sample_key string, ext string, payload binary")
+    out = tmp_path / "gnu"
+    assert tar_export(df.coalesce(1), str(out), gzip_compress=False,
+                      arrange=False) == 3
+    back = {(r.sample_key, r.ext): bytes(r.payload)
+            for r in tar_import(spark, str(out)).collect()}
+    assert back == {(k, e): p for k, e, p in rows}
+    # raw stdlib read: names fully restored from the 'L' members
+    (shard,) = list(out.iterdir())
+    with tarfile.open(shard, "r") as tf:
+        names = {m.name for m in tf.getmembers() if m.isreg()}
+    assert names == {f"{long_key}.txt", f"{deep_key}.cap.json",
+                     "short.txt"}
