@@ -1087,6 +1087,113 @@ def image_dhash(
         payload_col, id_col, mime_col, batch_partitions, on_error)
 
 
+class WavHashError(ValueError):
+    """Unusable audio input for energy hashing."""
+
+
+def ehash_bits(samples, n_channels: int, sample_width: int,
+               windows: int = 64) -> int:
+    """64-bit energy-difference hash — the AUDIO analog of dHash
+    (``dhash_bits``): samples center to signed amplitude (u8 at 128,
+    s16 already signed), the clip splits into ``windows + 1`` equal
+    frame spans (channel-summed), each span's energy is its summed
+    |amplitude|, and one bit per adjacent span pair: 1 iff left <
+    right, MSB first. Volume-INVARIANT by construction (a positive
+    gain scales every span energy equally, preserving each strict
+    comparison — the loudness analog of dHash's brightness
+    robustness) and length-robust (spans are fractional positions,
+    not fixed milliseconds, so a resampled copy keeps its energy
+    envelope). Pair with ``fp_near_pairs`` for corpus-scale Hamming
+    pairing, exactly like the image front."""
+    n_frames = len(samples) // max(n_channels, 1)
+    if n_frames == 0:
+        raise WavHashError("ehash_bits: empty clip has no envelope")
+    center = 128 if sample_width == 1 else 0
+    nw = windows + 1
+
+    def energy(w):
+        lo = w * n_frames // nw
+        hi = (w + 1) * n_frames // nw
+        e = 0
+        for f in range(lo, hi):
+            base = f * n_channels
+            for c in range(n_channels):
+                e += abs(samples[base + c] - center)
+        return e
+
+    bits = 0
+    prev = energy(0)
+    for w in range(1, nw):
+        cur = energy(w)
+        bits = (bits << 1) | (1 if prev < cur else 0)
+        prev = cur
+    return bits
+
+
+def audio_ehash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    mime_col: str = "mime",
+    windows: int = 64,
+    batch_partitions: int | None = None,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Perceptual AUDIO signatures at corpus scale: real WAV PCM
+    decode (functions/wav.py, full RIFF/WAVE sniff) -> ``ehash_bits``.
+    Emits (media_id, mime, ehash_hex 16 chars, n_energy_bits,
+    n_frames, sample_rate). Hex string for the same sign-portability
+    reason as image_dhash. Compressed audio (mp3/aac/opus) raises
+    NotImplementedError naming the decoder hook — entropy decode is
+    outside stdlib scope (operators/multimodal.py module note).
+    Map-only Arrow stage; near-dup pairing = ``audio_near_pairs``."""
+    from ..functions.wav import wav_decode
+
+    def per_row(raw: bytes, mime: str):
+        raw = bytes(raw) if raw else b""
+        if not (mime in ("audio/wav", "audio/x-wav", "audio/wave")
+                or (raw[:4] == b"RIFF" and raw[8:12] == b"WAVE")):
+            raise NotImplementedError(
+                f"audio_ehash stdlib decode only handles WAV PCM, got "
+                f"{mime!r} — pass payloads through an ffmpeg-backed "
+                "transcode first")
+        a = wav_decode(raw)
+        bits = ehash_bits(a.samples, a.n_channels, a.sample_width,
+                          windows)
+        return (f"{bits:016x}", bin(bits).count("1"), a.n_frames,
+                a.sample_rate)
+
+    return _map_media_rows(
+        df, per_row,
+        [T.StructField("ehash_hex", T.StringType(), True),
+         T.StructField("n_energy_bits", T.IntegerType(), True),
+         T.StructField("n_frames", T.IntegerType(), True),
+         T.StructField("sample_rate", T.IntegerType(), True)],
+        payload_col, id_col, mime_col, batch_partitions, on_error)
+
+
+def audio_near_pairs(
+    hashed: DataFrame,
+    id_col: str = "media_id",
+    hex_col: str = "ehash_hex",
+    max_hamming: int = 6,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Audio near-duplicate candidate pairs from ``audio_ehash``
+    output — the third modality on the generic banded-Hamming join
+    (text: simhash_near_pairs; image: dhash_near_pairs; audio: this).
+    Same contract as dhash_near_pairs: hex -> signed 64-bit
+    fingerprint -> fp_near_pairs, (doc_a, doc_b, hamming) out.
+    Silence hashes to 0 — cap or pre-filter n_energy_bits the way
+    flat images are pre-filtered on the image front."""
+    from .dedup import fp_near_pairs
+
+    fps = hashed.select(F.col(id_col),
+                        dhash_hex_to_long(hex_col).alias("_afp"))
+    return fp_near_pairs(fps, "_afp", id_col, 64, max_hamming,
+                         bucket_cap)
+
+
 def dhash_hex_to_long(hex_col) -> "F.Column":
     """The 16-char dHash hex signature as a SIGNED 64-bit long (two's
     complement — an MSB-set hash maps negative, bijectively), built

@@ -93,11 +93,22 @@ def image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hamming").cast("int").alias("hamming"))
 
 
+def _fp_sql_from_bits(bit) -> str:
+    """A MSB-first 64-bit fingerprint as a SIGNED BIGINT expression
+    (two's complement: bit 0 — the MSB — contributes -(2^63), exactly
+    operators/multimodal.dhash_hex_to_long's mapping) from a
+    ``bit(b) -> SQL 0/1 expression`` generator — shared by the image
+    (dHash gradient) and audio (energy envelope) near-dup oracles."""
+    terms = [f"(CASE WHEN {bit(0)} = 1 THEN -9223372036854775808 "
+             "ELSE 0 END)"]
+    terms += [f"CAST({bit(b)} AS BIGINT) * {1 << (63 - b)}"
+              for b in range(1, 64)]
+    return "(" + " + ".join(terms) + ")"
+
+
 def _dhash_fp_sql(col: str) -> str:
-    """The 64-bit dHash fingerprint of a 144-hex-char pixel string as
-    a SIGNED BIGINT expression (two's complement: bit 0 — the MSB —
-    contributes -(2^63)), mirroring dhash_bits' MSB-first bit order
-    and operators/multimodal.dhash_hex_to_long's signed mapping."""
+    """The 64-bit dHash fingerprint of a 144-hex-char pixel string,
+    mirroring dhash_bits' MSB-first gradient bit order."""
     def px(i):
         return f"CAST(('0x' || substr({col}, {2 * i + 1}, 2)) AS INT)"
 
@@ -106,11 +117,7 @@ def _dhash_fp_sql(col: str) -> str:
         i = y * 9 + x
         return f"(CASE WHEN {px(i)} < {px(i + 1)} THEN 1 ELSE 0 END)"
 
-    terms = [f"(CASE WHEN {bit(0)} = 1 THEN -9223372036854775808 "
-             "ELSE 0 END)"]
-    terms += [f"CAST({bit(b)} AS BIGINT) * {1 << (63 - b)}"
-              for b in range(1, 64)]
-    return "(" + " + ".join(terms) + ")"
+    return _fp_sql_from_bits(bit)
 
 
 ORACLE_IMAGE_NEAR_DUP = f"""
@@ -139,6 +146,120 @@ WITH h AS (
 SELECT a.img_id AS id_a, b.img_id AS id_b,
        CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
 FROM fps a JOIN fps b ON a.img_id < b.img_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 6
+"""
+
+
+# =====================================================================
+# audio near-dup pairs (operators/multimodal.audio_ehash +
+# audio_near_pairs — the third modality on fp_near_pairs)
+# =====================================================================
+
+def audio_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate detection end-to-end: per document an
+    8-bit mono WAV is authored whose 130 PCM samples are md5 digest
+    bytes (exactly 2 frames per energy window, so every one of the 64
+    envelope bits is SQL-replayable), and for one doc in four a
+    PERTURBED COPY (one md5-chosen sample replaced by an md5-chosen
+    value — at most 2 envelope bits flip). The production path runs
+    real WAV decode -> ehash_bits -> audio_near_pairs (hex -> signed
+    64-bit fingerprint -> banded-Hamming fp_near_pairs, Hamming <= 6).
+    The oracle recomputes every clip's fingerprint from the same md5
+    bytes (|sample - 128| window energies) and BRUTE-FORCES all pairs
+    — banding recall checked against ground truth, the
+    image_near_dup_pairs discipline. Plan: Arrow map stages + one
+    band-key shuffle; no cross join on the Spark side."""
+    from .operators.multimodal import audio_ehash, audio_near_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build_wavs(batches):
+        import hashlib as _hashlib
+
+        import pandas as pd
+
+        from .functions.wav import wav_encode
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                text = text or ""
+                hx = _hashlib.md5(text.encode("utf-8")).hexdigest()
+                raw = b"".join(
+                    _hashlib.md5((text + s).encode("utf-8")).digest()
+                    for s in ("", ":a2", ":a3", ":a4", ":a5", ":a6",
+                              ":a7", ":a8", ":a9"))[:130]
+                out.append((int(doc_id) * 2,
+                            wav_encode(list(raw), 8000, 1, 1),
+                            "audio/wav"))
+                b0 = int(hx[0:2], 16)
+                if b0 % 4 == 0:
+                    j = int(hx[2:4], 16) % 130
+                    v = int(hx[4:6], 16)
+                    near = bytearray(raw)
+                    near[j] = v
+                    out.append((int(doc_id) * 2 + 1,
+                                wav_encode(list(near), 8000, 1, 1),
+                                "audio/wav"))
+            yield pd.DataFrame(out,
+                               columns=["media_id", "payload", "mime"])
+
+    media = docs.repartition(32).mapInPandas(
+        build_wavs, schema="media_id long, payload binary, mime string")
+    hashed = audio_ehash(media)
+    pairs = audio_near_pairs(hashed, max_hamming=6)
+    return pairs.select(
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"))
+
+
+def _ehash_fp_sql(col: str) -> str:
+    """The 64-bit energy-envelope fingerprint of a 260-hex-char
+    8-bit-PCM sample string (130 samples, 2 per window), mirroring
+    ehash_bits' MSB-first window order and |s - 128| energies."""
+    def px(i):
+        return f"CAST(('0x' || substr({col}, {2 * i + 1}, 2)) AS INT)"
+
+    def energy(w):
+        return (f"(abs({px(2 * w)} - 128) "
+                f"+ abs({px(2 * w + 1)} - 128))")
+
+    def bit(b):
+        return (f"(CASE WHEN {energy(b)} < {energy(b + 1)} "
+                "THEN 1 ELSE 0 END)")
+
+    return _fp_sql_from_bits(bit)
+
+
+ORACLE_AUDIO_NEAR_DUP = f"""
+WITH h AS (
+  SELECT doc_id, md5(text) AS hx,
+         substr(md5(text) || md5(text || ':a2') || md5(text || ':a3')
+                || md5(text || ':a4') || md5(text || ':a5')
+                || md5(text || ':a6') || md5(text || ':a7')
+                || md5(text || ':a8') || md5(text || ':a9'),
+                1, 260) AS hc
+  FROM documents
+), meta AS (
+  SELECT doc_id, hc,
+         CAST(('0x' || substr(hx, 1, 2)) AS INT) AS b0,
+         CAST(('0x' || substr(hx, 3, 2)) AS INT) % 130 AS j,
+         CAST(('0x' || substr(hx, 5, 2)) AS INT) AS v
+  FROM h
+), clips AS (
+  SELECT doc_id * 2 AS clip_id, hc FROM meta
+  UNION ALL
+  SELECT doc_id * 2 + 1 AS clip_id,
+         substr(hc, 1, 2 * j) || printf('%02x', v)
+           || substr(hc, 2 * j + 3) AS hc
+  FROM meta WHERE b0 % 4 = 0
+), fps AS (
+  SELECT clip_id, {_ehash_fp_sql('hc')} AS fp FROM clips
+)
+SELECT a.clip_id AS id_a, b.clip_id AS id_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+FROM fps a JOIN fps b ON a.clip_id < b.clip_id
 WHERE bit_count(xor(a.fp, b.fp)) <= 6
 """
 
@@ -225,10 +346,12 @@ FROM h
 
 QUERIES4 = {
     "image_near_dup_pairs": image_near_dup_pairs,
+    "audio_near_dup_pairs": audio_near_dup_pairs,
     "webdataset_export_roundtrip": webdataset_export_roundtrip,
 }
 
 ORACLES4 = {
     "image_near_dup_pairs": ORACLE_IMAGE_NEAR_DUP,
+    "audio_near_dup_pairs": ORACLE_AUDIO_NEAR_DUP,
     "webdataset_export_roundtrip": ORACLE_WDS_EXPORT,
 }

@@ -1144,3 +1144,71 @@ def test_prop_interval_join_matches_brute_force(spark, ls, rs, width):
     ref = sorted((a[0], b[0]) for a in L for b in R
                  if a[1] < b[2] and b[1] < a[2])
     assert got == ref
+
+
+# ----------------------------------------------------------- round 10
+
+@settings(max_examples=300, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(uri=st.text(max_size=80))
+def test_surt_never_corrupts_a_cdx_line(uri):
+    """surt() must map ANY string (crawls carry garbage URIs) to a
+    CDX-safe urlkey: non-empty field, no whitespace/braces/quotes/
+    backslashes (the characters that would break the space-delimited
+    line or the brace scan of cdx_offsets), and fully lowercase."""
+    from accelerator_spark.sources.warc import surt
+
+    key = surt(uri)
+    assert isinstance(key, str)
+    for ch in ' \t\n\r{}"\\':
+        assert ch not in key, (uri, key)
+    assert key == key.lower()
+
+
+@settings(max_examples=60, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(members=st.lists(
+    st.tuples(
+        st.text(alphabet="abcdefghij0123456789",
+                min_size=1, max_size=8),                  # key stem
+        st.integers(min_value=0, max_value=200),          # name pad
+        st.sampled_from(["txt", "cap.json", "png", ""]),  # ext
+        st.binary(max_size=600)),                         # payload
+    min_size=1, max_size=12), gz=st.booleans())
+def test_tar_member_roundtrip_model(members, gz, tmp_path_factory):
+    """Writer/reader identity for the streamed sink's byte layout
+    across name lengths (ustar, prefix-split, GNU longname), exts,
+    empty and block-boundary payloads, gzip on/off — via the exact
+    block sequence tar_export streams, read back by the stdlib-backed
+    production reader."""
+    import gzip as _gzip
+    import io
+
+    from accelerator_spark.sources.tar import (
+        _member_blocks, tar_iter_members)
+
+    blobs = []
+    want = []
+    seen = set()
+    for stem, pad, ext, payload in members:
+        key = f"d{'x' * pad}/{stem}"
+        name = f"{key}.{ext}" if ext else key
+        if name in seen:        # duplicate names: last-wins ambiguity
+            continue            # out of scope for the identity check
+        seen.add(name)
+        for blk in _member_blocks(name, len(payload), mtime=7):
+            blobs.append(blk)
+        blobs.append(payload)
+        blobs.append(b"\0" * (-len(payload) % 512))
+        want.append((name, payload))
+    blobs.append(b"\0" * 1024)
+    raw = b"".join(blobs)
+    if gz:
+        buf = io.BytesIO()
+        with _gzip.GzipFile(filename="", fileobj=buf, mode="wb",
+                            mtime=0) as g:
+            g.write(raw)
+        raw = buf.getvalue()
+    rows = list(tar_iter_members(raw))
+    assert [(name, payload) for _, name, payload, _, _ in rows] == want
+    assert all(mt == 7 for *_x, mt in rows)

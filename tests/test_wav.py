@@ -120,3 +120,78 @@ def test_real_audio_decoder_partial_frame_and_riff_sniff():
     webp = b"RIFF" + b"\x10\x00\x00\x00" + b"WEBPVP8 "
     with pytest.raises(NotImplementedError, match="WAV PCM"):
         real_audio_decoder(webp, "image/webp")
+
+
+# --------------------------------------------------- r10: energy hash
+
+def test_ehash_hand_computed_and_volume_invariant():
+    """ehash_bits against an independent recompute; volume scaling
+    (the loudness analog of dHash brightness robustness) must not
+    change a single bit; stereo sums channels; empty clips raise."""
+    import pytest
+
+    from accelerator_spark.operators.multimodal import (
+        WavHashError, ehash_bits)
+
+    samples = [((i * 37) % 200) + 5 for i in range(130)]  # u8 mono
+
+    def model(vals):
+        es = [sum(abs(v - 128) for v in vals[w * 2:w * 2 + 2])
+              for w in range(65)]
+        bits = 0
+        for w in range(64):
+            bits = (bits << 1) | (1 if es[w] < es[w + 1] else 0)
+        return bits
+
+    assert ehash_bits(samples, 1, 1) == model(samples)
+    # s16 volume invariance: gain 7 preserves every comparison
+    s16 = [(v - 128) * 20 for v in samples]
+    assert ehash_bits(s16, 1, 2) == ehash_bits(
+        [v * 7 for v in s16], 1, 2)
+    # stereo: per-window energy sums |L| + |R| across both channels
+    stereo = []
+    for v in s16:
+        stereo += [v, -v // 2]
+
+    def model_s16(frames_abs):
+        es = [sum(frames_abs[w * 2:w * 2 + 2]) for w in range(65)]
+        bits = 0
+        for w in range(64):
+            bits = (bits << 1) | (1 if es[w] < es[w + 1] else 0)
+        return bits
+
+    assert ehash_bits(stereo, 2, 2) == model_s16(
+        [abs(v) + abs(-v // 2) for v in s16])
+    with pytest.raises(WavHashError):
+        ehash_bits([], 1, 1)
+
+
+def test_audio_near_pairs_end_to_end(spark):
+    """audio_near_pairs: a one-sample perturbed copy pairs at small
+    Hamming, an unrelated clip does not; brute-force checked."""
+    import hashlib
+
+    from accelerator_spark.functions.wav import wav_encode
+    from accelerator_spark.operators.multimodal import (
+        audio_ehash, audio_near_pairs)
+
+    base = list(b"".join(hashlib.md5(b"clip:%d" % k).digest()
+                         for k in range(9))[:130])
+    near = base[:]
+    near[40] = (near[40] + 99) % 256
+    other = list(b"".join(hashlib.md5(b"other:%d" % k).digest()
+                          for k in range(9))[:130])
+    rows = [(1, bytearray(wav_encode(base, 8000)), "audio/wav"),
+            (2, bytearray(wav_encode(near, 8000)), "audio/wav"),
+            (3, bytearray(wav_encode(other, 8000)), "audio/wav")]
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary, mime string")
+    hashed = audio_ehash(df)
+    hx = {r.media_id: int(r.ehash_hex, 16) for r in hashed.collect()}
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in audio_near_pairs(hashed, max_hamming=6).collect()}
+    want = {(a, b): bin(hx[a] ^ hx[b]).count("1")
+            for a in hx for b in hx
+            if a < b and bin(hx[a] ^ hx[b]).count("1") <= 6}
+    assert got == want and (1, 2) in got
+    assert not any(3 in k for k in got)
