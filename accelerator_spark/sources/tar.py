@@ -330,6 +330,12 @@ def tar_export(df: DataFrame, path: str,
     Returns member rows written."""
     import gzip as _gzip
 
+    if n_shards is not None and not arrange:
+        # silently ignoring the shard count would be a trap: without
+        # the arrange repartition there is nothing to apply it to
+        raise TarError("tar_export: n_shards requires arrange=True "
+                       "(the caller-arranged frame keeps its own "
+                       "partitioning)")
     os.makedirs(path, exist_ok=True)
     slim = df.select(F.col(sample_col).alias("_k"),
                      F.col(ext_col).alias("_e"),

@@ -1212,3 +1212,39 @@ def test_tar_member_roundtrip_model(members, gz, tmp_path_factory):
     rows = list(tar_iter_members(raw))
     assert [(name, payload) for _, name, payload, _, _ in rows] == want
     assert all(mt == 7 for *_x, mt in rows)
+
+
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(clip=st.lists(st.integers(min_value=-1000, max_value=1000),
+                     min_size=1, max_size=300),
+       gain=st.integers(min_value=1, max_value=30))
+def test_ehash_volume_invariance_property(clip, gain):
+    """ehash_bits(clip * gain) == ehash_bits(clip) for ANY positive
+    integer gain — the volume-invariance contract the audio near-dup
+    front depends on (a louder re-encode of the same clip must land
+    at Hamming 0)."""
+    from accelerator_spark.operators.multimodal import ehash_bits
+
+    assert ehash_bits(clip, 1, 2) == ehash_bits(
+        [v * gain for v in clip], 1, 2)
+
+
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(vals=st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1),
+                     min_size=1, max_size=12, unique=True))
+def test_dhash_hex_to_long_bijection_property(spark, vals):
+    """hex -> signed-long conversion is the exact two's-complement
+    bijection for arbitrary 64-bit values (MSB-set values map
+    negative), so xor/bit_count Hamming over the longs equals Hamming
+    over the hex signatures."""
+    from accelerator_spark.operators.multimodal import dhash_hex_to_long
+
+    df = spark.createDataFrame(
+        [(f"{v:016x}",) for v in vals], "h string")
+    got = {r.h: r.v for r in
+           df.select("h", dhash_hex_to_long("h").alias("v")).collect()}
+    for v in vals:
+        want = v - (1 << 64) if v >= (1 << 63) else v
+        assert got[f"{v:016x}"] == want

@@ -284,3 +284,35 @@ def test_tar_export_gnu_long_names(spark, tmp_path):
         names = {m.name for m in tf.getmembers() if m.isreg()}
     assert names == {f"{long_key}.txt", f"{deep_key}.cap.json",
                      "short.txt"}
+
+
+def test_zstd_hook_distributed_import(spark, tmp_path):
+    """The codec hook must pickle into tasks: a .tar.zst shard (fake
+    codec behind the real zstd magic) imports distributed."""
+    import zlib
+
+    from accelerator_spark.sources.tar import ZSTD_MAGIC
+
+    raw = tar_build([("d/a.txt", b"T"), ("d/a.json", b"J"),
+                     ("d/b.txt", b"U")])
+    d = tmp_path / "zst"
+    d.mkdir()
+    (d / "shard.tar.zst").write_bytes(ZSTD_MAGIC + zlib.compress(raw))
+
+    def hook(b):
+        import zlib as _z
+        return _z.decompress(b[4:])
+
+    got = tar_import(spark, str(d), pattern="*.tar.zst",
+                     codec_hook=hook).collect()
+    assert {(r.member, bytes(r.payload)) for r in got} == {
+        ("d/a.txt", b"T"), ("d/a.json", b"J"), ("d/b.txt", b"U")}
+
+
+def test_tar_export_n_shards_requires_arrange(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("k", "txt", b"x")],
+        "sample_key string, ext string, payload binary")
+    with pytest.raises(TarError, match="arrange"):
+        from accelerator_spark.sources.tar import tar_export
+        tar_export(df, str(tmp_path / "o"), n_shards=2, arrange=False)
