@@ -49,27 +49,36 @@ def zip_read_members(data: bytes, want, member_budget: int = 64 << 20,
     BEFORE any byte is inflated."""
     try:
         zf = zipfile.ZipFile(io.BytesIO(data))
-    except zipfile.BadZipFile as e:
+    except Exception as e:
+        # the central-directory parse raises beyond BadZipFile on
+        # crafted archives (NotImplementedError "zip file version",
+        # negative-seek ValueError; fuzz round 10)
         raise OfficeError(f"not a zip container: {e}") from None
     out = {}
     total = 0
-    with zf:
-        for info in zf.infolist():
-            if not want(info.filename):
-                continue
-            if info.file_size > member_budget:
-                raise OfficeError(
-                    f"member {info.filename} declares "
-                    f"{info.file_size} bytes (budget {member_budget})")
-            total += info.file_size
-            if total > total_budget:
-                raise OfficeError("archive decompressed-size budget "
-                                  "exceeded")
-            try:
+    try:
+        with zf:
+            for info in zf.infolist():
+                if not want(info.filename):
+                    continue
+                if info.file_size > member_budget:
+                    raise OfficeError(
+                        f"member {info.filename} declares "
+                        f"{info.file_size} bytes (budget {member_budget})")
+                total += info.file_size
+                if total > total_budget:
+                    raise OfficeError("archive decompressed-size budget "
+                                      "exceeded")
                 out[info.filename] = zf.read(info.filename)
-            except (zipfile.BadZipFile, NotImplementedError) as e:
-                raise OfficeError(
-                    f"cannot read member {info.filename}: {e}") from None
+    except OfficeError:
+        raise
+    except Exception as e:
+        # crafted central directories surface zlib.error, EOFError,
+        # negative-seek ValueError, NotImplementedError (unsupported
+        # compression), BadZipFile... from zipfile's member machinery
+        # (fuzz round 10) — the executor-task contract is ONE error
+        # type for hostile input
+        raise OfficeError(f"cannot read zip member: {e}") from None
     return out
 
 
@@ -146,10 +155,14 @@ def office_kind(data: bytes) -> str | None:
     MIME-independent sniff — scraped files lie about extensions)."""
     try:
         zf = zipfile.ZipFile(io.BytesIO(data))
-    except zipfile.BadZipFile:
+        with zf:
+            names = set(zf.namelist())
+    except Exception:
+        # a sniff answers "is this OOXML?" — any central-directory
+        # parse failure (BadZipFile, but also NotImplementedError
+        # "zip file version", negative-seek ValueError on crafted
+        # offsets; fuzz round 10) means NO, never an exception
         return None
-    with zf:
-        names = set(zf.namelist())
     if "word/document.xml" in names:
         return "docx"
     if any(_SLIDE_RE.match(n) for n in names) \

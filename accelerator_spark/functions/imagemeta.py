@@ -234,6 +234,10 @@ def _probe_tiff(data: bytes) -> ImageMeta:
     SHORT/LONG) — offset-stored arrays (e.g. per-channel
     BitsPerSample) fall back to the first inline-representable case or
     0, which keeps the probe O(header)."""
+    if len(data) < 8:
+        # a <8-byte blob must raise ImageMetaError, not struct.error
+        # from the short magic/offset slices (fuzz round 10)
+        raise ImageMetaError("truncated TIFF header")
     e = "<" if data[:2] == b"II" else ">"
     if struct.unpack(e + "H", data[2:4])[0] != 42:
         raise ImageMetaError("bad TIFF magic number")

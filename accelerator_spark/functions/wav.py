@@ -49,6 +49,12 @@ def wav_decode(data: bytes) -> WavAudio:
         raise WavError(f"not a valid WAV: {e}") from None
     except EOFError:
         raise WavError("not a valid WAV: truncated header") from None
+    except RuntimeError:
+        # CPython's wave/chunk module raises a BARE RuntimeError when a
+        # crafted chunk length seeks past an unseekable boundary
+        # (wave.py _Chunk.skip -> seek; found by fuzz, round 10) — the
+        # executor-task contract is one error type for hostile input
+        raise WavError("not a valid WAV: corrupt chunk layout") from None
     if width == 1:
         samples = tuple(raw)
     elif width == 2:

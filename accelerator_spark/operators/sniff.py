@@ -36,7 +36,10 @@ def _sniff_zip(data: bytes) -> tuple[str, str]:
     try:
         with zipfile.ZipFile(io.BytesIO(data)) as zf:
             names = set(zf.namelist())
-    except (zipfile.BadZipFile, OSError):
+    except Exception:
+        # crafted central directories also surface NotImplementedError
+        # ("zip file version"), negative-seek ValueError, zlib.error
+        # (fuzz round 10) — a sniff classifies, it never raises
         return ("archive", "zip-corrupt")
     if "META-INF/container.xml" in names:
         return ("document", "epub")

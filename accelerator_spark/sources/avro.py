@@ -123,15 +123,35 @@ def _resolve(schema, names: dict):
             full = (schema.get("namespace", "") + "." + name).lstrip(".")
             names[name] = schema
             names[full] = schema
+            # attribute validation HERE, not at datum-read time: a
+            # crafted header otherwise leaks KeyError from executor
+            # tasks (fuzz round 10)
+            if t == "fixed" and not isinstance(schema.get("size"), int):
+                raise AvroError(f"fixed {name!r} without an int size")
+            if t == "enum" and not isinstance(schema.get("symbols"),
+                                              list):
+                raise AvroError(f"enum {name!r} without symbols")
             if t == "record":
+                if not isinstance(schema.get("fields"), list):
+                    raise AvroError(
+                        f"record {name!r} without a fields list")
                 # resolve field schemas AFTER registering (recursion)
                 for f in schema.get("fields", []):
+                    if (not isinstance(f, dict) or "type" not in f
+                            or not isinstance(f.get("name"), str)):
+                        raise AvroError(
+                            f"record {name!r}: field must be a dict "
+                            f"with name and type, got {f!r}")
                     f["type"] = _resolve(f["type"], names)
             return schema
         if t == "array":
+            if "items" not in schema:
+                raise AvroError("array schema without items")
             schema["items"] = _resolve(schema["items"], names)
             return schema
         if t == "map":
+            if "values" not in schema:
+                raise AvroError("map schema without values")
             schema["values"] = _resolve(schema["values"], names)
             return schema
         if t in _PRIMITIVES:
@@ -193,7 +213,11 @@ def _read_datum(buf: io.BytesIO, schema):
     if t == "bytes":
         return _read_bytes(buf)
     if t == "string":
-        return _read_bytes(buf).decode("utf-8")
+        try:
+            return _read_bytes(buf).decode("utf-8")
+        except UnicodeDecodeError as e:
+            raise AvroError(f"invalid utf-8 in string datum: {e}") \
+                from None
     if t == "fixed":
         data = buf.read(schema["size"])
         if len(data) != schema["size"]:
@@ -234,7 +258,11 @@ def _read_datum(buf: io.BytesIO, schema):
                 n = -n
                 _read_long(buf)
             for _ in range(n):
-                k = _read_bytes(buf).decode("utf-8")
+                try:
+                    k = _read_bytes(buf).decode("utf-8")
+                except UnicodeDecodeError as e:
+                    raise AvroError(
+                        f"invalid utf-8 in map key: {e}") from None
                 out[k] = _read_datum(buf, schema["values"])
     raise AvroError(f"unsupported type {t!r}")
 
@@ -343,7 +371,10 @@ def avro_read_header(stream):
     sync = stream.read(16)
     if len(sync) != 16:
         raise AvroError("truncated header")
-    codec = meta.get("avro.codec", b"null").decode()
+    try:
+        codec = meta.get("avro.codec", b"null").decode()
+    except UnicodeDecodeError as e:
+        raise AvroError(f"invalid utf-8 in avro.codec: {e}") from None
     if codec not in ("null", "deflate", "snappy", "bzip2", "xz"):
         raise AvroError(f"unsupported codec {codec!r} "
                         "(null/deflate/snappy/bzip2/xz only)")

@@ -208,18 +208,30 @@ def tensor_decode_file(path: str, data: bytes):
     if data[:4] == b"PK\x03\x04":
         try:
             zf = zipfile.ZipFile(io.BytesIO(data))
-        except zipfile.BadZipFile as e:
+        except Exception as e:
+            # the central-directory parse itself can raise beyond
+            # BadZipFile (NotImplementedError "zip file version",
+            # negative-seek ValueError; fuzz round 10)
             raise TensorFormatError(f"bad npz zip: {e}") from e
-        with zf:
-            for info in zf.infolist():
-                if info.filename.endswith("/"):
-                    continue
-                member = zf.read(info)
-                name = info.filename
-                if name.endswith(".npy"):
-                    name = name[:-4]
-                descr, shape, vals = npy_parse(member)
-                yield from _rows_for(path, name, descr, shape, vals)
+        try:
+            with zf:
+                for info in zf.infolist():
+                    if info.filename.endswith("/"):
+                        continue
+                    member = zf.read(info)
+                    name = info.filename
+                    if name.endswith(".npy"):
+                        name = name[:-4]
+                    descr, shape, vals = npy_parse(member)
+                    yield from _rows_for(path, name, descr, shape, vals)
+        except TensorFormatError:
+            raise
+        except Exception as e:
+            # zipfile member reads surface zlib.error / BadZipFile /
+            # EOFError / bare ValueError / NotImplementedError on
+            # crafted archives (fuzz round 10) — the executor-task
+            # contract is ONE error type for hostile input
+            raise TensorFormatError(f"corrupt npz member: {e}") from e
         return
     for name, dtype, shape, vals in safetensors_parse(data):
         yield from _rows_for(path, name, dtype, shape, vals)
