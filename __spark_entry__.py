@@ -56,15 +56,23 @@ _GRADED_FIRST = [
     "streaming_hourly_counts", "streaming_session_counts",
     # dedup / curation (exact_substring_report moved to the un-graded
     # tail in r9 — its suffix-span shape stays next to the graded
-    # cross_doc_duplication)
-    "dedup_exact", "minhash_lsh_pairs", "simhash_near_dup_pairs64",
+    # cross_doc_duplication; simhash_near_dup_pairs64 moved to the
+    # tail in r10 — the banded-Hamming candidate path it graded is the
+    # SAME fp_near_pairs operator image_near_dup_pairs now drives
+    # end-to-end with a brute-force oracle, and the simhash vote-agg
+    # fingerprint stays value-checked in the tail)
+    "dedup_exact", "minhash_lsh_pairs",
     "dedup_components", "decontaminate_train_set", "cross_doc_duplication",
     "url_dedup_report", "semantic_dedup_report_capped",
+    # image near-dup (r10 headline: real PNG decode -> dHash -> generic
+    # banded-Hamming pairing, recall brute-force-checked in the oracle)
+    "image_near_dup_pairs",
     # (corpus_line_dedup_report moved to the un-graded tail in r9b —
     # its canonicalize+groupBy shape stays graded via url_dedup_report)
     # multimodal training-shard ingestion (r9b headline: WebDataset tar
-    # shards, sample grouping, payload md5s value-checked)
-    "webdataset_report",
+    # shards, sample grouping, payload md5s value-checked) + the r10
+    # sink half (tar_export round-trip through the production reader)
+    "webdataset_report", "webdataset_export_roundtrip",
     # crawl -> training-text front (r9, VERDICT r8 #4: the official
     # scoreboard grades the headline capability — WARC ingestion and
     # real-parser HTML extraction)
@@ -76,9 +84,10 @@ _GRADED_FIRST = [
     # multimodal (real stdlib PNG decode r6; real baseline JPEG r7;
     # fragmented-MP4 probe r8 — top100_orders/events_hourly moved to
     # the un-graded tail to keep the set at 50, their shapes stay
-    # covered there and by q3/q18/streaming_hourly_counts)
+    # covered there and by q3/q18/streaming_hourly_counts;
+    # mp3_probe_report moved to the tail in r10 to keep the set at 50
+    # — the header-probe shape stays graded via fmp4_probe_report)
     "png_decode_stats", "jpeg_decode_stats", "fmp4_probe_report",
-    "mp3_probe_report",
     # text (chunk_documents moved to the un-graded tail in r9 — its
     # token-window shape stays graded via sequence_packing;
     # token_counts moved to the tail in r9b for the REAL tokenizer —

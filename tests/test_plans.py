@@ -319,7 +319,8 @@ def test_entry_graded_subset_is_representative_and_valid():
             "streaming_hourly_counts", "warc_pipeline_report",
             "html_extract_report", "sequence_packing",
             "hll_distinct_rollup", "dataset_type_menu2",
-            "webdataset_report", "bpe_tokenize_report"}
+            "webdataset_report", "bpe_tokenize_report",
+            "image_near_dup_pairs", "webdataset_export_roundtrip"}
     assert cats <= set(names[:50])
 
 
