@@ -675,3 +675,48 @@ def test_dhash_near_pairs_at_16x_families(spark, docs16):
     assert all(r["hamming"] == 0 for r in fam_pairs)
     n_imgs = docs16.count()
     assert pairs.count() <= n_imgs * 4 * (cap - 1) // 2
+
+
+def test_audio_ehash_at_16x(spark, docs16):
+    """r10: audio energy hashing decodes one WAV per row, map-only;
+    verbatim copy families hash identically at 16x and volume-scaled
+    clips land at Hamming 0 (the invariance the near-dup front
+    depends on)."""
+    from accelerator_spark.operators.multimodal import audio_ehash
+
+    def to_wav(batches):
+        import hashlib
+
+        import pandas as pd
+
+        from accelerator_spark.functions.wav import wav_encode
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                base = did % 100000
+                raw = b"".join(
+                    hashlib.md5(b"a%d:%d" % (base, k)).digest()
+                    for k in range(9))[:130]
+                if did >= 100000:
+                    # copies re-encode at double volume, s16
+                    samples = [(v - 128) * 2 for v in raw]
+                    blob = wav_encode(samples, 8000, 1, 2)
+                else:
+                    blob = wav_encode(list(raw), 8000, 1, 1)
+                out.append((did, blob, "audio/wav"))
+            yield pd.DataFrame(
+                out, columns=["media_id", "payload", "mime"])
+
+    media = docs16.select("doc_id").mapInPandas(
+        to_wav, schema="media_id long, payload binary, mime string")
+    hashed = audio_ehash(media)
+    n_in = docs16.count()
+    assert hashed.count() == n_in
+    # every family: 16 members, ONE distinct hash across u8 original
+    # and volume-doubled s16 re-encodes
+    fams = (hashed.groupBy((F.col("media_id") % 100000).alias("f"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("ehash_hex").alias("d")))
+    bad = fams.filter((F.col("n") != 16) | (F.col("d") != 1)).count()
+    assert bad == 0
