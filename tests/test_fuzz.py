@@ -243,6 +243,20 @@ def test_fuzz_media_probes_and_sniff():
                       sniff_format, ())
 
 
+def test_fuzz_sitemap():
+    import gzip
+
+    from accelerator_spark.operators.robots import (
+        SitemapError, parse_sitemap)
+
+    xml = (b"<?xml version='1.0'?><urlset><url><loc>http://a/1</loc>"
+           b"</url><url><loc>http://a/2</loc></url></urlset>")
+    _assert_contained("sitemap_plain", xml, parse_sitemap,
+                      (SitemapError,))
+    _assert_contained("sitemap_gz", gzip.compress(xml), parse_sitemap,
+                      (SitemapError,))
+
+
 def test_fuzz_charset_decode_never_raises():
     from accelerator_spark.operators.charset import decode_bytes
 
