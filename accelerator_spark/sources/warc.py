@@ -121,6 +121,15 @@ def surt(uri: str) -> str:
     return _enc((key + ")" + path).lower())
 
 
+def _cdx_timestamp(date: str | None) -> str:
+    """A WARC-Date ISO string as the 14-digit CDX timestamp
+    (``2025-04-01T00:00:00Z`` → ``20250401000000``) — what CDX tooling
+    sorts within a urlkey; unparseable/absent dates fall back to the
+    placeholder ``-`` rather than failing a sidecar write."""
+    digits = "".join(ch for ch in str(date or "") if ch.isdigit())[:14]
+    return digits if len(digits) == 14 else "-"
+
+
 def _cdxj_line(uri: str, timestamp: str, offset: int, length: int) -> str:
     """One CDXJ sidecar line: SURT urlkey + timestamp + a JSON payload
     built with json.dumps — a quote or backslash in the URI must yield
@@ -659,8 +668,8 @@ def warc_export(df: DataFrame, path: str,
                 else:
                     fh.write(rec)
                 if cfh is not None:
-                    cfh.write(_cdxj_line(uri, "-", at, fh.tell() - at)
-                              + "\n")
+                    cfh.write(_cdxj_line(uri, _cdx_timestamp(date),
+                                         at, fh.tell() - at) + "\n")
                 n += 1
         if fh is not None:
             fh.close()

@@ -385,3 +385,22 @@ def test_zstd_codec_hook(tmp_path, spark):
                       codec_hook=hook).collect()
     assert {r.target_uri for r in got} == {"http://z/%d" % i
                                            for i in range(4)}
+
+
+def test_cdxj_timestamp_from_record_date(tmp_path, spark):
+    """The sidecar's second field is the 14-digit CDX timestamp
+    derived from the record's WARC-Date (what third-party CDX tooling
+    sorts within a urlkey); an absent date falls back to '-'."""
+    from accelerator_spark.sources.warc import _cdx_timestamp, warc_export
+
+    assert _cdx_timestamp("2025-04-01T12:34:56Z") == "20250401123456"
+    assert _cdx_timestamp(None) == "-"
+    assert _cdx_timestamp("garbage") == "-"
+    df = spark.createDataFrame(
+        [("http://t/1", bytearray(b"<p>x</p>"), "2025-04-01T12:34:56Z")],
+        "target_uri string, payload binary, fetch_date string")
+    out = tmp_path / "ts"
+    warc_export(df.coalesce(1), str(out), date_col="fetch_date")
+    (cdx,) = [p for p in out.iterdir() if p.name.endswith(".cdx")]
+    urlkey, ts, _ = cdx.read_text().strip().split(" ", 2)
+    assert ts == "20250401123456"
