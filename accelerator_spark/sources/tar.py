@@ -310,8 +310,9 @@ def tar_export(df: DataFrame, path: str,
     ext is ''), headers from the hand-rolled ustar writer
     (``_ustar_header``); names that exceed ustar's name+prefix reach
     get the GNU 'L' long-name convention (``_member_blocks``) so an
-    arbitrary sample key always round-trips. The WebDataset contract is positional: all
-    members of one sample must sit ADJACENT in ONE shard —
+    arbitrary sample key always round-trips. The WebDataset contract
+    is positional: all members of one sample must sit ADJACENT in ONE
+    shard —
     ``arrange=True`` (default) enforces it by hash-repartitioning on
     ``sample_col`` (into ``n_shards`` partitions when given) and
     sorting within partitions on (sample, ext); pass ``arrange=False``
