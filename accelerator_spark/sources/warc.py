@@ -362,10 +362,10 @@ def warc_cdx_ranges(offsets: list, file_size: int,
 
 def _find_cdx(local: str) -> str | None:
     """Sidecar next to a WARC file: <name>.cdx(.gz) tried against the
-    full name, the name minus .gz, and the name minus .warc.gz /
-    .warc."""
+    full name, the name minus the compression extension (.gz/.zst),
+    and the name minus .warc(.gz/.zst)."""
     stems = [local]
-    for suffix in (".gz", ".warc.gz", ".warc"):
+    for suffix in (".gz", ".zst", ".warc.gz", ".warc.zst", ".warc"):
         if local.endswith(suffix):
             stems.append(local[:-len(suffix)])
     for stem in stems:
@@ -579,7 +579,9 @@ def warc_export(df: DataFrame, path: str,
                 date_col: str | None = None,
                 fixed_date: str = "2026-01-01T00:00:00Z",
                 gzip_members: bool = True,
-                with_cdx: bool = True) -> int:
+                with_cdx: bool = True,
+                codec_hook=None,
+                codec_ext: str = ".zst") -> int:
     """Write a DataFrame of pages back out as WARC response records —
     the re-shard half of the crawl pipeline (filter/dedup a crawl with
     the corpus operators, then land the survivors as a smaller crawl
@@ -592,6 +594,14 @@ def warc_export(df: DataFrame, path: str,
     and the JSON payload is json.dumps-built, so hostile URIs cannot
     break the sidecar. Records stream to the open shard handle as
     they are authored — task heap is O(record), not O(partition).
+
+    ``codec_hook`` (a picklable bytes->bytes COMPRESSOR producing one
+    frame per record) writes ``part-<hex>.warc<codec_ext>`` shards in
+    record-at-time frames instead of gzip members — the write half of
+    the zstd readiness story (the read half is warc_import's
+    decompressor hook); because frames align with record starts, the
+    sidecar's offsets remain valid split points. Overrides
+    ``gzip_members`` when set.
 
     Determinism contract: WARC-Record-ID is ``<urn:md5:...>`` of
     uri+payload and WARC-Date comes from ``date_col`` (ISO strings)
@@ -654,15 +664,26 @@ def warc_export(df: DataFrame, path: str,
                 rec = (b"\r\n".join(hdrs) + b"\r\n\r\n" + http
                        + b"\r\n\r\n")
                 if fh is None:
+                    if codec_hook is not None:
+                        suffix = ".warc" + codec_ext
+                    elif gzip_members:
+                        suffix = ".warc.gz"
+                    else:
+                        suffix = ".warc"
                     base = os.path.join(
-                        path, "part-" + os.urandom(8).hex()
-                        + (".warc.gz" if gzip_members else ".warc"))
+                        path, "part-" + os.urandom(8).hex() + suffix)
                     fh = open(base, "wb")
                     if with_cdx:
-                        stem = base[:-8] if gzip_members else base[:-5]
+                        stem = base[:-len(suffix)] + ".warc"
+                        # sidecar named <stem>.cdx with the bare .warc
+                        # stem — exactly what _find_cdx tries first
+                        # after stripping the compression extension
+                        stem = stem[:-5]
                         cfh = open(stem + ".cdx", "w")
                 at = fh.tell()
-                if gzip_members:
+                if codec_hook is not None:
+                    fh.write(codec_hook(rec))
+                elif gzip_members:
                     c = zlib.compressobj(6, zlib.DEFLATED, 31)
                     fh.write(c.compress(rec) + c.flush())
                 else:

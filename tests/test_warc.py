@@ -404,3 +404,48 @@ def test_cdxj_timestamp_from_record_date(tmp_path, spark):
     (cdx,) = [p for p in out.iterdir() if p.name.endswith(".cdx")]
     urlkey, ts, _ = cdx.read_text().strip().split(" ", 2)
     assert ts == "20250401123456"
+
+
+def test_zstd_write_hook_roundtrip(tmp_path, spark):
+    """The WRITE half of the zstd story: warc_export with a
+    compressor codec_hook lands .warc.zst shards in record-at-time
+    frames whose CDXJ offsets are valid split points, and
+    warc_import(codec_hook=...) reads them back whole AND
+    record-granular (split). The fake codecs are CLOSURES so
+    cloudpickle ships them by value into executor tasks (the same
+    requirement a real hook has)."""
+    import zlib as _z
+
+    from accelerator_spark.sources.warc import (
+        ZSTD_MAGIC, warc_export, warc_import)
+
+    def _fake_zstd_compress(b, _magic=ZSTD_MAGIC):
+        return _magic + _z.compress(b)
+
+    def _fake_zstd_decompress(data, _magic=ZSTD_MAGIC):
+        # concatenated-frame decompressor (what a real zstd hook does)
+        out, pos = b"", 0
+        while pos < len(data):
+            assert data[pos:pos + 4] == _magic
+            d = _z.decompressobj()
+            out += d.decompress(data[pos + 4:])
+            pos = len(data) - len(d.unused_data)
+        return out
+
+    df = spark.createDataFrame(
+        [("http://z/%d" % i, bytearray(b"<b>%d</b>" % i))
+         for i in range(10)],
+        "target_uri string, payload binary")
+    out = tmp_path / "zstout"
+    n = warc_export(df.repartition(2), str(out),
+                    codec_hook=_fake_zstd_compress)
+    assert n == 10
+    shards = [p.name for p in out.iterdir()]
+    assert any(s.endswith(".warc.zst") for s in shards)
+    assert any(s.endswith(".cdx") for s in shards)
+    for split in (False, True):
+        back = warc_import(spark, str(out), split=split,
+                           codec_hook=_fake_zstd_decompress)
+        got = {r.target_uri: bytes(r.payload) for r in back.collect()}
+        assert got == {"http://z/%d" % i: b"<b>%d</b>" % i
+                       for i in range(10)}, f"split={split}"
