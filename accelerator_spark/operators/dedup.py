@@ -219,6 +219,32 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return agg.select(id_col, out.alias("simhash"))
 
 
+def _hamming_band_keys(fp: Column, bits: int, max_hamming: int) -> list:
+    """The ``max_hamming + 1`` pigeonhole band-key Columns of a signed
+    fingerprint Column — factored out of ``fp_near_pairs`` so the
+    incremental path (``near_dedup_incremental``) derives IDENTICAL
+    keys for its persisted state rows; a key-scheme drift between the
+    batch and the accumulated state would silently void recall. Bits
+    distribute EVENLY over the bands (ceil-width slicing left the last
+    band empty when (n_bands-1)*width >= bits — an all-constant block
+    key putting the whole corpus in one bucket)."""
+    n_bands = max_hamming + 1
+    base_w, extra = divmod(bits, n_bands)
+    band_keys, off = [], 0
+    for i in range(n_bands):
+        w = base_w + (1 if i < extra else 0)
+        # w == 64 (bits=64, max_hamming=0): (1<<64)-1 does not fit a
+        # long and F.lit throws at plan build — an all-ones mask is -1
+        # in two's complement (review r5)
+        mask = -1 if w >= 64 else (1 << w) - 1
+        band_keys.append(
+            F.concat(F.lit(f"B{i}_"),
+                     F.shiftright(fp, off)
+                     .bitwiseAND(F.lit(mask)).cast("string")))
+        off += w
+    return band_keys
+
+
 def fp_near_pairs(df: DataFrame, fp_col: str = "fp",
                   id_col: str = "doc_id",
                   bits: int = 64, max_hamming: int = 3,
@@ -249,23 +275,7 @@ def fp_near_pairs(df: DataFrame, fp_col: str = "fp",
             f"{bits} voids the pigeonhole recall guarantee — raise bits "
             "or lower max_hamming")
     fp = F.col(fp_col).cast("long")
-    n_bands = max_hamming + 1
-    # distribute the bits EVENLY over the bands (ceil-width slicing
-    # left the last band empty when (n_bands-1)*width >= bits — an
-    # all-constant block key putting the whole corpus in one bucket)
-    base_w, extra = divmod(bits, n_bands)
-    band_keys, off = [], 0
-    for i in range(n_bands):
-        w = base_w + (1 if i < extra else 0)
-        # w == 64 (bits=64, max_hamming=0): (1<<64)-1 does not fit a
-        # long and F.lit throws at plan build — an all-ones mask is -1
-        # in two's complement (review r5)
-        mask = -1 if w >= 64 else (1 << w) - 1
-        band_keys.append(
-            F.concat(F.lit(f"B{i}_"),
-                     F.shiftright(fp, off)
-                     .bitwiseAND(F.lit(mask)).cast("string")))
-        off += w
+    band_keys = _hamming_band_keys(fp, bits, max_hamming)
     blocks = df.select(
         id_col, fp.alias("_fp"),
         F.explode(F.array(*band_keys)).alias("blk"),
@@ -557,3 +567,153 @@ def dedup_incremental(new_batch: DataFrame,
     fps = (new_fps if seen_fps is None
            else seen_fps.select("fp").unionByName(new_fps))
     return kept, fps
+
+
+def near_dedup(df: DataFrame, fp_col: str = "fp",
+               id_col: str = "doc_id",
+               bits: int = 64, max_hamming: int = 3,
+               bucket_cap: int | None = None,
+               pairs: DataFrame | None = None):
+    """One-call NEAR-dedup — the corpus-shrinking composition every
+    curation pipeline runs last (VERDICT r10 #1): banded-Hamming
+    candidate pairs over a precomputed fingerprint column
+    (``fp_near_pairs`` — 100%-recall pigeonhole banding, exact
+    bit_count(xor) filter), connected components over the pairs
+    (``connected_components`` — min-label propagation), then the
+    survivor anti-join: the min-id member of each component is kept,
+    every other member is dropped.
+
+    Parameterized by fingerprint column, so ANY ≤64-bit Hamming
+    signature rides it unchanged: ``simhash`` text fingerprints,
+    ``image_dhash`` perceptual hashes (via dhash_hex_to_long),
+    ``audio_ehash`` energy envelopes. ``pairs`` overrides candidate
+    generation with a caller-supplied (doc_a, doc_b, ...) edge list
+    (e.g. minhash_lsh_candidates output) — fingerprint params are
+    ignored then.
+
+    Returns ``(kept, report)``:
+
+    - ``kept``   — the input rows minus dropped near-duplicates
+                   (schema unchanged);
+    - ``report`` — one row PER MEMBER of each duplicate group:
+                   (id_col, ``kept_<id_col>`` = the group's surviving
+                   id, ``group_n`` = member count). Singleton docs
+                   (no near-dup) do not appear — the report is the
+                   dropped-groups ledger, joinable back by id.
+
+    Scale: the pair step is block-key-bounded (see fp_near_pairs),
+    components are Pregel-shaped iterations bounded by group diameter,
+    and the survivor step is one anti-join on id — no stage holds a
+    component's text, only ids and fingerprints."""
+    if pairs is None:
+        pairs = fp_near_pairs(df, fp_col, id_col, bits, max_hamming,
+                              bucket_cap)
+    cc = connected_components(pairs)  # (node, component=min member id)
+    losers = (cc.filter(F.col("node") != F.col("component"))
+              .select(F.col("node").alias(id_col)))
+    kept = df.join(losers, id_col, "left_anti")
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("group_n"))
+    report = (cc.join(sizes, "component")
+              .select(F.col("node").alias(id_col),
+                      F.col("component").alias("kept_" + id_col),
+                      "group_n"))
+    return kept, report
+
+
+def state_near_ids(new_batch: DataFrame, state: DataFrame,
+                   fp_col: str = "fp", id_col: str = "doc_id",
+                   bits: int = 64, max_hamming: int = 3) -> DataFrame:
+    """Batch ids whose fingerprint is within ``max_hamming`` of ANY
+    fingerprint in the accumulated state (the probe step of
+    ``near_dedup_incremental``, exposed so its plan shape is
+    testable). ``state`` is the exploded band-row store
+    (blk, fp, id_col) that ``near_dedup_incremental`` maintains.
+
+    Plan shape — the O(batch) contract: the batch's band rows are
+    BROADCAST (a batch is small relative to an accumulated corpus),
+    so the state side streams through the join with NO shuffle — each
+    state partition probes the broadcast hash table in place, and the
+    only exchange in the plan is the O(batch) distinct on the matched
+    ids. Banding bounds candidates exactly as in fp_near_pairs: only
+    state rows sharing a band key with a batch row reach the
+    bit_count filter."""
+    fp = F.col(fp_col).cast("long")
+    bb = new_batch.select(
+        F.col(id_col).alias("_bid"), fp.alias("_bfp"),
+        F.explode(F.array(
+            *_hamming_band_keys(fp, bits, max_hamming))).alias("blk"))
+    near = (state.join(F.broadcast(bb), "blk")
+            .filter(F.bit_count(F.col("fp").bitwiseXOR(F.col("_bfp")))
+                    <= max_hamming)
+            .select(F.col("_bid").alias(id_col)).distinct())
+    return near
+
+
+def near_dedup_incremental(new_batch: DataFrame,
+                           state: DataFrame | None,
+                           fp_col: str = "fp",
+                           id_col: str = "doc_id",
+                           bits: int = 64, max_hamming: int = 3,
+                           bucket_cap: int | None = None):
+    """NEAR-dedup of an ARRIVING batch against everything already kept
+    — the banded-Hamming extension of ``dedup_incremental`` (VERDICT
+    r10 #2): a rolling crawl that wants "skip documents near anything
+    already kept" must not re-pair the full corpus each day.
+
+    The accumulated state is the exploded band-row store
+    ``(blk string, fp long, id_col)`` — ``max_hamming + 1`` rows per
+    KEPT document, the same pigeonhole band keys ``fp_near_pairs``
+    blocks on (``_hamming_band_keys`` — shared code, so batch and
+    state keys can never drift). Persist it between batches (Dataset
+    chain / parquet, ideally bucketed on ``blk``); pass ``None`` for
+    the first batch.
+
+    Batch semantics (first-batch-wins, replayed by the
+    near_dedup_incremental_report oracle): a batch row survives iff
+
+    (a) no KEPT fingerprint lies within ``max_hamming`` — the banded
+        state probe (``state_near_ids``); and
+    (b) among rows passing (a), it is the min-id survivor of its
+        in-batch near-dup component (``near_dedup`` on the batch).
+
+    A row near a state fingerprint drops immediately; rows near only
+    IT are judged by the remaining subgraph — the greedy
+    check-the-store-then-dedup-the-batch order a sequential ingester
+    would produce.
+
+    Returns ``(kept, new_state)``: ``kept`` = surviving batch rows
+    (schema unchanged), ``new_state`` = state ∪ the kept rows' band
+    rows.
+
+    Scale: the state probe broadcasts the BATCH side (see
+    state_near_ids — the state is never shuffled, candidates are
+    O(batch)), the in-batch step is O(batch) fp_near_pairs work, and
+    the state grows by max_hamming+1 rows per kept doc — fingerprints
+    and ids only, never text."""
+    if bits > 64:
+        raise ValueError(
+            f"near_dedup_incremental: bits={bits} exceeds the 64-bit "
+            "fingerprint word")
+    if max_hamming >= bits:
+        raise ValueError(
+            f"near_dedup_incremental: max_hamming {max_hamming} >= "
+            f"bits {bits} voids the pigeonhole recall guarantee")
+    fp = F.col(fp_col).cast("long")
+    if state is not None:
+        near = state_near_ids(new_batch, state, fp_col, id_col, bits,
+                              max_hamming)
+        pass_a = new_batch.join(near, id_col, "left_anti")
+    else:
+        pass_a = new_batch
+    kept, _ = near_dedup(pass_a, fp_col, id_col, bits, max_hamming,
+                         bucket_cap)
+    kept_bands = kept.select(
+        F.col(id_col), fp.alias("fp"),
+        F.explode(F.array(
+            *_hamming_band_keys(fp, bits, max_hamming))).alias("blk"),
+    ).select("blk", "fp", id_col)
+    new_state = (kept_bands if state is None
+                 else state.select("blk", "fp", id_col)
+                 .unionByName(kept_bands))
+    return kept, new_state

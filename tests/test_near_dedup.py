@@ -1,0 +1,216 @@
+"""near_dedup / near_dedup_incremental — the one-call corpus-shrinking
+composite (VERDICT r10 #1) and its rolling-batch extension (#2).
+
+Ground truth is always a pure-Python replay of the documented
+semantics: brute-force Hamming pairs -> union-find components ->
+min-id survivor (and for the incremental path, the greedy
+check-the-store-then-dedup-the-batch order)."""
+
+import random
+
+from accelerator_spark.operators.dedup import (
+    near_dedup,
+    near_dedup_incremental,
+    state_near_ids,
+)
+from accelerator_spark.session import get_spark
+
+
+def _spark():
+    return get_spark(app_name="accelerator_spark_tests")
+
+
+def _flip(fp: int, *bitpos: int) -> int:
+    for b in bitpos:
+        fp ^= 1 << b
+    if fp >= 1 << 63:
+        fp -= 1 << 64
+    elif fp < -(1 << 63):
+        fp += 1 << 64
+    return fp
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def _components(ids, fp_of, k):
+    """Union-find components over brute-force pairs (dist <= k)."""
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(ids)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if _ham(fp_of[a], fp_of[b]) <= k:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in ids}
+
+
+def test_near_dedup_planted_families():
+    """Three planted families (sizes 2/3/4, members within 1 bit of
+    the seed) plus far singletons: exactly one survivor per family
+    (the min id), singletons untouched, and the report lists every
+    member of every family with the right survivor and size."""
+    spark = _spark()
+    rng = random.Random(4721)
+    rows = []
+    fams = []
+    for f, size in enumerate((2, 3, 4)):
+        seed = _flip(0, *rng.sample(range(64), 20 + 13 * f))
+        ids = []
+        for m in range(size):
+            fid = 100 * (f + 1) + m
+            # member 0 is the raw seed; others flip ONE distinct bit,
+            # so pairwise distance within the family is <= 2
+            fp = seed if m == 0 else _flip(seed, m)
+            rows.append((fid, fp, f"fam{f}"))
+            ids.append(fid)
+        fams.append(ids)
+    singles = [(9000 + i, _flip(0, *rng.sample(range(64), 30)), "solo")
+               for i in range(4)]
+    rows += singles
+    df = spark.createDataFrame(rows, "doc_id long, fp long, tag string")
+
+    kept, report = near_dedup(df, "fp", "doc_id", 64, max_hamming=2)
+    kept_rows = {r.doc_id: r for r in kept.collect()}
+    want_kept = {min(ids) for ids in fams} | {i for i, _, _ in singles}
+    assert set(kept_rows) == want_kept
+    # schema untouched and payload columns survive the anti-join
+    assert kept.columns == ["doc_id", "fp", "tag"]
+    assert kept_rows[100].tag == "fam0"
+
+    rep = {r.doc_id: (r.kept_doc_id, r.group_n) for r in report.collect()}
+    want_rep = {}
+    for ids in fams:
+        for i in ids:
+            want_rep[i] = (min(ids), len(ids))
+    assert rep == want_rep  # singletons never appear in the report
+
+
+def test_near_dedup_caller_supplied_pairs():
+    """pairs= overrides candidate generation: a 1-2, 2-3 edge chain
+    collapses to survivor 1 regardless of the fingerprint column."""
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(1, 0), (2, 1 << 40), (3, -(1 << 50)), (4, 7)],
+        "doc_id long, fp long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    kept, report = near_dedup(df, "fp", "doc_id", pairs=pairs)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 4]
+    assert {r.doc_id: (r.kept_doc_id, r.group_n)
+            for r in report.collect()} == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3)}
+
+
+def test_near_dedup_incremental_first_batch_wins():
+    """Out-of-order arrival: a LATER-arriving smaller id near an
+    already-kept fingerprint is dropped (first-batch-wins), a batch
+    row near only a state-DROPPED row is judged by the remaining
+    subgraph, and the state accumulates band rows of kept docs only."""
+    spark = _spark()
+    base = _flip(0, 1, 5, 9, 17, 33, 60)
+    far1 = _flip(0, 2, 6, 10, 18, 34, 61, 63)
+    far2 = _flip(0, 0, 12, 24, 36, 48, 62)
+    k = 3
+
+    # batch 0: 10 ~ 11 (1 bit apart) -> keep 10
+    b0 = spark.createDataFrame(
+        [(10, base), (11, _flip(base, 7))], "doc_id long, fp long")
+    kept0, state = near_dedup_incremental(b0, None, "fp", "doc_id", 64, k)
+    assert sorted(r.doc_id for r in kept0.collect()) == [10]
+
+    # batch 1: 5 ~ kept 10 -> dropped though 5 < 10 (first-batch-wins);
+    # 6 is far -> kept; 20 ~ state, 21 ~ 20 but NOT ~ state -> 20 drops
+    # at the state probe, 21 survives as a singleton of the remaining
+    # subgraph (the greedy sequential-ingester order)
+    fp20 = _flip(base, 2, 3)            # dist 2 from kept 10
+    fp21 = _flip(fp20, 40, 41, 42)      # dist 3 from 20, dist 5 from 10
+    assert _ham(fp21, base) > k and _ham(fp20, base) <= k
+    b1 = spark.createDataFrame(
+        [(5, _flip(base, 8)), (6, far1), (20, fp20), (21, fp21)],
+        "doc_id long, fp long")
+    kept1, state = near_dedup_incremental(b1, state, "fp", "doc_id", 64, k)
+    assert sorted(r.doc_id for r in kept1.collect()) == [6, 21]
+
+    # batch 2: 7 ~ kept 6 -> dropped; 1 far from everything -> kept
+    b2 = spark.createDataFrame(
+        [(7, _flip(far1, 3)), (1, far2)], "doc_id long, fp long")
+    kept2, state = near_dedup_incremental(b2, state, "fp", "doc_id", 64, k)
+    assert sorted(r.doc_id for r in kept2.collect()) == [1]
+
+    # state = (max_hamming + 1) band rows per kept doc, nothing else
+    srows = state.collect()
+    assert sorted({r.doc_id for r in srows}) == [1, 6, 10, 21]
+    assert len(srows) == 4 * (k + 1)
+    assert state.columns == ["blk", "fp", "doc_id"]
+
+
+def test_near_dedup_incremental_matches_greedy_oracle():
+    """Randomized equivalence: three batches of clustered fingerprints
+    through the operator == a pure-Python greedy replay (probe kept
+    store, then min-id per component of the surviving subgraph)."""
+    spark = _spark()
+    rng = random.Random(90210)
+    fp_of, batches = {}, [[], [], []]
+    nid = 0
+    for c in range(12):
+        seed = _flip(0, *rng.sample(range(64), rng.randrange(10, 54)))
+        for m in range(rng.randrange(1, 5)):
+            fp = seed if m == 0 else _flip(
+                seed, *rng.sample(range(64), rng.randrange(1, 3)))
+            fp_of[nid] = fp
+            batches[rng.randrange(3)].append((nid, fp))
+            nid += 1
+    k = 3
+
+    kept_all_py = []
+    for batch in batches:
+        ids = [i for i, _ in batch]
+        pass_a = [i for i in ids
+                  if all(_ham(fp_of[i], fp_of[j]) > k
+                         for j in kept_all_py)]
+        comp = _components(pass_a, fp_of, k)
+        kept_all_py += [i for i in pass_a if comp[i] == i]
+
+    state, kept_all = None, []
+    for batch in batches:
+        df = spark.createDataFrame(batch or [(None, None)],
+                                   "doc_id long, fp long")
+        if not batch:
+            df = df.filter("doc_id IS NOT NULL")
+        kept, state = near_dedup_incremental(df, state, "fp", "doc_id",
+                                             64, k)
+        kept_all += [r.doc_id for r in kept.collect()]
+    assert sorted(kept_all) == sorted(kept_all_py)
+
+
+def test_state_near_ids_plan_keeps_state_unshuffled(tmp_path):
+    """The O(batch) contract (VERDICT r10 #2): the state probe
+    BROADCASTS the batch band rows — the state side must stream
+    through a BroadcastHashJoin with no hash-partition exchange
+    between the state scan and the join; the plan's only
+    hash-partition exchange is the O(batch) distinct on matched ids."""
+    spark = _spark()
+    st = spark.createDataFrame(
+        [("B0_1", 1, 10), ("B1_0", 1, 10)], "blk string, fp long, doc_id long")
+    st.write.parquet(str(tmp_path / "state"))
+    state = spark.read.parquet(str(tmp_path / "state"))
+    batch = spark.createDataFrame([(99, 1)], "doc_id long, fp long")
+    near = state_near_ids(batch, state, "fp", "doc_id", 64, 3)
+    plan = near._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the only hash-partition exchange is the O(batch) distinct; the
+    # state scan side streams into the broadcast join unshuffled
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "FileScan parquet" in plan
+    # correctness of the probe itself
+    assert [r.doc_id for r in near.collect()] == [99]
