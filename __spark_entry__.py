@@ -62,8 +62,17 @@ _GRADED_FIRST = [
     # end-to-end with a brute-force oracle, and the simhash vote-agg
     # fingerprint stays value-checked in the tail)
     "dedup_exact", "minhash_lsh_pairs",
-    "dedup_components", "decontaminate_train_set", "cross_doc_duplication",
+    # (dedup_components and cross_doc_duplication moved to the
+    # un-graded tail in r11: near_dedup_report grades the SAME
+    # connected-components + survivor machinery end-to-end with a
+    # brute-force-recall oracle, minhash_lsh_pairs keeps the banded
+    # LSH candidate shape graded, and decontaminate_train_set keeps
+    # the n-gram inverted-index probe shape graded)
+    "decontaminate_train_set",
     "url_dedup_report", "semantic_dedup_report_capped",
+    # r11 headline: the one-call corpus-shrinking composite and its
+    # O(batch) rolling-ingestion form, both brute-force-oracle-gated
+    "near_dedup_report", "near_dedup_incremental_report",
     # image near-dup (r10 headline: real PNG decode -> dHash -> generic
     # banded-Hamming pairing, recall brute-force-checked in the oracle)
     "image_near_dup_pairs",

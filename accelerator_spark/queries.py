@@ -7044,3 +7044,10 @@ from .queries4 import ORACLES4 as _ORACLES4, QUERIES4 as _QUERIES4  # noqa: E402
 
 QUERIES.update(_QUERIES4)
 ORACLES.update(_ORACLES4)
+
+# round-11 suites (one-call near-dedup composite, incremental
+# near-dedup against accumulated band-row state) live in queries5.py
+from .queries5 import ORACLES5 as _ORACLES5, QUERIES5 as _QUERIES5  # noqa: E402
+
+QUERIES.update(_QUERIES5)
+ORACLES.update(_ORACLES5)

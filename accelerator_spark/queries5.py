@@ -1,0 +1,204 @@
+"""Round-11 query/operator additions — the one-call near-dedup
+composite and its incremental (rolling-batch) extension, the two
+operations VERDICT r10 ranked #1/#2: turning the near-dup primitives
+(fp_near_pairs, connected_components) into the corpus-SHRINKING
+operator every curation pipeline actually runs, and its O(batch)
+daily-ingestion form.
+
+Same contract as queries.py .. queries4.py: every entry pairs a Spark
+implementation with a DuckDB oracle over the identical parquet
+tables; aliases match on both sides. Registered into queries.QUERIES
+/ queries.ORACLES at the bottom of queries.py.
+
+Both oracles follow the brute-force discipline: the 64-bit simhash
+fingerprints are replayed bit-exactly in SQL (queries._simhash_oracle),
+candidate pairs are brute-forced over ALL fingerprints (so the banded
+blocking is recall-checked against ground truth), components come from
+a recursive CTE (the dedup_components pattern), and survivor selection
+/ first-batch-wins ordering is replayed in plain SQL — value-checked
+end-to-end, never row-counted."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import _simhash_oracle
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from .queries import _t as real
+    return real(spark, sf_dir, name)
+
+
+# =====================================================================
+# one-call near-dedup (operators/dedup.near_dedup — VERDICT r10 #1)
+# =====================================================================
+
+def near_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-call corpus-shrinking composite end-to-end: simhash64
+    fingerprints over documents -> near_dedup (banded-Hamming pairs at
+    max_hamming=3, connected components, min-id survivor anti-join).
+    Output is one row per fingerprinted document: its group's
+    surviving id (own id for singletons), the group size, and the
+    kept flag taken from MEMBERSHIP in the returned kept DataFrame —
+    so the anti-join path itself is value-checked, not just the
+    component labels. The oracle brute-forces ALL pairs from the
+    SQL-replayed fingerprints and rebuilds components with a
+    recursive CTE (the dedup_components discipline), so banding
+    recall, component fixpoint, and survivor selection are all
+    checked against ground truth."""
+    from .operators.dedup import near_dedup, simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    sh = simhash(docs, bits=64)
+    kept, report = near_dedup(sh, "simhash", "doc_id", 64,
+                              max_hamming=3, bucket_cap=5000)
+    k = kept.select("doc_id").withColumn("_k", F.lit(True))
+    return (sh.select("doc_id")
+            .join(report, "doc_id", "left")
+            .join(k, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("kept_doc_id", F.col("doc_id"))
+                .alias("kept_doc_id"),
+                F.coalesce("group_n", F.lit(1)).cast("long")
+                .alias("group_n"),
+                F.coalesce("_k", F.lit(False)).alias("kept")))
+
+
+ORACLE_NEAR_DEDUP = f"""
+WITH RECURSIVE sh AS ({_simhash_oracle(64)}),
+pr AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+cc AS (
+  SELECT u AS node, u AS component FROM pr
+  UNION
+  SELECT e.u AS node, cc.component FROM cc JOIN pr e ON e.v = cc.node
+),
+lab AS (SELECT node, min(component) AS component FROM cc GROUP BY node),
+sizes AS (SELECT component, count(*) AS group_n FROM lab GROUP BY component)
+SELECT s.doc_id,
+       coalesce(l.component, s.doc_id) AS kept_doc_id,
+       CAST(coalesce(z.group_n, 1) AS BIGINT) AS group_n,
+       (coalesce(l.component, s.doc_id) = s.doc_id) AS kept
+FROM sh s
+LEFT JOIN lab l ON l.node = s.doc_id
+LEFT JOIN sizes z ON z.component = l.component
+"""
+
+
+# =====================================================================
+# incremental near-dedup (operators/dedup.near_dedup_incremental —
+# VERDICT r10 #2)
+# =====================================================================
+
+def near_dedup_incremental_report(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Rolling-crawl near-dedup: documents arrive in THREE batches
+    whose order deliberately disagrees with id order (batch_seq =
+    (doc_id % 3 + 2) % 3 — so first-batch-wins is distinguishable
+    from global min-id), each batch runs near_dedup_incremental
+    against the accumulated band-row state (simhash64 fingerprints,
+    max_hamming=3). Output is one row per fingerprinted document:
+    (doc_id, batch_seq, kept). The oracle replays the exact greedy
+    sequence in SQL — per batch, a correlated NOT EXISTS probe
+    against the fingerprints kept so far (brute-force Hamming, so the
+    banded state probe is recall-checked), then a recursive-CTE
+    component pass over the surviving subgraph with min-id survivors."""
+    from .operators.dedup import near_dedup_incremental, simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    sh = (simhash(docs, bits=64)
+          .withColumn("batch_seq",
+                      ((F.col("doc_id") % 3 + 2) % 3).cast("int")))
+    # one row per doc; checkpoint so the explode+vote agg is not
+    # recomputed for each batch filter (and lineage stays O(1) across
+    # the sequential batch loop, the connected_components discipline)
+    sh = sh.localCheckpoint()
+    state = None
+    kept_parts = []
+    for seq in range(3):
+        batch = (sh.filter(F.col("batch_seq") == seq)
+                 .select("doc_id", "simhash"))
+        kept, state = near_dedup_incremental(
+            batch, state, "simhash", "doc_id", 64, max_hamming=3,
+            bucket_cap=5000)
+        kept_parts.append(kept.select("doc_id"))
+        state = state.localCheckpoint()
+    keptall = (kept_parts[0].unionByName(kept_parts[1])
+               .unionByName(kept_parts[2])
+               .withColumn("_k", F.lit(True)))
+    return (sh.select("doc_id", "batch_seq")
+            .join(keptall, "doc_id", "left")
+            .select("doc_id", "batch_seq",
+                    F.coalesce("_k", F.lit(False)).alias("kept")))
+
+
+def _incr_oracle() -> str:
+    """The three-batch greedy replay: batch i's pass set filters on a
+    brute-force NOT EXISTS against every earlier batch's kept
+    fingerprints, then components + min-id survivors via a recursive
+    CTE per batch (DuckDB allows several recursive CTEs in one WITH
+    RECURSIVE list)."""
+    ctes = [f"sh AS ({_simhash_oracle(64)})",
+            "b AS (SELECT doc_id, simhash,"
+            " CAST((doc_id % 3 + 2) % 3 AS INT) AS batch_seq FROM sh)"]
+    for i in range(3):
+        if i == 0:
+            ctes.append(
+                f"p{i} AS (SELECT doc_id, simhash FROM b"
+                f" WHERE batch_seq = {i})")
+        else:
+            prev = " UNION ALL ".join(
+                f"SELECT doc_id FROM kept{j}" for j in range(i))
+            ctes.append(
+                f"kf{i} AS (SELECT s.doc_id, s.simhash FROM ({prev}) kk"
+                f" JOIN sh s ON s.doc_id = kk.doc_id)")
+            ctes.append(
+                f"p{i} AS (SELECT x.doc_id, x.simhash FROM b x"
+                f" WHERE x.batch_seq = {i} AND NOT EXISTS ("
+                f"SELECT 1 FROM kf{i} k"
+                f" WHERE bit_count(xor(k.simhash, x.simhash)) <= 3))")
+        ctes.append(
+            f"e{i} AS (SELECT a.doc_id AS u, b2.doc_id AS v"
+            f" FROM p{i} a JOIN p{i} b2 ON a.doc_id <> b2.doc_id"
+            f" WHERE bit_count(xor(a.simhash, b2.simhash)) <= 3)")
+        ctes.append(
+            f"cc{i} AS (SELECT u AS node, u AS component FROM e{i}"
+            f" UNION SELECT e.u AS node, cc{i}.component"
+            f" FROM cc{i} JOIN e{i} e ON e.v = cc{i}.node)")
+        ctes.append(
+            f"lab{i} AS (SELECT node, min(component) AS c FROM cc{i}"
+            f" GROUP BY node)")
+        ctes.append(
+            f"kept{i} AS (SELECT p.doc_id FROM p{i} p"
+            f" LEFT JOIN lab{i} l ON l.node = p.doc_id"
+            f" WHERE l.c IS NULL OR l.c = p.doc_id)")
+    ctes.append(
+        "keptall AS (SELECT doc_id FROM kept0"
+        " UNION ALL SELECT doc_id FROM kept1"
+        " UNION ALL SELECT doc_id FROM kept2)")
+    return ("WITH RECURSIVE " + ",\n".join(ctes) + "\n"
+            "SELECT b.doc_id, b.batch_seq,"
+            " (k.doc_id IS NOT NULL) AS kept\n"
+            "FROM b LEFT JOIN keptall k ON k.doc_id = b.doc_id")
+
+
+ORACLE_NEAR_DEDUP_INCREMENTAL = _incr_oracle()
+
+
+QUERIES5 = {
+    "near_dedup_report": near_dedup_report,
+    "near_dedup_incremental_report": near_dedup_incremental_report,
+}
+
+ORACLES5 = {
+    "near_dedup_report": ORACLE_NEAR_DEDUP,
+    "near_dedup_incremental_report": ORACLE_NEAR_DEDUP_INCREMENTAL,
+}

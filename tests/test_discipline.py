@@ -12,7 +12,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 QUERY_MODULES = ("accelerator_spark/queries.py",
                  "accelerator_spark/queries2.py",
                  "accelerator_spark/queries3.py",
-                 "accelerator_spark/queries4.py")
+                 "accelerator_spark/queries4.py",
+                 "accelerator_spark/queries5.py")
 
 # Functions allowed to .collect(): each pulls a provably tiny,
 # size-bounded result to the driver (a sketch, k centroid dims, two
