@@ -82,15 +82,30 @@ def _maybe_zstd(data: bytes, codec_hook):
     (the warc.py/_maybe_zstd twin): modern WebDataset shards ship as
     .tar.zst, stdlib tarfile's ``r|*`` sniffs only gz/bz2/xz, and
     stdlib gains ``compression.zstd`` in 3.14 — the hook makes the
-    source zstd-ready the day the environment has a codec. None ->
-    a clear unsupported error naming the hook."""
+    source zstd-ready the day the environment has a codec.
+
+    Hook contract: the hook receives the whole compressed shard —
+    possibly a CONCATENATION of frames (``tar_export``'s codec path
+    writes one frame per member) — and must return the decompressed
+    stream of ALL of them: Python 3.14
+    ``compression.zstd.decompress`` handles concatenated frames;
+    one-shot ``zstandard.decompress`` stops at the first frame — use
+    a frame-looping wrapper (see sources/warc.py _maybe_zstd for a
+    stream_reader(read_across_frames=True) example). Memory caveat:
+    the hook path materializes the DECOMPRESSED shard before
+    iteration — unlike the gz/bz2/xz stream mode, peak heap for a
+    .tar.zst shard is the raw tar, not one member; size zstd shards
+    accordingly. None -> a clear unsupported error naming the hook."""
     if data[:4] != ZSTD_MAGIC:
         return data
     if codec_hook is None:
         raise TarError(
             "zstd-compressed tar shard and no codec available: pass "
-            "codec_hook=<bytes->bytes zstd decompressor> (e.g. "
-            "zstandard.decompress or Python 3.14 compression.zstd)")
+            "codec_hook=<bytes->bytes zstd decompressor that handles "
+            "CONCATENATED frames> (e.g. Python 3.14 "
+            "compression.zstd.decompress, or python-zstandard's "
+            "stream_reader(read_across_frames=True) in a loop — "
+            "one-shot zstandard.decompress stops at the first frame)")
     return codec_hook(data)
 
 
@@ -99,7 +114,9 @@ def tar_iter_members(data: bytes, codec_hook=None):
     file member of a (possibly gzip/bzip2/xz-compressed, or zstd via
     ``codec_hook``) tar, in archive order, streaming: stream mode
     (``r|*``) decompresses incrementally, so peak heap is one member,
-    never the decompressed shard. Directories, sym/hard links, devices
+    never the decompressed shard — EXCEPT on the zstd hook path,
+    where the hook returns the decompressed shard whole before
+    iteration (see _maybe_zstd's memory caveat). Directories, sym/hard links, devices
     and FIFOs carry no sample payload and are skipped (links
     deliberately — following them would need random access and can
     alias data outside the sample; WebDataset writers emit regular
@@ -299,7 +316,9 @@ def tar_export(df: DataFrame, path: str,
                mtime: int = 0,
                n_shards: int | None = None,
                samples_per_shard: int | None = None,
-               arrange: bool = True) -> int:
+               arrange: bool = True,
+               codec_hook=None,
+               codec_ext: str = ".zst") -> int:
     """Write member rows back out as WebDataset .tar shards — the sink
     half the multimodal front was missing (VERDICT r9 #1; the
     warc_export twin): filter/dedup/re-balance a corpus with the
@@ -328,7 +347,28 @@ def tar_export(df: DataFrame, path: str,
     byte-identical shard CONTENT (file names are fresh per write).
     NULL payloads are skipped; a NULL sample key raises (a sample
     without identity is a corrupt corpus, not a skippable row).
-    Returns member rows written."""
+    Returns member rows written.
+
+    ``codec_hook`` (a picklable bytes->bytes COMPRESSOR) writes
+    ``part-<hex>.tar<codec_ext>`` shards instead of gzip — the write
+    half of the zstd readiness story, closing the last read/write
+    codec asymmetry (the read half is tar_import's decompressor hook,
+    ``_maybe_zstd``). One frame per MEMBER (header blocks + payload +
+    padding) plus a final end-of-archive frame, so task heap stays
+    O(member); the frames CONCATENATE to the raw tar, which a
+    frame-looping decompressor (or Python 3.14
+    ``compression.zstd.decompress``) restores whole. Overrides
+    ``gzip_compress`` when set.
+
+    Task-commit protocol (ADVICE r10): each shard streams into a
+    hidden ``.part-<hex>...inprogress`` temp in the output directory
+    and is renamed to its final name only in close_shard —
+    ``os.replace`` is atomic on one filesystem, and readers
+    (tar_import's binaryFile listing skips dot-prefixed files) never
+    see a truncated shard from a failed or killed task. Speculative
+    execution must stay off (Spark's default) for any
+    randomly-named-shard sink: a speculative twin that runs to
+    completion would commit a duplicate shard."""
     import gzip as _gzip
 
     if n_shards is not None and not arrange:
@@ -345,23 +385,36 @@ def tar_export(df: DataFrame, path: str,
         slim = (slim.repartition(n_shards, "_k") if n_shards
                 else slim.repartition("_k"))
         slim = slim.sortWithinPartitions("_k", "_e")
-    suffix = ".tar.gz" if gzip_compress else ".tar"
+    if codec_hook is not None:
+        suffix = ".tar" + codec_ext
+    else:
+        suffix = ".tar.gz" if gzip_compress else ".tar"
 
     def write(batches):
         import pandas as pd
 
         fh = gz = None
+        tmp = final = None
         n_members = 0
         n_samples = 0
         prev_key = None
 
         def close_shard():
-            nonlocal fh, gz
-            if gz is not None:
-                gz.write(b"\0" * 1024)   # end-of-archive
-                gz.close()
+            nonlocal fh, gz, tmp, final
+            if fh is not None:
+                if codec_hook is not None:
+                    # end-of-archive as its own frame
+                    fh.write(codec_hook(b"\0" * 1024))
+                else:
+                    gz.write(b"\0" * 1024)
+                    if gz is not fh:
+                        gz.close()
                 fh.close()
-                fh = gz = None
+                # rename-on-close (ADVICE r10): atomic on one
+                # filesystem — a failed/retried task never leaves a
+                # truncated shard under the final name
+                os.replace(tmp, final)
+                fh = gz = tmp = final = None
 
         for pdf in batches:
             for key, ext, payload in zip(pdf["_k"], pdf["_e"],
@@ -379,25 +432,33 @@ def tar_export(df: DataFrame, path: str,
                         n_samples = 0
                     n_samples += 1
                     prev_key = key
-                if gz is None:
-                    fname = os.path.join(
-                        path, "part-" + os.urandom(8).hex() + suffix)
-                    fh = open(fname, "wb")
+                if fh is None:
+                    fname = "part-" + os.urandom(8).hex() + suffix
+                    final = os.path.join(path, fname)
+                    tmp = os.path.join(
+                        path, "." + fname + ".inprogress")
+                    fh = open(tmp, "wb")
                     # filename="" keeps the fresh part name out of
                     # the gzip FNAME header — shard CONTENT must be
                     # deterministic across re-exports; level 6 (zlib
                     # default) over GzipFile's 9: ~2x faster writes
                     # for ~1% size on already-encoded media payloads
-                    gz = (_gzip.GzipFile(filename="", fileobj=fh,
-                                         mode="wb", mtime=0,
-                                         compresslevel=6)
-                          if gzip_compress else fh)
+                    if codec_hook is None:
+                        gz = (_gzip.GzipFile(filename="", fileobj=fh,
+                                             mode="wb", mtime=0,
+                                             compresslevel=6)
+                              if gzip_compress else fh)
                 payload = bytes(payload)
                 name = f"{key}.{ext}" if ext else str(key)
-                for block in _member_blocks(name, len(payload), mtime):
-                    gz.write(block)
-                gz.write(payload)
-                gz.write(b"\0" * (-len(payload) % 512))
+                blocks = _member_blocks(name, len(payload), mtime)
+                blocks.append(payload)
+                blocks.append(b"\0" * (-len(payload) % 512))
+                if codec_hook is not None:
+                    # one compressed frame per member — heap O(member)
+                    fh.write(codec_hook(b"".join(blocks)))
+                else:
+                    for block in blocks:
+                        gz.write(block)
                 n_members += 1
         close_shard()
         yield pd.DataFrame({"n": [n_members]})

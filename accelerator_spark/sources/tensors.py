@@ -344,13 +344,17 @@ def tensor_export(df: DataFrame, path: str, vec_col: str = "embedding",
             }
             hjson = json.dumps(header,
                                separators=(",", ":")).encode("utf-8")
-            fname = os.path.join(
-                path, "part-" + os.urandom(8).hex() + ".safetensors")
-            with open(fname, "wb") as fh:
+            fname = "part-" + os.urandom(8).hex() + ".safetensors"
+            # rename-on-close task commit (ADVICE r10): write to a
+            # hidden temp, os.replace atomically — a failed/retried
+            # task never leaves a truncated shard under a final name
+            tmp = os.path.join(path, "." + fname + ".inprogress")
+            with open(tmp, "wb") as fh:
                 fh.write(struct.pack("<Q", len(hjson)))
                 fh.write(hjson)
                 fh.write(emb)
                 fh.write(ids)
+            os.replace(tmp, os.path.join(path, fname))
             total += n
             emb, ids, n = bytearray(), bytearray(), 0
 

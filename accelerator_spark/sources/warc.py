@@ -64,18 +64,41 @@ def _maybe_zstd(data: bytes, codec_hook):
     (the image-decoder-hook pattern, operators/multimodal.py):
     CommonCrawl is migrating to .warc.zst and stdlib gains
     ``compression.zstd`` only in 3.14, so the hook is how the source
-    becomes zstd-ready the day the environment has a codec. The hook
-    takes the compressed bytes (possibly a CONCATENATION of frames —
-    record-at-time compression, like the gzip-member layout) and
-    returns the decompressed stream. None -> a clear unsupported
-    error naming the hook."""
+    becomes zstd-ready the day the environment has a codec.
+
+    Hook contract: the hook receives the compressed bytes — possibly
+    a CONCATENATION of frames (record-at-time compression, like the
+    gzip-member layout; a CDX range spanning several records hands
+    the hook several back-to-back frames) — and must return the
+    decompressed stream of ALL of them. Python 3.14's
+    ``compression.zstd.decompress`` handles concatenated frames;
+    python-zstandard's one-shot ``zstandard.decompress`` does NOT (it
+    stops at the first frame or errors on trailing data) — wrap it in
+    a frame loop, e.g.::
+
+        def hook(data):
+            out, d = [], zstandard.ZstdDecompressor()
+            with d.stream_reader(io.BytesIO(data),
+                                 read_across_frames=True) as r:
+                while chunk := r.read(1 << 20):
+                    out.append(chunk)
+            return b"".join(out)
+
+    Memory caveat: the hook path decompresses the given bytes WHOLE —
+    on a full .warc.zst shard (no CDX ranges) peak task heap is the
+    decompressed shard, unlike the gzip-member path which streams
+    member-at-a-time; record-granular CDX splits restore the bounded
+    behavior. None -> a clear unsupported error naming the hook."""
     if data[:4] != ZSTD_MAGIC:
         return data
     if codec_hook is None:
         raise WarcError(
             "zstd-compressed WARC input and no codec available: pass "
-            "codec_hook=<bytes->bytes zstd decompressor> (e.g. "
-            "zstandard.decompress or Python 3.14 compression.zstd)")
+            "codec_hook=<bytes->bytes zstd decompressor that handles "
+            "CONCATENATED frames> (e.g. Python 3.14 "
+            "compression.zstd.decompress, or python-zstandard's "
+            "stream_reader(read_across_frames) in a loop — one-shot "
+            "zstandard.decompress stops at the first frame)")
     return codec_hook(data)
 
 
@@ -164,7 +187,11 @@ def _gzip_members(data: bytes):
 
 
 def _parse_headers(block: bytes):
-    """CRLF header block -> (first_line, {lower_name: value})."""
+    """CRLF header block -> (first_line, {lower_name: value}). Header
+    VALUES decode UTF-8 first (ISO 28500: warc-fields are UTF-8 — and
+    warc_export writes Target-URIs as UTF-8, so the round-trip is
+    symmetric), falling back to latin1 for the legacy byte-soup a real
+    crawl contains; names are ASCII tokens, latin1 is exact there."""
     lines = block.split(b"\r\n")
     first = lines[0].decode("latin1")
     headers = {}
@@ -172,8 +199,12 @@ def _parse_headers(block: bytes):
         if not ln:
             continue
         k, _, v = ln.partition(b":")
-        headers[k.strip().lower().decode("latin1")] = \
-            v.strip().decode("latin1", "replace")
+        v = v.strip()
+        try:
+            val = v.decode("utf-8")
+        except UnicodeDecodeError:
+            val = v.decode("latin1")
+        headers[k.strip().lower().decode("latin1")] = val
     return first, headers
 
 
@@ -609,7 +640,15 @@ def warc_export(df: DataFrame, path: str,
     of the same inputs produces byte-identical RECORDS (file names are
     fresh per write; fixture/test/diff-friendly;
     pass the crawl's real dates via date_col). Returns rows written.
-    NULL payloads are skipped (a failed fetch has no record)."""
+    NULL payloads are skipped (a failed fetch has no record).
+
+    Task-commit protocol (ADVICE r10): shard and sidecar stream into
+    hidden ``.…inprogress`` temps and are atomically renamed on close
+    (sidecar first, so a visible .warc always has its .cdx) — a
+    failed or killed task never leaves a truncated shard under a
+    final name. Speculative execution must stay off (Spark's
+    default): a completed speculative twin would commit a duplicate
+    randomly-named shard."""
     os.makedirs(path, exist_ok=True)
     cols = [uri_col, payload_col]
     opt = {}
@@ -670,16 +709,31 @@ def warc_export(df: DataFrame, path: str,
                         suffix = ".warc.gz"
                     else:
                         suffix = ".warc"
-                    base = os.path.join(
-                        path, "part-" + os.urandom(8).hex() + suffix)
-                    fh = open(base, "wb")
+                    fname = "part-" + os.urandom(8).hex() + suffix
+                    final = os.path.join(path, fname)
+                    # rename-on-close task commit (ADVICE r10): stream
+                    # into a hidden .inprogress temp; os.replace is
+                    # atomic on one filesystem, so a failed/retried
+                    # task never leaves a truncated shard visible to
+                    # readers (Spark's file listing skips dot-prefixed
+                    # names). Speculation must stay off (the Spark
+                    # default) — a completed speculative twin would
+                    # commit a duplicate randomly-named shard.
+                    fh = open(os.path.join(
+                        path, "." + fname + ".inprogress"), "wb")
                     if with_cdx:
-                        stem = base[:-len(suffix)] + ".warc"
                         # sidecar named <stem>.cdx with the bare .warc
                         # stem — exactly what _find_cdx tries first
                         # after stripping the compression extension
-                        stem = stem[:-5]
-                        cfh = open(stem + ".cdx", "w")
+                        cdx_final = final[:-len(suffix)] + ".cdx"
+                        # explicit utf-8: surt() leaves non-ASCII URI
+                        # bytes in the urlkey, and a C-locale executor
+                        # would raise UnicodeEncodeError on the write
+                        # (ADVICE r10)
+                        cfh = open(os.path.join(
+                            path,
+                            "." + os.path.basename(cdx_final)
+                            + ".inprogress"), "w", encoding="utf-8")
                 at = fh.tell()
                 if codec_hook is not None:
                     fh.write(codec_hook(rec))
@@ -692,10 +746,15 @@ def warc_export(df: DataFrame, path: str,
                     cfh.write(_cdxj_line(uri, _cdx_timestamp(date),
                                          at, fh.tell() - at) + "\n")
                 n += 1
-        if fh is not None:
-            fh.close()
+        # commit order: sidecar first, shard second — whenever the
+        # .warc is visible its .cdx is too, so the split reader never
+        # races a half-committed pair (an orphan .cdx is inert)
         if cfh is not None:
             cfh.close()
+            os.replace(cfh.name, cdx_final)
+        if fh is not None:
+            fh.close()
+            os.replace(fh.name, final)
         yield pd.DataFrame({"n": [n]})
 
     import pandas as pd  # noqa: F401  (schema hint for linters)

@@ -316,3 +316,85 @@ def test_tar_export_n_shards_requires_arrange(spark, tmp_path):
     with pytest.raises(TarError, match="arrange"):
         from accelerator_spark.sources.tar import tar_export
         tar_export(df, str(tmp_path / "o"), n_shards=2, arrange=False)
+
+
+def test_tar_export_zstd_write_hook_roundtrip(spark, tmp_path):
+    """The tar side of the zstd WRITE story (VERDICT r10 #3):
+    tar_export with a compressor codec_hook lands .tar.zst shards as
+    one frame per MEMBER (+ a final end-of-archive frame) that the
+    production reader restores through a frame-looping decompressor
+    hook — closing the last read/write codec asymmetry. The fake
+    codecs are closures (the cloudpickle shipping requirement a real
+    hook has)."""
+    import zlib as _z
+
+    from accelerator_spark.sources.tar import ZSTD_MAGIC, tar_export
+
+    def _fake_compress(b, _magic=ZSTD_MAGIC):
+        return _magic + _z.compress(b)
+
+    def _fake_decompress(data, _magic=ZSTD_MAGIC):
+        out, pos = b"", 0
+        while pos < len(data):
+            assert data[pos:pos + 4] == _magic
+            d = _z.decompressobj()
+            out += d.decompress(data[pos + 4:])
+            pos = len(data) - len(d.unused_data)
+        return out
+
+    rows = [(f"s{i:02d}", "txt", b"T%d" % i) for i in range(12)] \
+        + [(f"s{i:02d}", "json", b"J%d" % i) for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "sample_key string, ext string, payload binary")
+    out = tmp_path / "wds_zst"
+    n = tar_export(df.repartition(4), str(out), n_shards=2,
+                   codec_hook=_fake_compress)
+    assert n == len(rows)
+    shards = sorted(out.iterdir())
+    assert shards and all(p.name.endswith(".tar.zst") for p in shards)
+    for p in shards:
+        raw = p.read_bytes()
+        assert raw[:4] == ZSTD_MAGIC
+        # multi-frame layout: >= 2 members + end-of-archive frame
+        assert raw.count(ZSTD_MAGIC) >= 3
+        # frames concatenate to a valid raw tar readable by stdlib
+        tf = tarfile.open(fileobj=io.BytesIO(_fake_decompress(raw)),
+                          mode="r|*")
+        assert all(m.isreg() for m in tf)
+
+    back = tar_import(spark, str(out), codec_hook=_fake_decompress)
+    got = {(r.sample_key, r.ext): bytes(r.payload)
+           for r in back.collect()}
+    assert got == {(k, e): p for k, e, p in rows}
+    # a FIRST-FRAME-ONLY decompressor (one-shot zstandard.decompress
+    # behavior) silently truncates to the first member — the reason
+    # the hook contract demands concatenated-frame handling
+    def _one_shot(data, _magic=ZSTD_MAGIC):
+        assert data[:4] == _magic
+        d = _z.decompressobj()
+        return d.decompress(data[4:])
+
+    from accelerator_spark.sources.tar import tar_iter_members as _tim
+    whole = list(_tim(shards[0].read_bytes(),
+                      codec_hook=_fake_decompress))
+    trunc = list(_tim(shards[0].read_bytes(), codec_hook=_one_shot))
+    assert len(trunc) < len(whole)
+
+
+def test_tar_export_commits_shards_atomically(spark, tmp_path):
+    """Rename-on-close task commit (ADVICE r10): after an export no
+    hidden .inprogress temp survives, and a stale temp left by a
+    crashed task is invisible to tar_import's listing."""
+    from accelerator_spark.sources.tar import tar_export
+
+    df = spark.createDataFrame(
+        [(f"s{i}", "txt", b"x%d" % i) for i in range(6)],
+        "sample_key string, ext string, payload binary")
+    out = tmp_path / "atomic"
+    tar_export(df, str(out), n_shards=2)
+    names = [p.name for p in out.iterdir()]
+    assert names and not any(n.startswith(".") for n in names)
+    # a crashed task's leftover: truncated bytes under a hidden name
+    (out / ".part-deadbeef.tar.gz.inprogress").write_bytes(b"\x1f\x8b")
+    got = {r.sample_key for r in tar_import(spark, str(out)).collect()}
+    assert got == {f"s{i}" for i in range(6)}

@@ -449,3 +449,99 @@ def test_zstd_write_hook_roundtrip(tmp_path, spark):
         got = {r.target_uri: bytes(r.payload) for r in back.collect()}
         assert got == {"http://z/%d" % i: b"<b>%d</b>" % i
                        for i in range(10)}, f"split={split}"
+
+
+def test_zstd_hook_concatenated_frame_contract(tmp_path, spark):
+    """The hook contract is CONCATENATED frames (VERDICT r10 #5 — the
+    docs now say so; this makes it executable): a CDX range spanning
+    two records hands the decompressor hook BOTH frames back-to-back;
+    a frame-looping hook restores both records, and a first-frame-only
+    hook (one-shot zstandard.decompress behavior) silently loses the
+    second — exactly the failure the docstring warns about."""
+    import zlib as _z
+
+    from accelerator_spark.sources.warc import (
+        ZSTD_MAGIC, warc_export, warc_iter_file)
+
+    def _compress(b, _magic=ZSTD_MAGIC):
+        return _magic + _z.compress(b)
+
+    def _looping(data, _magic=ZSTD_MAGIC):
+        out, pos = b"", 0
+        frames = 0
+        while pos < len(data):
+            assert data[pos:pos + 4] == _magic
+            d = _z.decompressobj()
+            out += d.decompress(data[pos + 4:])
+            pos = len(data) - len(d.unused_data)
+            frames += 1
+        _looping.frames = max(getattr(_looping, "frames", 0), frames)
+        return out
+
+    def _one_shot(data, _magic=ZSTD_MAGIC):
+        assert data[:4] == _magic
+        return _z.decompressobj().decompress(data[4:])
+
+    df = spark.createDataFrame(
+        [("http://c/1", bytearray(b"<i>one</i>")),
+         ("http://c/2", bytearray(b"<i>two</i>"))],
+        "target_uri string, payload binary")
+    out = tmp_path / "twoframe"
+    warc_export(df.coalesce(1), str(out), codec_hook=_compress)
+    shard = next(p for p in out.iterdir() if p.name.endswith(".warc.zst"))
+    data = shard.read_bytes()
+    assert data.count(ZSTD_MAGIC) == 2  # one frame per record
+
+    # the whole two-record range through the split-reader entry point
+    rows = list(warc_iter_file(data, codec_hook=_looping))
+    assert len(rows) == 2 and _looping.frames == 2
+    # a one-shot hook truncates to the first record — demonstrates
+    # why the error message must not recommend zstandard.decompress
+    assert len(list(warc_iter_file(data, codec_hook=_one_shot))) == 1
+
+
+def test_warc_export_non_ascii_uri_cdx(tmp_path, spark):
+    """ADVICE r10: a non-ASCII URI reaches the CDX sidecar as a
+    non-ASCII urlkey — the sidecar is opened with an explicit utf-8
+    encoding so a C-locale executor cannot UnicodeEncodeError, and the
+    line re-reads as valid utf-8 + JSON."""
+    import json as _json
+
+    from accelerator_spark.sources.warc import warc_export, warc_import
+
+    uri = "http://exämple.com/päge?q=søk"
+    df = spark.createDataFrame(
+        [(uri, bytearray(b"<p>hi</p>"))],
+        "target_uri string, payload binary")
+    out = tmp_path / "nonascii"
+    assert warc_export(df.coalesce(1), str(out)) == 1
+    cdx = next(p for p in out.iterdir() if p.name.endswith(".cdx"))
+    line = cdx.read_text(encoding="utf-8").strip()
+    urlkey, _, js = line.split(" ", 2)
+    assert urlkey.startswith("com,exämple)")
+    assert _json.loads(js)["url"] == uri
+    back = warc_import(spark, str(out), split=True)
+    assert [r.target_uri for r in back.collect()] == [uri]
+
+
+def test_warc_export_commits_atomically(tmp_path, spark):
+    """Rename-on-close task commit (ADVICE r10): no hidden temp
+    survives a completed export, and stale .inprogress leftovers are
+    invisible to the import listing."""
+    from accelerator_spark.sources.warc import warc_export, warc_import
+
+    df = spark.createDataFrame(
+        [("http://a/%d" % i, bytearray(b"<x>%d</x>" % i))
+         for i in range(4)],
+        "target_uri string, payload binary")
+    out = tmp_path / "atomic"
+    warc_export(df.repartition(2), str(out))
+    names = [p.name for p in out.iterdir()]
+    assert names and not any(n.startswith(".") for n in names)
+    # both halves of the pair committed for every shard
+    warcs = {n[:-len(".warc.gz")] for n in names if n.endswith(".warc.gz")}
+    cdxs = {n[:-len(".cdx")] for n in names if n.endswith(".cdx")}
+    assert warcs and warcs == cdxs
+    (out / ".part-dead.warc.gz.inprogress").write_bytes(b"\x1f\x8b")
+    got = {r.target_uri for r in warc_import(spark, str(out)).collect()}
+    assert got == {"http://a/%d" % i for i in range(4)}
