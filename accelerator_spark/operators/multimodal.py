@@ -1104,29 +1104,31 @@ def ehash_bits(samples, n_channels: int, sample_width: int,
     robustness) and length-robust (spans are fractional positions,
     not fixed milliseconds, so a resampled copy keeps its energy
     envelope). Pair with ``fp_near_pairs`` for corpus-scale Hamming
-    pairing, exactly like the image front."""
+    pairing, exactly like the image front.
+
+    Vectorized (ADVICE r10): per-frame |amplitude| sums and the
+    window energies come from one numpy pass (cumulative-sum window
+    slicing — empty windows of a clip shorter than ``windows + 1``
+    frames read 0, exactly like the scalar loop this replaces), so a
+    real 44.1 kHz clip (millions of samples) hashes in milliseconds
+    instead of the pure-Python loop's seconds. int64 throughout:
+    |s16| * frames stays far below 2^63 for any real clip."""
+    import numpy as np
+
     n_frames = len(samples) // max(n_channels, 1)
     if n_frames == 0:
         raise WavHashError("ehash_bits: empty clip has no envelope")
     center = 128 if sample_width == 1 else 0
     nw = windows + 1
-
-    def energy(w):
-        lo = w * n_frames // nw
-        hi = (w + 1) * n_frames // nw
-        e = 0
-        for f in range(lo, hi):
-            base = f * n_channels
-            for c in range(n_channels):
-                e += abs(samples[base + c] - center)
-        return e
-
+    amp = np.abs(np.asarray(samples[:n_frames * n_channels],
+                            dtype=np.int64)
+                 .reshape(n_frames, n_channels) - center).sum(axis=1)
+    cs = np.concatenate(([0], np.cumsum(amp)))
+    bounds = np.array([w * n_frames // nw for w in range(nw + 1)])
+    e = cs[bounds[1:]] - cs[bounds[:-1]]
     bits = 0
-    prev = energy(0)
     for w in range(1, nw):
-        cur = energy(w)
-        bits = (bits << 1) | (1 if prev < cur else 0)
-        prev = cur
+        bits = (bits << 1) | (1 if e[w - 1] < e[w] else 0)
     return bits
 
 
@@ -1138,25 +1140,45 @@ def audio_ehash(
     windows: int = 64,
     batch_partitions: int | None = None,
     on_error: str = "raise",
+    decoder_hook=None,
 ) -> DataFrame:
     """Perceptual AUDIO signatures at corpus scale: real WAV PCM
     decode (functions/wav.py, full RIFF/WAVE sniff) -> ``ehash_bits``.
     Emits (media_id, mime, ehash_hex 16 chars, n_energy_bits,
     n_frames, sample_rate). Hex string for the same sign-portability
-    reason as image_dhash. Compressed audio (mp3/aac/opus) raises
-    NotImplementedError naming the decoder hook — entropy decode is
-    outside stdlib scope (operators/multimodal.py module note).
-    Map-only Arrow stage; near-dup pairing = ``audio_near_pairs``."""
+    reason as image_dhash. Map-only Arrow stage; near-dup pairing =
+    ``audio_near_pairs``.
+
+    ``decoder_hook`` (VERDICT r10 #4 — the audio analogue of the
+    image front's injectable decoder, _decode_image_any's hook
+    pattern): a picklable ``hook(payload, mime) -> (samples,
+    n_channels, sample_width, sample_rate)`` that routes NON-WAV
+    payloads (mp3/aac/opus) through an environment codec (ffmpeg,
+    soundfile) — samples flat frame-major interleaved ints, the
+    WavAudio layout, so the energy hash is identical whichever path
+    decoded. WAV stays on the stdlib-real path even when a hook is
+    given (the hook is for formats stdlib can't entropy-decode).
+    Without a hook, compressed audio raises NotImplementedError
+    naming the parameter."""
     from ..functions.wav import wav_decode
 
     def per_row(raw: bytes, mime: str):
         raw = bytes(raw) if raw else b""
         if not (mime in ("audio/wav", "audio/x-wav", "audio/wave")
                 or (raw[:4] == b"RIFF" and raw[8:12] == b"WAVE")):
-            raise NotImplementedError(
-                f"audio_ehash stdlib decode only handles WAV PCM, got "
-                f"{mime!r} — pass payloads through an ffmpeg-backed "
-                "transcode first")
+            if decoder_hook is None:
+                raise NotImplementedError(
+                    f"audio_ehash stdlib decode only handles WAV PCM, "
+                    f"got {mime!r} — pass decoder_hook=<(payload, "
+                    "mime) -> (samples, n_channels, sample_width, "
+                    "sample_rate)> backed by an environment codec, or "
+                    "transcode to WAV first")
+            samples, n_channels, sample_width, rate = decoder_hook(
+                raw, mime)
+            bits = ehash_bits(samples, n_channels, sample_width,
+                              windows)
+            return (f"{bits:016x}", bin(bits).count("1"),
+                    len(samples) // max(n_channels, 1), rate)
         a = wav_decode(raw)
         bits = ehash_bits(a.samples, a.n_channels, a.sample_width,
                           windows)

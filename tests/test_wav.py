@@ -195,3 +195,90 @@ def test_audio_near_pairs_end_to_end(spark):
             if a < b and bin(hx[a] ^ hx[b]).count("1") <= 6}
     assert got == want and (1, 2) in got
     assert not any(3 in k for k in got)
+
+
+def test_ehash_vectorized_matches_scalar_model():
+    """The numpy-vectorized ehash_bits (ADVICE r10) must equal the
+    scalar reference loop bit-for-bit, including clips SHORTER than
+    windows+1 frames (empty windows read energy 0) and multi-channel
+    odd-length layouts."""
+    import random
+
+    from accelerator_spark.operators.multimodal import ehash_bits
+
+    def scalar(samples, n_channels, sample_width, windows=64):
+        n_frames = len(samples) // max(n_channels, 1)
+        center = 128 if sample_width == 1 else 0
+        nw = windows + 1
+
+        def energy(w):
+            lo = w * n_frames // nw
+            hi = (w + 1) * n_frames // nw
+            e = 0
+            for f in range(lo, hi):
+                base = f * n_channels
+                for c in range(n_channels):
+                    e += abs(samples[base + c] - center)
+            return e
+
+        bits = 0
+        prev = energy(0)
+        for w in range(1, nw):
+            cur = energy(w)
+            bits = (bits << 1) | (1 if prev < cur else 0)
+            prev = cur
+        return bits
+
+    rng = random.Random(777)
+    cases = [
+        ([rng.randrange(256) for _ in range(130)], 1, 1),
+        ([rng.randrange(-32768, 32768) for _ in range(999)], 1, 2),
+        ([rng.randrange(-32768, 32768) for _ in range(2 * 4410)], 2, 2),
+        ([rng.randrange(256) for _ in range(40)], 1, 1),   # < nw frames
+        ([rng.randrange(-100, 100) for _ in range(3 * 7)], 3, 2),
+    ]
+    for samples, nch, width in cases:
+        assert ehash_bits(tuple(samples), nch, width) \
+            == scalar(samples, nch, width), (len(samples), nch, width)
+
+
+def test_audio_ehash_decoder_hook(spark):
+    """VERDICT r10 #4: a non-WAV payload routes through the injectable
+    decoder_hook (fake 'mp3' decoder returning the WavAudio layout) and
+    hashes identically to the same PCM arriving as a real WAV; without
+    a hook the NotImplementedError names the parameter; WAV payloads
+    stay on the stdlib path even when a hook is present."""
+    import hashlib
+
+    from accelerator_spark.functions.wav import wav_encode
+    from accelerator_spark.operators.multimodal import audio_ehash
+
+    pcm = list(hashlib.md5(b"hookclip").digest() * 9)[:130]
+    wav = wav_encode(pcm, 8000, 1, 1)
+    rows = [(1, bytearray(wav), "audio/wav"),
+            (2, bytearray(b"\xff\xfb" + bytes(pcm)), "audio/mpeg")]
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary, mime string")
+
+    def hook(payload, mime, _pcm=tuple(pcm)):
+        assert mime == "audio/mpeg"
+        return _pcm, 1, 1, 8000
+
+    out = {r.media_id: (r.ehash_hex, r.n_frames, r.sample_rate)
+           for r in audio_ehash(df, decoder_hook=hook).collect()}
+    assert out[1] == out[2]  # same PCM, either decode path
+
+    # hook present but payload IS wav: stdlib path (hook not called)
+    def boom(payload, mime):
+        raise AssertionError("hook must not see WAV payloads")
+
+    only_wav = spark.createDataFrame(
+        rows[:1], "media_id long, payload binary, mime string")
+    assert audio_ehash(only_wav, decoder_hook=boom).count() == 1
+
+    # no hook: the error names the parameter
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="decoder_hook"):
+        audio_ehash(spark.createDataFrame(
+            rows[1:], "media_id long, payload binary, mime string")
+        ).collect()
