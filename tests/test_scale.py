@@ -720,3 +720,85 @@ def test_audio_ehash_at_16x(spark, docs16):
                  F.countDistinct("ehash_hex").alias("d")))
     bad = fams.filter((F.col("n") != 16) | (F.col("d") != 1)).count()
     assert bad == 0
+
+
+def test_near_dedup_at_16x(spark, docs16):
+    """The one-call composite at 16x: every document has 16 verbatim
+    copies (identical simhash64), so 16x components are the original
+    components expanded and the min-id survivor set must equal the
+    survivor set of running near_dedup on the ORIGINALS alone —
+    replication adds zero survivors, and the report accounts for
+    every replica."""
+    from accelerator_spark.operators.dedup import near_dedup, simhash
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sh_orig = simhash(d, bits=64).localCheckpoint()
+    kept_o, _ = near_dedup(sh_orig, "simhash", "doc_id", 64, 3)
+    want = sorted(r.doc_id for r in kept_o.collect())
+
+    sh16 = simhash(docs16, bits=64).localCheckpoint()
+    kept16, report16 = near_dedup(sh16, "simhash", "doc_id", 64, 3)
+    got = sorted(r.doc_id for r in kept16.collect())
+    assert got == want  # survivors are exactly the original-run set
+    # every non-surviving replica is accounted for in the report
+    n_fp = sh16.count()
+    n_rep = report16.count()
+    assert n_rep == n_fp - kept16.count() + report16.filter(
+        F.col("doc_id") == F.col("kept_doc_id")).count()
+
+
+def test_near_dedup_incremental_at_16x(spark, docs16):
+    """Rolling ingestion at 16x: the 16 replicas of each document
+    arrive spread over 3 batches. Greedy first-batch-wins invariants
+    (they differ from one-shot transitive components exactly on
+    Hamming CHAINS, where greedy legitimately keeps more):
+
+    - the final kept set is pairwise FARTHER than max_hamming (no two
+      survivors near each other — fp_near_pairs over it is empty), so
+      in particular at most one replica per family survives;
+    - at least the one-shot survivor count is kept (greedy never
+      keeps fewer than the component count);
+    - re-ingesting the ENTIRE 16x corpus converges: each replay round
+      can keep only rows still >max_hamming from everything kept (a
+      chain node whose blocker entered the state later), and within a
+      couple of rounds the state is a true fixpoint;
+    - the state holds exactly 4 band rows per kept doc."""
+    from accelerator_spark.operators.dedup import (
+        fp_near_pairs, near_dedup, near_dedup_incremental, simhash)
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sh_orig = simhash(d, bits=64).localCheckpoint()
+    kept_o, _ = near_dedup(sh_orig, "simhash", "doc_id", 64, 3)
+    n_components = kept_o.count()
+
+    sh16 = (simhash(docs16, bits=64)
+            .withColumn("b", ((F.col("doc_id") / 100000)
+                              .cast("long") % 3).cast("int"))
+            .localCheckpoint())
+    state, kept_rows = None, []
+    for seq in range(3):
+        batch = sh16.filter(F.col("b") == seq).select("doc_id", "simhash")
+        kept, state = near_dedup_incremental(
+            batch, state, "simhash", "doc_id", 64, 3)
+        kept_rows += [(r.doc_id, r.simhash) for r in kept.collect()]
+        state = state.localCheckpoint()
+    assert len(kept_rows) >= n_components
+    assert len({i for i, _ in kept_rows}) == len(kept_rows)
+    # convergence: replaying the whole corpus reaches a true fixpoint
+    # within a couple of rounds (later rounds can only admit chain
+    # nodes unblocked by a newly-kept neighbor)
+    for _ in range(4):
+        replay, state = near_dedup_incremental(
+            sh16.select("doc_id", "simhash"), state, "simhash",
+            "doc_id", 64, 3)
+        extra = [(r.doc_id, r.simhash) for r in replay.collect()]
+        state = state.localCheckpoint()
+        if not extra:
+            break
+        kept_rows += extra
+    else:
+        raise AssertionError("replay did not reach a fixpoint")
+    # survivors are pairwise far: no near pair within the kept set
+    kdf = spark.createDataFrame(kept_rows, "doc_id long, simhash long")
+    assert fp_near_pairs(kdf, "simhash", "doc_id", 64, 3).count() == 0
+    assert state.count() == 4 * len(kept_rows)
