@@ -9,7 +9,9 @@ Stages (all production operators):
 2. image_dhash          — real PNG/GIF/JPEG decode -> 64-bit dHash
 3. dhash_near_pairs     — banded-Hamming candidates (100% recall at
                           <= max_hamming, no cross join)
-4. connected_components — candidate pairs -> canonical groups
+4. near_dedup           — the one-call composite: pairs -> connected
+                          components -> min-key survivor selection,
+                          plus the dropped-groups report
 5. tar_export           — survivors re-sharded sample-adjacent
 
 Rotated or differently-cropped images do NOT pair (dHash is a
@@ -24,7 +26,7 @@ import sys
 from pyspark.sql import functions as F
 
 from accelerator_spark import get_spark
-from accelerator_spark.operators.dedup import connected_components
+from accelerator_spark.operators.dedup import near_dedup
 from accelerator_spark.operators.multimodal import (
     dhash_near_pairs, image_dhash)
 from accelerator_spark.sources.tar import tar_export, tar_import
@@ -46,11 +48,13 @@ def main(shard_dir: str, out_dir: str, max_hamming: int = 6) -> int:
                              max_hamming=max_hamming,
                              bucket_cap=10_000)
 
-    # 4. canonical groups: keep the min key of each near-dup component
-    comp = connected_components(pairs)
-    drop = (comp.filter(F.col("node") != F.col("component"))
-            .select(F.col("node").alias("sample_key")))
-    survivors = members.join(drop, "sample_key", "left_anti")
+    # 4. one-call near-dedup over the sample keys: components + min-key
+    # survivor selection in one operator; `report` is the dropped-
+    # groups ledger (member -> surviving key, group size) to land
+    # beside the corpus for provenance
+    samples = members.select("sample_key").distinct()
+    kept, report = near_dedup(samples, id_col="sample_key", pairs=pairs)
+    survivors = members.join(kept, "sample_key", "left_semi")
 
     # 5. survivors out, sample-adjacent, bounded-memory streamed write
     return tar_export(survivors.select("sample_key", "ext", "payload"),
