@@ -52,7 +52,10 @@ def near_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    sh = simhash(docs, bits=64)
+    # one row per doc; checkpoint so the explode+vote agg is computed
+    # once, not re-derived by the pairs path, the kept anti-join and
+    # the final report join (measured 2x at sf0.1)
+    sh = simhash(docs, bits=64).localCheckpoint()
     kept, report = near_dedup(sh, "simhash", "doc_id", 64,
                               max_hamming=3, bucket_cap=5000)
     k = kept.select("doc_id").withColumn("_k", F.lit(True))
