@@ -623,7 +623,8 @@ def near_dedup(df: DataFrame, fp_col: str = "fp",
 
 def state_near_ids(new_batch: DataFrame, state: DataFrame,
                    fp_col: str = "fp", id_col: str = "doc_id",
-                   bits: int = 64, max_hamming: int = 3) -> DataFrame:
+                   bits: int = 64, max_hamming: int = 3,
+                   broadcast_batch: bool = True) -> DataFrame:
     """Batch ids whose fingerprint is within ``max_hamming`` of ANY
     fingerprint in the accumulated state (the probe step of
     ``near_dedup_incremental``, exposed so its plan shape is
@@ -637,13 +638,21 @@ def state_near_ids(new_batch: DataFrame, state: DataFrame,
     only exchange in the plan is the O(batch) distinct on the matched
     ids. Banding bounds candidates exactly as in fp_near_pairs: only
     state rows sharing a band key with a batch row reach the
-    bit_count filter."""
+    bit_count filter.
+
+    ``broadcast_batch=False`` drops the hint for BOOTSTRAP-scale
+    batches (a backfill that rivals the accumulated corpus would
+    strain the driver as a broadcast build side): the probe becomes a
+    shuffled hash join on the band key — both sides exchange once,
+    candidates stay band-bounded."""
     fp = F.col(fp_col).cast("long")
     bb = new_batch.select(
         F.col(id_col).alias("_bid"), fp.alias("_bfp"),
         F.explode(F.array(
             *_hamming_band_keys(fp, bits, max_hamming))).alias("blk"))
-    near = (state.join(F.broadcast(bb), "blk")
+    if broadcast_batch:
+        bb = F.broadcast(bb)
+    near = (state.join(bb, "blk")
             .filter(F.bit_count(F.col("fp").bitwiseXOR(F.col("_bfp")))
                     <= max_hamming)
             .select(F.col("_bid").alias(id_col)).distinct())
@@ -655,7 +664,8 @@ def near_dedup_incremental(new_batch: DataFrame,
                            fp_col: str = "fp",
                            id_col: str = "doc_id",
                            bits: int = 64, max_hamming: int = 3,
-                           bucket_cap: int | None = None):
+                           bucket_cap: int | None = None,
+                           broadcast_batch: bool = True):
     """NEAR-dedup of an ARRIVING batch against everything already kept
     — the banded-Hamming extension of ``dedup_incremental`` (VERDICT
     r10 #2): a rolling crawl that wants "skip documents near anything
@@ -688,9 +698,10 @@ def near_dedup_incremental(new_batch: DataFrame,
 
     Scale: the state probe broadcasts the BATCH side (see
     state_near_ids — the state is never shuffled, candidates are
-    O(batch)), the in-batch step is O(batch) fp_near_pairs work, and
-    the state grows by max_hamming+1 rows per kept doc — fingerprints
-    and ids only, never text."""
+    O(batch); pass ``broadcast_batch=False`` for bootstrap-scale
+    batches that rival the corpus), the in-batch step is O(batch)
+    fp_near_pairs work, and the state grows by max_hamming+1 rows per
+    kept doc — fingerprints and ids only, never text."""
     if bits > 64:
         raise ValueError(
             f"near_dedup_incremental: bits={bits} exceeds the 64-bit "
@@ -702,7 +713,7 @@ def near_dedup_incremental(new_batch: DataFrame,
     fp = F.col(fp_col).cast("long")
     if state is not None:
         near = state_near_ids(new_batch, state, fp_col, id_col, bits,
-                              max_hamming)
+                              max_hamming, broadcast_batch)
         pass_a = new_batch.join(near, id_col, "left_anti")
     else:
         pass_a = new_batch
