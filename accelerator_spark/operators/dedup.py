@@ -608,7 +608,10 @@ def near_dedup(df: DataFrame, fp_col: str = "fp",
     Scale: the pair step is block-key-bounded (see fp_near_pairs),
     components are Pregel-shaped iterations bounded by group diameter,
     and the survivor step is one anti-join on id — no stage holds a
-    component's text, only ids and fingerprints."""
+    component's text, only ids and fingerprints. NULL fingerprints
+    never pair (a NULL band key joins nothing), so failed-extraction
+    rows pass through ``kept`` untouched — the exact_dedup NULL
+    discipline."""
     if pairs is None:
         pairs = fp_near_pairs(df, fp_col, id_col, bits, max_hamming,
                               bucket_cap)
