@@ -628,6 +628,82 @@ def near_dedup(df: DataFrame, fp_col: str = "fp",
     return kept, report
 
 
+def jaccard_verify(pairs: DataFrame, df: DataFrame,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   shingle_n: int = 3,
+                   threshold: float = 0.5) -> DataFrame:
+    """Exact word-shingle Jaccard for CANDIDATE pairs only — the
+    verification stage of the classic MinHash pipeline (LSH buckets
+    propose, exact Jaccard disposes): banding admits false positives
+    by design, and survivor selection must not merge documents that
+    merely collided in one band. Returns (doc_a, doc_b, jaccard) for
+    pairs at or above ``threshold``.
+
+    Shingles are ``word_shingles`` (distinct word n-grams, the same
+    form the MinHash signatures hashed — so the verified similarity
+    measures exactly what the candidates estimated). Scale shape: the
+    intersection join replicates each pair by one side's gram list
+    and joins the other side on (id, gram) — work is bounded by the
+    CANDIDATE set times document shingle count, never all-pairs; this
+    is the standard verify step cost, and the candidate set is
+    already LSH/bucket_cap-bounded upstream."""
+    grams = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("g"))
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = grams.select(F.col(id_col).alias("doc_a"), "g")
+    b = grams.select(F.col(id_col).alias("doc_b"), "g")
+    inter = (pairs.select("doc_a", "doc_b")
+             .join(a, "doc_a").join(b, ["doc_b", "g"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("common")))
+    sa = sizes.select(F.col(id_col).alias("doc_a"),
+                      F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"),
+                      F.col("sz").alias("sz_b"))
+    out = (pairs.select("doc_a", "doc_b")
+           .join(inter, ["doc_a", "doc_b"], "left")
+           .join(sa, "doc_a").join(sb, "doc_b")
+           .withColumn("common", F.coalesce("common", F.lit(0)))
+           .withColumn("jaccard",
+                       F.col("common")
+                       / (F.col("sz_a") + F.col("sz_b")
+                          - F.col("common"))))
+    return (out.filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+def text_near_dedup(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    num_hashes: int = 8, bands: int = 4,
+                    shingle_n: int = 3, threshold: float = 0.5,
+                    bucket_cap: int = 50,
+                    hash_family: str = "md5"):
+    """The classic corpus text near-dedup pipeline in ONE call — the
+    C4/RefinedWeb-style operation a curation team actually runs:
+    MinHash-LSH candidates (``minhash_lsh_candidates``) -> exact
+    Jaccard verification at ``threshold`` (``jaccard_verify``) ->
+    connected components -> min-id survivor selection
+    (``near_dedup``). Returns ``(kept, report, verified_pairs)``:
+    the shrunk corpus (input schema unchanged), the per-member
+    dropped-groups ledger, and the verified edge list with its
+    Jaccard scores (land it beside the corpus for provenance).
+
+    Every stage is the gated production operator; ``hash_family=
+    'xxhash64'`` swaps the faster signature family in for production
+    runs where DuckDB replay is not needed. Scale: LSH banding bounds
+    the candidate set, bucket_cap guards degenerate buckets, the
+    verify join is candidate-bounded, components are Pregel-shaped —
+    no stage is quadratic in the corpus."""
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_n,
+        bucket_cap, hash_family)
+    verified = jaccard_verify(cands, df, text_col, id_col, shingle_n,
+                              threshold)
+    kept, report = near_dedup(df, id_col=id_col, pairs=verified)
+    return kept, report, verified
+
+
 def state_near_ids(new_batch: DataFrame, state: DataFrame,
                    fp_col: str = "fp", id_col: str = "doc_id",
                    bits: int = 64, max_hamming: int = 3,

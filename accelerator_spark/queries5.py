@@ -196,12 +196,104 @@ def _incr_oracle() -> str:
 ORACLE_NEAR_DEDUP_INCREMENTAL = _incr_oracle()
 
 
+# =====================================================================
+# classic text near-dedup pipeline (operators/dedup.text_near_dedup —
+# MinHash LSH candidates -> exact Jaccard verify -> components ->
+# survivors, the C4/RefinedWeb-style one-call operation)
+# =====================================================================
+
+def text_near_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full classic pipeline end-to-end on documents: md5-family
+    MinHash (8 hashes / 4 bands, bucket_cap 50) proposes candidates,
+    exact 3-gram Jaccard >= 0.5 verifies them, components + min-id
+    survivor selection shrink the corpus. One row per document:
+    (doc_id, kept_doc_id, group_n, kept) — the near_dedup_report
+    shape, but over the VERIFIED minhash graph, so the gate checks
+    candidate generation, the Jaccard verify join, the component
+    fixpoint and survivor selection in one hash. The oracle replays
+    the minhash signatures bit-for-bit (ORACLE_MINHASH's CTE), runs
+    the same Jaccard on the same word-shingle sets, and rebuilds
+    components with a recursive CTE."""
+    from .operators.dedup import text_near_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    slim = docs.select("doc_id", "text").localCheckpoint()
+    kept, report, _ = text_near_dedup(slim, threshold=0.5)
+    k = kept.select("doc_id").withColumn("_k", F.lit(True))
+    return (slim.select("doc_id")
+            .join(report, "doc_id", "left")
+            .join(k, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("kept_doc_id", F.col("doc_id"))
+                .alias("kept_doc_id"),
+                F.coalesce("group_n", F.lit(1)).cast("long")
+                .alias("group_n"),
+                F.coalesce("_k", F.lit(False)).alias("kept")))
+
+
+def _text_near_dedup_oracle() -> str:
+    from .queries import ORACLE_MINHASH
+
+    return f"""
+WITH RECURSIVE cand AS ({ORACLE_MINHASH}),
+toks2 AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+), grams2 AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(
+      generate_series(1, greatest(len(t) - 2, 1)),
+      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g
+  FROM toks2
+), sz AS (
+  SELECT doc_id, count(*) AS sz FROM grams2 GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS common
+  FROM cand c
+  JOIN grams2 a ON a.doc_id = c.doc_a
+  JOIN grams2 b ON b.doc_id = c.doc_b AND b.g = a.g
+  GROUP BY 1, 2
+), ver AS (
+  SELECT c.doc_a AS u, c.doc_b AS v
+  FROM cand c
+  JOIN sz sa ON sa.doc_id = c.doc_a
+  JOIN sz sb ON sb.doc_id = c.doc_b
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  WHERE coalesce(i.common, 0)
+        / CAST(sa.sz + sb.sz - coalesce(i.common, 0) AS DOUBLE) >= 0.5
+), edges AS (
+  SELECT u, v FROM ver UNION SELECT v AS u, u AS v FROM ver
+), cc AS (
+  SELECT u AS node, u AS component FROM edges
+  UNION
+  SELECT e.u AS node, cc.component FROM cc JOIN edges e ON e.v = cc.node
+), lab AS (
+  SELECT node, min(component) AS component FROM cc GROUP BY node
+), gsz AS (
+  SELECT component, count(*) AS group_n FROM lab GROUP BY component
+)
+SELECT d.doc_id,
+       coalesce(l.component, d.doc_id) AS kept_doc_id,
+       CAST(coalesce(z.group_n, 1) AS BIGINT) AS group_n,
+       (coalesce(l.component, d.doc_id) = d.doc_id) AS kept
+FROM documents d
+LEFT JOIN lab l ON l.node = d.doc_id
+LEFT JOIN gsz z ON z.component = l.component
+"""
+
+
+ORACLE_TEXT_NEAR_DEDUP = _text_near_dedup_oracle()
+
+
 QUERIES5 = {
     "near_dedup_report": near_dedup_report,
     "near_dedup_incremental_report": near_dedup_incremental_report,
+    "text_near_dedup_report": text_near_dedup_report,
 }
 
 ORACLES5 = {
     "near_dedup_report": ORACLE_NEAR_DEDUP,
     "near_dedup_incremental_report": ORACLE_NEAR_DEDUP_INCREMENTAL,
+    "text_near_dedup_report": ORACLE_TEXT_NEAR_DEDUP,
 }

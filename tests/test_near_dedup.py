@@ -238,3 +238,51 @@ def test_state_near_ids_broadcast_escape_hatch(tmp_path):
     assert "rightHint=(strategy=broadcast)" in \
         withhint._jdf.queryExecution().optimizedPlan().toString()
     assert [r.doc_id for r in near.collect()] == [99]
+
+
+def test_jaccard_verify_disposes_false_candidates():
+    """The verify stage: exact shingle Jaccard on SUPPLIED candidate
+    pairs — a verbatim pair scores 1.0, an unrelated pair proposed by
+    a (simulated) band collision scores ~0 and is dropped."""
+    from accelerator_spark.operators.dedup import jaccard_verify
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "entirely different words in this document body here"),
+         (4, "shared prefix tokens here then totally divergent tail text"),
+         (5, "shared prefix tokens here but another ending altogether now")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5)], "doc_a long, doc_b long")
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in jaccard_verify(pairs, df, threshold=0.5).collect()}
+    assert got == {(1, 2): 1.0}  # verbatim passes; (1,3)/(4,5) disposed
+    loose = {(r.doc_a, r.doc_b)
+             for r in jaccard_verify(pairs, df, threshold=0.0).collect()}
+    assert loose == {(1, 2), (1, 3), (4, 5)}  # all scored, none lost
+
+
+def test_text_near_dedup_end_to_end():
+    """The one-call classic pipeline: verbatim copies collapse to the
+    min id (identical MinHash signatures always share every band),
+    distinct docs survive, the report ledgers the groups, and the
+    verified edge list carries Jaccard 1.0 for the copies."""
+    from accelerator_spark.operators.dedup import text_near_dedup
+
+    spark = _spark()
+    rows = [(10, "alpha beta gamma delta epsilon zeta eta theta"),
+            (11, "alpha beta gamma delta epsilon zeta eta theta"),
+            (12, "alpha beta gamma delta epsilon zeta eta theta"),
+            (20, "one two three four five six seven eight nine ten"),
+            (30, "lorem ipsum dolor sit amet consectetur adipiscing elit")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept, report, verified = text_near_dedup(df, threshold=0.8)
+    assert sorted(r.doc_id for r in kept.collect()) == [10, 20, 30]
+    assert {r.doc_id: (r.kept_doc_id, r.group_n)
+            for r in report.collect()} == {
+        10: (10, 3), 11: (10, 3), 12: (10, 3)}
+    vj = {(r.doc_a, r.doc_b): r.jaccard for r in verified.collect()}
+    assert set(vj) == {(10, 11), (10, 12), (11, 12)}
+    assert all(j == 1.0 for j in vj.values())
