@@ -704,6 +704,23 @@ def text_near_dedup(df: DataFrame, text_col: str = "text",
     return kept, report, verified
 
 
+def fp_band_rows(df: DataFrame, fp_col: str = "fp",
+                 id_col: str = "doc_id",
+                 bits: int = 64, max_hamming: int = 3) -> DataFrame:
+    """The (blk, fp, id) band-row form of a fingerprinted frame — the
+    unit the incremental near-dedup state store accumulates
+    (max_hamming + 1 rows per doc, keys from ``_hamming_band_keys``
+    so they always match what fp_near_pairs blocks on). Exposed so
+    sinks can append ONLY a batch's kept band rows (a delta) instead
+    of rewriting the whole accumulated state."""
+    fp = F.col(fp_col).cast("long")
+    return df.select(
+        F.col(id_col), fp.alias("fp"),
+        F.explode(F.array(
+            *_hamming_band_keys(fp, bits, max_hamming))).alias("blk"),
+    ).select("blk", "fp", id_col)
+
+
 def state_near_ids(new_batch: DataFrame, state: DataFrame,
                    fp_col: str = "fp", id_col: str = "doc_id",
                    bits: int = 64, max_hamming: int = 3,
@@ -793,7 +810,6 @@ def near_dedup_incremental(new_batch: DataFrame,
         raise ValueError(
             f"near_dedup_incremental: max_hamming {max_hamming} >= "
             f"bits {bits} voids the pigeonhole recall guarantee")
-    fp = F.col(fp_col).cast("long")
     if state is not None:
         near = state_near_ids(new_batch, state, fp_col, id_col, bits,
                               max_hamming, broadcast_batch)
@@ -802,11 +818,7 @@ def near_dedup_incremental(new_batch: DataFrame,
         pass_a = new_batch
     kept, _ = near_dedup(pass_a, fp_col, id_col, bits, max_hamming,
                          bucket_cap)
-    kept_bands = kept.select(
-        F.col(id_col), fp.alias("fp"),
-        F.explode(F.array(
-            *_hamming_band_keys(fp, bits, max_hamming))).alias("blk"),
-    ).select("blk", "fp", id_col)
+    kept_bands = fp_band_rows(kept, fp_col, id_col, bits, max_hamming)
     new_state = (kept_bands if state is None
                  else state.select("blk", "fp", id_col)
                  .unionByName(kept_bands))

@@ -286,14 +286,83 @@ LEFT JOIN gsz z ON z.component = l.component
 ORACLE_TEXT_NEAR_DEDUP = _text_near_dedup_oracle()
 
 
+# =====================================================================
+# STREAMING near-dedup (streaming/structured.stream_near_dedup —
+# near_dedup_incremental under Structured Streaming foreachBatch)
+# =====================================================================
+
+def streaming_near_dedup_report(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The rolling-crawl pipeline as an ACTUAL stream: the same three
+    out-of-order document batches as near_dedup_incremental_report
+    land as three parquet files with increasing mtimes, a single
+    AvailableNow drain with maxFilesPerTrigger=1 processes them as
+    three micro-batches in arrival order (FileStreamSource orders by
+    modification time), and each micro-batch probes the
+    parquet-persisted band-row state via stream_near_dedup's
+    foreachBatch handler. The drained survivor set must equal the
+    batch operator's — so the gate reuses
+    ORACLE_NEAR_DEDUP_INCREMENTAL verbatim: the streaming plan
+    computes the identical answer (the streaming_hourly_counts
+    property, extended to a stateful-by-construction pipeline)."""
+    import os
+    import shutil
+
+    from .operators.dedup import simhash
+    from .queries import _scratch
+    from .streaming.structured import (
+        stream_from_directory, stream_near_dedup)
+
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    sh = (simhash(docs, bits=64)
+          .withColumn("batch_seq",
+                      ((F.col("doc_id") % 3 + 2) % 3).cast("int"))
+          .localCheckpoint())
+
+    src = _scratch("snd_src")
+    kept_p = _scratch("snd_kept")
+    state_p = _scratch("snd_state")
+    ckpt = _scratch("snd_ckpt")
+    stage = _scratch("snd_stage")
+    t0 = 1_700_000_000
+    for seq in range(3):
+        d = os.path.join(stage, f"b{seq}")
+        (sh.filter(F.col("batch_seq") == seq)
+         .select("doc_id", "simhash")
+         .coalesce(1).write.parquet(d))
+        part = next(f for f in os.listdir(d)
+                    if f.endswith(".parquet"))
+        dst = os.path.join(src, f"batch{seq}.parquet")
+        shutil.copyfile(os.path.join(d, part), dst)
+        os.utime(dst, (t0 + 1000 * seq, t0 + 1000 * seq))
+
+    from pyspark.sql import types as T
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("simhash", T.LongType())])
+    stream = stream_from_directory(spark, src, schema,
+                                   max_files_per_trigger=1)
+    stream_near_dedup(stream, kept_p, state_p, ckpt,
+                      fp_col="simhash", id_col="doc_id",
+                      bits=64, max_hamming=3, bucket_cap=5000)
+    kept = (spark.read.parquet(kept_p).select("doc_id")
+            .withColumn("_k", F.lit(True)))
+    return (sh.select("doc_id", "batch_seq")
+            .join(kept, "doc_id", "left")
+            .select("doc_id", "batch_seq",
+                    F.coalesce("_k", F.lit(False)).alias("kept")))
+
+
 QUERIES5 = {
     "near_dedup_report": near_dedup_report,
     "near_dedup_incremental_report": near_dedup_incremental_report,
     "text_near_dedup_report": text_near_dedup_report,
+    "streaming_near_dedup_report": streaming_near_dedup_report,
 }
 
 ORACLES5 = {
     "near_dedup_report": ORACLE_NEAR_DEDUP,
     "near_dedup_incremental_report": ORACLE_NEAR_DEDUP_INCREMENTAL,
     "text_near_dedup_report": ORACLE_TEXT_NEAR_DEDUP,
+    "streaming_near_dedup_report": ORACLE_NEAR_DEDUP_INCREMENTAL,
 }

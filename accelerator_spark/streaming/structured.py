@@ -114,6 +114,77 @@ def run_available_now(stream_df: DataFrame, sink_path: str, checkpoint: str,
     q.awaitTermination()
 
 
+def stream_near_dedup(stream_df: DataFrame, kept_path: str,
+                      state_path: str, checkpoint: str,
+                      fp_col: str = "fp", id_col: str = "doc_id",
+                      bits: int = 64, max_hamming: int = 3,
+                      bucket_cap: int | None = None,
+                      broadcast_batch: bool = True,
+                      available_now: bool = True):
+    """Rolling NEAR-dedup over a stream of fingerprinted documents —
+    ``near_dedup_incremental`` wired into Structured Streaming via
+    ``foreachBatch`` (the standard pattern for batch-incremental
+    operators that manage their own state store): per micro-batch,
+    probe the parquet-persisted band-row state, keep the survivors,
+    append their band rows to the state.
+
+    Layout: survivors land under ``kept_path/batch_id=N/`` and their
+    band rows under ``state_path/batch_id=N/`` — each batch's write is
+    ``mode("overwrite")`` of ITS OWN partition directory, so a
+    foreachBatch retry (at-least-once delivery) overwrites the same
+    subdir instead of duplicating rows: the two-directory commit is
+    idempotent per batch id even though it is not atomic across the
+    pair. Readers take ``spark.read.parquet(kept_path)`` (batch_id
+    becomes a partition column — the arrival provenance).
+
+    ``available_now=True`` drains everything currently available and
+    stops (the ChainRunner-style daily semantics; the checkpoint makes
+    re-runs pick up only new files); False leaves a continuous query —
+    the caller owns awaitTermination then.
+
+    Scale: each micro-batch pays O(batch) work (see
+    near_dedup_incremental — the state is probed via a broadcast of
+    the batch's band rows and never shuffles); the state store grows
+    max_hamming+1 parquet rows per kept doc. For a long-lived stream,
+    periodically compact the state partitions (many small batch_id
+    dirs → one) outside the query."""
+    import os as _os
+
+    from ..operators.dedup import fp_band_rows, near_dedup_incremental
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # existence check, not a broad except: a CORRUPT state store
+        # must fail the query loudly — silently treating it as "first
+        # batch" would re-admit every near-duplicate
+        if _os.path.isdir(state_path) and any(
+                not e.startswith(".") for e in _os.listdir(state_path)):
+            state = spark.read.parquet(state_path)
+            if "batch_id" in state.columns:
+                state = state.drop("batch_id")
+        else:
+            state = None  # first batch: no state written yet
+        kept, _ = near_dedup_incremental(
+            batch_df, state, fp_col, id_col, bits, max_hamming,
+            bucket_cap, broadcast_batch)
+        # keep the batch materialized once: the kept frame feeds BOTH
+        # writes, and foreachBatch frames are re-computable otherwise
+        kept = kept.localCheckpoint()
+        kept.write.mode("overwrite").parquet(
+            _os.path.join(kept_path, f"batch_id={batch_id}"))
+        fp_band_rows(kept, fp_col, id_col, bits, max_hamming) \
+            .write.mode("overwrite").parquet(
+                _os.path.join(state_path, f"batch_id={batch_id}"))
+
+    writer = (stream_df.writeStream.foreachBatch(handle)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return None
+    return writer.start()  # caller owns awaitTermination/stop
+
+
 _SESSION_SCHEMA = T.StructType([
     T.StructField("user_id", T.LongType()),
     T.StructField("session_start", T.TimestampType()),

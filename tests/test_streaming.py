@@ -394,3 +394,65 @@ def test_fold_sessions_model():
         [10 * M, 65 * M, 120 * M], (60 * M, 70 * M, 3), GAP)
     assert closed == [(60 * M, 70 * M, 4)]
     assert st == (120 * M, 120 * M, 1)
+
+
+def test_stream_near_dedup_two_drains(spark, tmp_path):
+    """near_dedup_incremental wired into Structured Streaming
+    (stream_near_dedup): two AvailableNow drains over a landing
+    directory — the second drain processes ONLY the new file
+    (checkpoint) and its rows probe the parquet-persisted band-row
+    state, so survivors match a direct two-batch
+    near_dedup_incremental run; kept/state land under batch_id=N
+    partition dirs (idempotent per-batch overwrite commits)."""
+    from pyspark.sql import types as T
+
+    from accelerator_spark.operators.dedup import near_dedup_incremental
+    from accelerator_spark.streaming.structured import (
+        stream_from_directory, stream_near_dedup)
+
+    def flip(fp, *bits):
+        for b in bits:
+            fp ^= 1 << b
+        if fp >= 1 << 63:
+            fp -= 1 << 64
+        return fp
+
+    base = flip(0, 1, 9, 17, 33)
+    far = flip(0, 2, 22, 44, 63)
+    batch_a = [(10, base), (11, flip(base, 5))]          # near pair
+    batch_b = [(5, flip(base, 6)),                       # near kept 10
+               (6, far), (7, flip(far, 3))]              # near pair
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("fp", T.LongType())])
+    src = str(tmp_path / "landing")
+    kept_p, state_p, ckpt = (str(tmp_path / d)
+                             for d in ("kept", "state", "ckpt"))
+
+    spark.createDataFrame(batch_a, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream_near_dedup(stream_from_directory(spark, src, schema),
+                      kept_p, state_p, ckpt)
+    got_a = {r.doc_id for r in spark.read.parquet(kept_p).collect()}
+
+    spark.createDataFrame(batch_b, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream_near_dedup(stream_from_directory(spark, src, schema),
+                      kept_p, state_p, ckpt)
+    back = spark.read.parquet(kept_p)
+    got_all = {r.doc_id for r in back.collect()}
+
+    # direct two-batch replay is the ground truth
+    k0, st = near_dedup_incremental(
+        spark.createDataFrame(batch_a, schema), None)
+    k1, st = near_dedup_incremental(
+        spark.createDataFrame(batch_b, schema), st)
+    want_a = {r.doc_id for r in k0.collect()}
+    want_all = want_a | {r.doc_id for r in k1.collect()}
+    assert got_a == want_a
+    assert got_all == want_all
+    # provenance: batch_id partition column distinguishes the drains
+    assert set(back.select("batch_id").distinct().toPandas()
+               ["batch_id"]) == {0, 1}
+    # state = 4 band rows per kept doc across both drains
+    st_rows = spark.read.parquet(state_p)
+    assert st_rows.count() == 4 * len(want_all)
