@@ -818,7 +818,13 @@ def near_dedup_incremental(new_batch: DataFrame,
         pass_a = new_batch
     kept, _ = near_dedup(pass_a, fp_col, id_col, bits, max_hamming,
                          bucket_cap)
-    kept_bands = fp_band_rows(kept, fp_col, id_col, bits, max_hamming)
+    # NULL fingerprints pass through `kept` (the exact_dedup NULL
+    # discipline) but must NOT enter the state: a NULL fp yields NULL
+    # band keys that can never match a probe, yet would accumulate
+    # max_hamming+1 junk rows per failed-extraction doc in the
+    # persisted store forever (ADVICE r11)
+    kept_bands = fp_band_rows(kept.filter(F.col(fp_col).isNotNull()),
+                              fp_col, id_col, bits, max_hamming)
     new_state = (kept_bands if state is None
                  else state.select("blk", "fp", id_col)
                  .unionByName(kept_bands))

@@ -46,6 +46,23 @@ class TarError(ValueError):
     """Malformed or unsupported-by-scope tar input."""
 
 
+def require_no_speculation(df: DataFrame, err_cls: type, opname: str) -> None:
+    """Guard for randomly-named rename-on-close shard sinks (tar_export /
+    warc_export / tensor_export): a speculative task twin that runs to
+    completion would commit a DUPLICATE shard under a fresh random name —
+    rename-on-close makes each commit atomic, not exclusive. The
+    docstrings said "speculation must stay off"; this makes the contract
+    executable (ADVICE r11): fail at export entry instead of silently
+    duplicating data on a cluster with spark.speculation=true."""
+    spec = df.sparkSession.conf.get("spark.speculation", "false")
+    if str(spec).strip().lower() == "true":
+        raise err_cls(
+            f"{opname}: spark.speculation=true would commit duplicate "
+            "randomly-named shards (a completed speculative task twin "
+            "renames its own copy into the output directory) — disable "
+            "speculative execution for rename-on-close sinks")
+
+
 TAR_SCHEMA = T.StructType([
     T.StructField("path", T.StringType()),        # source shard
     T.StructField("member_idx", T.LongType()),    # archive order, 0-based
@@ -371,6 +388,7 @@ def tar_export(df: DataFrame, path: str,
     completion would commit a duplicate shard."""
     import gzip as _gzip
 
+    require_no_speculation(df, TarError, "tar_export")
     if n_shards is not None and not arrange:
         # silently ignoring the shard count would be a trap: without
         # the arrange repartition there is nothing to apply it to

@@ -316,6 +316,9 @@ def tensor_export(df: DataFrame, path: str, vec_col: str = "embedding",
     knob. Returns rows written; empty partitions write nothing; rows
     with NULL vector are skipped; ragged dims raise (a tensor is
     rectangular)."""
+    from .tar import require_no_speculation
+
+    require_no_speculation(df, TensorFormatError, "tensor_export")
     if dtype not in ("F32", "F64"):
         raise TensorFormatError("tensor_export dtype must be F32/F64")
     if rows_per_shard < 1:

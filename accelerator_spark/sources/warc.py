@@ -648,7 +648,11 @@ def warc_export(df: DataFrame, path: str,
     failed or killed task never leaves a truncated shard under a
     final name. Speculative execution must stay off (Spark's
     default): a completed speculative twin would commit a duplicate
-    randomly-named shard."""
+    randomly-named shard — enforced at entry (raises WarcError when
+    spark.speculation=true; ADVICE r11)."""
+    from .tar import require_no_speculation
+
+    require_no_speculation(df, WarcError, "warc_export")
     os.makedirs(path, exist_ok=True)
     cols = [uri_col, payload_col]
     opt = {}

@@ -286,3 +286,27 @@ def test_text_near_dedup_end_to_end():
     vj = {(r.doc_a, r.doc_b): r.jaccard for r in verified.collect()}
     assert set(vj) == {(10, 11), (10, 12), (11, 12)}
     assert all(j == 1.0 for j in vj.values())
+
+
+def test_near_dedup_incremental_null_fp_not_in_state():
+    """NULL fingerprints pass through kept (failed extraction is not a
+    duplicate) but must NOT append band rows to the persisted state —
+    NULL blk keys never match a probe yet would accumulate
+    max_hamming+1 junk rows per doc forever (ADVICE r11)."""
+    spark = _spark()
+    b = spark.createDataFrame([(1, 77), (2, None), (3, None)],
+                              "doc_id long, fp long")
+    kept, state = near_dedup_incremental(b, None, "fp", "doc_id", 64, 3)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2, 3]
+    srows = state.collect()
+    assert {r.doc_id for r in srows} == {1}
+    assert len(srows) == 4 and all(r.fp is not None for r in srows)
+
+    # second batch against that state: the NULL-fp docs did not poison
+    # it, and new NULLs again pass through without entering the store
+    b2 = spark.createDataFrame([(9, 77), (10, None)],
+                               "doc_id long, fp long")
+    kept2, state2 = near_dedup_incremental(b2, state, "fp", "doc_id",
+                                           64, 3)
+    assert sorted(r.doc_id for r in kept2.collect()) == [10]
+    assert {r.doc_id for r in state2.collect()} == {1}

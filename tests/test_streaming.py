@@ -456,3 +456,158 @@ def test_stream_near_dedup_two_drains(spark, tmp_path):
     # state = 4 band rows per kept doc across both drains
     st_rows = spark.read.parquet(state_p)
     assert st_rows.count() == 4 * len(want_all)
+
+
+def _flip64(fp, *bits):
+    for b in bits:
+        fp ^= 1 << b
+    if fp >= 1 << 63:
+        fp -= 1 << 64
+    return fp
+
+
+def test_near_dedup_micro_batch_retry_window(spark, tmp_path):
+    """The at-least-once RETRY window (ADVICE r11, high): a retry of
+    batch N re-runs after N's state write already landed (crash before
+    the checkpoint commit). The state probe must filter
+    batch_id < current — otherwise the batch reads its OWN band rows
+    as state, every kept row is Hamming-0 from itself, and the retry
+    overwrites both partitions with empty data."""
+    from accelerator_spark.streaming.structured import (
+        near_dedup_micro_batch)
+
+    base = _flip64(0, 1, 9, 17, 33)
+    far = _flip64(0, 2, 22, 44, 63)
+    schema = "doc_id long, fp long"
+    kept_p, state_p = str(tmp_path / "kept"), str(tmp_path / "state")
+
+    b0 = spark.createDataFrame([(10, base), (11, _flip64(base, 5))],
+                               schema)
+    near_dedup_micro_batch(b0, 0, kept_p, state_p)
+    b1 = spark.createDataFrame(
+        [(5, _flip64(base, 6)), (6, far), (7, _flip64(far, 3))], schema)
+    near_dedup_micro_batch(b1, 1, kept_p, state_p)
+    first = {r.doc_id for r in spark.read.parquet(kept_p).collect()}
+    assert first == {10, 6}  # 5 near kept 10; 7 near in-batch 6
+
+    # the retry: same batch, same id, state write from the first
+    # attempt already on disk
+    near_dedup_micro_batch(b1, 1, kept_p, state_p)
+    retried = {r.doc_id for r in spark.read.parquet(kept_p).collect()}
+    assert retried == first  # survivors NOT lost
+    st = spark.read.parquet(state_p)
+    assert st.count() == 4 * len(first)  # state intact, no dup rows
+
+
+def test_near_dedup_micro_batch_empty_batch_then_data(spark, tmp_path):
+    """A micro-batch that keeps ZERO rows leaves a schema-less
+    batch_id=N dir; the next batch's state read must still work (the
+    explicit-schema read, ADVICE r11) and dedup correctly against the
+    union of earlier generations."""
+    from accelerator_spark.streaming.structured import (
+        near_dedup_micro_batch)
+
+    base = _flip64(0, 3, 12, 48)
+    schema = "doc_id long, fp long"
+    kept_p, state_p = str(tmp_path / "kept"), str(tmp_path / "state")
+
+    b0 = spark.createDataFrame([(10, base)], schema)
+    near_dedup_micro_batch(b0, 0, kept_p, state_p)
+    empty = spark.createDataFrame([], schema)
+    near_dedup_micro_batch(empty, 1, kept_p, state_p)
+    # batch 2 reads a store whose newest generation has no part files
+    b2 = spark.createDataFrame(
+        [(20, _flip64(base, 7)), (21, _flip64(0, 5, 25, 45, 60))], schema)
+    near_dedup_micro_batch(b2, 2, kept_p, state_p)
+    got = {r.doc_id for r in spark.read.parquet(kept_p).collect()}
+    assert got == {10, 21}  # 20 dropped against generation-0 state
+
+
+def test_compact_batch_store_probe_identity(spark, tmp_path):
+    """compact_batch_store folds all generations but the newest into
+    one; the band-row store must probe IDENTICALLY before and after
+    (state_near_ids on fragmented vs compacted state), preserve its
+    row count and the (max_hamming+1)-rows-per-doc invariant, and
+    leave the newest generation's id in place for the retry window."""
+    import os
+    import re
+    import shutil
+
+    from accelerator_spark.operators.dedup import state_near_ids
+    from accelerator_spark.streaming.structured import (
+        compact_batch_store, near_dedup_micro_batch)
+
+    schema = "doc_id long, fp long"
+    kept_p, state_p = str(tmp_path / "kept"), str(tmp_path / "state")
+    seeds = [_flip64(0, *bits) for bits in
+             [(1, 9), (2, 22, 44), (3, 15, 60), (4, 30, 55, 63)]]
+    for i, s in enumerate(seeds):
+        b = spark.createDataFrame([(100 + i, s)], schema)
+        near_dedup_micro_batch(b, i, kept_p, state_p)
+
+    frag = str(tmp_path / "state_frag")
+    shutil.copytree(state_p, frag)
+    probe = spark.createDataFrame(
+        [(900, _flip64(seeds[0], 6)), (901, _flip64(0, 7, 27, 47))],
+        schema)
+
+    def probe_ids(path):
+        st = spark.read.parquet(path).drop("batch_id")
+        return {r.doc_id
+                for r in state_near_ids(probe, st).collect()}
+
+    before = probe_ids(frag)
+    folded = compact_batch_store(spark, state_p, target_files=2,
+                                 rows_per_key=("doc_id", 4))
+    assert folded == 3
+    assert probe_ids(state_p) == before == {900}
+    gens = sorted(int(m.group(1)) for e in os.listdir(state_p)
+                  if (m := re.fullmatch(r"batch_id=(\d+)", e)))
+    assert gens == [0, 3]  # folded generation + untouched newest
+    assert (spark.read.parquet(state_p).count()
+            == spark.read.parquet(frag).count() == 4 * len(seeds))
+
+
+def test_compact_batch_store_restart_drain(spark, tmp_path):
+    """Restart-after-compaction: drain three micro-batches, compact
+    BOTH stores, drain a fourth new file — the final survivor set must
+    equal an uncompacted reference run (the stream picks up the
+    compacted store transparently)."""
+    from accelerator_spark.streaming.structured import (
+        compact_batch_store, stream_from_directory, stream_near_dedup)
+
+    base = _flip64(0, 1, 9, 17, 33)
+    far = _flip64(0, 2, 22, 44, 63)
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("fp", T.LongType())])
+    batches = [[(10, base), (11, _flip64(base, 5))],
+               [(20, _flip64(base, 6))],          # near kept 10
+               [(30, far)],
+               [(40, _flip64(far, 3)),            # near kept 30
+                (41, _flip64(0, 6, 26, 46, 61))]]
+
+    def drain(src, kept_p, state_p, ckpt, data):
+        spark.createDataFrame(data, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        stream_near_dedup(stream_from_directory(spark, src, schema),
+                          kept_p, state_p, ckpt)
+
+    # reference: no compaction
+    ref = str(tmp_path / "ref")
+    for b in batches:
+        drain(ref + "/src", ref + "/kept", ref + "/state",
+              ref + "/ckpt", b)
+    want = {r.doc_id
+            for r in spark.read.parquet(ref + "/kept").collect()}
+
+    # compacted run: three drains, compact both stores, fourth drain
+    c = str(tmp_path / "cmp")
+    for b in batches[:3]:
+        drain(c + "/src", c + "/kept", c + "/state", c + "/ckpt", b)
+    assert compact_batch_store(spark, c + "/state",
+                               rows_per_key=("doc_id", 4)) == 2
+    assert compact_batch_store(spark, c + "/kept") == 2
+    drain(c + "/src", c + "/kept", c + "/state", c + "/ckpt",
+          batches[3])
+    got = {r.doc_id for r in spark.read.parquet(c + "/kept").collect()}
+    assert got == want == {10, 30, 41}

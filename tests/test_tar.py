@@ -398,3 +398,65 @@ def test_tar_export_commits_shards_atomically(spark, tmp_path):
     (out / ".part-deadbeef.tar.gz.inprogress").write_bytes(b"\x1f\x8b")
     got = {r.sample_key for r in tar_import(spark, str(out)).collect()}
     assert got == {f"s{i}" for i in range(6)}
+
+
+def test_rename_on_close_sinks_refuse_speculation(spark, tmp_path,
+                                                  monkeypatch):
+    """All three randomly-named rename-on-close shard sinks must FAIL
+    AT ENTRY when spark.speculation=true (ADVICE r11): a completed
+    speculative task twin would rename its own duplicate shard into
+    the output directory — rename-on-close is atomic, not exclusive.
+    spark.speculation is a core (launch-time) config, so the guard is
+    checked against a stubbed session and the wiring against a spy."""
+    import pytest
+
+    import accelerator_spark.sources.tar as tarmod
+    from accelerator_spark.sources.tar import (
+        TarError, require_no_speculation, tar_export)
+    from accelerator_spark.sources.tensors import (
+        TensorFormatError, tensor_export)
+    from accelerator_spark.sources.warc import WarcError, warc_export
+
+    class _Conf:
+        def __init__(self, v):
+            self._v = v
+
+        def get(self, key, default=None):
+            return self._v if key == "spark.speculation" else default
+
+    class _Df:
+        def __init__(self, v):
+            self.sparkSession = type("S", (), {"conf": _Conf(v)})()
+
+    with pytest.raises(TarError, match="speculation"):
+        require_no_speculation(_Df("true"), TarError, "tar_export")
+    with pytest.raises(TarError, match="speculation"):
+        require_no_speculation(_Df(" TRUE "), TarError, "tar_export")
+    require_no_speculation(_Df("false"), TarError, "tar_export")
+    require_no_speculation(_Df(None), TarError, "tar_export")
+
+    # wiring: every sink consults the guard at entry (warc/tensors
+    # import it from tar at call time, so one spy covers all three)
+    calls = []
+
+    def spy(df, err_cls, opname):
+        calls.append(opname)
+        raise err_cls(opname + ": speculation on")
+
+    monkeypatch.setattr(tarmod, "require_no_speculation", spy)
+    members = spark.createDataFrame(
+        [("k1", "txt", b"x")],
+        "sample_key string, ext string, payload binary")
+    pages = spark.createDataFrame(
+        [("http://e.com/", b"hi", "text/plain", 200)],
+        "target_uri string, payload binary, content_type string, "
+        "http_status int")
+    vecs = spark.createDataFrame([(1, [0.5, 0.5])],
+                                 "vec_id long, embedding array<float>")
+    with pytest.raises(TarError, match="speculation"):
+        tar_export(members, str(tmp_path / "t"))
+    with pytest.raises(WarcError, match="speculation"):
+        warc_export(pages, str(tmp_path / "w"))
+    with pytest.raises(TensorFormatError, match="speculation"):
+        tensor_export(vecs, str(tmp_path / "v"))
+    assert calls == ["tar_export", "warc_export", "tensor_export"]
