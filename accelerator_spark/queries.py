@@ -7051,3 +7051,11 @@ from .queries5 import ORACLES5 as _ORACLES5, QUERIES5 as _QUERIES5  # noqa: E402
 
 QUERIES.update(_QUERIES5)
 ORACLES.update(_ORACLES5)
+
+# round-12 suites (survivor keep-policy, state compaction under the
+# real stream, incremental text near-dedup, video near-dup) live in
+# queries6.py
+from .queries6 import ORACLES6 as _ORACLES6, QUERIES6 as _QUERIES6  # noqa: E402
+
+QUERIES.update(_QUERIES6)
+ORACLES.update(_ORACLES6)

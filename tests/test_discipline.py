@@ -13,7 +13,8 @@ QUERY_MODULES = ("accelerator_spark/queries.py",
                  "accelerator_spark/queries2.py",
                  "accelerator_spark/queries3.py",
                  "accelerator_spark/queries4.py",
-                 "accelerator_spark/queries5.py")
+                 "accelerator_spark/queries5.py",
+                 "accelerator_spark/queries6.py")
 
 # Functions allowed to .collect(): each pulls a provably tiny,
 # size-bounded result to the driver (a sketch, k centroid dims, two

@@ -310,3 +310,85 @@ def test_near_dedup_incremental_null_fp_not_in_state():
                                            64, 3)
     assert sorted(r.doc_id for r in kept2.collect()) == [10]
     assert {r.doc_id for r in state2.collect()} == {1}
+
+
+def test_near_dedup_keep_policy_diverges_from_min_id():
+    """Planted families where the min-id member is NOT the
+    highest-quality one: keep=('max', 'qual') must keep the argmax
+    member (min-id tiebreak), the report must point every member at
+    THAT survivor, and keep='min_id' on the same input must still
+    keep the min id (the policies demonstrably diverge)."""
+    spark = _spark()
+    base = _flip(0, 1, 9, 17, 33)
+    far = _flip(0, 2, 22, 44, 63)
+    rows = [
+        # family A: ids 10<11<12, quality peaks at 12
+        (10, base, 5), (11, _flip(base, 3), 7), (12, _flip(base, 5), 9),
+        # family B: ids 20<21, equal quality -> min-id tiebreak
+        (20, far, 4), (21, _flip(far, 6), 4),
+        # singleton, never touched by either policy
+        (30, _flip(0, 7, 27, 47, 60), 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, fp long, qual int")
+
+    kept_q, rep_q = near_dedup(df, "fp", "doc_id", 64, 3,
+                               keep=("max", "qual"))
+    assert sorted(r.doc_id for r in kept_q.collect()) == [12, 20, 30]
+    assert {(r.doc_id, r.kept_doc_id) for r in rep_q.collect()} == {
+        (10, 12), (11, 12), (12, 12), (20, 20), (21, 20)}
+
+    kept_m, rep_m = near_dedup(df, "fp", "doc_id", 64, 3)
+    assert sorted(r.doc_id for r in kept_m.collect()) == [10, 20, 30]
+
+    # ('min', qual) keeps the LOWEST quality member (10 in A, 20 in B)
+    kept_l, _ = near_dedup(df, "fp", "doc_id", 64, 3,
+                           keep=("min", "qual"))
+    assert sorted(r.doc_id for r in kept_l.collect()) == [10, 20, 30]
+
+
+def test_near_dedup_keep_policy_null_quality_loses():
+    """A NULL quality value orders LAST under both directions: the
+    scored member survives even when the NULL doc has the smaller id,
+    and an all-NULL family falls back to the min-id tiebreak."""
+    spark = _spark()
+    base = _flip(0, 4, 14, 24)
+    far = _flip(0, 5, 25, 45, 61)
+    df = spark.createDataFrame(
+        [(1, base, None), (2, _flip(base, 8), 3),
+         (7, far, None), (8, _flip(far, 2), None)],
+        "doc_id long, fp long, qual int")
+    for direction in ("max", "min"):
+        kept, _ = near_dedup(df, "fp", "doc_id", 64, 3,
+                             keep=(direction, "qual"))
+        assert sorted(r.doc_id for r in kept.collect()) == [2, 7]
+
+
+def test_near_dedup_keep_policy_rejects_bad_spec():
+    import pytest
+
+    spark = _spark()
+    df = spark.createDataFrame([(1, 0)], "doc_id long, fp long")
+    with pytest.raises(ValueError, match="keep"):
+        near_dedup(df, "fp", "doc_id", keep="max_qual")
+    with pytest.raises(ValueError, match="direction"):
+        near_dedup(df, "fp", "doc_id", keep=("argmax", "qual"))
+
+
+def test_jaccard_verify_candidate_bounded_scan():
+    """The verify stage must shingle ONLY candidate docs (VERDICT r11
+    efficiency item): the corpus is semi-joined to the pairs' ids
+    before the shingle explode — asserted on the optimized plan
+    (LeftSemi below the generate) — and the scores are unchanged."""
+    from accelerator_spark.operators.dedup import jaccard_verify
+
+    spark = _spark()
+    rows = [(i, "alpha beta gamma delta epsilon") for i in (1, 2)]
+    rows += [(i, f"unrelated text number {i} with words {i * 7}")
+             for i in range(10, 40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    out = jaccard_verify(pairs, df, threshold=0.5)
+    got = {(r.doc_a, r.doc_b, r.jaccard) for r in out.collect()}
+    assert got == {(1, 2, 1.0)}
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan
