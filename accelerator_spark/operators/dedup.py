@@ -138,6 +138,28 @@ def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     return sig.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
+def _lsh_band_rows(sig: DataFrame, id_col: str,
+                   num_hashes: int, bands: int) -> DataFrame:
+    """(id, band int, key string) exploded LSH band rows of a minhash
+    signature frame — factored out of ``minhash_lsh_candidates`` so
+    the incremental text pipeline derives IDENTICAL band keys for its
+    persisted state rows (the ``_hamming_band_keys`` no-drift
+    discipline: a key-scheme drift between the batch and the
+    accumulated state would silently void recall)."""
+    r = num_hashes // bands
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("_", *[F.col("sig")[b * r + j].cast("string")
+                               for j in range(r)]).alias("key"),
+        )
+        for b in range(bands)
+    ])
+    return (sig.select(id_col, F.explode(band_structs).alias("bk"))
+            .select(id_col, F.col("bk.band").alias("band"),
+                    F.col("bk.key").alias("key")))
+
+
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                            num_hashes: int = 8, bands: int = 4,
                            shingle_n: int = 3,
@@ -153,18 +175,9 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = 
     if num_hashes % bands != 0:  # not assert: survives python -O
         raise ValueError(
             f"num_hashes {num_hashes} must divide into bands {bands}")
-    r = num_hashes // bands
     sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n,
                             hash_family=hash_family)
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws("_", *[F.col("sig")[b * r + j].cast("string") for j in range(r)]).alias("key"),
-        )
-        for b in range(bands)
-    ])
-    exploded = sig.select(id_col, F.explode(band_structs).alias("bk")) \
-        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    exploded = _lsh_band_rows(sig, id_col, num_hashes, bands)
     buckets = (
         exploded.groupBy("band", "key")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
@@ -884,5 +897,132 @@ def near_dedup_incremental(new_batch: DataFrame,
                               fp_col, id_col, bits, max_hamming)
     new_state = (kept_bands if state is None
                  else state.select("blk", "fp", id_col)
+                 .unionByName(kept_bands))
+    return kept, new_state
+
+
+def text_band_rows(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   num_hashes: int = 8, bands: int = 4,
+                   shingle_n: int = 3,
+                   hash_family: str = "md5") -> DataFrame:
+    """The ``(band int, key string, id)`` LSH band-bucket form of a
+    text corpus — the unit the incremental TEXT near-dedup state store
+    accumulates (``bands`` rows per document), the MinHash analogue of
+    ``fp_band_rows``. Keys come from ``_lsh_band_rows`` over the same
+    ``minhash_signature`` the batch pipeline hashes, so batch and
+    state keys can never drift. Documents with NULL text produce no
+    shingles, hence NO band rows — they pass through ``kept``
+    untouched (the exact_dedup NULL discipline) and never enter the
+    state. (Whitespace-only text is NOT null: per word_shingles it
+    yields one empty partial shingle, so blank docs near-dup each
+    other — the batch pipeline's semantics, unchanged.)"""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes {num_hashes} must divide into bands {bands}")
+    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n,
+                            hash_family=hash_family)
+    return (_lsh_band_rows(sig, id_col, num_hashes, bands)
+            .select("band", "key", id_col))
+
+
+def text_state_candidates(batch_bands: DataFrame, state: DataFrame,
+                          id_col: str = "doc_id",
+                          broadcast_batch: bool = True) -> DataFrame:
+    """Candidate (doc_a = batch id, doc_b = kept id) pairs: batch docs
+    sharing ANY LSH band bucket with a kept doc — the probe step of
+    ``text_near_dedup_incremental``, exposed so its plan shape is
+    testable (the ``state_near_ids`` pattern).
+
+    Plan shape — the O(batch) contract: the batch's band rows are
+    BROADCAST, so the accumulated state streams through the join with
+    NO shuffle; the only exchange is the O(candidates) distinct.
+    ``broadcast_batch=False`` drops the hint for bootstrap-scale
+    batches (shuffled hash join on (band, key) — both sides exchange
+    once, candidates stay bucket-bounded)."""
+    bb = batch_bands.select("band", "key",
+                            F.col(id_col).alias("_bid"))
+    if broadcast_batch:
+        bb = F.broadcast(bb)
+    return (state.join(bb, ["band", "key"])
+            .select(F.col("_bid").alias("doc_a"),
+                    F.col(id_col).alias("doc_b"))
+            .distinct())
+
+
+def text_near_dedup_incremental(new_batch: DataFrame,
+                                state: DataFrame | None,
+                                kept_corpus: DataFrame | None,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                num_hashes: int = 8, bands: int = 4,
+                                shingle_n: int = 3,
+                                threshold: float = 0.5,
+                                bucket_cap: int = 50,
+                                hash_family: str = "md5",
+                                broadcast_batch: bool = True):
+    """The ROLLING form of the classic MinHash/Jaccard text pipeline
+    (VERDICT r11 #2): a daily crawl that wants "skip documents
+    Jaccard-near anything already kept" must not re-run MinHash over
+    the full corpus — ``text_near_dedup`` is batch-only, this is its
+    O(batch) per-ingest twin, the ``near_dedup_incremental`` of LSH
+    band buckets.
+
+    The accumulated ``state`` is the band-bucket store
+    ``(band int, key string, id)`` — ``bands`` rows per KEPT document
+    (``text_band_rows``, same ``_lsh_band_rows`` keys the batch
+    pipeline blocks on). ``kept_corpus`` is the kept documents'
+    ``(id, text)`` source — the exact-Jaccard verify stage joins the
+    candidates back to it by id, so the state itself never stores
+    text. Persist both between batches; pass ``None``/``None`` for
+    the first batch.
+
+    Batch semantics (first-batch-wins, replayed by the
+    text_near_dedup_incremental_report oracle): a batch row survives
+    iff
+
+    (a) no kept document verifies Jaccard >= ``threshold`` against it
+        among the LSH candidates (``text_state_candidates`` proposes
+        — any shared band bucket; ``jaccard_verify`` disposes —
+        exact word-shingle Jaccard, candidate-bounded); and
+    (b) among rows passing (a), it survives the in-batch
+        ``text_near_dedup`` (LSH + verify + components + min-id).
+
+    Returns ``(kept, new_state)``: the surviving batch rows (schema
+    unchanged) and state ∪ the kept rows' band rows. The caller
+    appends ``kept`` to its kept corpus — the next batch's
+    ``kept_corpus``.
+
+    Scale: the state probe broadcasts the BATCH side (the state never
+    shuffles — see text_state_candidates), the verify join is
+    candidate-bounded (only candidate doc ids are ever shingled), the
+    in-batch step is O(batch) LSH work, and the state grows ``bands``
+    rows per kept doc — band keys and ids only, never text."""
+    if (state is None) != (kept_corpus is None):
+        raise ValueError(
+            "text_near_dedup_incremental: state and kept_corpus must "
+            "both be None (first batch) or both be set — the verify "
+            "stage joins state candidates back to the kept corpus")
+    if state is not None:
+        batch_bands = text_band_rows(new_batch, text_col, id_col,
+                                     num_hashes, bands, shingle_n,
+                                     hash_family)
+        cand = text_state_candidates(batch_bands, state, id_col,
+                                     broadcast_batch)
+        corpus = (new_batch.select(id_col, text_col)
+                  .unionByName(kept_corpus.select(id_col, text_col)))
+        verified = jaccard_verify(cand, corpus, text_col, id_col,
+                                  shingle_n, threshold)
+        near = verified.select(F.col("doc_a").alias(id_col)).distinct()
+        pass_a = new_batch.join(near, id_col, "left_anti")
+    else:
+        pass_a = new_batch
+    kept, _, _ = text_near_dedup(pass_a, text_col, id_col, num_hashes,
+                                 bands, shingle_n, threshold,
+                                 bucket_cap, hash_family)
+    kept_bands = text_band_rows(kept, text_col, id_col, num_hashes,
+                                bands, shingle_n, hash_family)
+    new_state = (kept_bands if state is None
+                 else state.select("band", "key", id_col)
                  .unionByName(kept_bands))
     return kept, new_state

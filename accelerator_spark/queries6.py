@@ -188,14 +188,191 @@ ORACLE_STREAMING_NEAR_DEDUP_COMPACTED = _incr_oracle(
     4, "(doc_id % 4 + 2) % 4")
 
 
+# =====================================================================
+# incremental text near-dedup (operators/dedup.
+# text_near_dedup_incremental — VERDICT r11 #2)
+# =====================================================================
+
+def text_near_dedup_incremental_report(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """The ROLLING MinHash/Jaccard text pipeline: documents arrive in
+    THREE out-of-order batches (batch_seq = (doc_id % 3 + 2) % 3);
+    each batch probes the accumulated LSH band-bucket state for
+    candidates, verifies them with exact word-shingle Jaccard >= 0.5
+    against the kept corpus, drops the verified near-dups, then runs
+    the in-batch classic pipeline (LSH + verify + components + min-id
+    survivors). Output is one row per document: (doc_id, batch_seq,
+    kept). The oracle replays the exact greedy sequence — per batch,
+    shared-band candidates against every earlier batch's kept docs
+    with the same bit-exact md5 minhash signatures, the same Jaccard
+    on the same shingle sets, then the in-batch bucket_cap'd LSH +
+    recursive-CTE components — the _incr_oracle discipline composed
+    with ORACLE_MINHASH's signature replay."""
+    from .operators.dedup import text_near_dedup_incremental
+
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    slim = (docs.select("doc_id", "text")
+            .withColumn("batch_seq",
+                        ((F.col("doc_id") % 3 + 2) % 3).cast("int"))
+            .localCheckpoint())
+    state, corpus = None, None
+    kept_parts = []
+    for seq in range(3):
+        batch = (slim.filter(F.col("batch_seq") == seq)
+                 .select("doc_id", "text"))
+        kept, state = text_near_dedup_incremental(batch, state, corpus)
+        # cut lineage each round (the connected_components discipline);
+        # kept feeds BOTH the growing corpus and the final report
+        kept = kept.localCheckpoint()
+        state = state.localCheckpoint()
+        kept_parts.append(kept.select("doc_id"))
+        kc = kept.select("doc_id", "text")
+        corpus = kc if corpus is None else corpus.unionByName(kc)
+    keptall = (kept_parts[0].unionByName(kept_parts[1])
+               .unionByName(kept_parts[2])
+               .withColumn("_k", F.lit(True)))
+    return (slim.select("doc_id", "batch_seq")
+            .join(keptall, "doc_id", "left")
+            .select("doc_id", "batch_seq",
+                    F.coalesce("_k", F.lit(False)).alias("kept")))
+
+
+def _text_incr_oracle(n: int = 3,
+                      seq_sql: str = "(doc_id % 3 + 2) % 3",
+                      threshold: float = 0.5,
+                      bucket_cap: int = 50) -> str:
+    """n-batch greedy replay of text_near_dedup_incremental: the
+    md5-family minhash signatures and band keys replayed bit-exactly
+    (the _minhash_oracle formulas), cross-batch candidates = any
+    shared band with a kept doc, verification = exact shingle Jaccard
+    (the jaccard_verify formula), in-batch = the bucket_cap'd LSH
+    pipeline over the batch's pass-A subset + per-batch recursive-CTE
+    components with min-id survivors. Shared CTEs MATERIALIZED (the
+    _incr_oracle lesson: DuckDB inlines plain CTEs per reference —
+    the batch chain would expand exponentially)."""
+    hcols = ",\n         ".join(
+        f"min(CAST(('0x'||substring(md5(g||':{i // 4}'),"
+        f"{8 * (i % 4) + 1},8)) AS BIGINT)) AS h{i}"
+        for i in range(8))
+    band_sel = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, CAST(h{2 * b} AS VARCHAR)"
+        f"||'_'||CAST(h{2 * b + 1} AS VARCHAR) AS key FROM sig"
+        for b in range(4))
+
+    def jacc_filter(cand: str, a: str = "doc_a", b: str = "doc_b") -> str:
+        # the jaccard_verify formula over a candidate-pair CTE
+        return f"""
+  FROM {cand} c
+  JOIN sz sa ON sa.doc_id = c.{a}
+  JOIN sz sb ON sb.doc_id = c.{b}
+  LEFT JOIN (SELECT c2.{a} AS pa, c2.{b} AS pb, count(*) AS common
+             FROM {cand} c2
+             JOIN grams2 ga ON ga.doc_id = c2.{a}
+             JOIN grams2 gb ON gb.doc_id = c2.{b} AND gb.g = ga.g
+             GROUP BY 1, 2) iv ON iv.pa = c.{a} AND iv.pb = c.{b}
+  WHERE coalesce(iv.common, 0)
+        / CAST(sa.sz + sb.sz - coalesce(iv.common, 0) AS DOUBLE)
+        >= {threshold}"""
+
+    ctes = [f"""toks AS MATERIALIZED (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+)""", """grams2 AS MATERIALIZED (
+  SELECT DISTINCT doc_id, unnest(list_transform(
+      generate_series(1, greatest(len(t) - 2, 1)),
+      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g
+  FROM toks
+)""", """sz AS MATERIALIZED (
+  SELECT doc_id, count(*) AS sz FROM grams2 GROUP BY doc_id
+)""", f"""sig AS MATERIALIZED (
+  SELECT doc_id,
+         {hcols}
+  FROM grams2 GROUP BY doc_id
+)""", f"""bands AS MATERIALIZED (
+{band_sel}
+)""", f"""b AS MATERIALIZED (
+  SELECT doc_id, CAST({seq_sql} AS INT) AS batch_seq FROM documents
+)"""]
+    for i in range(n):
+        if i == 0:
+            ctes.append(f"pa{i} AS MATERIALIZED (SELECT doc_id FROM b"
+                        f" WHERE batch_seq = {i})")
+        else:
+            prev = " UNION ALL ".join(
+                f"SELECT doc_id FROM kept{j}" for j in range(i))
+            ctes.append(
+                f"ks{i} AS MATERIALIZED ({prev})")
+            ctes.append(f"""cd{i} AS MATERIALIZED (
+  SELECT DISTINCT bx.doc_id AS doc_a, bk.doc_id AS doc_b
+  FROM bands bx
+  JOIN b xb ON xb.doc_id = bx.doc_id AND xb.batch_seq = {i}
+  JOIN bands bk ON bk.band = bx.band AND bk.key = bx.key
+  JOIN ks{i} kk ON kk.doc_id = bk.doc_id
+)""")
+            ctes.append(
+                f"dv{i} AS MATERIALIZED (\n"
+                f"  SELECT DISTINCT c.doc_a AS doc_id"
+                f"{jacc_filter(f'cd{i}')}\n)")
+            ctes.append(
+                f"pa{i} AS MATERIALIZED (SELECT doc_id FROM b WHERE"
+                f" batch_seq = {i} AND doc_id NOT IN"
+                f" (SELECT doc_id FROM dv{i}))")
+        ctes.append(f"""bu{i} AS MATERIALIZED (
+  SELECT band, key, list_sort(list(bb.doc_id)) AS ids
+  FROM bands bb JOIN pa{i} p ON p.doc_id = bb.doc_id
+  GROUP BY band, key
+  HAVING count(*) BETWEEN 2 AND {bucket_cap}
+)""")
+        ctes.append(f"""cp{i} AS MATERIALIZED (
+  SELECT DISTINCT p.doc_a AS doc_a, p.doc_b AS doc_b FROM (
+    SELECT unnest(flatten(list_transform(generate_series(1, len(ids)),
+           i -> list_transform(generate_series(i+1, len(ids)),
+           j -> struct_pack(doc_a := ids[i], doc_b := ids[j]))))) AS p
+    FROM bu{i})
+)""")
+        ctes.append(
+            f"ve{i} AS MATERIALIZED (\n"
+            f"  SELECT c.doc_a AS u, c.doc_b AS v"
+            f"{jacc_filter(f'cp{i}')}\n)")
+        ctes.append(
+            f"ed{i} AS MATERIALIZED (SELECT u, v FROM ve{i}"
+            f" UNION SELECT v AS u, u AS v FROM ve{i})")
+        ctes.append(
+            f"cc{i} AS (SELECT u AS node, u AS component FROM ed{i}"
+            f" UNION SELECT e.u AS node, cc{i}.component"
+            f" FROM cc{i} JOIN ed{i} e ON e.v = cc{i}.node)")
+        ctes.append(
+            f"lab{i} AS MATERIALIZED (SELECT node, min(component) AS c"
+            f" FROM cc{i} GROUP BY node)")
+        ctes.append(
+            f"kept{i} AS MATERIALIZED (SELECT p.doc_id FROM pa{i} p"
+            f" LEFT JOIN lab{i} l ON l.node = p.doc_id"
+            f" WHERE l.c IS NULL OR l.c = p.doc_id)")
+    ctes.append(
+        "keptall AS MATERIALIZED (" + " UNION ALL ".join(
+            f"SELECT doc_id FROM kept{j}" for j in range(n)) + ")")
+    return ("WITH RECURSIVE " + ",\n".join(ctes) + "\n"
+            "SELECT b.doc_id, b.batch_seq,"
+            " (k.doc_id IS NOT NULL) AS kept\n"
+            "FROM b LEFT JOIN keptall k ON k.doc_id = b.doc_id")
+
+
+ORACLE_TEXT_NEAR_DEDUP_INCREMENTAL = _text_incr_oracle()
+
+
 QUERIES6 = {
     "near_dedup_keep_longest_report": near_dedup_keep_longest_report,
     "streaming_near_dedup_compacted_report":
         streaming_near_dedup_compacted_report,
+    "text_near_dedup_incremental_report":
+        text_near_dedup_incremental_report,
 }
 
 ORACLES6 = {
     "near_dedup_keep_longest_report": ORACLE_NEAR_DEDUP_KEEP_LONGEST,
     "streaming_near_dedup_compacted_report":
         ORACLE_STREAMING_NEAR_DEDUP_COMPACTED,
+    "text_near_dedup_incremental_report":
+        ORACLE_TEXT_NEAR_DEDUP_INCREMENTAL,
 }

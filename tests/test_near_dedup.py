@@ -392,3 +392,107 @@ def test_jaccard_verify_candidate_bounded_scan():
     assert got == {(1, 2, 1.0)}
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "LeftSemi" in plan
+
+
+def test_text_near_dedup_incremental_first_batch_wins():
+    """Three document batches through text_near_dedup_incremental:
+    exact/near copies of already-kept docs drop on arrival (state
+    probe + Jaccard verify), in-batch near-dups resolve min-id, the
+    state accumulates `bands` band rows per kept doc and never stores
+    text, and unrelated docs survive even if a band collides (the
+    verify stage disposes)."""
+    from accelerator_spark.operators.dedup import (
+        text_near_dedup_incremental)
+
+    spark = _spark()
+    t1 = "the quick brown fox jumps over the lazy dog today"
+    t2 = "completely different content about spark execution engines"
+    t5 = "partition pruning keeps scans small at any realistic scale"
+    t7 = "watermarks bound streaming state across long sessions"
+    batches = [
+        [(1, t1), (2, t2)],
+        # 3 = exact dup of kept 1; 4 = near dup (last word changed);
+        # 5 = new
+        [(3, t1), (4, t1.replace("today", "tonight")), (5, t5)],
+        # 6 = exact dup of kept 5; 7/8 in-batch pair -> min id 7 wins
+        [(6, t5), (7, t7), (8, t7)],
+    ]
+    state, corpus = None, None
+    kept_ids = []
+    for rows in batches:
+        b = spark.createDataFrame(rows, "doc_id long, text string")
+        kept, state = text_near_dedup_incremental(b, state, corpus)
+        kept = kept.localCheckpoint()
+        state = state.localCheckpoint()
+        ids = sorted(r.doc_id for r in kept.collect())
+        kept_ids.append(ids)
+        kc = kept.select("doc_id", "text")
+        corpus = kc if corpus is None else corpus.unionByName(kc)
+    assert kept_ids == [[1, 2], [5], [7]]
+    srows = state.collect()
+    assert set(state.columns) == {"band", "key", "doc_id"}
+    # 4 bands per kept doc, ids only
+    assert {r.doc_id for r in srows} == {1, 2, 5, 7}
+    assert len(srows) == 4 * 4
+
+
+def test_text_near_dedup_incremental_null_text_passthrough():
+    """NULL text yields no shingles: the doc passes through kept
+    (failed extraction is not a duplicate) and adds NO band rows to
+    the state. Whitespace-only text is NOT null — per word_shingles
+    it carries one empty partial shingle, so it IS fingerprinted (and
+    two blank docs near-dup each other, the batch semantics)."""
+    from accelerator_spark.operators.dedup import (
+        text_near_dedup_incremental)
+
+    spark = _spark()
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None), (3, "   ")],
+        "doc_id long, text string")
+    kept, state = text_near_dedup_incremental(b0, None, None)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2, 3]
+    assert {r.doc_id for r in state.collect()} == {1, 3}
+    # a later NULL-text doc still passes through against real state
+    b1 = spark.createDataFrame([(9, None)], "doc_id long, text string")
+    kept1, state1 = text_near_dedup_incremental(
+        b1, state, kept.select("doc_id", "text"))
+    assert [r.doc_id for r in kept1.collect()] == [9]
+    assert {r.doc_id for r in state1.collect()} == {1, 3}
+
+
+def test_text_near_dedup_incremental_requires_paired_state():
+    import pytest
+
+    from accelerator_spark.operators.dedup import (
+        text_near_dedup_incremental)
+
+    spark = _spark()
+    b = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="kept_corpus"):
+        text_near_dedup_incremental(b, b, None)
+
+
+def test_text_state_candidates_state_never_shuffles():
+    """The O(batch) plan contract for the TEXT state probe: the batch
+    band rows are broadcast, so the state side reaches the join with
+    no Exchange (the state_near_ids discipline, extended to LSH band
+    buckets)."""
+    from accelerator_spark.operators.dedup import (
+        text_band_rows, text_state_candidates)
+
+    spark = _spark()
+    state = spark.createDataFrame(
+        [(0, "11_22", 1), (1, "33_44", 1)],
+        "band int, key string, doc_id long")
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string")
+    cand = text_state_candidates(
+        text_band_rows(batch), state)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the only exchanges feed the broadcast/batch side and the final
+    # distinct — the state scan streams straight into the join
+    state_scan = [ln for ln in plan.splitlines()
+                  if "Scan ExistingRDD" in ln or "LocalTableScan" in ln]
+    assert state_scan, plan
