@@ -1253,3 +1253,142 @@ def dhash_near_pairs(
                         dhash_hex_to_long(hex_col).alias("_dfp"))
     return fp_near_pairs(fps, "_dfp", id_col, 64, max_hamming,
                          bucket_cap)
+
+
+def frame_dhash(
+    frames: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_pixels: int = 1 << 24,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Per-FRAME dHash over ``extract_frames`` output — ``image_dhash``
+    with the frame identity carried through: emits (media_id,
+    frame_idx, n_frames, dhash_hex). A separate stage (not a reuse of
+    image_dhash) because _map_media_rows keys rows by media id alone
+    and a video's frames would collapse to indistinguishable rows.
+    Upstream ``on_error="null"`` rows (NULL payload/frame_idx) pass
+    through as NULL-hash rows for triage. Map-only Arrow stage, no
+    shuffle."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(
+            f"on_error must be 'raise' or 'null', got {on_error!r}")
+    id_type = frames.schema[id_col].dataType
+    schema = T.StructType([
+        T.StructField("media_id", id_type, False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("dhash_hex", T.StringType(), True),
+    ])
+    slim = frames.select(id_col, "frame_idx", "n_frames",
+                         payload_col, "mime")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, fi, nf, payload, mime in zip(
+                    pdf[id_col], pdf["frame_idx"], pdf["n_frames"],
+                    pdf[payload_col], pdf["mime"]):
+                if payload is None or fi is None:
+                    out.append((mid, None, None, None))
+                    continue
+                try:
+                    pixels, w, h, ch, _depth, orient = _decode_image_any(
+                        bytes(payload), mime, max_pixels)
+                    bits = dhash_bits(pixels, w, h, ch, orient)
+                    out.append((mid, int(fi), int(nf), f"{bits:016x}"))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    out.append((mid, None, None, None))
+            yield pd.DataFrame(out,
+                               columns=[f.name for f in schema.fields])
+
+    return slim.mapInPandas(run, schema=schema)
+
+
+def video_fingerprint(
+    df: DataFrame,
+    every_n: int = 1,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    mime_col: str = "mime",
+    max_pixels: int = 1 << 24,
+    on_error: str = "raise",
+) -> DataFrame:
+    """64-bit TEMPORAL video fingerprint (VERDICT r11 #4) — the
+    composition of the shipped parts: ``extract_frames`` (real GIF
+    decode; mp4 needs the decoder-hook environment) -> per-frame
+    dHash (``frame_dhash``) -> the first/middle/last sampled-frame
+    TRIPLE folded into one signed 64-bit word:
+
+        bits 63..43  top 21 gradient bits of the FIRST sampled frame
+        bits 42..22  top 21 gradient bits of the MIDDLE one
+        bits 21..0   top 22 gradient bits of the LAST one
+
+    Near-duplicate tolerance: a small visual perturbation in any
+    sampled frame moves <= 2 gradient bits, so the fingerprints stay
+    within a small Hamming ball; ORDER SENSITIVITY: re-ordering or
+    rotating the frame sequence changes which frames are
+    first/middle/last, so shuffled cuts of the same footage do NOT
+    pair (the property the per-frame-majority fold would lose — a
+    majority vote is order-blind). "Middle" is the middle of the
+    SAMPLED sequence (row floor(k/2)+1 of k, 1-based); single-frame
+    media use that frame for all three slots and degrade to a plain
+    (subsampled) dHash.
+
+    Emits (media_id, n_frames, n_sampled, vfp long). Media whose
+    every sampled frame failed decode (upstream/own ``on_error=
+    "null"`` rows) are dropped — a fingerprint of nothing pairs with
+    everything. Scale: decode+hash stages are map-only; the fold is
+    ONE groupBy on media id (conditional aggregates over the
+    row-number window); pair via ``video_near_pairs``."""
+    frames = extract_frames(df, every_n, payload_col, id_col,
+                            mime_col, on_error, max_pixels)
+    hashed = frame_dhash(frames, "payload", id_col, max_pixels,
+                         on_error)
+    from pyspark.sql import Window
+
+    fp = dhash_hex_to_long("dhash_hex")
+    w = Window.partitionBy(id_col).orderBy("frame_idx")
+    wc = Window.partitionBy(id_col)
+    r = (hashed.filter(F.col("dhash_hex").isNotNull())
+         .select(id_col, "frame_idx", "n_frames", fp.alias("_fp"))
+         .withColumn("_rn", F.row_number().over(w))
+         .withColumn("_cnt", F.count(F.lit(1)).over(wc)))
+    mid_rn = (F.col("_cnt") / 2).cast("long") + 1
+    agg = r.groupBy(id_col).agg(
+        F.max(F.when(F.col("_rn") == 1, F.col("_fp"))).alias("_a"),
+        F.max(F.when(F.col("_rn") == mid_rn, F.col("_fp"))).alias("_b"),
+        F.max(F.when(F.col("_rn") == F.col("_cnt"),
+                     F.col("_fp"))).alias("_c"),
+        F.max("n_frames").alias("n_frames"),
+        F.max("_cnt").cast("int").alias("n_sampled"))
+    top21a = F.shiftrightunsigned(F.col("_a"), 43)
+    top21b = F.shiftrightunsigned(F.col("_b"), 43)
+    top22c = F.shiftrightunsigned(F.col("_c"), 42)
+    vfp = (F.shiftleft(top21a, 43)
+           .bitwiseOR(F.shiftleft(top21b, 22))
+           .bitwiseOR(top22c))
+    return agg.select(id_col, "n_frames", "n_sampled",
+                      vfp.cast("long").alias("vfp"))
+
+
+def video_near_pairs(
+    fps: DataFrame,
+    id_col: str = "media_id",
+    fp_col: str = "vfp",
+    max_hamming: int = 6,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Video near-duplicate candidate pairs from ``video_fingerprint``
+    output — the FOURTH modality on the generic banded-Hamming join
+    (text: simhash_near_pairs; image: dhash_near_pairs; audio:
+    audio_near_pairs; video: this). Returns (doc_a, doc_b, hamming)
+    with doc_a < doc_b over ``id_col`` values. Still-logo clips
+    (every frame flat) hash toward 0 like flat images — cap or
+    pre-filter the way the other fronts do."""
+    from .dedup import fp_near_pairs
+
+    return fp_near_pairs(fps.select(F.col(id_col), F.col(fp_col)),
+                         fp_col, id_col, 64, max_hamming, bucket_cap)

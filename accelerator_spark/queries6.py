@@ -361,12 +361,159 @@ def _text_incr_oracle(n: int = 3,
 ORACLE_TEXT_NEAR_DEDUP_INCREMENTAL = _text_incr_oracle()
 
 
+# =====================================================================
+# video near-dup pairs (operators/multimodal.video_fingerprint +
+# video_near_pairs — the FOURTH modality on fp_near_pairs;
+# VERDICT r11 #4)
+# =====================================================================
+
+def video_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate detection end-to-end through the REAL
+    decode path: per document a 5-frame 9x8 grayscale animated GIF is
+    authored from chained md5 digests (the image_near_dup_pairs
+    fixture discipline, one digest chain per frame), and for one doc
+    in four a PERTURBED COPY (one md5-chosen pixel of one md5-chosen
+    frame replaced by an md5-chosen value — a near-duplicate clip
+    differing in at most 2 temporal-fingerprint bits, 0 when the
+    perturbed frame is not first/middle/last). The production path
+    runs real GIF frame decode (extract_frames: compose + PNG
+    re-encode) -> real PNG decode + per-frame dHash (frame_dhash) ->
+    the first/middle/last temporal fold (video_fingerprint) ->
+    banded-Hamming pairing (video_near_pairs, Hamming <= 6). The
+    oracle recomputes every clip's sampled-frame gradient bits from
+    the same md5 bytes, folds the same 21/21/22-bit triple, and
+    BRUTE-FORCES all pairs — banding recall checked against ground
+    truth. Plan: Arrow map stages + one media-id fold + one band-key
+    shuffle; no cross join on the Spark side."""
+    from .operators.multimodal import video_fingerprint, video_near_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build_gifs(batches):
+        import hashlib as _hashlib
+
+        import pandas as pd
+
+        from .functions.gif import gif_encode
+
+        gray = bytes(v for i in range(256) for v in (i, i, i))
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                text = text or ""
+                hx = _hashlib.md5(text.encode("utf-8")).hexdigest()
+                frames = []
+                for f in range(5):
+                    raw = b"".join(
+                        _hashlib.md5((text + f":v{f}:{s}")
+                                     .encode("utf-8")).digest()
+                        for s in range(5))[:72]
+                    frames.append(list(raw))
+                out.append((int(doc_id) * 2,
+                            gif_encode(frames, 9, 8, gray),
+                            "image/gif"))
+                if int(hx[0:2], 16) % 4 == 0:
+                    jf = int(hx[2:4], 16) % 5
+                    jp = int(hx[4:6], 16) % 72
+                    v = int(hx[6:8], 16)
+                    near = [list(fr) for fr in frames]
+                    near[jf][jp] = v
+                    out.append((int(doc_id) * 2 + 1,
+                                gif_encode(near, 9, 8, gray),
+                                "image/gif"))
+            yield pd.DataFrame(out,
+                               columns=["media_id", "payload", "mime"])
+
+    media = docs.repartition(32).mapInPandas(
+        build_gifs, schema="media_id long, payload binary, mime string")
+    fps = video_fingerprint(media)
+    pairs = video_near_pairs(fps, max_hamming=6)
+    return pairs.select(
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"))
+
+
+def _vfp_sql(c0: str, c2: str, c4: str) -> str:
+    """The 64-bit temporal fingerprint as a SIGNED BIGINT from the
+    three sampled frames' 144-hex-char pixel strings: vfp MSB-first
+    bits 0..20 = frame c0's gradient bits 0..20, 21..41 = c2's 0..20,
+    42..63 = c4's 0..21 — exactly video_fingerprint's
+    shiftrightunsigned/shiftleft fold."""
+    from .queries4 import _fp_sql_from_bits
+
+    def gbit(col: str, g: int) -> str:
+        y, x = divmod(g, 8)
+        i = y * 9 + x
+
+        def px(k):
+            return f"CAST(('0x' || substr({col}, {2 * k + 1}, 2)) AS INT)"
+
+        return f"(CASE WHEN {px(i)} < {px(i + 1)} THEN 1 ELSE 0 END)"
+
+    def bit(b: int) -> str:
+        if b <= 20:
+            return gbit(c0, b)
+        if b <= 41:
+            return gbit(c2, b - 21)
+        return gbit(c4, b - 42)
+
+    return _fp_sql_from_bits(bit)
+
+
+def _video_oracle() -> str:
+    def frame_hex(f: int) -> str:
+        parts = " || ".join(f"md5(text || ':v{f}:{s}')"
+                            for s in range(5))
+        return f"substr({parts}, 1, 144)"
+
+    def perturbed(col: str, f: int) -> str:
+        return (f"CASE WHEN jf = {f} THEN substr({col}, 1, 2 * jp)"
+                f" || printf('%02x', v) || substr({col}, 2 * jp + 3)"
+                f" ELSE {col} END")
+
+    return f"""
+WITH h AS MATERIALIZED (
+  SELECT doc_id, md5(text) AS hx,
+         {frame_hex(0)} AS c0,
+         {frame_hex(2)} AS c2,
+         {frame_hex(4)} AS c4
+  FROM documents
+), meta AS MATERIALIZED (
+  SELECT doc_id, c0, c2, c4,
+         CAST(('0x' || substr(hx, 1, 2)) AS INT) AS b0,
+         CAST(('0x' || substr(hx, 3, 2)) AS INT) % 5 AS jf,
+         CAST(('0x' || substr(hx, 5, 2)) AS INT) % 72 AS jp,
+         CAST(('0x' || substr(hx, 7, 2)) AS INT) AS v
+  FROM h
+), vids AS MATERIALIZED (
+  SELECT doc_id * 2 AS vid_id, c0, c2, c4 FROM meta
+  UNION ALL
+  SELECT doc_id * 2 + 1,
+         {perturbed('c0', 0)},
+         {perturbed('c2', 2)},
+         {perturbed('c4', 4)}
+  FROM meta WHERE b0 % 4 = 0
+), fps AS MATERIALIZED (
+  SELECT vid_id, {_vfp_sql('c0', 'c2', 'c4')} AS fp FROM vids
+)
+SELECT a.vid_id AS id_a, b.vid_id AS id_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+FROM fps a JOIN fps b ON a.vid_id < b.vid_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 6
+"""
+
+
+ORACLE_VIDEO_NEAR_DUP = _video_oracle()
+
+
 QUERIES6 = {
     "near_dedup_keep_longest_report": near_dedup_keep_longest_report,
     "streaming_near_dedup_compacted_report":
         streaming_near_dedup_compacted_report,
     "text_near_dedup_incremental_report":
         text_near_dedup_incremental_report,
+    "video_near_dup_pairs": video_near_dup_pairs,
 }
 
 ORACLES6 = {
@@ -375,4 +522,5 @@ ORACLES6 = {
         ORACLE_STREAMING_NEAR_DEDUP_COMPACTED,
     "text_near_dedup_incremental_report":
         ORACLE_TEXT_NEAR_DEDUP_INCREMENTAL,
+    "video_near_dup_pairs": ORACLE_VIDEO_NEAR_DUP,
 }
