@@ -53,13 +53,17 @@ def report(spark, datasets, options):
 
 
 def dedup_documents(spark, datasets, options):
-    from accelerator_spark.operators.dedup import minhash_lsh_candidates
+    """The one-call near-dedup composite as a memoized build step:
+    MinHash LSH proposes, exact Jaccard disposes, components + min-id
+    survivor selection shrink the corpus — dropping the old raw
+    candidates-only anti-join, which removed docs that merely COLLIDED
+    in one LSH band (unverified false positives)."""
+    from accelerator_spark.operators.dedup import text_near_dedup
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    pairs = minhash_lsh_candidates(docs)
-    keep = docs.join(pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
-                     "doc_id", "left_anti")
-    return keep
+    kept, _report, _edges = text_near_dedup(docs, threshold=0.5,
+                                            hash_family="xxhash64")
+    return kept
 
 
 def curate_documents(spark, datasets, options):

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from accelerator_spark import get_spark
 from accelerator_spark.operators.bpe import bpe_tokenize, bpe_train
 from accelerator_spark.operators.charset import decode_payload
-from accelerator_spark.operators.dedup import exact_dedup
+from accelerator_spark.operators.dedup import exact_dedup, text_near_dedup
 from accelerator_spark.operators.html import html_extract
 from accelerator_spark.operators.sketches import bloom_build, bloom_prefilter
 from accelerator_spark.operators.text import quality_score
@@ -46,10 +46,20 @@ def main(crawl_dir: str, out_dir: str, holdout_texts=None) -> int:
             .filter(F.col("q_keep"))
             .select("doc_id", "text"))
 
-    # 4. exact dedup (min-id per normalized fingerprint)
+    # 4. dedup, both tiers: exact (min-id per normalized fingerprint)
+    #    collapses byte-identical mirrors cheaply, then the one-call
+    #    NEAR-dedup composite (MinHash LSH candidates -> exact Jaccard
+    #    verify -> components) catches the re-crawled/lightly-edited
+    #    copies exact hashing misses — keeping the LONGEST member of
+    #    each near-dup family, not the smallest id (keep=('max', ...))
     keep = exact_dedup(docs)
     docs = docs.join(keep.select(F.col("keep_doc_id").alias("doc_id")),
                      "doc_id")
+    docs, _report, _edges = text_near_dedup(
+        docs.withColumn("n_chars", F.length("text")),
+        threshold=0.5, hash_family="xxhash64",
+        keep=("max", "n_chars"))
+    docs = docs.select("doc_id", "text")
 
     # 5. decontamination: Bloom-block anything matching the holdout
     #    set (map-only probe; exact anti-join on the survivor sliver)

@@ -11,8 +11,9 @@ from pyspark.sql import functions as F
 
 
 def _crawl_bytes():
-    """A 6-page crawl: 2 hosts, one exact duplicate pair, one
-    cp1252-encoded page, one boilerplate-only page."""
+    """A 7-page crawl: 2 hosts, one exact duplicate pair, one NEAR
+    duplicate (same body plus a bonus line — invisible to exact
+    hashing), one cp1252-encoded page, one boilerplate-only page."""
     from accelerator_spark.sources.warc import warc_build
 
     def page(title, body_html, charset="utf-8"):
@@ -32,6 +33,10 @@ def _crawl_bytes():
         {"warc_type": "response", "target_uri": "http://b.example/1",
          "payload": page("Alpha", "<p>The quick brown fox jumps.</p>"),
          "http": (200, "text/html; charset=utf-8")},   # exact dup of /1
+        {"warc_type": "response", "target_uri": "http://b.example/3",
+         "payload": page("Alpha", "<p>The quick brown fox jumps.</p>"
+                                  "<p>Bonus line.</p>"),
+         "http": (200, "text/html; charset=utf-8")},  # NEAR dup of /1
         {"warc_type": "response", "target_uri": "http://b.example/2",
          "payload": page("Gamma", "<p>Totally different words here "
                                   "for the corpus.</p>"),
@@ -64,7 +69,7 @@ def test_crawl_to_training_set(spark, tmp_path):
     recs = warc_import(spark, str(crawl_dir))
     pages = recs.filter((F.col("warc_type") == "response")
                         & (F.col("http_status") == 200))
-    assert pages.count() == 4
+    assert pages.count() == 5
 
     # 2. charset-aware decode: the cp1252 page must come out exact
     pages = pages.withColumn("record_id",
@@ -88,13 +93,31 @@ def test_crawl_to_training_set(spark, tmp_path):
         "# Alpha\n\nThe quick brown fox jumps.")
     assert "tracking()" not in md_by_uri["http://a.example/1"]
 
-    # 4. exact dedup on extracted text: the cross-host dup collapses
+    # 4. exact dedup on extracted text: the cross-host dup collapses,
+    # but the bonus-line near-copy sails through (distinct md5)
     body = ex.select("doc_id", "text")
     keep = exact_dedup(body, text_col="text")
-    assert keep.count() == 3
+    assert keep.count() == 4
     assert keep.agg(F.max("n_copies")).first()[0] == 2  # the dup pair
     kept = body.join(
         keep.select(F.col("keep_doc_id").alias("doc_id")), "doc_id")
+
+    # 4b. NEAR dedup (the one-call composite: LSH candidates -> exact
+    # Jaccard verify -> components), keeping the LONGEST member —
+    # the near pair collapses to the bonus-line variant, not the
+    # min-id original (the r12 survivor policy)
+    from accelerator_spark.operators.dedup import text_near_dedup
+    uris = ex.select("doc_id", "target_uri")
+    kept, report, edges = text_near_dedup(
+        kept.withColumn("n_chars", F.length("text")),
+        threshold=0.5, keep=("max", "n_chars"))
+    kept = kept.select("doc_id", "text")
+    kept_uris = {r.target_uri
+                 for r in kept.join(uris, "doc_id").collect()}
+    assert "http://b.example/3" in kept_uris        # longest survives
+    assert "http://a.example/1" not in kept_uris    # min-id dropped
+    assert kept.count() == 3
+    assert edges.count() == 1 and edges.first().jaccard >= 0.5
 
     # 5. decontamination: Bloom-block the page whose text matches the
     # "benchmark" set (map-only probe), then anti-join the maybes out
@@ -210,3 +233,44 @@ def test_webdataset_image_dedup_loop(spark, tmp_path):
     orig = {r.ext: bytes(r.payload) for r in members.filter(
         F.col("sample_key") == "b/solo1").collect()}
     assert first == orig and set(first) == {"png", "txt"}
+
+
+def test_near_dedup_as_memoized_build_step(spark, tmp_path):
+    """The r11/r12 near-dedup composites are reachable from the
+    build(step) memoized pipeline (VERDICT r11 #6): a step whose body
+    is text_near_dedup builds once, is served from cache on re-build,
+    and re-builds when its dedup options change."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from accelerator_spark.build import BuildContext
+    from accelerator_spark.dataset import Dataset
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "completely different content about spark engines"),
+    ]
+    src = Dataset.write(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        str(tmp_path / "src"))
+    ctx = BuildContext(spark, str(tmp_path / "wd"))
+
+    def step_near_dedup(spark, datasets, options):
+        from accelerator_spark.operators.dedup import text_near_dedup
+
+        docs = datasets["docs"].df(spark)
+        kept, _report, _edges = text_near_dedup(
+            docs, threshold=options["threshold"])
+        return kept
+
+    j1 = ctx.build(step_near_dedup, options={"threshold": 0.5},
+                   datasets={"docs": src})
+    assert not j1.cached
+    got = sorted(r.doc_id for r in j1.df().collect())
+    assert got == [1, 3]  # exact pair collapses to min id
+    j2 = ctx.build(step_near_dedup, options={"threshold": 0.5},
+                   datasets={"docs": src})
+    assert j2.cached and j2.jobid == j1.jobid
+    j3 = ctx.build(step_near_dedup, options={"threshold": 0.9},
+                   datasets={"docs": src})
+    assert not j3.cached and j3.jobid != j1.jobid
