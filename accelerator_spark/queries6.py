@@ -362,6 +362,69 @@ ORACLE_TEXT_NEAR_DEDUP_INCREMENTAL = _text_incr_oracle()
 
 
 # =====================================================================
+# STREAMING text near-dedup (streaming/structured.
+# stream_text_near_dedup — the text pipeline's streaming form)
+# =====================================================================
+
+def streaming_text_near_dedup_report(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """The rolling TEXT pipeline as an ACTUAL stream: the same three
+    out-of-order document batches as text_near_dedup_incremental_report
+    land as three parquet files with increasing mtimes; one
+    AvailableNow drain with maxFilesPerTrigger=1 processes them as
+    three micro-batches, each probing the parquet-persisted LSH
+    band-bucket state and joining candidates back to the kept-corpus
+    store for the exact Jaccard verify. The drained survivor set must
+    equal the batch operator's — the gate reuses
+    ORACLE_TEXT_NEAR_DEDUP_INCREMENTAL verbatim (the
+    streaming_near_dedup_report property, on the text front)."""
+    import os
+    import shutil
+
+    from .queries import _scratch
+    from .streaming.structured import (
+        stream_from_directory, stream_text_near_dedup)
+
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    slim = (docs.select("doc_id", "text")
+            .withColumn("batch_seq",
+                        ((F.col("doc_id") % 3 + 2) % 3).cast("int"))
+            .localCheckpoint())
+
+    src = _scratch("stnd_src")
+    kept_p = _scratch("stnd_kept")
+    state_p = _scratch("stnd_state")
+    ckpt = _scratch("stnd_ckpt")
+    stage = _scratch("stnd_stage")
+    t0 = 1_700_000_000
+    for seq in range(3):
+        d = os.path.join(stage, f"b{seq}")
+        (slim.filter(F.col("batch_seq") == seq)
+         .select("doc_id", "text")
+         .coalesce(1).write.parquet(d))
+        part = next(f for f in os.listdir(d)
+                    if f.endswith(".parquet"))
+        dst = os.path.join(src, f"batch{seq}.parquet")
+        shutil.copyfile(os.path.join(d, part), dst)
+        os.utime(dst, (t0 + 1000 * seq, t0 + 1000 * seq))
+
+    from pyspark.sql import types as T
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    stream_text_near_dedup(
+        stream_from_directory(spark, src, schema,
+                              max_files_per_trigger=1),
+        kept_p, state_p, ckpt)
+    kept = (spark.read.parquet(kept_p).select("doc_id")
+            .withColumn("_k", F.lit(True)))
+    return (slim.select("doc_id", "batch_seq")
+            .join(kept, "doc_id", "left")
+            .select("doc_id", "batch_seq",
+                    F.coalesce("_k", F.lit(False)).alias("kept")))
+
+
+# =====================================================================
 # video near-dup pairs (operators/multimodal.video_fingerprint +
 # video_near_pairs — the FOURTH modality on fp_near_pairs;
 # VERDICT r11 #4)
@@ -513,6 +576,8 @@ QUERIES6 = {
         streaming_near_dedup_compacted_report,
     "text_near_dedup_incremental_report":
         text_near_dedup_incremental_report,
+    "streaming_text_near_dedup_report":
+        streaming_text_near_dedup_report,
     "video_near_dup_pairs": video_near_dup_pairs,
 }
 
@@ -521,6 +586,8 @@ ORACLES6 = {
     "streaming_near_dedup_compacted_report":
         ORACLE_STREAMING_NEAR_DEDUP_COMPACTED,
     "text_near_dedup_incremental_report":
+        ORACLE_TEXT_NEAR_DEDUP_INCREMENTAL,
+    "streaming_text_near_dedup_report":
         ORACLE_TEXT_NEAR_DEDUP_INCREMENTAL,
     "video_near_dup_pairs": ORACLE_VIDEO_NEAR_DUP,
 }

@@ -344,6 +344,124 @@ def compact_batch_store(spark: SparkSession, path: str,
     return len(gens) - 1
 
 
+def _text_state_schema(batch_df: DataFrame,
+                       id_col: str) -> T.StructType:
+    """Explicit read schema for the LSH band-bucket state store —
+    (band, key, id, batch_id), the text_band_rows shape plus the
+    batch_id partition column (the _band_state_schema rationale: a
+    zero-kept generation has no schema-bearing part file)."""
+    return T.StructType([
+        T.StructField("band", T.IntegerType()),
+        T.StructField("key", T.StringType()),
+        T.StructField(id_col, batch_df.schema[id_col].dataType),
+        T.StructField("batch_id", T.LongType()),
+    ])
+
+
+def text_near_dedup_micro_batch(batch_df: DataFrame, batch_id: int,
+                                kept_path: str, state_path: str,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                num_hashes: int = 8, bands: int = 4,
+                                shingle_n: int = 3,
+                                threshold: float = 0.5,
+                                bucket_cap: int = 50,
+                                hash_family: str = "md5",
+                                broadcast_batch: bool = True) -> None:
+    """One micro-batch of the rolling TEXT near-dedup — the
+    foreachBatch body of ``stream_text_near_dedup``, module-level so
+    the at-least-once retry window is directly testable. Same
+    contracts as ``near_dedup_micro_batch``: Hadoop-FS existence
+    check (corrupt state fails loudly; HDFS/S3 paths are seen),
+    explicit read schemas (a zero-kept generation cannot break
+    inference), and the ``batch_id < current`` probe filter so a
+    retry never reads its own previous write as state (every doc is
+    Jaccard-1.0 with itself — an unfiltered retry would drop the
+    whole batch and overwrite its partitions empty).
+
+    Store layout: survivors (the batch's FULL rows — this store IS
+    the kept corpus the Jaccard verify stage joins back to) land
+    under ``kept_path/batch_id=N/``; their LSH band-bucket rows under
+    ``state_path/batch_id=N/``. The state is written strictly AFTER
+    the kept rows, so state_path existing implies every generation it
+    references has its kept text on disk — a crash between the two
+    writes is healed by the retry's overwrite."""
+    from ..operators.dedup import (
+        text_band_rows, text_near_dedup_incremental)
+
+    spark = batch_df.sparkSession
+    if _hadoop_path_exists(spark, state_path):
+        cur = F.col("batch_id") < F.lit(int(batch_id))
+        state = (spark.read
+                 .schema(_text_state_schema(batch_df, id_col))
+                 .parquet(state_path).filter(cur).drop("batch_id"))
+        corpus = (spark.read
+                  .schema(T.StructType(
+                      list(batch_df.schema.fields)
+                      + [T.StructField("batch_id", T.LongType())]))
+                  .parquet(kept_path).filter(cur).drop("batch_id"))
+    else:
+        state = corpus = None  # first batch (kept-only on disk can
+        # only mean batch 0 crashed mid-pair; its retry rewrites it)
+    kept, _ = text_near_dedup_incremental(
+        batch_df, state, corpus, text_col, id_col, num_hashes, bands,
+        shingle_n, threshold, bucket_cap, hash_family,
+        broadcast_batch)
+    kept = kept.localCheckpoint()
+    import os as _os
+    kept.write.mode("overwrite").parquet(
+        _os.path.join(kept_path, f"batch_id={int(batch_id)}"))
+    text_band_rows(kept, text_col, id_col, num_hashes, bands,
+                   shingle_n, hash_family) \
+        .write.mode("overwrite").parquet(
+            _os.path.join(state_path, f"batch_id={int(batch_id)}"))
+
+
+def stream_text_near_dedup(stream_df: DataFrame, kept_path: str,
+                           state_path: str, checkpoint: str,
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           num_hashes: int = 8, bands: int = 4,
+                           shingle_n: int = 3,
+                           threshold: float = 0.5,
+                           bucket_cap: int = 50,
+                           hash_family: str = "md5",
+                           broadcast_batch: bool = True,
+                           available_now: bool = True):
+    """Rolling TEXT near-dedup over a document stream —
+    ``text_near_dedup_incremental`` wired into Structured Streaming
+    via ``foreachBatch``, completing the symmetry: the classic
+    MinHash/Jaccard pipeline now exists in batch (text_near_dedup),
+    incremental (text_near_dedup_incremental) and streaming form,
+    exactly like the fingerprint family (near_dedup /
+    near_dedup_incremental / stream_near_dedup). Per micro-batch the
+    body is ``text_near_dedup_micro_batch`` (see there for the
+    retry-window, schema and store-layout contracts). Readers take
+    ``spark.read.parquet(kept_path)`` — the shrunk corpus with
+    batch_id arrival provenance. Maintenance: ``compact_batch_store``
+    folds both stores' generations between drains (both are
+    batch_id=N layouts).
+
+    Scale: each micro-batch pays O(batch) LSH work plus a
+    candidate-bounded verify — the band-bucket state is probed via a
+    broadcast of the batch's band rows and never shuffles, and only
+    candidate docs' text is ever shingled (the kept-corpus scan is
+    column-pruned and semi-joined down to the candidate ids)."""
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        text_near_dedup_micro_batch(
+            batch_df, batch_id, kept_path, state_path, text_col,
+            id_col, num_hashes, bands, shingle_n, threshold,
+            bucket_cap, hash_family, broadcast_batch)
+
+    writer = (stream_df.writeStream.foreachBatch(handle)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return None
+    return writer.start()  # caller owns awaitTermination/stop
+
+
 _SESSION_SCHEMA = T.StructType([
     T.StructField("user_id", T.LongType()),
     T.StructField("session_start", T.TimestampType()),

@@ -611,3 +611,90 @@ def test_compact_batch_store_restart_drain(spark, tmp_path):
           batches[3])
     got = {r.doc_id for r in spark.read.parquet(c + "/kept").collect()}
     assert got == want == {10, 30, 41}
+
+
+_T1 = "the quick brown fox jumps over the lazy dog today"
+_T2 = "completely different content about spark execution engines"
+_T5 = "partition pruning keeps scans small at any realistic scale"
+_T7 = "watermarks bound streaming state across long sessions"
+
+
+def test_text_near_dedup_micro_batch_retry_window(spark, tmp_path):
+    """At-least-once retry of the TEXT micro-batch: re-running batch N
+    after its state write landed (crash before the checkpoint commit)
+    must not read its own band rows/corpus as state — every doc is
+    Jaccard-1.0 with itself, so an unfiltered retry would drop the
+    whole batch and overwrite both partitions empty."""
+    from accelerator_spark.streaming.structured import (
+        text_near_dedup_micro_batch)
+
+    schema = "doc_id long, text string"
+    kept_p, state_p = str(tmp_path / "kept"), str(tmp_path / "state")
+    b0 = spark.createDataFrame([(1, _T1), (2, _T2)], schema)
+    text_near_dedup_micro_batch(b0, 0, kept_p, state_p)
+    b1 = spark.createDataFrame([(3, _T1), (5, _T5)], schema)
+    text_near_dedup_micro_batch(b1, 1, kept_p, state_p)
+    first = {r.doc_id for r in spark.read.parquet(kept_p).collect()}
+    assert first == {1, 2, 5}  # 3 = exact dup of kept 1
+
+    text_near_dedup_micro_batch(b1, 1, kept_p, state_p)  # the retry
+    retried = {r.doc_id for r in spark.read.parquet(kept_p).collect()}
+    assert retried == first
+    st = spark.read.parquet(state_p)
+    assert st.count() == 4 * len(first)  # 4 bands per kept doc
+
+
+def test_stream_text_near_dedup_matches_direct(spark, tmp_path):
+    """Three document files drained as three micro-batches
+    (AvailableNow + maxFilesPerTrigger=1), with compact_batch_store
+    folding BOTH stores between drains, must produce exactly the
+    direct text_near_dedup_incremental answer."""
+    import os
+
+    from accelerator_spark.operators.dedup import (
+        text_near_dedup_incremental)
+    from accelerator_spark.streaming.structured import (
+        compact_batch_store, stream_from_directory,
+        stream_text_near_dedup)
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    batches = [[(1, _T1), (2, _T2)],
+               [(3, _T1), (5, _T5)],
+               [(6, _T5), (7, _T7), (8, _T7)]]
+
+    # direct reference
+    state = corpus = None
+    want = set()
+    for rows in batches:
+        b = spark.createDataFrame(rows, schema)
+        kept, state = text_near_dedup_incremental(b, state, corpus)
+        kept = kept.localCheckpoint()
+        state = state.localCheckpoint()
+        want |= {r.doc_id for r in kept.collect()}
+        kc = kept.select("doc_id", "text")
+        corpus = kc if corpus is None else corpus.unionByName(kc)
+
+    # streamed run: drain per file, compact both stores after drain 2
+    src = str(tmp_path / "src")
+    kept_p, state_p = str(tmp_path / "kept"), str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        stream_text_near_dedup(
+            stream_from_directory(spark, src, schema,
+                                  max_files_per_trigger=1),
+            kept_p, state_p, ckpt)
+        if i == 1:
+            assert compact_batch_store(spark, state_p) == 0  # 2 gens
+    got = {r.doc_id for r in spark.read.parquet(kept_p).collect()}
+    assert got == want == {1, 2, 5, 7}
+
+    # state lifecycle: all three generations now fold; the store
+    # still reads back with the same per-doc band multiplicity
+    folded = compact_batch_store(spark, state_p,
+                                 rows_per_key=("doc_id", 4))
+    assert folded == 2
+    assert spark.read.parquet(state_p).count() == 4 * len(want)
