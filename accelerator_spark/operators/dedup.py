@@ -178,16 +178,27 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = 
     sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n,
                             hash_family=hash_family)
     exploded = _lsh_band_rows(sig, id_col, num_hashes, bands)
+    return _band_bucket_pairs(exploded, id_col, bucket_cap)
+
+
+def _band_bucket_pairs(exploded: DataFrame, id_col: str,
+                       bucket_cap: int) -> DataFrame:
+    """Distinct candidate pairs from exploded (.., band, key, id) band
+    rows: bucket on (band, key), cap degenerate buckets, expand
+    in-bucket pairs — the tail of ``minhash_lsh_candidates``, factored
+    so the incremental path can run it over a SUBSET of an existing
+    band-row frame (signatures are per-doc deterministic, so one
+    MinHash pass per batch serves the state probe, the in-batch
+    bucketing and the state append)."""
     buckets = (
         exploded.groupBy("band", "key")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter((F.size("ids") > 1) & (F.size("ids") <= bucket_cap))
     )
     from .pairs import sorted_array_pairs
-    pairs = buckets.select(
+    return buckets.select(
         sorted_array_pairs("ids", "doc_a", "doc_b").alias("p")
     ).select("p.doc_a", "p.doc_b").distinct()
-    return pairs
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -711,13 +722,25 @@ def jaccard_verify(pairs: DataFrame, df: DataFrame,
     (id, gram) — work is bounded by the CANDIDATE set times document
     shingle count, never all-pairs; the candidate set is already
     LSH/bucket_cap-bounded upstream."""
+    # the pair list is referenced by the semi-join, the intersection
+    # join and the final assembly — and since the corpus is bounded BY
+    # the pairs, every grams/sizes reference would otherwise re-run
+    # the (expensive: LSH or state-probe) candidate DAG; lazy
+    # localCheckpoint computes it once and shares it (the graph.py
+    # edge-list discipline). The frame is small — bucket/candidate
+    # bounded upstream.
+    pairs = (pairs.select("doc_a", "doc_b")
+             .localCheckpoint(eager=False))
     cand_ids = (pairs.select(F.col("doc_a").alias(id_col))
                 .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
                 .distinct())
     df = df.join(cand_ids, id_col, "left_semi")
+    # candidate docs' shingles feed three consumers (both sides of the
+    # intersection join and the size agg): share ONE materialization
     grams = df.select(
         F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("g"))
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("g")) \
+        .localCheckpoint(eager=False)
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = grams.select(F.col(id_col).alias("doc_a"), "g")
     b = grams.select(F.col(id_col).alias("doc_b"), "g")
@@ -1003,10 +1026,16 @@ def text_near_dedup_incremental(new_batch: DataFrame,
             "text_near_dedup_incremental: state and kept_corpus must "
             "both be None (first batch) or both be set — the verify "
             "stage joins state candidates back to the kept corpus")
+    # ONE MinHash pass per batch: signatures are per-doc deterministic,
+    # so these band rows serve the state probe, the in-batch bucketing
+    # (restricted to pass-A survivors by semi-join) and the state
+    # append — instead of three separate signature computations; lazy
+    # checkpoint shares the one materialization (the graph.py edge-list
+    # discipline), O(bands x batch) rows
+    batch_bands = text_band_rows(new_batch, text_col, id_col,
+                                 num_hashes, bands, shingle_n,
+                                 hash_family).localCheckpoint(eager=False)
     if state is not None:
-        batch_bands = text_band_rows(new_batch, text_col, id_col,
-                                     num_hashes, bands, shingle_n,
-                                     hash_family)
         cand = text_state_candidates(batch_bands, state, id_col,
                                      broadcast_batch)
         corpus = (new_batch.select(id_col, text_col)
@@ -1014,15 +1043,24 @@ def text_near_dedup_incremental(new_batch: DataFrame,
         verified = jaccard_verify(cand, corpus, text_col, id_col,
                                   shingle_n, threshold)
         near = verified.select(F.col("doc_a").alias(id_col)).distinct()
-        pass_a = new_batch.join(near, id_col, "left_anti")
+        # pass_a feeds the in-batch pipeline's bucketing, verify and
+        # survivor stages — without a lazy checkpoint each of those
+        # re-runs the whole state-probe + verify chain above
+        pass_a = (new_batch.join(near, id_col, "left_anti")
+                  .localCheckpoint(eager=False))
+        pass_bands = batch_bands.join(pass_a.select(id_col), id_col,
+                                      "left_semi")
     else:
         pass_a = new_batch
-    kept, _, _ = text_near_dedup(pass_a, text_col, id_col, num_hashes,
-                                 bands, shingle_n, threshold,
-                                 bucket_cap, hash_family)
-    kept_bands = text_band_rows(kept, text_col, id_col, num_hashes,
-                                bands, shingle_n, hash_family)
-    new_state = (kept_bands if state is None
+        pass_bands = batch_bands
+    in_pairs = _band_bucket_pairs(pass_bands, id_col, bucket_cap)
+    in_verified = jaccard_verify(in_pairs, pass_a, text_col, id_col,
+                                 shingle_n, threshold)
+    kept, _ = near_dedup(pass_a, id_col=id_col, pairs=in_verified)
+    kept_bands = batch_bands.join(kept.select(id_col), id_col,
+                                  "left_semi")
+    new_state = (kept_bands.select("band", "key", id_col)
+                 if state is None
                  else state.select("band", "key", id_col)
-                 .unionByName(kept_bands))
+                 .unionByName(kept_bands.select("band", "key", id_col)))
     return kept, new_state
