@@ -858,7 +858,8 @@ def near_dedup_incremental(new_batch: DataFrame,
                            id_col: str = "doc_id",
                            bits: int = 64, max_hamming: int = 3,
                            bucket_cap: int | None = None,
-                           broadcast_batch: bool = True):
+                           broadcast_batch: bool = True,
+                           keep: str | tuple = "min_id"):
     """NEAR-dedup of an ARRIVING batch against everything already kept
     — the banded-Hamming extension of ``dedup_incremental`` (VERDICT
     r10 #2): a rolling crawl that wants "skip documents near anything
@@ -877,8 +878,10 @@ def near_dedup_incremental(new_batch: DataFrame,
 
     (a) no KEPT fingerprint lies within ``max_hamming`` — the banded
         state probe (``state_near_ids``); and
-    (b) among rows passing (a), it is the min-id survivor of its
-        in-batch near-dup component (``near_dedup`` on the batch).
+    (b) among rows passing (a), it is the surviving member of its
+        in-batch near-dup component (``near_dedup`` on the batch —
+        min-id by default; ``keep`` selects the in-batch survivor
+        policy, e.g. ``("max", quality_col)``).
 
     A row near a state fingerprint drops immediately; rows near only
     IT are judged by the remaining subgraph — the greedy
@@ -909,8 +912,12 @@ def near_dedup_incremental(new_batch: DataFrame,
         pass_a = new_batch.join(near, id_col, "left_anti")
     else:
         pass_a = new_batch
+    # keep applies to the IN-BATCH survivor choice only: cross-batch
+    # precedence stays first-arrival-wins (a doc near anything already
+    # kept drops regardless of quality — the state holds no quality
+    # column to argue with, by design)
     kept, _ = near_dedup(pass_a, fp_col, id_col, bits, max_hamming,
-                         bucket_cap)
+                         bucket_cap, keep=keep)
     # NULL fingerprints pass through `kept` (the exact_dedup NULL
     # discipline) but must NOT enter the state: a NULL fp yields NULL
     # band keys that can never match a probe, yet would accumulate
@@ -983,7 +990,8 @@ def text_near_dedup_incremental(new_batch: DataFrame,
                                 threshold: float = 0.5,
                                 bucket_cap: int = 50,
                                 hash_family: str = "md5",
-                                broadcast_batch: bool = True):
+                                broadcast_batch: bool = True,
+                                keep: str | tuple = "min_id"):
     """The ROLLING form of the classic MinHash/Jaccard text pipeline
     (VERDICT r11 #2): a daily crawl that wants "skip documents
     Jaccard-near anything already kept" must not re-run MinHash over
@@ -1009,7 +1017,9 @@ def text_near_dedup_incremental(new_batch: DataFrame,
         — any shared band bucket; ``jaccard_verify`` disposes —
         exact word-shingle Jaccard, candidate-bounded); and
     (b) among rows passing (a), it survives the in-batch
-        ``text_near_dedup`` (LSH + verify + components + min-id).
+        ``text_near_dedup`` (LSH + verify + components; min-id by
+        default, ``keep`` selects the in-batch survivor policy —
+        cross-batch precedence stays first-arrival-wins).
 
     Returns ``(kept, new_state)``: the surviving batch rows (schema
     unchanged) and state ∪ the kept rows' band rows. The caller
@@ -1056,7 +1066,8 @@ def text_near_dedup_incremental(new_batch: DataFrame,
     in_pairs = _band_bucket_pairs(pass_bands, id_col, bucket_cap)
     in_verified = jaccard_verify(in_pairs, pass_a, text_col, id_col,
                                  shingle_n, threshold)
-    kept, _ = near_dedup(pass_a, id_col=id_col, pairs=in_verified)
+    kept, _ = near_dedup(pass_a, id_col=id_col, pairs=in_verified,
+                         keep=keep)
     kept_bands = batch_bands.join(kept.select(id_col), id_col,
                                   "left_semi")
     new_state = (kept_bands.select("band", "key", id_col)

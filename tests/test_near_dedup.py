@@ -496,3 +496,43 @@ def test_text_state_candidates_state_never_shuffles():
     state_scan = [ln for ln in plan.splitlines()
                   if "Scan ExistingRDD" in ln or "LocalTableScan" in ln]
     assert state_scan, plan
+
+
+def test_incremental_keep_policy_in_batch_only():
+    """keep= threads through the incrementals but applies to the
+    IN-BATCH survivor choice only: cross-batch precedence stays
+    first-arrival-wins (the state holds no quality to argue with)."""
+    spark = _spark()
+    base = _flip(0, 2, 12, 42)
+    # batch 0: family (1 low-qual, 2 high-qual) -> keep=('max') keeps 2
+    b0 = spark.createDataFrame([(1, base, 1), (2, _flip(base, 5), 9)],
+                               "doc_id long, fp long, qual int")
+    kept0, state = near_dedup_incremental(b0, None, "fp", "doc_id",
+                                          64, 3, keep=("max", "qual"))
+    assert [r.doc_id for r in kept0.collect()] == [2]
+    # batch 1: a HIGHER-quality near-dup of kept 2 still drops (state
+    # wins), while a fresh in-batch family resolves by quality again
+    far = _flip(0, 3, 23, 43, 63)
+    b1 = spark.createDataFrame(
+        [(3, _flip(base, 5, 6), 99),
+         (7, far, 2), (8, _flip(far, 4), 5)],
+        "doc_id long, fp long, qual int")
+    kept1, _ = near_dedup_incremental(b1, state, "fp", "doc_id",
+                                      64, 3, keep=("max", "qual"))
+    assert sorted(r.doc_id for r in kept1.collect()) == [8]
+
+
+def test_text_incremental_keep_policy_in_batch():
+    from accelerator_spark.operators.dedup import (
+        text_near_dedup_incremental)
+
+    spark = _spark()
+    t = "the quick brown fox jumps over the lazy dog today"
+    b0 = spark.createDataFrame(
+        [(5, t + " extra trailing words here"), (9, t)],
+        "doc_id long, text string")
+    from pyspark.sql import functions as F
+    b0 = b0.withColumn("n_chars", F.length("text"))
+    kept, _ = text_near_dedup_incremental(
+        b0, None, None, keep=("max", "n_chars"))
+    assert [r.doc_id for r in kept.collect()] == [5]  # longer wins
