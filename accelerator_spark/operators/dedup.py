@@ -698,6 +698,31 @@ def near_dedup(df: DataFrame, fp_col: str = "fp",
     return kept, report
 
 
+def _candidate_grams(pairs: DataFrame, df: DataFrame,
+                     text_col: str, id_col: str,
+                     shingle_n: int) -> DataFrame:
+    """Distinct (id, gram) rows for CANDIDATE documents only: the
+    corpus is semi-joined to the pairs' doc ids before any shingle is
+    exploded (VERDICT r11 — at 100 TB with a sparse candidate set
+    this bounds the verify stage's scan by candidate docs; the
+    LeftSemi shape is plan-asserted in tests). distinct() makes the
+    gram set per id well-defined even when the caller's frame carries
+    DUPLICATE id rows (an at-least-once replay whose batch overlaps
+    the kept corpus): duplicated gram rows double both `common` and
+    the sizes, driving the Jaccard union-size denominator to ZERO for
+    self-pairs (found by the 16x replay scale test) — and the DuckDB
+    oracles have always declared SELECT DISTINCT grams, so this is
+    the documented semantics."""
+    cand_ids = (pairs.select(F.col("doc_a").alias(id_col))
+                .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
+                .distinct())
+    bounded = df.join(cand_ids, id_col, "left_semi")
+    return bounded.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col),
+                                shingle_n)).alias("g")).distinct()
+
+
 def jaccard_verify(pairs: DataFrame, df: DataFrame,
                    text_col: str = "text", id_col: str = "doc_id",
                    shingle_n: int = 3,
@@ -731,16 +756,10 @@ def jaccard_verify(pairs: DataFrame, df: DataFrame,
     # bounded upstream.
     pairs = (pairs.select("doc_a", "doc_b")
              .localCheckpoint(eager=False))
-    cand_ids = (pairs.select(F.col("doc_a").alias(id_col))
-                .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
-                .distinct())
-    df = df.join(cand_ids, id_col, "left_semi")
     # candidate docs' shingles feed three consumers (both sides of the
     # intersection join and the size agg): share ONE materialization
-    grams = df.select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("g")) \
-        .localCheckpoint(eager=False)
+    grams = _candidate_grams(pairs, df, text_col, id_col,
+                             shingle_n).localCheckpoint(eager=False)
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = grams.select(F.col(id_col).alias("doc_a"), "g")
     b = grams.select(F.col(id_col).alias("doc_b"), "g")

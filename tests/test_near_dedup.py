@@ -390,8 +390,16 @@ def test_jaccard_verify_candidate_bounded_scan():
     out = jaccard_verify(pairs, df, threshold=0.5)
     got = {(r.doc_a, r.doc_b, r.jaccard) for r in out.collect()}
     assert got == {(1, 2, 1.0)}
-    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the bound lives in _candidate_grams (jaccard_verify checkpoints
+    # its output, which hides the join from the outer plan): the
+    # corpus reaches the shingle explode only through a LeftSemi
+    # against the pairs' ids
+    from accelerator_spark.operators.dedup import _candidate_grams
+    grams = _candidate_grams(pairs, df, "text", "doc_id", 3)
+    plan = grams._jdf.queryExecution().optimizedPlan().toString()
     assert "LeftSemi" in plan
+    assert {r.doc_id for r in grams.select("doc_id")
+            .distinct().collect()} == {1, 2}
 
 
 def test_text_near_dedup_incremental_first_batch_wins():

@@ -802,3 +802,83 @@ def test_near_dedup_incremental_at_16x(spark, docs16):
     kdf = spark.createDataFrame(kept_rows, "doc_id long, simhash long")
     assert fp_near_pairs(kdf, "simhash", "doc_id", 64, 3).count() == 0
     assert state.count() == 4 * len(kept_rows)
+
+
+def test_text_near_dedup_incremental_at_16x(spark, docs16):
+    """The rolling TEXT pipeline at 16x: 16 verbatim copies of every
+    document arrive spread over 3 batches (identical texts share ALL
+    LSH bands, so candidacy is guaranteed, and Jaccard is exactly
+    1.0). Invariants: the kept set has pairwise-distinct texts (at
+    most one replica per family survives), replaying the ENTIRE 16x
+    corpus against the final state keeps NOTHING (a true fixpoint —
+    every doc is Jaccard-1.0 near a kept replica), and the state
+    holds exactly `bands` band rows per kept doc. bucket_cap is
+    raised so the dup-heavy 16x families are not cap-dropped."""
+    from accelerator_spark.operators.dedup import (
+        text_near_dedup_incremental)
+
+    t16 = (docs16.select("doc_id", "text")
+           .withColumn("b", ((F.col("doc_id") / 100000)
+                             .cast("long") % 3).cast("int"))
+           .localCheckpoint())
+    state = corpus = None
+    kept_n = 0
+    for seq in range(3):
+        batch = t16.filter(F.col("b") == seq).select("doc_id", "text")
+        kept, state = text_near_dedup_incremental(
+            batch, state, corpus, bucket_cap=5000,
+            hash_family="xxhash64")
+        kept = kept.localCheckpoint()
+        state = state.localCheckpoint()
+        kept_n += kept.count()
+        kc = kept.select("doc_id", "text")
+        corpus = (kc if corpus is None
+                  else corpus.unionByName(kc)).localCheckpoint()
+    # pairwise-distinct texts among survivors
+    assert corpus.count() == kept_n
+    assert corpus.select("text").distinct().count() == kept_n
+    # fixpoint: replaying the whole corpus admits nothing new
+    replay, state = text_near_dedup_incremental(
+        t16.select("doc_id", "text"), state, corpus,
+        bucket_cap=5000, hash_family="xxhash64")
+    assert replay.count() == 0
+    # bands rows per kept doc (docs with text; default bands=4)
+    assert state.count() == 4 * kept_n
+
+
+def test_compact_batch_store_many_generations(spark, tmp_path):
+    """A year of micro-batches in miniature: 12 small band-row
+    generations compact to one folded generation + the untouched
+    newest; the probe answers identically and the row count and
+    per-doc band multiplicity are preserved."""
+    from accelerator_spark.operators.dedup import (
+        fp_band_rows, state_near_ids)
+    from accelerator_spark.streaming.structured import (
+        compact_batch_store)
+
+    state_p = str(tmp_path / "state")
+    fps = []
+    for g in range(12):
+        fp = (1 << (g % 60)) | (1 << ((g * 7 + 3) % 60))
+        fps.append((100 + g, fp))
+        b = spark.createDataFrame([fps[-1]], "doc_id long, fp long")
+        fp_band_rows(b, "fp", "doc_id").write.parquet(
+            f"{state_p}/batch_id={g}")
+    probe = spark.createDataFrame(
+        [(900, fps[2][1] ^ 1), (901, (1 << 62) | (1 << 61) | 7)],
+        "doc_id long, fp long")
+
+    def near(path):
+        st = spark.read.parquet(path).drop("batch_id")
+        return {r.doc_id for r in state_near_ids(probe, st).collect()}
+
+    before = near(state_p)
+    assert compact_batch_store(spark, state_p,
+                               rows_per_key=("doc_id", 4)) == 11
+    import os
+    import re
+    gens = sorted(int(m.group(1)) for e in os.listdir(state_p)
+                  if (m := re.fullmatch(r"batch_id=(\d+)", e)))
+    assert gens == [0, 11]
+    assert near(state_p) == before == {900}
+    assert spark.read.parquet(state_p).count() == 4 * 12
