@@ -61,7 +61,12 @@ _GRADED_FIRST = [
     # SAME fp_near_pairs operator image_near_dup_pairs now drives
     # end-to-end with a brute-force oracle, and the simhash vote-agg
     # fingerprint stays value-checked in the tail)
-    "dedup_exact", "minhash_lsh_pairs",
+    "dedup_exact",
+    # (minhash_lsh_pairs moved to the un-graded tail in r12: the banded
+    # LSH candidate shape — signatures, band keys, bucket caps — is
+    # replayed bit-exactly PER BATCH inside the graded
+    # text_near_dedup_incremental_report oracle, end-to-end through
+    # verify/components/survivors)
     # (dedup_components and cross_doc_duplication moved to the
     # un-graded tail in r11: near_dedup_report grades the SAME
     # connected-components + survivor machinery end-to-end with a
@@ -70,12 +75,18 @@ _GRADED_FIRST = [
     # the n-gram inverted-index probe shape graded)
     "decontaminate_train_set",
     "url_dedup_report", "semantic_dedup_report_capped",
-    # r11 headline: the one-call corpus-shrinking composite and its
-    # O(batch) rolling-ingestion form, both brute-force-oracle-gated
-    "near_dedup_report", "near_dedup_incremental_report",
-    # image near-dup (r10 headline: real PNG decode -> dHash -> generic
-    # banded-Hamming pairing, recall brute-force-checked in the oracle)
-    "image_near_dup_pairs",
+    # r11/r12 headline: the corpus-shrinking composite (graded through
+    # the r12 keep-policy variant — SAME pairs/components/membership-
+    # checked anti-join machinery as near_dedup_report, now in the
+    # tail, PLUS the survivor argmax window), its O(batch) rolling
+    # form, and the r12 rolling TEXT pipeline
+    "near_dedup_keep_longest_report", "near_dedup_incremental_report",
+    "text_near_dedup_incremental_report",
+    # video near-dup (r12: drives the SAME dHash + fp_near_pairs
+    # machinery image_near_dup_pairs graded — now in the tail —
+    # through a SUPERSET path: real GIF frame decode + compose + PNG
+    # re-encode/decode + the temporal fold, recall brute-force-checked)
+    "video_near_dup_pairs",
     # (corpus_line_dedup_report moved to the un-graded tail in r9b —
     # its canonicalize+groupBy shape stays graded via url_dedup_report)
     # multimodal training-shard ingestion (r9b headline: WebDataset tar

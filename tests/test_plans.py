@@ -319,13 +319,15 @@ def test_entry_graded_subset_is_representative_and_valid():
     # for dedup_components / cross_doc_duplication (the CC + survivor
     # machinery stays graded via near_dedup_report; the gram
     # inverted-index shape via decontaminate_train_set)
-    cats = {"q1_pricing_summary", "minhash_lsh_pairs", "ann_recall_report",
+    cats = {"q1_pricing_summary", "ann_recall_report",
             "streaming_hourly_counts", "warc_pipeline_report",
             "html_extract_report", "sequence_packing",
             "hll_distinct_rollup", "dataset_type_menu2",
             "webdataset_report", "bpe_tokenize_report",
-            "image_near_dup_pairs", "webdataset_export_roundtrip",
-            "near_dedup_report", "near_dedup_incremental_report"}
+            "video_near_dup_pairs", "webdataset_export_roundtrip",
+            "near_dedup_keep_longest_report",
+            "near_dedup_incremental_report",
+            "text_near_dedup_incremental_report"}
     assert cats <= set(names[:50])
 
 
