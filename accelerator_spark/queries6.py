@@ -4,8 +4,9 @@ POLICY surface VERDICT r11 asked for: the survivor keep-policy gate
 band-row state compaction gate (a rolling crawl's store maintenance
 must be answer-invariant, proven through the real stream), the
 incremental MinHash/Jaccard text near-dedup (the O(batch) rolling form
-of the classic pipeline), and video near-dup over the real-decode GIF
-frame path.
+of the classic pipeline) with its STREAMING twin (the text pipeline
+now has batch/incremental/streaming symmetry like the fingerprint
+family), and video near-dup over the real-decode GIF frame path.
 
 Same contract as queries.py .. queries5.py: every entry pairs a Spark
 implementation with a DuckDB oracle over the identical parquet tables;
