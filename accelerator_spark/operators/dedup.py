@@ -363,13 +363,26 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     ``localCheckpoint`` truncates the lineage each round so plan depth
     stays O(1) instead of O(iterations), which is what makes iteration
     viable on a real cluster.
+
+    Round-12 job economy (guide §2.4 — iteration latency is per-round
+    FIXED cost at any scale): (a) the symmetrized edge list is NOT
+    distinct()'d — caller pair lists are distinct already (fp_near_pairs
+    / jaccard_verify end distinct) and min-label propagation is
+    idempotent to duplicate edges, so the exchange bought nothing;
+    (b) label init FUSES the first propagation round into the node
+    enumeration — every node appears as ``u`` in the symmetrized list,
+    so one groupBy yields labels = min(self, neighbors), i.e. round 1,
+    in the same job that used to compute the identity labels. Net: two
+    fewer Spark jobs and one fewer convergence round per call, labels
+    bit-identical (same min-label fixpoint).
     """
     both = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    ).distinct().localCheckpoint()
-    labels = both.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("component")
     ).localCheckpoint()
+    labels = (both.groupBy("u")
+              .agg(F.least(F.col("u"), F.min("v")).alias("component"))
+              .withColumnRenamed("u", "node")
+              .localCheckpoint(eager=False))
     for _ in range(max_iter):
         prop = both.join(labels, both.v == labels.node).select(
             F.col("u").alias("node"), F.col("component")

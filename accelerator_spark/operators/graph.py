@@ -99,9 +99,18 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     # edge-build lineage doesn't re-execute per iteration (measured
     # 7.2s -> 1.6s at sf0.1 for 3 iterations on the co-purchase graph)
     # eager: the node-count action below would otherwise trigger a
-    # second full edge build before the checkpoint materializes
-    sym = symmetrize(edges).localCheckpoint(eager=True)
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # second full edge build before the checkpoint materializes.
+    # r12 (guide §2.4): the degree is FOLDED INTO the checkpointed
+    # adjacency (one count window over the src-partitioned edges), so
+    # each iteration is ONE join + one agg instead of two joins — the
+    # degree join repeated per round carried no new information. The
+    # contribution stays rank / deg, the exact original arithmetic.
+    from pyspark.sql import Window as _W
+    sym = (symmetrize(edges)
+           .withColumn("_deg", F.count(F.lit(1)).over(
+               _W.partitionBy("src")))
+           .localCheckpoint(eager=True))
+    deg = sym.select("src").distinct()
     n = deg.count()  # node count: one tiny agg job, scalar to driver
     if n == 0:  # empty graph: empty result, not ZeroDivisionError
         # node type mirrors the edge schema — a hardcoded long made the
@@ -117,9 +126,8 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     base = (1.0 - damping) / n
     for _ in range(iterations):
         contribs = (sym.join(ranks, sym.src == ranks.node)
-                    .join(deg, "src")
                     .select(F.col("dst").alias("node"),
-                            (F.col("rank") / F.col("deg")).alias("c")))
+                            (F.col("rank") / F.col("_deg")).alias("c")))
         ranks = contribs.groupBy("node").agg(
             (F.lit(base) + F.lit(damping) * F.sum("c")).alias("rank"))
     return ranks

@@ -79,6 +79,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to defaultParallelism iff the frame is
+    UNDER-parallel (fewer partitions than cores). The testdata tables
+    are single-row-group parquet files — an unsplittable 1-task scan,
+    exactly the guide §2.5 "input skew: one huge unsplittable file ...
+    repartition immediately after the read" case — so every heavy
+    per-row stage (Arrow codecs, md5 hashing, ANSI try_* arithmetic)
+    otherwise runs on ONE core. Scale-adaptive by construction: at
+    production scale the scan arrives in hundreds of splits and this
+    is a no-op (no exchange is added), so it is NOT a local-only
+    tuning constant."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load events with ``ts`` normalized to a session-TZ-free µs
     timestamp, whatever the parquet physical type is. Generations of the
@@ -707,7 +725,11 @@ def dataset_type_menu2(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions.conversions expressions, oracle-mirrored."""
     from .functions.conversions import convert_expr
 
-    orders = _t(spark, sf_dir, "orders")
+    # r12 (guide §2.5): spread the projected scan — the string-build +
+    # typed-parse chain is per-row heavy (hex/time/number/unixtime
+    # round-trips) and ran single-core on the one-row-group file
+    orders = _spread(_t(spark, sf_dir, "orders")
+                     .select("o_orderkey", "o_totalprice", "o_custkey"))
     messy = orders.select(
         "o_orderkey",
         F.lower(F.hex(F.col("o_orderkey"))).alias("s_hex"),
@@ -1708,8 +1730,13 @@ def _doc_media_df(spark: SparkSession, sf_dir: str, build_payload) -> DataFrame:
     gates. ``build_payload(text) -> (bytes, mime)`` must derive payload
     bytes ONLY from md5(text)/md5(text + ':p2') so the DuckDB oracles'
     hex replay matches; one generator serves every media gate (review
-    r6: the per-query copies had to stay byte-identical by hand)."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    r6: the per-query copies had to stay byte-identical by hand).
+    r12: the doc scan is ``_spread`` ahead of the Arrow stage — the
+    single-row-group file otherwise put every payload build AND every
+    downstream decode stage in one Python worker on one core (guide
+    §2.5 input parallelism / §4; measured 2.0 s -> 1.1 s on
+    document_extract_report at sf0.1)."""
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def make_media(batches):
         import pandas as pd
@@ -2336,7 +2363,7 @@ def html_extract_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle."""
     from .operators.html import html_extract
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def build_html(batches):
         import hashlib as _hashlib
@@ -2383,7 +2410,7 @@ def mojibake_repair_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     unicode literals. One Arrow map stage, no shuffle."""
     from .operators.text import fix_mojibake
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def corrupt(batches):
         import hashlib as _hashlib
@@ -2421,7 +2448,7 @@ def warc_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the exact HTML body string. The oracle replays the md5
     construction with a lateral range join. One Arrow map stage, no
     shuffle."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def gen(batches):
         import hashlib as _hashlib
@@ -2497,7 +2524,7 @@ def charset_decode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings as unicode literals. One Arrow map stage, no shuffle."""
     from .operators.charset import decode_payload
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def gen(batches):
         import codecs as _codecs
@@ -2702,7 +2729,7 @@ def unicode_normalize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle."""
     from .operators.text import normalize_unicode
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def corrupt(batches):
         import hashlib as _hashlib
@@ -2761,7 +2788,7 @@ def main_content_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the article strings. One Arrow map stage, no shuffle."""
     from .operators.html import extract_main_content
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def build_page(batches):
         import hashlib as _hashlib
@@ -2828,7 +2855,7 @@ def robots_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     One broadcast join + one Arrow map stage."""
     from .operators.robots import robots_check
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
     _ROBOTS = ("User-agent: trainbot\nDisallow: /\n\n"
                "User-agent: *\nDisallow: /private/\n"
@@ -2898,7 +2925,7 @@ def sitemap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     join. One Arrow map stage, no shuffle."""
     from .operators.robots import sitemap_build, sitemap_entries
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def gen(batches):
         import hashlib as _hashlib
@@ -3049,7 +3076,7 @@ def sentence_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of the regex). No Python, no shuffle."""
     from .operators.text import split_sentences
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def gen(batches):
         import hashlib as _hashlib

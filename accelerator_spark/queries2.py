@@ -121,15 +121,22 @@ def approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     lands within 1% relative error — the sketch a 100 TB pipeline would
     actually use (Greenwald-Khanna: bounded memory, mergeable), verified
     against the exact answer the oracle can replay."""
-    li = _t(spark, sf_dir, "lineitem")
-    ex = li.groupBy("l_returnflag").agg(
+    # r12 (guide §2.4/§2.3): ONE agg over ONE projected+spread scan —
+    # the exact and approx percentiles shared a group key yet ran as
+    # two full-table aggs joined back together (two scans, an extra
+    # exchange + join), and the single-row-group scan serialized the
+    # percentile buffering on one core. Output values unchanged (the
+    # approx sketch only feeds the boolean, at accuracy=10000 its
+    # <=0.01% error never moves the 1% gate).
+    from .queries import _spread
+    li = _spread(_t(spark, sf_dir, "lineitem")
+                 .select("l_returnflag", "l_extendedprice"))
+    j = li.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("p50"),
         F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 2).alias("p99"))
-    ap = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 2).alias("p99"),
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("a50"),
         F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)).alias("a99"))
-    j = ex.join(ap, "l_returnflag")
     ok = ((F.abs(F.col("a50") - F.col("p50")) <= 0.01 * F.col("p50"))
           & (F.abs(F.col("a99") - F.col("p99")) <= 0.01 * F.col("p99")))
     return (j.select("l_returnflag", "p50", "p90", "p99",
@@ -733,7 +740,12 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference prints per-column min/max from metadata; we compute the
     full profile in a single agg over one scan)."""
     from .operators.profile import profile
-    orders = _t(spark, sf_dir, "orders")
+    from .queries import _spread
+
+    # r12 (guide §2.5): the multi-countDistinct agg plans through an
+    # Expand that multiplies the input x(distinct cols + 1); on the
+    # single-row-group scan that whole expansion ran on one core.
+    orders = _spread(_t(spark, sf_dir, "orders"))
     return (profile(orders).withColumnRenamed("column", "col_name")
             .orderBy("col_name"))
 
@@ -1797,9 +1809,18 @@ def try_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflow via try_multiply at the int64 edge, and aggregation over
     the resulting nulls. The oracle mirrors each null with explicit
     CASE guards — proving the try_* semantics equal ANSI CASE-protected
-    arithmetic."""
+    arithmetic.
+
+    r12 (guide §2.5): the projected scan is REPARTITION-hinted inside
+    a subquery — every overflowing try_multiply row pays a caught JVM
+    arithmetic exception (~30 µs each, measured 4.3 s for the
+    single-core scan at sf0.1), so the per-row work must spread; the
+    hint sizes to the session's default parallelism, and at production
+    scale a multi-split scan makes it a near-no-op reshuffle of three
+    narrow columns."""
     from .sqlapi import sql
-    return sql(spark, sf_dir, """
+    n = spark.sparkContext.defaultParallelism
+    return sql(spark, sf_dir, f"""
 SELECT o_orderstatus,
        count(*) AS n,
        sum(try_divide(o_totalprice, CAST(o_orderkey % 7 AS DOUBLE)))
@@ -1812,7 +1833,9 @@ SELECT o_orderstatus,
                   THEN 1 END) AS n_overflow,
        round(avg(try_divide(o_totalprice,
                             CAST(o_orderkey % 7 AS DOUBLE))), 2) AS avg_ratio
-FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+FROM (SELECT /*+ REPARTITION({n}) */
+             o_orderstatus, o_totalprice, o_orderkey FROM orders) _spread
+GROUP BY o_orderstatus ORDER BY o_orderstatus
 """)
 
 

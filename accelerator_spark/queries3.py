@@ -23,6 +23,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    from .queries import _spread as real
+    return real(df)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from .queries import _t as real
     return real(spark, sf_dir, name)
@@ -47,7 +52,7 @@ def webdataset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     One Arrow map stage + one sample-key shuffle."""
     from .sources.tar import tar_decode_file, webdataset_group, TAR_SCHEMA
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def build_and_decode(batches):
         import hashlib as _hashlib
@@ -160,7 +165,7 @@ def html_markdown_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle."""
     from .operators.markdown import html_to_markdown
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def build_html(batches):
         import hashlib as _hashlib
@@ -239,7 +244,7 @@ def mbox_extract_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .sources.mail import MAIL_SCHEMA
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     out_schema = T.StructType(
         [T.StructField("doc_id", T.LongType())]
         + [f for f in MAIL_SCHEMA.fields if f.name not in ("path",)])
@@ -566,7 +571,7 @@ def bpe_tokenize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible.) One Arrow map stage, no shuffle."""
     from .operators.bpe import EOW, bpe_tokenize
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     words = ["abc", "ab", "cab", "xyz"]
 
     def build_text(batches):
@@ -936,7 +941,7 @@ def warc_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries import _scratch
     from .sources.warc import warc_export, warc_import
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def build_pages(batches):
         import hashlib as _hashlib
@@ -1013,7 +1018,7 @@ def dedup_incremental_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fp, batch) group. Output: every kept row with its batch."""
     from .operators.dedup import dedup_incremental
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def content(batches):
         import hashlib as _hashlib
@@ -1127,7 +1132,7 @@ def tensor_import_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreign writer in tests/test_tensors.py.) Map-only Arrow stage."""
     from .sources.tensors import TENSOR_SCHEMA, tensor_decode_file
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def build_and_decode(batches):
         import hashlib as _hashlib

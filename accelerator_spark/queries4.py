@@ -22,6 +22,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    from .queries import _spread as real
+    return real(df)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from .queries import _t as real
     return real(spark, sf_dir, name)
@@ -50,7 +55,7 @@ def image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Spark side."""
     from .operators.multimodal import dhash_near_pairs, image_dhash
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def build_pngs(batches):
         import hashlib as _hashlib
@@ -171,7 +176,7 @@ def audio_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-key shuffle; no cross join on the Spark side."""
     from .operators.multimodal import audio_ehash, audio_near_pairs
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def build_wavs(batches):
         import hashlib as _hashlib
@@ -284,7 +289,7 @@ def webdataset_export_roundtrip(spark: SparkSession,
     from .queries import _scratch
     from .sources.tar import tar_export, tar_import, webdataset_group
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def build_members(batches):
         import hashlib as _hashlib

@@ -335,11 +335,17 @@ def test_entry_graded_subset_is_representative_and_valid():
 
 def test_markdown_and_bpe_gates_map_only(spark, sf_dir):
     """HTML→Markdown and BPE tokenization are per-document transforms:
-    their whole plans must stay map-only (no exchange, no join)."""
+    their plans must stay map-only (no join, no keyed shuffle). r12:
+    the one allowed exchange is the explicit fixture-stage round-robin
+    spread of the single-row-group doc scan (the
+    mbox_extract_report pattern below) — the operator itself still
+    introduces no exchange."""
     for name in ("html_markdown_report", "bpe_tokenize_report",
                  "rtf_extract_report", "image_dhash_report"):
         s = _plan(spark, name, sf_dir)
-        assert "Exchange" not in s, name
+        assert s.count("Exchange") <= 1, name
+        assert ("Exchange" not in s
+                or "Exchange RoundRobinPartitioning" in s), name
         assert "Join" not in s, name
 
 
@@ -363,7 +369,9 @@ def test_webdataset_grouping_bounded_shuffles(spark, sf_dir):
 
 def test_corpus_inventory_single_agg_exchange(spark, sf_dir):
     s = _plan(spark, "corpus_inventory_report", sf_dir)
-    assert s.count("Exchange") == 1     # partial+final agg only
+    # partial+final agg, plus (r12) the fixture-stage round-robin
+    # spread of the single-row-group doc scan
+    assert s.count("Exchange") <= 2
     assert "Join" not in s
 
 
