@@ -304,10 +304,20 @@ def fp_near_pairs(df: DataFrame, fp_col: str = "fp",
             "or lower max_hamming")
     fp = F.col(fp_col).cast("long")
     band_keys = _hamming_band_keys(fp, bits, max_hamming)
+    # r12 (guide §2.4/§8): the band-row frame feeds BOTH self-join
+    # sides and the bucket_cap size agg, and Catalyst/AQE do NOT reuse
+    # the three copies of its subtree — so the whole upstream
+    # fingerprint DAG (often a full tokenize+hash pass) executed up to
+    # three times per call. One lazy localCheckpoint shares the single
+    # materialization; the frame is (id, fp, blk) only — max_hamming+1
+    # small rows per doc, the same proxy-sized unit the incremental
+    # state store persists, so it is cheap at any scale. Measured
+    # 3.6 s -> 2.4 s warm (15.9 -> 4.3 cold) on simhash_near_dup_pairs64
+    # at sf0.1, outputs identical.
     blocks = df.select(
         id_col, fp.alias("_fp"),
         F.explode(F.array(*band_keys)).alias("blk"),
-    )
+    ).localCheckpoint(eager=False)
     if bucket_cap is not None:
         # skew guard (same contract as minhash bucket_cap): drop blocks
         # whose membership exceeds the cap — at 16 bits the fingerprint
