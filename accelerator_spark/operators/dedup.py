@@ -770,38 +770,42 @@ def jaccard_verify(pairs: DataFrame, df: DataFrame,
     (id, gram) — work is bounded by the CANDIDATE set times document
     shingle count, never all-pairs; the candidate set is already
     LSH/bucket_cap-bounded upstream."""
-    # the pair list is referenced by the semi-join, the intersection
-    # join and the final assembly — and since the corpus is bounded BY
-    # the pairs, every grams/sizes reference would otherwise re-run
-    # the (expensive: LSH or state-probe) candidate DAG; lazy
-    # localCheckpoint computes it once and shares it (the graph.py
-    # edge-list discipline). The frame is small — bucket/candidate
-    # bounded upstream.
+    # the pair list is referenced by the semi-join and both gram-attach
+    # joins — and since the corpus is bounded BY the pairs, every grams
+    # reference would otherwise re-run the (expensive: LSH or
+    # state-probe) candidate DAG; lazy localCheckpoint computes it once
+    # and shares it (the graph.py edge-list discipline). The frame is
+    # small — bucket/candidate bounded upstream.
     pairs = (pairs.select("doc_a", "doc_b")
              .localCheckpoint(eager=False))
-    # candidate docs' shingles feed three consumers (both sides of the
-    # intersection join and the size agg): share ONE materialization
+    # candidate docs' shingles feed both sides of the pair attach:
+    # share ONE materialization
     grams = _candidate_grams(pairs, df, text_col, id_col,
                              shingle_n).localCheckpoint(eager=False)
-    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = grams.select(F.col(id_col).alias("doc_a"), "g")
-    b = grams.select(F.col(id_col).alias("doc_b"), "g")
-    inter = (pairs.select("doc_a", "doc_b")
-             .join(a, "doc_a").join(b, ["doc_b", "g"])
-             .groupBy("doc_a", "doc_b")
-             .agg(F.count(F.lit(1)).alias("common")))
-    sa = sizes.select(F.col(id_col).alias("doc_a"),
-                      F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"),
-                      F.col("sz").alias("sz_b"))
-    out = (pairs.select("doc_a", "doc_b")
-           .join(inter, ["doc_a", "doc_b"], "left")
-           .join(sa, "doc_a").join(sb, "doc_b")
-           .withColumn("common", F.coalesce("common", F.lit(0)))
-           .withColumn("jaccard",
-                       F.col("common")
-                       / (F.col("sz_a") + F.col("sz_b")
-                          - F.col("common"))))
+    # r12 (guide §2.4): intersection AND union sizes from ONE rolled-up
+    # gram stream instead of the old inter-join + per-doc size agg +
+    # three assembly joins. Attach each pair to both members' distinct
+    # gram sets, then: per (pair, gram) the row count c is 1 (one side)
+    # or 2 (shared), so union = count(groups) and common = sum(c) -
+    # union. jaccard = common / union is ARITHMETICALLY IDENTICAL to
+    # the old common / (sz_a + sz_b - common) — same integers, same
+    # one double division — while dropping ~4 exchanges per call (this
+    # operator runs twice per incremental-text micro-batch). Pairs
+    # where either member has no shingles at all fall below any
+    # threshold > 0 exactly as the old inner size-joins dropped them.
+    a = pairs.join(grams.select(F.col(id_col).alias("doc_a"), "g"),
+                   "doc_a")
+    b = pairs.join(grams.select(F.col(id_col).alias("doc_b"), "g"),
+                   "doc_b")
+    per_gram = (a.select("doc_a", "doc_b", "g")
+                .unionAll(b.select("doc_a", "doc_b", "g"))
+                .groupBy("doc_a", "doc_b", "g")
+                .agg(F.count(F.lit(1)).alias("_c")))
+    out = (per_gram.groupBy("doc_a", "doc_b")
+           .agg(F.count(F.lit(1)).alias("_union"),
+                F.sum("_c").alias("_total"))
+           .withColumn("common", F.col("_total") - F.col("_union"))
+           .withColumn("jaccard", F.col("common") / F.col("_union")))
     return (out.filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard"))
 
