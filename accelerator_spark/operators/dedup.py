@@ -447,10 +447,16 @@ def duplicate_ngram_fraction(df: DataFrame, text_col: str = "text",
     residual skew. The shuffle volume is the exploded gram stream, the
     unavoidable lower bound for exact cross-doc comparison.
     """
+    # r12 (guide §2.4): the exploded gram stream feeds BOTH the
+    # document-frequency agg and the flag join; without a shared
+    # materialization the full tokenize+explode ran twice. The lazy
+    # checkpoint stores (id, carry, gram) rows — the same order of
+    # bytes the df_g shuffle already moves, so the trade holds at any
+    # scale.
     grams = df.select(
         F.col(id_col), *[F.col(c) for c in carry],
         F.explode(word_shingles(F.col(text_col), n)).alias("g"),
-    )
+    ).localCheckpoint(eager=False)
     gram_df = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
     flagged = grams.join(gram_df, "g")
     return (
@@ -561,8 +567,11 @@ def exact_substring_spans(df: DataFrame, text_col: str = "text",
             f"transform(sequence(1, size(t) - {k} + 1),"
             f" i -> struct(i AS pos, concat_ws(' ', slice(t, i, {k})) AS g))"
         )).alias("pg"))
+    # r12 (guide §2.4): the positional gram stream feeds the shared-gram
+    # doc-frequency agg AND the membership semi-join; share one
+    # materialization instead of exploding the corpus twice
     pos = grams.select(id_col, F.col("pg.pos").alias("pos"),
-                       F.col("pg.g").alias("g"))
+                       F.col("pg.g").alias("g")).localCheckpoint(eager=False)
     shared = (pos.select("g", id_col).distinct()
               .groupBy("g").agg(F.count(F.lit(1)).alias("df"))
               .filter(F.col("df") >= 2).select("g"))

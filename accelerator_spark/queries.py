@@ -4943,7 +4943,10 @@ def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the correctness baseline this approximates at scale."""
     from .operators.similarity import cosine, ivf_assign
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # r12 (guide §2.5): _spread only — the in-cell all-pairs cosine is
+    # interpreted per element and ran on the one-task scan; the
+    # NO-checkpoint contract below is untouched
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     cents = emb.filter(F.col("vec_id") < 8)
     # NO checkpoint here, unlike operators/similarity.semantic_dedup:
     # an eager localCheckpoint truncates the lineage plan_report.py
@@ -5027,7 +5030,7 @@ def semantic_dedup_report_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the plan audit."""
     from .operators.similarity import semantic_dedup
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     cents = emb.filter(F.col("vec_id") < 8)
     kept = semantic_dedup(emb, cents, threshold=0.35, cell_cap=25)
     h = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15),

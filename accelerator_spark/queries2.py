@@ -966,8 +966,12 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline (label = quality bucket), built from one broadcast
     crossJoin + two windows — no Python in the hot path."""
     from .operators.similarity import cosine
+    from .queries import _spread
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # r12 (guide §2.5): the broadcast crossJoin evaluates ~100k
+    # interpreted higher-order cosine folds; spread the one-row-group
+    # corpus scan so they run across cores instead of one
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
         F.col("label").alias("true_label"))
