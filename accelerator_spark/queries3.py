@@ -967,7 +967,15 @@ def warc_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, target_uri string, payload binary, "
         "content_type string, http_status int, fetch_date string"))
     path = _scratch("warc_export_rt")
-    warc_export(pages.repartition(4), path, date_col="fetch_date")
+    # r12 (guide §2.5/§6): shard count follows the session parallelism
+    # instead of a hard-coded 4 — the per-record gzip framing is
+    # Python-side work that otherwise ran on 4 workers regardless of
+    # cluster size (export AND the split re-import are both
+    # shard-granular). Record ids/fields are shard-independent, so the
+    # gate's answer is unchanged.
+    warc_export(pages.repartition(
+        spark.sparkContext.defaultParallelism), path,
+        date_col="fetch_date")
     back = warc_import(spark, path, split=True)
     return back.filter(F.col("warc_type") == "response").select(
         F.element_at(F.split("target_uri", "/"), -1).cast("long")
