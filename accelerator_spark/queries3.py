@@ -85,11 +85,11 @@ def webdataset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out.extend(rows)
             yield pd.DataFrame(out, columns=cols)
 
-    # the authored-fixture stage parallelizes explicitly: sf0.1's
-    # documents.parquet is ONE file -> one task, and building+
-    # decoding 5k gzipped shards single-threaded dominates the gate
-    # (a real crawl directory has file-granular parallelism already)
-    member_df = docs.repartition(32).mapInPandas(
+    # the authored-fixture stage parallelizes via _spread above (r12:
+    # the hard-coded repartition(32) became the conditional
+    # session-parallelism spread; a real crawl directory has
+    # file-granular parallelism already and spreads to a no-op)
+    member_df = docs.mapInPandas(
         build_and_decode, schema=TAR_SCHEMA)
     g = webdataset_group(member_df)
     exts = F.array_sort(F.map_keys("parts"))
@@ -320,9 +320,9 @@ def mbox_extract_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 out, columns=[f.name for f in out_schema.fields])
 
-    # explicit fixture-stage parallelism (see webdataset_report):
-    # 7.5k MIME parses single-task dominated the gate otherwise
-    return docs.repartition(32).mapInPandas(
+    # fixture-stage parallelism comes from _spread above (r12: the
+    # hard-coded repartition(32) folded into the conditional spread)
+    return docs.mapInPandas(
         build_and_decode, schema=out_schema)
 
 

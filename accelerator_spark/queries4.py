@@ -88,7 +88,7 @@ def image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out,
                                columns=["media_id", "payload", "mime"])
 
-    media = docs.repartition(32).mapInPandas(
+    media = docs.mapInPandas(
         build_pngs, schema="media_id long, payload binary, mime string")
     hashed = image_dhash(media)
     pairs = dhash_near_pairs(hashed, max_hamming=6)
@@ -209,7 +209,7 @@ def audio_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out,
                                columns=["media_id", "payload", "mime"])
 
-    media = docs.repartition(32).mapInPandas(
+    media = docs.mapInPandas(
         build_wavs, schema="media_id long, payload binary, mime string")
     hashed = audio_ehash(media)
     pairs = audio_near_pairs(hashed, max_hamming=6)

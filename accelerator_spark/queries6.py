@@ -488,7 +488,8 @@ def video_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out,
                                columns=["media_id", "payload", "mime"])
 
-    media = docs.repartition(32).mapInPandas(
+    media = docs.repartition(
+        spark.sparkContext.defaultParallelism).mapInPandas(
         build_gifs, schema="media_id long, payload binary, mime string")
     fps = video_fingerprint(media)
     pairs = video_near_pairs(fps, max_hamming=6)
