@@ -1046,7 +1046,8 @@ def text_near_dedup_incremental(new_batch: DataFrame,
                                 bucket_cap: int = 50,
                                 hash_family: str = "md5",
                                 broadcast_batch: bool = True,
-                                keep: str | tuple = "min_id"):
+                                keep: str | tuple = "min_id",
+                                batch_bands: DataFrame | None = None):
     """The ROLLING form of the classic MinHash/Jaccard text pipeline
     (VERDICT r11 #2): a daily crawl that wants "skip documents
     Jaccard-near anything already kept" must not re-run MinHash over
@@ -1096,10 +1097,16 @@ def text_near_dedup_incremental(new_batch: DataFrame,
     # (restricted to pass-A survivors by semi-join) and the state
     # append — instead of three separate signature computations; lazy
     # checkpoint shares the one materialization (the graph.py edge-list
-    # discipline), O(bands x batch) rows
-    batch_bands = text_band_rows(new_batch, text_col, id_col,
-                                 num_hashes, bands, shingle_n,
-                                 hash_family).localCheckpoint(eager=False)
+    # discipline), O(bands x batch) rows. ``batch_bands`` lets a caller
+    # that ALSO needs the band rows (the streaming micro-batch writes
+    # the kept delta to its state store) inject the one shared
+    # materialization instead of re-running MinHash over the kept text
+    # (r12, guide §2.4); it must be exactly ``text_band_rows(new_batch,
+    # ...)`` with the same hash parameters, already checkpoint-shared.
+    if batch_bands is None:
+        batch_bands = text_band_rows(new_batch, text_col, id_col,
+                                     num_hashes, bands, shingle_n,
+                                     hash_family).localCheckpoint(eager=False)
     if state is not None:
         cand = text_state_candidates(batch_bands, state, id_col,
                                      broadcast_batch)

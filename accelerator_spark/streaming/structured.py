@@ -403,18 +403,28 @@ def text_near_dedup_micro_batch(batch_df: DataFrame, batch_id: int,
     else:
         state = corpus = None  # first batch (kept-only on disk can
         # only mean batch 0 crashed mid-pair; its retry rewrites it)
+    # ONE MinHash pass per micro-batch (r12, guide §2.4): the band rows
+    # are computed here, injected into the operator (which otherwise
+    # derives its own), and the state delta below is the semi-join of
+    # this SAME checkpointed frame against the kept ids — signatures
+    # are per-doc deterministic, so the delta rows are bit-identical to
+    # the old text_band_rows(kept) recompute that re-shingled and
+    # re-hashed every kept document a second time.
+    batch_bands = text_band_rows(
+        batch_df, text_col, id_col, num_hashes, bands, shingle_n,
+        hash_family).localCheckpoint(eager=False)
     kept, _ = text_near_dedup_incremental(
         batch_df, state, corpus, text_col, id_col, num_hashes, bands,
         shingle_n, threshold, bucket_cap, hash_family,
-        broadcast_batch)
+        broadcast_batch, batch_bands=batch_bands)
     kept = kept.localCheckpoint()
     import os as _os
     kept.write.mode("overwrite").parquet(
         _os.path.join(kept_path, f"batch_id={int(batch_id)}"))
-    text_band_rows(kept, text_col, id_col, num_hashes, bands,
-                   shingle_n, hash_family) \
-        .write.mode("overwrite").parquet(
-            _os.path.join(state_path, f"batch_id={int(batch_id)}"))
+    (batch_bands.join(kept.select(id_col), id_col, "left_semi")
+     .select("band", "key", id_col)
+     .write.mode("overwrite").parquet(
+         _os.path.join(state_path, f"batch_id={int(batch_id)}")))
 
 
 def stream_text_near_dedup(stream_df: DataFrame, kept_path: str,
