@@ -133,7 +133,10 @@ def near_dedup_incremental_report(spark: SparkSession,
             batch, state, "simhash", "doc_id", 64, max_hamming=3,
             bucket_cap=5000)
         kept_parts.append(kept.select("doc_id"))
-        state = state.localCheckpoint()
+        # LAZY: the next batch's probe materializes the state in its
+        # own first action; the final batch's state — which nothing
+        # reads — is never built (one fewer job + band-explode, §2.4)
+        state = state.localCheckpoint(eager=False)
     keptall = (kept_parts[0].unionByName(kept_parts[1])
                .unionByName(kept_parts[2])
                .withColumn("_k", F.lit(True)))

@@ -224,9 +224,13 @@ def text_near_dedup_incremental_report(spark: SparkSession,
                  .select("doc_id", "text"))
         kept, state = text_near_dedup_incremental(batch, state, corpus)
         # cut lineage each round (the connected_components discipline);
-        # kept feeds BOTH the growing corpus and the final report
+        # kept feeds BOTH the growing corpus and the final report. The
+        # state checkpoint is LAZY: batch i+1's probe materializes it
+        # in its own first action, and the LAST batch's state — which
+        # nothing reads — is never built at all (one fewer job and one
+        # fewer band-explode per call, r12 guide §2.4)
         kept = kept.localCheckpoint()
-        state = state.localCheckpoint()
+        state = state.localCheckpoint(eager=False)
         kept_parts.append(kept.select("doc_id"))
         kc = kept.select("doc_id", "text")
         corpus = kc if corpus is None else corpus.unionByName(kc)

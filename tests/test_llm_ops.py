@@ -213,6 +213,20 @@ def test_connected_components_empty_edges(spark):
     assert connected_components(edges).count() == 0
 
 
+def test_connected_components_string_ids(spark):
+    # non-integral node ids take the changed-count convergence join
+    # (the monotone-sum fast path needs exact integer arithmetic);
+    # labels must match the integral-id topology answer
+    from accelerator_spark.operators.dedup import connected_components
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")],
+        "doc_a string, doc_b string",
+    )
+    got = {(r["node"], r["component"]) for r in connected_components(edges).collect()}
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"),
+                   ("x", "x"), ("y", "x")}
+
+
 def test_resize_media_plumbing(spark):
     from accelerator_spark.operators.multimodal import resize_media
     rows = [(1, b"img-one-bytes", "image/png"),
