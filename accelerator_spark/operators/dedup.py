@@ -564,7 +564,10 @@ def decontaminate(train: DataFrame, heldout: DataFrame,
                            F.concat(F.lit(" "), F.col("_short"),
                                     F.lit(" "))))
                  .select(id_col).distinct())
-    bad = bad.unionByName(bad_short).distinct()
+    # the two id sets are each distinct'd above (shrinking the gram /
+    # containment explosions to ids); cross-set overlap needs no third
+    # distinct — the anti-join is duplicate-invariant (r12, guide §2.4)
+    bad = bad.unionByName(bad_short)
     return train.join(bad, id_col, "left_anti")
 
 
@@ -780,9 +783,10 @@ def _candidate_grams(pairs: DataFrame, df: DataFrame,
     self-pairs (found by the 16x replay scale test) — and the DuckDB
     oracles have always declared SELECT DISTINCT grams, so this is
     the documented semantics."""
+    # no distinct on the id union: the semi-join below is
+    # duplicate-invariant, so the exchange bought nothing (r12, §2.4)
     cand_ids = (pairs.select(F.col("doc_a").alias(id_col))
-                .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
-                .distinct())
+                .unionByName(pairs.select(F.col("doc_b").alias(id_col))))
     bounded = df.join(cand_ids, id_col, "left_semi")
     return bounded.select(
         F.col(id_col),
@@ -999,7 +1003,12 @@ def near_dedup_incremental(new_batch: DataFrame,
     if state is not None:
         near = state_near_ids(new_batch, state, fp_col, id_col, bits,
                               max_hamming, broadcast_batch)
-        pass_a = new_batch.join(near, id_col, "left_anti")
+        # pass_a feeds the in-batch pair blocking, the survivor
+        # anti-join AND the kept band rows — without a lazy checkpoint
+        # each consumer re-runs the state probe (the
+        # text_near_dedup_incremental discipline; r12, guide §2.4)
+        pass_a = (new_batch.join(near, id_col, "left_anti")
+                  .localCheckpoint(eager=False))
     else:
         pass_a = new_batch
     # keep applies to the IN-BATCH survivor choice only: cross-batch
@@ -1149,7 +1158,11 @@ def text_near_dedup_incremental(new_batch: DataFrame,
                   .unionByName(kept_corpus.select(id_col, text_col)))
         verified = jaccard_verify(cand, corpus, text_col, id_col,
                                   shingle_n, threshold)
-        near = verified.select(F.col("doc_a").alias(id_col)).distinct()
+        # no distinct: the anti-join below is duplicate-invariant, so
+        # the exchange bought nothing (r12, guide §2.4; A/B-verified —
+        # unlike the fp-side probe, where the distinct's aggregate is
+        # load-bearing for the anti-join strategy and stays)
+        near = verified.select(F.col("doc_a").alias(id_col))
         # pass_a feeds the in-batch pipeline's bucketing, verify and
         # survivor stages — without a lazy checkpoint each of those
         # re-runs the whole state-probe + verify chain above
