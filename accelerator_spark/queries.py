@@ -89,7 +89,14 @@ def _spread(df: DataFrame) -> DataFrame:
     otherwise runs on ONE core. Scale-adaptive by construction: at
     production scale the scan arrives in hundreds of splits and this
     is a no-op (no exchange is added), so it is NOT a local-only
-    tuning constant."""
+    tuning constant.
+
+    PRECONDITION (ADVICE r12): call on SCAN-ONLY frames (scan +
+    column-level select/filter). The ``df.rdd.getNumPartitions()``
+    probe forces physical planning / RDD conversion at query-build
+    time and reads the PRE-AQE split count — harmless for a scan, a
+    foot-gun on frames with exchanges upstream (it would plan the
+    exchange subtree twice and read a pre-coalesce partition count)."""
     sc = df.sparkSession.sparkContext
     n = sc.defaultParallelism
     if df.rdd.getNumPartitions() < n:

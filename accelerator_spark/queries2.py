@@ -669,7 +669,9 @@ def recursive_copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("src", "dst"))
     sym = top.union(
         top.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()  # edge build materialized once, lineage cut
+    ).localCheckpoint(eager=False)  # edge build computed once, lineage
+    # cut — LAZY (r13 §2.4): the final walk action materializes it and
+    # every level's cache in ONE action instead of one job per level
     seed = (sym.agg(F.min("src").alias("node"))
             .withColumn("cnt", F.lit(1).cast("long")))
     frontier = seed
@@ -680,7 +682,7 @@ def recursive_copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .groupBy(F.col("dst"))
                     .agg(F.sum("cnt").alias("cnt"))
                     .withColumnRenamed("dst", "node")
-                    .localCheckpoint())
+                    .localCheckpoint(eager=False))
         levels.append(frontier.withColumn("depth", F.lit(d)))
     walk = levels[0]
     for lv in levels[1:]:

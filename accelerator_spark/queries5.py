@@ -52,10 +52,11 @@ def near_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    # one row per doc; checkpoint so the explode+vote agg is computed
-    # once, not re-derived by the pairs path, the kept anti-join and
-    # the final report join (measured 2x at sf0.1)
-    sh = simhash(docs, bits=64).localCheckpoint()
+    # one row per doc; LAZY checkpoint so the explode+vote agg is
+    # computed once (first action materializes, every later consumer —
+    # pairs path, kept anti-join, final report join — reads the cache)
+    # without spending a separate up-front materialization job (r13)
+    sh = simhash(docs, bits=64).localCheckpoint(eager=False)
     kept, report = near_dedup(sh, "simhash", "doc_id", 64,
                               max_hamming=3, bucket_cap=5000)
     k = kept.select("doc_id").withColumn("_k", F.lit(True))
@@ -120,10 +121,11 @@ def near_dedup_incremental_report(spark: SparkSession,
     sh = (simhash(docs, bits=64)
           .withColumn("batch_seq",
                       ((F.col("doc_id") % 3 + 2) % 3).cast("int")))
-    # one row per doc; checkpoint so the explode+vote agg is not
-    # recomputed for each batch filter (and lineage stays O(1) across
-    # the sequential batch loop, the connected_components discipline)
-    sh = sh.localCheckpoint()
+    # one row per doc; LAZY checkpoint so the explode+vote agg is not
+    # recomputed for each batch filter (batch 0's first action
+    # materializes it; lineage stays O(1) across the sequential batch
+    # loop) without a separate up-front materialization job (r13)
+    sh = sh.localCheckpoint(eager=False)
     state = None
     kept_parts = []
     for seq in range(3):
@@ -231,7 +233,8 @@ def text_near_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    slim = docs.select("doc_id", "text").localCheckpoint()
+    slim = (docs.select("doc_id", "text")
+            .localCheckpoint(eager=False))  # lazy: first action materializes (r13)
     kept, report, _ = text_near_dedup(slim, threshold=0.5)
     k = kept.select("doc_id").withColumn("_k", F.lit(True))
     return (slim.select("doc_id")
@@ -331,7 +334,8 @@ def streaming_near_dedup_report(spark: SparkSession,
     sh = (simhash(docs, bits=64)
           .withColumn("batch_seq",
                       ((F.col("doc_id") % 3 + 2) % 3).cast("int"))
-          .localCheckpoint())
+          .localCheckpoint(eager=False))  # lazy: batch-0 fixture
+    # write materializes it; later consumers read the cache (r13)
 
     src = _scratch("snd_src")
     kept_p = _scratch("snd_kept")

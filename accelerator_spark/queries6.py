@@ -52,7 +52,7 @@ def near_dedup_keep_longest_report(spark: SparkSession,
     sh = (simhash(docs, bits=64)
           .join(docs.select("doc_id",
                             F.length("text").alias("qual")), "doc_id")
-          .localCheckpoint())
+          .localCheckpoint(eager=False))  # lazy (r13)
     kept, report = near_dedup(sh, "simhash", "doc_id", 64,
                               max_hamming=3, bucket_cap=5000,
                               keep=("max", "qual"))
@@ -134,7 +134,8 @@ def streaming_near_dedup_compacted_report(spark: SparkSession,
     sh = (simhash(docs, bits=64)
           .withColumn("batch_seq",
                       ((F.col("doc_id") % 4 + 2) % 4).cast("int"))
-          .localCheckpoint())
+          .localCheckpoint(eager=False))  # lazy: batch-0 fixture
+    # write materializes it; later consumers read the cache (r13)
 
     src = _scratch("sndc_src")
     kept_p = _scratch("sndc_kept")
@@ -216,7 +217,8 @@ def text_near_dedup_incremental_report(spark: SparkSession,
     slim = (docs.select("doc_id", "text")
             .withColumn("batch_seq",
                         ((F.col("doc_id") % 3 + 2) % 3).cast("int"))
-            .localCheckpoint())
+            .localCheckpoint(eager=False))  # lazy: first action
+    # materializes it; later consumers read the cache (r13)
     state, corpus = None, None
     kept_parts = []
     for seq in range(3):
@@ -224,12 +226,12 @@ def text_near_dedup_incremental_report(spark: SparkSession,
                  .select("doc_id", "text"))
         kept, state = text_near_dedup_incremental(batch, state, corpus)
         # cut lineage each round (the connected_components discipline);
-        # kept feeds BOTH the growing corpus and the final report. The
-        # state checkpoint is LAZY: batch i+1's probe materializes it
-        # in its own first action, and the LAST batch's state — which
-        # nothing reads — is never built at all (one fewer job and one
-        # fewer band-explode per call, r12 guide §2.4)
-        kept = kept.localCheckpoint()
+        # kept feeds BOTH the growing corpus and the final report.
+        # BOTH checkpoints are LAZY (r12/r13 guide §2.4): batch i+1's
+        # first action materializes them, the LAST batch's state —
+        # which nothing reads — is never built at all, and no separate
+        # up-front materialization job is spent per round.
+        kept = kept.localCheckpoint(eager=False)
         state = state.localCheckpoint(eager=False)
         kept_parts.append(kept.select("doc_id"))
         kc = kept.select("doc_id", "text")
@@ -395,7 +397,8 @@ def streaming_text_near_dedup_report(spark: SparkSession,
     slim = (docs.select("doc_id", "text")
             .withColumn("batch_seq",
                         ((F.col("doc_id") % 3 + 2) % 3).cast("int"))
-            .localCheckpoint())
+            .localCheckpoint(eager=False))  # lazy: first action
+    # materializes it; later consumers read the cache (r13)
 
     src = _scratch("stnd_src")
     kept_p = _scratch("stnd_kept")

@@ -180,13 +180,17 @@ def near_dedup_micro_batch(batch_df: DataFrame, batch_id: int,
     kept, _ = near_dedup_incremental(
         batch_df, state, fp_col, id_col, bits, max_hamming,
         bucket_cap, broadcast_batch)
-    # keep the batch materialized once: the kept frame feeds BOTH
-    # writes, and foreachBatch frames are re-computable otherwise
-    kept = kept.localCheckpoint()
+    # r13 (guide §2.4 job economy): the kept write IS the shared
+    # materialization — the state delta derives from reading the
+    # just-written kept partition back (bit-identical rows by
+    # construction), so the separate eager localCheckpoint job is
+    # gone. Explicit schema on the read-back: a zero-kept batch
+    # leaves a partition dir with no schema-bearing part file.
     import os as _os
-    kept.write.mode("overwrite").parquet(
-        _os.path.join(kept_path, f"batch_id={int(batch_id)}"))
-    fp_band_rows(kept.filter(F.col(fp_col).isNotNull()),
+    kdir = _os.path.join(kept_path, f"batch_id={int(batch_id)}")
+    kept.write.mode("overwrite").parquet(kdir)
+    kept_back = spark.read.schema(batch_df.schema).parquet(kdir)
+    fp_band_rows(kept_back.filter(F.col(fp_col).isNotNull()),
                  fp_col, id_col, bits, max_hamming) \
         .write.mode("overwrite").parquet(
             _os.path.join(state_path, f"batch_id={int(batch_id)}"))
@@ -417,11 +421,18 @@ def text_near_dedup_micro_batch(batch_df: DataFrame, batch_id: int,
         batch_df, state, corpus, text_col, id_col, num_hashes, bands,
         shingle_n, threshold, bucket_cap, hash_family,
         broadcast_batch, batch_bands=batch_bands)
-    kept = kept.localCheckpoint()
+    # r13 (guide §2.4 job economy): the kept write IS the shared
+    # materialization — the state delta semi-joins the checkpointed
+    # batch_bands against the just-written kept partition's ids
+    # (bit-identical rows by construction), so the separate eager
+    # localCheckpoint job is gone. Explicit schema on the read-back:
+    # a zero-kept batch leaves no schema-bearing part file.
     import os as _os
-    kept.write.mode("overwrite").parquet(
-        _os.path.join(kept_path, f"batch_id={int(batch_id)}"))
-    (batch_bands.join(kept.select(id_col), id_col, "left_semi")
+    kdir = _os.path.join(kept_path, f"batch_id={int(batch_id)}")
+    kept.write.mode("overwrite").parquet(kdir)
+    kept_ids = (spark.read.schema(batch_df.schema).parquet(kdir)
+                .select(id_col))
+    (batch_bands.join(kept_ids, id_col, "left_semi")
      .select("band", "key", id_col)
      .write.mode("overwrite").parquet(
          _os.path.join(state_path, f"batch_id={int(batch_id)}")))

@@ -1,11 +1,11 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-STDOUT CONTRACT (ADVICE r5): stdout is JSONL — two JSON lines, the
-full per-query record first and a compact summary LAST. Parse the last
-line (the driver tail-captures ~2k chars of stdout, which front-
-truncates the big per-query line; the short summary always survives).
-Both lines carry metric/value/unit. The full record is also persisted
+STDOUT CONTRACT (ADVICE r5, VERDICT r12 #1): stdout carries EXACTLY
+ONE JSON line — metric/value/unit/total plus the per-query median map
+under ``queries`` (the driver diffs per-query times from this line;
+rounds 11-12 lost that diff because the line carried only the total).
+The full record (plus spreads and rerun provenance) is also persisted
 to bench_latest.json beside this file.
 
 Timing (VERDICT r5 #4): per query, the MEDIAN of N runs (default 3)
@@ -267,16 +267,17 @@ def main() -> None:
     except OSError as e:
         print(f"# bench_latest.json not written: {e}", file=sys.stderr)
     # stdout carries EXACTLY ONE JSON object (VERDICT r6 #7): the
-    # compact summary. The full per-query record (with spreads) lives
-    # only in bench_latest.json — the driver's ~2000-char stdout tail
-    # capture truncated the big dict from the front anyway
-    # (BENCH_r03/r04 both lost the headline total), and two objects on
-    # stdout broke `python bench.py | json.loads(stdin)`.
-    # metric/value/unit mirror the full record's keys so a parser that
-    # reads stdout still sees a valid bench record.
+    # summary, INCLUDING the per-query medians (VERDICT r12 #1: the
+    # driver's per-query regression diff ran two rounds with
+    # per_query = {} / n_common = 0 because this line carried only the
+    # total — the driver contract reads `queries` from the final
+    # stdout JSON line, so the map must live HERE, not only in
+    # bench_latest.json). The full record (with spreads/reruns) stays
+    # in bench_latest.json; metric/value/unit mirror its keys so any
+    # parser of either artifact sees a valid bench record.
     summary = {"metric": out.get("metric", "total_runtime"), "value": total,
                "unit": "sec", "total_sec": total, "n_queries": len(times),
-               "basis": out["basis"], "sf": out["sf"],
+               "basis": out["basis"], "queries": times, "sf": out["sf"],
                "per_query_record": "bench_latest.json"}
     if errors:
         summary["n_errors"] = len(errors)

@@ -264,6 +264,34 @@ def test_jaccard_verify_disposes_false_candidates():
     assert loose == {(1, 2), (1, 3), (4, 5)}  # all scored, none lost
 
 
+def test_jaccard_verify_duplicate_ids_and_one_sided_pairs():
+    """r13 array-set internals, focused guards: (a) identical (id,
+    text) rows duplicated by an at-least-once replay must not change
+    any score (the (id, text) distinct in _candidate_gram_sets — the
+    16x-replay property the old exploded-gram distinct carried);
+    (b) a pair whose one member has NULL text (no gram set) still
+    surfaces at threshold <= 0 with jaccard 0, and a pair with BOTH
+    members absent never surfaces — the exact pre-r13 union-of-inner-
+    joins admission rule."""
+    from accelerator_spark.operators.dedup import jaccard_verify
+
+    spark = _spark()
+    rows = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+            (3, None), (4, None)]
+    df = spark.createDataFrame(rows * 3, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (3, 4)], "doc_a long, doc_b long")
+    got = [(r.doc_a, r.doc_b, r.jaccard)
+           for r in jaccard_verify(pairs, df, threshold=0.0)
+           .orderBy("doc_a", "doc_b").collect()]
+    # (1,2) scores exactly 1.0 ONCE despite the 3x row replay; (1,3)
+    # is one-sided -> 0.0; (3,4) has no gram set on either side ->
+    # absent even at threshold 0
+    assert got == [(1, 2, 1.0), (1, 3, 0.0)]
+    assert jaccard_verify(pairs, df, threshold=0.5).collect() == [
+        (1, 2, 1.0)]
+
+
 def test_text_near_dedup_end_to_end():
     """The one-call classic pipeline: verbatim copies collapse to the
     min id (identical MinHash signatures always share every band),
@@ -390,15 +418,15 @@ def test_jaccard_verify_candidate_bounded_scan():
     out = jaccard_verify(pairs, df, threshold=0.5)
     got = {(r.doc_a, r.doc_b, r.jaccard) for r in out.collect()}
     assert got == {(1, 2, 1.0)}
-    # the bound lives in _candidate_grams (jaccard_verify checkpoints
-    # its output, which hides the join from the outer plan): the
-    # corpus reaches the shingle explode only through a LeftSemi
-    # against the pairs' ids
-    from accelerator_spark.operators.dedup import _candidate_grams
-    grams = _candidate_grams(pairs, df, "text", "doc_id", 3)
-    plan = grams._jdf.queryExecution().optimizedPlan().toString()
+    # the bound lives in _candidate_gram_sets (jaccard_verify
+    # checkpoints its output, which hides the join from the outer
+    # plan): the corpus reaches the shingle transform only through a
+    # LeftSemi against the pairs' ids
+    from accelerator_spark.operators.dedup import _candidate_gram_sets
+    g = _candidate_gram_sets(pairs, df, "text", "doc_id", 3)
+    plan = g._jdf.queryExecution().optimizedPlan().toString()
     assert "LeftSemi" in plan
-    assert {r.doc_id for r in grams.select("doc_id")
+    assert {r.doc_id for r in g.select("doc_id")
             .distinct().collect()} == {1, 2}
 
 

@@ -347,6 +347,18 @@ def test_markdown_and_bpe_gates_map_only(spark, sf_dir):
         assert ("Exchange" not in s
                 or "Exchange RoundRobinPartitioning" in s), name
         assert "Join" not in s, name
+        if "Exchange" in s:
+            # ADVICE r12: the allowed exchange must sit DIRECTLY above
+            # the scan (the fixture-stage spread) — a repartition
+            # accidentally introduced inside the operator would have
+            # Python/agg/generate stages BELOW it and pass the mere
+            # count check. The plans are linear chains, so the text
+            # after the exchange line is exactly its subtree.
+            below = s[s.index("Exchange RoundRobinPartitioning"):]
+            assert "Scan" in below, name
+            assert not re.search(
+                r"EvalPython|InPandas|MapInArrow|Aggregate|Window"
+                r"|Generate", below), name
 
 
 def test_mbox_gate_fixture_repartition_only(spark, sf_dir):
@@ -370,8 +382,11 @@ def test_webdataset_grouping_bounded_shuffles(spark, sf_dir):
 def test_corpus_inventory_single_agg_exchange(spark, sf_dir):
     s = _plan(spark, "corpus_inventory_report", sf_dir)
     # partial+final agg, plus (r12) the fixture-stage round-robin
-    # spread of the single-row-group doc scan
-    assert s.count("Exchange") <= 2
+    # spread of the single-row-group doc scan. Exact count per branch
+    # (ADVICE r12: <= 2 would also pass an accidental extra exchange):
+    # the spread fires iff the 1-file scan is under-parallel.
+    spread = 1 if spark.sparkContext.defaultParallelism > 1 else 0
+    assert s.count("Exchange") == 1 + spread
     assert "Join" not in s
 
 
