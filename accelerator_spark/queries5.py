@@ -135,10 +135,14 @@ def near_dedup_incremental_report(spark: SparkSession,
             batch, state, "simhash", "doc_id", 64, max_hamming=3,
             bucket_cap=5000)
         kept_parts.append(kept.select("doc_id"))
-        # LAZY: the next batch's probe materializes the state in its
-        # own first action; the final batch's state — which nothing
-        # reads — is never built (one fewer job + band-explode, §2.4)
-        state = state.localCheckpoint(eager=False)
+        # checkpoint the state ONLY when a next batch will probe it:
+        # even a LAZY localCheckpoint call finalizes the AQE plan and
+        # runs every upstream exchange as its own job at CALL time
+        # (r13 — measured; only the final result stage stays lazy), so
+        # checkpointing the last batch's never-read state burned real
+        # jobs, not just lineage (§2.4)
+        if seq < 2:
+            state = state.localCheckpoint(eager=False)
     keptall = (kept_parts[0].unionByName(kept_parts[1])
                .unionByName(kept_parts[2])
                .withColumn("_k", F.lit(True)))

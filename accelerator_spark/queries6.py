@@ -227,12 +227,16 @@ def text_near_dedup_incremental_report(spark: SparkSession,
         kept, state = text_near_dedup_incremental(batch, state, corpus)
         # cut lineage each round (the connected_components discipline);
         # kept feeds BOTH the growing corpus and the final report.
-        # BOTH checkpoints are LAZY (r12/r13 guide §2.4): batch i+1's
-        # first action materializes them, the LAST batch's state —
-        # which nothing reads — is never built at all, and no separate
-        # up-front materialization job is spent per round.
+        # BOTH checkpoints are LAZY (r12/r13 guide §2.4), and the
+        # state is checkpointed ONLY when a next batch will probe it:
+        # even a lazy localCheckpoint call finalizes the AQE plan and
+        # runs every upstream exchange as its own job at CALL time
+        # (r13 — measured; only the final result stage stays lazy), so
+        # checkpointing the last batch's never-read state burned real
+        # jobs, not just lineage.
         kept = kept.localCheckpoint(eager=False)
-        state = state.localCheckpoint(eager=False)
+        if seq < 2:
+            state = state.localCheckpoint(eager=False)
         kept_parts.append(kept.select("doc_id"))
         kc = kept.select("doc_id", "text")
         corpus = kc if corpus is None else corpus.unionByName(kc)
