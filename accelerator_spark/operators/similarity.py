@@ -278,9 +278,12 @@ def semantic_dedup(corpus: DataFrame, centroids: DataFrame,
     # the assignment (corpus x centroids + window) is referenced three
     # times below (both self-join arms + the anti-join base); truncate
     # lineage so it is computed once, not three times — the same
-    # re-reference fix measured 5.8s->0.3s in graph.triangle_count
+    # re-reference fix measured 5.8s->0.3s in graph.triangle_count.
+    # LAZY (r13 §2.4): with an explicit cell_cap the caller's first
+    # action materializes it (one fewer job); the "auto" path's count
+    # below materializes it immediately, same as eager did.
     assigned = ivf_assign(corpus, centroids, id_col, vec_col).drop(
-        "centroid_cos").localCheckpoint(eager=True)
+        "centroid_cos").localCheckpoint(eager=False)
     if cell_cap == "auto":
         # count AFTER the checkpoint (review r6): counting the raw
         # corpus plan would execute an expensive derived corpus a whole

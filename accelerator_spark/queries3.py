@@ -1040,7 +1040,13 @@ def dedup_incremental_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                    for did, t in zip(pdf["doc_id"], pdf["text"])]
             yield pd.DataFrame(out, columns=["doc_id", "text"])
 
-    keyed = docs.mapInPandas(content, schema="doc_id long, text string")
+    # the keyed frame is referenced by every batch filter AND rides
+    # the fingerprint-state chain — without a shared materialization
+    # the md5 mapInPandas pass ran three times (r13 §2.4/§4; the
+    # plan is map-only, so the lazy checkpoint call itself runs no
+    # exchange jobs and batch 0's action caches it)
+    keyed = (docs.mapInPandas(content, schema="doc_id long, text string")
+             .localCheckpoint(eager=False))
     fps = None
     kept_parts = []
     for b in range(3):

@@ -1,7 +1,8 @@
 """Capture .explain("formatted") output for named queries into
-plans/r12/<query>_<tag>.txt — the before/after plan evidence the
-optimization rounds commit (guide §1: capture the plan shape before
-changing anything, then prove the diff).
+plans/$SPARK_GRAFT_PLAN_ROUND/<query>_<tag>.txt (round dir defaults to
+r13) — the before/after plan evidence the optimization rounds commit
+(guide §1: capture the plan shape before changing anything, then prove
+the diff).
 
 Usage: python tools/capture_plan.py <tag> query [query ...]
   tag is 'before' or 'after' (any suffix works).
@@ -23,7 +24,8 @@ def main() -> None:
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r12")
+        os.path.abspath(__file__))), "plans",
+        os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r13"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="capture_plan")
     for name in names:
