@@ -54,12 +54,16 @@ def main() -> None:
     # per-stage spill counters from the app status store (UI is off;
     # the store is still populated)
     store = spark.sparkContext._jsc.sc().statusStore()
-    # stageList takes a java.util.List[StageStatus] filter; an EMPTY
-    # list means "all statuses" (passing Python None fails py4j
-    # signature resolution)
-    empty = spark.sparkContext._jvm.java.util.ArrayList()
-    it = store.stageList(empty).iterator()
-    mem_spill = disk_spill = peak_exec = 0
+    # Spark 4.1 signature (no py4j default-arg support, pass all five):
+    # stageList(List[StageStatus] statuses, boolean details,
+    #           boolean withSummaries, double[] unsortedQuantiles,
+    #           List[TaskStatus] taskStatus); empty lists mean "all".
+    gw = spark.sparkContext._gateway
+    empty = gw.jvm.java.util.ArrayList()
+    no_q = gw.new_array(gw.jvm.double, 0)
+    it = store.stageList(empty, False, False, no_q,
+                         gw.jvm.java.util.ArrayList()).iterator()
+    mem_spill = disk_spill = 0
     n_stages = 0
     while it.hasNext():
         s = it.next()
