@@ -323,10 +323,17 @@ def fp_near_pairs(df: DataFrame, fp_col: str = "fp",
         # skew guard (same contract as minhash bucket_cap): drop blocks
         # whose membership exceeds the cap — at 16 bits the fingerprint
         # space is only 65536 values, so a web-scale corpus MUST use
-        # bits=64 (+ a cap) or accept quadratic in-block expansion
+        # bits=64 (+ a cap) or accept quadratic in-block expansion.
+        # The capped frame is checkpointed TOO (r13, guide §2.4): it
+        # feeds both self-join sides, and without its own shared
+        # materialization the size agg + cap join execute twice —
+        # Catalyst/AQE never reuse the duplicated subtree. Same
+        # (id, fp, blk) byte volume as the pre-cap checkpoint above,
+        # so the trade holds at any scale.
         sizes = blocks.groupBy("blk").agg(F.count(F.lit(1)).alias("_bn"))
         blocks = (blocks.join(sizes, "blk")
-                  .filter(F.col("_bn") <= bucket_cap).drop("_bn"))
+                  .filter(F.col("_bn") <= bucket_cap).drop("_bn")
+                  .localCheckpoint(eager=False))
     a, b = blocks.alias("a"), blocks.alias("b")
     ham = F.bit_count(F.col("a._fp").bitwiseXOR(F.col("b._fp")))
     return (
@@ -441,7 +448,15 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         # init already equals the fixpoint on star-shaped components
         # (the dominant near-dup shape — verbatim copy groups), so
         # those graphs confirm in one minimal round exactly as before.
-        # Rounds >= 2 — only deep graphs get here — run TWO hops, each
+        # Round 2 (rnd == 1) stays a single hop as well (r13 follow-up,
+        # measured): it is the pure CONFIRM round for depth-1 graphs —
+        # chains like A~B~C where one loop hop finishes the labels —
+        # which is the typical shape of an incremental/streaming
+        # micro-batch's in-batch graph; running the 2-hop+jump form
+        # there spent 8 jobs to change nothing (vs 4-5 for the minimal
+        # hop). Only a graph still UNCONVERGED after two loop hops is
+        # genuinely deep and escalates.
+        # Rounds >= 3 — only deep graphs get here — run TWO hops, each
         # followed by a POINTER JUMP: every label value is itself a
         # node of the same component carrying its own (<=) label, so
         # one self-join rewrites label(u) <- label(label(u)), halving
@@ -455,7 +470,7 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         # mean prop(x) = x exactly (each step is pointwise <=, so
         # combined(x) = x forces prop(x) = x).
         merged = labels
-        for _hop in range(1 if rnd == 0 else 2):
+        for _hop in range(1 if rnd <= 1 else 2):
             prop = both.join(merged, both.v == merged.node).select(
                 F.col("u").alias("node"), F.col("component")
             )
@@ -464,7 +479,7 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
                 .groupBy("node")
                 .agg(F.min("component").alias("component"))
             )
-            if rnd > 0:
+            if rnd > 1:
                 l2 = merged.select(F.col("node").alias("_jn"),
                                    F.col("component").alias("_jc"))
                 merged = (merged.join(l2,
@@ -476,9 +491,25 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         # checkpoint AND answers "did anything change"
         if integral_ids:
             if prev_sum is None:
-                rows = (_label_sum(labels)
-                        .unionAll(_label_sum(new_labels)).collect())
-                (prev_sum, prev_n), (s, n) = rows[0], rows[1]
+                # BOTH generations' sums in ONE exchange (r13, guide
+                # §2.4): union the tagged label columns and aggregate
+                # by tag — the unionAll-of-two-global-aggs form
+                # materialized each side's agg as its own AQE stage
+                # job (3 jobs for the action; this is 2). A groupBy
+                # yields NO row for an empty side, so a missing tag
+                # reads as (None, 0) — exactly the old global aggs'
+                # empty-frame semantics (NULL sum, zero count).
+                got = {r["_g"]: (r["s"], r["n"]) for r in
+                       (labels.select(F.lit(0).alias("_g"), "component")
+                        .unionAll(new_labels.select(
+                            F.lit(1).alias("_g"), "component"))
+                        .groupBy("_g")
+                        .agg(F.sum(F.col("component")
+                                   .cast("decimal(38,0)")).alias("s"),
+                             F.count(F.lit(1)).alias("n"))
+                        .collect())}
+                prev_sum, prev_n = got.get(0, (None, 0))
+                s, n = got.get(1, (None, 0))
                 if prev_sum is None and prev_n:
                     raise ArithmeticError(
                         "connected_components: label sum overflowed "
