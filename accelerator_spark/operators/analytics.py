@@ -12,6 +12,8 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import lit_double_array
+
 
 def skyline(df: DataFrame, minimize: list[str], maximize: list[str]) -> DataFrame:
     """Pareto frontier: rows not dominated by any other row. Row q
@@ -172,11 +174,18 @@ def logreg_train(df: DataFrame, vec_col: str = "embedding",
     w = [0.0] * dim
     b = 0.0
     for _ in range(iters):
-        wlit = F.array(*[F.lit(x) for x in w])
-        score = F.aggregate(
-            F.zip_with(F.col("_x"), wlit, lambda a, c: a * c),
-            F.lit(b), lambda acc, v: acc + v)
-        resid = (F.lit(1.0) / (F.lit(1.0) + F.exp(-score)) - F.col("_y"))
+        # the whole sigmoid(w.x + b) - y tree as ONE SQL string per
+        # iteration (one Py4J call): per-element literal chatter plus
+        # per-lambda registration is pure driver latency (the kmeans
+        # _assign finding); the SQL lambda form compiles to the
+        # identical HigherOrderFunction plan and repr(float)
+        # round-trips every weight bit-exactly
+        resid = F.expr(
+            "CAST(1.0 AS DOUBLE)/(CAST(1.0 AS DOUBLE)+exp(-("
+            "aggregate(zip_with(_x,array("
+            + ",".join(repr(float(x)) + "D" for x in w)
+            + "),(a,c)->a*c)," + repr(float(b)) + "D,"
+            "(acc,v)->acc+v)))) - _y")
         scored = base.withColumn("_r", resid)
         grad = (scored.select(F.posexplode("_x").alias("d", "xv"), "_r")
                 .groupBy("d")
@@ -196,7 +205,7 @@ def logreg_score(df: DataFrame, weights: list, bias: float,
     """sigmoid(w·x + b) per row as a JVM expression — map-only corpus
     scoring with the trained model."""
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    wlit = F.array(*[F.lit(float(x)) for x in weights])
+    wlit = lit_double_array(weights)
     s = F.aggregate(F.zip_with(vec_d, wlit, lambda a, c: a * c),
                     F.lit(float(bias)), lambda acc, v: acc + v)
     return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-s)))

@@ -50,7 +50,7 @@ def stopword_evidence(col: Column, lang: str) -> Column:
 def lang_scores(col: Column) -> Column:
     """Map of lang -> stopword evidence count."""
     return F.map_from_arrays(
-        F.array(*[F.lit(l) for l in STOPWORDS]),
+        F.lit(list(STOPWORDS)),
         F.array(*[stopword_evidence(col, l) for l in STOPWORDS]),
     )
 
@@ -188,7 +188,7 @@ PII_ORDER = ["email", "phone", "ipv4"]
 def pii_counts(col: Column) -> Column:
     """Map kind -> number of PII matches in the column (pre-redaction)."""
     return F.map_from_arrays(
-        F.array(*[F.lit(k) for k in PII_ORDER]),
+        F.lit(list(PII_ORDER)),
         F.array(*[
             F.size(F.regexp_extract_all(col, F.lit(PII_PATTERNS[k]), F.lit(0)))
             for k in PII_ORDER

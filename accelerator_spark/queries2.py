@@ -1921,8 +1921,9 @@ def classifier_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = (emb.filter(F.col("label") == 0)
             .select(F.posexplode("embedding").alias("d", "x"))
             .groupBy("d").agg(F.avg("x").alias("c")))
-    cent_arr = F.array(*[F.lit(float(r["c"])) for r in
-                         sorted(cent.collect(), key=lambda r: r["d"])])
+    from .operators import lit_double_array
+    cent_arr = lit_double_array(
+        [r["c"] for r in sorted(cent.collect(), key=lambda r: r["d"])])
     scored = emb.select(
         "vec_id",
         (F.col("label") == 0).cast("int").alias("pos"),
