@@ -76,7 +76,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from .session import tune_for_session
         tune_for_session(spark)
         _TUNED.add(id(spark))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read_table(spark, f"{sf_dir}/{name}.parquet")
+
+
+# Inferred input-table schemas, keyed by path. Schema INFERENCE (the
+# driver-side directory listing + footer read spark.read.parquet does
+# on every call) costs ~65 ms per call on this box vs ~13 ms with an
+# explicit schema — a fixed driver latency no cluster size amortizes
+# (guide §5: the driver should do almost no data work; a production
+# catalog serves the schema without touching footers). Metadata only:
+# every byte of table DATA is still read from parquet at execution;
+# the first read of each path still infers. Precondition: a path's
+# schema must not change within a process — holds for the static
+# testdata tables and the per-test mkdtemp fixtures _t ever sees.
+_TABLE_SCHEMAS: dict = {}  # path -> pyspark StructType
+
+
+def _read_table(spark: SparkSession, path: str) -> DataFrame:
+    sch = _TABLE_SCHEMAS.get(path)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _TABLE_SCHEMAS[path] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -114,7 +136,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor, exact); NTZ -> cast to TIMESTAMP (identity under the UTC
     session TZ we always set). Oracles CAST ts to TIMESTAMP the same way."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return _normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    return _normalize_ts(_read_table(spark, f"{sf_dir}/events.parquet"))
 
 
 def _normalize_ts(df: DataFrame) -> DataFrame:
@@ -4798,7 +4820,7 @@ def _stream_events(spark: SparkSession, sf_dir: str,
     from .streaming.structured import stream_from_directory
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _read_table(spark, f"{sf_dir}/events.parquet").schema
     stream_dir = _scratch(scratch_name)
     os.symlink(
         os.path.abspath(f"{sf_dir}/events.parquet"),

@@ -429,3 +429,26 @@ def test_interval_join_is_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
     assert "BroadcastHashJoin" in s or "SortMergeJoin" in s
+
+
+def test_table_schema_cache_reads_identically(spark, tmp_path):
+    """_read_table's schema cache is metadata-only: the second read of
+    a path must carry the identical schema and rows as the inferring
+    first read (a drifted cache would silently rewrite every query's
+    input types), and the cache must actually be populated."""
+    from pyspark.sql import functions as F
+
+    from accelerator_spark import queries as Q
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(100).select(
+        F.col("id"),
+        (F.col("id") * 0.5).alias("v"),
+        F.col("id").cast("string").alias("s"),
+    ).write.parquet(p)
+    Q._TABLE_SCHEMAS.pop(p, None)
+    a = Q._read_table(spark, p)
+    assert p in Q._TABLE_SCHEMAS
+    b = Q._read_table(spark, p)
+    assert a.schema == b.schema
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
