@@ -228,23 +228,36 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         cols.append(_h(F.col("tok"), 1).alias("hv1"))
     t = t.select(*cols)
 
-    def bit(j):
-        src, off = (F.col("hv"), j) if j < 60 else (F.col("hv1"), j - 60)
-        return F.shiftright(src, off).bitwiseAND(F.lit(1))
+    def bit_sql(j):
+        src, off = ("hv", j) if j < 60 else ("hv1", j - 60)
+        return f"shiftright({src}, {off}) & 1"
 
     # vote via plain bit SUMS + one token count instead of 64
     # sum(CASE ±1) aggregates: sign(sum ±1) == (2*sum(bit) > n), so
     # the fingerprint is bit-identical (ties -> 0 both ways; verified
     # by full-corpus equality at sf0.1) while each aggregate drops the
     # branch — measured ~15% faster end-to-end, and the DuckDB oracle
-    # keeps its CASE formulation unchanged
-    votes = [F.sum(bit(j)).alias(f"b{j}") for j in range(bits)]
+    # keeps its CASE formulation unchanged.
+    # Expressions arrive as SQL strings parsed JVM-side (ONE Py4J call
+    # per aggregate / ONE for the whole bit fold): the per-bit Column
+    # chatter (~10 JVM round-trips x 64 bits x 2 loops) cost multiple
+    # SECONDS of driver time per plan build at bits=64 — more than the
+    # fingerprint pass itself computes in (the kmeans model-literal
+    # finding, guide §5 driver economy). Same resolved plan, verified
+    # fingerprint-identical over the full sf0.1 corpus.
+    votes = [F.expr(f"sum({bit_sql(j)})").alias(f"b{j}")
+             for j in range(bits)]
     agg = t.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *votes)
-    out = F.lit(0).cast("long")
-    for j in range(bits):
-        val = (1 << j) if j < 63 else -(1 << 63)
-        out = out + F.when(F.col(f"b{j}") * 2 > F.col("_n"),
-                           F.lit(val)).otherwise(0).cast("long")
+
+    def val_sql(j):
+        # bit 63 votes the two's-complement value; the positive literal
+        # 1<<63 does not parse as a BIGINT, so spell min-long directly
+        return ("(-9223372036854775807L - 1L)" if j == 63
+                else f"{1 << j}L")
+
+    out = F.expr("CAST(" + " + ".join(
+        f"(CASE WHEN b{j} * 2 > _n THEN {val_sql(j)} ELSE 0L END)"
+        for j in range(bits)) + " AS BIGINT)")
     return agg.select(id_col, out.alias("simhash"))
 
 
