@@ -118,25 +118,31 @@ def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         raise ValueError(
             f"minhash_signature: hash_family {hash_family!r} not one of "
             "'md5', 'xxhash64'")
+    # per-hash expressions arrive as SQL strings parsed JVM-side (ONE
+    # Py4J call each instead of ~6 Column round-trips — the simhash
+    # driver-economy fix; same resolved plan, signatures verified
+    # row-identical over the full sf0.1 corpus for both families)
     grams = word_shingles(F.col(text_col), shingle_n)
     sh = df.select(F.col(id_col), F.explode(grams).alias("g"))
+    arr = ("array(" + ",".join(f"h{i}" for i in range(num_hashes))
+           + ") AS sig")
     if hash_family == "xxhash64":
-        aggs = [F.min(F.xxhash64(F.col("g"), F.lit(i))).alias(f"h{i}")
+        aggs = [F.expr(f"min(xxhash64(g, {i}))").alias(f"h{i}")
                 for i in range(num_hashes)]
         sig = sh.groupBy(id_col).agg(*aggs)
-        return sig.select(
-            id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+        return sig.select(id_col, F.expr(arr))
     n_digests = (num_hashes + 3) // 4
     # materialize each digest once so the 4 windows per digest share it
-    digests = [F.md5(F.concat(F.col("g"), F.lit(f":{d}"))).alias(f"d{d}")
-               for d in range(n_digests)]
-    sh = sh.select(id_col, *digests)
+    sh = sh.select(
+        id_col, *[F.expr(f"md5(concat(g, ':{d}'))").alias(f"d{d}")
+                  for d in range(n_digests)])
     aggs = [
-        F.min(_md5_window(F.col(f"d{i // 4}"), i % 4)).alias(f"h{i}")
+        F.expr(f"min(CAST(conv(substring(d{i // 4}, {8 * (i % 4) + 1},"
+               f" 8), 16, 10) AS BIGINT))").alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sig = sh.groupBy(id_col).agg(*aggs)
-    return sig.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    return sig.select(id_col, F.expr(arr))
 
 
 def _lsh_band_rows(sig: DataFrame, id_col: str,
@@ -148,14 +154,14 @@ def _lsh_band_rows(sig: DataFrame, id_col: str,
     discipline: a key-scheme drift between the batch and the
     accumulated state would silently void recall)."""
     r = num_hashes // bands
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws("_", *[F.col("sig")[b * r + j].cast("string")
-                               for j in range(r)]).alias("key"),
-        )
-        for b in range(bands)
-    ])
+    # ONE parsed expression for the whole band array (driver economy,
+    # see minhash_signature above); sig[i] is 0-based in Spark SQL
+    # exactly like Column.__getitem__
+    band_structs = F.expr("array(" + ",".join(
+        f"struct({b} AS band, concat_ws('_', " + ", ".join(
+            f"CAST(sig[{b * r + j}] AS STRING)" for j in range(r))
+        + ") AS key)"
+        for b in range(bands)) + ")")
     return (sig.select(id_col, F.explode(band_structs).alias("bk"))
             .select(id_col, F.col("bk.band").alias("band"),
                     F.col("bk.key").alias("key")))

@@ -81,14 +81,20 @@ def sign_lsh_signature(df: DataFrame, dim: int, bits: int = 16,
             "bit of the long signature is unusable; see dedup.simhash "
             "for 64-bit fingerprints)")
     planes = _hyperplanes(dim, bits, seed)
-    sig = F.lit(0).cast("long")
-    for j, p in enumerate(planes):
-        # one array literal per plane (ONE Py4J call, see
-        # lit_double_array) — bits x dim per-element round-trips
-        # dominated signature BUILD time (~0.7 s driver-side at 16x64)
-        plane = lit_double_array(p)
-        sig = sig + F.when(dot(F.col(vec_col), plane) >= 0, F.lit(1 << j)).otherwise(0).cast("long")
-    return df.withColumn("lsh_sig", sig)
+    # the WHOLE signature as one parsed SQL expression (ONE Py4J call;
+    # the per-plane Column/lambda chatter still cost ~0.5 s driver-side
+    # at 16x64 even with array literals batched) — same resolved plan:
+    # zip_with/aggregate lambdas and repr(float) round-trip the doubles
+    # bit-exactly (the kmeans model-literal finding, guide §5)
+    def plane_sql(p):
+        return "array(" + ",".join(repr(float(x)) + "D" for x in p) + ")"
+
+    terms = " + ".join(
+        f"(CASE WHEN aggregate(zip_with(`{vec_col}`, {plane_sql(p)},"
+        " (x, y) -> x * y), 0.0D, (acc, v) -> acc + v) >= 0"
+        f" THEN {1 << j}L ELSE 0L END)"
+        for j, p in enumerate(planes))
+    return df.withColumn("lsh_sig", F.expr(f"CAST({terms} AS BIGINT)"))
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
