@@ -88,6 +88,23 @@ def word_shingles(text_col: Column, n: int = 3) -> Column:
     )
 
 
+def _word_shingles_expr(text_col: str, n: int = 3) -> Column:
+    """``word_shingles`` for callers that hold a column NAME: the same
+    shifted-zip tree parsed JVM-side in ONE Py4J call (~16 ms vs
+    ~55 ms of per-node Column chatter — driver economy, guide §5;
+    verified value-identical incl. NULL/blank text at n=3/5/8). SQL
+    arrays_zip names its fields by position, hence ``s['i']``; the
+    values are the Column form's exactly."""
+    toks = f"split(trim(`{text_col}`), '\\\\s+')"
+    ln = f"greatest(size({toks}) - {n - 1}, 1)"
+    zipped = ("arrays_zip("
+              + ",".join(f"slice({toks}, {i + 1}, {ln})" for i in range(n))
+              + ")")
+    fields = ", ".join(f"s['{i}']" for i in range(n))
+    return F.expr(f"array_distinct(transform({zipped},"
+                  f" s -> concat_ws(' ', {fields})))")
+
+
 def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       num_hashes: int = 8, shingle_n: int = 3,
                       hash_family: str = "md5") -> DataFrame:
@@ -122,7 +139,7 @@ def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     # Py4J call each instead of ~6 Column round-trips — the simhash
     # driver-economy fix; same resolved plan, signatures verified
     # row-identical over the full sf0.1 corpus for both families)
-    grams = word_shingles(F.col(text_col), shingle_n)
+    grams = _word_shingles_expr(text_col, shingle_n)
     sh = df.select(F.col(id_col), F.explode(grams).alias("g"))
     arr = ("array(" + ",".join(f"h{i}" for i in range(num_hashes))
            + ") AS sig")
@@ -598,7 +615,7 @@ def duplicate_ngram_fraction(df: DataFrame, text_col: str = "text",
     # scale.
     grams = df.select(
         F.col(id_col), *[F.col(c) for c in carry],
-        F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+        F.explode(_word_shingles_expr(text_col, n)).alias("g"),
     ).localCheckpoint(eager=False)
     gram_df = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
     flagged = grams.join(gram_df, "g")
@@ -638,13 +655,13 @@ def decontaminate(train: DataFrame, heldout: DataFrame,
     silently survived decontamination (review r3).
     """
     tg = train.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g")
+        F.col(id_col), F.explode(_word_shingles_expr(text_col, n)).alias("g")
     )
     # word_shingles('') is [''] — an EMPTY held-out doc would otherwise
     # put the empty gram in the index and "contaminate" every empty
     # train doc (review r5, found by the decontaminate property test)
     hg = heldout.select(
-        F.explode(word_shingles(F.col(text_col), n)).alias("g")
+        F.explode(_word_shingles_expr(text_col, n)).alias("g")
     ).filter(F.col("g") != "").distinct()
     bad = tg.join(hg, "g", "left_semi").select(id_col).distinct()
 
@@ -903,7 +920,7 @@ def _candidate_gram_sets(pairs: DataFrame, df: DataFrame,
     return (bounded.select(F.col(id_col), F.col(text_col).alias("_t"))
             .distinct()
             .select(F.col(id_col),
-                    word_shingles(F.col("_t"), shingle_n).alias("gs")))
+                    _word_shingles_expr("_t", shingle_n).alias("gs")))
 
 
 def jaccard_verify(pairs: DataFrame, df: DataFrame,

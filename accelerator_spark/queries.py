@@ -4646,7 +4646,7 @@ def decontaminate_train_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere; the only shuffles are the gram semi-join and the final
     per-source agg. The held-out split is md5(doc_id)-derived, so the
     same docs are held out at every scale and on both engines."""
-    from .operators.dedup import word_shingles
+    from .operators.dedup import _word_shingles_expr
     from .operators.partition import _md5_bucket
 
     docs = _t(spark, sf_dir, "documents")
@@ -4655,12 +4655,12 @@ def decontaminate_train_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     held = docs.filter(bucket < 500)
     train = docs.filter(bucket >= 500)
     tg = train.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), 8)).alias("g")
+        "doc_id", F.explode(_word_shingles_expr("text", 8)).alias("g")
     )
     # empty-gram guard mirrors operators/dedup.decontaminate (an empty
     # held-out doc must not contaminate empty train docs — review r5)
     hg = held.select(
-        F.explode(word_shingles(F.col("text"), 8)).alias("g")
+        F.explode(_word_shingles_expr("text", 8)).alias("g")
     ).filter(F.col("g") != "").distinct()
     bad_gram = tg.join(hg, "g", "left_semi").select("doc_id").distinct()
 
