@@ -310,6 +310,27 @@ def _hamming_band_keys(fp: Column, bits: int, max_hamming: int) -> list:
     return band_keys
 
 
+def _hamming_band_array_expr(fp_col: str, bits: int,
+                             max_hamming: int) -> Column:
+    """``array(*_hamming_band_keys(...))`` for callers that hold the
+    fingerprint column NAME: the identical band-key array parsed
+    JVM-side in ONE Py4J call (driver economy, guide §5 — this array
+    is rebuilt by every fp gate and every incremental/streaming
+    micro-batch). Width/mask logic mirrors _hamming_band_keys exactly;
+    verified value-identical across bits 16/64 × max_hamming 0/3."""
+    n_bands = max_hamming + 1
+    base_w, extra = divmod(bits, n_bands)
+    fp = f"CAST(`{fp_col}` AS BIGINT)"
+    parts, off = [], 0
+    for i in range(n_bands):
+        w = base_w + (1 if i < extra else 0)
+        mask = -1 if w >= 64 else (1 << w) - 1
+        parts.append(f"concat('B{i}_', CAST(shiftright({fp}, {off})"
+                     f" & {mask}L AS STRING))")
+        off += w
+    return F.expr("array(" + ",".join(parts) + ")")
+
+
 def fp_near_pairs(df: DataFrame, fp_col: str = "fp",
                   id_col: str = "doc_id",
                   bits: int = 64, max_hamming: int = 3,
@@ -340,7 +361,7 @@ def fp_near_pairs(df: DataFrame, fp_col: str = "fp",
             f"{bits} voids the pigeonhole recall guarantee — raise bits "
             "or lower max_hamming")
     fp = F.col(fp_col).cast("long")
-    band_keys = _hamming_band_keys(fp, bits, max_hamming)
+    band_arr = _hamming_band_array_expr(fp_col, bits, max_hamming)
     # r12 (guide §2.4/§8): the band-row frame feeds BOTH self-join
     # sides and the bucket_cap size agg, and Catalyst/AQE do NOT reuse
     # the three copies of its subtree — so the whole upstream
@@ -353,7 +374,7 @@ def fp_near_pairs(df: DataFrame, fp_col: str = "fp",
     # at sf0.1, outputs identical.
     blocks = df.select(
         id_col, fp.alias("_fp"),
-        F.explode(F.array(*band_keys)).alias("blk"),
+        F.explode(band_arr).alias("blk"),
     ).localCheckpoint(eager=False)
     if bucket_cap is not None:
         # skew guard (same contract as minhash bucket_cap): drop blocks
@@ -1038,8 +1059,9 @@ def fp_band_rows(df: DataFrame, fp_col: str = "fp",
     fp = F.col(fp_col).cast("long")
     return df.select(
         F.col(id_col), fp.alias("fp"),
-        F.explode(F.array(
-            *_hamming_band_keys(fp, bits, max_hamming))).alias("blk"),
+        F.explode(
+            _hamming_band_array_expr(fp_col, bits, max_hamming)
+        ).alias("blk"),
     ).select("blk", "fp", id_col)
 
 
@@ -1070,8 +1092,9 @@ def state_near_ids(new_batch: DataFrame, state: DataFrame,
     fp = F.col(fp_col).cast("long")
     bb = new_batch.select(
         F.col(id_col).alias("_bid"), fp.alias("_bfp"),
-        F.explode(F.array(
-            *_hamming_band_keys(fp, bits, max_hamming))).alias("blk"))
+        F.explode(
+            _hamming_band_array_expr(fp_col, bits, max_hamming)
+        ).alias("blk"))
     if broadcast_batch:
         bb = F.broadcast(bb)
     near = (state.join(bb, "blk")
